@@ -1,0 +1,89 @@
+"""Strict date parsing (dateparser stand-in).
+
+The reference calls ``dateparser.parse(text, STRICT_PARSING=True,
+languages=[lang])`` (``gruut/text_processor.py:1985-1994``): strict mode
+requires day, month, and year all present. This module implements the
+slice of that grammar the corpus and fixtures exercise:
+
+* numeric dates with ``/``, ``-`` or ``.`` separators, component order
+  given by the language's date order (en=MDY, de/es/fr=DMY);
+* ISO ``YYYY-MM-DD``;
+* month-name forms ("January 4, 1999", "4 January 1999").
+
+Only tokens passing the language's ``is_maybe_date`` prefilter reach this
+parser (en: ``[0-9]+[-/][0-9]+``, gruut/lang.py:355-357), so en in
+practice sees only the numeric slash/dash forms.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Tuple
+
+from .settings import MONTH_NAMES
+
+DateTuple = Tuple[int, int, int]  # (year, month, day)
+
+_NUMERIC_DATE = re.compile(r"^\s*(\d{1,4})([/.\-])(\d{1,2})\2(\d{1,4})\s*$")
+
+_MONTH_LOOKUP = {}
+for _lang, _names in MONTH_NAMES.items():
+    for _i, _n in enumerate(_names, start=1):
+        _MONTH_LOOKUP.setdefault(_lang, {})[_n.lower()] = _i
+
+_NAME_DATE_MDY = re.compile(r"^\s*([A-Za-zÀ-ÿ]+)\s+(\d{1,2})(?:,|\s)\s*(\d{4})\s*$")
+_NAME_DATE_DMY = re.compile(r"^\s*(\d{1,2})\.?\s+([A-Za-zÀ-ÿ]+)\s+(\d{4})\s*$")
+
+
+def _valid(year: int, month: int, day: int) -> Optional[DateTuple]:
+    days_in_month = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
+    if not (1 <= month <= 12):
+        return None
+    if not (1 <= day <= days_in_month[month - 1]):
+        return None
+    if not (1 <= year <= 9999):
+        return None
+    return (year, month, day)
+
+
+def _expand_year(y: int) -> int:
+    """Two-digit years pivot at 50 like dateparser's default."""
+    if y >= 100:
+        return y
+    return 2000 + y if y < 50 else 1900 + y
+
+
+def parse_date(text: str, date_order: str = "MDY", lang: str = "en") -> Optional[DateTuple]:
+    """Strict parse to (year, month, day); None if not a full date."""
+    m = _NUMERIC_DATE.match(text)
+    if m is not None:
+        a, sep, b, c = m.group(1), m.group(2), m.group(3), m.group(4)
+        ai, bi, ci = int(a), int(b), int(c)
+        if len(a) == 4:
+            # YYYY-sep-M-sep-D regardless of locale order (ISO-ish)
+            return _valid(ai, bi, ci)
+        if len(c) < 2:
+            # strict parsing: ambiguous trailing single-digit year rejected
+            return None
+        year = _expand_year(ci)
+        if date_order == "DMY":
+            return _valid(year, bi, ai)
+        # MDY
+        return _valid(year, ai, bi)
+
+    short = lang[:2].lower()
+    months = _MONTH_LOOKUP.get(short, _MONTH_LOOKUP["en"])
+
+    m = _NAME_DATE_MDY.match(text)
+    if m is not None:
+        month = months.get(m.group(1).lower())
+        if month is not None:
+            return _valid(int(m.group(3)), month, int(m.group(2)))
+
+    m = _NAME_DATE_DMY.match(text)
+    if m is not None:
+        month = months.get(m.group(2).lower())
+        if month is not None:
+            return _valid(int(m.group(3)), month, int(m.group(1)))
+
+    return None

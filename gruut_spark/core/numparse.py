@@ -1,0 +1,51 @@
+"""Locale-aware decimal parsing (babel.numbers.parse_decimal stand-in).
+
+The reference parses token text with Babel
+(``gruut/text_processor.py:1866-1871``), which strips the locale's group
+separator anywhere in the string and swaps the locale decimal character —
+so de_DE parses "1.1.2000" as 112000 (the pitfall the reference guards
+against by detecting dates first, ``gruut/text_processor.py:1041-1048``).
+This module reproduces that lenient behavior deterministically, without
+Babel.
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal, InvalidOperation
+from typing import Optional
+
+_SIGNS = "+-"
+
+
+def parse_decimal(text: str, group_char: str = ",", decimal_char: str = ".") -> Optional[Decimal]:
+    """Parse a locale-formatted decimal string; None if not a number.
+
+    Lenient like Babel: group characters are removed wherever they appear;
+    the decimal character becomes '.'; the result must then be a plain
+    signed decimal literal (finite).
+    """
+    s = text.strip()
+    if not s:
+        return None
+    s = s.replace(group_char, "")
+    if decimal_char != ".":
+        if "." in s:
+            # A '.' that is neither group nor decimal char is not numeric
+            # in this locale once group chars are stripped.
+            return None
+        s = s.replace(decimal_char, ".")
+    # Validate: optional sign, digits, optional fraction; rejects nan/inf
+    body = s[1:] if s[:1] in _SIGNS else s
+    if not body:
+        return None
+    int_part, dot, frac_part = body.partition(".")
+    if not (int_part or frac_part):
+        return None
+    if int_part and not int_part.isdigit():
+        return None
+    if frac_part and not frac_part.isdigit():
+        return None
+    try:
+        return Decimal(s)
+    except InvalidOperation:
+        return None

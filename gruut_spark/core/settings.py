@@ -1,0 +1,432 @@
+"""Per-language tokenizer/normalizer settings (the "catalog").
+
+Re-expresses the reference's ``TextProcessorSettings``
+(``gruut/const.py:595-857``) and the per-language tables from
+``gruut/lang.py`` as plain dataclasses of precompiled regexes — built once
+on the Spark driver and closure-captured into pandas UDFs (the reference's
+pattern-precompilation optimization, ``gruut/const.py:761-836``, becomes
+broadcast-by-closure).
+
+Currency symbol tables are transcribed statically (the reference derives
+them from Babel locale data at ``gruut/const.py:839-857``; no Babel here).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+from typing import Callable, Dict, FrozenSet, List, Optional, Pattern, Tuple
+
+from .types import Time
+
+# Reference defaults (gruut/const.py:122-126,557)
+DEFAULT_WORD_PATTERN = re.compile(r"(\s*\S+(?:\s+|$))")
+NORMALIZE_WHITESPACE_PATTERN = re.compile(r"\s+")
+SURROUNDING_WHITESPACE_PATTERN = re.compile(r"^(\s*)\S+(\s*)$", re.DOTALL)
+HAS_DIGIT_PATTERN = re.compile(r"[0-9]")
+
+
+def split_words(s: str):
+    """Whitespace-preserving token split (gruut/const.py:557-562)."""
+    return [t for t in DEFAULT_WORD_PATTERN.findall(s) if t]
+
+
+def get_whitespace(s: str) -> Tuple[str, str]:
+    """Leading/trailing whitespace of a string (gruut/const.py:565-572)."""
+    m = SURROUNDING_WHITESPACE_PATTERN.match(s)
+    if m is None:
+        return "", ""
+    return m.group(1), m.group(2)
+
+
+def normalize_whitespace(s: str) -> str:
+    """Collapse runs of whitespace to one space (gruut/const.py:575-577)."""
+    return NORMALIZE_WHITESPACE_PATTERN.sub(" ", s.strip())
+
+
+def has_digit(s: str) -> bool:
+    return HAS_DIGIT_PATTERN.search(s) is not None
+
+
+# ---------------------------------------------------------------------------
+# English helpers (gruut/lang.py:271-362)
+# ---------------------------------------------------------------------------
+
+EN_INITIALISM_PATTERN = re.compile(r"^\s*[A-Z]{2,}\s*$")
+EN_INITIALISM_DOTS_PATTERN = re.compile(r"^(?:\s*[a-zA-Z]\.){1,}\s*$")
+EN_NON_WORD_PATTERN = re.compile(r"^(\W|_)+$")
+EN_ORDINAL_PATTERN = re.compile(r"^(-?[0-9][0-9,]*)(?:st|nd|rd|th).*$")
+EN_TIME_PATTERN = re.compile(
+    r"""^((0?[0-9])|(1[0-1])|(1[2-9])|(2[0-3]))  # hours
+         (?::
+         ([0-5][0-9]))?                          # minutes
+         \s*(a\.m\.|am|pm|p\.m\.|a\.m|p\.m)?     # am/pm
+         $""",
+    re.IGNORECASE | re.X,
+)
+EN_MAYBE_DATE_PATTERN = re.compile(r"[0-9]+[-/][0-9]+")
+EN_MAYBE_TIME_PATTERN = re.compile(r"[0-9]+[:ap]", re.IGNORECASE)
+
+
+def en_is_initialism(text: str) -> bool:
+    return (EN_INITIALISM_PATTERN.match(text) is not None) or (
+        EN_INITIALISM_DOTS_PATTERN.match(text) is not None
+    )
+
+
+def en_get_ordinal(text: str) -> Optional[int]:
+    m = EN_ORDINAL_PATTERN.match(text)
+    if m is None:
+        return None
+    return int(re.sub(r"[^0-9]", "", m.group(1)))
+
+
+def en_parse_time(text: str) -> Optional[Time]:
+    """Parse English clock time, e.g. 4:01pm (gruut/lang.py:306-329)."""
+    m = EN_TIME_PATTERN.match(text.strip().lower())
+    if m is None:
+        return None
+    hours = int(m.group(1))
+    minutes = 0 if m.group(6) is None else int(m.group(6))
+    period = m.group(7)
+    if period is not None:
+        period = "A.M." if "a" in period else "P.M."
+    elif ":" not in text:
+        # Require a colon when no am/pm, else plain numbers parse as times
+        return None
+    return Time(hours=hours, minutes=minutes, period=period)
+
+
+def en_verbalize_time(time: Time) -> List[str]:
+    """12-hour clock wording (gruut/lang.py:332-353)."""
+    hour = time.hours
+    if hour > 12:
+        hour -= 12
+    elif hour == 0:
+        hour = 12
+    out = [str(hour)]
+    if time.minutes > 0:
+        if time.minutes < 10:
+            out.append("oh")
+        out.append(str(time.minutes))
+    if time.period is not None:
+        out.append(time.period)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Settings dataclass
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TextSettings:
+    """Per-language configuration (reference TextProcessorSettings,
+    gruut/const.py:595-857)."""
+
+    lang: str
+    keep_whitespace: bool = True
+    join_str: str = " "
+
+    major_breaks: FrozenSet[str] = frozenset()
+    minor_breaks: FrozenSet[str] = frozenset()
+    word_breaks: FrozenSet[str] = frozenset()
+    begin_punctuations: FrozenSet[str] = frozenset()
+    end_punctuations: FrozenSet[str] = frozenset()
+
+    replacements: List[Tuple[str, str]] = field(default_factory=list)
+    abbreviations: Dict[str, str] = field(default_factory=dict)
+    spell_out_words: Dict[str, str] = field(default_factory=dict)
+
+    default_currency: str = "USD"
+    currencies: Dict[str, str] = field(default_factory=dict)  # symbol -> code
+    default_date_format: str = "mdy-ordinal"
+
+    # locale for decimal parsing: (group_char, decimal_char)
+    group_char: str = ","
+    decimal_char: str = "."
+    # date order used by the strict date parser (dateparser stand-in)
+    date_order: str = "MDY"
+
+    is_non_word: Optional[Callable[[str], bool]] = None
+    get_ordinal: Optional[Callable[[str], Optional[int]]] = None
+    parse_time: Optional[Callable[[str], Optional[Time]]] = None
+    verbalize_time: Optional[Callable[[Time], List[str]]] = None
+    is_initialism: Optional[Callable[[str], bool]] = None
+    split_initialism: Optional[Callable[[str], List[str]]] = None
+    is_maybe_date: Optional[Callable[[str], bool]] = has_digit
+    is_maybe_time: Optional[Callable[[str], bool]] = has_digit
+    is_maybe_number: Optional[Callable[[str], bool]] = has_digit
+    is_maybe_currency: Optional[Callable[[str], bool]] = has_digit
+
+    # Stand-in for lexicon membership (reference WordNode.in_lexicon via
+    # gruut/phonemize.py:47-115): words in this set are never split or
+    # re-interpreted. Mirrors the observable effect of the en lexicon on
+    # tokens like "p.m." (kept whole so the time window-collapse at
+    # gruut/text_processor.py:2004-2056 can merge "4:01" + "p.m.").
+    protected_words: FrozenSet[str] = frozenset()
+
+    # Compiled in __post_init__
+    replacements_compiled: List[Tuple[Pattern, str]] = field(default_factory=list)
+    abbreviations_compiled: List[Tuple[Pattern, str]] = field(default_factory=list)
+    begin_punctuations_pattern: Optional[Pattern] = None
+    end_punctuations_pattern: Optional[Pattern] = None
+    major_breaks_pattern: Optional[Pattern] = None
+    minor_breaks_pattern: Optional[Pattern] = None
+    word_breaks_pattern: Optional[Pattern] = None
+    currency_symbols: List[str] = field(default_factory=list)
+
+    def __post_init__(self):
+        # Mirrors gruut/const.py:761-836 pattern construction exactly.
+        self.major_breaks = frozenset(self.major_breaks)
+        self.minor_breaks = frozenset(self.minor_breaks)
+        self.word_breaks = frozenset(self.word_breaks)
+        self.begin_punctuations = frozenset(self.begin_punctuations)
+        self.end_punctuations = frozenset(self.end_punctuations)
+        self.protected_words = frozenset(self.protected_words)
+
+        self.replacements_compiled = [
+            (re.compile(p), t) for p, t in self.replacements
+        ]
+
+        self.abbreviations_compiled = []
+        for pattern, template in self.abbreviations.items():
+            if not pattern.endswith("$") and self.major_breaks:
+                # Auto-append optional trailing major break + whitespace
+                # (gruut/const.py:767-784)
+                break_str = "|".join(re.escape(b) for b in sorted(self.major_breaks))
+                pattern = f"{pattern}(?P<break>{break_str})?(?P<whitespace>\\s*)$"
+                template += r"\g<break>\g<whitespace>"
+            self.abbreviations_compiled.append((re.compile(pattern), template))
+
+        if self.begin_punctuations:
+            alt = "|".join(re.escape(b) for b in sorted(self.begin_punctuations))
+            self.begin_punctuations_pattern = re.compile(f"^({alt})")
+        if self.end_punctuations:
+            alt = "|".join(re.escape(b) for b in sorted(self.end_punctuations))
+            self.end_punctuations_pattern = re.compile(f"({alt})$")
+        if self.major_breaks:
+            alt = "|".join(re.escape(b) for b in sorted(self.major_breaks))
+            # break + trailing whitespace or end of text; runs allowed (!?)
+            self.major_breaks_pattern = re.compile(f"((?:{alt})+(?:\\s+|$))")
+        if self.minor_breaks:
+            alt = "|".join(re.escape(b) for b in sorted(self.minor_breaks))
+            self.minor_breaks_pattern = re.compile(f"((?:{alt})(?:\\s+|$))")
+        if self.word_breaks:
+            alt = "|".join(re.escape(b) for b in sorted(self.word_breaks))
+            self.word_breaks_pattern = re.compile(f"(?:{alt})")
+
+        if not self.currency_symbols:
+            # Longest-match-first symbol ordering (gruut/const.py:853-857)
+            self.currency_symbols = sorted(self.currencies, key=len, reverse=True)
+
+
+# Static symbol->code tables (Babel locale stand-in, gruut/const.py:839-857)
+_COMMON_CURRENCIES = {
+    "$": "USD",
+    "US$": "USD",
+    "€": "EUR",
+    "£": "GBP",
+    "¥": "JPY",
+    "A$": "AUD",
+    "CA$": "CAD",
+    "₹": "INR",
+}
+
+_EN_ABBREVIATIONS = {
+    # Transcribed from gruut/lang.py:382-403
+    r"^([cC])o\.": r"\1ompany",
+    r"^([dD])r\.": r"\1octor",
+    r"^([dD])rs\.": r"\1octors",
+    r"^([jJ])r\.('s)?": r"\1unior\2",
+    r"^([lL])td\.": r"\1imited",
+    r"^([mM])r\.": r"\1ister",
+    r"^([mM])s\.": r"\1iss",
+    r"^([mM])rs\.": r"\1issus",
+    r"^([sS])t\.": r"\1treet",
+    r"^([vV])s\.?": r"\1ersus",
+    r"(.*\d)%": r"\1 percent",
+    r"^&(\s*)$": r"and\1",
+    r"^([mM])t\.": r"\1ount",
+    "^II$": "two",
+    "^III$": "three",
+    "^IV$": "four",
+    "^VI$": "six",
+    "^VII$": "seven",
+    "^VIII$": "eight",
+}
+
+# Word forms of the en time periods; kept whole like lexicon entries so the
+# time collapse can see "4:01" + "p.m." (see protected_words docstring).
+_EN_PROTECTED = frozenset({"a.m.", "p.m.", "A.M.", "P.M.", "a.m", "p.m"})
+
+
+def _en_settings() -> TextSettings:
+    """English settings (gruut/lang.py:364-420)."""
+    return TextSettings(
+        lang="en_US",
+        major_breaks={".", "?", "!"},
+        minor_breaks={",", ";", ":", "..."},
+        word_breaks={"-", "_"},
+        begin_punctuations={'"', "'", "“", "«", "[", "(", "<", "*", "_"},
+        end_punctuations={'"', "'", "”", "»", "]", ")", ">", "*", "_"},
+        default_currency="USD",
+        default_date_format="{m} {o}, {y}",
+        replacements=[("’", "'")],
+        abbreviations=dict(_EN_ABBREVIATIONS),
+        spell_out_words={
+            ".": "dot", "-": "dash", "@": "at", "*": "star", "+": "plus",
+            "/": "slash",
+        },
+        currencies=dict(_COMMON_CURRENCIES),
+        group_char=",",
+        decimal_char=".",
+        date_order="MDY",
+        is_non_word=lambda t: EN_NON_WORD_PATTERN.match(t) is not None,
+        get_ordinal=en_get_ordinal,
+        parse_time=en_parse_time,
+        verbalize_time=en_verbalize_time,
+        is_initialism=en_is_initialism,
+        split_initialism=lambda t: list(t.replace(".", "")),
+        is_maybe_date=lambda s: EN_MAYBE_DATE_PATTERN.match(s) is not None,
+        is_maybe_time=lambda s: EN_MAYBE_TIME_PATTERN.match(s) is not None,
+        protected_words=_EN_PROTECTED,
+    )
+
+
+def _de_settings() -> TextSettings:
+    """German settings (gruut/lang.py:425-442)."""
+    return TextSettings(
+        lang="de_DE",
+        major_breaks={".", "?", "!"},
+        minor_breaks={",", ";", ":", "..."},
+        word_breaks={"-", "_"},
+        begin_punctuations={'"', "“", "«", "[", "(", "<", "’", "„"},
+        end_punctuations={'"', "”", "»", "]", ")", ">", "’"},
+        default_currency="EUR",
+        default_date_format="omy",
+        replacements=[("’", "'"), ("ß", "ss")],
+        currencies={"€": "EUR", "$": "USD", "£": "GBP"},
+        group_char=".",
+        decimal_char=",",
+        date_order="DMY",
+    )
+
+
+def _es_settings() -> TextSettings:
+    """Spanish settings (gruut/lang.py:654-678)."""
+    return TextSettings(
+        lang="es_ES",
+        major_breaks={".", "?", "!"},
+        minor_breaks={",", ";", ":", "..."},
+        word_breaks={"-", "_"},
+        begin_punctuations={'"', "“", "«", "[", "(", "<", "¡", "¿"},
+        end_punctuations={'"', "”", "»", "]", ")", ">"},
+        default_currency="EUR",
+        default_date_format="dmy",
+        replacements=[("’", "'")],
+        currencies={"€": "EUR", "$": "USD"},
+        group_char=".",
+        decimal_char=",",
+        date_order="DMY",
+    )
+
+
+def _fr_settings() -> TextSettings:
+    """French settings (gruut/lang.py:664-682); liaison post-processing is
+    phoneme-level and out of scope for a text quality filter."""
+    return TextSettings(
+        lang="fr_FR",
+        major_breaks={".", "?", "!"},
+        minor_breaks={",", ";", ":", "..."},
+        word_breaks={"-", "_"},
+        begin_punctuations={'"', "“", "«", "[", "(", "<", "„"},
+        end_punctuations={'"', "”", "»", "]", ")", ">"},
+        default_currency="EUR",
+        default_date_format="omy",
+        replacements=[("’", "'")],
+        currencies={"€": "EUR", "$": "USD"},
+        group_char=" ",
+        decimal_char=",",
+        date_order="DMY",
+    )
+
+
+def _code_settings() -> TextSettings:
+    """Profile for source-code files (new in this engine; no reference
+    analogue). Tokenize + punctuation/sentence structure only — no
+    abbreviation or number verbalization, so code text is never rewritten
+    (the quality stages read token statistics, not verbalized words)."""
+    return TextSettings(
+        lang="code",
+        major_breaks={".", "?", "!", ";"},
+        minor_breaks={","},
+        begin_punctuations={'"', "'", "(", "[", "{", "<"},
+        end_punctuations={'"', "'", ")", "]", "}", ">"},
+        replacements=[],
+        currencies={},
+    )
+
+
+_SETTINGS_FACTORIES = {
+    "en_US": _en_settings,
+    "de_DE": _de_settings,
+    "es_ES": _es_settings,
+    "fr_FR": _fr_settings,
+    "code": _code_settings,
+}
+
+# Language alias resolution (gruut/utils.py:37-49 + const.py:17-41)
+_LANG_ALIASES = {
+    "en": "en_US", "en-us": "en_US", "en_us": "en_US", "en-gb": "en_US",
+    "en_gb": "en_US",
+    "de": "de_DE", "de-de": "de_DE", "de_de": "de_DE",
+    "es": "es_ES", "es-es": "es_ES", "es_es": "es_ES", "es-mx": "es_ES",
+    "fr": "fr_FR", "fr-fr": "fr_FR", "fr_fr": "fr_FR",
+}
+
+_SETTINGS_CACHE: Dict[str, TextSettings] = {}
+
+
+def resolve_lang(lang: str) -> str:
+    """Normalize a language tag to a supported settings key; anything that
+    looks like code ('code', 'code-python', 'python', ...) maps to the code
+    profile; unknown natural languages fall back to en_US defaults."""
+    key = lang.strip().replace("_", "-").lower()
+    if key in _LANG_ALIASES:
+        return _LANG_ALIASES[key]
+    if key.startswith("code") or key in {
+        "python", "javascript", "js", "java", "c", "cpp", "go", "rust",
+        "json", "yaml", "markdown",
+    }:
+        return "code"
+    return _LANG_ALIASES.get(key.split("-")[0], "en_US")
+
+
+def get_settings(lang: str) -> TextSettings:
+    key = resolve_lang(lang)
+    if key not in _SETTINGS_CACHE:
+        _SETTINGS_CACHE[key] = _SETTINGS_FACTORIES[key]()
+    return _SETTINGS_CACHE[key]
+
+
+# Month names for date verbalization (Babel format_date stand-in,
+# gruut/text_processor.py:2216-2218)
+MONTH_NAMES = {
+    "en": [
+        "January", "February", "March", "April", "May", "June", "July",
+        "August", "September", "October", "November", "December",
+    ],
+    "de": [
+        "Januar", "Februar", "März", "April", "Mai", "Juni", "Juli",
+        "August", "September", "Oktober", "November", "Dezember",
+    ],
+    "es": [
+        "enero", "febrero", "marzo", "abril", "mayo", "junio", "julio",
+        "agosto", "septiembre", "octubre", "noviembre", "diciembre",
+    ],
+    "fr": [
+        "janvier", "février", "mars", "avril", "mai", "juin", "juillet",
+        "août", "septembre", "octobre", "novembre", "décembre",
+    ],
+}

@@ -1,0 +1,752 @@
+"""Fixpoint text normalization engine.
+
+List-of-tokens re-expression of the reference's graph-rewrite pipeline
+(``gruut/text_processor.py:1004-1099``): the reference appends children to
+leaves of a text graph; since only leaves are ever read
+(``gruut/utils.py:323-343``) and children replace their parent in DFS
+order, replacing a token with its expansion *in place* in a flat list is
+the same computation without networkx.
+
+Pass order, guard flags, memoized negative parses, and whitespace
+distribution mirror the reference exactly (citations on each stage).
+Sentence breaking keeps the reference's "only whole top-level tokens move
+to the new sentence" behavior (``gruut/text_processor.py:1211-1286``) via
+the ``group`` field: a major break splits the sentence *after the break's
+top-level token*, so trailing punctuation spawned from the same original
+token stays with its sentence (tests/test_text_processor.py:91-122).
+
+Everything here is pure Python with no Spark imports — the same function
+runs inside pandas UDF batches on executors and serially in the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, List, Optional, Tuple
+
+from . import verbalize
+from .dates import parse_date
+from .numparse import parse_decimal
+from .settings import (
+    TextSettings,
+    get_settings,
+    get_whitespace,
+    normalize_whitespace,
+    split_words,
+)
+from .types import (
+    CARDINAL,
+    CURRENCY,
+    DATE,
+    DIGITS,
+    IGNORE,
+    MAJOR,
+    MINOR,
+    NUMBER,
+    ORDINAL,
+    PUNCT,
+    SPELL_OUT,
+    TIME,
+    WORD,
+    YEAR,
+    Sentence,
+    Tok,
+    Word,
+)
+
+DEFAULT_MAX_PASSES = 5  # gruut/text_processor.py:460
+
+import re as _re
+_ALL_DIGITS = _re.compile(r"^\d+$")
+
+
+def _is_protected(text: str, settings: TextSettings) -> bool:
+    """Reference _is_word_in_lexicon (gruut/text_processor.py:2095-2102)."""
+    return text in settings.protected_words
+
+
+# ---------------------------------------------------------------------------
+# Split stages: Tok -> Optional[List[Tok]] (None = unchanged)
+# ---------------------------------------------------------------------------
+
+
+def _split_replacements(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """Ordered regex substitutions (gruut/text_processor.py:1685-1729)."""
+    if tok.kind != WORD or tok.interpret_as or tok.protected:
+        return None
+    if not s.replacements_compiled:
+        return None
+    matched = False
+    new_text = tok.ws
+    for pattern, template in s.replacements_compiled:
+        new_text, n = pattern.subn(template, new_text)
+        if n > 0:
+            matched = True
+    if not matched:
+        return None
+    out = []
+    for part in split_words(new_text):
+        norm = normalize_whitespace(part)
+        if not norm:
+            continue
+        out.append(
+            Tok(text=norm, ws=part, group=tok.group,
+                protected=_is_protected(norm, s))
+        )
+    return out
+
+
+def _split_punctuations(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """Peel begin/end punctuation (gruut/text_processor.py:1336-1446)."""
+    if tok.kind != WORD or tok.interpret_as or tok.protected:
+        return None
+    if s.begin_punctuations_pattern is None and s.end_punctuations_pattern is None:
+        return None
+
+    word_text = tok.text
+    first_ws, last_ws = get_whitespace(tok.ws)
+    has_punctuation = False
+    out: List[Tok] = []
+
+    if s.begin_punctuations_pattern is not None:
+        parts = [p for p in s.begin_punctuations_pattern.split(word_text, maxsplit=1) if p]
+        first_word = True
+        while word_text and len(parts) == 2:
+            punct_text, word_text = parts
+            if first_word:
+                punct_text = first_ws + punct_text
+                first_word = False
+            has_punctuation = True
+            out.append(
+                Tok(text=normalize_whitespace(punct_text), ws=punct_text,
+                    kind=PUNCT, group=tok.group)
+            )
+            parts = [p for p in s.begin_punctuations_pattern.split(word_text, maxsplit=1) if p]
+
+    end_punctuations: List[str] = []
+    if s.end_punctuations_pattern is not None:
+        parts = [p for p in s.end_punctuations_pattern.split(word_text, maxsplit=1) if p]
+        while word_text and len(parts) == 2:
+            word_text, punct_text = parts
+            has_punctuation = True
+            end_punctuations.append(punct_text)
+            parts = [p for p in s.end_punctuations_pattern.split(word_text, maxsplit=1) if p]
+
+    if not has_punctuation:
+        return None
+
+    if not end_punctuations:
+        word_text = word_text + last_ws
+
+    if word_text:
+        norm = normalize_whitespace(word_text)
+        out.append(
+            Tok(text=norm, ws=word_text, group=tok.group,
+                protected=_is_protected(norm, s))
+        )
+
+    last_punct_idx = len(end_punctuations) - 1
+    for punct_idx, punct_text in enumerate(reversed(end_punctuations)):
+        if punct_idx == last_punct_idx:
+            punct_text += last_ws
+        out.append(
+            Tok(text=punct_text.strip(), ws=punct_text, kind=PUNCT,
+                group=tok.group)
+        )
+    return out
+
+
+def _split_break(tok: Tok, s: TextSettings, major: bool) -> Optional[List[Tok]]:
+    """Split trailing sentence/phrase break symbol
+    (gruut/text_processor.py:1448-1534)."""
+    if tok.kind != WORD or tok.interpret_as or tok.protected:
+        return None
+    pattern = s.major_breaks_pattern if major else s.minor_breaks_pattern
+    if pattern is None:
+        return None
+    parts = pattern.split(tok.ws)
+    if len(parts) < 2:
+        return None
+    word_part, break_part = parts[0], parts[1]
+    out: List[Tok] = []
+    if word_part.strip():
+        norm = normalize_whitespace(word_part)
+        out.append(
+            Tok(text=norm, ws=word_part, group=tok.group,
+                protected=_is_protected(norm, s))
+        )
+    elif major:
+        # Keep leading whitespace on the break itself
+        break_part = word_part + break_part
+    out.append(
+        Tok(text=normalize_whitespace(break_part), ws=break_part,
+            kind=MAJOR if major else MINOR, group=tok.group)
+    )
+    return out
+
+
+def _split_abbreviations(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """First-match abbreviation expansion with case-preserving templates
+    (gruut/text_processor.py:1731-1772)."""
+    if tok.kind != WORD or tok.interpret_as or tok.protected:
+        return None
+    if not s.abbreviations_compiled:
+        return None
+    new_text = None
+    for pattern, template in s.abbreviations_compiled:
+        m = pattern.match(tok.ws)
+        if m is not None:
+            new_text = m.expand(template)
+            break
+    if new_text is None:
+        return None
+    out = []
+    for part in split_words(new_text):
+        norm = normalize_whitespace(part)
+        if not norm:
+            continue
+        out.append(
+            Tok(text=norm, ws=part, group=tok.group,
+                protected=_is_protected(norm, s))
+        )
+    return out
+
+
+def _split_initialism(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """Split TTS / T.T.S. into letters (gruut/text_processor.py:1774-1820)."""
+    if tok.kind != WORD or tok.interpret_as or tok.protected or len(tok.text) < 2:
+        return None
+    if s.is_initialism is None or s.split_initialism is None:
+        return None
+    if not s.is_initialism(tok.text):
+        return None
+    first_ws, last_ws = get_whitespace(tok.ws)
+    parts = s.split_initialism(tok.text)
+    last_part_idx = len(parts) - 1
+    out = []
+    for part_idx, part_text in enumerate(parts):
+        norm = normalize_whitespace(part_text)
+        if not norm:
+            continue
+        if part_idx == 0:
+            part_text = first_ws + part_text
+        if 0 <= part_idx < last_part_idx:
+            part_text += s.join_str
+        elif part_idx == last_part_idx:
+            part_text += last_ws
+        out.append(
+            Tok(text=norm, ws=part_text, group=tok.group, role="letter")
+        )
+    return out
+
+
+def _split_spell_out(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """interpret-as='spell-out' char expansion
+    (gruut/text_processor.py:1636-1683)."""
+    if tok.interpret_as != SPELL_OUT:
+        return None
+    first_ws, last_ws = get_whitespace(tok.ws)
+    last_char_idx = len(tok.text) - 1
+    out = []
+    for i, c in enumerate(tok.text):
+        word_text = s.spell_out_words.get(c)
+        role = ""
+        if word_text is None:
+            if c.isalpha():
+                word_text = c
+                role = "letter"
+            else:
+                word_text = c
+        if not word_text:
+            continue
+        if i == 0:
+            word_text = first_ws + word_text
+        if i == last_char_idx:
+            word_text += last_ws
+        else:
+            word_text += s.join_str
+        out.append(
+            Tok(text=normalize_whitespace(word_text), ws=word_text,
+                group=tok.group, role=role)
+        )
+    return out
+
+
+def _break_words(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """Split on intra-word break chars (gruut/text_processor.py:1288-1334)."""
+    if tok.kind != WORD or tok.interpret_as or tok.protected:
+        return None
+    if s.word_breaks_pattern is None:
+        return None
+    parts = s.word_breaks_pattern.split(tok.text)
+    if len(parts) < 2:
+        return None
+    first_ws, last_ws = get_whitespace(tok.ws)
+    last_part_idx = len(parts) - 1
+    out = []
+    for part_idx, part_text in enumerate(parts):
+        norm = normalize_whitespace(part_text)
+        if not norm:
+            continue
+        if part_idx == 0:
+            part_text = first_ws + part_text
+        if part_idx == last_part_idx:
+            part_text += last_ws
+        else:
+            part_text += s.join_str
+        out.append(
+            Tok(text=norm, ws=part_text, group=tok.group,
+                protected=_is_protected(norm, s), is_from_broken_word=True)
+        )
+    if not out:
+        return None  # reference yields nothing -> leaf unchanged
+    return out
+
+
+def _split_ignore_non_words(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """Drop non-word tokens (gruut/text_processor.py:1822-1838)."""
+    if tok.kind != WORD or tok.interpret_as or tok.protected:
+        return None
+    if s.is_non_word is None:
+        return None
+    if s.is_non_word(tok.text):
+        return [Tok(text="", ws="", kind=IGNORE, group=tok.group)]
+    return None
+
+
+def _apply_split(
+    toks: List[Tok], fn: Callable[[Tok, TextSettings], Optional[List[Tok]]],
+    s: TextSettings,
+) -> Tuple[List[Tok], bool]:
+    out: List[Tok] = []
+    changed = False
+    for tok in toks:
+        repl = fn(tok, s)
+        if repl is None:
+            out.append(tok)
+        else:
+            out.extend(repl)
+            changed = True
+    return out, changed
+
+
+# ---------------------------------------------------------------------------
+# Transform stages (tag in place; return "attempted" like the reference's
+# pipeline_transform change flag, gruut/utils.py:346-354)
+# ---------------------------------------------------------------------------
+
+
+def _transform_date(tok: Tok, s: TextSettings) -> bool:
+    """gruut/text_processor.py:1958-2002 (dateparser STRICT stand-in)."""
+    if tok.kind != WORD:
+        return False
+    if (not tok.maybe_date) or (tok.interpret_as and tok.interpret_as != DATE):
+        return False
+    if s.is_maybe_date is not None and not s.is_maybe_date(tok.text):
+        tok.maybe_date = False
+        return False
+    date = parse_date(tok.text, date_order=s.date_order, lang=s.lang)
+    if date is not None:
+        tok.interpret_as = DATE
+        tok.date = date
+    return True
+
+
+def _transform_currency(tok: Tok, s: TextSettings) -> bool:
+    """gruut/text_processor.py:1897-1956."""
+    if tok.kind != WORD:
+        return False
+    if (not tok.maybe_currency) or (
+        tok.interpret_as and tok.interpret_as != CURRENCY
+    ):
+        return False
+    if s.is_maybe_currency is not None and not s.is_maybe_currency(tok.text):
+        tok.maybe_currency = False
+        return False
+    parsed = False
+    for symbol in s.currency_symbols:
+        if tok.text.startswith(symbol):
+            number = parse_decimal(
+                tok.text[len(symbol):], s.group_char, s.decimal_char
+            )
+            if number is not None:
+                tok.interpret_as = CURRENCY
+                tok.currency_symbol = symbol
+                tok.number = number
+                parsed = True
+                break
+    if not parsed and tok.interpret_as == CURRENCY:
+        # Forced interpretation (say-as) using the default currency
+        number = parse_decimal(tok.text, s.group_char, s.decimal_char)
+        if number is not None:
+            tok.currency_name = s.default_currency
+            tok.number = number
+    return True
+
+
+def _transform_number(tok: Tok, s: TextSettings) -> bool:
+    """gruut/text_processor.py:1844-1895."""
+    if tok.kind != WORD:
+        return False
+    if (not tok.maybe_number) or (
+        tok.interpret_as and tok.interpret_as != NUMBER
+    ):
+        return False
+    if s.get_ordinal is not None:
+        ordinal_num = s.get_ordinal(tok.text)
+        if ordinal_num is not None:
+            tok.interpret_as = NUMBER
+            tok.fmt = ORDINAL
+            from decimal import Decimal
+
+            tok.number = Decimal(ordinal_num)
+            return False  # reference returns False on the ordinal path
+    number = parse_decimal(tok.text, s.group_char, s.decimal_char)
+    if number is None:
+        tok.maybe_number = False
+        return True
+    tok.interpret_as = NUMBER
+    if not tok.fmt:
+        tok.fmt = CARDINAL
+    tok.number = number
+    if 1000 < number < 3000 and _ALL_DIGITS.match(tok.text) is not None:
+        # Year heuristic: all-digit 1000..3000 (gruut/text_processor.py:1884-1890)
+        tok.fmt = YEAR
+    return True
+
+
+def _transform_time(tok: Tok, s: TextSettings) -> bool:
+    """gruut/text_processor.py:2058-2093."""
+    if tok.kind != WORD:
+        return False
+    if (not tok.maybe_time) or (tok.interpret_as and tok.interpret_as != TIME):
+        return False
+    if s.parse_time is None:
+        return False
+    if s.is_maybe_time is not None and not s.is_maybe_time(tok.text):
+        tok.maybe_time = False
+        return False
+    time = s.parse_time(tok.text)
+    if time is not None:
+        tok.interpret_as = TIME
+        tok.time = time
+    return True
+
+
+def _collapse_time(toks: List[Tok], s: TextSettings) -> Tuple[List[Tok], bool]:
+    """Sliding-window(2) merge of '4:01' + 'p.m.' into one time token
+    (gruut/text_processor.py:2004-2056; window combinator
+    gruut/utils.py:357-369). The merged node carries no whitespace, like
+    the reference's bare WordNode(text=...)."""
+    if s.parse_time is None:
+        return toks, False
+    out: List[Tok] = []
+    changed = False
+    i = 0
+    while i < len(toks):
+        a = toks[i]
+        if i + 1 < len(toks):
+            b = toks[i + 1]
+            ok = True
+            for w in (a, b):
+                if w.kind != WORD or (not w.maybe_time) or (
+                    w.interpret_as and w.interpret_as != TIME
+                ):
+                    ok = False
+                    break
+            if ok:
+                text = a.text + b.text
+                if (s.is_maybe_time is None or s.is_maybe_time(text)):
+                    time = s.parse_time(text)
+                    if time is not None:
+                        out.append(
+                            Tok(text=text, ws="", interpret_as=TIME,
+                                time=time, group=a.group)
+                        )
+                        changed = True
+                        i += 2
+                        continue
+        out.append(a)
+        i += 1
+    return out, changed
+
+
+# ---------------------------------------------------------------------------
+# Verbalize stages (replace tagged token with word children; like the
+# reference these do NOT set the change flag themselves —
+# gruut/text_processor.py:2108-2421 return None)
+# ---------------------------------------------------------------------------
+
+
+def _words_from_text(text: str, tok: Tok, s: TextSettings) -> List[Tok]:
+    first_ws, last_ws = get_whitespace(tok.ws)
+    text = first_ws + text + last_ws
+    out = []
+    for part in split_words(text):
+        norm = normalize_whitespace(part)
+        if not norm:
+            continue
+        out.append(Tok(text=norm, ws=part, group=tok.group))
+    return out
+
+
+def _verbalize_number(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """gruut/text_processor.py:2108-2181."""
+    if tok.kind != WORD or tok.interpret_as != NUMBER or tok.number is None:
+        return None
+    if s.is_maybe_number is not None and not s.is_maybe_number(tok.text):
+        return None
+    lang = s.lang
+    nums = [tok.number]
+    if tok.fmt == DIGITS:
+        nums = [int(d) for d in str(int(tok.number))]
+    out: List[Tok] = []
+    for num in nums:
+        if tok.fmt == ORDINAL:
+            num_str = verbalize.ordinal(int(num), lang)
+        elif tok.fmt == YEAR:
+            num_str = verbalize.year(int(num), lang)
+        else:
+            num_str = verbalize.cardinal(num, lang)
+        out.extend(_words_from_text(num_str, tok, s))
+    return out
+
+
+# Reference InterpretAsFormat date formats (gruut/const.py:180-196):
+# each letter becomes a {x} slot joined by join_str.
+def _date_format_str(fmt: str, join_str: str) -> str:
+    if "{" in fmt:
+        return fmt
+    return join_str.join(f"{{{c}}}" for c in fmt.strip().upper())
+
+
+def _verbalize_date(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """gruut/text_processor.py:2183-2282."""
+    if tok.kind != WORD or tok.interpret_as != DATE or tok.date is None:
+        return None
+    year_n, month_n, day_n = tok.date
+    fmt = tok.fmt or s.default_date_format
+    fmt_str = _date_format_str(fmt, s.join_str)
+    lang2 = s.lang[:2].lower()
+    from .settings import MONTH_NAMES
+
+    month_str = ""
+    day_card = ""
+    day_ord = ""
+    year_str = ""
+    if "{M}" in fmt_str or "{m}" in fmt_str:
+        names = MONTH_NAMES.get(lang2, MONTH_NAMES["en"])
+        month_str = names[month_n - 1]
+    if "{D}" in fmt_str or "{d}" in fmt_str:
+        day_card = verbalize.cardinal(day_n, s.lang)
+    if "{O}" in fmt_str or "{o}" in fmt_str:
+        day_ord = verbalize.ordinal(day_n, s.lang)
+    if "{Y}" in fmt_str or "{y}" in fmt_str:
+        year_str = verbalize.year(year_n, s.lang)
+    date_str = fmt_str.format(
+        M=month_str, m=month_str, D=day_card, d=day_card, O=day_ord,
+        o=day_ord, Y=year_str, y=year_str,
+    )
+    return _words_from_text(date_str, tok, s)
+
+
+def _verbalize_time(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """gruut/text_processor.py:2284-2339 — verbalized parts are immediately
+    re-run through number transform and initialism split."""
+    if tok.kind != WORD or tok.interpret_as != TIME or tok.time is None:
+        return None
+    if s.verbalize_time is None:
+        return None
+    first_ws, last_ws = get_whitespace(tok.ws)
+    time_words = list(s.verbalize_time(tok.time))
+    last_idx = len(time_words) - 1
+    out: List[Tok] = []
+    for word_idx, time_word_text in enumerate(time_words):
+        if word_idx == 0:
+            time_word_text = first_ws + time_word_text
+        if word_idx == last_idx:
+            time_word_text += last_ws
+        else:
+            time_word_text += s.join_str
+        norm = normalize_whitespace(time_word_text)
+        if not norm:
+            continue
+        child = Tok(text=norm, ws=time_word_text, group=tok.group)
+        _transform_number(child, s)
+        letters = _split_initialism(child, s)
+        if letters is not None:
+            out.extend(letters)
+        else:
+            out.append(child)
+    return out
+
+
+def _verbalize_currency(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """gruut/text_processor.py:2341-2421."""
+    if tok.kind != WORD or tok.interpret_as != CURRENCY or tok.number is None:
+        return None
+    if tok.currency_symbol is None and tok.currency_name is None:
+        return None
+    if not tok.currency_name:
+        tok.currency_name = s.currencies.get(
+            tok.currency_symbol or "", s.default_currency
+        )
+    num_str = verbalize.currency(tok.number, tok.currency_name, s.lang)
+    return _words_from_text(num_str, tok, s)
+
+
+def _apply_verbalize(
+    toks: List[Tok], fn, s: TextSettings
+) -> List[Tok]:
+    out: List[Tok] = []
+    for tok in toks:
+        repl = fn(tok, s)
+        if repl is None:
+            out.append(tok)
+        else:
+            out.extend(repl)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Main pipeline
+# ---------------------------------------------------------------------------
+
+
+def process_tokens(
+    text: str,
+    lang: str = "en_US",
+    settings: Optional[TextSettings] = None,
+    max_passes: int = DEFAULT_MAX_PASSES,
+    detect_numbers: bool = True,
+    detect_currency: bool = True,
+    detect_dates: bool = True,
+    detect_times: bool = True,
+    verbalize_numbers: bool = True,
+    verbalize_currency: bool = True,
+    verbalize_dates: bool = True,
+    verbalize_times: bool = True,
+) -> List[Tok]:
+    """Tokenize + fixpoint-normalize; returns the final token list.
+
+    Stage order matches gruut/text_processor.py:1004-1099 exactly.
+    """
+    s = settings if settings is not None else get_settings(lang)
+
+    toks: List[Tok] = []
+    for i, word_text in enumerate(split_words(text)):
+        norm = normalize_whitespace(word_text)
+        if not norm:
+            continue
+        toks.append(
+            Tok(text=norm, ws=word_text, group=i,
+                protected=_is_protected(norm, s))
+        )
+
+    passes_left = max_passes
+    while passes_left > 0:
+        was_changed = False
+
+        toks, c = _apply_split(toks, _split_replacements, s)
+        was_changed |= c
+        toks, c = _apply_split(toks, _split_punctuations, s)
+        was_changed |= c
+        toks, c = _apply_split(toks, lambda t, st: _split_break(t, st, False), s)
+        was_changed |= c
+        toks, c = _apply_split(toks, _split_abbreviations, s)
+        was_changed |= c
+        toks, c = _apply_split(toks, _split_initialism, s)
+        was_changed |= c
+        toks, c = _apply_split(toks, lambda t, st: _split_break(t, st, True), s)
+        was_changed |= c
+        # _break_sentences (gruut/text_processor.py:1211-1286) is deferred
+        # to flatten time: groups make it order-independent.
+        toks, c = _apply_split(toks, _split_spell_out, s)
+        was_changed |= c
+
+        if detect_dates:
+            for tok in toks:
+                was_changed |= _transform_date(tok, s)
+        if detect_currency:
+            for tok in toks:
+                was_changed |= _transform_currency(tok, s)
+        if detect_numbers:
+            for tok in toks:
+                was_changed |= _transform_number(tok, s)
+        if detect_times:
+            toks, c = _collapse_time(toks, s)
+            was_changed |= c
+            for tok in toks:
+                was_changed |= _transform_time(tok, s)
+
+        if verbalize_dates:
+            toks = _apply_verbalize(toks, _verbalize_date, s)
+        if verbalize_times:
+            toks = _apply_verbalize(toks, _verbalize_time, s)
+        if verbalize_numbers:
+            toks = _apply_verbalize(toks, _verbalize_number, s)
+        if verbalize_currency:
+            toks = _apply_verbalize(toks, _verbalize_currency, s)
+
+        toks, c = _apply_split(toks, _break_words, s)
+        was_changed |= c
+        toks, c = _apply_split(toks, _split_ignore_non_words, s)
+        was_changed |= c
+
+        if not was_changed:
+            break
+        passes_left -= 1
+
+    return toks
+
+
+def flatten(toks: List[Tok], lang: str = "", settings: Optional[TextSettings] = None) -> List[Sentence]:
+    """Group tokens into sentences (reference sentences() third DFS,
+    gruut/text_processor.py:102-391, + _break_sentences semantics)."""
+    s = settings if settings is not None else get_settings(lang or "en_US")
+    sentences: List[Sentence] = [Sentence(idx=0)]
+    pending_break_group = None
+    for tok in toks:
+        if tok.kind == IGNORE:
+            continue
+        if pending_break_group is not None and tok.group != pending_break_group:
+            sentences.append(Sentence(idx=len(sentences)))
+            pending_break_group = None
+        sent = sentences[-1]
+        sent.words.append(
+            Word(
+                idx=len(sent.words),
+                sent_idx=sent.idx,
+                text=tok.text,
+                text_with_ws=tok.ws,
+                lang=lang,
+                is_major_break=tok.kind == MAJOR,
+                is_minor_break=tok.kind == MINOR,
+                is_punctuation=tok.kind == PUNCT,
+            )
+        )
+        if tok.kind == MAJOR:
+            pending_break_group = tok.group
+    if not sentences[-1].words:
+        sentences.pop()
+    for sent in sentences:
+        sent.lang = lang
+        sent.text_with_ws = "".join(w.text_with_ws for w in sent.words)
+        sent.text = normalize_whitespace(sent.text_with_ws)
+        sent.text_spoken = s.join_str.join(
+            w.text for w in sent.words if w.is_spoken
+        )
+    return sentences
+
+
+def sentences(text: str, lang: str = "en_US", **kwargs) -> List[Sentence]:
+    """Primary API (reference gruut.sentences, gruut/__init__.py:36-91)."""
+    s = get_settings(lang)
+    toks = process_tokens(text, lang=lang, settings=s, **kwargs)
+    return flatten(toks, lang=lang, settings=s)
+
+
+def words(text: str, lang: str = "en_US", **kwargs) -> List[Word]:
+    out: List[Word] = []
+    for sent in sentences(text, lang=lang, **kwargs):
+        out.extend(sent.words)
+    return out

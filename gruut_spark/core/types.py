@@ -1,0 +1,125 @@
+"""Token / word / sentence records for the normalization core.
+
+Re-expresses the reference's graph-node taxonomy (rhasspy/gruut,
+``gruut/const.py:260-369``) as a flat token list: the reference's text
+graph exists only to support iterative leaf rewrites
+(``gruut/utils.py:323-343``); a list where each rewrite replaces a token
+with its expansion in place carries the same information (DFS order of
+leaves == list order).
+
+Word/Sentence mirror the reference output records
+(``gruut/const.py:375-499``) minus TTS-only fields (phonemes, pauses,
+marks, voice) that are out of scope for a corpus quality filter.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field, replace
+from decimal import Decimal
+from typing import List, Optional, Tuple
+
+# Token kinds (reference node classes, gruut/const.py:271-348)
+WORD = "word"
+MAJOR = "major"  # BreakWordNode(break_type=major)
+MINOR = "minor"  # BreakWordNode(break_type=minor)
+PUNCT = "punct"  # PunctuationWordNode
+IGNORE = "ignore"  # IgnoreNode
+
+# InterpretAs values (gruut/const.py:143-163)
+SPELL_OUT = "spell-out"
+DATE = "date"
+NUMBER = "number"
+CURRENCY = "currency"
+TIME = "time"
+WORD_AS = "word"
+
+# InterpretAsFormat values (gruut/const.py:166-196)
+CARDINAL = "cardinal"
+ORDINAL = "ordinal"
+DIGITS = "digits"
+YEAR = "year"
+
+
+@dataclass
+class Time:
+    """Parsed clock time (gruut/const.py:129-137)."""
+
+    hours: int
+    minutes: int = 0
+    period: Optional[str] = None  # "A.M." / "P.M."
+
+
+@dataclass
+class Tok:
+    """One token in the rewrite pipeline (reference WordNode,
+    gruut/const.py:304-331, plus kind discriminator)."""
+
+    text: str  # whitespace-normalized text
+    ws: str  # text_with_ws — text with original surrounding whitespace
+    kind: str = WORD
+    group: int = 0  # top-level token id; sentence breaks only move whole groups
+    interpret_as: str = ""
+    fmt: str = ""
+    number: Optional[Decimal] = None
+    date: Optional[Tuple[int, int, int]] = None  # (year, month, day)
+    time: Optional[Time] = None
+    currency_symbol: Optional[str] = None
+    currency_name: Optional[str] = None
+    role: str = ""
+    protected: bool = False  # reference: WordNode.in_lexicon
+    # Monotone memo flags for failed parses (gruut/const.py:325-329)
+    maybe_number: bool = True
+    maybe_date: bool = True
+    maybe_currency: bool = True
+    maybe_time: bool = True
+    is_from_broken_word: bool = False
+
+    def copy(self, **kw) -> "Tok":
+        return replace(self, **kw)
+
+
+@dataclass
+class Word:
+    """Output word record (reference Word, gruut/const.py:375-446)."""
+
+    idx: int
+    sent_idx: int
+    text: str
+    text_with_ws: str
+    par_idx: int = 0
+    lang: str = ""
+    is_major_break: bool = False
+    is_minor_break: bool = False
+    is_punctuation: bool = False
+
+    @property
+    def is_break(self) -> bool:
+        return self.is_major_break or self.is_minor_break
+
+    @property
+    def is_spoken(self) -> bool:
+        """True if word is something that would be spoken aloud
+        (gruut/const.py:439-444)."""
+        return not (self.is_break or self.is_punctuation)
+
+
+@dataclass
+class Sentence:
+    """Output sentence record (reference Sentence, gruut/const.py:449-499)."""
+
+    idx: int
+    text: str = ""
+    text_with_ws: str = ""
+    text_spoken: str = ""
+    par_idx: int = 0
+    lang: str = ""
+    words: List[Word] = field(default_factory=list)
+
+    def __iter__(self):
+        return iter(self.words)
+
+    def __len__(self):
+        return len(self.words)
+
+    def __getitem__(self, i):
+        return self.words[i]

@@ -1,0 +1,408 @@
+"""From-scratch number verbalizers (num2words replacement).
+
+The reference delegates number/currency wording to the ``num2words``
+package (``gruut/text_processor.py:2126-2158,2366-2398``); that package is
+not available here and the north rule requires a from-scratch build, so
+this module re-implements the English wording conventions the reference's
+test fixtures pin down (``tests/test_en.py``,
+``tests/test_text_processor.py:403-509``):
+
+* cardinal:  121 -> "one hundred and twenty-one",
+             5111 -> "five thousand, one hundred and eleven"
+  (hyphenated tens-units, "and" between hundreds and the rest of a group,
+  ", " between thousand groups)
+* ordinal:   last word converted ("one"->"first", "twenty-one"->"twenty-first")
+* year:      1999 -> "nineteen ninety-nine", 2000 -> "two thousand",
+             2020 -> "twenty twenty", 1905 -> "nineteen oh-five",
+             1900 -> "nineteen hundred"
+* float:     3.14 -> "three point one four" (digits spelled individually)
+* currency:  zero-cents amounts keep only the unit part
+             ($100 -> "one hundred dollars", gruut strips "zero cents" via
+             a separator trick, gruut/text_processor.py:2404-2410)
+
+Small cardinal tables for de/es/fr cover the multi-language fixtures
+(``tests/test_text_processor.py:419-436,588-692``).
+"""
+
+from __future__ import annotations
+
+from decimal import Decimal
+from typing import Union
+
+Numeric = Union[int, float, Decimal]
+
+_EN_ONES = [
+    "zero", "one", "two", "three", "four", "five", "six", "seven", "eight",
+    "nine", "ten", "eleven", "twelve", "thirteen", "fourteen", "fifteen",
+    "sixteen", "seventeen", "eighteen", "nineteen",
+]
+_EN_TENS = [
+    "", "", "twenty", "thirty", "forty", "fifty", "sixty", "seventy",
+    "eighty", "ninety",
+]
+_EN_SCALE = [
+    (10 ** 9, "billion"),
+    (10 ** 6, "million"),
+    (10 ** 3, "thousand"),
+]
+
+_EN_ORD_IRREGULAR = {
+    "one": "first",
+    "two": "second",
+    "three": "third",
+    "five": "fifth",
+    "eight": "eighth",
+    "nine": "ninth",
+    "twelve": "twelfth",
+}
+
+
+def _en_under_100(n: int) -> str:
+    if n < 20:
+        return _EN_ONES[n]
+    tens, units = divmod(n, 10)
+    if units == 0:
+        return _EN_TENS[tens]
+    return f"{_EN_TENS[tens]}-{_EN_ONES[units]}"
+
+
+def _en_under_1000(n: int) -> str:
+    if n < 100:
+        return _en_under_100(n)
+    hundreds, rest = divmod(n, 100)
+    text = f"{_EN_ONES[hundreds]} hundred"
+    if rest:
+        # num2words en joins hundreds to the remainder with "and"
+        text += f" and {_en_under_100(rest)}"
+    return text
+
+
+def en_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"minus {en_cardinal_int(-n)}"
+    if n < 1000:
+        return _en_under_1000(n)
+    parts = []
+    rest = n
+    for scale_val, scale_name in _EN_SCALE:
+        if rest >= scale_val:
+            count, rest = divmod(rest, scale_val)
+            parts.append(f"{_en_under_1000(count)} {scale_name}")
+    if rest:
+        last = _en_under_1000(rest)
+        if rest < 100 and parts:
+            # num2words: "one thousand and five"
+            parts[-1] = f"{parts[-1]} and {last}"
+        else:
+            # num2words: "five thousand, one hundred and eleven"
+            parts = [", ".join(parts + [last])]
+    if len(parts) > 1:
+        return ", ".join(parts)
+    return parts[0]
+
+
+def en_cardinal(value: Numeric) -> str:
+    """Cardinal words; floats spell fractional digits individually
+    (num2words en: 3.14 -> 'three point one four')."""
+    dec = Decimal(str(value))
+    if dec == dec.to_integral_value():
+        return en_cardinal_int(int(dec))
+    sign = "minus " if dec < 0 else ""
+    dec = abs(dec)
+    int_part = int(dec)
+    frac_digits = str(dec).split(".", 1)[1]
+    frac_words = " ".join(_EN_ONES[int(d)] for d in frac_digits)
+    return f"{sign}{en_cardinal_int(int_part)} point {frac_words}"
+
+
+def en_ordinal(n: int) -> str:
+    """Ordinal words: convert the final word of the cardinal form."""
+    cardinal = en_cardinal_int(n)
+    head, _, last = cardinal.rpartition(" ")
+    pre_hyphen, hyphen, hyph_last = last.rpartition("-")
+    word = hyph_last
+    if word in _EN_ORD_IRREGULAR:
+        ord_word = _EN_ORD_IRREGULAR[word]
+    elif word.endswith("y"):
+        ord_word = word[:-1] + "ieth"
+    else:
+        ord_word = word + "th"
+    last = f"{pre_hyphen}{hyphen}{ord_word}"
+    return f"{head} {last}".strip() if head else last
+
+
+def en_year(n: int) -> str:
+    """Year wording (num2words base to_year algorithm)."""
+    if n < 0:
+        return f"minus {en_year(-n)}"
+    high, low = divmod(n, 100)
+    if high == 0 or (high % 10 == 0 and low < 10) or high >= 100:
+        return en_cardinal_int(n)
+    if low == 0:
+        low_text = "hundred"
+    elif low < 10:
+        low_text = f"oh-{en_cardinal_int(low)}"
+    else:
+        low_text = _en_under_100(low)
+    return f"{en_cardinal_int(high)} {low_text}"
+
+
+# (singular unit, plural unit, singular cent, plural cent)
+# Wording follows num2words en CURRENCY_FORMS; "euro" is invariant there
+# (tests/test_text_processor.py:475: en "€10" -> "ten euro").
+EN_CURRENCY_FORMS = {
+    "USD": ("dollar", "dollars", "cent", "cents"),
+    "EUR": ("euro", "euro", "cent", "cents"),
+    "GBP": ("pound sterling", "pounds sterling", "penny", "pence"),
+    "JPY": ("yen", "yen", "sen", "sen"),
+    "CAD": ("dollar", "dollars", "cent", "cents"),
+    "AUD": ("dollar", "dollars", "cent", "cents"),
+    "CHF": ("franc", "francs", "centime", "centimes"),
+    "INR": ("rupee", "rupees", "paisa", "paise"),
+}
+
+
+def en_currency(value: Numeric, currency: str = "USD") -> str:
+    """Currency wording with gruut's zero-cents stripping
+    (gruut/text_processor.py:2395-2410): integer amounts keep only the
+    unit part; fractional amounts append '<cents> cents'."""
+    forms = EN_CURRENCY_FORMS.get(currency, (currency, currency, "cent", "cents"))
+    dec = Decimal(str(value))
+    sign = "minus " if dec < 0 else ""
+    dec = abs(dec)
+    whole = int(dec)
+    cents = int((dec - whole) * 100 + Decimal("0.5"))
+    unit = forms[0] if whole == 1 else forms[1]
+    text = f"{sign}{en_cardinal_int(whole)} {unit}"
+    if cents > 0:
+        cent = forms[2] if cents == 1 else forms[3]
+        text += f" {en_cardinal_int(cents)} {cent}"
+    return text
+
+
+# ---------------------------------------------------------------------------
+# Minimal de/es/fr cardinals + currency — enough for the multi-language
+# fixtures; ordinal/year for non-English fall back to cardinal (documented
+# divergence: the quality-filter corpus never verbalizes non-English dates).
+# ---------------------------------------------------------------------------
+
+_DE_ONES = [
+    "null", "eins", "zwei", "drei", "vier", "fünf", "sechs", "sieben",
+    "acht", "neun", "zehn", "elf", "zwölf", "dreizehn", "vierzehn",
+    "fünfzehn", "sechzehn", "siebzehn", "achtzehn", "neunzehn",
+]
+_DE_UNITS_PREFIX = [
+    "", "ein", "zwei", "drei", "vier", "fünf", "sechs", "sieben", "acht",
+    "neun",
+]
+_DE_TENS = [
+    "", "zehn", "zwanzig", "dreißig", "vierzig", "fünfzig", "sechzig",
+    "siebzig", "achtzig", "neunzig",
+]
+
+
+def de_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"minus {de_cardinal_int(-n)}"
+    if n < 20:
+        return _DE_ONES[n]
+    if n < 100:
+        tens, units = divmod(n, 10)
+        if units == 0:
+            return _DE_TENS[tens]
+        return f"{_DE_UNITS_PREFIX[units]}und{_DE_TENS[tens]}"
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        text = f"{_DE_UNITS_PREFIX[hundreds]}hundert"
+        return text + (de_cardinal_int(rest) if rest else "")
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        prefix = "ein" if thousands == 1 else de_cardinal_int(thousands)
+        text = f"{prefix}tausend"
+        return text + (de_cardinal_int(rest) if rest else "")
+    millions, rest = divmod(n, 10 ** 6)
+    m_word = "eine Million" if millions == 1 else f"{de_cardinal_int(millions)} Millionen"
+    return m_word + (f" {de_cardinal_int(rest)}" if rest else "")
+
+
+def de_cardinal(value: Numeric) -> str:
+    dec = Decimal(str(value))
+    if dec == dec.to_integral_value():
+        return de_cardinal_int(int(dec))
+    sign = "minus " if dec < 0 else ""
+    dec = abs(dec)
+    frac_digits = str(dec).split(".", 1)[1]
+    frac = " ".join(_DE_ONES[int(d)] for d in frac_digits)
+    return f"{sign}{de_cardinal_int(int(dec))} Komma {frac}"
+
+
+_ES_ONES = [
+    "cero", "uno", "dos", "tres", "cuatro", "cinco", "seis", "siete",
+    "ocho", "nueve", "diez", "once", "doce", "trece", "catorce", "quince",
+    "dieciséis", "diecisiete", "dieciocho", "diecinueve", "veinte",
+    "veintiuno", "veintidós", "veintitrés", "veinticuatro", "veinticinco",
+    "veintiséis", "veintisiete", "veintiocho", "veintinueve",
+]
+_ES_TENS = [
+    "", "", "veinte", "treinta", "cuarenta", "cincuenta", "sesenta",
+    "setenta", "ochenta", "noventa",
+]
+_ES_HUNDREDS = [
+    "", "ciento", "doscientos", "trescientos", "cuatrocientos",
+    "quinientos", "seiscientos", "setecientos", "ochocientos",
+    "novecientos",
+]
+
+
+def es_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"menos {es_cardinal_int(-n)}"
+    if n < 30:
+        return _ES_ONES[n]
+    if n < 100:
+        tens, units = divmod(n, 10)
+        if units == 0:
+            return _ES_TENS[tens]
+        return f"{_ES_TENS[tens]} y {_ES_ONES[units]}"
+    if n == 100:
+        return "cien"
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        text = _ES_HUNDREDS[hundreds]
+        return f"{text} {es_cardinal_int(rest)}" if rest else text
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        prefix = "mil" if thousands == 1 else f"{es_cardinal_int(thousands)} mil"
+        return f"{prefix} {es_cardinal_int(rest)}" if rest else prefix
+    millions, rest = divmod(n, 10 ** 6)
+    m_word = "un millón" if millions == 1 else f"{es_cardinal_int(millions)} millones"
+    return f"{m_word} {es_cardinal_int(rest)}" if rest else m_word
+
+
+def es_cardinal(value: Numeric) -> str:
+    dec = Decimal(str(value))
+    if dec == dec.to_integral_value():
+        return es_cardinal_int(int(dec))
+    sign = "menos " if dec < 0 else ""
+    dec = abs(dec)
+    frac_digits = str(dec).split(".", 1)[1]
+    frac = " ".join(_ES_ONES[int(d)] for d in frac_digits)
+    return f"{sign}{es_cardinal_int(int(dec))} punto {frac}"
+
+
+_FR_ONES = [
+    "zéro", "un", "deux", "trois", "quatre", "cinq", "six", "sept", "huit",
+    "neuf", "dix", "onze", "douze", "treize", "quatorze", "quinze",
+    "seize", "dix-sept", "dix-huit", "dix-neuf",
+]
+_FR_TENS = [
+    "", "dix", "vingt", "trente", "quarante", "cinquante", "soixante",
+]
+
+
+def _fr_under_100(n: int) -> str:
+    if n < 20:
+        return _FR_ONES[n]
+    if n < 70:
+        tens, units = divmod(n, 10)
+        if units == 0:
+            return _FR_TENS[tens]
+        if units == 1:
+            return f"{_FR_TENS[tens]} et un"
+        return f"{_FR_TENS[tens]}-{_FR_ONES[units]}"
+    if n < 80:
+        if n == 71:
+            return "soixante et onze"
+        return f"soixante-{_FR_ONES[n - 60]}"
+    if n == 80:
+        return "quatre-vingts"
+    if n < 100:
+        return f"quatre-vingt-{_FR_ONES[n - 80]}"
+    raise ValueError(n)
+
+
+def fr_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"moins {fr_cardinal_int(-n)}"
+    if n < 100:
+        return _fr_under_100(n)
+    if n < 1000:
+        hundreds, rest = divmod(n, 100)
+        head = "cent" if hundreds == 1 else f"{_fr_under_100(hundreds)} cent"
+        if rest == 0:
+            return head if hundreds == 1 else head + "s"
+        return f"{head} {fr_cardinal_int(rest)}"
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        head = "mille" if thousands == 1 else f"{fr_cardinal_int(thousands)} mille"
+        return f"{head} {fr_cardinal_int(rest)}" if rest else head
+    millions, rest = divmod(n, 10 ** 6)
+    m_word = "un million" if millions == 1 else f"{fr_cardinal_int(millions)} millions"
+    return f"{m_word} {fr_cardinal_int(rest)}" if rest else m_word
+
+
+def fr_cardinal(value: Numeric) -> str:
+    dec = Decimal(str(value))
+    if dec == dec.to_integral_value():
+        return fr_cardinal_int(int(dec))
+    sign = "moins " if dec < 0 else ""
+    dec = abs(dec)
+    frac_digits = str(dec).split(".", 1)[1]
+    frac = " ".join(_FR_ONES[int(d)] for d in frac_digits)
+    return f"{sign}{fr_cardinal_int(int(dec))} virgule {frac}"
+
+
+# fr pluralizes "euros" while en keeps "euro" invariant
+# (tests/test_text_processor.py:468-509).
+_LANG_CURRENCY_FORMS = {
+    "fr": {"EUR": ("euro", "euros", "centime", "centimes")},
+    "de": {"EUR": ("Euro", "Euro", "Cent", "Cent")},
+    "es": {"EUR": ("euro", "euros", "céntimo", "céntimos")},
+}
+
+_CARDINALS = {
+    "en": en_cardinal,
+    "de": de_cardinal,
+    "es": es_cardinal,
+    "fr": fr_cardinal,
+}
+
+
+def cardinal(value: Numeric, lang: str = "en") -> str:
+    fn = _CARDINALS.get(lang[:2].lower(), en_cardinal)
+    return fn(value)
+
+
+def ordinal(n: int, lang: str = "en") -> str:
+    if lang[:2].lower() == "en":
+        return en_ordinal(n)
+    # Non-English ordinals fall back to cardinal (out of fixture scope).
+    return cardinal(n, lang)
+
+
+def year(n: int, lang: str = "en") -> str:
+    if lang[:2].lower() == "en":
+        return en_year(n)
+    return cardinal(n, lang)
+
+
+def currency(value: Numeric, code: str = "USD", lang: str = "en") -> str:
+    short = lang[:2].lower()
+    if short == "en" or short not in _CARDINALS:
+        return en_currency(value, code)
+    forms = _LANG_CURRENCY_FORMS.get(short, {}).get(
+        code, (code, code, "cent", "cents")
+    )
+    card = _CARDINALS[short]
+    dec = Decimal(str(value))
+    neg = {"de": "minus", "es": "menos", "fr": "moins"}[short]
+    sign = f"{neg} " if dec < 0 else ""
+    dec = abs(dec)
+    whole = int(dec)
+    cents = int((dec - whole) * 100 + Decimal("0.5"))
+    unit = forms[0] if whole == 1 else forms[1]
+    text = f"{sign}{card(whole)} {unit}"
+    if cents > 0:
+        cent = forms[2] if cents == 1 else forms[3]
+        text += f" {card(cents)} {cent}"
+    return text
