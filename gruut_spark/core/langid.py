@@ -1,0 +1,164 @@
+"""fastText-style language identification (from scratch).
+
+A linear classifier over hashed character n-gram counts — the same model
+family as fastText's supervised mode (bag of char n-grams -> linear layer
+-> softmax), trained in closed form as multinomial Naive Bayes so training
+is deterministic (no SGD, no seed sensitivity).
+
+Scoring is fully vectorized: a batch of documents becomes one CSR-like
+(doc, bucket, count) triple set, and scores are computed with a single
+numpy gather-scatter per class — no per-row Python in the hot path, as
+the north rule requires.
+
+Hashing is FNV-1a over UTF-8 bytes (stable across processes — Python's
+builtin ``hash`` is salted per process and must never be used here, or
+executor results would disagree with the driver/oracle).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+DEFAULT_BUCKETS = 1 << 16
+DEFAULT_NGRAM_RANGE = (2, 4)
+
+
+def _fnv1a_bytes(data: bytes) -> int:
+    h = int(_FNV_OFFSET)
+    for b in data:
+        h ^= b
+        h = (h * int(_FNV_PRIME)) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def char_ngram_buckets(
+    text: str,
+    buckets: int = DEFAULT_BUCKETS,
+    ngram_range: Tuple[int, int] = DEFAULT_NGRAM_RANGE,
+    max_chars: int = 2000,
+) -> np.ndarray:
+    """Hashed char n-gram ids for one document (truncated for speed —
+    langid needs only a prefix sample, like fastText's default behavior
+    on long documents)."""
+    s = " " + text[:max_chars].lower() + " "
+    raw = s.encode("utf-8", "ignore")
+    ids: List[int] = []
+    lo, hi = ngram_range
+    n_chars = len(s)
+    for n in range(lo, hi + 1):
+        for i in range(n_chars - n + 1):
+            gram = s[i : i + n]
+            ids.append(_fnv1a_bytes(gram.encode("utf-8", "ignore")) % buckets)
+    if not ids:
+        return np.zeros(0, dtype=np.int64)
+    return np.asarray(ids, dtype=np.int64)
+
+
+class LangIdModel:
+    """Multinomial NB over hashed char n-grams; fastText-shaped scoring."""
+
+    def __init__(
+        self,
+        classes: Sequence[str],
+        log_probs: np.ndarray,  # (n_classes, buckets) log P(bucket|class)
+        log_priors: np.ndarray,  # (n_classes,)
+        buckets: int = DEFAULT_BUCKETS,
+        ngram_range: Tuple[int, int] = DEFAULT_NGRAM_RANGE,
+    ):
+        self.classes = list(classes)
+        self.log_probs = log_probs.astype(np.float32)
+        self.log_priors = log_priors.astype(np.float32)
+        self.buckets = buckets
+        self.ngram_range = ngram_range
+
+    # -- training ----------------------------------------------------------
+    @classmethod
+    def train(
+        cls,
+        texts: Iterable[str],
+        labels: Iterable[str],
+        buckets: int = DEFAULT_BUCKETS,
+        ngram_range: Tuple[int, int] = DEFAULT_NGRAM_RANGE,
+        alpha: float = 0.5,
+    ) -> "LangIdModel":
+        texts = list(texts)
+        labels = list(labels)
+        classes = sorted(set(labels))
+        class_idx = {c: i for i, c in enumerate(classes)}
+        counts = np.full((len(classes), buckets), alpha, dtype=np.float64)
+        priors = np.zeros(len(classes), dtype=np.float64)
+        for text, label in zip(texts, labels):
+            ci = class_idx[label]
+            ids = char_ngram_buckets(text, buckets, ngram_range)
+            if ids.size:
+                np.add.at(counts[ci], ids, 1.0)
+            priors[ci] += 1.0
+        log_probs = np.log(counts) - np.log(counts.sum(axis=1, keepdims=True))
+        priors = priors / priors.sum()
+        return cls(classes, log_probs, np.log(priors), buckets, ngram_range)
+
+    # -- inference ---------------------------------------------------------
+    def predict_batch(self, texts: Sequence[str]) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (pred_idx, confidence) arrays for a batch.
+
+        Vectorized: one concatenated id array for the whole batch; per-class
+        score via a single gather + segment-sum.
+        """
+        n = len(texts)
+        if n == 0:
+            return np.zeros(0, dtype=np.int64), np.zeros(0)
+        id_arrays = [
+            char_ngram_buckets(t or "", self.buckets, self.ngram_range)
+            for t in texts
+        ]
+        lengths = np.array([a.size for a in id_arrays], dtype=np.int64)
+        scores = np.tile(self.log_priors, (n, 1)).astype(np.float64)
+        nonempty = lengths > 0
+        if nonempty.any():
+            all_ids = np.concatenate([a for a in id_arrays if a.size])
+            doc_of = np.repeat(np.arange(n)[nonempty], lengths[nonempty])
+            # (n_classes, total_ids) gather then per-doc segment sum
+            for ci in range(len(self.classes)):
+                contrib = self.log_probs[ci][all_ids]
+                np.add.at(scores[:, ci], doc_of, contrib)
+            # length-normalize so confidence is comparable across doc sizes
+            scores[nonempty] /= lengths[nonempty, None]
+        # softmax confidence
+        scores -= scores.max(axis=1, keepdims=True)
+        probs = np.exp(scores)
+        probs /= probs.sum(axis=1, keepdims=True)
+        pred = probs.argmax(axis=1)
+        conf = probs[np.arange(n), pred]
+        return pred, conf
+
+    def predict(self, text: str) -> Tuple[str, float]:
+        pred, conf = self.predict_batch([text])
+        return self.classes[int(pred[0])], float(conf[0])
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            classes=np.array(self.classes),
+            log_probs=self.log_probs,
+            log_priors=self.log_priors,
+            buckets=np.array([self.buckets]),
+            ngram_lo=np.array([self.ngram_range[0]]),
+            ngram_hi=np.array([self.ngram_range[1]]),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "LangIdModel":
+        z = np.load(path, allow_pickle=False)
+        return cls(
+            classes=[str(c) for c in z["classes"]],
+            log_probs=z["log_probs"],
+            log_priors=z["log_priors"],
+            buckets=int(z["buckets"][0]),
+            ngram_range=(int(z["ngram_lo"][0]), int(z["ngram_hi"][0])),
+        )

@@ -1,0 +1,150 @@
+"""KenLM-style n-gram language model with Stupid Backoff (from scratch).
+
+Token-trigram model over gruut-normalized tokens (the tokenizer in
+``tokenizer.py`` is the normalization front-end, per the north rule).
+Stupid Backoff (Brants et al. 2007, "Large Language Models in Machine
+Translation") replaces Katz smoothing with a fixed backoff factor — the
+standard choice for web-scale corpus scoring where only *relative*
+perplexity matters for keep/drop thresholds.
+
+Counts are stored in flat hash->count dicts keyed by stable FNV-1a token
+ids (process-independent); scoring a document is one pass over its token
+id array.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Iterable, List, Sequence, Tuple
+
+import numpy as np
+
+from .langid import _fnv1a_bytes
+
+BOS = "<s>"
+EOS = "</s>"
+BACKOFF = 0.4
+ORDER = 3
+
+
+def _tok_id(token: str) -> int:
+    return _fnv1a_bytes(token.lower().encode("utf-8", "ignore"))
+
+
+def _key(ids: Sequence[int]) -> int:
+    """Combine token ids into one stable 64-bit context key."""
+    h = 1469598103934665603
+    for i in ids:
+        h ^= i
+        h = (h * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+class NGramLM:
+    """Order-3 Stupid Backoff LM over token sequences."""
+
+    def __init__(
+        self,
+        counts: List[Dict[int, int]],  # counts[k] = k+1-gram counts by key
+        total_unigrams: int,
+        vocab_size: int,
+        order: int = ORDER,
+        backoff: float = BACKOFF,
+    ):
+        self.counts = counts
+        self.total_unigrams = max(total_unigrams, 1)
+        self.vocab_size = max(vocab_size, 1)
+        self.order = order
+        self.backoff = backoff
+
+    @classmethod
+    def train(cls, token_docs: Iterable[Sequence[str]], order: int = ORDER) -> "NGramLM":
+        counts: List[Dict[int, int]] = [dict() for _ in range(order)]
+        total = 0
+        vocab = set()
+        for doc in token_docs:
+            ids = [_tok_id(BOS)] * (order - 1) + [_tok_id(t) for t in doc] + [
+                _tok_id(EOS)
+            ]
+            vocab.update(ids)
+            for i in range(order - 1, len(ids)):
+                total += 1
+                for k in range(order):
+                    key = _key(ids[i - k : i + 1])
+                    d = counts[k]
+                    d[key] = d.get(key, 0) + 1
+        return cls(counts, total, len(vocab), order)
+
+    def _score_id_seq(self, ids: List[int]) -> Tuple[float, int]:
+        """Sum of log10 P(token|context) with Stupid Backoff, and count."""
+        order = self.order
+        padded = [_tok_id(BOS)] * (order - 1) + ids + [_tok_id(EOS)]
+        log_sum = 0.0
+        n = 0
+        uni = self.counts[0]
+        for i in range(order - 1, len(padded)):
+            n += 1
+            score = None
+            penalty = 1.0
+            for k in range(order - 1, -1, -1):
+                key = _key(padded[i - k : i + 1])
+                c = self.counts[k].get(key)
+                if c:
+                    if k == 0:
+                        score = penalty * c / self.total_unigrams
+                    else:
+                        ctx = self._context_count(padded[i - k : i], k)
+                        if ctx:
+                            score = penalty * c / ctx
+                        else:
+                            penalty *= self.backoff
+                            continue
+                    break
+                penalty *= self.backoff
+            if score is None:
+                # unseen unigram: uniform floor over an open vocab
+                score = penalty / (self.total_unigrams + self.vocab_size)
+            log_sum += math.log10(score)
+        return log_sum, n
+
+    def _context_count(self, ctx_ids: Sequence[int], k: int) -> int:
+        # context of a (k+1)-gram is a k-gram
+        return self.counts[k - 1].get(_key(ctx_ids), 0)
+
+    def perplexity(self, tokens: Sequence[str]) -> float:
+        """10^(-avg log10 prob) — KenLM's perplexity definition."""
+        ids = [_tok_id(t) for t in tokens]
+        log_sum, n = self._score_id_seq(ids)
+        if n == 0:
+            return float("inf")
+        return 10.0 ** (-log_sum / n)
+
+    # -- persistence ---------------------------------------------------------
+    def save(self, path: str) -> None:
+        arrays = {}
+        for k, d in enumerate(self.counts):
+            if d:
+                keys = np.fromiter(d.keys(), dtype=np.uint64, count=len(d))
+                vals = np.fromiter(d.values(), dtype=np.int64, count=len(d))
+            else:
+                keys = np.zeros(0, dtype=np.uint64)
+                vals = np.zeros(0, dtype=np.int64)
+            arrays[f"keys{k}"] = keys
+            arrays[f"vals{k}"] = vals
+        np.savez_compressed(
+            path,
+            meta=np.array([self.total_unigrams, self.vocab_size, self.order]),
+            backoff=np.array([self.backoff]),
+            **arrays,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "NGramLM":
+        z = np.load(path, allow_pickle=False)
+        total, vocab, order = (int(x) for x in z["meta"])
+        counts = []
+        for k in range(order):
+            keys = z[f"keys{k}"]
+            vals = z[f"vals{k}"]
+            counts.append(dict(zip(keys.tolist(), vals.tolist())))
+        return cls(counts, total, vocab, order, float(z["backoff"][0]))

@@ -1,0 +1,156 @@
+"""Per-document quality-filter pipeline (pure function).
+
+``process_document`` is THE semantic unit of the engine: one call takes a
+file row (repo, path, commit, lang, content) and produces the full
+verdict + scrubbed output record. The Spark job wraps it in vectorized
+pandas UDF batches; the oracle runs it serially. One shared code path is
+what makes keep/drop F1 = 1.0 and per-row sha256 equality achievable by
+construction (SURVEY.md §7.1).
+
+Cost bounds for web-scale inputs (up to ~1 MB per file):
+* tokenizer/sentence segmentation run on a bounded prefix
+  (``TOKENIZE_MAX_CHARS``) — quality statistics converge long before that;
+* the scrubber always runs on the FULL content (byte-exactness contract);
+* string/line statistics are single-pass over full content.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Pattern, Sequence, Tuple
+
+from .langid import LangIdModel
+from .ngram_lm import NGramLM
+from .rules import RuleConfig, apply_rules, quality_features
+from .scrub import scrub, sha256_hex
+from .settings import get_settings, resolve_lang
+from .tokenizer import flatten, process_tokens
+
+TOKENIZE_MAX_CHARS = 20_000
+PPL_MAX_TOKENS = 2_000
+
+
+@dataclass
+class PipelineModels:
+    """Model bundle broadcast into executors (loaded once per process —
+    the reference's Delayed* lazy-load pattern, gruut/lang.py:2539-2606)."""
+
+    langid: Optional[LangIdModel] = None
+    lms: Optional[Dict[str, NGramLM]] = None  # key: settings key or 'code'
+    tox_pattern: Optional[Pattern] = None
+    rule_config: Optional[RuleConfig] = None
+
+
+def normalize_document(content: str, lang: str) -> Tuple[List[str], List[str]]:
+    """gruut-normalized (spoken_tokens, sentence_texts) for a document
+    prefix. Verbalization is enabled for natural languages (the
+    number/abbreviation tables feed boilerplate detection) and disabled
+    for code (code profile never rewrites, settings.py _code_settings)."""
+    key = resolve_lang(lang)
+    settings = get_settings(key)
+    prefix = content[:TOKENIZE_MAX_CHARS]
+    toks = process_tokens(prefix, lang=key, settings=settings)
+    sents = flatten(toks, lang=key, settings=settings)
+    spoken = [w.text for s in sents for w in s.words if w.is_spoken]
+    sentence_texts = [s.text_spoken for s in sents]
+    return spoken, sentence_texts
+
+
+def process_document(
+    repo: str,
+    path: str,
+    commit: str,
+    lang: str,
+    content: str,
+    models: PipelineModels,
+) -> Dict[str, object]:
+    content = content or ""
+    lang = lang or ""
+
+    # 1. normalization front-end (gruut semantics)
+    tokens, sentence_texts = normalize_document(content, lang)
+
+    # 2. language id
+    if models.langid is not None:
+        pred, conf = models.langid.predict(content)
+    else:
+        pred, conf = "", 0.0
+
+    # 3. perplexity, CCNet-style: score against the LM of the *detected*
+    #    language when langid is confident, else the declared one — a
+    #    mislabeled-but-clean file should not be punished for its label
+    #    (FIXTURES.md wrong_lang row: mismatch is surfaced, not dropped)
+    ppl = float("nan")
+    if models.lms:
+        lm_key = resolve_lang(pred) if (pred and conf >= 0.5) else resolve_lang(lang)
+        lm = models.lms.get(lm_key) or models.lms.get("code")
+        if lm is not None and tokens:
+            ppl = lm.perplexity(tokens[:PPL_MAX_TOKENS])
+
+    # 4. heuristic rules
+    feats = quality_features(content, sentence_texts, n_tokens=len(tokens))
+    keep, flags = apply_rules(
+        feats, ppl if ppl == ppl else 0.0, resolve_lang(lang),
+        resolve_lang(pred) if pred else "", conf, models.rule_config,
+    )
+
+    # 5. scrub (full content, byte-exact contract)
+    scrubbed, scrub_counts = scrub(content, models.tox_pattern)
+
+    return {
+        "repo": repo,
+        "path": path,
+        "commit": commit,
+        "lang": lang,
+        "lang_pred": pred,
+        "lang_conf": float(conf),
+        "ppl": float(ppl) if ppl == ppl else -1.0,
+        "n_chars": feats.n_chars,
+        "n_lines": feats.n_lines,
+        "max_line_len": feats.max_line_len,
+        "mean_line_len": float(feats.mean_line_len),
+        "alnum_ratio": float(feats.alnum_ratio),
+        "dup_line_frac": float(feats.dup_line_frac),
+        "n_tokens": feats.n_tokens,
+        "n_sentences": feats.n_sentences,
+        "top_sentence_frac": float(feats.top_sentence_frac),
+        "rule_flags": flags,
+        "keep": bool(keep),
+        "scrubbed_content": scrubbed,
+        "scrub_email": scrub_counts["email"],
+        "scrub_ip": scrub_counts["ip"],
+        "scrub_key": scrub_counts["key"],
+        "scrub_tox": scrub_counts["tox"],
+        "scrubbed_sha256": sha256_hex(scrubbed),
+    }
+
+
+# Output schema shared by oracle and Spark job (name, spark type string)
+OUTPUT_SCHEMA = [
+    ("repo", "string"),
+    ("path", "string"),
+    ("commit", "string"),
+    ("lang", "string"),
+    ("lang_pred", "string"),
+    ("lang_conf", "double"),
+    ("ppl", "double"),
+    ("n_chars", "long"),
+    ("n_lines", "long"),
+    ("max_line_len", "long"),
+    ("mean_line_len", "double"),
+    ("alnum_ratio", "double"),
+    ("dup_line_frac", "double"),
+    ("n_tokens", "long"),
+    ("n_sentences", "long"),
+    ("top_sentence_frac", "double"),
+    ("rule_flags", "array<string>"),
+    ("keep", "boolean"),
+    ("scrubbed_content", "string"),
+    ("scrub_email", "long"),
+    ("scrub_ip", "long"),
+    ("scrub_key", "long"),
+    ("scrub_tox", "long"),
+    ("scrubbed_sha256", "string"),
+]
+
+SPARK_SCHEMA_DDL = ", ".join(f"{n} {t}" for n, t in OUTPUT_SCHEMA)

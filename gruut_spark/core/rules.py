@@ -1,0 +1,138 @@
+"""Heuristic quality rules (keep/drop verdict).
+
+Feature extraction + thresholding in the style of corpus quality filters
+(Gopher rules / CCNet-style), built on the gruut-derived normalization:
+sentence segmentation and token statistics come from the tokenizer so
+repetition/boilerplate detection operates on *normalized* sentences, as
+the north rule specifies.
+
+All thresholds live in ``RuleConfig`` (documented defaults); the verdict
+is ``keep = no drop flag raised``. Language-mismatch is surfaced as a
+flag but does not drop on its own (FIXTURES.md §2.2 wrong_lang row).
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence, Tuple
+
+from .settings import normalize_whitespace
+
+
+@dataclass
+class RuleConfig:
+    min_chars: int = 10
+    max_line_len: int = 2000
+    max_mean_line_len: float = 300.0
+    min_alnum_ratio: float = 0.25
+    max_dup_line_frac: float = 0.30
+    max_top_sentence_frac: float = 0.30
+    top_sentence_min_count: int = 5
+    max_ctrl_char_frac: float = 0.01
+    # perplexity thresholds (per declared-language family)
+    max_ppl_natural: float = 1e4
+    max_ppl_code: float = 1e5
+    min_lang_conf_for_mismatch: float = 0.80
+
+
+@dataclass
+class QualityFeatures:
+    n_chars: int = 0
+    n_lines: int = 0
+    max_line_len: int = 0
+    mean_line_len: float = 0.0
+    alnum_ratio: float = 0.0
+    ctrl_char_frac: float = 0.0
+    dup_line_frac: float = 0.0
+    n_tokens: int = 0
+    n_sentences: int = 0
+    top_sentence_frac: float = 0.0
+    top_sentence_count: int = 0
+
+
+def quality_features(
+    content: str,
+    sentence_texts: Optional[Sequence[str]] = None,
+    n_tokens: int = 0,
+) -> QualityFeatures:
+    """Pure-string feature pass (line stats + char-class ratios) plus
+    sentence-level repetition from the normalized sentence list."""
+    f = QualityFeatures()
+    f.n_chars = len(content)
+    if not content:
+        return f
+    lines = content.split("\n")
+    f.n_lines = len(lines)
+    line_lens = [len(ln) for ln in lines]
+    f.max_line_len = max(line_lens)
+    f.mean_line_len = sum(line_lens) / len(line_lens)
+
+    n_alnum = sum(1 for c in content if c.isalnum() or c.isspace())
+    f.alnum_ratio = n_alnum / len(content)
+    n_ctrl = sum(1 for c in content if ord(c) < 32 and c not in "\n\t\r")
+    f.ctrl_char_frac = n_ctrl / len(content)
+
+    stripped = [normalize_whitespace(ln) for ln in lines]
+    stripped = [ln for ln in stripped if ln]
+    if stripped:
+        line_counts = Counter(stripped)
+        dups = sum(c - 1 for c in line_counts.values() if c > 1)
+        f.dup_line_frac = dups / len(stripped)
+
+    f.n_tokens = n_tokens
+    if sentence_texts:
+        sents = [normalize_whitespace(t) for t in sentence_texts]
+        sents = [t for t in sents if t]
+        f.n_sentences = len(sents)
+        if sents:
+            top = Counter(sents).most_common(1)[0]
+            f.top_sentence_count = top[1]
+            f.top_sentence_frac = top[1] / len(sents)
+    return f
+
+
+def apply_rules(
+    features: QualityFeatures,
+    ppl: float,
+    declared_lang: str,
+    pred_lang: str,
+    lang_conf: float,
+    config: Optional[RuleConfig] = None,
+) -> Tuple[bool, List[str]]:
+    """Returns (keep, flags). Flags prefixed 'drop:' cause keep=False;
+    'warn:' flags are informational."""
+    cfg = config or RuleConfig()
+    flags: List[str] = []
+    if features.n_chars < cfg.min_chars:
+        flags.append("drop:too_short")
+    if features.max_line_len > cfg.max_line_len:
+        flags.append("drop:long_line")
+    if features.n_lines >= 5 and features.mean_line_len > cfg.max_mean_line_len:
+        # scoped to multi-line docs: a one-paragraph prose file is not
+        # minified; single long lines are caught by max_line_len
+        flags.append("drop:long_mean_line")
+    if features.n_chars >= cfg.min_chars and features.alnum_ratio < cfg.min_alnum_ratio:
+        flags.append("drop:low_alnum")
+    if features.ctrl_char_frac > cfg.max_ctrl_char_frac:
+        flags.append("drop:binary")
+    if features.dup_line_frac > cfg.max_dup_line_frac:
+        flags.append("drop:repeated_lines")
+    if (
+        features.top_sentence_frac > cfg.max_top_sentence_frac
+        and features.top_sentence_count >= cfg.top_sentence_min_count
+    ):
+        flags.append("drop:repeated_sentences")
+    is_code = declared_lang.startswith("code") or pred_lang.startswith("code")
+    max_ppl = cfg.max_ppl_code if is_code else cfg.max_ppl_natural
+    if ppl > max_ppl:
+        flags.append("drop:high_perplexity")
+    if (
+        pred_lang
+        and declared_lang
+        and pred_lang != declared_lang
+        and lang_conf >= cfg.min_lang_conf_for_mismatch
+    ):
+        flags.append("warn:lang_mismatch")
+    keep = not any(fl.startswith("drop:") for fl in flags)
+    return keep, flags

@@ -1,0 +1,104 @@
+"""Compiled-regex PII/toxicity scrubber.
+
+The byte-exactness contract (BASELINE.json input_hint: per-row sha256
+equality vs the reference labels) is met by construction: the oracle and
+the Spark pandas UDFs call this exact function, so the only requirements
+are determinism (no locale/env dependence — plain ``re`` on str) and a
+fixed application order.
+
+Application order (fixed, semantic): PEM/key material first (may contain
+things that look like emails/IPs), then emails, then IPv6 before IPv4,
+then the toxicity lexicon. Counts are per-category match counts before
+replacement.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Dict, List, Optional, Pattern, Sequence, Tuple
+
+EMAIL_TOKEN = "<EMAIL>"
+IP_TOKEN = "<IP>"
+KEY_TOKEN = "<KEY>"
+TOX_TOKEN = "<TOX>"
+
+_PEM_BLOCK = re.compile(
+    r"-----BEGIN [A-Z0-9 ]*PRIVATE KEY-----.*?-----END [A-Z0-9 ]*PRIVATE KEY-----",
+    re.DOTALL,
+)
+_AWS_KEY = re.compile(r"\bAKIA[0-9A-Z]{16}\b")
+_GITHUB_TOKEN = re.compile(r"\bghp_[A-Za-z0-9]{36}\b")
+_SLACK_TOKEN = re.compile(r"\bxox[baprs]-[A-Za-z0-9][A-Za-z0-9-]{8,}\b")
+
+_EMAIL = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?\.[A-Za-z]{2,}\b")
+
+_IPV6 = re.compile(
+    r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}(?::|[0-9A-Fa-f]{1,4})(?::[0-9A-Fa-f]{1,4})*\b"
+)
+_IPV4 = re.compile(
+    r"\b((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"
+    r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\b"
+)
+
+
+def _ipv4_sub(m: "re.Match") -> str:
+    """Replace an IPv4 match unless it reads as a version string: all
+    octets single-digit (1.2.3.4-style semver, the FIXTURES.md negative
+    case). Real addresses effectively always carry a multi-digit octet."""
+    text = m.group(0)
+    octets = text.split(".")
+    if all(len(o) == 1 for o in octets):
+        return text
+    return IP_TOKEN
+
+
+def compile_tox_pattern(lexicon: Sequence[str]) -> Optional[Pattern]:
+    """Build a word-boundary alternation from a slur lexicon (the lexicon
+    is a fixture input — see FIXTURES.md §2.3; synthetic SLUR_{i} tokens in
+    tests). Longest-first so overlapping entries match greedily."""
+    terms = sorted({t for t in lexicon if t}, key=len, reverse=True)
+    if not terms:
+        return None
+    alt = "|".join(re.escape(t) for t in terms)
+    return re.compile(rf"\b(?:{alt})\b", re.IGNORECASE)
+
+
+# Ordered scrub plan: (category, pattern, replacement)
+_BASE_STEPS: List[Tuple[str, Pattern, object]] = [
+    ("key", _PEM_BLOCK, KEY_TOKEN),
+    ("key", _AWS_KEY, KEY_TOKEN),
+    ("key", _GITHUB_TOKEN, KEY_TOKEN),
+    ("key", _SLACK_TOKEN, KEY_TOKEN),
+    ("email", _EMAIL, EMAIL_TOKEN),
+    ("ip", _IPV6, IP_TOKEN),
+    ("ip", _IPV4, _ipv4_sub),
+]
+
+
+def scrub(content: str, tox_pattern: Optional[Pattern] = None) -> Tuple[str, Dict[str, int]]:
+    """Scrub one document; returns (scrubbed_text, counts_by_category)."""
+    counts: Dict[str, int] = {"email": 0, "ip": 0, "key": 0, "tox": 0}
+    text = content
+    for category, pattern, repl in _BASE_STEPS:
+        if callable(repl):
+            # count only real replacements (the semver negative case)
+            n_before = counts[category]
+            def _counting(m, _c=counts, _cat=category, _fn=repl):
+                out = _fn(m)
+                if out != m.group(0):
+                    _c[_cat] += 1
+                return out
+            text = pattern.sub(_counting, text)
+            del n_before
+        else:
+            text, n = pattern.subn(repl, text)
+            counts[category] += n
+    if tox_pattern is not None:
+        text, n = tox_pattern.subn(TOX_TOKEN, text)
+        counts["tox"] += n
+    return text, counts
+
+
+def sha256_hex(text: str) -> str:
+    return hashlib.sha256(text.encode("utf-8", "surrogatepass")).hexdigest()

@@ -1,0 +1,35 @@
+"""Per-executor lazy model loading.
+
+Weights are NOT closure-captured (that would re-ship megabytes in every
+task binary); each executor's Python worker loads the committed artifacts
+from disk once per process and caches them in a module global — the Spark
+version of the reference's lazy ``Delayed*`` model wrappers
+(``gruut/lang.py:2539-2606``). On a real cluster the artifact directory
+ships via ``spark-submit --py-files`` / ``--files`` and
+``SPARK_GRAFT_ARTIFACTS`` points at ``SparkFiles.getRootDirectory()``.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from ..core.pipeline import PipelineModels
+
+_MODELS: Optional[PipelineModels] = None
+
+
+def artifact_dir() -> str:
+    env = os.environ.get("SPARK_GRAFT_ARTIFACTS")
+    if env:
+        return env
+    return os.path.join(os.path.dirname(__file__), "..", "..", "artifacts")
+
+
+def get_models() -> PipelineModels:
+    global _MODELS
+    if _MODELS is None:
+        from ..oracle import load_models
+
+        _MODELS = load_models(artifact_dir())
+    return _MODELS

@@ -1,0 +1,63 @@
+"""Single-node reference oracle.
+
+Runs the identical pure-Python core (``core.pipeline.process_document``)
+serially over a pandas DataFrame — this is the "reference labels" side of
+the north rule's F1/sha256 comparison (SURVEY.md §7.1: oracle and Spark
+sharing one core makes byte-exactness a determinism property, not a
+porting risk).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import pandas as pd
+
+from .core.langid import LangIdModel
+from .core.ngram_lm import NGramLM
+from .core.pipeline import PipelineModels, process_document
+from .core.rules import RuleConfig
+from .core.scrub import compile_tox_pattern
+
+ARTIFACT_DIR = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+_MODELS_CACHE: Optional[PipelineModels] = None
+
+
+def load_models(artifact_dir: str = ARTIFACT_DIR) -> PipelineModels:
+    """Load the committed model artifacts (lazy, cached per process —
+    the reference's Delayed* pattern, gruut/lang.py:2539-2606)."""
+    global _MODELS_CACHE
+    if _MODELS_CACHE is not None:
+        return _MODELS_CACHE
+    from .sources.testgen import SLUR_LEXICON
+
+    langid_path = os.path.join(artifact_dir, "langid.npz")
+    langid = LangIdModel.load(langid_path) if os.path.exists(langid_path) else None
+    lms = {}
+    for key in ["en_US", "de_DE", "es_ES", "fr_FR", "code"]:
+        short = {"en_US": "en", "de_DE": "de", "es_ES": "es", "fr_FR": "fr"}.get(key, key)
+        p = os.path.join(artifact_dir, f"lm_{short}.npz")
+        if os.path.exists(p):
+            lms[key] = NGramLM.load(p)
+    _MODELS_CACHE = PipelineModels(
+        langid=langid,
+        lms=lms,
+        tox_pattern=compile_tox_pattern(SLUR_LEXICON),
+        rule_config=RuleConfig(),
+    )
+    return _MODELS_CACHE
+
+
+def run_oracle(files: pd.DataFrame, models: Optional[PipelineModels] = None) -> pd.DataFrame:
+    """Serial reference run over a (repo, path, commit, lang, content)
+    frame; returns the full verdict table (core.pipeline.OUTPUT_SCHEMA)."""
+    m = models or load_models()
+    records = [
+        process_document(
+            r.repo, r.path, r.commit, r.lang, r.content, m
+        )
+        for r in files.itertuples(index=False)
+    ]
+    return pd.DataFrame.from_records(records)

@@ -1,0 +1,185 @@
+"""The staged Spark quality-filter job.
+
+Stage layout (north rule: langid -> scoring -> scrub with AQE-tuned
+shuffles between, salted repartitioning for mega-repo skew, per-partition
+lineage + metrics, checkpoint/resume):
+
+  read(files)                      -- parquet/Iceberg scan, column-pruned
+   └─ salt-repartition             -- (repo, pmod(hash(path), S)) defuses
+                                      the mega-repo straggler
+   └─ Stage A: langid_udf + normalize_features_udf   (Arrow-batched)
+   └─ Stage B: verdict             -- PURE Catalyst expressions (whole-stage
+                                      codegen; mirrors core.rules exactly)
+   └─ Stage C: scrub_udf           -- full-content scrub + sha256
+   └─ sinks: verdicts parquet, metrics table, checkpoint manifest
+
+The verdict stage is deliberately NOT a UDF: every rule in
+``core/rules.py::apply_rules`` is a threshold comparison, so it compiles
+to JVM-side codegen and Catalyst can prune/reorder it freely. The
+equivalence oracle==Spark is covered by tests/test_oracle_vs_spark.py.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.rules import RuleConfig
+from ..functions.udfs import langid_udf, normalize_features_udf, scrub_udf
+
+DEFAULT_SALT_BUCKETS = 32
+
+
+def configure_session(spark: SparkSession) -> None:
+    """AQE + Arrow settings the pipeline assumes (north rule: AQE-tuned
+    shuffles between stages)."""
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    # fat rows (~1 MB) with default 10k rows/batch would make >1 GB Arrow
+    # batches; cap rows per batch so executor memory stays bounded.
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+
+
+def read_files(spark: SparkSession, path: str) -> DataFrame:
+    """Scan the input table; only the input_hint columns are selected so
+    Catalyst prunes everything else at the parquet reader."""
+    return spark.read.parquet(path).select(
+        "repo", "path", "commit", "lang", "content"
+    )
+
+
+def salt_repartition(
+    df: DataFrame, num_partitions: Optional[int] = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+) -> DataFrame:
+    """Salted repartition: ``(repo, pmod(hash(path), S))`` splits a
+    mega-repo across S buckets so no single task owns 30% of the data
+    (SURVEY.md §4.3). The UDF stages are embarrassingly parallel, so the
+    extra shuffle pays for itself by removing stragglers."""
+    salt = F.pmod(F.hash(F.col("path")), F.lit(salt_buckets))
+    if num_partitions:
+        return df.repartition(num_partitions, F.col("repo"), salt)
+    return df.repartition(F.col("repo"), salt)
+
+
+def with_langid(df: DataFrame) -> DataFrame:
+    return df.withColumn("_lid", langid_udf(F.col("content"))).select(
+        "*", "_lid.lang_pred", "_lid.lang_conf"
+    ).drop("_lid")
+
+
+def with_features(df: DataFrame) -> DataFrame:
+    return df.withColumn(
+        "_feat",
+        normalize_features_udf(
+            F.col("content"), F.col("lang"), F.col("lang_pred"),
+            F.col("lang_conf"),
+        ),
+    ).select("*", "_feat.*").drop("_feat")
+
+
+def _resolved(col):
+    """SQL mirror of core.settings.resolve_lang for the class/label sets
+    this pipeline sees (en/de/es/fr + code-*)."""
+    lowered = F.lower(F.regexp_replace(col, "_", "-"))
+    base = F.split(lowered, "-").getItem(0)
+    return (
+        F.when(lowered.startswith("code"), F.lit("code"))
+        .when(base.isin("python", "javascript", "js", "java", "c", "cpp",
+                        "go", "rust", "json", "yaml", "markdown"), F.lit("code"))
+        .when(base.isin("en", "de", "es", "fr"), base)
+        .otherwise(F.lit("en"))
+    )
+
+
+def with_verdict(df: DataFrame, cfg: Optional[RuleConfig] = None) -> DataFrame:
+    """Keep/drop verdict as pure Catalyst expressions — an exact mirror of
+    ``core.rules.apply_rules`` (tests assert row-level equality vs the
+    oracle). Stays inside whole-stage codegen; no Python."""
+    c = cfg or RuleConfig()
+    declared = _resolved(F.col("lang"))
+    pred = _resolved(F.col("lang_pred"))
+    is_code = (declared == "code") | (pred == "code")
+    max_ppl = F.when(is_code, F.lit(c.max_ppl_code)).otherwise(F.lit(c.max_ppl_natural))
+
+    flag = lambda cond, name: F.when(cond, F.lit(name))  # noqa: E731
+    flags = F.array_compact(
+        F.array(
+            flag(F.col("n_chars") < c.min_chars, "drop:too_short"),
+            flag(F.col("max_line_len") > c.max_line_len, "drop:long_line"),
+            flag(
+                (F.col("n_lines") >= 5)
+                & (F.col("mean_line_len") > c.max_mean_line_len),
+                "drop:long_mean_line",
+            ),
+            flag(
+                (F.col("n_chars") >= c.min_chars)
+                & (F.col("alnum_ratio") < c.min_alnum_ratio),
+                "drop:low_alnum",
+            ),
+            flag(F.col("ctrl_char_frac") > c.max_ctrl_char_frac, "drop:binary"),
+            flag(F.col("dup_line_frac") > c.max_dup_line_frac, "drop:repeated_lines"),
+            flag(
+                (F.col("top_sentence_frac") > c.max_top_sentence_frac)
+                & (F.col("top_sentence_count") >= c.top_sentence_min_count),
+                "drop:repeated_sentences",
+            ),
+            flag(F.col("ppl") > max_ppl, "drop:high_perplexity"),
+            flag(
+                (F.col("lang_pred") != "")
+                & (pred != declared)
+                & (F.col("lang_conf") >= c.min_lang_conf_for_mismatch),
+                "warn:lang_mismatch",
+            ),
+        )
+    )
+    keep = ~F.exists(flags, lambda x: x.startswith("drop:"))
+    return df.withColumn("rule_flags", flags).withColumn("keep", keep)
+
+
+def with_scrub(df: DataFrame) -> DataFrame:
+    return df.withColumn("_scrub", scrub_udf(F.col("content"))).select(
+        "*", "_scrub.*"
+    ).drop("_scrub")
+
+
+def with_lineage(df: DataFrame) -> DataFrame:
+    """Per-row lineage columns: source file + executing partition."""
+    return df.withColumn("_source_file", F.input_file_name()).withColumn(
+        "_partition_id", F.spark_partition_id()
+    )
+
+
+def partition_metrics(df: DataFrame) -> DataFrame:
+    """Per-partition counters (north rule: every stage writes per-partition
+    lineage + counters). One shuffle-light aggregation (partial map-side
+    combine is automatic for these aggregates)."""
+    return df.groupBy("_partition_id").agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("scrub_email").alias("scrub_email"),
+        F.sum("scrub_ip").alias("scrub_ip"),
+        F.sum("scrub_key").alias("scrub_key"),
+        F.sum("scrub_tox").alias("scrub_tox"),
+        F.min("_source_file").alias("a_source_file"),
+    )
+
+
+def build_pipeline(
+    files: DataFrame,
+    cfg: Optional[RuleConfig] = None,
+    salt_buckets: int = DEFAULT_SALT_BUCKETS,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """Full staged plan (no action triggered)."""
+    df = salt_repartition(files, num_partitions, salt_buckets)
+    df = with_langid(df)
+    df = with_features(df)
+    df = with_verdict(df, cfg)
+    df = with_scrub(df)
+    return df

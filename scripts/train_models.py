@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""Deterministically train the langid + LM artifacts into artifacts/.
+
+Run once; artifacts are committed so executors and the oracle load
+identical weights (shipped to a real cluster via --py-files / SparkFiles).
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from gruut_spark.core.langid import LangIdModel
+from gruut_spark.core.ngram_lm import NGramLM
+from gruut_spark.sources.testgen import lm_corpus, training_corpus
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
+
+
+def main() -> None:
+    os.makedirs(ART, exist_ok=True)
+    texts, labels = training_corpus()
+    model = LangIdModel.train(texts, labels)
+    model.save(os.path.join(ART, "langid.npz"))
+    # quick self-check
+    pred, _ = model.predict_batch(texts)
+    acc = sum(model.classes[int(p)] == l for p, l in zip(pred, labels)) / len(labels)
+    print(f"langid train accuracy: {acc:.4f} ({len(labels)} docs)")
+
+    for lang, docs in lm_corpus().items():
+        lm = NGramLM.train(docs)
+        lm.save(os.path.join(ART, f"lm_{lang}.npz"))
+        sample = [t for d in docs[:5] for t in d]
+        print(f"lm[{lang}]: {len(docs)} docs, sample ppl {lm.perplexity(sample[:200]):.1f}")
+
+
+if __name__ == "__main__":
+    main()
