@@ -34,7 +34,11 @@ _SLACK_TOKEN = re.compile(r"\bxox[baprs]-[A-Za-z0-9][A-Za-z0-9-]{8,}\b")
 _EMAIL = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?\.[A-Za-z]{2,}\b")
 
 _IPV6 = re.compile(
-    r"\b(?:[0-9A-Fa-f]{1,4}:){2,7}(?::|[0-9A-Fa-f]{1,4})(?::[0-9A-Fa-f]{1,4})*\b"
+    r"(?<![0-9A-Fa-f:.])"
+    r"(?:(?:[0-9A-Fa-f]{1,4}:){7}[0-9A-Fa-f]{1,4}"          # full form
+    r"|(?:[0-9A-Fa-f]{1,4}:)+:(?:[0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4}"  # :: inside
+    r"|::(?:[0-9A-Fa-f]{1,4}:)*[0-9A-Fa-f]{1,4})"           # :: prefix
+    r"(?![0-9A-Fa-f:.])"
 )
 _IPV4 = re.compile(
     r"\b((?:25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\.){3}"

@@ -1,0 +1,91 @@
+"""Sentence-segmentation Golden Rules, ported from the reference
+(tests/test_golden_rules.py, which tests the pragmatic_segmenter corpus
+subset gruut supports — same NOTEs apply: abbreviations expand, initialism
+dots are removed)."""
+
+from gruut_spark.core.tokenizer import sentences
+
+
+def _get(text):
+    return [
+        s.text
+        for s in sentences(text, verbalize_numbers=False, verbalize_currency=False)
+    ]
+
+
+def test_rule_1_period():
+    assert _get("Hello World. My name is Jonas.") == [
+        "Hello World.", "My name is Jonas.",
+    ]
+
+
+def test_rule_2_question():
+    assert _get("What is your name? My name is Jonas.") == [
+        "What is your name?", "My name is Jonas.",
+    ]
+
+
+def test_rule_3_exclamation():
+    assert _get("There it is! I found it.") == ["There it is!", "I found it."]
+
+
+def test_rule_4_one_letter_upper_abbrev():
+    # gruut removes the "." from E (reference NOTE, test_golden_rules.py:36)
+    assert _get("My name is Jonas E. Smith.") == ["My name is Jonas E Smith."]
+
+
+def test_rule_5_one_letter_lower_abbrev():
+    assert _get("Please turn to p. 55.") == ["Please turn to p 55."]
+
+
+def test_rule_6_co_abbreviation():
+    assert _get("Were Jane and co. at the party?") == [
+        "Were Jane and company at the party?",
+    ]
+
+
+def test_rule_7_upper_co():
+    assert _get("They closed the deal with Pitt, Briggs & Co. at noon.") == [
+        "They closed the deal with Pitt, Briggs and Company at noon.",
+    ]
+
+
+def test_rule_10_mt():
+    assert _get("I can see Mt. Fuji from here.") == [
+        "I can see Mount Fuji from here.",
+    ]
+
+
+def test_rule_12_possessive_jr():
+    assert _get("That is JFK Jr.'s book.") == ["That is J F K Junior's book."]
+
+
+def test_rule_13_usa():
+    assert _get("I visited the U.S.A. last year.") == [
+        "I visited the U S A last year.",
+    ]
+
+
+def test_rule_17_us_non_boundary():
+    assert _get("I have lived in the U.S. for 20 years.") == [
+        "I have lived in the U S for 20 years.",
+    ]
+
+
+def test_rule_19_money_non_boundary():
+    assert _get("She has $100.00 in her bag.") == [
+        "She has $100.00 in her bag.",
+    ]
+
+
+def test_rule_27_30_double_punctuation():
+    assert _get("Hello!! Long time no see.") == ["Hello!!", "Long time no see."]
+    assert _get("Hello?? Who is there?") == ["Hello??", "Who is there?"]
+    assert _get("Hello!? Is that you?") == ["Hello!?", "Is that you?"]
+    assert _get("Hello?! Is that you?") == ["Hello?!", "Is that you?"]
+
+
+def test_rule_41_newline_inside_sentence():
+    assert _get("It was a cold \nnight in the city.") == [
+        "It was a cold night in the city.",
+    ]

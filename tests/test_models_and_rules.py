@@ -1,0 +1,116 @@
+"""langid / n-gram LM / rules / oracle behavior tests (no Spark)."""
+
+import numpy as np
+import pytest
+
+from gruut_spark.core.langid import LangIdModel
+from gruut_spark.core.ngram_lm import NGramLM
+from gruut_spark.oracle import load_models, run_oracle
+from gruut_spark.sources.testgen import (
+    _gibberish,
+    _prose,
+    generate_files,
+    training_corpus,
+)
+
+
+@pytest.fixture(scope="module")
+def oracle_result():
+    files = generate_files(400, seed=42)
+    out = run_oracle(files[["repo", "path", "commit", "lang", "content"]])
+    out["category"] = files.category.values
+    return files, out
+
+
+def test_langid_holdout_accuracy():
+    models = load_models()
+    rng = np.random.default_rng(777)  # unseen seed = held-out data
+    texts, labels = [], []
+    for lang in ["en", "de", "es", "fr"]:
+        for _ in range(25):
+            texts.append(_prose(rng, lang, 6))
+            labels.append(lang)
+    pred, conf = models.langid.predict_batch(texts)
+    acc = np.mean([models.langid.classes[int(p)] == l for p, l in zip(pred, labels)])
+    assert acc >= 0.95
+    assert conf.min() > 0.25
+
+
+def test_langid_deterministic_training():
+    texts, labels = training_corpus()
+    m1 = LangIdModel.train(texts[:200], labels[:200])
+    m2 = LangIdModel.train(texts[:200], labels[:200])
+    assert np.array_equal(m1.log_probs, m2.log_probs)
+
+
+def test_ppl_separates_gibberish():
+    models = load_models()
+    lm = models.lms["en_US"]
+    rng = np.random.default_rng(888)
+    from gruut_spark.core.pipeline import normalize_document
+
+    clean_ppl = [
+        lm.perplexity(normalize_document(_prose(rng, "en", 8), "en")[0])
+        for _ in range(5)
+    ]
+    gib_ppl = [
+        lm.perplexity(normalize_document(_gibberish(rng, 600), "en")[0])
+        for _ in range(5)
+    ]
+    assert max(clean_ppl) < 5_000
+    assert min(gib_ppl) > 50_000
+
+
+def test_lm_roundtrip(tmp_path):
+    lm = NGramLM.train([["a", "b", "c"], ["a", "b", "d"]])
+    p = str(tmp_path / "lm.npz")
+    lm.save(p)
+    lm2 = NGramLM.load(p)
+    assert lm.perplexity(["a", "b", "c"]) == lm2.perplexity(["a", "b", "c"])
+
+
+def test_category_verdicts(oracle_result):
+    files, out = oracle_result
+    rates = out.groupby("category").keep.mean()
+    for good in ["good_prose", "good_code", "mixed", "multilang", "unclean",
+                 "numbers", "currency", "scrub_clean", "abbrev"]:
+        if good in rates:
+            assert rates[good] == 1.0, (good, rates[good])
+    for bad in ["minified", "binaryish", "repetitive", "gibberish",
+                "empty_tiny"]:
+        if bad in rates:
+            assert rates[bad] == 0.0, (bad, rates[bad])
+
+
+def test_wrong_lang_flagged_not_dropped(oracle_result):
+    files, out = oracle_result
+    wl = out[out.category == "wrong_lang"]
+    if len(wl):
+        assert wl.keep.all()
+        assert all("warn:lang_mismatch" in f for f in wl.rule_flags)
+
+
+def test_scrub_categories_sha(oracle_result):
+    files, out = oracle_result
+    clean = out[out.category == "scrub_clean"]
+    from gruut_spark.core.scrub import sha256_hex
+
+    src = files.set_index(["repo", "path", "commit"]).content
+    for r in clean.itertuples(index=False):
+        assert r.scrubbed_sha256 == sha256_hex(src[(r.repo, r.path, r.commit)])
+    pii = out[out.category.isin(["pii_email", "pii_ip", "pii_key", "toxic"])]
+    assert (pii[["scrub_email", "scrub_ip", "scrub_key", "scrub_tox"]].sum(axis=1) > 0).all()
+
+
+def test_generator_deterministic():
+    a = generate_files(100, seed=42)
+    b = generate_files(100, seed=42)
+    assert a.equals(b)
+    c = generate_files(100, seed=43)
+    assert not a.content.equals(c.content)
+
+
+def test_mega_repo_skew_exists():
+    df = generate_files(500, seed=42)
+    frac = (df.repo == "megacorp/monorepo").mean()
+    assert frac >= 0.25  # FIXTURES.md §2.4 straggler fixture

@@ -1,0 +1,92 @@
+"""Spark-vs-oracle equivalence + determinism + skew/resume (the F1/sha256
+gates from BASELINE.md, asserted at engineering target F1 = 1.0)."""
+
+import pytest
+
+from gruut_spark.oracle import run_oracle
+from gruut_spark.sources.testgen import generate_files
+
+N_ROWS = 250
+
+
+@pytest.fixture(scope="module")
+def files_pdf():
+    return generate_files(N_ROWS, seed=42)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+
+
+@pytest.fixture(scope="module")
+def oracle_pdf(files_pdf):
+    return run_oracle(files_pdf)
+
+
+@pytest.fixture(scope="module")
+def spark_out(spark, files_pdf):
+    from gruut_spark.plans.quality_pipeline import build_pipeline
+
+    sdf = spark.createDataFrame(files_pdf)
+    return build_pipeline(sdf).toPandas()
+
+
+def test_row_parity(files_pdf, spark_out):
+    assert len(spark_out) == len(files_pdf)
+
+
+def test_keep_f1_and_sha_exact(oracle_pdf, spark_out):
+    m = oracle_pdf.merge(
+        spark_out, on=["repo", "path", "commit"], suffixes=("_o", "_s")
+    )
+    assert len(m) == len(oracle_pdf)  # full outer would show orphans
+    assert (m.keep_o == m.keep_s).all()
+    assert (m.scrubbed_sha256_o == m.scrubbed_sha256_s).all()
+    assert (m.scrubbed_content_o == m.scrubbed_content_s).all()
+    assert ((m.ppl_o - m.ppl_s).abs() <= 1e-9).all()
+    for a, b in zip(m.rule_flags_o, m.rule_flags_s):
+        assert list(a) == list(b)
+
+
+def test_determinism_across_parallelism(spark, files_pdf, spark_out):
+    """Same input at different partitioning ⇒ identical outputs (the
+    scaling-run precondition: N vs 4N cores must agree)."""
+    from gruut_spark.plans.quality_pipeline import build_pipeline
+
+    sdf = spark.createDataFrame(files_pdf).repartition(3)
+    out2 = build_pipeline(sdf, num_partitions=3).toPandas()
+    key = ["repo", "path", "commit"]
+    a = spark_out.sort_values(key).reset_index(drop=True)
+    b = out2.sort_values(key).reset_index(drop=True)
+    assert (a.scrubbed_sha256 == b.scrubbed_sha256).all()
+    assert (a.keep == b.keep).all()
+
+
+def test_salting_splits_mega_repo(spark, files_pdf):
+    """The mega-repo must land in multiple partitions after the salted
+    repartition (straggler defense, SURVEY.md §4.3)."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.plans.quality_pipeline import salt_repartition
+
+    sdf = spark.createDataFrame(generate_files(600, seed=42)[
+        ["repo", "path", "commit", "lang", "content"]
+    ])
+    salted = salt_repartition(sdf, num_partitions=16)
+    parts = (
+        salted.filter(F.col("repo") == "megacorp/monorepo")
+        .select(F.spark_partition_id().alias("pid"))
+        .distinct()
+        .count()
+    )
+    assert parts >= 8
+
+
+def test_fused_map_matches_staged(spark, files_pdf, oracle_pdf):
+    """The single-pass mapInPandas variant must agree with the staged plan
+    (both wrap the same core)."""
+    from gruut_spark.functions.udfs import PIPELINE_SCHEMA, run_quality_pipeline_map
+
+    sdf = spark.createDataFrame(files_pdf)
+    fused = sdf.mapInPandas(run_quality_pipeline_map, schema=PIPELINE_SCHEMA).toPandas()
+    m = oracle_pdf.merge(fused, on=["repo", "path", "commit"], suffixes=("_o", "_s"))
+    assert (m.keep_o == m.keep_s).all()
+    assert (m.scrubbed_sha256_o == m.scrubbed_sha256_s).all()

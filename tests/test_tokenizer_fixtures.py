@@ -1,0 +1,170 @@
+"""Ported reference test fixtures (pure-Python core, no Spark).
+
+Each case cites the reference test it pins down. These are the
+"gruut-fixture conformance" gate from BASELINE.md.
+"""
+
+from gruut_spark.core.tokenizer import sentences, words
+
+
+def texts(s, lang="en_US", **kw):
+    return [w.text for w in words(s, lang=lang, **kw)]
+
+
+# --- tests/test_en.py -------------------------------------------------------
+
+
+def test_unclean_text():
+    # tests/test_en.py:11-52
+    got = texts(
+        "IT’S <a> 'test' (seNtEnce) for-only $100, Dr., & [I] ## *like* ## it 100%!"
+    )
+    assert got == [
+        "IT'S", "<", "a", ">", "'", "test", "'", "(", "seNtEnce", ")",
+        "for", "only", "one", "hundred", "dollars", ",", "Doctor", ",",
+        "and", "[", "I", "]", "*", "like", "*", "it", "one", "hundred",
+        "percent", "!",
+    ]
+
+
+def test_initialisms_en():
+    # tests/test_en.py:77-85
+    assert texts("ABC abc A.B.C.") == ["A", "B", "C", "abc", "A", "B", "C"]
+
+
+def test_dates_en():
+    # tests/test_en.py:87-109
+    assert texts("1/4/1999 vs. 4/1/1999") == [
+        "January", "fourth", ",", "nineteen", "ninety", "nine", "versus",
+        "April", "first", ",", "nineteen", "ninety", "nine",
+    ]
+
+
+def test_ordinals_en():
+    # tests/test_en.py:111-153
+    assert texts("1st, 2nd, 3rd, 4th, 5th, 23rd, 32nd, 44th, 121st, 5,111st.") == [
+        "first", ",", "second", ",", "third", ",", "fourth", ",", "fifth",
+        ",", "twenty", "third", ",", "thirty", "second", ",", "forty",
+        "fourth", ",", "one", "hundred", "and", "twenty", "first", ",",
+        "five", "thousand", ",", "one", "hundred", "and", "eleventh", ".",
+    ]
+
+
+def test_times_en():
+    # tests/test_en.py:155-163
+    assert texts("4:01am and 4:01 p.m.") == [
+        "four", "oh", "one", "A", "M", "and", "four", "oh", "one", "P", "M",
+    ]
+
+
+# --- tests/test_text_processor.py -------------------------------------------
+
+
+def test_whitespace_preservation():
+    # tests/test_text_processor.py:15-30
+    ws = words("This is  a   test    ")
+    assert [(w.text, w.text_with_ws) for w in ws] == [
+        ("This", "This "), ("is", "is  "), ("a", "a   "), ("test", "test    "),
+    ]
+
+
+def test_abbreviations_case_preserving():
+    # tests/test_text_processor.py:156-194
+    got = [(w.text, w.sent_idx) for w in words("Mr.? I'm just a dr., on this St. at least.")]
+    assert got == [
+        ("Mister", 0), ("?", 0),
+        ("I'm", 1), ("just", 1), ("a", 1), ("doctor", 1), (",", 1),
+        ("on", 1), ("this", 1), ("Street", 1), ("at", 1), ("least", 1), (".", 1),
+    ]
+
+
+def test_multiple_sentences_and_fields():
+    # tests/test_text_processor.py:196-263
+    ss = sentences("First  sentence. Second sentence! ")
+    assert len(ss) == 2
+    assert ss[0].text == "First sentence."
+    assert ss[0].text_with_ws == "First  sentence. "
+    assert ss[0].text_spoken == "First sentence"
+    assert ss[1].text == "Second sentence!"
+    assert ss[1].words[-1].is_major_break
+
+
+def test_punctuation_with_inner_break():
+    # tests/test_text_processor.py:91-122 — final quote stays in sentence 1
+    got = [(w.text, w.sent_idx) for w in words('Test "one." Test two.')]
+    assert got == [
+        ("Test", 0), ('"', 0), ("one", 0), (".", 0), ('"', 0),
+        ("Test", 1), ("two", 1), (".", 1),
+    ]
+
+
+def test_minor_breaks():
+    # tests/test_text_processor.py:324-341
+    got = texts("this, is a test")
+    assert got == ["this", ",", "is", "a", "test"]
+    w = words("this, is a test")[1]
+    assert w.is_minor_break and w.text_with_ws == ", "
+
+
+def test_word_breaks():
+    # tests/test_text_processor.py:343-355
+    got = [(w.text, w.text_with_ws) for w in words("ninety-nine")]
+    assert got == [("ninety", "ninety "), ("nine", "nine")]
+
+
+def test_numbers_one_language():
+    # tests/test_text_processor.py:403-417
+    assert texts("1 2 3") == ["one", "two", "three"]
+
+
+def test_numbers_multilang():
+    # tests/test_text_processor.py:419-436
+    assert texts("2", lang="es_ES") == ["dos"]
+    assert texts("3", lang="de_DE") == ["drei"]
+
+
+def test_currency():
+    # tests/test_text_processor.py:437-467
+    assert texts("$10") == ["ten", "dollars"]
+    # en keeps "euro" invariant (tests/test_text_processor.py:468-509)
+    assert texts("€10") == ["ten", "euro"]
+    assert texts("€10", lang="fr_FR") == ["dix", "euros"]
+
+
+def test_time_verbalization():
+    # tests/test_text_processor.py:513-537
+    ws = words("  4:01pm")
+    assert [(w.text, w.text_with_ws) for w in ws] == [
+        ("four", "  four "), ("oh", "oh "), ("one", "one "), ("P", "P "),
+        ("M", "M"),
+    ]
+    # tests/test_text_processor.py:539-553 (no colon)
+    assert texts("10am") == ["ten", "A", "M"]
+
+
+def test_date_verbalization():
+    # tests/test_text_processor.py:555-586
+    got = texts("4/1/1999")
+    assert got == ["April", "first", ",", "nineteen", "ninety", "nine"]
+
+
+def test_year_vs_grouped_number():
+    # gruut/text_processor.py:1884-1890 year heuristic
+    assert texts("2020") == ["twenty", "twenty"]
+    assert texts("2,020") == ["two", "thousand", "and", "twenty"]
+
+
+def test_non_words_dropped():
+    # gruut/lang.py:274,377 + text_processor.py:1822-1838
+    assert texts("## it ##") == ["it"]
+
+
+def test_de_locale_decimal():
+    # gruut/lang.py:425-442 de decimal comma
+    assert texts("1,5 Kilo", lang="de_DE") == ["eins", "Komma", "fünf", "Kilo"]
+
+
+def test_fixpoint_terminates_on_pathological_input():
+    # bounded passes (gruut/text_processor.py:460): must not hang
+    out = texts("1st. 2,2. $1.5! a-b-c T.T.S. 4:01pm ...")
+    assert len(out) > 0
