@@ -1,0 +1,117 @@
+"""Checkpointed, resumable execution of the quality pipeline.
+
+The input is split into ``n_buckets`` deterministic buckets by
+``pmod(hash(repo, path), n_buckets)``; buckets are processed in groups and
+each completed group commits (a) its verdict rows under
+``<out>/verdicts/bucket=<k>/``, (b) its per-partition metrics rows under
+``<out>/metrics/``, and (c) a manifest entry in
+``<out>/_manifest/completed.json``. A killed job re-run with the same
+arguments reads the manifest and processes ONLY the missing buckets — the
+completed ones are never recomputed (BASELINE.md resumability row), which
+tests assert by counting pipeline invocations.
+
+At 10^12-file scale the same layout holds: buckets map to Iceberg
+partition values and the manifest to Iceberg snapshot metadata; the
+manifest-JSON fallback is for filesystem sinks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..core.rules import RuleConfig
+from .quality_pipeline import build_pipeline, partition_metrics, with_lineage
+
+BUCKET_COL = "_bucket"
+
+
+def _manifest_path(out_dir: str) -> str:
+    return os.path.join(out_dir, "_manifest", "completed.json")
+
+
+def read_manifest(out_dir: str) -> Dict[str, dict]:
+    p = _manifest_path(out_dir)
+    if not os.path.exists(p):
+        return {}
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_manifest(out_dir: str, manifest: Dict[str, dict]) -> None:
+    p = _manifest_path(out_dir)
+    os.makedirs(os.path.dirname(p), exist_ok=True)
+    tmp = p + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, p)  # atomic commit
+
+
+def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    return df.withColumn(
+        BUCKET_COL, F.pmod(F.hash(F.col("repo"), F.col("path")), F.lit(n_buckets))
+    )
+
+
+def run_with_checkpoints(
+    spark: SparkSession,
+    files: DataFrame,
+    out_dir: str,
+    n_buckets: int = 16,
+    group_size: int = 4,
+    cfg: Optional[RuleConfig] = None,
+    salt_buckets: int = 32,
+    num_partitions: Optional[int] = None,
+) -> Dict[str, dict]:
+    """Process all incomplete buckets; returns the final manifest."""
+    manifest = read_manifest(out_dir)
+    done = {int(k) for k in manifest}
+    todo = [b for b in range(n_buckets) if b not in done]
+
+    bucketed = with_bucket(files, n_buckets)
+
+    for i in range(0, len(todo), group_size):
+        group = todo[i : i + group_size]
+        t0 = time.time()
+        batch = bucketed.filter(F.col(BUCKET_COL).isin(group))
+        out = build_pipeline(
+            batch, cfg=cfg, salt_buckets=salt_buckets,
+            num_partitions=num_partitions,
+        )
+        out = with_lineage(out)
+
+        verdict_dir = os.path.join(out_dir, "verdicts")
+        (
+            out.write.mode("append")
+            .partitionBy(BUCKET_COL)
+            .parquet(verdict_dir)
+        )
+
+        # metrics need the written frame's stats; re-read the committed
+        # parquet (cheap, pruned) so metrics reflect exactly what landed
+        written = spark.read.parquet(verdict_dir).filter(
+            F.col(BUCKET_COL).isin(group)
+        )
+        metrics = partition_metrics(written).withColumn(
+            "buckets", F.lit(",".join(map(str, group)))
+        ).withColumn("wall_s", F.lit(float(time.time() - t0)))
+        metrics.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+
+        counts = {
+            r[BUCKET_COL]: r["cnt"]
+            for r in written.groupBy(BUCKET_COL).agg(F.count("*").alias("cnt")).collect()
+        }
+        for b in group:
+            manifest[str(b)] = {
+                "rows": int(counts.get(b, 0)),
+                "wall_s": round(time.time() - t0, 3),
+                "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+        _write_manifest(out_dir, manifest)
+
+    return manifest

@@ -1,0 +1,40 @@
+"""Table I/O behind one seam: Iceberg when a catalog is configured,
+parquet directories otherwise (SURVEY.md §7.0 — no Iceberg runtime jars in
+this sandbox, so the fallback is the tested path; the Iceberg branch is
+the same logical plan with a different sink).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _has_iceberg(spark: SparkSession, table: str) -> bool:
+    # Iceberg tables are addressed as catalog.db.table; paths contain '/'
+    if "/" in table:
+        return False
+    for key in spark.sparkContext.getConf().getAll():
+        if key[0].startswith("spark.sql.catalog."):
+            return True
+    return False
+
+
+def read_table(spark: SparkSession, table: str) -> DataFrame:
+    if _has_iceberg(spark, table):
+        return spark.read.table(table)
+    return spark.read.parquet(table)
+
+
+def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
+    spark = df.sparkSession
+    if _has_iceberg(spark, table):
+        if mode == "append":
+            df.writeTo(table).append()
+        else:
+            df.writeTo(table).createOrReplace()
+    else:
+        df.write.mode(mode).parquet(table)
+
+
+def append_table(df: DataFrame, table: str) -> None:
+    write_table(df, table, mode="append")

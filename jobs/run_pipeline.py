@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""spark-submit entry point for the corpus quality-filter pipeline.
+
+    spark-submit --py-files gruut_spark.zip \
+        jobs/run_pipeline.py --input <files parquet/iceberg table> \
+        --output <out dir/table> [--buckets 16] [--group-size 4] \
+        [--partitions N] [--no-resume]
+
+Per-line failure policy from the reference CLI (gruut/__main__.py:172-176,
+--no-fail) becomes per-row status columns — one bad file can never kill
+the job, because every stage is a total function over its row.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import SparkSession
+
+from gruut_spark.plans.checkpoint import run_with_checkpoints
+from gruut_spark.plans.quality_pipeline import configure_session, read_files
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--buckets", type=int, default=16)
+    ap.add_argument("--group-size", type=int, default=4)
+    ap.add_argument("--partitions", type=int, default=None)
+    ap.add_argument("--salt-buckets", type=int, default=32)
+    ap.add_argument("--no-resume", action="store_true",
+                    help="ignore an existing checkpoint manifest")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("gruut-spark-quality-filter").getOrCreate()
+    configure_session(spark)
+
+    if args.no_resume:
+        manifest_file = os.path.join(args.output, "_manifest", "completed.json")
+        if os.path.exists(manifest_file):
+            os.remove(manifest_file)
+
+    files = read_files(spark, args.input)
+    manifest = run_with_checkpoints(
+        spark, files, args.output,
+        n_buckets=args.buckets, group_size=args.group_size,
+        salt_buckets=args.salt_buckets, num_partitions=args.partitions,
+    )
+    total = sum(m["rows"] for m in manifest.values())
+    print(f"done: {len(manifest)} buckets, {total} rows -> {args.output}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
