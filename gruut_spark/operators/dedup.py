@@ -1,0 +1,286 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, each shaped for 100 TB inputs:
+
+* exact        — hash-groupBy on normalized text (one shuffle, map-side
+                 partial agg; the hash column keeps the shuffle narrow —
+                 never shuffle the full text).
+* MinHash+LSH  — numpy-vectorized signatures in a pandas UDF, then
+                 band-explode + groupBy band-hash: candidate pairs emerge
+                 from a single shuffle on (band, band_hash) instead of an
+                 O(n²) self-join.
+* SimHash      — 64-bit signature, banded into 16-bit chunks for
+                 Hamming-neighbor candidate generation.
+* n-gram Jaccard — exact token-shingle Jaccard via explode + co-group,
+                 expressible purely relationally (and thus DuckDB-checkable).
+
+All hashing is seed-stable (FNV/md5), never Python ``hash``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Duplicate groups by md5 of whitespace-normalized text: returns
+    (content_hash, keep_id, dup_count) for groups with >1 member.
+    Scale note: groupBy on the 32-byte hash, not the text — the shuffle
+    carries (hash, id) pairs only."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("content_hash"), F.col(id_col).alias("_id"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("_id").alias("keep_id"),
+            F.count("*").alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """The deduplicated table: keeps the min-id row of each exact group.
+    min_by avoids a join back to the input."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return (
+        df.select(F.md5(norm).alias("content_hash"), F.col(id_col).alias("_id"))
+        .groupBy("content_hash")
+        .agg(F.min("_id").alias("keep_id"), F.count("*").alias("dup_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _minhash_params(num_perm: int, seed: int = 1) -> tuple:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Stable 64-bit hashes of word k-shingles (Python's salted hash is
+    banned; use FNV over the joined shingle)."""
+    from ..core.langid import _fnv1a_bytes
+
+    toks = text.lower().split()
+    if len(toks) < k:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+    if not shingles:
+        return np.zeros(0, dtype=np.uint64)
+    return np.fromiter(
+        (_fnv1a_bytes(s.encode("utf-8", "ignore")) for s in set(shingles)),
+        dtype=np.uint64,
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 64, shingle_k: int = 3, seed: int = 1,
+) -> DataFrame:
+    """(id, signature:array<long>) via a vectorized pandas UDF — the numpy
+    (num_perm × n_shingles) min-reduction runs per Arrow batch."""
+    a, b = _minhash_params(num_perm, seed)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _sig(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            h = _shingle_hashes(t, shingle_k)
+            if h.size == 0:
+                out.append([0] * num_perm)
+                continue
+            # (num_perm, n) universal hashing, min over shingles
+            vals = (a[:, None] * h[None, :] + b[:, None]) % _MERSENNE
+            out.append(vals.min(axis=1).astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("_id"), _sig(F.col(text_col)).alias("signature"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
+    Plan shape: signature UDF -> posexplode bands -> groupBy (band,
+    band_hash) -> within-bucket pair expansion. The only shuffle keys are
+    (band, 32-byte hash); bucket sizes are bounded in practice (identical
+    band slices), so the pair expansion is not quadratic in n."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    banded = sigs.select(
+        "_id",
+        F.posexplode(
+            F.array(*[
+                F.md5(F.concat_ws(",", *[
+                    F.col("signature")[i].cast("string")
+                    for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
+                ]))
+                for bnd in range(bands)
+            ])
+        ).alias("band", "band_hash"),
+    )
+    buckets = (
+        banded.groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_bands"))
+    )
+    return pairs
+
+
+def _pairs_expr(ids_col: str):
+    """All (a,b) a<b pairs from a sorted id array, as a SQL expression
+    (flatten of per-element transforms — stays in codegen)."""
+    return F.expr(
+        f"flatten(transform({ids_col}, (x, i) -> "
+        f"transform(slice({ids_col}, i + 2, size({ids_col}) - i - 1), "
+        f"y -> struct(x as a, y as b))))"
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """64-bit SimHash over word unigrams (weighted bit-vote), numpy per
+    batch."""
+    from ..core.langid import _fnv1a_bytes
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _sim(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            toks = t.lower().split()
+            if not toks:
+                out.append(0)
+                continue
+            hashes = np.fromiter(
+                (_fnv1a_bytes(w.encode("utf-8", "ignore")) for w in toks),
+                dtype=np.uint64,
+            )
+            bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
+            votes = (2 * bits.astype(np.int64) - 1).sum(axis=0)
+            sig = np.uint64(0)
+            for bit in np.nonzero(votes > 0)[0]:
+                sig |= np.uint64(1) << np.uint64(bit)
+            out.append(int(sig.astype(np.int64)))
+        return pd.Series(out, dtype="int64")
+
+    return df.select(F.col(id_col).alias("_id"), _sim(F.col(text_col)).alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+) -> DataFrame:
+    """Near-duplicate candidates by banding the 64-bit signature into four
+    16-bit chunks (pigeonhole: hamming<=3 ⇒ at least one identical chunk),
+    then verifying hamming distance on candidates."""
+    sigs = simhash_signatures(df, text_col, id_col).cache()
+    chunks = sigs.select(
+        "_id", "simhash",
+        F.posexplode(
+            F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
+                for i in range(4)
+            ])
+        ).alias("chunk_idx", "chunk_val"),
+    )
+    cand = (
+        chunks.alias("a")
+        .join(
+            chunks.alias("b"),
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk_val") == F.col("b.chunk_val"),
+                F.col("a._id") < F.col("b._id"),
+            ],
+        )
+        .select(
+            F.col("a._id").alias("id_a"),
+            F.col("b._id").alias("id_b"),
+            F.col("a.simhash").alias("sig_a"),
+            F.col("b.simhash").alias("sig_b"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard (exact, relational)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_adjacent(
+    df: DataFrame, text_col: str, id_col: str, n: int = 1,
+) -> DataFrame:
+    """Exact token-set Jaccard between consecutive ids (doc_id, doc_id+1):
+    a purely relational formulation (explode -> join -> agg) that a SQL
+    oracle can replicate. For all-pairs at scale, swap the id+1 join for
+    the LSH candidate pairs above and keep this as the verify stage."""
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array_distinct(
+                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+            )
+        ).alias("tok"),
+    ).filter(F.col("tok") != "")
+    a = toks.alias("a")
+    b = toks.withColumn("_id", F.col("_id") - 1).alias("b")
+    inter = (
+        a.join(b, ["_id", "tok"])
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sizes = toks.groupBy("_id").agg(F.count("*").alias("n_tok"))
+    sizes_next = sizes.withColumn("_id", F.col("_id") - 1).withColumnRenamed(
+        "n_tok", "n_tok_next"
+    )
+    return (
+        sizes.join(sizes_next, "_id")
+        .join(inter, "_id", "left")
+        .fillna({"n_inter": 0})
+        .select(
+            F.col("_id").alias("id_a"),
+            (F.col("_id") + 1).alias("id_b"),
+            (
+                F.col("n_inter")
+                / (F.col("n_tok") + F.col("n_tok_next") - F.col("n_inter"))
+            ).alias("jaccard"),
+        )
+    )

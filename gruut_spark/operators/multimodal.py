@@ -1,0 +1,113 @@
+"""Multimodal column plumbing: image/audio/video as opaque binary columns
+with typed metadata.
+
+The Spark-side machinery — schema, partitioning, Arrow batch shape,
+mapInPandas signatures — is real and tested; the codec step is STUBBED
+(this container ships no image/audio libraries): ``decode_stub`` raises
+``NotImplementedError`` unless ``fake=True``, in which case it produces a
+deterministic fake decode (seeded from the payload hash) so downstream
+feature plumbing is testable end-to-end.
+
+Schema convention for a multimodal table:
+    (sample_id:long, modality:string, payload:binary,
+     meta:struct<mime:string, width:int, height:int, duration_ms:int>)
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+MULTIMODAL_SCHEMA = (
+    "sample_id long, modality string, payload binary, "
+    "meta struct<mime:string, width:int, height:int, duration_ms:int>"
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    "sample_id long, modality string, n_bytes long, payload_sha256 string, "
+    f"feature array<float>, frames_sampled int"
+)
+
+
+def decode_stub(payload: bytes, mime: str, fake: bool = False) -> np.ndarray:
+    """Decode an image/audio payload to an array.
+
+    STUB: real decoding needs PIL/ffmpeg/soundfile, none of which exist in
+    this environment. With ``fake=True`` returns a deterministic
+    pseudo-decode (bytes of the sha256 digest tiled to a fixed shape) so
+    the surrounding Spark plumbing has real data to move."""
+    if not fake:
+        raise NotImplementedError(
+            "codec libraries not available in this container; "
+            "pass fake=True for the deterministic test decode"
+        )
+    digest = hashlib.sha256(payload or b"").digest()
+    arr = np.frombuffer(digest, dtype=np.uint8).astype(np.float32)
+    return np.tile(arr, 2)[: 2 * FEATURE_DIM]
+
+
+def extract_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas: decode (stubbed) -> fixed-dim feature vector +
+    frame-sampling bookkeeping. Batch shape: whatever Arrow delivers; the
+    binary column is memory-bounded by arrow.maxRecordsPerBatch (set in
+    configure_session)."""
+    for pdf in batches:
+        rows = []
+        for r in pdf.itertuples(index=False):
+            payload = bytes(r.payload or b"")
+            decoded = decode_stub(payload, r.meta["mime"] if r.meta else "", fake=True)
+            # "feature extraction": mean-pool halves of the fake decode
+            feature = decoded.reshape(2, FEATURE_DIM).mean(axis=0)
+            duration = (r.meta["duration_ms"] or 0) if r.meta else 0
+            frames = max(1, int(duration) // 1000) if r.modality == "video" else 1
+            rows.append(
+                (
+                    r.sample_id,
+                    r.modality,
+                    len(payload),
+                    hashlib.sha256(payload).hexdigest(),
+                    feature.astype(np.float32).tolist(),
+                    frames,
+                )
+            )
+        yield pd.DataFrame(
+            rows,
+            columns=[
+                "sample_id", "modality", "n_bytes", "payload_sha256",
+                "feature", "frames_sampled",
+            ],
+        )
+
+
+def extract_features(df: DataFrame) -> DataFrame:
+    """The multimodal feature stage: partition by modality first so codec
+    working-set stays homogeneous per task (images and videos have very
+    different memory profiles at scale)."""
+    return df.repartition(F.col("modality")).mapInPandas(
+        extract_features_map, schema=FEATURES_SCHEMA
+    )
+
+
+def synthetic_multimodal(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake multimodal table for tests/demos."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    for i in range(n):
+        modality = ["image", "audio", "video"][i % 3]
+        payload = bytes(rng.integers(0, 256, int(rng.integers(64, 512)), dtype=np.uint8))
+        meta = {
+            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
+            "width": 64 if modality == "image" else None,
+            "height": 64 if modality == "image" else None,
+            "duration_ms": int(rng.integers(1000, 10000)) if modality != "image" else None,
+        }
+        rows.append((i, modality, payload, meta))
+    return spark.createDataFrame(rows, schema=MULTIMODAL_SCHEMA)

@@ -1,0 +1,118 @@
+"""Text-analysis operators over a document table (doc_id, text, lang, ...).
+
+Relational formulations first (token counting, quality scoring, n-gram
+frequency, fingerprinting are all expressible with built-in functions and
+stay in whole-stage codegen); the langid/perplexity columns reuse the
+engine's models through the same vectorized UDFs as the main pipeline.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT = r"\s+"
+
+
+def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Whitespace token count + char count per document (pure codegen)."""
+    trimmed = F.trim(F.col(text_col))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.when(trimmed == "", 0)
+        .otherwise(F.size(F.split(trimmed, TOKEN_SPLIT)))
+        .alias("n_tokens")
+        .cast("long")
+        .alias("n_tokens"),
+        F.length(F.col(text_col)).cast("long").alias("n_chars"),
+    )
+
+
+def normalize_ws(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """gruut default_normalize_whitespace (gruut/const.py:575-577) as a
+    native expression + md5 fingerprint of the normalized text."""
+    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        norm.alias("norm_text"),
+        F.md5(norm).alias("fingerprint"),
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Heuristic quality features, relationally: alnum ratio, digit ratio,
+    mean token length, sentence-break count (the SQL-expressible subset of
+    core.rules.quality_features)."""
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    breaks = F.length(F.regexp_replace(text, r"[^.!?]", ""))
+    trimmed = F.trim(text)
+    n_tokens = F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, TOKEN_SPLIT)))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        n_chars.cast("long").alias("n_chars"),
+        n_tokens.cast("long").alias("n_tokens"),
+        F.round(alnum / F.greatest(n_chars, F.lit(1)), 6).alias("alnum_ratio"),
+        F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
+        breaks.cast("long").alias("n_sentence_breaks"),
+        F.round(
+            (n_chars - F.length(F.regexp_replace(text, r"\s", "")))
+            / F.greatest(n_chars, F.lit(1)),
+            6,
+        ).alias("ws_ratio"),
+    )
+
+
+def top_tokens(
+    df: DataFrame, text_col: str = "text", k: int = 20,
+) -> DataFrame:
+    """Corpus-level token frequency top-k: explode -> two-phase agg (the
+    map-side partial combine keeps the shuffle proportional to distinct
+    tokens, not total tokens)."""
+    toks = df.select(
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT)).alias("tok")
+    ).filter(F.col("tok") != "")
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("freq"))
+        .orderBy(F.col("freq").desc(), F.col("tok").asc())
+        .limit(k)
+    )
+
+
+def langid_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Engine langid over an arbitrary document table (vectorized batch
+    scoring; model loads once per worker)."""
+    from ..functions.udfs import langid_udf
+
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        langid_udf(F.col(text_col)).alias("_lid"),
+    ).select("doc_id", "_lid.lang_pred", "_lid.lang_conf")
+
+
+def gruut_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Full gruut-normalized token/sentence statistics (UDF path — used
+    when the relational approximation isn't enough)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<n_tokens:long, n_sentences:long, n_spoken:long>")
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        from ..core.tokenizer import sentences as core_sentences
+
+        rows = []
+        for t in texts.fillna(""):
+            sents = core_sentences(t[:20000], "en_US")
+            words = [w for s in sents for w in s.words]
+            rows.append(
+                (len(words), len(sents), sum(1 for w in words if w.is_spoken))
+            )
+        return pd.DataFrame(rows, columns=["n_tokens", "n_sentences", "n_spoken"])
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), _stats(F.col(text_col)).alias("_s")
+    ).select("doc_id", "_s.*")

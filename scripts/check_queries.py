@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: run every
+__spark_entry__ query on Spark and its oracle SQL on DuckDB at sf0.01,
+compare row counts + order-insensitive values (columns sorted by name)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+import duckdb
+import pandas as pd
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].astype(str)
+        else:
+            try:
+                df[c] = df[c].astype(float).round(6)
+            except (TypeError, ValueError):
+                df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def main() -> None:
+    only = sys.argv[1:] or None
+    import __spark_entry__ as entrymod
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .appName("check").getOrCreate()
+    )
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL-SPARK] {name}: {e}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only] {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
+            continue
+        try:
+            odf = con.sql(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            failures.append(name)
+            print(f"[FAIL-ORACLE] {name}: {e}")
+            continue
+        a, b = canon(sdf), canon(odf)
+        if list(a.columns) != list(b.columns):
+            failures.append(name)
+            print(f"[FAIL-COLS] {name}: spark={list(a.columns)} duckdb={list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            failures.append(name)
+            print(f"[FAIL-ROWS] {name}: spark={len(a)} duckdb={len(b)}")
+            continue
+        if not a.equals(b):
+            neq = (a != b).any(axis=1)
+            failures.append(name)
+            print(f"[FAIL-VALUES] {name}: {neq.sum()}/{len(a)} rows differ")
+            print("spark:", a[neq].head(3).to_string())
+            print("duck :", b[neq].head(3).to_string())
+            continue
+        print(f"[OK] {name}: {len(a)} rows")
+    spark.stop()
+    if failures:
+        print("FAILURES:", failures)
+        sys.exit(1)
+    print("ALL OK")
+
+
+if __name__ == "__main__":
+    main()
