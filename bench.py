@@ -1,0 +1,135 @@
+#!/usr/bin/env python3
+"""Benchmark harness: headline queries + quality-pipeline throughput.
+
+Prints ONE JSON line:
+  {"metric": "headline_suite", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "files_per_sec": ...}
+
+Env:
+  SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
+  BENCH_FILES_ROWS    synthetic files-table rows for pipeline throughput
+                      (default 8000)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+FILES_ROWS = int(os.environ.get("BENCH_FILES_ROWS", "8000"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "window_top2_orders",
+    "events_hourly",
+    "doc_token_count",
+    "doc_quality_scores",
+    "doc_exact_dedup",
+    "doc_jaccard_adjacent",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "doc_langid",
+]
+
+
+def _files_parquet(rows: int) -> str:
+    """Deterministic synthetic files table, cached as parquet (generation
+    excluded from timing)."""
+    cache = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        ".bench_cache", f"files_{rows}",
+    )
+    if not os.path.exists(os.path.join(cache, "_SUCCESS.marker")):
+        from gruut_spark.sources.testgen import generate_files
+
+        os.makedirs(cache, exist_ok=True)
+        pdf = generate_files(rows, seed=42)[
+            ["repo", "path", "commit", "lang", "content"]
+        ]
+        pdf.to_parquet(os.path.join(cache, "files.parquet"), index=False)
+        open(os.path.join(cache, "_SUCCESS.marker"), "w").write("ok")
+    return os.path.join(cache, "files.parquet")
+
+
+def main() -> None:
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+    from gruut_spark.plans.quality_pipeline import build_pipeline, configure_session
+
+    files_path = _files_parquet(FILES_ROWS)
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .appName("gruut-spark-bench")
+        .getOrCreate()
+    )
+    configure_session(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    timings = {}
+
+    # warm the JVM/Python-worker pools outside timing
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        timings[name] = round(time.time() - t0, 3)
+        del n
+
+    # pipeline throughput (files/sec) on the synthetic files table;
+    # aggregate over all stage outputs so Catalyst cannot prune the UDFs
+    # (a bare count() would skip deterministic UDF columns entirely)
+    from pyspark.sql import functions as F
+
+    files = spark.read.parquet(files_path)
+    n_files = files.count()
+    build_pipeline(files.limit(CPUS * 40), num_partitions=CPUS).agg(
+        F.sum(F.col("keep").cast("long"))
+    ).collect()  # warm Python workers/models, untimed
+    t0 = time.time()
+    out = build_pipeline(files, num_partitions=CPUS)
+    row = out.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum(F.length("scrubbed_sha256")).alias("sha"),
+    ).collect()[0]
+    pipeline_s = time.time() - t0
+    timings["quality_pipeline"] = round(pipeline_s, 3)
+    assert row["n"] == n_files
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "headline_suite",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "cpus": CPUS,
+        "pipeline_files": n_files,
+        "files_per_sec": round(n_files / pipeline_s, 2),
+    }
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -320,6 +320,13 @@ def _apply_split(
     out: List[Tok] = []
     changed = False
     for tok in toks:
+        # Stability memo (pure optimization, not in the reference): split
+        # stages are deterministic functions of (text, ws, kind,
+        # interpret_as, protected); a token that survived a full pass with
+        # none of those fields changing produces the same no-op next pass.
+        if tok.stable:
+            out.append(tok)
+            continue
         repl = fn(tok, s)
         if repl is None:
             out.append(tok)
@@ -645,6 +652,9 @@ def process_tokens(
     passes_left = max_passes
     while passes_left > 0:
         was_changed = False
+        # identity -> (ref, interpret_as) at pass start for the stability
+        # memo; holding the ref keeps ids unique for the pass duration
+        survivors_set = {id(tok): (tok, tok.interpret_as) for tok in toks}
 
         toks, c = _apply_split(toks, _split_replacements, s)
         was_changed |= c
@@ -694,6 +704,14 @@ def process_tokens(
 
         if not was_changed:
             break
+        # Mark tokens that survived this full pass un-replaced and
+        # un-reinterpreted as stable: every split stage is a pure function
+        # of fields that can no longer change for them (interpret_as-tagged
+        # and non-word-kind tokens are skipped by all split guards anyway).
+        for tok in toks:
+            ent = survivors_set.get(id(tok))
+            if ent is not None and ent[0] is tok and ent[1] == tok.interpret_as:
+                tok.stable = True
         passes_left -= 1
 
     return toks

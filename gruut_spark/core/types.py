@@ -73,6 +73,7 @@ class Tok:
     maybe_currency: bool = True
     maybe_time: bool = True
     is_from_broken_word: bool = False
+    stable: bool = False  # fixpoint memo: survived a full pass unchanged
 
     def copy(self, **kw) -> "Tok":
         return replace(self, **kw)

@@ -49,6 +49,44 @@ def run_quality_pipeline_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
 
 PIPELINE_SCHEMA = SPARK_SCHEMA_DDL
 
+# Stage output: keys + model features + scrub results, WITHOUT the raw
+# content (dropped after the scrub — nothing downstream needs it, and not
+# carrying megabytes of source text past this stage matters at 100 TB)
+# and WITHOUT the verdict (computed in Catalyst, plans/quality_pipeline).
+MODEL_SCRUB_SCHEMA = (
+    "repo string, path string, commit string, lang string,"
+    " lang_pred string, lang_conf double, n_tokens long, n_sentences long,"
+    " top_sentence_frac double, top_sentence_count long, n_chars long,"
+    " n_lines long, max_line_len long, mean_line_len double,"
+    " alnum_ratio double, ctrl_char_frac double, dup_line_frac double,"
+    " ppl double, scrubbed_content string, scrub_email long, scrub_ip long,"
+    " scrub_key long, scrub_tox long, scrubbed_sha256 string"
+)
+
+_MODEL_SCRUB_COLS = [c.strip().split()[0] for c in MODEL_SCRUB_SCHEMA.split(",")]
+
+
+def model_scrub_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The production hot path: langid + normalize/features/LM + scrub in
+    ONE mapInPandas pass. Measured on local[32]: scalar pandas_udf
+    (ArrowEvalPython) caps at ~800 files/s regardless of cores, while the
+    same computation under MapInPandas reaches ~3000 files/s — so the
+    fused stage uses mapInPandas and only the keep/drop verdict stays a
+    Catalyst expression layer above."""
+    for pdf in batches:
+        lid = _langid_fn(pdf["content"])
+        feats = _features_fn(
+            pdf["content"], pdf["lang"], lid["lang_pred"], lid["lang_conf"]
+        )
+        scrub_out = _scrub_fn(pdf["content"])
+        keys = pdf[["repo", "path", "commit", "lang"]].reset_index(drop=True)
+        out = pd.concat(
+            [keys, lid.reset_index(drop=True), feats.reset_index(drop=True),
+             scrub_out.reset_index(drop=True)],
+            axis=1,
+        )
+        yield out[_MODEL_SCRUB_COLS]
+
 
 # ---------------------------------------------------------------------------
 # Staged column UDFs (lazy factories, cached)
@@ -149,10 +187,36 @@ def _scrub_fn(content: pd.Series) -> pd.DataFrame:
     )
 
 
+MODEL_STAGE_SCHEMA = (
+    "struct<lang_pred:string, lang_conf:double, n_tokens:long,"
+    " n_sentences:long, top_sentence_frac:double, top_sentence_count:long,"
+    " n_chars:long, n_lines:long, max_line_len:long, mean_line_len:double,"
+    " alnum_ratio:double, ctrl_char_frac:double, dup_line_frac:double,"
+    " ppl:double, scrubbed_content:string, scrub_email:long, scrub_ip:long,"
+    " scrub_key:long, scrub_tox:long, scrubbed_sha256:string>"
+)
+
+
+def _model_stage_fn(content: pd.Series, lang: pd.Series) -> pd.DataFrame:
+    """langid + normalize/features/ppl + scrub fused into ONE Arrow eval
+    node. Measured on local[32]: every additional chained pandas-UDF node
+    runs its own Python worker per task slot (JVM->py->JVM per node), and
+    2-3x worker oversubscription does not just halve throughput — it
+    collapses 8->32-core scaling entirely (912 vs 2232 files/s). One node
+    per stage keeps Python worker count == task slots."""
+    lid = _langid_fn(content)
+    feats = _features_fn(content, lang, lid["lang_pred"], lid["lang_conf"])
+    scrub_out = _scrub_fn(content)
+    lid.index = feats.index
+    scrub_out.index = feats.index
+    return pd.concat([lid, feats, scrub_out], axis=1)
+
+
 _UDF_SPECS = {
     "langid": (_langid_fn, LANGID_SCHEMA),
     "features": (_features_fn, FEATURES_SCHEMA),
     "scrub": (_scrub_fn, SCRUB_SCHEMA),
+    "model_stage": (_model_stage_fn, MODEL_STAGE_SCHEMA),
 }
 
 _UDF_CACHE: Dict[str, Callable] = {}
@@ -169,6 +233,10 @@ def _get_udf(name: str) -> Callable:
 
 def langid_udf(col):
     return _get_udf("langid")(col)
+
+
+def model_stage_udf(content_col, lang_col):
+    return _get_udf("model_stage")(content_col, lang_col)
 
 
 def normalize_features_udf(content_col, lang_col, pred_col, conf_col):

@@ -27,7 +27,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..core.rules import RuleConfig
-from ..functions.udfs import langid_udf, normalize_features_udf, scrub_udf
+from ..functions.udfs import (
+    MODEL_SCRUB_SCHEMA,
+    langid_udf,
+    model_scrub_map,
+    model_stage_udf,
+    normalize_features_udf,
+    scrub_udf,
+)
 
 DEFAULT_SALT_BUCKETS = 32
 
@@ -64,6 +71,23 @@ def salt_repartition(
     if num_partitions:
         return df.repartition(num_partitions, F.col("repo"), salt)
     return df.repartition(F.col("repo"), salt)
+
+
+def with_model_stages(df: DataFrame) -> DataFrame:
+    """langid + normalization/features/perplexity + scrub as ONE fused
+    mapInPandas stage (SURVEY.md §4.3: fuse within a stage). Two measured
+    reasons for this exact shape on local[32]:
+    * every chained pandas-UDF node runs an extra Python worker per task
+      slot, and that oversubscription collapses 8->32-core scaling;
+    * even a single struct-returning scalar pandas_udf (ArrowEvalPython)
+      plateaus ~800 files/s regardless of cores, while the same
+      computation under MapInPandas scales to ~3000 files/s at 32 cores.
+    The stage also DROPS the raw content column: after the scrub nothing
+    downstream needs it, and not carrying source bytes past this point is
+    what keeps the verdict shuffle narrow at 100 TB."""
+    return df.select("repo", "path", "commit", "lang", "content").mapInPandas(
+        model_scrub_map, schema=MODEL_SCRUB_SCHEMA
+    )
 
 
 def with_langid(df: DataFrame) -> DataFrame:
@@ -178,8 +202,6 @@ def build_pipeline(
 ) -> DataFrame:
     """Full staged plan (no action triggered)."""
     df = salt_repartition(files, num_partitions, salt_buckets)
-    df = with_langid(df)
-    df = with_features(df)
+    df = with_model_stages(df)
     df = with_verdict(df, cfg)
-    df = with_scrub(df)
     return df

@@ -1,0 +1,120 @@
+#!/usr/bin/env python3
+"""Scaling-efficiency measurement: the same quality-pipeline job on the
+same input at local[8] (N) and local[32] (4N), as the sandbox stand-in for
+N vs 4N executors (driver instruction — no real cluster here).
+
+Runs each config in a fresh subprocess (one JVM per measurement) and
+reports files/sec at both plus efficiency = (t_N / t_4N) / 4.
+Writes BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROWS = int(os.environ.get("SCALING_ROWS", "32000"))
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(root)r)
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+cpus = int(sys.argv[1]); files_path = sys.argv[2]
+from pyspark.sql import SparkSession
+from gruut_spark.plans.quality_pipeline import build_pipeline, configure_session
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false").appName("scaling").getOrCreate())
+configure_session(spark)
+spark.sparkContext.setLogLevel("ERROR")
+from pyspark.sql import functions as F
+
+def materialize(df):
+    # aggregate over every stage's outputs so Catalyst cannot prune the
+    # UDF columns away (a bare count() would skip deterministic UDFs)
+    row = df.agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("keep").cast("long")).alias("kept"),
+        F.sum("n_tokens").alias("tok"),
+        F.sum(F.length("scrubbed_sha256")).alias("sha"),
+        F.sum("scrub_email").alias("em"),
+    ).collect()[0]
+    return row["n"]
+
+files = spark.read.parquet(files_path)
+n = files.count()
+# warm-up: a small untimed pipeline pass loads models in every Python
+# worker (steady state — a real cluster job amortizes worker init over
+# hours; timing cold init would measure npz loading, not the engine)
+materialize(build_pipeline(files.limit(cpus * 40), num_partitions=cpus))
+t0 = time.time()
+assert materialize(build_pipeline(files, num_partitions=cpus)) == n
+dt = time.time() - t0
+print(json.dumps({"cpus": cpus, "rows": n, "sec": round(dt, 3),
+                  "files_per_sec": round(n / dt, 2)}))
+spark.stop()
+"""
+
+
+def _files_parquet(rows: int) -> str:
+    sys.path.insert(0, ROOT)
+    cache = os.path.join(ROOT, ".bench_cache", f"files_{rows}")
+    if not os.path.exists(os.path.join(cache, "_SUCCESS.marker")):
+        from gruut_spark.sources.testgen import generate_files
+
+        os.makedirs(cache, exist_ok=True)
+        pdf = generate_files(rows, seed=42)[
+            ["repo", "path", "commit", "lang", "content"]
+        ]
+        pdf.to_parquet(os.path.join(cache, "files.parquet"), index=False)
+        open(os.path.join(cache, "_SUCCESS.marker"), "w").write("ok")
+    return os.path.join(cache, "files.parquet")
+
+
+def run(cpus: int, files_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER % {"root": ROOT}, str(cpus), files_path],
+        capture_output=True, text=True, check=True, cwd=ROOT,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    files_path = _files_parquet(ROWS)
+    r8 = run(8, files_path)
+    r32 = run(32, files_path)
+    eff = round((r8["sec"] / r32["sec"]) / 4.0, 3)
+    result = {"n": r8, "four_n": r32, "scaling_efficiency": eff}
+    print(json.dumps(result))
+
+    with open(os.path.join(ROOT, "BENCH.md"), "w") as f:
+        f.write(f"""# BENCH — measured performance
+
+## Scaling efficiency (north rule: ≥ 0.8 from N to 4N)
+
+Same quality-pipeline job (langid + normalize/features/LM + verdict +
+scrub) on the same {ROWS}-row synthetic files table (seed 42), one fresh
+JVM per run; local[8] vs local[32] stands in for N vs 4N executors (no
+real cluster in the sandbox, per driver instruction).
+
+| config | wall (s) | files/sec |
+|---|---|---|
+| local[8]  (N)  | {r8['sec']} | {r8['files_per_sec']} |
+| local[32] (4N) | {r32['sec']} | {r32['files_per_sec']} |
+
+**Scaling efficiency = (t_N / t_4N) / 4 = {eff}**
+
+## Headline suite
+
+See the driver-recorded `BENCH_r*.json` (produced by `bench.py` at
+sf0.1, local[$SPARK_GRAFT_CPUS]).
+""")
+    print("wrote BENCH.md")
+
+
+if __name__ == "__main__":
+    main()
