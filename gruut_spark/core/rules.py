@@ -13,11 +13,16 @@ flag but does not drop on its own (FIXTURES.md §2.2 wrong_lang row).
 
 from __future__ import annotations
 
+import re
 from collections import Counter
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional, Sequence, Tuple
 
 from .settings import normalize_whitespace
+
+# single C-level passes instead of per-character Python loops
+_ALNUM_OR_SPACE = re.compile(r"[^\W_]|\s")
+_CTRL = re.compile("[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]")
 
 
 @dataclass
@@ -68,9 +73,9 @@ def quality_features(
     f.max_line_len = max(line_lens)
     f.mean_line_len = sum(line_lens) / len(line_lens)
 
-    n_alnum = sum(1 for c in content if c.isalnum() or c.isspace())
+    n_alnum = len(_ALNUM_OR_SPACE.findall(content))
     f.alnum_ratio = n_alnum / len(content)
-    n_ctrl = sum(1 for c in content if ord(c) < 32 and c not in "\n\t\r")
+    n_ctrl = len(_CTRL.findall(content))
     f.ctrl_char_frac = n_ctrl / len(content)
 
     stripped = [normalize_whitespace(ln) for ln in lines]

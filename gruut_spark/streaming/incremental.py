@@ -1,0 +1,62 @@
+"""Incremental ingest (Structured Streaming wrapper).
+
+The reference is strictly batch (an iterator of documents,
+``gruut/__main__.py:136-176``) and so is the north rule's Iceberg-scale
+job; per SURVEY.md §2.10 the engine is batch-first and resumability comes
+from the checkpoint manifest, not streaming state.
+
+Because every stage is a pure per-file function, incremental ingest IS
+expressible with zero new semantics: ``readStream`` over the input
+directory + the same fused stage + ``foreachBatch`` into the same sinks.
+This module provides exactly that wrapper (tested with the file source +
+an in-memory sink in tests/test_operators.py) — no watermarks or stateful
+operators are needed because no stage looks across documents.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..core.rules import RuleConfig
+from ..plans.quality_pipeline import build_pipeline
+
+FILES_SCHEMA = "repo string, path string, commit string, lang string, content string"
+
+
+def read_files_stream(spark: SparkSession, input_dir: str) -> DataFrame:
+    """File-source stream over a directory of parquet drops (each new file
+    = one micro-batch of new corpus rows)."""
+    return (
+        spark.readStream.schema(FILES_SCHEMA)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(input_dir)
+    )
+
+
+def start_pipeline_stream(
+    spark: SparkSession,
+    input_dir: str,
+    output_dir: str,
+    checkpoint_dir: str,
+    cfg: Optional[RuleConfig] = None,
+):
+    """readStream -> (same batch pipeline via foreachBatch) -> parquet.
+
+    foreachBatch reuses build_pipeline verbatim, so streaming and batch
+    results are identical by construction; Spark's own streaming
+    checkpoint gives exactly-once per micro-batch on top of the engine's
+    bucket manifest for batch jobs."""
+    stream = read_files_stream(spark, input_dir)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = build_pipeline(batch_df, cfg=cfg)
+        out.write.mode("append").parquet(output_dir)
+
+    return (
+        stream.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

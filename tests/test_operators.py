@@ -1,0 +1,123 @@
+"""Dedup / similarity / multimodal / streaming operator tests."""
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over the lazy cat"),  # near dup
+        (3, "completely different text about spark engines"),
+        (4, "the  quick   brown fox jumps over the lazy dog"),  # ws-normalized dup
+        (5, "another unrelated document entirely here now"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(docs):
+    from gruut_spark.operators.dedup import exact_dedup_groups
+
+    groups = exact_dedup_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["keep_id"] == 0
+    assert groups[0]["dup_count"] == 3  # 0, 1, and ws-normalized 4
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from gruut_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_pairs(docs, "text", "doc_id", shingle_k=2).collect()
+    }
+    assert (0, 1) in pairs  # exact dups always pair
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup found
+    assert (3, 5) not in pairs  # unrelated docs don't pair
+
+
+def test_simhash_near_pairs(docs):
+    from gruut_spark.operators.dedup import simhash_near_pairs
+
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in simhash_near_pairs(docs, "text", "doc_id", max_hamming=10).collect()}
+    assert pairs[(0, 1)] == 0  # identical text -> identical signature
+    assert (0, 4) in pairs
+
+
+def test_ngram_jaccard_adjacent(docs):
+    from gruut_spark.operators.dedup import ngram_jaccard_adjacent
+
+    j = {r["id_a"]: r["jaccard"] for r in
+         ngram_jaccard_adjacent(docs, "text", "doc_id").collect()}
+    assert j[0] == 1.0  # doc0 vs doc1 identical token sets
+    assert 0.5 < j[1] < 1.0  # fox/dog vs fox/cat
+    assert j[2] < 0.2  # near-dup vs unrelated
+
+
+def test_brute_force_topk_and_lsh(spark):
+    from gruut_spark.operators.similarity import brute_force_topk, lsh_ann_topk
+
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    vecs[7] = vecs[0] * 2.0  # same direction as query -> cos 1.0
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    query = [float(x) for x in vecs[0]]
+    top = brute_force_topk(df, "embedding", "vec_id", query, k=5, exclude_id=0).collect()
+    assert top[0]["vec_id"] == 7
+    assert abs(top[0]["cos_sim"] - 1.0) < 1e-6
+    # LSH with few planes must find the exact-direction neighbor too
+    ann = lsh_ann_topk(df, "embedding", "vec_id", query, k=5, n_planes=4).collect()
+    assert any(r["vec_id"] == 7 for r in ann)
+
+
+def test_multimodal_plumbing(spark):
+    from gruut_spark.operators.multimodal import (
+        decode_stub,
+        extract_features,
+        synthetic_multimodal,
+    )
+
+    with pytest.raises(NotImplementedError):
+        decode_stub(b"abc", "image/png")  # real codec is stubbed
+
+    mm = synthetic_multimodal(spark, n=24)
+    out = extract_features(mm).collect()
+    assert len(out) == 24
+    assert all(len(r["feature"]) == 16 for r in out)
+    assert all(len(r["payload_sha256"]) == 64 for r in out)
+    video_frames = [r["frames_sampled"] for r in out if r["modality"] == "video"]
+    assert all(f >= 1 for f in video_frames)
+    # deterministic: same payload -> same feature
+    out2 = extract_features(mm).collect()
+    assert {r["sample_id"]: r["feature"] for r in out} == {
+        r["sample_id"]: r["feature"] for r in out2
+    }
+
+
+def test_streaming_matches_batch(spark, tmp_path):
+    from gruut_spark.plans.quality_pipeline import build_pipeline
+    from gruut_spark.sources.testgen import generate_files
+    from gruut_spark.streaming.incremental import start_pipeline_stream
+
+    pdf = generate_files(60, seed=42)[["repo", "path", "commit", "lang", "content"]]
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(pdf).repartition(3).write.parquet(in_dir)
+
+    q = start_pipeline_stream(spark, in_dir, out_dir, ckpt)
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir).toPandas()
+    batch = build_pipeline(spark.createDataFrame(pdf)).toPandas()
+    key = ["repo", "path", "commit"]
+    m = streamed.merge(batch, on=key, suffixes=("_s", "_b"))
+    assert len(m) == 60
+    assert (m.keep_s == m.keep_b).all()
+    assert (m.scrubbed_sha256_s == m.scrubbed_sha256_b).all()
