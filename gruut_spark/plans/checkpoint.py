@@ -83,6 +83,9 @@ def run_with_checkpoints(
             batch, cfg=cfg, salt_buckets=salt_buckets,
             num_partitions=num_partitions,
         )
+        # the fused stage passes through only the input_hint columns;
+        # the bucket is deterministic from (repo, path), so recompute it
+        out = with_bucket(out, n_buckets)
         out = with_lineage(out)
 
         verdict_dir = os.path.join(out_dir, "verdicts")
