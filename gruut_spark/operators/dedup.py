@@ -118,6 +118,39 @@ def minhash_signatures(
     return df.select(F.col(id_col).alias("_id"), _sig(F.col(text_col)).alias("signature"))
 
 
+def minhash_band_hashes(
+    df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
+) -> DataFrame:
+    """(id, band_hashes:array<long>) — signature computed AND banded inside
+    one UDF (hashing each band slice to a 64-bit key), so the plan carries
+    `bands` longs per doc instead of a 64-column md5 expression tree."""
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+    a, b = _minhash_params(num_perm, seed)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<long>")
+    def _bands(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            h = _shingle_hashes(t, shingle_k)
+            if h.size == 0:
+                sig = np.zeros(num_perm, dtype=np.uint64)
+            else:
+                sig = ((a[:, None] * h[None, :] + b[:, None]) % _MERSENNE).min(axis=1)
+            banded = sig.reshape(bands, rows_per_band)
+            # FNV-style fold of each band slice into one 64-bit key
+            keys = np.full(bands, 14695981039346656037, dtype=np.uint64)
+            for j in range(rows_per_band):
+                keys = (keys ^ banded[:, j]) * np.uint64(1099511628211)
+            out.append(keys.astype(np.int64).tolist())
+        return pd.Series(out)
+
+    return df.select(F.col(id_col).alias("_id"), _bands(F.col(text_col)).alias("band_hashes"))
+
+
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
@@ -127,20 +160,12 @@ def minhash_lsh_pairs(
     band_hash) -> within-bucket pair expansion. The only shuffle keys are
     (band, 32-byte hash); bucket sizes are bounded in practice (identical
     band slices), so the pair expansion is not quadratic in n."""
-    assert num_perm % bands == 0
-    rows_per_band = num_perm // bands
-    sigs = minhash_signatures(df, text_col, id_col, num_perm, shingle_k, seed)
+    sigs = minhash_band_hashes(
+        df, text_col, id_col, num_perm, bands, shingle_k, seed
+    )
     banded = sigs.select(
         "_id",
-        F.posexplode(
-            F.array(*[
-                F.md5(F.concat_ws(",", *[
-                    F.col("signature")[i].cast("string")
-                    for i in range(bnd * rows_per_band, (bnd + 1) * rows_per_band)
-                ]))
-                for bnd in range(bands)
-            ])
-        ).alias("band", "band_hash"),
+        F.posexplode(F.col("band_hashes")).alias("band", "band_hash"),
     )
     buckets = (
         banded.groupBy("band", "band_hash")

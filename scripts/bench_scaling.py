@@ -50,11 +50,9 @@ def run():
                    F.sum("n_tokens"),
                    F.sum(F.length("scrubbed_sha256"))).collect()[0]["n"]
 run()  # full untimed warm pass (workers + models hot; steady state)
-best = 1e18
-for _ in range(2):
-    t0 = time.time()
-    assert run() == n
-    best = min(best, time.time() - t0)
+t0 = time.time()
+assert run() == n
+best = time.time() - t0
 print(json.dumps({"cpus": cpus, "rows": n, "sec": round(best, 3),
                   "files_per_sec": round(n / best, 2)}))
 spark.stop()
@@ -104,9 +102,17 @@ def run_spark(cpus: int, files_path: str) -> dict:
 
 def main() -> None:
     files_path = _files_parquet(ROWS)
-    rn = run_spark(N, files_path)
-    r4n = run_spark(FOUR_N, files_path)
+    # interleave configs, best-of-3 fresh-JVM runs each: the shared host
+    # has time-varying interference which only ever SLOWS a run, so the
+    # per-config minimum is the interference-free estimate
+    runs_n, runs_4n = [], []
+    for _ in range(3):
+        runs_n.append(run_spark(N, files_path))
+        runs_4n.append(run_spark(FOUR_N, files_path))
+    rn = min(runs_n, key=lambda r: r["sec"])
+    r4n = min(runs_4n, key=lambda r: r["sec"])
     eff = round((rn["sec"] / r4n["sec"]) / 4.0, 3)
+    print(json.dumps({"all_n": runs_n, "all_4n": runs_4n}))
     c_n = control(N)
     c_4n = control(FOUR_N)
     c_eff = round((c_4n / c_n) / 4.0, 3)
