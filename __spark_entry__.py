@@ -18,6 +18,8 @@ import os
 import sys
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -177,6 +179,66 @@ def _events_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user_id", "event_id")
 
 
+def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): session id = running
+    count of gap-breaks per user — lag + cumulative-sum windows."""
+    from pyspark.sql.window import Window
+
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # ts is TIMESTAMP_NTZ; gaps are timezone-invariant differences
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = F.when((epoch - F.lag(epoch, 1).over(w)) > 1800, 1).otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sessions = ev.withColumn("session_id", F.sum(gap).over(cum))
+    return (
+        sessions.groupBy("user_id", "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .orderBy("user_id", "session_id")
+    )
+
+
+def _events_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (event_type, hour-of-day) with grand totals."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "event_type",
+            F.hour("ts").alias("hod"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .rollup("event_type", "hod")
+        .agg(F.count("*").alias("n_events"), F.sum("v").cast("double").alias("sum_value"))
+        .orderBy(
+            F.col("event_type").asc_nulls_first(), F.col("hod").asc_nulls_first()
+        )
+    )
+
+
+def _q6_revenue_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: highly selective filter + single agg (tests filter
+    pushdown into the parquet scan)."""
+    li = _read(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1995-01-01")
+        & (F.col("l_shipdate") < "1996-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(
+            (F.col("l_extendedprice").cast("decimal(18,6)")
+             * F.col("l_discount").cast("decimal(18,6)")).cast("decimal(28,12)")
+        ).cast("double").alias("revenue"),
+        F.count("*").alias("n_rows"),
+    )
+
+
 def _topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         _read(spark, sf_dir, "part")
@@ -283,6 +345,34 @@ def _pairwise_cosine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
 # -- rows-only (model-backed / LSH / gruut-core; no SQL equivalent) ----------
 
 
+def _doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM perplexity over the documents table (rows-only: model-backed).
+    Uses the en LM for en-declared rows, code LM otherwise-as-fallback —
+    absolute values are corpus-relative, which is all a threshold needs."""
+    _configure(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from gruut_spark.functions.runtime import get_models
+
+    @pandas_udf("double")
+    def _ppl(texts: pd.Series, langs: pd.Series) -> pd.Series:
+        from gruut_spark.core.pipeline import PPL_MAX_TOKENS, normalize_document
+        from gruut_spark.core.settings import resolve_lang
+
+        models = get_models()
+        out = []
+        for t, lg in zip(texts.fillna(""), langs.fillna("")):
+            tokens, _ = normalize_document(t, lg)
+            lm = models.lms.get(resolve_lang(lg)) or models.lms.get("code")
+            out.append(float(lm.perplexity(tokens[:PPL_MAX_TOKENS])) if tokens else -1.0)
+        return pd.Series(out)
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", F.round(_ppl(F.col("text"), F.col("lang")), 4).alias("ppl")
+    ).orderBy("doc_id")
+
+
 def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     _configure(spark)
     from gruut_spark.operators.textstats import langid_scores
@@ -357,6 +447,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _events_hourly,
         "events_running_sum": _events_running_sum,
         "topk_parts": _topk_parts,
+        "q6_revenue_delta": _q6_revenue_delta,
+        "events_sessions": _events_sessions,
+        "events_rollup": _events_rollup,
         # gruut-derived text functions (SURVEY.md §2.9) + quality scoring
         "doc_token_count": _doc_token_count,
         "doc_normalize_fingerprint": _doc_normalize_fingerprint,
@@ -372,6 +465,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pairwise_cosine_stride": _pairwise_cosine_stride,
         # rows-only: model-backed, LSH, gruut-core, multimodal
         "doc_langid": _doc_langid,
+        "doc_ppl": _doc_ppl,
         "doc_gruut_tokens": _doc_gruut_tokens,
         "quality_verdict": _quality_verdict,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -448,6 +542,42 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WHERE user_id < 50
             ORDER BY user_id, event_id
+        """,
+        "q6_revenue_delta": """
+            SELECT sum((l_extendedprice::DECIMAL(18,6)
+                        * l_discount::DECIMAL(18,6))::DECIMAL(28,12))::DOUBLE AS revenue,
+                   count(*) AS n_rows
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+              AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'
+              AND l_discount BETWEEN 0.05 AND 0.07
+              AND l_quantity < 24
+        """,
+        "events_sessions": """
+            WITH marked AS (
+                SELECT user_id, event_id, ts, value,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (
+                                PARTITION BY user_id ORDER BY ts, event_id
+                            ) > 1800 THEN 1 ELSE 0 END AS gap
+                FROM events WHERE user_id < 100
+            ), sess AS (
+                SELECT user_id, value,
+                       sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                FROM marked
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+            FROM sess
+            GROUP BY user_id, session_id
+            ORDER BY user_id, session_id
+        """,
+        "events_rollup": """
+            SELECT event_type, hour(ts) AS hod, count(*) AS n_events,
+                   sum(value::DECIMAL(18,6))::DOUBLE AS sum_value
+            FROM events
+            GROUP BY ROLLUP (event_type, hod)
+            ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST
         """,
         "topk_parts": """
             SELECT p_partkey, p_name, p_retailprice::DECIMAL(18,2)::DOUBLE AS p_retailprice
