@@ -317,13 +317,25 @@ def _apply_split(
     toks: List[Tok], fn: Callable[[Tok, TextSettings], Optional[List[Tok]]],
     s: TextSettings,
 ) -> Tuple[List[Tok], bool]:
-    out: List[Tok] = []
-    changed = False
-    for tok in toks:
-        # Stability memo (pure optimization, not in the reference): split
-        # stages are deterministic functions of (text, ws, kind,
-        # interpret_as, protected); a token that survived a full pass with
-        # none of those fields changing produces the same no-op next pass.
+    # Copy-on-write: most stages change nothing in most passes; scan until
+    # the first replacement before allocating an output list.
+    # Stability memo (pure optimization, not in the reference): split
+    # stages are deterministic functions of (text, ws, kind, interpret_as,
+    # protected); a token that survived a full pass with none of those
+    # fields changing produces the same no-op next pass.
+    first_repl = None
+    idx = 0
+    for idx, tok in enumerate(toks):
+        if tok.stable:
+            continue
+        first_repl = fn(tok, s)
+        if first_repl is not None:
+            break
+    if first_repl is None:
+        return toks, False
+    out: List[Tok] = list(toks[:idx])
+    out.extend(first_repl)
+    for tok in toks[idx + 1:]:
         if tok.stable:
             out.append(tok)
             continue
@@ -332,8 +344,7 @@ def _apply_split(
             out.append(tok)
         else:
             out.extend(repl)
-            changed = True
-    return out, changed
+    return out, True
 
 
 # ---------------------------------------------------------------------------
@@ -604,8 +615,17 @@ def _verbalize_currency(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
 def _apply_verbalize(
     toks: List[Tok], fn, s: TextSettings
 ) -> List[Tok]:
-    out: List[Tok] = []
-    for tok in toks:
+    first_repl = None
+    idx = 0
+    for idx, tok in enumerate(toks):
+        first_repl = fn(tok, s)
+        if first_repl is not None:
+            break
+    if first_repl is None:
+        return toks
+    out: List[Tok] = list(toks[:idx])
+    out.extend(first_repl)
+    for tok in toks[idx + 1:]:
         repl = fn(tok, s)
         if repl is None:
             out.append(tok)

@@ -40,7 +40,7 @@ DIGITS = "digits"
 YEAR = "year"
 
 
-@dataclass
+@dataclass(slots=True)
 class Time:
     """Parsed clock time (gruut/const.py:129-137)."""
 
@@ -49,7 +49,7 @@ class Time:
     period: Optional[str] = None  # "A.M." / "P.M."
 
 
-@dataclass
+@dataclass(slots=True)
 class Tok:
     """One token in the rewrite pipeline (reference WordNode,
     gruut/const.py:304-331, plus kind discriminator)."""
@@ -79,7 +79,7 @@ class Tok:
         return replace(self, **kw)
 
 
-@dataclass
+@dataclass(slots=True)
 class Word:
     """Output word record (reference Word, gruut/const.py:375-446)."""
 
