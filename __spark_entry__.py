@@ -248,6 +248,28 @@ def _topk_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _orders_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each order, the most recent event by the same user
+    id at or before the order date (point-in-time feature lookup)."""
+    from gruut_spark.operators.asof import asof_join
+
+    orders = _read(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200).select(
+        "o_orderkey", "o_orderdate", F.col("o_custkey").alias("user_id")
+    )
+    events = _read(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value")
+    out = asof_join(
+        orders, events, key="user_id", probe_time="o_orderdate",
+        build_time="ts", payload_cols=["event_id", "value"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "o_orderkey",
+        "user_id",
+        F.col("asof_event_id").alias("last_event_id"),
+        F.round(F.col("asof_value"), 6).alias("last_event_value"),
+    ).orderBy("o_orderkey")
+
+
 def _doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.textstats import token_counts
 
@@ -450,6 +472,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q6_revenue_delta": _q6_revenue_delta,
         "events_sessions": _events_sessions,
         "events_rollup": _events_rollup,
+        "orders_asof_last_event": _orders_asof_last_event,
         # gruut-derived text functions (SURVEY.md §2.9) + quality scoring
         "doc_token_count": _doc_token_count,
         "doc_normalize_fingerprint": _doc_normalize_fingerprint,
@@ -578,6 +601,22 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             GROUP BY ROLLUP (event_type, hod)
             ORDER BY event_type ASC NULLS FIRST, hod ASC NULLS FIRST
+        """,
+        "orders_asof_last_event": """
+            WITH b AS (
+                SELECT user_id, ts, event_id, value,
+                       row_number() OVER (PARTITION BY user_id, ts
+                                          ORDER BY event_id DESC) AS rn
+                FROM events
+            ), dedup AS (SELECT user_id, ts, event_id, value FROM b WHERE rn = 1)
+            SELECT o.o_orderkey, o.o_custkey AS user_id,
+                   e.event_id AS last_event_id,
+                   round(e.value, 6) AS last_event_value
+            FROM orders o
+            ASOF LEFT JOIN dedup e
+              ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
+            WHERE o.o_custkey < 200
+            ORDER BY o.o_orderkey
         """,
         "topk_parts": """
             SELECT p_partkey, p_name, p_retailprice::DECIMAL(18,2)::DOUBLE AS p_retailprice

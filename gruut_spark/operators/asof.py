@@ -1,0 +1,88 @@
+"""As-of join (point-in-time lookup), a Spark-missing operator.
+
+For each probe row (key, t), find the most recent build row (key, t_b)
+with t_b <= t. Implemented as the union+window pattern:
+
+  union(tagged build, tagged probe)
+  -> window partitionBy(key) orderBy(t, tag)   [build sorts before probe at ties]
+  -> last(build_payload, ignorenulls=True) carried forward
+  -> keep probe rows
+
+One shuffle on the key, no range self-join, no per-key driver loop —
+the shape that survives 100 TB (both sides stream through a single
+sort-merge window; skewed keys fall under the same salting/AQE machinery
+as any other shuffle).
+
+Tie/duplicate discipline for determinism: build rows are pre-deduplicated
+to one row per (key, t) by max tiebreaker id; a build row with t_b == t
+matches (ASOF semantics, same as DuckDB's ASOF JOIN which the oracle
+uses).
+"""
+
+from __future__ import annotations
+
+from typing import List
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_time: str,
+    build_time: str,
+    payload_cols: List[str],
+    tiebreak_col: str,
+) -> DataFrame:
+    """Left as-of join: probe columns + latest build payload at or before
+    the probe time (nulls when no earlier build row exists)."""
+    build_d = (
+        build.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(key, build_time).orderBy(F.col(tiebreak_col).desc())
+            ),
+        )
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    b = build_d.select(
+        F.col(key).alias("_k"),
+        F.col(build_time).alias("_t"),
+        F.lit(0).alias("_tag"),
+        F.lit(None).cast("long").alias("_probe_id"),
+        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+    )
+    probe_cols = probe.columns
+    p = probe.select(
+        F.col(key).alias("_k"),
+        F.col(probe_time).alias("_t"),
+        F.lit(1).alias("_tag"),
+        F.monotonically_increasing_id().alias("_probe_id"),
+        *[F.lit(None).cast(build_d.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        *[F.col(c) for c in probe_cols],
+    )
+    # align schemas: b lacks the probe columns
+    for c in probe_cols:
+        b = b.withColumn(c, F.lit(None).cast(probe.schema[c].dataType))
+    unioned = b.unionByName(p)
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc(), F.col("_tag").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = unioned.select(
+        "*",
+        *[
+            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
+            for c in payload_cols
+        ],
+    )
+    out = carried.filter(F.col("_tag") == 1).select(
+        *probe_cols,
+        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in payload_cols],
+    )
+    return out

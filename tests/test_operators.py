@@ -121,3 +121,47 @@ def test_streaming_matches_batch(spark, tmp_path):
     assert len(m) == 60
     assert (m.keep_s == m.keep_b).all()
     assert (m.scrubbed_sha256_s == m.scrubbed_sha256_b).all()
+
+
+def test_asof_join_semantics(spark):
+    from gruut_spark.operators.asof import asof_join
+
+    build = spark.createDataFrame(
+        [(1, 10, 100, 1.0), (1, 20, 101, 2.0), (1, 20, 102, 3.0), (2, 5, 200, 9.0)],
+        "k long, t long, id long, v double",
+    )
+    probe = spark.createDataFrame(
+        [(1, 15, "a"), (1, 20, "b"), (1, 25, "c"), (2, 4, "d"), (3, 9, "e")],
+        "k long, t long, name string",
+    )
+    out = {
+        r["name"]: (r["asof_id"], r["asof_v"])
+        for r in asof_join(
+            probe, build, key="k", probe_time="t", build_time="t",
+            payload_cols=["id", "v"], tiebreak_col="id",
+        ).collect()
+    }
+    assert out["a"] == (100, 1.0)   # strictly-before build row
+    assert out["b"] == (102, 3.0)   # tie at t=20 matches; dup resolved by max id
+    assert out["c"] == (102, 3.0)   # carried forward
+    assert out["d"] == (None, None)  # no build row at or before
+    assert out["e"] == (None, None)  # unseen key
+
+
+def test_bucketed_join_is_shuffle_free(spark, tmp_path):
+    from gruut_spark.sources.bucketing import (
+        bucketed_join,
+        plan_has_exchange,
+        write_bucketed,
+    )
+
+    a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    write_bucketed(a, "bkt_a", "k", n_buckets=4)
+    write_bucketed(b, "bkt_b", "k", n_buckets=4)
+    joined = bucketed_join(spark, "bkt_a", "bkt_b", "k")
+    assert joined.count() == 1000
+    assert not plan_has_exchange(joined), "bucketed join must not shuffle"
+    # control: the same join on unbucketed frames DOES shuffle
+    plain = a.join(b, "k")
+    assert plain.count() == 1000
