@@ -16,15 +16,20 @@ from pyspark.sql import DataFrame, SparkSession
 
 def write_bucketed(
     df: DataFrame, table_name: str, key: str, n_buckets: int = 8,
+    path: str = None,
 ) -> None:
-    """Persist a table bucketed+sorted by the join key."""
-    (
+    """Persist a table bucketed+sorted by the join key. With ``path`` the
+    table is external (data at the given location); otherwise managed in
+    spark.sql.warehouse.dir."""
+    writer = (
         df.write.mode("overwrite")
         .bucketBy(n_buckets, key)
         .sortBy(key)
-        .format("parquet")  # managed table in spark.sql.warehouse.dir
-        .saveAsTable(table_name)
+        .format("parquet")
     )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table_name)
 
 
 def bucketed_join(
@@ -37,5 +42,8 @@ def bucketed_join(
     return left.join(right, key)
 
 
-def plan_has_exchange(df: DataFrame) -> bool:
-    return "Exchange" in df._jdf.queryExecution().executedPlan().toString()
+def plan_has_shuffle(df: DataFrame) -> bool:
+    """True if the physical plan contains a shuffle exchange (broadcast
+    exchanges are not shuffles and don't count)."""
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan

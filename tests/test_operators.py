@@ -151,17 +151,25 @@ def test_asof_join_semantics(spark):
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     from gruut_spark.sources.bucketing import (
         bucketed_join,
-        plan_has_exchange,
+        plan_has_shuffle,
         write_bucketed,
     )
 
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
     a = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
     b = spark.range(0, 1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
-    write_bucketed(a, "bkt_a", "k", n_buckets=4)
-    write_bucketed(b, "bkt_b", "k", n_buckets=4)
-    joined = bucketed_join(spark, "bkt_a", "bkt_b", "k")
-    assert joined.count() == 1000
-    assert not plan_has_exchange(joined), "bucketed join must not shuffle"
-    # control: the same join on unbucketed frames DOES shuffle
-    plain = a.join(b, "k")
-    assert plain.count() == 1000
+    write_bucketed(a, "bkt_a", "k", n_buckets=4, path=str(tmp_path / "bkt_a"))
+    write_bucketed(b, "bkt_b", "k", n_buckets=4, path=str(tmp_path / "bkt_b"))
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    try:
+        joined = bucketed_join(spark, "bkt_a", "bkt_b", "k")
+        assert joined.count() == 1000
+        assert not plan_has_shuffle(joined), "bucketed join must not shuffle"
+        # control: the same join on unbucketed frames DOES shuffle
+        plain = a.join(b, "k")
+        assert plain.count() == 1000
+        assert plan_has_shuffle(plain)
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
