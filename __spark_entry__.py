@@ -133,6 +133,36 @@ def _q5_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 proper: revenue per nation within one region (adds the
+    region->nation broadcast chain; region filter prunes before the join)."""
+    region = _read(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    nation = _read(spark, sf_dir, "nation")
+    supplier = _read(spark, sf_dir, "supplier")
+    cust = _read(spark, sf_dir, "customer")
+    orders = _read(spark, sf_dir, "orders")
+    li = _read(spark, sf_dir, "lineitem")
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    nations_in_region = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supplier), li.l_suppkey == supplier.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(nations_in_region), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(
+                (dec("l_extendedprice") * (F.lit(1).cast("decimal(18,6)") - dec("l_discount")))
+                .cast("decimal(28,12)")
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
 def _window_top2_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -465,6 +495,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_top_orders": _q3_top_orders,
         "q5_nation_revenue": _q5_nation_revenue,
+        "q5_region_revenue": _q5_region_revenue,
         "window_top2_orders": _window_top2_orders,
         "events_hourly": _events_hourly,
         "events_running_sum": _events_running_sum,
@@ -536,6 +567,20 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer ON o_custkey = c_custkey
             JOIN nation ON s_nationkey = n_nationkey
             WHERE c_nationkey = s_nationkey
+            GROUP BY n_name
+            ORDER BY revenue DESC, n_name ASC
+        """,
+        "q5_region_revenue": """
+            SELECT n_name,
+                   sum((l_extendedprice::DECIMAL(18,6)
+                        * (1::DECIMAL(18,6) - l_discount::DECIMAL(18,6)))::DECIMAL(28,12))::DOUBLE AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN supplier ON l_suppkey = s_suppkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON s_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE c_nationkey = s_nationkey AND r_name = 'EUROPE'
             GROUP BY n_name
             ORDER BY revenue DESC, n_name ASC
         """,

@@ -168,3 +168,44 @@ def test_fixpoint_terminates_on_pathological_input():
     # bounded passes (gruut/text_processor.py:460): must not hang
     out = texts("1st. 2,2. $1.5! a-b-c T.T.S. 4:01pm ...")
     assert len(out) > 0
+
+
+def test_spell_out_api():
+    # tests/test_text_processor.py:357-379 + tests/test_en.py:54-75 —
+    # reachable via interpret_as (SSML say-as path); exposed as API here
+    from gruut_spark.core.settings import get_settings
+    from gruut_spark.core.tokenizer import flatten, process_tokens
+    from gruut_spark.core.types import SPELL_OUT, Tok
+
+    s = get_settings("en_US")
+    toks = [Tok(text="abc@1-2", ws="abc@1-2", interpret_as=SPELL_OUT)]
+    from gruut_spark.core.tokenizer import (
+        _apply_split,
+        _split_spell_out,
+        _transform_number,
+        _verbalize_number,
+        _apply_verbalize,
+    )
+
+    toks, _ = _apply_split(toks, _split_spell_out, s)
+    for t in toks:
+        _transform_number(t, s)
+    toks = _apply_verbalize(toks, _verbalize_number, s)
+    texts = [t.text for t in toks]
+    assert texts == ["a", "b", "c", "at", "one", "dash", "two"]
+
+
+def test_digits_format():
+    # InterpretAsFormat.NUMBER_DIGITS (gruut/text_processor.py:2135-2137):
+    # 12 -> one two
+    from decimal import Decimal
+
+    from gruut_spark.core.settings import get_settings
+    from gruut_spark.core.tokenizer import _verbalize_number
+    from gruut_spark.core.types import DIGITS, NUMBER, Tok
+
+    s = get_settings("en_US")
+    tok = Tok(text="12", ws="12", interpret_as=NUMBER, fmt=DIGITS,
+              number=Decimal(12))
+    out = _verbalize_number(tok, s)
+    assert [t.text for t in out] == ["one", "two"]
