@@ -55,6 +55,7 @@ PIPELINE_SCHEMA = SPARK_SCHEMA_DDL
 # and WITHOUT the verdict (computed in Catalyst, plans/quality_pipeline).
 MODEL_SCRUB_SCHEMA = (
     "repo string, path string, commit string, lang string,"
+    " _source_file string,"
     " lang_pred string, lang_conf double, n_tokens long, n_sentences long,"
     " top_sentence_frac double, top_sentence_count long, n_chars long,"
     " n_lines long, max_line_len long, mean_line_len double,"
@@ -79,7 +80,9 @@ def model_scrub_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             pdf["content"], pdf["lang"], lid["lang_pred"], lid["lang_conf"]
         )
         scrub_out = _scrub_fn(pdf["content"])
-        keys = pdf[["repo", "path", "commit", "lang"]].reset_index(drop=True)
+        if "_source_file" not in pdf.columns:
+            pdf = pdf.assign(_source_file="")
+        keys = pdf[["repo", "path", "commit", "lang", "_source_file"]].reset_index(drop=True)
         out = pd.concat(
             [keys, lid.reset_index(drop=True), feats.reset_index(drop=True),
              scrub_out.reset_index(drop=True)],

@@ -85,7 +85,10 @@ def with_model_stages(df: DataFrame) -> DataFrame:
     The stage also DROPS the raw content column: after the scrub nothing
     downstream needs it, and not carrying source bytes past this point is
     what keeps the verdict shuffle narrow at 100 TB."""
-    return df.select("repo", "path", "commit", "lang", "content").mapInPandas(
+    cols = ["repo", "path", "commit", "lang", "content"]
+    if "_source_file" in df.columns:
+        cols.append("_source_file")
+    return df.select(*cols).mapInPandas(
         model_scrub_map, schema=MODEL_SCRUB_SCHEMA
     )
 
@@ -172,10 +175,12 @@ def with_scrub(df: DataFrame) -> DataFrame:
 
 
 def with_lineage(df: DataFrame) -> DataFrame:
-    """Per-row lineage columns: source file + executing partition."""
-    return df.withColumn("_source_file", F.input_file_name()).withColumn(
-        "_partition_id", F.spark_partition_id()
-    )
+    """Per-row lineage: executing partition id (the source file column is
+    captured at scan time and carried through the fused stage)."""
+    out = df
+    if "_source_file" not in df.columns:
+        out = out.withColumn("_source_file", F.input_file_name())
+    return out.withColumn("_partition_id", F.spark_partition_id())
 
 
 def partition_metrics(df: DataFrame) -> DataFrame:
@@ -201,6 +206,9 @@ def build_pipeline(
     num_partitions: Optional[int] = None,
 ) -> DataFrame:
     """Full staged plan (no action triggered)."""
+    # lineage must be captured at scan time: input_file_name() is empty
+    # once rows have crossed the salt shuffle
+    files = files.withColumn("_source_file", F.input_file_name())
     df = salt_repartition(files, num_partitions, salt_buckets)
     df = with_model_stages(df)
     df = with_verdict(df, cfg)
