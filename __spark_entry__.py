@@ -473,6 +473,16 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over MinHash-LSH candidate pairs — duplicate
+    clusters with min-id canonical representative (iterative label
+    propagation, rows-only: graph algorithm over model-derived pairs)."""
+    from gruut_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    pairs = minhash_lsh_pairs(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    return dedup_clusters(pairs).orderBy("member_id")
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.similarity import lsh_ann_topk
 
@@ -524,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_verdict": _quality_verdict,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
+        "dedup_clusters": _dedup_clusters,
         "ann_lsh_topk": _ann_lsh_topk,
         "multimodal_features": _multimodal_features,
     }

@@ -30,6 +30,9 @@ _PEM_BLOCK = re.compile(
 _AWS_KEY = re.compile(r"\bAKIA[0-9A-Z]{16}\b")
 _GITHUB_TOKEN = re.compile(r"\bghp_[A-Za-z0-9]{36}\b")
 _SLACK_TOKEN = re.compile(r"\bxox[baprs]-[A-Za-z0-9][A-Za-z0-9-]{8,}\b")
+_JWT = re.compile(
+    r"\beyJ[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\.[A-Za-z0-9_-]{8,}\b"
+)
 
 _EMAIL = re.compile(r"\b[A-Za-z0-9._%+-]+@[A-Za-z0-9](?:[A-Za-z0-9.-]*[A-Za-z0-9])?\.[A-Za-z]{2,}\b")
 
@@ -74,6 +77,7 @@ _BASE_STEPS: List[Tuple[str, Pattern, object]] = [
     ("key", _AWS_KEY, KEY_TOKEN),
     ("key", _GITHUB_TOKEN, KEY_TOKEN),
     ("key", _SLACK_TOKEN, KEY_TOKEN),
+    ("key", _JWT, KEY_TOKEN),
     ("email", _EMAIL, EMAIL_TOKEN),
     ("ip", _IPV6, IP_TOKEN),
     ("ip", _IPV4, _ipv4_sub),

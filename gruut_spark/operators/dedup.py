@@ -309,3 +309,52 @@ def ngram_jaccard_adjacent(
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clusters (connected components over candidate pairs)
+# ---------------------------------------------------------------------------
+
+
+def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
+    """Connected components over (id_a, id_b) candidate pairs: returns
+    (member_id, cluster_id) with cluster_id = min member id.
+
+    Iterative min-label propagation as pure DataFrame ops (the standard
+    large-graph pattern when GraphFrames isn't available): each round every
+    node adopts the minimum label among itself and its neighbors;
+    converges in O(diameter) rounds — near-dup clusters are tiny, so the
+    bound is a formality. Each round is one shuffle on node id; AQE
+    coalesces as labels stabilize."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(max_iterations):
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.node)
+            .select(F.col("src").alias("node"), "label")
+        )
+        new_labels = (
+            labels.select("node", "label")
+            .union(neighbor_labels)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
+    )

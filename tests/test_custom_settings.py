@@ -1,0 +1,54 @@
+"""User-extensible settings registry (reference §2.11: TextProcessor
+accepts custom per-language settings — gruut/text_processor.py:72-100;
+here a custom TextSettings instance plays that role)."""
+
+from gruut_spark.core.settings import TextSettings
+from gruut_spark.core.tokenizer import flatten, process_tokens
+
+
+def run(text, settings):
+    toks = process_tokens(text, settings=settings)
+    return flatten(toks, settings=settings)
+
+
+def test_custom_replacements():
+    # tests/test_text_processor.py:124-154 (custom processor with
+    # bracket-dropping replacements)
+    s = TextSettings(
+        lang="x",
+        minor_breaks={","},
+        major_breaks={"."},
+        replacements=[
+            (r"\B'", '"'),
+            (r"'\B", '"'),
+            (r'[\<\>\(\)\[\]"]+', ""),
+        ],
+    )
+    sents = run("\"This,\" [is] <a> (test) 'sentence.'", s)
+    words = [w.text for sent in sents for w in sent.words]
+    assert words == ["This", ",", "is", "a", "test", "sentence", "."]
+
+
+def test_custom_initialism_hooks():
+    # tests/test_text_processor.py:380-402 (custom is_initialism)
+    s = TextSettings(
+        lang="x",
+        major_breaks={"."},
+        is_initialism=lambda t: t.isalpha() and t.isupper(),
+        split_initialism=list,
+    )
+    sents = run("TTS.", s)
+    words = [(w.text, w.text_with_ws) for w in sents[0].words]
+    assert words == [("T", "T "), ("T", "T "), ("S", "S"), (".", ".")]
+
+
+def test_custom_word_breaks():
+    s = TextSettings(lang="x", word_breaks={"-"})
+    sents = run("ninety-nine", s)
+    assert [w.text for w in sents[0].words] == ["ninety", "nine"]
+
+
+def test_no_settings_is_plain_tokenizer():
+    s = TextSettings(lang="x")
+    sents = run("Hello  world ", s)
+    assert [w.text_with_ws for w in sents[0].words] == ["Hello  ", "world "]

@@ -173,3 +173,14 @@ def test_bucketed_join_is_shuffle_free(spark, tmp_path):
         assert plan_has_shuffle(plain)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_dedup_clusters_connected_components(spark):
+    from gruut_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 11)],
+        "id_a long, id_b long",
+    )
+    out = {r["member_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
