@@ -181,9 +181,10 @@ def en_currency(value: Numeric, currency: str = "USD") -> str:
 
 
 # ---------------------------------------------------------------------------
-# Minimal de/es/fr cardinals + currency — enough for the multi-language
-# fixtures; ordinal/year for non-English fall back to cardinal (documented
-# divergence: the quality-filter corpus never verbalizes non-English dates).
+# de/es/fr cardinals + de ordinals/years + currency — enough for the
+# multi-language fixtures (tests/test_text_processor.py:588-692); es/fr
+# ordinals fall back to cardinal (their date fixtures are SSML-only and
+# out of scope per SURVEY §2.1).
 # ---------------------------------------------------------------------------
 
 _DE_ONES = [
@@ -223,6 +224,28 @@ def de_cardinal_int(n: int) -> str:
     millions, rest = divmod(n, 10 ** 6)
     m_word = "eine Million" if millions == 1 else f"{de_cardinal_int(millions)} Millionen"
     return m_word + (f" {de_cardinal_int(rest)}" if rest else "")
+
+
+def de_ordinal(n: int) -> str:
+    """German ordinals (num2words de): -te below 20, -ste from 20 up;
+    irregulars erste/dritte/siebte/achte."""
+    irregular = {1: "erste", 3: "dritte", 7: "siebte", 8: "achte"}
+    if n in irregular:
+        return irregular[n]
+    card = de_cardinal_int(n)
+    if n < 20:
+        return card + "te"
+    return card + "ste"
+
+
+def de_year(n: int) -> str:
+    """German years: 1100-1999 use the hundreds form
+    (1999 -> neunzehnhundertneunundneunzig)."""
+    high, low = divmod(n, 100)
+    if 11 <= high <= 19:
+        text = f"{de_cardinal_int(high)}hundert"
+        return text + (de_cardinal_int(low) if low else "")
+    return de_cardinal_int(n)
 
 
 def de_cardinal(value: Numeric) -> str:
@@ -374,15 +397,21 @@ def cardinal(value: Numeric, lang: str = "en") -> str:
 
 
 def ordinal(n: int, lang: str = "en") -> str:
-    if lang[:2].lower() == "en":
+    short = lang[:2].lower()
+    if short == "en":
         return en_ordinal(n)
-    # Non-English ordinals fall back to cardinal (out of fixture scope).
+    if short == "de":
+        return de_ordinal(n)
+    # es/fr ordinals fall back to cardinal (out of fixture scope).
     return cardinal(n, lang)
 
 
 def year(n: int, lang: str = "en") -> str:
-    if lang[:2].lower() == "en":
+    short = lang[:2].lower()
+    if short == "en":
         return en_year(n)
+    if short == "de":
+        return de_year(n)
     return cardinal(n, lang)
 
 

@@ -209,3 +209,14 @@ def test_digits_format():
               number=Decimal(12))
     out = _verbalize_number(tok, s)
     assert [t.text for t in out] == ["one", "two"]
+
+
+def test_de_date_verbalization():
+    # tests/test_text_processor.py:588-692 (German leg): de dates verbalize
+    # as ordinal day + month name + hundreds-form year
+    assert texts("01.04.1999", lang="de_DE") == [
+        "erste", "April", "neunzehnhundertneunundneunzig",
+    ]
+    # the de "1.1.2000" pitfall: detected as a DATE before the lenient
+    # locale number parse can read it as 112000 (gruut/text_processor.py:1041-1048)
+    assert texts("1.1.2000", lang="de_DE") == ["erste", "Januar", "zweitausend"]
