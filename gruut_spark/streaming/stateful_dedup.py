@@ -1,0 +1,64 @@
+"""Cross-batch streaming deduplication (custom stateful operator).
+
+The one place incremental corpus ingest genuinely needs streaming state:
+a document arriving in micro-batch N must be dropped if an identical one
+was already emitted in any earlier batch. Implemented with
+``applyInPandasWithState`` keyed by the content hash — state per key is a
+single "seen" marker, so state size is O(distinct docs) hashes (32 bytes
+each), the minimum any exact-dedup can hold.
+
+Batch analogue: ``operators/dedup.py::exact_dedup_keep`` — the streaming
+operator produces the same keep-set when fed the same rows in any batch
+order with ids ascending in time (tests/test_operators.py).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterable, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "seen boolean"
+OUTPUT_SCHEMA = "content_hash string, doc_id long, text string"
+
+
+def _dedup_fn(
+    key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit only the first-ever row per content hash (min doc_id within
+    the arriving data); subsequent batches with the same hash emit
+    nothing."""
+    if state.exists:
+        return
+    best = None
+    for pdf in batches:
+        cand = pdf.sort_values("doc_id").iloc[0]
+        if best is None or cand.doc_id < best.doc_id:
+            best = cand
+    if best is None:
+        return
+    state.update((True,))
+    yield pd.DataFrame(
+        {"content_hash": [key[0]], "doc_id": [int(best.doc_id)],
+         "text": [best.text]}
+    )
+
+
+def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
+    """stream: (doc_id long, text string) -> first occurrence per
+    normalized-content hash across all micro-batches."""
+    hashed = stream.withColumn(
+        "content_hash",
+        F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
+    )
+    return hashed.groupBy("content_hash").applyInPandasWithState(
+        _dedup_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

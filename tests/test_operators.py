@@ -184,3 +184,54 @@ def test_dedup_clusters_connected_components(spark):
     )
     out = {r["member_id"]: r["cluster_id"] for r in dedup_clusters(pairs).collect()}
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 8: 8, 9: 8, 10: 8, 11: 8}
+
+
+def test_streaming_stateful_dedup(spark, tmp_path):
+    """applyInPandasWithState dedup: duplicates across micro-batches are
+    dropped; first occurrence (min doc_id) survives."""
+    import time
+
+    from gruut_spark.streaming.stateful_dedup import streaming_exact_dedup
+
+    in_dir = str(tmp_path / "in")
+    out_dir = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    batch1 = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta"), (2, "alpha beta")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, "alpha   beta"), (4, "epsilon zeta"), (5, "gamma delta")],
+        "doc_id long, text string",
+    )
+    batch1.write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    deduped = streaming_exact_dedup(stream)
+    q = (
+        deduped.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    batch2.write.parquet(in_dir + "/b2")
+    q2 = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir).toPandas().sort_values("doc_id")
+    # batch1: doc 0 (alpha beta), doc 1 (gamma delta); doc 2 is a dup.
+    # batch2: doc 3 is a ws-normalized dup of 0, doc 5 dups 1 -> only doc 4.
+    assert list(out.doc_id) == [0, 1, 4]
