@@ -1,0 +1,36 @@
+#!/usr/bin/env python3
+"""Build the spark-submit artifact: gruut_spark.zip (+ artifacts/ shipped
+via --files or baked into the zip, loaded through SPARK_GRAFT_ARTIFACTS).
+
+    python scripts/package.py
+    spark-submit --py-files dist/gruut_spark.zip \
+        --files artifacts/langid.npz,artifacts/lm_en.npz,... \
+        jobs/run_pipeline.py --input ... --output ...
+"""
+
+import os
+import zipfile
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> None:
+    dist = os.path.join(ROOT, "dist")
+    os.makedirs(dist, exist_ok=True)
+    zip_path = os.path.join(dist, "gruut_spark.zip")
+    with zipfile.ZipFile(zip_path, "w", zipfile.ZIP_DEFLATED) as zf:
+        for base, _dirs, files in os.walk(os.path.join(ROOT, "gruut_spark")):
+            if "__pycache__" in base:
+                continue
+            for fn in files:
+                full = os.path.join(base, fn)
+                zf.write(full, os.path.relpath(full, ROOT))
+        for fn in sorted(os.listdir(os.path.join(ROOT, "artifacts"))):
+            if fn.endswith(".npz"):
+                zf.write(os.path.join(ROOT, "artifacts", fn),
+                         os.path.join("artifacts", fn))
+    print(f"wrote {zip_path} ({os.path.getsize(zip_path)} bytes)")
+
+
+if __name__ == "__main__":
+    main()

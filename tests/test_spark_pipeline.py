@@ -133,3 +133,29 @@ def test_no_straggler_over_4x_median(spark):
     times = salted.mapInPandas(timed_map, schema="rows long, secs double").toPandas()
     times = times[times.rows > 0]
     assert times.secs.max() <= 4 * times.secs.median(), times.to_string()
+
+
+def test_megabyte_row_survives(spark):
+    """Arrow batch sizing: a ~1 MB content row must flow through the fused
+    stage, scrub byte-exactly, and not blow the batch memory cap."""
+    import numpy as np
+
+    from gruut_spark.core.scrub import sha256_hex
+    from gruut_spark.plans.quality_pipeline import build_pipeline
+    from gruut_spark.sources.testgen import _prose
+
+    rng = np.random.default_rng(3)
+    fat = _prose(rng, "en", 25000)
+    assert len(fat) > 1_000_000
+    pdf = __import__("pandas").DataFrame(
+        [
+            {"repo": "r", "path": "fat.txt", "commit": "c", "lang": "en",
+             "content": fat},
+            {"repo": "r", "path": "small.txt", "commit": "c2", "lang": "en",
+             "content": "tiny but long enough to keep."},
+        ]
+    )
+    out = build_pipeline(spark.createDataFrame(pdf)).toPandas()
+    row = out[out.path == "fat.txt"].iloc[0]
+    assert row.scrubbed_sha256 == sha256_hex(fat)  # no PII -> passthrough
+    assert row.n_chars == len(fat)
