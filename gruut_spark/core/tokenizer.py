@@ -693,20 +693,33 @@ def process_tokens(
         toks, c = _apply_split(toks, _split_spell_out, s)
         was_changed |= c
 
-        if detect_dates:
-            for tok in toks:
+        # One sweep for date -> currency -> number (reference runs three
+        # full passes, gruut/text_processor.py:1049-1061, but transforms
+        # are per-token independent, so per-token ordering is equivalent);
+        # cheap inline guards skip the calls entirely for settled tokens.
+        for tok in toks:
+            if tok.kind != WORD:
+                continue
+            if detect_dates and tok.maybe_date and (
+                not tok.interpret_as or tok.interpret_as == DATE
+            ):
                 was_changed |= _transform_date(tok, s)
-        if detect_currency:
-            for tok in toks:
+            if detect_currency and tok.maybe_currency and (
+                not tok.interpret_as or tok.interpret_as == CURRENCY
+            ):
                 was_changed |= _transform_currency(tok, s)
-        if detect_numbers:
-            for tok in toks:
+            if detect_numbers and tok.maybe_number and (
+                not tok.interpret_as or tok.interpret_as == NUMBER
+            ):
                 was_changed |= _transform_number(tok, s)
         if detect_times:
             toks, c = _collapse_time(toks, s)
             was_changed |= c
             for tok in toks:
-                was_changed |= _transform_time(tok, s)
+                if tok.kind == WORD and tok.maybe_time and (
+                    not tok.interpret_as or tok.interpret_as == TIME
+                ):
+                    was_changed |= _transform_time(tok, s)
 
         if verbalize_dates:
             toks = _apply_verbalize(toks, _verbalize_date, s)
