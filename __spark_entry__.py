@@ -493,6 +493,30 @@ def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (coarse-quantizer) ANN over the embeddings table (rows-only:
+    kmeans-trained index)."""
+    from gruut_spark.operators.similarity import ivf_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivf_ann_topk(
+        emb, "embedding", "vec_id", [float(x) for x in query],
+        k=10, n_lists=16, n_probe=4,
+    )
+
+
+def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets
+    (rows-only)."""
+    from gruut_spark.operators.similarity import embedding_near_dup_pairs
+
+    return embedding_near_dup_pairs(
+        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id",
+        threshold=0.9, n_planes=6,
+    ).orderBy("id_a", "id_b")
+
+
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.multimodal import extract_features, synthetic_multimodal
 
@@ -536,6 +560,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
         "ann_lsh_topk": _ann_lsh_topk,
+        "ann_ivf_topk": _ann_ivf_topk,
+        "embedding_near_dups": _embedding_near_dups,
         "multimodal_features": _multimodal_features,
     }
 

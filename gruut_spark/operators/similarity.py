@@ -153,3 +153,103 @@ def pairwise_cosine_sample(
         "id_a", "id_b",
         F.round(dot / (_norm("va") * _norm("vb")), 6).alias("cos_sim"),
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the coarse-quantizer scale path
+# ---------------------------------------------------------------------------
+
+
+def _ivf_centroids(sample: np.ndarray, n_lists: int, iters: int = 10,
+                   seed: int = 11) -> np.ndarray:
+    """Deterministic seeded k-means (Lloyd) on a driver-side sample —
+    the standard IVF training step: centroids are small (n_lists × dim)
+    and broadcast; only assignment is distributed."""
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(sample), size=min(n_lists, len(sample)), replace=False)
+    centroids = sample[np.sort(idx)].astype(np.float64).copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            members = sample[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
+               centroids: np.ndarray) -> DataFrame:
+    """(id, vec, list_id): nearest-centroid assignment, numpy per batch."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def _assign(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype="int32")
+        d = ((mat[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"),
+        _assign(F.col(vec_col)).alias("list_id"),
+    )
+
+
+def ivf_ann_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: Sequence[float],
+    k: int = 10, n_lists: int = 16, n_probe: int = 4,
+    train_sample: int = 1024, seed: int = 11,
+) -> DataFrame:
+    """IVF ANN: train coarse centroids on a deterministic sample, assign
+    every vector to its nearest list, probe the n_probe lists closest to
+    the query, exact re-rank inside. At scale the assignment is a single
+    narrow pass and each query touches n_probe/n_lists of the corpus."""
+    sample_rows = (
+        df.select(vec_col).orderBy(F.col(id_col)).limit(train_sample).collect()
+    )
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    centroids = _ivf_centroids(sample, n_lists, seed=seed)
+    q = np.asarray(list(query), dtype=np.float64)
+    probe_lists = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe]
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    candidates = assigned.filter(
+        F.col("list_id").isin([int(x) for x in probe_lists])
+    ).select("_id", F.col("_vec").alias(vec_col))
+    return brute_force_topk(candidates, vec_col, "_id", list(q), k)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs
+# ---------------------------------------------------------------------------
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str,
+    threshold: float = 0.95, n_planes: int = 8, seed: int = 7,
+) -> DataFrame:
+    """Near-duplicate detection on an embedding column: LSH-bucket by
+    random-hyperplane signature (near-identical vectors collide with high
+    probability), exact cosine inside each bucket, keep pairs >= threshold.
+    The only shuffle is the bucket groupBy; within-bucket pairing is a
+    join on the bucket id (bucket sizes ~n/2^planes)."""
+    dim_row = df.select(vec_col).head()
+    dim = len(dim_row[0])
+    sigs = lsh_bucket_signatures(df, vec_col, id_col, dim, n_planes, seed)
+    a = sigs.select(
+        F.col("bucket"), F.col("_id").alias("id_a"), F.col("_vec").alias("va")
+    )
+    b = sigs.select(
+        F.col("bucket"), F.col("_id").alias("id_b"), F.col("_vec").alias("vb")
+    )
+    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (_norm("va") * _norm("vb"))
+    return pairs.select(
+        "id_a", "id_b", F.round(cos, 6).alias("cos_sim")
+    ).filter(F.col("cos_sim") >= threshold)

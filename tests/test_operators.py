@@ -235,3 +235,36 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     # batch1: doc 0 (alpha beta), doc 1 (gamma delta); doc 2 is a dup.
     # batch2: doc 3 is a ws-normalized dup of 0, doc 5 dups 1 -> only doc 4.
     assert list(out.doc_id) == [0, 1, 4]
+
+
+def test_ivf_ann(spark):
+    from gruut_spark.operators.similarity import ivf_ann_topk
+
+    rng = np.random.default_rng(9)
+    vecs = rng.standard_normal((300, 12)).astype(np.float32)
+    vecs[42] = vecs[0] + rng.standard_normal(12).astype(np.float32) * 0.01
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    query = [float(x) for x in vecs[0]]
+    out = ivf_ann_topk(df, "embedding", "vec_id", query, k=5, n_lists=8, n_probe=3)
+    ids = [r["vec_id"] for r in out.collect()]
+    assert 0 in ids and 42 in ids  # query itself + its near-twin found
+
+
+def test_embedding_near_dup_pairs(spark):
+    from gruut_spark.operators.similarity import embedding_near_dup_pairs
+
+    rng = np.random.default_rng(10)
+    vecs = rng.standard_normal((120, 12)).astype(np.float32)
+    vecs[50] = vecs[7] * 1.5          # exact-direction dup of 7
+    vecs[80] = vecs[7] + 0.01 * rng.standard_normal(12).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in
+             embedding_near_dup_pairs(df, "embedding", "vec_id", 0.98).collect()}
+    assert (7, 50) in pairs
+    assert (7, 80) in pairs
