@@ -127,6 +127,11 @@ class TextSettings:
     lang: str
     keep_whitespace: bool = True
     join_str: str = " "
+    # False for languages where only the tokenizer tables are transcribed
+    # (no from-scratch num2words): the pipeline then detects but does not
+    # verbalize, leaving digits in place — safer for LM/quality scoring
+    # than wrong-language number words.
+    verbalize_supported: bool = True
 
     major_breaks: FrozenSet[str] = frozenset()
     minor_breaks: FrozenSet[str] = frozenset()
@@ -352,6 +357,31 @@ def _fr_settings() -> TextSettings:
     )
 
 
+def _generic_eu_settings(lang: str, currency: str = "EUR",
+                         extra_begin=frozenset(), extra_end=frozenset(),
+                         minor_extra=frozenset({"..."})) -> TextSettings:
+    """Shared shape of the reference's cs/it/nl/pt/ru/sv settings
+    (gruut/lang.py:249-812): same break/punctuation tables, DMY dates,
+    apostrophe normalization. Tokenizer-level only (verbalize_supported
+    False — see field docstring)."""
+    return TextSettings(
+        lang=lang,
+        verbalize_supported=False,
+        major_breaks={".", "?", "!"},
+        minor_breaks=frozenset({",", ";", ":"}) | frozenset(minor_extra),
+        word_breaks={"-", "_"},
+        begin_punctuations=frozenset({'"', "“", "«", "[", "(", "<", "„"}) | frozenset(extra_begin),
+        end_punctuations=frozenset({'"', "”", "»", "]", ")", ">"}) | frozenset(extra_end),
+        default_currency=currency,
+        default_date_format="dmy",
+        replacements=[("’", "'")],
+        currencies={"€": "EUR", "$": "USD", "£": "GBP"},
+        group_char=".",
+        decimal_char=",",
+        date_order="DMY",
+    )
+
+
 def _code_settings() -> TextSettings:
     """Profile for source-code files (new in this engine; no reference
     analogue). Tokenize + punctuation/sentence structure only — no
@@ -373,6 +403,13 @@ _SETTINGS_FACTORIES = {
     "de_DE": _de_settings,
     "es_ES": _es_settings,
     "fr_FR": _fr_settings,
+    # Tokenizer-table-only languages (reference gruut/lang.py:249-812)
+    "cs_CZ": lambda: _generic_eu_settings("cs_CZ", extra_begin={"’"}, extra_end={"’"}),
+    "it_IT": lambda: _generic_eu_settings("it_IT"),
+    "nl": lambda: _generic_eu_settings("nl"),
+    "pt": lambda: _generic_eu_settings("pt"),
+    "ru_RU": lambda: _generic_eu_settings("ru_RU", currency="RUB", minor_extra=frozenset()),
+    "sv_SE": lambda: _generic_eu_settings("sv_SE", currency="SEK"),
     "code": _code_settings,
 }
 
@@ -383,6 +420,12 @@ _LANG_ALIASES = {
     "de": "de_DE", "de-de": "de_DE", "de_de": "de_DE",
     "es": "es_ES", "es-es": "es_ES", "es_es": "es_ES", "es-mx": "es_ES",
     "fr": "fr_FR", "fr-fr": "fr_FR", "fr_fr": "fr_FR",
+    "cs": "cs_CZ", "cs-cz": "cs_CZ",
+    "it": "it_IT", "it-it": "it_IT",
+    "nl": "nl", "nl-nl": "nl",
+    "pt": "pt", "pt-br": "pt",
+    "ru": "ru_RU", "ru-ru": "ru_RU",
+    "sv": "sv_SE", "sv-se": "sv_SE",
 }
 
 _SETTINGS_CACHE: Dict[str, TextSettings] = {}

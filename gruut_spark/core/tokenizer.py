@@ -658,6 +658,11 @@ def process_tokens(
     Stage order matches gruut/text_processor.py:1004-1099 exactly.
     """
     s = settings if settings is not None else get_settings(lang)
+    if not s.verbalize_supported:
+        # tokenizer-table-only language: detect classes but never rewrite
+        # numbers into (wrong-language) words
+        verbalize_numbers = verbalize_currency = False
+        verbalize_dates = verbalize_times = False
 
     toks: List[Tok] = []
     for i, word_text in enumerate(split_words(text)):
