@@ -425,6 +425,25 @@ def _doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from gruut_spark.operators.textstats import bpe_token_counts
+
+    return bpe_token_counts(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
+def _doc_rolling_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprints (rows-only: positional numpy
+    min-sampling has no SQL analogue); emits count + min for stability."""
+    from gruut_spark.operators.textstats import rolling_fingerprints
+
+    fps = rolling_fingerprints(_read(spark, sf_dir, "documents"))
+    return fps.select(
+        "doc_id",
+        F.size("fingerprints").alias("n_fingerprints"),
+        F.array_min("fingerprints").alias("min_fingerprint"),
+    ).orderBy("doc_id")
+
+
 def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     _configure(spark)
     from gruut_spark.operators.textstats import langid_scores
@@ -547,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_exact_dedup": _doc_exact_dedup,
         "doc_jaccard_adjacent": _doc_jaccard_adjacent,
         "top_tokens": _top_tokens,
+        "doc_bpe_token_count": _doc_bpe_token_count,
         # embeddings / similarity
         "embedding_norms_by_label": _embedding_norms_by_label,
         "ann_brute_topk": _ann_brute_topk,
@@ -554,6 +574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rows-only: model-backed, LSH, gruut-core, multimodal
         "doc_langid": _doc_langid,
         "doc_ppl": _doc_ppl,
+        "doc_rolling_fingerprints": _doc_rolling_fingerprints,
         "doc_gruut_tokens": _doc_gruut_tokens,
         "quality_verdict": _quality_verdict,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -777,6 +798,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY freq DESC, tok ASC
             LIMIT 20
         """,
+        "doc_bpe_token_count": (
+            "SELECT doc_id, len(regexp_extract_all(text, '"
+            + r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+            + "'))::BIGINT AS n_bpe_tokens FROM documents ORDER BY doc_id"
+        ),
         "embedding_norms_by_label": """
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm

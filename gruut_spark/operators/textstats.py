@@ -116,3 +116,66 @@ def gruut_token_stats(df: DataFrame, text_col: str = "text", id_col: str = "doc_
     return df.select(
         F.col(id_col).alias("doc_id"), _stats(F.col(text_col)).alias("_s")
     ).select("doc_id", "_s.*")
+
+
+BPE_ISH_PATTERN = (
+    # GPT-2-style pretokenizer, lookahead-free so Java regex (Spark) and
+    # RE2 (DuckDB oracle) agree: contractions, letter runs, digit runs,
+    # punctuation runs, whitespace runs
+    r"'s|'t|'re|'ve|'m|'ll|'d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+)
+
+
+def bpe_token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BPE-ish token count: the standard LLM-pretokenizer regex, counted
+    entirely in codegen (regexp_extract_all + size)."""
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+    )
+
+
+def rolling_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer et al., MOSS): k-gram
+    Rabin-Karp rolling hashes over the normalized text, min-sampled per
+    window — the standard near-copy fingerprint for code corpora. Output:
+    (doc_id, fingerprints array<long>) with positions de-duplicated.
+    numpy per Arrow batch; hashing is position-independent arithmetic so
+    executor == oracle."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    from ..core.settings import normalize_whitespace
+
+    base = np.uint64(1099511628211)
+
+    @pandas_udf("array<long>")
+    def _fp(texts: pd.Series) -> pd.Series:
+        out = []
+        for t in texts.fillna(""):
+            s = normalize_whitespace(t).lower()
+            b = np.frombuffer(s.encode("utf-8", "ignore"), dtype=np.uint8).astype(np.uint64)
+            n = b.size
+            if n < k:
+                out.append([])
+                continue
+            h = np.zeros(n - k + 1, dtype=np.uint64)
+            for j in range(k):
+                h = h * base + b[j : n - k + 1 + j]
+            if h.size <= window:
+                sel = np.array([h.min()], dtype=np.uint64)
+            else:
+                w = np.lib.stride_tricks.sliding_window_view(h, window)
+                sel = w.min(axis=1)
+            fps = np.unique(sel).astype(np.int64)
+            out.append(fps.tolist())
+        return pd.Series(out)
+
+    return df.select(
+        F.col(id_col).alias("doc_id"), _fp(F.col(text_col)).alias("fingerprints")
+    )

@@ -268,3 +268,38 @@ def test_embedding_near_dup_pairs(spark):
              embedding_near_dup_pairs(df, "embedding", "vec_id", 0.98).collect()}
     assert (7, 50) in pairs
     assert (7, 80) in pairs
+
+
+def test_bpe_token_counts(spark):
+    from gruut_spark.operators.textstats import bpe_token_counts
+
+    df = spark.createDataFrame(
+        [(0, "it's 42 degrees, really!"), (1, "")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["n_bpe_tokens"] for r in bpe_token_counts(df).collect()}
+    # it + 's + " 42" + " degrees" + "," + " really" + "!" = 7
+    assert out[0] == 7
+    assert out[1] == 0
+
+
+def test_rolling_fingerprints_detect_shared_content(spark):
+    from gruut_spark.operators.textstats import rolling_fingerprints
+
+    shared = "def compute_total(values): return sum(values)"
+    df = spark.createDataFrame(
+        [
+            (0, shared + " # original"),
+            (1, "import os\n" + shared + " # copied with edits"),
+            (2, "completely unrelated content here with nothing shared"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r["doc_id"]: set(r["fingerprints"]) for r in rolling_fingerprints(df).collect()}
+    overlap_01 = len(fps[0] & fps[1]) / max(len(fps[0] | fps[1]), 1)
+    overlap_02 = len(fps[0] & fps[2]) / max(len(fps[0] | fps[2]), 1)
+    assert overlap_01 > 0.3  # copied block shares fingerprints
+    assert overlap_02 < 0.05
+    # determinism
+    fps2 = {r["doc_id"]: set(r["fingerprints"]) for r in rolling_fingerprints(df).collect()}
+    assert fps == fps2
