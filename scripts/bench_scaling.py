@@ -125,51 +125,10 @@ def main() -> None:
     }
     print(json.dumps(result))
 
-    with open(os.path.join(ROOT, "BENCH.md"), "w") as f:
-        f.write(f"""# BENCH — measured performance
-
-## Scaling efficiency (north rule: ≥ 0.8 from N to 4N)
-
-Same quality-pipeline job (langid + gruut-normalize/features/LM + scrub,
-one fused mapInPandas stage + Catalyst verdict) on the same {ROWS}-row
-synthetic files table (seed 42); one fresh JVM per config, full untimed
-warm pass, best of 2 timed runs. local[{N}] vs local[{FOUR_N}] stands in
-for N vs 4N executors (no real cluster in the sandbox, per driver
-instruction).
-
-| config | wall (s) | files/sec |
-|---|---|---|
-| local[{N}]  (N)  | {rn['sec']} | {rn['files_per_sec']} |
-| local[{FOUR_N}] (4N) | {r4n['sec']} | {r4n['files_per_sec']} |
-
-**Pipeline scaling efficiency = (t_N / t_4N) / 4 = {eff}**
-
-### Host ceiling control
-
-The same {N}->{FOUR_N}-process scale-up applied to a pure-CPython
-arithmetic loop (no Spark, no Arrow, no engine code) on this VM:
-
-| config | units/sec |
-|---|---|
-| {N} procs | {round(c_n,1)} |
-| {FOUR_N} procs | {round(c_4n,1)} |
-
-**Control efficiency = {c_eff}** — this shared 32-core VM gives any
-CPython workload at most ~{c_eff} of ideal 4x when scaling {N}->{FOUR_N}
-processes (frequency scaling / steal / memory bandwidth).
-
-**Engine efficiency relative to the host ceiling = {rel}.** On a real
-multi-executor cluster the 4x step adds machines rather than saturating
-one socket, so the host-ceiling term does not apply; the engine-side
-design (one Python worker per task slot, salted partitioning, no
-driver-side loops) is what this measurement isolates.
-
-## Headline suite
-
-See the driver-recorded `BENCH_r*.json` (produced by `bench.py` at sf0.1,
-local[$SPARK_GRAFT_CPUS]).
-""")
-    print("wrote BENCH.md")
+    log_path = os.path.join(ROOT, "bench_scaling_runs.jsonl")
+    with open(log_path, "a") as f:
+        f.write(json.dumps(result) + "\n")
+    print(f"appended {log_path} (BENCH.md is curated by hand from this log)")
 
 
 if __name__ == "__main__":
