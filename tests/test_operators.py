@@ -205,10 +205,13 @@ def test_streaming_stateful_dedup(spark, tmp_path):
         [(3, "alpha   beta"), (4, "epsilon zeta"), (5, "gamma delta")],
         "doc_id long, text string",
     )
-    batch1.write.parquet(in_dir + "/b1")
+    # one file per logical batch: dedup keeps the first ARRIVAL, so file
+    # layout must match the intended micro-batch grouping
+    batch1.coalesce(1).write.parquet(in_dir + "/b1")
     stream = (
         spark.readStream.schema("doc_id long, text string")
         .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
         .parquet(in_dir + "/*")
     )
     deduped = streaming_exact_dedup(stream)
@@ -220,7 +223,7 @@ def test_streaming_stateful_dedup(spark, tmp_path):
         .start()
     )
     q.awaitTermination(120)
-    batch2.write.parquet(in_dir + "/b2")
+    batch2.coalesce(1).write.parquet(in_dir + "/b2")
     q2 = (
         streaming_exact_dedup(stream)
         .writeStream.format("parquet")
