@@ -1,1 +1,39 @@
+"""gruut_spark — PySpark-native corpus quality-filter engine.
 
+Public API (mirrors the reference's top-level surface,
+gruut/__init__.py:36-91, plus the Spark-side pipeline):
+
+    from gruut_spark import sentences, words          # pure-core text API
+    from gruut_spark import build_pipeline            # Spark staged plan
+    from gruut_spark import run_oracle, load_models   # single-node oracle
+"""
+
+from .core.settings import TextSettings, get_settings, resolve_lang
+from .core.tokenizer import sentences, words
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "TextSettings",
+    "get_settings",
+    "resolve_lang",
+    "sentences",
+    "words",
+    "build_pipeline",
+    "run_oracle",
+    "load_models",
+]
+
+
+def __getattr__(name):
+    # Spark-dependent exports load lazily so the pure core stays
+    # importable without a JVM.
+    if name == "build_pipeline":
+        from .plans.quality_pipeline import build_pipeline
+
+        return build_pipeline
+    if name in ("run_oracle", "load_models"):
+        from . import oracle
+
+        return getattr(oracle, name)
+    raise AttributeError(name)

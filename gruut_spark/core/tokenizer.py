@@ -344,6 +344,12 @@ def _apply_split(
             out.append(tok)
         else:
             out.extend(repl)
+    if not s.keep_whitespace:
+        # reference: every split stage emits part_text_norm when
+        # keep_whitespace is off (e.g. gruut/text_processor.py:1597-1600)
+        for tok in out:
+            if tok.ws != tok.text:
+                tok.ws = tok.text
     return out, True
 
 
@@ -631,6 +637,10 @@ def _apply_verbalize(
             out.append(tok)
         else:
             out.extend(repl)
+    if not s.keep_whitespace:
+        for tok in out:
+            if tok.ws != tok.text:
+                tok.ws = tok.text
     return out
 
 
@@ -670,8 +680,8 @@ def process_tokens(
         if not norm:
             continue
         toks.append(
-            Tok(text=norm, ws=word_text, group=i,
-                protected=_is_protected(norm, s))
+            Tok(text=norm, ws=word_text if s.keep_whitespace else norm,
+                group=i, protected=_is_protected(norm, s))
         )
 
     passes_left = max_passes
@@ -786,7 +796,18 @@ def flatten(toks: List[Tok], lang: str = "", settings: Optional[TextSettings] = 
         sentences.pop()
     for sent in sentences:
         sent.lang = lang
-        sent.text_with_ws = "".join(w.text_with_ws for w in sent.words)
+        if s.keep_whitespace:
+            sent.text_with_ws = "".join(w.text_with_ws for w in sent.words)
+        else:
+            # best-guess assembly: join_str before spoken words only, so
+            # punctuation stays attached (gruut/text_processor.py:349-368)
+            parts: List[str] = []
+            for w in sent.words:
+                if w.is_spoken and parts:
+                    parts.append(f"{s.join_str}{w.text}")
+                else:
+                    parts.append(w.text)
+            sent.text_with_ws = "".join(parts)
         sent.text = normalize_whitespace(sent.text_with_ws)
         sent.text_spoken = s.join_str.join(
             w.text for w in sent.words if w.is_spoken

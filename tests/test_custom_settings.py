@@ -52,3 +52,16 @@ def test_no_settings_is_plain_tokenizer():
     s = TextSettings(lang="x")
     sents = run("Hello  world ", s)
     assert [w.text_with_ws for w in sents[0].words] == ["Hello  ", "world "]
+
+
+def test_no_whitespace_mode():
+    # tests/test_text_processor.py:32-47 (keep_whitespace=False)
+    s = TextSettings(lang="x", keep_whitespace=False)
+    sents = run("This is  a   test    ", s)
+    assert [(w.text, w.text_with_ws) for w in sents[0].words] == [
+        ("This", "This"), ("is", "is"), ("a", "a"), ("test", "test"),
+    ]
+    # sentence text_with_ws: best-guess join (punctuation attached)
+    s2 = TextSettings(lang="x", keep_whitespace=False, major_breaks={"."})
+    sents2 = run("First test. Second.", s2)
+    assert sents2[0].text_with_ws == "First test."
