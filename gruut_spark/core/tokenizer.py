@@ -662,10 +662,16 @@ def process_tokens(
     verbalize_currency: bool = True,
     verbalize_dates: bool = True,
     verbalize_times: bool = True,
+    interpret_as: str = "",
+    say_format: str = "",
 ) -> List[Tok]:
     """Tokenize + fixpoint-normalize; returns the final token list.
 
     Stage order matches gruut/text_processor.py:1004-1099 exactly.
+    ``interpret_as``/``say_format`` force interpretation of every token,
+    the plain-text analogue of wrapping the text in
+    ``<say-as interpret-as=... format=...>`` (gruut SSML path,
+    gruut/text_processor.py:760-816).
     """
     s = settings if settings is not None else get_settings(lang)
     if not s.verbalize_supported:
@@ -681,7 +687,8 @@ def process_tokens(
             continue
         toks.append(
             Tok(text=norm, ws=word_text if s.keep_whitespace else norm,
-                group=i, protected=_is_protected(norm, s))
+                group=i, protected=_is_protected(norm, s),
+                interpret_as=interpret_as, fmt=say_format)
         )
 
     passes_left = max_passes

@@ -220,3 +220,43 @@ def test_de_date_verbalization():
     # the de "1.1.2000" pitfall: detected as a DATE before the lenient
     # locale number parse can read it as 112000 (gruut/text_processor.py:1041-1048)
     assert texts("1.1.2000", lang="de_DE") == ["erste", "Januar", "zweitausend"]
+
+
+def test_say_as_currency_default():
+    # tests/test_text_processor.py:511-533 (interpret-as="currency" with
+    # no symbol uses the default currency)
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    sents = core_sentences("10", "en_US", interpret_as="currency")
+    assert [w.text for s in sents for w in s.words] == ["ten", "dollars"]
+
+
+def test_say_as_spell_out():
+    # tests/test_en.py:54-75
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    sents = core_sentences("abc@1+2-3*.*", "en_US", interpret_as="spell-out")
+    assert [w.text for s in sents for w in s.words] == [
+        "a", "b", "c", "at", "one", "plus", "two", "dash", "three",
+        "star", "dot", "star",
+    ]
+
+
+def test_say_as_number_digits():
+    # <say-as interpret-as="number" format="digits">
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    sents = core_sentences("12", "en_US", interpret_as="number",
+                           say_format="digits")
+    assert [w.text for s in sents for w in s.words] == ["one", "two"]
+
+
+def test_say_as_date_format():
+    # tests/test_text_processor.py:694-738 (format="dmy": cardinal parts)
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    sents = core_sentences("4/1/2000", "en_US", interpret_as="date",
+                           say_format="dmy")
+    assert [w.text for s in sents for w in s.words] == [
+        "one", "April", "two", "thousand",
+    ]
