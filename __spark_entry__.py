@@ -214,11 +214,17 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of gap-breaks per user — lag + cumulative-sum windows."""
     from pyspark.sql.window import Window
 
+    # Pin the session tz so NTZ->instant interpretation is DST-free and the
+    # fractional-second epochs match DuckDB's epoch(ts) exactly.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # ts is TIMESTAMP_NTZ; gaps are timezone-invariant differences
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = F.when((epoch - F.lag(epoch, 1).over(w)) > 1800, 1).otherwise(0)
+    # ts is TIMESTAMP_NTZ; gaps are timezone-invariant differences.
+    # Fractional seconds (micros are exact in a double) — the oracle's
+    # epoch(ts) is fractional too, so sub-second gaps near the threshold
+    # sessionize identically on both sides.
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    gap = F.when((epoch - F.lag(epoch, 1).over(w)) > 1800.0, 1).otherwise(0)
     cum = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -537,9 +543,26 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal feature extraction (rows-only: stubbed codec). The
+    operator's array<float> feature column is reduced to driver-hashable
+    scalars here (the harness canonicalizer can't sort array cells):
+    rounded mean + an md5 over the rounded components."""
     from gruut_spark.operators.multimodal import extract_features, synthetic_multimodal
 
-    return extract_features(synthetic_multimodal(spark, n=48)).orderBy("sample_id")
+    feats = extract_features(synthetic_multimodal(spark, n=48))
+    fmean = F.aggregate(
+        "feature", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+    ) / F.size("feature")
+    fmd5 = F.md5(
+        F.concat_ws(
+            ",", F.transform("feature", lambda x: F.format_number(x.cast("double"), 4))
+        )
+    )
+    return feats.select(
+        "sample_id", "modality", "n_bytes", "payload_sha256", "frames_sampled",
+        F.round(fmean, 6).alias("feature_mean"),
+        fmd5.alias("feature_md5"),
+    ).orderBy("sample_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -689,7 +712,7 @@ def oracle_sql() -> dict[str, str]:
             ), sess AS (
                 SELECT user_id, value,
                        sum(gap) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
                 FROM marked
             )
             SELECT user_id, session_id, count(*) AS n_events,
