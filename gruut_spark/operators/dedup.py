@@ -154,31 +154,59 @@ def minhash_band_hashes(
 def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
-    Plan shape: signature UDF -> posexplode bands -> groupBy (band,
-    band_hash) -> within-bucket pair expansion. The only shuffle keys are
-    (band, 32-byte hash); bucket sizes are bounded in practice (identical
-    band slices), so the pair expansion is not quadratic in n."""
+
+    Plan shape: signature UDF -> posexplode bands -> window count over
+    (band, band_hash) -> bounded within-bucket pair expansion. The only
+    shuffle keys are (band, 64-bit hash), and both bucket branches read
+    the SAME window exchange (ReusedExchange), so the signature UDF runs
+    once per doc.
+
+    Degenerate-input defenses (the thing that OOMs real web-scale runs):
+
+    * empty / whitespace-only texts are routed out before signing — they
+      all share the all-zero signature and would otherwise form one
+      megabucket colliding in every band;
+    * buckets larger than ``max_bucket`` are NOT expanded quadratically
+      (and never materialized as a collect_list array): each over-cap
+      member emits one linear "star" pair against the bucket's min id.
+      Connected-component connectivity is fully preserved (the star
+      spans the bucket), so downstream clustering sees the same clusters;
+      only the exact per-pair n_bands count inside megabuckets is
+      coarsened — megabuckets are identical-band-slice crowds, i.e.
+      exact/near-exact duplicate territory that ``exact_dedup_groups``
+      also covers."""
+    from pyspark.sql.window import Window
+
+    eligible = df.filter(F.trim(F.col(text_col)) != "")
     sigs = minhash_band_hashes(
-        df, text_col, id_col, num_perm, bands, shingle_k, seed
+        eligible, text_col, id_col, num_perm, bands, shingle_k, seed
     )
     banded = sigs.select(
         "_id",
         F.posexplode(F.col("band_hashes")).alias("band", "band_hash"),
     )
-    buckets = (
-        banded.groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .filter(F.size("ids") > 1)
+    w = Window.partitionBy("band", "band_hash")
+    sized = banded.withColumn("bucket_n", F.count("*").over(w)).withColumn(
+        "bucket_min", F.min("_id").over(w)
     )
-    pairs = (
-        buckets.select(F.explode(_pairs_expr("ids")).alias("p"))
+    small_pairs = (
+        sized.filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
+        .groupBy("band", "band_hash")
+        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
         .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
+    )
+    star_pairs = sized.filter(
+        (F.col("bucket_n") > max_bucket) & (F.col("_id") != F.col("bucket_min"))
+    ).select(F.col("bucket_min").alias("id_a"), F.col("_id").alias("id_b"))
+    return (
+        small_pairs.union(star_pairs)
         .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("n_bands"))
     )
-    return pairs
 
 
 def _pairs_expr(ids_col: str):
@@ -227,11 +255,23 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
+    max_bucket: int = 256,
 ) -> DataFrame:
     """Near-duplicate candidates by banding the 64-bit signature into four
     16-bit chunks (pigeonhole: hamming<=3 ⇒ at least one identical chunk),
-    then verifying hamming distance on candidates."""
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    then verifying hamming distance on candidates.
+
+    Same degenerate-input defenses as ``minhash_lsh_pairs``: empty texts
+    (simhash 0, colliding in all four chunks) are filtered before signing;
+    per-(chunk_idx, chunk_val) groups larger than ``max_bucket`` emit
+    linear star pairs against the group's min-id member instead of a
+    quadratic expansion. The hamming verification runs BEFORE the pair
+    dedup so the final shuffle only carries verified near-dups (the old
+    ``.distinct()`` shuffled the full unverified candidate set)."""
+    from pyspark.sql.window import Window
+
+    eligible = df.filter(F.trim(F.col(text_col)) != "")
+    sigs = simhash_signatures(eligible, text_col, id_col)
     chunks = sigs.select(
         "_id", "simhash",
         F.posexplode(
@@ -241,28 +281,39 @@ def simhash_near_pairs(
             ])
         ).alias("chunk_idx", "chunk_val"),
     )
-    cand = (
-        chunks.alias("a")
-        .join(
-            chunks.alias("b"),
-            on=[
-                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
-                F.col("a.chunk_val") == F.col("b.chunk_val"),
-                F.col("a._id") < F.col("b._id"),
-            ],
-        )
-        .select(
-            F.col("a._id").alias("id_a"),
-            F.col("b._id").alias("id_b"),
-            F.col("a.simhash").alias("sig_a"),
-            F.col("b.simhash").alias("sig_b"),
-        )
-        .distinct()
+    w = Window.partitionBy("chunk_idx", "chunk_val")
+    sized = chunks.withColumn("bucket_n", F.count("*").over(w)).withColumn(
+        "bucket_min", F.min(F.struct("_id", "simhash")).over(w)
     )
+    member = F.struct("_id", "simhash")
+    small = (
+        sized.filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
+        .groupBy("chunk_idx", "chunk_val")
+        .agg(F.sort_array(F.collect_list(member)).alias("ids"))
+        .select(F.explode(_pairs_expr("ids")).alias("p"))
+        .select(
+            F.col("p.a._id").alias("id_a"),
+            F.col("p.b._id").alias("id_b"),
+            F.col("p.a.simhash").alias("sig_a"),
+            F.col("p.b.simhash").alias("sig_b"),
+        )
+    )
+    star = sized.filter(
+        (F.col("bucket_n") > max_bucket) & (F.col("_id") != F.col("bucket_min._id"))
+    ).select(
+        F.col("bucket_min._id").alias("id_a"),
+        F.col("_id").alias("id_b"),
+        F.col("bucket_min.simhash").alias("sig_a"),
+        F.col("simhash").alias("sig_b"),
+    )
+    cand = small.union(star)
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
-    return cand.withColumn("hamming", hamming).filter(
-        F.col("hamming") <= max_hamming
-    ).select("id_a", "id_b", "hamming")
+    return (
+        cand.withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .dropDuplicates(["id_a", "id_b"])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -325,14 +376,27 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     node adopts the minimum label among itself and its neighbors;
     converges in O(diameter) rounds — near-dup clusters are tiny, so the
     bound is a formality. Each round is one shuffle on node id; AQE
-    coalesces as labels stabilize."""
+    coalesces as labels stabilize.
+
+    Lineage discipline (the thing that kills iterative DataFrame jobs at
+    depth): edges and each round's labels are ``localCheckpoint``-ed, so
+    (a) the upstream pair generation (LSH UDFs) runs exactly once, (b) the
+    plan does not grow exponentially with rounds, and (c) the per-round
+    convergence check reads two already-materialized frames instead of
+    recomputing the whole lineage. On a real cluster with a reliable
+    checkpoint dir, swap localCheckpoint for ``checkpoint`` to survive
+    executor loss."""
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint()
     )
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "label", F.col("node")
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
     )
     for _ in range(max_iterations):
         neighbor_labels = (
@@ -344,6 +408,7 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

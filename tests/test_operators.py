@@ -306,3 +306,69 @@ def test_rolling_fingerprints_detect_shared_content(spark):
     # determinism
     fps2 = {r["doc_id"]: set(r["fingerprints"]) for r in rolling_fingerprints(df).collect()}
     assert fps == fps2
+
+
+def test_lsh_megabucket_bounded(spark):
+    """10k identical docs form one degenerate bucket per band; the operator
+    must emit linear star pairs (each member -> bucket min), never a
+    quadratic expansion or an over-cap collect_list array."""
+    from gruut_spark.operators.dedup import dedup_clusters, minhash_lsh_pairs
+
+    n = 10_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("same exact duplicated text in every row of this crowd").alias("text"),
+    )
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", max_bucket=64)
+    rows = pairs.collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 for r in rows)  # star center = min id
+    # connectivity preserved: clustering still collapses the whole crowd
+    n_clusters = dedup_clusters(pairs).select("cluster_id").distinct().count()
+    assert n_clusters == 1
+
+
+def test_lsh_filters_degenerate_empty_docs(spark):
+    """Empty/whitespace docs share the all-zero signature; they must be
+    routed out before signing instead of forming an all-band megabucket."""
+    from gruut_spark.operators.dedup import minhash_lsh_pairs, simhash_near_pairs
+
+    rows = [(i, "   " if i % 2 else "") for i in range(100)] + [
+        (100, "real content one two three"),
+        (101, "real content one two three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    mh = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, "text", "doc_id").collect()}
+    assert mh == {(100, 101)}
+    sh = {(r["id_a"], r["id_b"]) for r in simhash_near_pairs(df, "text", "doc_id").collect()}
+    assert sh == {(100, 101)}
+
+
+def test_simhash_megabucket_star_pairs(spark):
+    """Identical docs beyond max_bucket collapse via star pairs with
+    hamming 0 (verified), bounded output."""
+    from gruut_spark.operators.dedup import simhash_near_pairs
+
+    n = 2_000
+    df = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("crowd of identical simhash documents right here").alias("text"),
+    )
+    rows = simhash_near_pairs(df, "text", "doc_id", max_bucket=64).collect()
+    assert len(rows) == n - 1
+    assert all(r["id_a"] == 0 and r["hamming"] == 0 for r in rows)
+
+
+def test_dedup_clusters_long_chain_bounded_plan(spark):
+    """20-hop chain: converges (label propagation needs ~diameter rounds)
+    and the per-round localCheckpoint keeps the final plan flat instead of
+    exponentially nested."""
+    from gruut_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(20)], "id_a long, id_b long")
+    labels = dedup_clusters(pairs, max_iterations=25)
+    rows = labels.collect()
+    assert len(rows) == 21
+    assert all(r["cluster_id"] == 0 for r in rows)
+    plan = labels._jdf.queryExecution().toString()
+    assert len(plan) < 20_000  # checkpoint truncates lineage each round
