@@ -508,6 +508,32 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("member_id")
 
 
+def _dedup_clusters_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over SQL-expressible edges (exact-dup star
+    edges + adjacent pairs with token-Jaccard >= 0.5), so the CC operator
+    itself is oracled end-to-end by a DuckDB recursive CTE — the LSH-fed
+    variant stays rows-only because its edges are model-derived."""
+    from pyspark.sql.window import Window
+
+    from gruut_spark.operators.dedup import dedup_clusters, ngram_jaccard_adjacent
+
+    docs = _read(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    hashed = docs.select(F.md5(norm).alias("content_hash"), F.col("doc_id"))
+    w = Window.partitionBy("content_hash")
+    star = (
+        hashed.withColumn("mn", F.min("doc_id").over(w))
+        .withColumn("cnt", F.count("*").over(w))
+        .filter((F.col("cnt") > 1) & (F.col("doc_id") != F.col("mn")))
+        .select(F.col("mn").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    jac = ngram_jaccard_adjacent(docs, "text", "doc_id").filter(
+        F.col("jaccard") >= 0.5
+    ).select("id_a", "id_b")
+    edges = star.union(jac).distinct()
+    return dedup_clusters(edges, max_iterations=20).orderBy("member_id")
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.similarity import lsh_ann_topk
 
@@ -603,11 +629,57 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
+        "dedup_clusters_relational": _dedup_clusters_relational,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
         "multimodal_features": _multimodal_features,
     }
+
+
+def _winnowing_oracle_sql(k: int = 8, window: int = 4) -> str:
+    """DuckDB replication of operators.textstats.rolling_fingerprints:
+    UTF-8 bytes via hex(encode(..)), Rabin-Karp k-gram hashes mod 2^64 in
+    HUGEINT list comprehensions, sliding-window min, signed-int64 view.
+    Verified byte-identical to the numpy implementation."""
+    base = 1099511628211
+    powers = [pow(base, k - 1 - j, 1 << 64) for j in range(k)]
+    hterm = " + ".join(f"hb[i+{j}]*{powers[j]}::HUGEINT" for j in range(k))
+    return f"""
+        WITH norm AS (
+          SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+          FROM documents
+        ), hx AS (
+          SELECT doc_id, hex(encode(s)) AS hs, octet_length(encode(s)) AS n FROM norm
+        ), by AS (
+          SELECT doc_id, n,
+            [ ((strpos('0123456789ABCDEF', substr(hs, 2*i-1, 1))-1)*16
+               + (strpos('0123456789ABCDEF', substr(hs, 2*i, 1))-1))::HUGEINT
+              FOR i IN range(1, n+1) ] AS hb
+          FROM hx
+        ), hashes AS (
+          SELECT doc_id, n,
+            CASE WHEN n < {k} THEN []::HUGEINT[]
+                 ELSE [ ({hterm}) % 18446744073709551616::HUGEINT
+                        FOR i IN range(1, n-{k}+2) ] END AS h
+          FROM by
+        ), sel AS (
+          SELECT doc_id,
+            CASE WHEN len(h)=0 THEN []::HUGEINT[]
+                 WHEN len(h) <= {window} THEN [list_min(h)]
+                 ELSE [ list_min(h[i:i+{window}-1])
+                        FOR i IN range(1, len(h)-{window}+2) ] END AS sl
+          FROM hashes
+        ), signed AS (
+          SELECT doc_id,
+            list_distinct([ CASE WHEN v >= 9223372036854775808::HUGEINT
+                                 THEN (v - 18446744073709551616::HUGEINT)::BIGINT
+                                 ELSE v::BIGINT END FOR v IN sl ]) AS fps
+          FROM sel
+        )
+        SELECT doc_id, len(fps)::INT AS n_fingerprints, list_min(fps) AS min_fingerprint
+        FROM signed ORDER BY doc_id
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -850,6 +922,54 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cos_sim
             FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 100
             ORDER BY id_a
+        """,
+        "doc_rolling_fingerprints": _winnowing_oracle_sql(),
+        "dedup_clusters_relational": r"""
+            WITH RECURSIVE
+            hashed AS (
+                SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash,
+                       doc_id
+                FROM documents
+            ),
+            star AS (
+                SELECT mn AS id_a, doc_id AS id_b FROM (
+                    SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY content_hash) AS mn,
+                           count(*) OVER (PARTITION BY content_hash) AS cnt
+                    FROM hashed
+                ) WHERE cnt > 1 AND doc_id <> mn
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id AS _id, tok
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+                WHERE tok <> ''
+            ),
+            sizes AS (SELECT _id, count(*) AS n_tok FROM toks GROUP BY _id),
+            inter AS (
+                SELECT a._id, count(*) AS n_inter
+                FROM toks a JOIN toks b ON b._id = a._id + 1 AND b.tok = a.tok
+                GROUP BY a._id
+            ),
+            jac AS (
+                SELECT s._id AS id_a, s._id + 1 AS id_b
+                FROM sizes s
+                JOIN sizes s2 ON s2._id = s._id + 1
+                LEFT JOIN inter i ON i._id = s._id
+                WHERE coalesce(i.n_inter, 0)
+                      / (s.n_tok + s2.n_tok - coalesce(i.n_inter, 0)) >= 0.5
+            ),
+            edges AS (SELECT id_a, id_b FROM star UNION SELECT id_a, id_b FROM jac),
+            und AS (SELECT id_a AS s, id_b AS d FROM edges
+                    UNION SELECT id_b, id_a FROM edges),
+            nodes AS (SELECT DISTINCT s AS node FROM und),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT reach.node, und.d FROM reach JOIN und ON und.s = reach.r
+            )
+            SELECT node AS member_id, min(r) AS cluster_id
+            FROM reach GROUP BY node ORDER BY member_id
         """,
         # doc_langid, doc_gruut_tokens, quality_verdict, dedup_minhash_lsh,
         # dedup_simhash, ann_lsh_topk, multimodal_features: rows-only

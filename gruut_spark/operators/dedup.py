@@ -371,11 +371,13 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     """Connected components over (id_a, id_b) candidate pairs: returns
     (member_id, cluster_id) with cluster_id = min member id.
 
-    Iterative min-label propagation as pure DataFrame ops (the standard
-    large-graph pattern when GraphFrames isn't available): each round every
-    node adopts the minimum label among itself and its neighbors;
-    converges in O(diameter) rounds — near-dup clusters are tiny, so the
-    bound is a formality. Each round is one shuffle on node id; AQE
+    Iterative min-label propagation + pointer doubling as pure DataFrame
+    ops (the standard large-graph pattern when GraphFrames isn't
+    available): each round every node adopts the minimum label among
+    itself and its neighbors, then follows its label's own label
+    (pointer jump), so convergence is O(log diameter) rounds instead of
+    O(diameter) — a 1000-hop chain settles in ~10 rounds. Each round is
+    two shuffles (neighbor agg on node id, jump join on label); AQE
     coalesces as labels stabilize.
 
     Lineage discipline (the thing that kills iterative DataFrame jobs at
@@ -403,12 +405,27 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
             edges.join(labels, edges.dst == labels.node)
             .select(F.col("src").alias("node"), "label")
         )
-        new_labels = (
+        # Materialize before the self-join: truncates lineage each round
+        # AND gives the jump join two independent attribute sets (an
+        # un-materialized self-join here trips Catalyst's constraint
+        # inference).
+        relabeled = (
             labels.select("node", "label")
             .union(neighbor_labels)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
             .localCheckpoint()
+        )
+        # pointer jump: label <- label(label). Labels only decrease, and
+        # every label is itself a node, so the inner join is total.
+        new_labels = (
+            relabeled.join(
+                relabeled.select(
+                    F.col("node").alias("_lnode"), F.col("label").alias("_llabel")
+                ),
+                F.col("label") == F.col("_lnode"),
+            )
+            .select("node", F.col("_llabel").alias("label"))
         )
         changed = (
             new_labels.alias("n")
