@@ -558,13 +558,29 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via hyperplane LSH buckets
-    (rows-only)."""
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    LSH (rows-only). The raw embeddings table has no near-dups by
+    construction (max off-diagonal cosine ~0.51 at sf0.01), so the query
+    plants deterministic perturbed twins (every 50th vector, component
+    roll + 5% blend, id offset 10M) and proves the operator recovers them
+    end-to-end through the bucketing — a recall gate, not just a row
+    count."""
     from gruut_spark.operators.similarity import embedding_near_dup_pairs
 
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    rolled = F.expr(
+        "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))"
+    )
+    twin_vec = F.zip_with(
+        F.col("embedding"), rolled,
+        lambda x, y: (x.cast("double") + 0.05 * y.cast("double")).cast("float"),
+    )
+    twins = emb.filter(F.col("vec_id") % 50 == 0).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), twin_vec.alias("embedding")
+    )
     return embedding_near_dup_pairs(
-        _read(spark, sf_dir, "embeddings"), "embedding", "vec_id",
-        threshold=0.9, n_planes=6,
+        emb.unionByName(twins), "embedding", "vec_id",
+        threshold=0.98, n_planes=8, n_tables=4,
     ).orderBy("id_a", "id_b")
 
 

@@ -228,28 +228,82 @@ def ivf_ann_topk(
 def embedding_near_dup_pairs(
     df: DataFrame, vec_col: str, id_col: str,
     threshold: float = 0.95, n_planes: int = 8, seed: int = 7,
+    n_tables: int = 4, max_bucket: int = 1024,
 ) -> DataFrame:
-    """Near-duplicate detection on an embedding column: LSH-bucket by
-    random-hyperplane signature (near-identical vectors collide with high
-    probability), exact cosine inside each bucket, keep pairs >= threshold.
-    The only shuffle is the bucket groupBy; within-bucket pairing is a
-    join on the bucket id (bucket sizes ~n/2^planes)."""
+    """Near-duplicate detection on an embedding column: multi-table
+    random-hyperplane LSH (OR-amplification — a pair is a candidate if it
+    collides in ANY of ``n_tables`` independent plane sets, the standard
+    recall fix for single-table sign-LSH), exact cosine inside each
+    bucket, keep pairs >= threshold.
+
+    Scale defenses, mirroring operators.dedup: zero vectors are filtered
+    before bucketing (they'd all land in bucket 0 of every table), and
+    buckets beyond ``max_bucket`` emit linear star pairs against the
+    bucket's min id instead of a quadratic within-bucket join — an
+    identical-embedding crowd yields n-1 verified pairs, not n²/2. The
+    shuffles are the (table, bucket) window and one final dedup over
+    verified pairs only."""
+    from pyspark.sql.functions import pandas_udf
+    from pyspark.sql.window import Window
+
     dim_row = df.select(vec_col).head()
     dim = len(dim_row[0])
-    sigs = lsh_bucket_signatures(df, vec_col, id_col, dim, n_planes, seed)
-    a = sigs.select(
-        F.col("bucket"), F.col("_id").alias("id_a"), F.col("_vec").alias("va")
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    weights = 1 << np.arange(n_planes, dtype=np.int64)
+
+    @pandas_udf("array<long>")
+    def _buckets(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        signs = (mat @ planes.T) > 0  # (batch, n_tables*n_planes)
+        per_table = signs.reshape(len(mat), n_tables, n_planes) @ weights
+        return pd.Series(per_table.astype(np.int64).tolist())
+
+    nonzero = df.filter(
+        F.aggregate(
+            F.col(vec_col), F.lit(0.0), lambda acc, x: acc + F.abs(x.cast("double"))
+        )
+        > 0
     )
-    b = sigs.select(
-        F.col("bucket"), F.col("_id").alias("id_b"), F.col("_vec").alias("vb")
+    sigs = nonzero.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.posexplode(_buckets(F.col(vec_col))).alias("table_idx", "bucket"),
     )
-    pairs = a.join(b, "bucket").filter(F.col("id_a") < F.col("id_b"))
+    w = Window.partitionBy("table_idx", "bucket")
+    sized = sigs.withColumn("bucket_n", F.count("*").over(w)).withColumn(
+        "bm", F.min(F.struct("_id", "_vec")).over(w)
+    )
+    small = sized.filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
+    a = small.select(
+        "table_idx", "bucket", F.col("_id").alias("id_a"), F.col("_vec").alias("va")
+    )
+    b = small.select(
+        "table_idx", "bucket", F.col("_id").alias("id_b"), F.col("_vec").alias("vb")
+    )
+    pairs = (
+        a.join(b, ["table_idx", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "va", "vb")
+    )
+    star = sized.filter(
+        (F.col("bucket_n") > max_bucket) & (F.col("_id") != F.col("bm._id"))
+    ).select(
+        F.col("bm._id").alias("id_a"),
+        F.col("_id").alias("id_b"),
+        F.col("bm._vec").alias("va"),
+        F.col("_vec").alias("vb"),
+    )
+    cand = pairs.union(star)
     dot = F.aggregate(
         F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
     cos = dot / (_norm("va") * _norm("vb"))
-    return pairs.select(
-        "id_a", "id_b", F.round(cos, 6).alias("cos_sim")
-    ).filter(F.col("cos_sim") >= threshold)
+    return (
+        cand.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= threshold)
+        .dropDuplicates(["id_a", "id_b"])
+    )

@@ -372,3 +372,19 @@ def test_dedup_clusters_long_chain_bounded_plan(spark):
     assert all(r["cluster_id"] == 0 for r in rows)
     plan = labels._jdf.queryExecution().toString()
     assert len(plan) < 20_000  # checkpoint truncates lineage each round
+
+
+def test_embedding_near_dup_zero_vectors_and_megabucket(spark):
+    """Zero vectors are excluded before bucketing; an identical-vector
+    crowd beyond max_bucket yields linear star pairs, all verified cos=1."""
+    from gruut_spark.operators.similarity import embedding_near_dup_pairs
+
+    base = [1.0, 2.0, 3.0, 4.0]
+    rows = [(i, [0.0] * 4) for i in range(300)]
+    rows += [(1000 + i, base) for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = embedding_near_dup_pairs(
+        df, "embedding", "vec_id", threshold=0.99, max_bucket=64
+    ).collect()
+    assert len(out) == 499
+    assert all(r["id_a"] == 1000 and abs(r["cos_sim"] - 1.0) < 1e-6 for r in out)
