@@ -86,18 +86,21 @@ def main() -> None:
     # warm the JVM/Python-worker pools outside timing
     spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
 
+    from pyspark.sql import functions as F
+
     for name in HEADLINE:
         fn = qs[name]
         t0 = time.time()
         df = fn(spark, SF_DIR)
-        n = df.count()
+        # materialize EVERY output column via a hash-agg: a bare count()
+        # lets Catalyst prune deterministic UDF columns, so UDF-projection
+        # queries (doc_langid) would time only the parquet scan.
+        df.agg(F.count(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
         timings[name] = round(time.time() - t0, 3)
-        del n
 
     # pipeline throughput (files/sec) on the synthetic files table;
     # aggregate over all stage outputs so Catalyst cannot prune the UDFs
     # (a bare count() would skip deterministic UDF columns entirely)
-    from pyspark.sql import functions as F
 
     files = spark.read.parquet(files_path)
     n_files = files.count()

@@ -430,6 +430,13 @@ _LANG_ALIASES = {
 
 _SETTINGS_CACHE: Dict[str, TextSettings] = {}
 
+# Tags treated as the code profile (shared with the Catalyst mirror in
+# plans.quality_pipeline._resolved so the two can't drift)
+CODE_LANG_KEYS = frozenset({
+    "python", "javascript", "js", "java", "c", "cpp", "go", "rust",
+    "json", "yaml", "markdown",
+})
+
 
 def resolve_lang(lang: str) -> str:
     """Normalize a language tag to a supported settings key; anything that
@@ -438,10 +445,7 @@ def resolve_lang(lang: str) -> str:
     key = lang.strip().replace("_", "-").lower()
     if key in _LANG_ALIASES:
         return _LANG_ALIASES[key]
-    if key.startswith("code") or key in {
-        "python", "javascript", "js", "java", "c", "cpp", "go", "rust",
-        "json", "yaml", "markdown",
-    }:
+    if key.startswith("code") or key in CODE_LANG_KEYS:
         return "code"
     return _LANG_ALIASES.get(key.split("-")[0], "en_US")
 

@@ -522,7 +522,13 @@ def _verbalize_number(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
     lang = s.lang
     nums = [tok.number]
     if tok.fmt == DIGITS:
-        nums = [int(d) for d in str(int(tok.number))]
+        # digits of |n|; a negative sign becomes a negated leading digit so
+        # cardinal() emits the language's minus word (the reference crashes
+        # on int('-') here — say_format='digits' makes it reachable).
+        n = int(tok.number)
+        nums = [int(d) for d in str(abs(n))]
+        if n < 0 and nums:
+            nums[0] = -nums[0]
     out: List[Tok] = []
     for num in nums:
         if tok.fmt == ORDINAL:

@@ -89,26 +89,35 @@ def run_with_checkpoints(
         out = with_lineage(out)
 
         verdict_dir = os.path.join(out_dir, "verdicts")
+        # Idempotent group commit: dynamic partition overwrite replaces
+        # exactly the bucket partitions this group writes, so a crash
+        # between the data commit and the manifest write re-runs the group
+        # without appending duplicate rows (ADVICE r01).
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         (
-            out.write.mode("append")
+            out.write.mode("overwrite")
             .partitionBy(BUCKET_COL)
             .parquet(verdict_dir)
         )
 
-        # metrics need the written frame's stats; re-read the committed
-        # parquet (cheap, pruned) so metrics reflect exactly what landed
+        # metrics + manifest counts from ONE re-read of the committed
+        # parquet (cheap, pruned): aggregate per (bucket, partition),
+        # collect the tiny result, and derive both sinks from it.
         written = spark.read.parquet(verdict_dir).filter(
             F.col(BUCKET_COL).isin(group)
         )
-        metrics = partition_metrics(written).withColumn(
-            "buckets", F.lit(",".join(map(str, group)))
-        ).withColumn("wall_s", F.lit(float(time.time() - t0)))
+        stats = partition_metrics(written, extra_keys=(BUCKET_COL,))
+        stat_rows = stats.collect()
+        metrics = (
+            spark.createDataFrame(stat_rows, stats.schema)
+            .withColumn("buckets", F.lit(",".join(map(str, group))))
+            .withColumn("wall_s", F.lit(float(time.time() - t0)))
+        )
         metrics.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
 
-        counts = {
-            r[BUCKET_COL]: r["cnt"]
-            for r in written.groupBy(BUCKET_COL).agg(F.count("*").alias("cnt")).collect()
-        }
+        counts: Dict[int, int] = {}
+        for r in stat_rows:
+            counts[r[BUCKET_COL]] = counts.get(r[BUCKET_COL], 0) + r["rows"]
         for b in group:
             manifest[str(b)] = {
                 "rows": int(counts.get(b, 0)),

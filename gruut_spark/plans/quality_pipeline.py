@@ -110,16 +110,26 @@ def with_features(df: DataFrame) -> DataFrame:
 
 
 def _resolved(col):
-    """SQL mirror of core.settings.resolve_lang for the class/label sets
-    this pipeline sees (en/de/es/fr + code-*)."""
-    lowered = F.lower(F.regexp_replace(col, "_", "-"))
+    """SQL mirror of core.settings.resolve_lang, generated from the SAME
+    alias/code tables the oracle uses so the two sides cannot drift
+    (tests/test_spark_pipeline.py asserts tag-level equality). Lookup
+    order replicates resolve_lang exactly: full-key alias, code prefix /
+    code keyword, base-key alias, en_US fallback."""
+    from ..core.settings import CODE_LANG_KEYS, _LANG_ALIASES
+
+    lowered = F.lower(F.trim(F.regexp_replace(col, "_", "-")))
     base = F.split(lowered, "-").getItem(0)
-    return (
-        F.when(lowered.startswith("code"), F.lit("code"))
-        .when(base.isin("python", "javascript", "js", "java", "c", "cpp",
-                        "go", "rust", "json", "yaml", "markdown"), F.lit("code"))
-        .when(base.isin("en", "de", "es", "fr"), base)
-        .otherwise(F.lit("en"))
+    alias_map = F.create_map(
+        *[F.lit(x) for kv in sorted(_LANG_ALIASES.items()) for x in kv]
+    )
+    return F.coalesce(
+        alias_map[lowered],
+        F.when(
+            lowered.startswith("code") | lowered.isin(*sorted(CODE_LANG_KEYS)),
+            F.lit("code"),
+        ),
+        alias_map[base],
+        F.lit("en_US"),
     )
 
 
@@ -183,11 +193,13 @@ def with_lineage(df: DataFrame) -> DataFrame:
     return out.withColumn("_partition_id", F.spark_partition_id())
 
 
-def partition_metrics(df: DataFrame) -> DataFrame:
+def partition_metrics(df: DataFrame, extra_keys: tuple = ()) -> DataFrame:
     """Per-partition counters (north rule: every stage writes per-partition
     lineage + counters). One shuffle-light aggregation (partial map-side
-    combine is automatic for these aggregates)."""
-    return df.groupBy("_partition_id").agg(
+    combine is automatic for these aggregates). ``extra_keys`` prepends
+    grouping columns (e.g. the checkpoint bucket) so callers can derive
+    bucket-level rollups from the same single scan."""
+    return df.groupBy(*extra_keys, "_partition_id").agg(
         F.count("*").alias("rows"),
         F.sum(F.col("keep").cast("long")).alias("kept"),
         F.sum("n_chars").alias("total_chars"),

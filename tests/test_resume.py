@@ -55,3 +55,33 @@ def test_kill_mid_run_resumes_without_recompute(spark, files_sdf, tmp_path):
     metrics = spark.read.parquet(os.path.join(out, "metrics"))
     assert metrics.count() > 0
     assert "rows" in metrics.columns and "_partition_id" in metrics.columns
+
+
+def test_crash_between_data_commit_and_manifest_is_idempotent(spark, files_sdf, tmp_path):
+    """The dangerous crash window (ADVICE r01): parquet committed but the
+    manifest entry never written. The re-run reprocesses the group, and the
+    dynamic partition overwrite must REPLACE the bucket data instead of
+    appending duplicates."""
+    out = str(tmp_path / "out")
+    run_with_checkpoints(spark, files_sdf, out, n_buckets=4, group_size=2)
+    rows_before = spark.read.parquet(os.path.join(out, "verdicts")).count()
+    assert rows_before == 120
+
+    # simulate: buckets 2,3 data IS committed, manifest entry is NOT
+    manifest_file = os.path.join(out, "_manifest", "completed.json")
+    manifest = json.load(open(manifest_file))
+    for b in ("2", "3"):
+        manifest.pop(b)
+    json.dump(manifest, open(manifest_file, "w"))
+
+    m = run_with_checkpoints(spark, files_sdf, out, n_buckets=4, group_size=2)
+    assert set(m) == {"0", "1", "2", "3"}
+    # no duplicate rows from the reprocessed group
+    assert spark.read.parquet(os.path.join(out, "verdicts")).count() == rows_before
+    # manifest counts match the actual partition contents
+    per_bucket = {
+        str(r["_bucket"]): r["cnt"]
+        for r in spark.read.parquet(os.path.join(out, "verdicts"))
+        .groupBy("_bucket").count().withColumnRenamed("count", "cnt").collect()
+    }
+    assert {k: v["rows"] for k, v in m.items()} == per_bucket

@@ -162,3 +162,28 @@ def test_megabyte_row_survives(spark):
     row = out[out.path == "fat.txt"].iloc[0]
     assert row.scrubbed_sha256 == sha256_hex(fat)  # no PII -> passthrough
     assert row.n_chars == len(fat)
+
+
+def test_resolved_mirror_matches_resolve_lang(spark):
+    """The Catalyst _resolved expression must agree with the oracle's
+    resolve_lang for every alias/code/unknown tag shape (ADVICE r01: the
+    two drifted for cs/it/nl/pt/ru/sv)."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.core.settings import resolve_lang
+    from gruut_spark.plans.quality_pipeline import _resolved
+
+    tags = [
+        "en", "EN-gb", "en_US", "de", "de_DE", "es-MX", "fr", "fr-fr",
+        "it", "it-IT", "nl", "nl-NL", "pt", "pt-br", "ru", "ru_RU",
+        "sv", "sv_SE", "cs", "cs-CZ",
+        "code", "code-python", "CODE-go", "python", "JS", "yaml", "markdown",
+        "tlh", "xx-YY", " en ", "",
+    ]
+    df = spark.createDataFrame([(t,) for t in tags], "lang string")
+    out = {
+        r["lang"]: r["resolved"]
+        for r in df.select("lang", _resolved(F.col("lang")).alias("resolved")).collect()
+    }
+    for t in tags:
+        assert out[t] == resolve_lang(t), (t, out[t], resolve_lang(t))

@@ -260,3 +260,13 @@ def test_say_as_date_format():
     assert [w.text for s in sents for w in s.words] == [
         "one", "April", "two", "thousand",
     ]
+
+
+def test_say_as_digits_negative_number():
+    # ADVICE r01: say_format='digits' on a negative number crashed on
+    # int('-'); the sign must become the minus word instead.
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    sents = core_sentences("-52", "en_US", interpret_as="number",
+                           say_format="digits")
+    assert [w.text for s in sents for w in s.words] == ["minus", "five", "two"]
