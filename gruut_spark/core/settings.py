@@ -153,6 +153,12 @@ class TextSettings:
     # date order used by the strict date parser (dateparser stand-in)
     date_order: str = "MDY"
 
+    # Override the whitespace word splitter (reference TextProcessorSettings
+    # split_words; zh uses ``list`` for char-level tokens,
+    # gruut/lang.py:843-845). None -> the default whitespace-preserving
+    # splitter.
+    split_words: Optional[Callable[[str], List[str]]] = None
+
     is_non_word: Optional[Callable[[str], bool]] = None
     get_ordinal: Optional[Callable[[str], Optional[int]]] = None
     parse_time: Optional[Callable[[str], Optional[Time]]] = None
@@ -362,11 +368,10 @@ def _generic_eu_settings(lang: str, currency: str = "EUR",
                          minor_extra=frozenset({"..."})) -> TextSettings:
     """Shared shape of the reference's cs/it/nl/pt/ru/sv settings
     (gruut/lang.py:249-812): same break/punctuation tables, DMY dates,
-    apostrophe normalization. Tokenizer-level only (verbalize_supported
-    False — see field docstring)."""
+    apostrophe normalization. Verbalization is live: from-scratch
+    cardinals in core.verbalize (num2words conventions) cover all six."""
     return TextSettings(
         lang=lang,
-        verbalize_supported=False,
         major_breaks={".", "?", "!"},
         minor_breaks=frozenset({",", ";", ":"}) | frozenset(minor_extra),
         word_breaks={"-", "_"},
@@ -379,6 +384,26 @@ def _generic_eu_settings(lang: str, currency: str = "EUR",
         group_char=".",
         decimal_char=",",
         date_order="DMY",
+    )
+
+
+def _zh_settings() -> TextSettings:
+    """Chinese (reference gruut/lang.py:833-847): char-level split_words
+    (``list``), join_str="", CJK punctuation/break tables. Number
+    verbalization stays off (no from-scratch zh num2words; digits pass
+    through — same policy the verbalize_supported field documents)."""
+    return TextSettings(
+        lang="zh_CN",
+        verbalize_supported=False,
+        join_str="",
+        split_words=list,
+        major_breaks={"。", "！", "？"},
+        minor_breaks={"；", "：", "，", "、", "……"},
+        begin_punctuations={"（", "［", "【", "「", "﹁", '"', "《", "〈"},
+        end_punctuations={"）", "］", "】", "」", "﹂", '"', "》", "〉"},
+        word_breaks={"‧"},
+        replacements=[],
+        currencies={},
     )
 
 
@@ -410,6 +435,7 @@ _SETTINGS_FACTORIES = {
     "pt": lambda: _generic_eu_settings("pt"),
     "ru_RU": lambda: _generic_eu_settings("ru_RU", currency="RUB", minor_extra=frozenset()),
     "sv_SE": lambda: _generic_eu_settings("sv_SE", currency="SEK"),
+    "zh_CN": _zh_settings,
     "code": _code_settings,
 }
 
@@ -426,6 +452,7 @@ _LANG_ALIASES = {
     "pt": "pt", "pt-br": "pt",
     "ru": "ru_RU", "ru-ru": "ru_RU",
     "sv": "sv_SE", "sv-se": "sv_SE",
+    "zh": "zh_CN", "zh-cn": "zh_CN", "zh-tw": "zh_CN",
 }
 
 _SETTINGS_CACHE: Dict[str, TextSettings] = {}
@@ -475,5 +502,30 @@ MONTH_NAMES = {
     "fr": [
         "janvier", "février", "mars", "avril", "mai", "juin", "juillet",
         "août", "septembre", "octobre", "novembre", "décembre",
+    ],
+    "it": [
+        "gennaio", "febbraio", "marzo", "aprile", "maggio", "giugno",
+        "luglio", "agosto", "settembre", "ottobre", "novembre", "dicembre",
+    ],
+    "nl": [
+        "januari", "februari", "maart", "april", "mei", "juni", "juli",
+        "augustus", "september", "oktober", "november", "december",
+    ],
+    "pt": [
+        "janeiro", "fevereiro", "março", "abril", "maio", "junho", "julho",
+        "agosto", "setembro", "outubro", "novembro", "dezembro",
+    ],
+    # ru/cs month names in the genitive, the form dates are read in
+    "ru": [
+        "января", "февраля", "марта", "апреля", "мая", "июня", "июля",
+        "августа", "сентября", "октября", "ноября", "декабря",
+    ],
+    "sv": [
+        "januari", "februari", "mars", "april", "maj", "juni", "juli",
+        "augusti", "september", "oktober", "november", "december",
+    ],
+    "cs": [
+        "ledna", "února", "března", "dubna", "května", "června",
+        "července", "srpna", "září", "října", "listopadu", "prosince",
     ],
 }

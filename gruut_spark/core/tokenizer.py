@@ -687,7 +687,11 @@ def process_tokens(
         verbalize_dates = verbalize_times = False
 
     toks: List[Tok] = []
-    for i, word_text in enumerate(split_words(text)):
+    # settings may override the splitter (zh: char-level via ``list``,
+    # reference gruut/lang.py:843-845); whitespace chars normalize to ""
+    # and are skipped, preserving the no-space discipline of CJK text
+    splitter = s.split_words or split_words
+    for i, word_text in enumerate(splitter(text)):
         norm = normalize_whitespace(word_text)
         if not norm:
             continue

@@ -375,12 +375,384 @@ def fr_cardinal(value: Numeric) -> str:
     return f"{sign}{fr_cardinal_int(int(dec))} virgule {frac}"
 
 
+# ---------------------------------------------------------------------------
+# it/nl/pt/ru/sv/cs cardinals — the reference routes these through
+# num2words (gruut/text_processor.py:2126-2158 with per-lang tables
+# gruut/lang.py:425-1060); its fixtures pin only nl "€10" -> "tien euro"
+# (tests/test_text_processor.py:458-484), so beyond that the spec here is
+# standard orthography following num2words wording conventions.
+# ---------------------------------------------------------------------------
+
+_IT_ONES = [
+    "zero", "uno", "due", "tre", "quattro", "cinque", "sei", "sette",
+    "otto", "nove", "dieci", "undici", "dodici", "tredici", "quattordici",
+    "quindici", "sedici", "diciassette", "diciotto", "diciannove",
+]
+_IT_TENS = [
+    "", "", "venti", "trenta", "quaranta", "cinquanta", "sessanta",
+    "settanta", "ottanta", "novanta",
+]
+
+
+def _it_under_100(n: int) -> str:
+    if n < 20:
+        return _IT_ONES[n]
+    tens, units = divmod(n, 10)
+    tens_word = _IT_TENS[tens]
+    if units == 0:
+        return tens_word
+    if units in (1, 8):  # vowel elision: ventuno, ventotto
+        tens_word = tens_word[:-1]
+    unit_word = "tré" if units == 3 else _IT_ONES[units]  # ventitré
+    return tens_word + unit_word
+
+
+def _it_under_1000(n: int) -> str:
+    if n < 100:
+        return _it_under_100(n)
+    hundreds, rest = divmod(n, 100)
+    head = "cento" if hundreds == 1 else _IT_ONES[hundreds] + "cento"
+    if rest == 0:
+        return head
+    tail = _it_under_100(rest)
+    if tail.startswith("o"):  # centottanta
+        head = head[:-1]
+    return head + tail
+
+
+def it_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"meno {it_cardinal_int(-n)}"
+    if n < 1000:
+        return _it_under_1000(n)
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        head = "mille" if thousands == 1 else _it_under_1000(thousands) + "mila"
+        return head + (_it_under_1000(rest) if rest else "")
+    millions, rest = divmod(n, 10 ** 6)
+    m_word = "un milione" if millions == 1 else f"{it_cardinal_int(millions)} milioni"
+    return m_word + (f" {it_cardinal_int(rest)}" if rest else "")
+
+
+_NL_ONES = [
+    "nul", "een", "twee", "drie", "vier", "vijf", "zes", "zeven", "acht",
+    "negen", "tien", "elf", "twaalf", "dertien", "veertien", "vijftien",
+    "zestien", "zeventien", "achttien", "negentien",
+]
+_NL_TENS = [
+    "", "", "twintig", "dertig", "veertig", "vijftig", "zestig",
+    "zeventig", "tachtig", "negentig",
+]
+
+
+def _nl_under_100(n: int) -> str:
+    if n < 20:
+        return _NL_ONES[n]
+    tens, units = divmod(n, 10)
+    if units == 0:
+        return _NL_TENS[tens]
+    unit_word = _NL_ONES[units]
+    # diaeresis after a vowel-final unit: tweeëntwintig, drieëndertig
+    joiner = "ën" if unit_word[-1] in "aeiou" else "en"
+    return unit_word + joiner + _NL_TENS[tens]
+
+
+def _nl_under_1000(n: int) -> str:
+    if n < 100:
+        return _nl_under_100(n)
+    hundreds, rest = divmod(n, 100)
+    head = "honderd" if hundreds == 1 else _NL_ONES[hundreds] + "honderd"
+    return head + (_nl_under_100(rest) if rest else "")
+
+
+def nl_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"min {nl_cardinal_int(-n)}"
+    if n < 1000:
+        return _nl_under_1000(n)
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        head = "duizend" if thousands == 1 else _nl_under_1000(thousands) + "duizend"
+        return head + (f" {_nl_under_1000(rest)}" if rest else "")
+    millions, rest = divmod(n, 10 ** 6)
+    m_word = "een miljoen" if millions == 1 else f"{nl_cardinal_int(millions)} miljoen"
+    return m_word + (f" {nl_cardinal_int(rest)}" if rest else "")
+
+
+_PT_ONES = [
+    "zero", "um", "dois", "três", "quatro", "cinco", "seis", "sete",
+    "oito", "nove", "dez", "onze", "doze", "treze", "catorze", "quinze",
+    "dezasseis", "dezassete", "dezoito", "dezanove",
+]
+_PT_TENS = [
+    "", "", "vinte", "trinta", "quarenta", "cinquenta", "sessenta",
+    "setenta", "oitenta", "noventa",
+]
+_PT_HUNDREDS = [
+    "", "cento", "duzentos", "trezentos", "quatrocentos", "quinhentos",
+    "seiscentos", "setecentos", "oitocentos", "novecentos",
+]
+
+
+def _pt_under_1000(n: int) -> str:
+    if n < 20:
+        return _PT_ONES[n]
+    if n < 100:
+        tens, units = divmod(n, 10)
+        if units == 0:
+            return _PT_TENS[tens]
+        return f"{_PT_TENS[tens]} e {_PT_ONES[units]}"
+    if n == 100:
+        return "cem"
+    hundreds, rest = divmod(n, 100)
+    head = _PT_HUNDREDS[hundreds]
+    return f"{head} e {_pt_under_1000(rest)}" if rest else head
+
+
+def pt_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"menos {pt_cardinal_int(-n)}"
+    if n < 1000:
+        return _pt_under_1000(n)
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        head = "mil" if thousands == 1 else f"{_pt_under_1000(thousands)} mil"
+        if rest == 0:
+            return head
+        # "e" after mil only for a remainder under 100 or a round hundred
+        joiner = " e " if (rest < 100 or rest % 100 == 0) else " "
+        return head + joiner + _pt_under_1000(rest)
+    millions, rest = divmod(n, 10 ** 6)
+    m_word = "um milhão" if millions == 1 else f"{pt_cardinal_int(millions)} milhões"
+    if rest == 0:
+        return m_word
+    joiner = " e " if (rest < 100 or rest % 100 == 0) else " "
+    return m_word + joiner + pt_cardinal_int(rest)
+
+
+_RU_ONES = [
+    "ноль", "один", "два", "три", "четыре", "пять", "шесть", "семь",
+    "восемь", "девять", "десять", "одиннадцать", "двенадцать",
+    "тринадцать", "четырнадцать", "пятнадцать", "шестнадцать",
+    "семнадцать", "восемнадцать", "девятнадцать",
+]
+_RU_TENS = [
+    "", "", "двадцать", "тридцать", "сорок", "пятьдесят", "шестьдесят",
+    "семьдесят", "восемьдесят", "девяносто",
+]
+_RU_HUNDREDS = [
+    "", "сто", "двести", "триста", "четыреста", "пятьсот", "шестьсот",
+    "семьсот", "восемьсот", "девятьсот",
+]
+
+
+def _ru_under_1000(n: int, feminine: bool = False) -> str:
+    parts = []
+    hundreds, rest = divmod(n, 100)
+    if hundreds:
+        parts.append(_RU_HUNDREDS[hundreds])
+    if rest >= 20:
+        tens, units = divmod(rest, 10)
+        parts.append(_RU_TENS[tens])
+        rest = units
+    if rest:
+        if feminine and rest == 1:
+            parts.append("одна")
+        elif feminine and rest == 2:
+            parts.append("две")
+        else:
+            parts.append(_RU_ONES[rest])
+    return " ".join(parts) if parts else _RU_ONES[0]
+
+
+def slavic_plural(n: int, forms: tuple) -> str:
+    """(one, few, many) plural selection shared by ru/cs: 1/x1 -> one,
+    2-4/x2-x4 -> few, else many (teens always many)."""
+    n = abs(n)
+    if n % 100 in (11, 12, 13, 14):
+        return forms[2]
+    if n % 10 == 1:
+        return forms[0]
+    if n % 10 in (2, 3, 4):
+        return forms[1]
+    return forms[2]
+
+
+def ru_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"минус {ru_cardinal_int(-n)}"
+    if n < 1000:
+        return _ru_under_1000(n)
+    parts = []
+    millions, rest = divmod(n, 10 ** 6)
+    if millions:
+        word = slavic_plural(millions, ("миллион", "миллиона", "миллионов"))
+        parts.append(f"{_ru_under_1000(millions)} {word}")
+    thousands, rest = divmod(rest, 1000)
+    if thousands:
+        word = slavic_plural(thousands, ("тысяча", "тысячи", "тысяч"))
+        parts.append(f"{_ru_under_1000(thousands, feminine=True)} {word}")
+    if rest:
+        parts.append(_ru_under_1000(rest))
+    return " ".join(parts)
+
+
+_SV_ONES = [
+    "noll", "ett", "två", "tre", "fyra", "fem", "sex", "sju", "åtta",
+    "nio", "tio", "elva", "tolv", "tretton", "fjorton", "femton",
+    "sexton", "sjutton", "arton", "nitton",
+]
+_SV_TENS = [
+    "", "", "tjugo", "trettio", "fyrtio", "femtio", "sextio", "sjuttio",
+    "åttio", "nittio",
+]
+
+
+def _sv_under_1000(n: int) -> str:
+    if n < 20:
+        return _SV_ONES[n]
+    if n < 100:
+        tens, units = divmod(n, 10)
+        return _SV_TENS[tens] + (_SV_ONES[units] if units else "")
+    hundreds, rest = divmod(n, 100)
+    head = _SV_ONES[hundreds] + "hundra"
+    return head + (_sv_under_1000(rest) if rest else "")
+
+
+def sv_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"minus {sv_cardinal_int(-n)}"
+    if n < 1000:
+        return _sv_under_1000(n)
+    if n < 10 ** 6:
+        thousands, rest = divmod(n, 1000)
+        # num2words sv: "ettusen" (elided), "tvåtusen", joined throughout
+        head = "ettusen" if thousands == 1 else _sv_under_1000(thousands) + "tusen"
+        return head + (_sv_under_1000(rest) if rest else "")
+    millions, rest = divmod(n, 10 ** 6)
+    m_word = "en miljon" if millions == 1 else f"{sv_cardinal_int(millions)} miljoner"
+    return m_word + (f" {sv_cardinal_int(rest)}" if rest else "")
+
+
+_CS_ONES = [
+    "nula", "jedna", "dva", "tři", "čtyři", "pět", "šest", "sedm", "osm",
+    "devět", "deset", "jedenáct", "dvanáct", "třináct", "čtrnáct",
+    "patnáct", "šestnáct", "sedmnáct", "osmnáct", "devatenáct",
+]
+_CS_TENS = [
+    "", "", "dvacet", "třicet", "čtyřicet", "padesát", "šedesát",
+    "sedmdesát", "osmdesát", "devadesát",
+]
+
+
+def _cs_hundreds_word(h: int) -> str:
+    if h == 1:
+        return "sto"
+    if h == 2:
+        return "dvě stě"
+    if h in (3, 4):
+        return f"{_CS_ONES[h]} sta"
+    return f"{_CS_ONES[h]} set"
+
+
+def _cs_under_1000(n: int) -> str:
+    parts = []
+    hundreds, rest = divmod(n, 100)
+    if hundreds:
+        parts.append(_cs_hundreds_word(hundreds))
+    if rest >= 20:
+        tens, units = divmod(rest, 10)
+        parts.append(_CS_TENS[tens])
+        rest = units
+    if rest:
+        parts.append(_CS_ONES[rest])
+    return " ".join(parts) if parts else _CS_ONES[0]
+
+
+def cs_cardinal_int(n: int) -> str:
+    if n < 0:
+        return f"mínus {cs_cardinal_int(-n)}"
+    if n < 1000:
+        return _cs_under_1000(n)
+    parts = []
+    millions, rest = divmod(n, 10 ** 6)
+    if millions:
+        word = slavic_plural(millions, ("milion", "miliony", "milionů"))
+        head = "jeden" if millions == 1 else _cs_under_1000(millions)
+        parts.append(f"{head} {word}")
+    thousands, rest = divmod(rest, 1000)
+    if thousands:
+        word = slavic_plural(thousands, ("tisíc", "tisíce", "tisíc"))
+        head = "" if thousands == 1 else _cs_under_1000(thousands) + " "
+        parts.append(f"{head}{word}")
+    if rest:
+        parts.append(_cs_under_1000(rest))
+    return " ".join(parts)
+
+
+# decimal-separator word + float wording per language
+_DECIMAL_WORDS = {
+    "it": "virgola", "nl": "komma", "pt": "vírgula", "ru": "запятая",
+    "sv": "komma", "cs": "celá",
+}
+_NEG_WORDS = {
+    "it": "meno", "nl": "min", "pt": "menos", "ru": "минус", "sv": "minus",
+    "cs": "mínus", "de": "minus", "es": "menos", "fr": "moins",
+    "en": "minus",
+}
+_ONES_TABLES = {
+    "it": _IT_ONES, "nl": _NL_ONES, "pt": _PT_ONES, "ru": _RU_ONES,
+    "sv": _SV_ONES, "cs": _CS_ONES,
+}
+_INT_CARDINALS = {
+    "it": it_cardinal_int, "nl": nl_cardinal_int, "pt": pt_cardinal_int,
+    "ru": ru_cardinal_int, "sv": sv_cardinal_int, "cs": cs_cardinal_int,
+}
+
+
+def _make_generic_cardinal(short: str):
+    int_fn = _INT_CARDINALS[short]
+    ones = _ONES_TABLES[short]
+    dec_word = _DECIMAL_WORDS[short]
+    neg_word = _NEG_WORDS[short]
+
+    def _cardinal(value: Numeric) -> str:
+        dec = Decimal(str(value))
+        if dec == dec.to_integral_value():
+            return int_fn(int(dec))
+        sign = f"{neg_word} " if dec < 0 else ""
+        dec = abs(dec)
+        frac_digits = str(dec).split(".", 1)[1]
+        frac = " ".join(ones[int(d)] for d in frac_digits)
+        return f"{sign}{int_fn(int(dec))} {dec_word} {frac}"
+
+    return _cardinal
+
+
+it_cardinal = _make_generic_cardinal("it")
+nl_cardinal = _make_generic_cardinal("nl")
+pt_cardinal = _make_generic_cardinal("pt")
+ru_cardinal = _make_generic_cardinal("ru")
+sv_cardinal = _make_generic_cardinal("sv")
+cs_cardinal = _make_generic_cardinal("cs")
+
+
 # fr pluralizes "euros" while en keeps "euro" invariant
 # (tests/test_text_processor.py:468-509).
 _LANG_CURRENCY_FORMS = {
     "fr": {"EUR": ("euro", "euros", "centime", "centimes")},
     "de": {"EUR": ("Euro", "Euro", "Cent", "Cent")},
     "es": {"EUR": ("euro", "euros", "céntimo", "céntimos")},
+    # nl fixture (tests/test_text_processor.py:480-483): "tien euro"
+    "nl": {"EUR": ("euro", "euro", "cent", "cent")},
+    "it": {"EUR": ("euro", "euro", "centesimo", "centesimi")},
+    "pt": {"EUR": ("euro", "euros", "cêntimo", "cêntimos")},
+    "sv": {"EUR": ("euro", "euro", "cent", "cent"),
+           "SEK": ("krona", "kronor", "öre", "öre")},
+    # slavic unit words need (one, few, many) — handled via slavic_plural
+    "ru": {"RUB": ("рубль", "рубля", "рублей", "копейка", "копейки", "копеек")},
+    "cs": {"CZK": ("koruna", "koruny", "korun", "haléř", "haléře", "haléřů"),
+           "EUR": ("euro", "eura", "eur", "cent", "centy", "centů")},
 }
 
 _CARDINALS = {
@@ -388,6 +760,12 @@ _CARDINALS = {
     "de": de_cardinal,
     "es": es_cardinal,
     "fr": fr_cardinal,
+    "it": it_cardinal,
+    "nl": nl_cardinal,
+    "pt": pt_cardinal,
+    "ru": ru_cardinal,
+    "sv": sv_cardinal,
+    "cs": cs_cardinal,
 }
 
 
@@ -424,14 +802,17 @@ def currency(value: Numeric, code: str = "USD", lang: str = "en") -> str:
     )
     card = _CARDINALS[short]
     dec = Decimal(str(value))
-    neg = {"de": "minus", "es": "menos", "fr": "moins"}[short]
-    sign = f"{neg} " if dec < 0 else ""
+    sign = f"{_NEG_WORDS[short]} " if dec < 0 else ""
     dec = abs(dec)
     whole = int(dec)
     cents = int((dec - whole) * 100 + Decimal("0.5"))
-    unit = forms[0] if whole == 1 else forms[1]
+    if len(forms) == 6:  # slavic (one, few, many) unit + cent forms
+        unit = slavic_plural(whole, forms[:3])
+        cent = slavic_plural(cents, forms[3:])
+    else:
+        unit = forms[0] if whole == 1 else forms[1]
+        cent = forms[2] if cents == 1 else forms[3]
     text = f"{sign}{card(whole)} {unit}"
     if cents > 0:
-        cent = forms[2] if cents == 1 else forms[3]
         text += f" {card(cents)} {cent}"
     return text

@@ -270,3 +270,59 @@ def test_say_as_digits_negative_number():
     sents = core_sentences("-52", "en_US", interpret_as="number",
                            say_format="digits")
     assert [w.text for s in sents for w in s.words] == ["minus", "five", "two"]
+
+
+def test_zh_char_tokenization():
+    """zh settings (reference gruut/lang.py:833-847): char-level tokens,
+    CJK breaks, join_str='' whitespace discipline."""
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    sents = core_sentences("你好，世界。很好！", "zh")
+    assert len(sents) == 2
+    assert [w.text for w in sents[0].words] == ["你", "好", "，", "世", "界", "。"]
+    assert sents[0].text_spoken == "你好世界"  # join_str="" -> no spaces
+    assert [w.text for w in sents[1].words] == ["很", "好", "！"]
+
+
+def test_nl_currency_reference_fixture():
+    """Ported from reference tests/test_text_processor.py:458-484:
+    nl '€10' -> 'tien euro' (invariant euro, no cents)."""
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    assert [w.text for s in core_sentences("€10", "nl_NL") for w in s.words] == [
+        "tien", "euro",
+    ]
+
+
+def test_it_numbers_and_date():
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    words = [w.text for s in core_sentences("Ho 21 anni.", "it") for w in s.words]
+    assert words == ["Ho", "ventuno", "anni", "."]
+    # DMY date, cardinal parts, from-scratch it year=cardinal
+    words = [w.text for s in core_sentences("1/4/2021", "it_IT") for w in s.words]
+    assert words == ["uno", "aprile", "duemilaventuno"]
+    # comma decimals (group_char='.', decimal_char=',')
+    words = [w.text for s in core_sentences("3,14", "it") for w in s.words]
+    assert words == ["tre", "virgola", "uno", "quattro"]
+
+
+def test_new_language_cardinals():
+    """Standard-orthography cardinals for the six ungated languages
+    (num2words conventions; the reference pins only the nl fixture)."""
+    from gruut_spark.core import verbalize as V
+
+    assert V.cardinal(188, "it") == "centottantotto"
+    assert V.cardinal(2500, "it") == "duemilacinquecento"
+    assert V.cardinal(22, "nl") == "tweeëntwintig"
+    assert V.cardinal(121, "nl") == "honderdeenentwintig"
+    assert V.cardinal(1120, "pt") == "mil cento e vinte"
+    assert V.cardinal(2021, "pt") == "dois mil e vinte e um"
+    assert V.cardinal(2000, "ru") == "две тысячи"
+    assert V.cardinal(5321, "ru") == "пять тысяч триста двадцать один"
+    assert V.cardinal(1234, "sv") == "ettusentvåhundratrettiofyra"
+    assert V.cardinal(2000, "cs") == "dva tisíce"
+    assert V.cardinal(500, "cs") == "pět set"
+    # slavic currency plurals
+    assert V.currency(2, "RUB", "ru") == "два рубля"
+    assert V.currency(5, "RUB", "ru") == "пять рублей"
