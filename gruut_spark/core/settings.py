@@ -170,6 +170,13 @@ class TextSettings:
     is_maybe_number: Optional[Callable[[str], bool]] = has_digit
     is_maybe_currency: Optional[Callable[[str], bool]] = has_digit
 
+    # Postpositive abbreviations (lowercased, with period) that may END a
+    # sentence: followed by a capitalized word they expand AND re-emit the
+    # period as a sentence break (Golden Rules 8/9, which the reference
+    # leaves failing/commented in tests/test_golden_rules.py:67-81).
+    # Prepositive titles (mr./dr./st./mt.) must never appear here.
+    boundary_abbreviations: FrozenSet[str] = frozenset()
+
     # Stand-in for lexicon membership (reference WordNode.in_lexicon via
     # gruut/phonemize.py:47-115): words in this set are never split or
     # re-interpreted. Mirrors the observable effect of the en lexicon on
@@ -285,6 +292,7 @@ def _en_settings() -> TextSettings:
         default_date_format="{m} {o}, {y}",
         replacements=[("’", "'")],
         abbreviations=dict(_EN_ABBREVIATIONS),
+        boundary_abbreviations=frozenset({"co.", "ltd."}),
         spell_out_words={
             ".": "dot", "-": "dash", "@": "at", "*": "star", "+": "plus",
             "/": "slash",

@@ -184,6 +184,48 @@ def _split_break(tok: Tok, s: TextSettings, major: bool) -> Optional[List[Tok]]:
     return out
 
 
+def _abbrev_boundary_pass(toks: List[Tok], s: TextSettings) -> Tuple[List[Tok], bool]:
+    """Golden Rules 8/9 (reference tests/test_golden_rules.py:67-81, which
+    gruut leaves failing): a postpositive abbreviation (co., ltd.) followed
+    by a capitalized word ends the sentence — expand it here and re-emit
+    the period as a standalone token, which the major-break split then
+    turns into a sentence break. Needs token lookahead, so it runs as a
+    list-level pass before the per-token abbreviation expansion."""
+    if not s.boundary_abbreviations or not s.abbreviations_compiled:
+        return toks, False
+    out: List[Tok] = []
+    changed = False
+    for i, tok in enumerate(toks):
+        nxt = toks[i + 1] if i + 1 < len(toks) else None
+        if (
+            tok.kind == WORD
+            and not tok.interpret_as
+            and not tok.protected
+            and tok.text.lower() in s.boundary_abbreviations
+            and nxt is not None
+            and nxt.kind == WORD
+            and nxt.text[:1].isupper()
+        ):
+            expanded = None
+            for pattern, template in s.abbreviations_compiled:
+                m = pattern.match(tok.ws)
+                if m is not None:
+                    expanded = m.expand(template)
+                    break
+            if expanded is not None:
+                first_ws, last_ws = get_whitespace(tok.ws)
+                norm = normalize_whitespace(expanded)
+                out.append(
+                    Tok(text=norm, ws=first_ws + norm, group=tok.group,
+                        protected=_is_protected(norm, s))
+                )
+                out.append(Tok(text=".", ws="." + last_ws, group=tok.group))
+                changed = True
+                continue
+        out.append(tok)
+    return out, changed
+
+
 def _split_abbreviations(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
     """First-match abbreviation expansion with case-preserving templates
     (gruut/text_processor.py:1731-1772)."""
@@ -713,6 +755,8 @@ def process_tokens(
         toks, c = _apply_split(toks, _split_punctuations, s)
         was_changed |= c
         toks, c = _apply_split(toks, lambda t, st: _split_break(t, st, False), s)
+        was_changed |= c
+        toks, c = _abbrev_boundary_pass(toks, s)
         was_changed |= c
         toks, c = _apply_split(toks, _split_abbreviations, s)
         was_changed |= c

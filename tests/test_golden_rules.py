@@ -89,3 +89,47 @@ def test_rule_41_newline_inside_sentence():
     assert _get("It was a cold \nnight in the city.") == [
         "It was a cold night in the city.",
     ]
+
+
+def test_rule_8_lower_co_at_sentence_end():
+    # reference leaves this failing (commented, test_golden_rules.py:67-72);
+    # the boundary-abbreviation pass fixes it
+    assert _get("Let's ask Jane and co. They should know.") == [
+        "Let's ask Jane and company.", "They should know.",
+    ]
+
+
+def test_rule_9_upper_co_at_sentence_end():
+    assert _get("They closed the deal with Pitt, Briggs & Co. It closed yesterday.") == [
+        "They closed the deal with Pitt, Briggs and Company.",
+        "It closed yesterday.",
+    ]
+
+
+def test_rule_22_email_boundary():
+    assert _get("Her email is Jane.Doe@example.com. I sent her an email.") == [
+        "Her email is Jane.Doe@example.com.", "I sent her an email.",
+    ]
+
+
+def test_rule_23_url_boundary():
+    # gruut-adjusted wording: en word_breaks split '-'/'_' inside the URL
+    # (same as the reference's tables); the boundary placement is the rule
+    assert _get(
+        "The site is: https://www.example.50.com/new-site/awesome_content.html. Please check it out."
+    ) == [
+        "The site is: https://www.example.50.com/new site/awesome content.html.",
+        "Please check it out.",
+    ]
+
+
+def test_rule_40_pdf_newline_inside_sentence():
+    assert _get("This is a sentence\ncut off in the middle because pdf.") == [
+        "This is a sentence cut off in the middle because pdf.",
+    ]
+
+
+def test_rule_49_nonstandard_ellipsis_boundary():
+    assert _get("I never meant that.... She left the store.") == [
+        "I never meant that....", "She left the store.",
+    ]
