@@ -508,6 +508,15 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("member_id")
 
 
+def _doc_phonemize_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lexicon build ETL + broadcast phonemize lookup chain (exact ->
+    lowercase -> G2P fallback) with pron_order-ranked selection, rolled up
+    per document (reference lookup chain: gruut/phonemize.py:47-115)."""
+    from gruut_spark.operators.lexicon import doc_phoneme_summary
+
+    return doc_phoneme_summary(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+
+
 def _dedup_clusters_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over SQL-expressible edges (exact-dup star
     edges + adjacent pairs with token-Jaccard >= 0.5), so the CC operator
@@ -646,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_relational": _dedup_clusters_relational,
+        "doc_phonemize_lexicon": _doc_phonemize_lexicon,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
@@ -940,6 +950,52 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a
         """,
         "doc_rolling_fingerprints": _winnowing_oracle_sql(),
+        "doc_phonemize_lexicon": r"""
+            WITH lex_words AS (
+                SELECT tok AS word
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+                WHERE regexp_matches(tok, '^[a-z'']+$')
+            ),
+            counted AS (
+                SELECT word FROM lex_words GROUP BY word HAVING count(*) >= 20
+            ),
+            lex AS (
+                SELECT word, 0 AS pron_order,
+                       array_to_string(string_split(word, ''), ' ') AS phonemes
+                FROM counted
+                UNION ALL
+                SELECT word, 1,
+                       array_to_string(string_split(word, ''), ' ') || ' ə'
+                FROM counted WHERE length(word) % 2 = 0
+            ),
+            best AS (
+                SELECT word, arg_min(phonemes, pron_order) AS phonemes
+                FROM lex GROUP BY word
+            ),
+            toks AS (
+                SELECT doc_id, tok AS word
+                FROM documents,
+                     unnest(regexp_split_to_array(trim(text), '\s+')) AS t(tok)
+                WHERE tok <> ''
+            ),
+            phon AS (
+                SELECT t.doc_id,
+                       t.word || ':' || coalesce(
+                           be.phonemes, bl.phonemes,
+                           array_to_string(string_split(lower(t.word), ''), ' ')
+                       ) AS wp,
+                       (be.phonemes IS NOT NULL OR bl.phonemes IS NOT NULL) AS in_lex
+                FROM toks t
+                LEFT JOIN best be ON be.word = t.word
+                LEFT JOIN best bl ON bl.word = lower(t.word)
+            )
+            SELECT doc_id,
+                   sum(in_lex::BIGINT) AS n_lexicon,
+                   sum((NOT in_lex)::BIGINT) AS n_g2p,
+                   md5(string_agg(wp, '|' ORDER BY wp)) AS phoneme_md5
+            FROM phon GROUP BY doc_id ORDER BY doc_id
+        """,
         "dedup_clusters_relational": r"""
             WITH RECURSIVE
             hashed AS (

@@ -38,3 +38,44 @@ def write_table(df: DataFrame, table: str, mode: str = "overwrite") -> None:
 
 def append_table(df: DataFrame, table: str) -> None:
     write_table(df, table, mode="append")
+
+
+# ---------------------------------------------------------------------------
+# Reference CLI source/sink analogues (gruut/__main__.py:88-125,287-291):
+# stdin lines -> a line source; --csv 'id|text' -> delimited CSV; the
+# jsonlines sink -> JSON-lines read/write. All are native Spark readers, so
+# schema inference/pushdown behave like any other scan.
+# ---------------------------------------------------------------------------
+
+
+def read_lines(spark: SparkSession, path: str) -> DataFrame:
+    """Line source (the stdin-lines analogue): one row per line with a
+    stable line id — ``monotonically_increasing_id`` is partition-ordered,
+    matching 'line number within the file feed' semantics at scale."""
+    from pyspark.sql import functions as F
+
+    return spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("line_id"),
+        F.col("value").alias("text"),
+    )
+
+
+def read_csv_docs(
+    spark: SparkSession, path: str, delimiter: str = "|",
+) -> DataFrame:
+    """--csv source: ``id|text`` rows (reference default delimiter '|',
+    gruut/__main__.py:287-291)."""
+    return (
+        spark.read.option("delimiter", delimiter)
+        .schema("id string, text string")
+        .csv(path)
+    )
+
+
+def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """JSONL sink (the jsonlines.Writer analogue)."""
+    df.write.mode(mode).json(path)

@@ -388,3 +388,68 @@ def test_embedding_near_dup_zero_vectors_and_megabucket(spark):
     ).collect()
     assert len(out) == 499
     assert all(r["id_a"] == 1000 and abs(r["cos_sim"] - 1.0) < 1e-6 for r in out)
+
+
+def test_source_formats_roundtrip(spark, tmp_path):
+    """Reference CLI source/sink analogues (gruut/__main__.py:88-125):
+    line source, id|text CSV, JSONL sink — read back through the seam and
+    pushed through the gruut tokenizer stage."""
+    from gruut_spark.operators.textstats import token_counts
+    from gruut_spark.sources.catalog import (
+        read_csv_docs, read_jsonl, read_lines, write_jsonl,
+    )
+
+    txt = tmp_path / "in.txt"
+    txt.write_text("Hello world.\nSecond line here.\n")
+    lines = read_lines(spark, str(txt))
+    assert lines.count() == 2
+    assert set(lines.columns) == {"line_id", "text"}
+
+    csvf = tmp_path / "in.csv"
+    csvf.write_text("a|Dr. Jones said hello.\nb|It costs $5.\n")
+    docs = read_csv_docs(spark, str(csvf))
+    rows = {r["id"]: r["text"] for r in docs.collect()}
+    assert rows == {"a": "Dr. Jones said hello.", "b": "It costs $5."}
+
+    # JSONL sink/source roundtrip
+    out = tmp_path / "out_jsonl"
+    write_jsonl(docs, str(out))
+    back = read_jsonl(spark, str(out))
+    assert {r["id"]: r["text"] for r in back.collect()} == rows
+
+    # the CSV docs flow into a downstream operator unchanged
+    counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in token_counts(back, text_col="text", id_col="id").collect()
+    }
+    assert counts == {"a": 4, "b": 3}
+
+
+def test_lexicon_lookup_chain_and_pron_order(spark):
+    """Broadcast lexicon join: exact -> lowercase -> g2p fallback chain,
+    pron_order-ranked selection (reference gruut/phonemize.py:47-115)."""
+    from gruut_spark.operators.lexicon import build_lexicon, phonemize_tokens
+
+    docs = spark.createDataFrame(
+        [(i, "hello world said the cat") for i in range(25)],
+        "doc_id long, text string",
+    )
+    lex = build_lexicon(docs, min_count=20)
+    # even-length words carry an alternate pron (order 1); ranked selection
+    # must still pick order 0
+    lex_rows = {(r["word"], r["pron_order"]): r["phonemes"] for r in lex.collect()}
+    assert ("said", 1) in lex_rows and lex_rows[("said", 1)].endswith(" ə")
+    toks = spark.createDataFrame(
+        [(0, "hello"), (0, "Hello"), (0, "zzyzx")],
+        "doc_id long, word string",
+    )
+    out = phonemize_tokens(toks, lex)
+    rows = {(r["word"]): (r["phonemes"], r["source"]) for r in out.collect()}
+    assert rows["hello"] == ("h e l l o", "lexicon")
+    assert rows["Hello"] == ("h e l l o", "lexicon_lower")  # lowercase fallback
+    assert rows["zzyzx"] == ("z z y z x", "g2p")            # OOV fallback
+    # the lookup must be a broadcast join, not a shuffle join
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    ) if hasattr(out._sc._jvm, "PythonSQLUtils") else out._jdf.queryExecution().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
