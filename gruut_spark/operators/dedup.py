@@ -61,6 +61,93 @@ def exact_dedup_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Bounded within-bucket pair emission (shared by MinHash/SimHash/embedding
+# LSH): repartition on the bucket keys, sort within partitions, stream one
+# mapInPandas pass that emits all-pairs for buckets <= max_bucket and
+# linear star pairs (member -> bucket min) beyond it. One exchange, one
+# Python node, O(max_bucket) state — no window, no collect_list array, no
+# diamond re-computing the signature UDF.
+# ---------------------------------------------------------------------------
+
+_EMIT_CHUNK = 50_000
+
+
+def sorted_bucket_pairs(
+    df: DataFrame, key_cols: list, payload_cols: list, max_bucket: int,
+    payload_schema: str = "",
+) -> DataFrame:
+    """``df`` columns must be exactly key_cols + [_id] + payload_cols.
+    Returns (id_a, id_b[, <payload>_a..., <payload>_b...]): all (a<b) pairs
+    for buckets of size <= max_bucket; star pairs against the bucket's min
+    id beyond that (connectivity preserved, linear output). Buckets are
+    hash-partitioned so each lives in one partition; the sort makes them
+    contiguous and puts the min id first."""
+    n_keys = len(key_cols)
+    out_cols = ["id_a", "id_b"]
+    for c in payload_cols:
+        out_cols.extend([f"{c}_a", f"{c}_b"])
+    schema = "id_a long, id_b long" + (", " + payload_schema if payload_schema else "")
+
+    def emit(batches):
+        cur_key = None
+        buf = []          # [(id, payload...)] while bucket <= max_bucket
+        center = None     # (id, payload...) of the bucket min (first row)
+        count = 0
+        star = False
+        out = []
+
+        def pair_row(a, b):
+            # (id_a, id_b, payload0_a, payload0_b, payload1_a, ...)
+            flat = [a[0], b[0]]
+            for i in range(len(a[1])):
+                flat.append(a[1][i])
+                flat.append(b[1][i])
+            return tuple(flat)
+
+        def close_bucket():
+            if count > 1 and not star:
+                for i in range(len(buf)):
+                    for j in range(i + 1, len(buf)):
+                        out.append(pair_row(buf[i], buf[j]))
+
+        for pdf in batches:
+            for row in pdf.itertuples(index=False):
+                key = tuple(row[:n_keys])
+                item = (row[n_keys], tuple(row[n_keys + 1:]))
+                if key != cur_key:
+                    close_bucket()
+                    if len(out) >= _EMIT_CHUNK:
+                        yield pd.DataFrame(out, columns=out_cols)
+                        out = []
+                    cur_key, buf, center = key, [item], item
+                    count, star = 1, False
+                else:
+                    count += 1
+                    if star:
+                        out.append(pair_row(center, item))
+                    else:
+                        buf.append(item)
+                        if count > max_bucket:
+                            star = True
+                            center = buf[0]
+                            for k in range(1, len(buf)):
+                                out.append(pair_row(center, buf[k]))
+                            buf = []
+                    if len(out) >= _EMIT_CHUNK:
+                        yield pd.DataFrame(out, columns=out_cols)
+                        out = []
+        close_bucket()
+        if out:
+            yield pd.DataFrame(out, columns=out_cols)
+
+    return (
+        df.repartition(*key_cols)
+        .sortWithinPartitions(*key_cols, "_id")
+        .mapInPandas(emit, schema=schema)
+    )
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH
 # ---------------------------------------------------------------------------
 
@@ -158,11 +245,10 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
 
-    Plan shape: signature UDF -> posexplode bands -> window count over
-    (band, band_hash) -> bounded within-bucket pair expansion. The only
-    shuffle keys are (band, 64-bit hash), and both bucket branches read
-    the SAME window exchange (ReusedExchange), so the signature UDF runs
-    once per doc.
+    Plan shape: signature UDF -> posexplode bands -> one shuffle on
+    (band, band_hash) -> sorted streaming pair emission
+    (``sorted_bucket_pairs``) -> pair count. Two stages, one Python node
+    each, no O(n²) self-join.
 
     Degenerate-input defenses (the thing that OOMs real web-scale runs):
 
@@ -170,53 +256,28 @@ def minhash_lsh_pairs(
       all share the all-zero signature and would otherwise form one
       megabucket colliding in every band;
     * buckets larger than ``max_bucket`` are NOT expanded quadratically
-      (and never materialized as a collect_list array): each over-cap
-      member emits one linear "star" pair against the bucket's min id.
-      Connected-component connectivity is fully preserved (the star
-      spans the bucket), so downstream clustering sees the same clusters;
-      only the exact per-pair n_bands count inside megabuckets is
-      coarsened — megabuckets are identical-band-slice crowds, i.e.
-      exact/near-exact duplicate territory that ``exact_dedup_groups``
-      also covers."""
-    from pyspark.sql.window import Window
-
+      (and never materialized as an array): each over-cap member emits
+      one linear "star" pair against the bucket's min id, with
+      O(max_bucket) state in the emitter. Connected-component
+      connectivity is fully preserved (the star spans the bucket), so
+      downstream clustering sees the same clusters; only the exact
+      per-pair n_bands count inside megabuckets is coarsened —
+      megabuckets are identical-band-slice crowds, i.e. exact/near-exact
+      duplicate territory that ``exact_dedup_groups`` also covers."""
     eligible = df.filter(F.trim(F.col(text_col)) != "")
     sigs = minhash_band_hashes(
         eligible, text_col, id_col, num_perm, bands, shingle_k, seed
     )
     banded = sigs.select(
-        "_id",
-        F.posexplode(F.col("band_hashes")).alias("band", "band_hash"),
-    )
-    w = Window.partitionBy("band", "band_hash")
-    sized = banded.withColumn("bucket_n", F.count("*").over(w)).withColumn(
-        "bucket_min", F.min("_id").over(w)
-    )
-    small_pairs = (
-        sized.filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
-        .groupBy("band", "band_hash")
-        .agg(F.sort_array(F.collect_list("_id")).alias("ids"))
-        .select(F.explode(_pairs_expr("ids")).alias("p"))
-        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
-    )
-    star_pairs = sized.filter(
-        (F.col("bucket_n") > max_bucket) & (F.col("_id") != F.col("bucket_min"))
-    ).select(F.col("bucket_min").alias("id_a"), F.col("_id").alias("id_b"))
-    return (
-        small_pairs.union(star_pairs)
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("n_bands"))
-    )
-
-
-def _pairs_expr(ids_col: str):
-    """All (a,b) a<b pairs from a sorted id array, as a SQL expression
-    (flatten of per-element transforms — stays in codegen)."""
-    return F.expr(
-        f"flatten(transform({ids_col}, (x, i) -> "
-        f"transform(slice({ids_col}, i + 2, size({ids_col}) - i - 1), "
-        f"y -> struct(x as a, y as b))))"
-    )
+        # _outer: the arrays are fixed-length (bands), so semantics are
+        # identical — but plain posexplode lets InferFiltersFromGenerate
+        # push a size()>0 filter that re-evaluates the signature UDF
+        # (measured: 2x shingle hashing); outer generates infer no filter
+        F.posexplode_outer(F.col("band_hashes")).alias("band", "band_hash"),
+        F.col("_id"),
+    ).select("band", "band_hash", "_id")
+    pairs = sorted_bucket_pairs(banded, ["band", "band_hash"], [], max_bucket)
+    return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 
 # ---------------------------------------------------------------------------
@@ -265,49 +326,27 @@ def simhash_near_pairs(
     (simhash 0, colliding in all four chunks) are filtered before signing;
     per-(chunk_idx, chunk_val) groups larger than ``max_bucket`` emit
     linear star pairs against the group's min-id member instead of a
-    quadratic expansion. The hamming verification runs BEFORE the pair
-    dedup so the final shuffle only carries verified near-dups (the old
-    ``.distinct()`` shuffled the full unverified candidate set)."""
-    from pyspark.sql.window import Window
-
+    quadratic expansion (``sorted_bucket_pairs``). The hamming
+    verification runs BEFORE the pair dedup so the final shuffle only
+    carries verified near-dups."""
     eligible = df.filter(F.trim(F.col(text_col)) != "")
     sigs = simhash_signatures(eligible, text_col, id_col)
     chunks = sigs.select(
-        "_id", "simhash",
-        F.posexplode(
+        # _outer for the same inferred-filter reason as minhash_lsh_pairs
+        F.posexplode_outer(
             F.array(*[
                 F.shiftrightunsigned(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF))
                 for i in range(4)
             ])
         ).alias("chunk_idx", "chunk_val"),
+        "_id",
+        "simhash",
+    ).select("chunk_idx", "chunk_val", "_id", "simhash")
+    cand = sorted_bucket_pairs(
+        chunks, ["chunk_idx", "chunk_val"], ["simhash"], max_bucket,
+        payload_schema="simhash_a long, simhash_b long",
     )
-    w = Window.partitionBy("chunk_idx", "chunk_val")
-    sized = chunks.withColumn("bucket_n", F.count("*").over(w)).withColumn(
-        "bucket_min", F.min(F.struct("_id", "simhash")).over(w)
-    )
-    member = F.struct("_id", "simhash")
-    small = (
-        sized.filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
-        .groupBy("chunk_idx", "chunk_val")
-        .agg(F.sort_array(F.collect_list(member)).alias("ids"))
-        .select(F.explode(_pairs_expr("ids")).alias("p"))
-        .select(
-            F.col("p.a._id").alias("id_a"),
-            F.col("p.b._id").alias("id_b"),
-            F.col("p.a.simhash").alias("sig_a"),
-            F.col("p.b.simhash").alias("sig_b"),
-        )
-    )
-    star = sized.filter(
-        (F.col("bucket_n") > max_bucket) & (F.col("_id") != F.col("bucket_min._id"))
-    ).select(
-        F.col("bucket_min._id").alias("id_a"),
-        F.col("_id").alias("id_b"),
-        F.col("bucket_min.simhash").alias("sig_a"),
-        F.col("simhash").alias("sig_b"),
-    )
-    cand = small.union(star)
-    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (
         cand.withColumn("hamming", hamming)
         .filter(F.col("hamming") <= max_hamming)

@@ -241,10 +241,10 @@ def embedding_near_dup_pairs(
     buckets beyond ``max_bucket`` emit linear star pairs against the
     bucket's min id instead of a quadratic within-bucket join — an
     identical-embedding crowd yields n-1 verified pairs, not n²/2. The
-    shuffles are the (table, bucket) window and one final dedup over
-    verified pairs only."""
+    shuffles are the (table, bucket) repartition feeding the sorted
+    streaming pair emitter and one final dedup over verified pairs
+    only."""
     from pyspark.sql.functions import pandas_udf
-    from pyspark.sql.window import Window
 
     dim_row = df.select(vec_col).head()
     dim = len(dim_row[0])
@@ -267,41 +267,27 @@ def embedding_near_dup_pairs(
         > 0
     )
     sigs = nonzero.select(
+        # _outer: fixed-length array; plain posexplode would let Catalyst
+        # infer a size()>0 filter that re-runs the bucketing UDF
+        F.posexplode_outer(_buckets(F.col(vec_col))).alias("table_idx", "bucket"),
         F.col(id_col).alias("_id"),
         F.col(vec_col).alias("_vec"),
-        F.posexplode(_buckets(F.col(vec_col))).alias("table_idx", "bucket"),
+    ).select("table_idx", "bucket", "_id", "_vec")
+    from ..operators.dedup import sorted_bucket_pairs
+
+    cand = sorted_bucket_pairs(
+        sigs, ["table_idx", "bucket"], ["_vec"], max_bucket,
+        payload_schema="_vec_a array<float>, _vec_b array<float>",
     )
-    w = Window.partitionBy("table_idx", "bucket")
-    sized = sigs.withColumn("bucket_n", F.count("*").over(w)).withColumn(
-        "bm", F.min(F.struct("_id", "_vec")).over(w)
-    )
-    small = sized.filter((F.col("bucket_n") > 1) & (F.col("bucket_n") <= max_bucket))
-    a = small.select(
-        "table_idx", "bucket", F.col("_id").alias("id_a"), F.col("_vec").alias("va")
-    )
-    b = small.select(
-        "table_idx", "bucket", F.col("_id").alias("id_b"), F.col("_vec").alias("vb")
-    )
-    pairs = (
-        a.join(b, ["table_idx", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "va", "vb")
-    )
-    star = sized.filter(
-        (F.col("bucket_n") > max_bucket) & (F.col("_id") != F.col("bm._id"))
-    ).select(
-        F.col("bm._id").alias("id_a"),
-        F.col("_id").alias("id_b"),
-        F.col("bm._vec").alias("va"),
-        F.col("_vec").alias("vb"),
-    )
-    cand = pairs.union(star)
     dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
+        F.zip_with(
+            F.col("_vec_a"), F.col("_vec_b"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    cos = dot / (_norm("va") * _norm("vb"))
+    cos = dot / (_norm("_vec_a") * _norm("_vec_b"))
     return (
         cand.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
