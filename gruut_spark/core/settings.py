@@ -177,6 +177,12 @@ class TextSettings:
     # Prepositive titles (mr./dr./st./mt.) must never appear here.
     boundary_abbreviations: FrozenSet[str] = frozenset()
 
+    # Uppercase meridiem tokens that END a sentence when followed by a
+    # capitalized word (Golden Rule 18, reference
+    # tests/test_golden_rules.py:131-133 — failing there): "6 P.M. Mr.
+    # Smith" breaks, "5 a.m. Mr. Smith" does not. Exact-case match.
+    boundary_time_words: FrozenSet[str] = frozenset()
+
     # Stand-in for lexicon membership (reference WordNode.in_lexicon via
     # gruut/phonemize.py:47-115): words in this set are never split or
     # re-interpreted. Mirrors the observable effect of the en lexicon on
@@ -293,6 +299,7 @@ def _en_settings() -> TextSettings:
         replacements=[("’", "'")],
         abbreviations=dict(_EN_ABBREVIATIONS),
         boundary_abbreviations=frozenset({"co.", "ltd."}),
+        boundary_time_words=frozenset({"A.M.", "P.M."}),
         spell_out_words={
             ".": "dot", "-": "dash", "@": "at", "*": "star", "+": "plus",
             "/": "slash",

@@ -191,12 +191,26 @@ def _abbrev_boundary_pass(toks: List[Tok], s: TextSettings) -> Tuple[List[Tok], 
     the period as a standalone token, which the major-break split then
     turns into a sentence break. Needs token lookahead, so it runs as a
     list-level pass before the per-token abbreviation expansion."""
-    if not s.boundary_abbreviations or not s.abbreviations_compiled:
+    if not (s.boundary_abbreviations or s.boundary_time_words):
         return toks, False
     out: List[Tok] = []
     changed = False
     for i, tok in enumerate(toks):
         nxt = toks[i + 1] if i + 1 < len(toks) else None
+        # Golden Rule 18: uppercase meridiem + capitalized word ends the
+        # sentence ("6 P.M. Mr. Smith" breaks; "5 a.m. Mr. Smith" doesn't).
+        # Zero-width major break: the period stays part of "P.M.".
+        if (
+            tok.kind == WORD
+            and tok.text in s.boundary_time_words
+            and nxt is not None
+            and nxt.kind == WORD
+            and nxt.text[:1].isupper()
+        ):
+            out.append(tok)
+            out.append(Tok(text="", ws="", kind=MAJOR, group=tok.group))
+            changed = True
+            continue
         if (
             tok.kind == WORD
             and not tok.interpret_as

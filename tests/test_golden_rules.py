@@ -133,3 +133,18 @@ def test_rule_49_nonstandard_ellipsis_boundary():
     assert _get("I never meant that.... She left the store.") == [
         "I never meant that....", "She left the store.",
     ]
+
+
+def test_rule_18_am_pm_boundaries():
+    # reference tests/test_golden_rules.py:131-133 (failing there):
+    # lowercase a.m. + capitalized name = non-boundary; uppercase P.M. +
+    # capitalized word = boundary. gruut-expanded wording (Mr. -> Mister).
+    assert _get(
+        "At 5 a.m. Mr. Smith went to the bank. He left the bank at 6 P.M. "
+        "Mr. Smith then went to the store."
+    ) == [
+        "At 5 a.m. Mister Smith went to the bank.",
+        "He left the bank at 6 P.M.",
+        "Mister Smith then went to the store.",
+    ]
+    assert _get("It is 6 P.M. now.") == ["It is 6 P.M. now."]

@@ -453,3 +453,62 @@ def test_lexicon_lookup_chain_and_pron_order(spark):
         out._jdf.queryExecution(), "formatted"
     ) if hasattr(out._sc._jvm, "PythonSQLUtils") else out._jdf.queryExecution().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_streaming_windowed_watermark(spark, tmp_path):
+    """Watermarked tumbling-window agg (append mode): windows emit once the
+    watermark passes their end; an event arriving later than the watermark
+    is dropped, not mis-counted."""
+    import datetime as dt
+    import time as _time
+
+    from gruut_spark.streaming.windowed import start_windowed_event_counts
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def rows(specs, start_id):
+        return [
+            (start_id + i, 1, base + dt.timedelta(minutes=m), et, 1.0)
+            for i, (m, et) in enumerate(specs)
+        ]
+
+    schema = "event_id long, user_id long, ts timestamp, event_type string, value double"
+    outdir, ckpt = tmp_path / "out", tmp_path / "ckpt"
+
+    def run_once():
+        # availableNow: drain all new files, then stop; the streaming
+        # checkpoint carries watermark + window state across restarts, so
+        # the file order between runs is fully deterministic
+        q = start_windowed_event_counts(
+            spark, str(indir) + "/*", str(outdir), str(ckpt),
+            window="1 hour", watermark="30 minutes",
+        )
+        q.awaitTermination(120)
+
+    # run 1: hours 0 and 1 (windows stay open)
+    spark.createDataFrame(
+        rows([(5, "click"), (10, "click"), (65, "view")], 0), schema
+    ).coalesce(1).write.parquet(str(indir / "f1"))
+    run_once()
+    # run 2: hour 6 advances the watermark to 5:30 -> hours 0/1 close+emit
+    spark.createDataFrame(
+        rows([(360, "click")], 100), schema
+    ).coalesce(1).write.parquet(str(indir / "f2"))
+    run_once()
+    # run 3: an hour-0 event arriving after its window closed -> dropped
+    spark.createDataFrame(
+        rows([(7, "click")], 200), schema
+    ).coalesce(1).write.parquet(str(indir / "f3"))
+    run_once()
+
+    got = {
+        (r["win_start"].hour, r["event_type"]): r["n_events"]
+        for r in spark.read.parquet(str(outdir)).collect()
+    }
+    # the too-late hour-0 click must NOT have inflated the emitted window
+    assert got[(0, "click")] == 2
+    assert got[(1, "view")] == 1
+    # hour 6 stays open (watermark never passes its end)
+    assert (6, "click") not in got
