@@ -53,6 +53,16 @@ WORDS = {
         "autre on bien où sans peut ils deux même ceux fait après avoir "
         "était très votre entre sera toute deux jours monde fois chaque"
     ).split(),
+    # zh: common characters/bigrams; _prose joins them without spaces and
+    # uses CJK sentence enders (char-level tokenization downstream)
+    "zh": (
+        "的 一 是 不 了 人 我们 在 有 他 这 中国 大 来 上 个 到 说 为 子 "
+        "和 你 地 出 道 也 时间 年 得 就 那 要 下 以 生 会 自己 着 去 之 "
+        "过 家 学习 对 可以 她 里 后 小 心 多 天 而 能 好 都 然 没有 日 "
+        "于 起 还 发 成 事 只 作 当 想 看 文 无 开 手 十 用 主 行 方 又 "
+        "如 前 所 本 见 经 头 面 公司 同 三 已 老 从 动 两 长 知道 民 样 "
+        "现在 分 将 外 但 身 些 与 高 意 进 把 法 此 实 回 二 理 美 点"
+    ).split(),
 }
 
 PY_SNIPPET = '''import os
@@ -136,13 +146,18 @@ def _commit_hex(repo: str, path: str) -> str:
 
 def _prose(rng: np.random.Generator, lang: str, n_sentences: int) -> str:
     words = WORDS[lang]
+    joiner = "" if lang == "zh" else " "
+    enders = (
+        ["。", "。", "。", "！", "？"] if lang == "zh" else [".", ".", ".", "!", "?"]
+    )
     sents = []
     for _ in range(n_sentences):
         n = int(rng.integers(5, 14))
         ws = [words[int(i)] for i in rng.integers(0, len(words), n)]
-        ws[0] = ws[0].capitalize()
-        end = [".", ".", ".", "!", "?"][int(rng.integers(0, 5))]
-        sents.append(" ".join(ws) + end)
+        if lang != "zh":
+            ws[0] = ws[0].capitalize()
+        end = enders[int(rng.integers(0, 5))]
+        sents.append(joiner.join(ws) + end)
     out = []
     for k, sent in enumerate(sents):
         out.append(sent)
@@ -281,12 +296,12 @@ def generate_files(n_rows: int = 1000, seed: int = SEED) -> pd.DataFrame:
 
 
 def training_corpus(seed: int = SEED, per_class: int = 200) -> Tuple[List[str], List[str]]:
-    """(texts, labels) for the langid model — classes en/de/es/fr/
+    """(texts, labels) for the langid model — classes en/de/es/fr/zh/
     code-python/code-js, all synthetic and seeded."""
     rng = np.random.default_rng(seed + 1)
     texts: List[str] = []
     labels: List[str] = []
-    for lang in ["en", "de", "es", "fr"]:
+    for lang in ["en", "de", "es", "fr", "zh"]:
         for _ in range(per_class):
             texts.append(_prose(rng, lang, int(rng.integers(3, 15))))
             labels.append(lang)
@@ -305,7 +320,7 @@ def lm_corpus(seed: int = SEED, per_lang_docs: int = 300) -> Dict[str, List[List
 
     rng = np.random.default_rng(seed + 2)
     out: Dict[str, List[List[str]]] = {}
-    for lang in ["en", "de", "es", "fr"]:
+    for lang in ["en", "de", "es", "fr", "zh"]:
         docs = []
         for _ in range(per_lang_docs):
             text = _prose(rng, lang, int(rng.integers(3, 12)))

