@@ -508,6 +508,39 @@ def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs).orderBy("member_id")
 
 
+SAMPLE_RATES = {"en": 0.5, "zh": 0.3, "de": 0.25, "es": 0.25, "fr": 0.25}
+
+
+def _doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language stratified sampling (retry-safe md5
+    threshold; a pure filter — no shuffle, pushes to the scan)."""
+    from gruut_spark.operators.corpus import stratified_sample
+
+    return stratified_sample(
+        _read(spark, sf_dir, "documents"), "lang", "doc_id", SAMPLE_RATES
+    ).select("doc_id", "lang").orderBy("doc_id")
+
+
+def _doc_quota_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (<=10 docs per source, deterministic md5
+    rank): the standard one-domain-can't-dominate mixing rule."""
+    from gruut_spark.operators.corpus import quota_cap_per_source
+
+    return quota_cap_per_source(
+        _read(spark, sf_dir, "documents"), "source", "doc_id", 10
+    ).select("doc_id", "source").orderBy("doc_id")
+
+
+def _doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word 8-gram overlap against an eval set
+    (here: every 97th doc), broadcast join on shingle hashes only."""
+    from gruut_spark.operators.corpus import decontaminate
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return decontaminate(docs, bench).orderBy("doc_id")
+
+
 def _doc_phonemize_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon build ETL + broadcast phonemize lookup chain (exact ->
     lowercase -> G2P fallback) with pron_order-ranked selection, rolled up
@@ -656,6 +689,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_relational": _dedup_clusters_relational,
         "doc_phonemize_lexicon": _doc_phonemize_lexicon,
+        "doc_stratified_sample": _doc_stratified_sample,
+        "doc_quota_per_source": _doc_quota_per_source,
+        "doc_decontaminate": _doc_decontaminate,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
@@ -705,6 +741,21 @@ def _winnowing_oracle_sql(k: int = 8, window: int = 4) -> str:
         )
         SELECT doc_id, len(fps)::INT AS n_fingerprints, list_min(fps) AS min_fingerprint
         FROM signed ORDER BY doc_id
+    """
+
+
+def _stratified_sample_oracle_sql() -> str:
+    from gruut_spark.operators.corpus import rate_threshold_hex
+
+    cases = " ".join(
+        f"WHEN '{cls}' THEN '{rate_threshold_hex(r)}'"
+        for cls, r in sorted(SAMPLE_RATES.items())
+    )
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE substring(md5(doc_id::VARCHAR), 1, 8)
+              < CASE lang {cases} ELSE '00000000' END
+        ORDER BY doc_id
     """
 
 
@@ -950,6 +1001,38 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a
         """,
         "doc_rolling_fingerprints": _winnowing_oracle_sql(),
+        "doc_stratified_sample": _stratified_sample_oracle_sql(),
+        "doc_quota_per_source": """
+            SELECT doc_id, source FROM (
+                SELECT doc_id, source,
+                       row_number() OVER (
+                           PARTITION BY source
+                           ORDER BY md5(doc_id::VARCHAR), doc_id
+                       ) AS rk
+                FROM documents
+            ) WHERE rk <= 10
+            ORDER BY doc_id
+        """,
+        "doc_decontaminate": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct([
+                           md5(array_to_string(t[i:i+7], ' '))
+                           FOR i IN range(1, greatest(len(t) - 6, 1))
+                       ])) AS gram_key
+                FROM toks
+            ),
+            bench AS (SELECT DISTINCT gram_key FROM grams WHERE doc_id % 97 = 0)
+            SELECT g.doc_id, count(*) AS n_contaminated_shingles
+            FROM grams g JOIN bench b USING (gram_key)
+            GROUP BY g.doc_id
+            ORDER BY g.doc_id
+        """,
         "doc_phonemize_lexicon": r"""
             WITH lex_words AS (
                 SELECT tok AS word

@@ -1,0 +1,105 @@
+"""Corpus-assembly operators for training-data pipelines.
+
+Three operations every large-scale data-mixing pipeline needs, all pure
+relational (codegen end-to-end, DuckDB-oracled):
+
+* deterministic stratified sampling — per-class keep rates decided by a
+  seed-stable hash of the document id, so the same row is kept on every
+  run, every retry, and every cluster size (``sampleBy`` is
+  nondeterministic under task retry; a content/id hash is not).
+* per-source quota capping — at most K documents per source/repo (the
+  standard defense against one domain dominating the mix); deterministic
+  rank by (hash, id) inside each source.
+* benchmark decontamination — flag documents sharing any word 8-gram
+  with a benchmark/eval set (the n-gram-overlap test used to keep eval
+  data out of training corpora). The benchmark side is tiny and
+  broadcast; the document side explodes to shingle hashes only (64-bit),
+  so the join carries no text.
+"""
+
+from __future__ import annotations
+
+from typing import Dict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def rate_threshold_hex(rate: float) -> str:
+    """rate in [0,1] -> 8-hex-char threshold. ``substring(md5(id),1,8) <
+    threshold`` keeps ~rate of rows: lowercase hex compares
+    lexicographically == numerically, so the SAME string comparison works
+    verbatim in Spark and the DuckDB oracle (no hex parsing)."""
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def stratified_sample(
+    df: DataFrame, class_col: str, id_col: str, rates: Dict[str, float],
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Keep each row iff md5-prefix(id) < threshold(class). Deterministic,
+    retry-safe, no shuffle — a pure filter the scanner can stream."""
+    prefix = F.substring(F.md5(F.col(id_col).cast("string")), 1, 8)
+    thr = F.lit(rate_threshold_hex(default_rate))
+    for cls, r in sorted(rates.items()):
+        thr = F.when(
+            F.col(class_col) == cls, F.lit(rate_threshold_hex(r))
+        ).otherwise(thr)
+    return df.filter(prefix < thr)
+
+
+def quota_cap_per_source(
+    df: DataFrame, source_col: str, id_col: str, max_per_source: int,
+) -> DataFrame:
+    """At most ``max_per_source`` rows per source, chosen deterministically
+    (lowest md5-rank first, id tiebreak). One shuffle on source; the
+    window is the standard top-K-per-group plan (rank + filter), which
+    AQE handles under skew the same way as any hot-key window."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(source_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= max_per_source)
+        .drop("_rk")
+    )
+
+
+def decontaminate(
+    docs: DataFrame, benchmark: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    bench_text_col: str = "text", n: int = 8,
+) -> DataFrame:
+    """(doc_id, n_contaminated_shingles): word n-gram overlap between each
+    document and the benchmark set. The benchmark's shingle set is small
+    and broadcast; documents explode to distinct md5 shingle keys (no raw
+    text crosses the join)."""
+
+    def shingles(frame: DataFrame, col: str, out: str) -> DataFrame:
+        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        # n-gram i..i+n-1 for i in 0..len-n (codegen transform+slice)
+        grams = F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda _, i: F.array_join(
+                    F.slice(toks, i + 1, n), " "
+                ),
+            ),
+        ).otherwise(F.array())
+        return frame.select(
+            *([F.col(id_col).alias("_id")] if out == "doc" else []),
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        ).select(
+            *(["_id"] if out == "doc" else []), F.md5(F.col("gram")).alias("gram_key")
+        )
+
+    bench_keys = shingles(benchmark, bench_text_col, "bench").distinct()
+    doc_keys = shingles(docs, text_col, "doc")
+    hits = doc_keys.join(F.broadcast(bench_keys), "gram_key")
+    return (
+        hits.groupBy("_id")
+        .agg(F.count("*").alias("n_contaminated_shingles"))
+        .select(F.col("_id").alias(id_col), "n_contaminated_shingles")
+    )

@@ -512,3 +512,45 @@ def test_streaming_windowed_watermark(spark, tmp_path):
     assert got[(1, "view")] == 1
     # hour 6 stays open (watermark never passes its end)
     assert (6, "click") not in got
+
+
+def test_corpus_assembly_operators(spark):
+    """Stratified sampling (deterministic, rate-accurate), per-source
+    quota capping, and benchmark decontamination."""
+    from gruut_spark.operators.corpus import (
+        decontaminate, quota_cap_per_source, stratified_sample,
+    )
+
+    rows = [
+        (i, "en" if i % 2 == 0 else "de", f"src{i % 3}",
+         f"sentence number {i} with shared words here padding tokens alpha beta gamma")
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, source string, text string")
+
+    sampled = stratified_sample(df, "lang", "doc_id", {"en": 0.5, "de": 0.1})
+    counts = {r["lang"]: r["n"] for r in sampled.groupBy("lang").agg(
+        F.count("*").alias("n")).collect()}
+    assert abs(counts["en"] / 1000 - 0.5) < 0.08    # rate-accurate
+    assert abs(counts["de"] / 1000 - 0.1) < 0.05
+    # deterministic: same rows on a second run
+    again = {r["doc_id"] for r in stratified_sample(
+        df, "lang", "doc_id", {"en": 0.5, "de": 0.1}).select("doc_id").collect()}
+    assert again == {r["doc_id"] for r in sampled.select("doc_id").collect()}
+
+    capped = quota_cap_per_source(df, "source", "doc_id", 25)
+    per_src = [r["n"] for r in capped.groupBy("source").agg(
+        F.count("*").alias("n")).collect()]
+    assert per_src == [25, 25, 25]
+
+    # decontamination: doc 0's exact text reappears inside doc 1500's text
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox jumps over the lazy dog today"),
+         (1, "completely unrelated content with no overlap at all whatsoever here"),
+         (2, "prefix words the quick brown fox jumps over the lazy dog today suffix")],
+        "doc_id long, text string",
+    )
+    bench = docs.filter(F.col("doc_id") == 0).select("text")
+    out = {r["doc_id"]: r["n_contaminated_shingles"] for r in
+           decontaminate(docs, bench).collect()}
+    assert 0 in out and 2 in out and 1 not in out
