@@ -649,6 +649,31 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("sample_id")
 
 
+def _corpus_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full composed corpus-assembly plan (rows-only: model-backed):
+    quality filter -> exact dedup -> near-dup cluster drop -> stratified
+    sample -> decontamination, over the documents table."""
+    _configure(spark)
+    from gruut_spark.plans.corpus_pipeline import assemble_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    files = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string")).alias("path"),
+        F.md5(F.col("text")).alias("commit"),
+        F.col("lang"),
+        F.col("text").alias("content"),
+    )
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    out = assemble_corpus(
+        files,
+        sample_rates={"en": 0.8, "zh": 0.8, "de": 0.8, "es": 0.8, "fr": 0.8},
+        benchmark=bench,
+        num_partitions=8,
+    )
+    return out.select("repo", "path", "lang", "lang_pred", "keep").orderBy("path")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (scans/joins/aggs/windows/top-k)
@@ -696,6 +721,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
         "multimodal_features": _multimodal_features,
+        "corpus_assembled": _corpus_assembled,
     }
 
 

@@ -1,0 +1,79 @@
+"""End-to-end training-corpus assembly: the composition every data team
+actually runs, as one lazy plan.
+
+    quality filter (langid + ppl + rules + scrub)
+      -> exact dedup           (on the scrubbed sha256 the filter already
+                                computed — no re-hash, no text shuffle)
+      -> near-dup cluster drop (MinHash-LSH pairs -> connected components;
+                                only the min-id representative survives)
+      -> stratified sampling   (per detected language, deterministic)
+      -> decontamination       (8-gram overlap vs a benchmark set)
+
+Every stage is an operator tested on its own; this module is the glue and
+the documented stage ordering (filter first so dedup hashes scrubbed
+bytes; dedup before sampling so rates apply to unique docs; decontaminate
+last because it is the most selective join). Scale notes: the only
+full-width shuffles are the salt repartition inside the filter and the
+LSH band shuffle; dedup/sampling/decontamination all operate on hashes
+and ids, never raw text.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.rules import RuleConfig
+from ..operators.corpus import decontaminate, stratified_sample
+from ..operators.dedup import dedup_clusters, minhash_lsh_pairs
+from .quality_pipeline import build_pipeline
+
+
+def assemble_corpus(
+    files: DataFrame,
+    sample_rates: Optional[Dict[str, float]] = None,
+    benchmark: Optional[DataFrame] = None,
+    cfg: Optional[RuleConfig] = None,
+    near_dup: bool = True,
+    num_partitions: Optional[int] = None,
+) -> DataFrame:
+    """files (repo, path, commit, lang, content) -> the assembled corpus
+    (kept, deduped, sampled, decontaminated rows of the filter output)."""
+    from pyspark.sql.window import Window
+
+    filtered = build_pipeline(files, cfg=cfg, num_partitions=num_partitions).filter(
+        F.col("keep")
+    )
+    # stable 64-bit doc key for dedup/sampling (never Python hash)
+    keyed = filtered.withColumn("_did", F.xxhash64("repo", "path", "commit"))
+
+    # exact dedup: the filter already computed scrubbed_sha256 — keep the
+    # min-key row per digest (one shuffle on the 64-char digest)
+    w = Window.partitionBy("scrubbed_sha256").orderBy("_did")
+    deduped = (
+        keyed.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+    if near_dup:
+        pairs = minhash_lsh_pairs(deduped, "scrubbed_content", "_did")
+        clusters = dedup_clusters(pairs)
+        losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
+            F.col("member_id").alias("_did")
+        )
+        deduped = deduped.join(losers, "_did", "left_anti")
+
+    if sample_rates:
+        deduped = stratified_sample(deduped, "lang_pred", "_did", sample_rates,
+                                    default_rate=1.0)
+
+    if benchmark is not None:
+        contaminated = decontaminate(
+            deduped, benchmark, text_col="scrubbed_content", id_col="_did"
+        ).select(F.col("_did"))
+        deduped = deduped.join(contaminated, "_did", "left_anti")
+
+    return deduped.drop("_did")

@@ -14,6 +14,7 @@ real).
 from __future__ import annotations
 
 import hashlib
+import os
 from typing import Dict, List, Sequence, Tuple
 
 import numpy as np
@@ -312,10 +313,42 @@ def training_corpus(seed: int = SEED, per_class: int = 200) -> Tuple[List[str], 
     return texts, labels
 
 
+# CCNet-style reference-corpus sample: the LM of each declared language is
+# additionally trained on the SMALL sf0.001 documents sample (500 docs, a
+# closed ~31-token vocabulary shared by every scale factor), so perplexity
+# is meaningful on the canonical corpus, not only on the synthetic one.
+# Without it the canonical documents are all OOV and the filter drops
+# 99.8% of them as "high perplexity" — a corpus-relative threshold needs a
+# corpus-relative reference model. Disjoint from the evaluation sets
+# (sf0.01/sf0.1 contain different documents).
+REFERENCE_SAMPLE = os.environ.get(
+    "SPARK_GRAFT_REFERENCE_SAMPLE", "/root/testdata/sf0.001/documents.parquet"
+)
+
+
+def _reference_sample_docs() -> Dict[str, List[List[str]]]:
+    if not os.path.exists(REFERENCE_SAMPLE):
+        return {}
+    from ..core.pipeline import normalize_document
+    from ..core.settings import resolve_lang
+
+    pdf = pd.read_parquet(REFERENCE_SAMPLE, columns=["lang", "text"])
+    short_of = {"en_US": "en", "de_DE": "de", "es_ES": "es", "fr_FR": "fr",
+                "zh_CN": "zh", "code": "code"}
+    out: Dict[str, List[List[str]]] = {}
+    for lang, text in zip(pdf["lang"], pdf["text"]):
+        short = short_of.get(resolve_lang(str(lang)), "en")
+        tokens, _ = normalize_document(str(text), str(lang))
+        if tokens:
+            out.setdefault(short, []).append(tokens)
+    return out
+
+
 def lm_corpus(seed: int = SEED, per_lang_docs: int = 300) -> Dict[str, List[List[str]]]:
     """Per-language token documents for LM training, tokenized with the
     gruut normalization front-end (the LM must score the same token stream
-    the pipeline produces)."""
+    the pipeline produces). Synthetic corpus + the reference-corpus sample
+    (see REFERENCE_SAMPLE above)."""
     from ..core.pipeline import normalize_document
 
     rng = np.random.default_rng(seed + 2)
@@ -343,4 +376,6 @@ def lm_corpus(seed: int = SEED, per_lang_docs: int = 300) -> Dict[str, List[List
             tokens, _ = normalize_document(_code(rng, kind), kind)
             code_docs.append(tokens)
     out["code"] = code_docs
+    for short, docs in _reference_sample_docs().items():
+        out.setdefault(short, []).extend(docs)
     return out

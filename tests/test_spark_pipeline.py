@@ -187,3 +187,52 @@ def test_resolved_mirror_matches_resolve_lang(spark):
     }
     for t in tags:
         assert out[t] == resolve_lang(t), (t, out[t], resolve_lang(t))
+
+
+def test_assemble_corpus_end_to_end(spark):
+    """The composed corpus-assembly plan: filter -> exact dedup -> near-dup
+    cluster drop -> stratified sample -> decontaminate, with planted rows
+    proving each stage acted."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.plans.corpus_pipeline import assemble_corpus
+
+    pdf = generate_files(150, seed=42)[["repo", "path", "commit", "lang", "content"]]
+    base = spark.createDataFrame(pdf)
+    # planted texts must come from the synthetic vocabulary (the LM is
+    # trained on it; real-English words are OOV -> high perplexity)
+    import numpy as np
+
+    from gruut_spark.sources.testgen import _prose
+
+    rng = np.random.default_rng(1234)
+    good = _prose(rng, "en", 12)
+    bench_core = _prose(np.random.default_rng(5678), "en", 2)
+    planted = spark.createDataFrame(
+        [
+            ("pl/r", "a.txt", "c1", "en", good),                  # original
+            ("pl/r", "b.txt", "c2", "en", good),                  # exact dup
+            ("pl/r", "c.txt", "c3", "en",
+             good + " " + _prose(rng, "en", 1)),                  # near dup
+            ("pl/r", "bench.txt", "c4", "en",
+             _prose(rng, "en", 4) + " " + bench_core + " " + _prose(rng, "en", 4)),
+        ],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    files = base.unionByName(planted)
+    bench = spark.createDataFrame([(bench_core,)], "text string")
+    out = assemble_corpus(
+        files,
+        sample_rates={"en": 1.0, "de": 1.0, "es": 1.0, "fr": 1.0,
+                      "code-python": 1.0, "code-js": 1.0},
+        benchmark=bench,
+    )
+    rows = out.filter(F.col("repo") == "pl/r").select("path").collect()
+    kept_paths = {r["path"] for r in rows}
+    # exactly one representative of the exact-dup pair survives (dedup
+    # keeps the min xxhash64 key — deterministic, not path-ordered)
+    assert len(kept_paths & {"a.txt", "b.txt"}) == 1
+    assert "c.txt" not in kept_paths        # near dup removed (cluster loser)
+    assert "bench.txt" not in kept_paths    # contaminated removed
+    # all survivors carry the filter's guarantees
+    assert out.filter(~F.col("keep")).count() == 0
