@@ -306,6 +306,87 @@ def _orders_asof_last_event(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) join: per-user activity windows (every 20th event
+    opens a 2-hour window) joined to all of that user's events inside the
+    window — bucketized rewrite of the BETWEEN theta-join
+    (operators/rangejoin.py), aggregated per window."""
+    from gruut_spark.operators.rangejoin import range_join
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 100)
+    epoch = F.col("ts").cast("timestamp").cast("double")
+    windows = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("window_id"),
+        "user_id",
+        epoch.alias("w_start"),
+        (epoch + 7200).alias("w_end"),
+    )
+    probe = ev.select(
+        "user_id", epoch.alias("t"), F.col("value").cast("decimal(18,6)").alias("v")
+    )
+    joined = range_join(
+        probe, windows, key="user_id", probe_time="t",
+        start_col="w_start", end_col="w_end", chunk=7200,
+    )
+    return (
+        joined.groupBy("window_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("window_id")
+    )
+
+
+def _events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly counts per event_type with gap filling (empty hours emitted
+    as zero rows between each type's min and max hour) — the hypertable
+    time_bucket_gapfill pattern as sequence+explode+left-join."""
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    hours = ev.select(
+        "event_type",
+        F.floor(F.col("ts").cast("timestamp").cast("double") / 3600)
+        .cast("long").alias("h"),
+    )
+    counts = hours.groupBy("event_type", "h").agg(F.count("*").alias("n_events"))
+    spans = hours.groupBy("event_type").agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    grid = spans.select(
+        "event_type", F.explode(F.sequence("h0", "h1")).alias("h")
+    )
+    return (
+        grid.join(counts, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_bucket"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+        .orderBy("event_type", "hour_bucket")
+    )
+
+
+def _events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact quantiles per event_type (sort-based percentile with linear
+    interpolation — matches DuckDB quantile_cont)."""
+    ev = _read(spark, sf_dir, "events")
+    qs = F.percentile("value", F.array(*[F.lit(x) for x in (0.25, 0.5, 0.75, 0.95)]))
+    return (
+        ev.groupBy("event_type")
+        .agg(qs.alias("q"))
+        .select(
+            "event_type",
+            F.round(F.col("q")[0], 6).alias("p25"),
+            F.round(F.col("q")[1], 6).alias("p50"),
+            F.round(F.col("q")[2], 6).alias("p75"),
+            F.round(F.col("q")[3], 6).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def _doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.textstats import token_counts
 
@@ -689,6 +770,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": _events_sessions,
         "events_rollup": _events_rollup,
         "orders_asof_last_event": _orders_asof_last_event,
+        "events_range_join": _events_range_join,
+        "events_gapfill": _events_gapfill,
+        "events_quantiles": _events_quantiles,
         # gruut-derived text functions (SURVEY.md §2.9) + quality scoring
         "doc_token_count": _doc_token_count,
         "doc_normalize_fingerprint": _doc_normalize_fingerprint,
@@ -918,6 +1002,57 @@ def oracle_sql() -> dict[str, str]:
               ON o.o_custkey = e.user_id AND e.ts <= o.o_orderdate
             WHERE o.o_custkey < 200
             ORDER BY o.o_orderkey
+        """,
+        "events_range_join": """
+            WITH ev AS (SELECT * FROM events WHERE user_id < 100),
+            w AS (
+                SELECT event_id AS window_id, user_id,
+                       epoch(ts) AS w_start, epoch(ts) + 7200 AS w_end
+                FROM ev WHERE event_id % 20 = 0
+            )
+            SELECT w.window_id,
+                   count(*) AS n_events,
+                   sum(e.value::DECIMAL(18,6))::DOUBLE AS sum_value
+            FROM w JOIN ev e
+              ON e.user_id = w.user_id
+             AND epoch(e.ts) >= w.w_start
+             AND epoch(e.ts) <= w.w_end
+            GROUP BY w.window_id
+            ORDER BY w.window_id
+        """,
+        "events_gapfill": """
+            WITH hours AS (
+                SELECT event_type,
+                       CAST(floor(epoch(ts) / 3600) AS BIGINT) AS h
+                FROM events WHERE user_id < 20
+            ),
+            counts AS (
+                SELECT event_type, h, count(*) AS n_events
+                FROM hours GROUP BY event_type, h
+            ),
+            spans AS (
+                SELECT event_type, min(h) AS h0, max(h) AS h1
+                FROM hours GROUP BY event_type
+            ),
+            grid AS (
+                SELECT s.event_type, g.h
+                FROM spans s, unnest(range(s.h0, s.h1 + 1)) AS g(h)
+            )
+            SELECT g.event_type, g.h AS hour_bucket,
+                   coalesce(c.n_events, 0) AS n_events
+            FROM grid g
+            LEFT JOIN counts c ON c.event_type = g.event_type AND c.h = g.h
+            ORDER BY g.event_type, hour_bucket
+        """,
+        "events_quantiles": """
+            SELECT event_type,
+                   round(quantile_cont(value, 0.25), 6) AS p25,
+                   round(quantile_cont(value, 0.50), 6) AS p50,
+                   round(quantile_cont(value, 0.75), 6) AS p75,
+                   round(quantile_cont(value, 0.95), 6) AS p95
+            FROM events
+            GROUP BY event_type
+            ORDER BY event_type
         """,
         "topk_parts": """
             SELECT p_partkey, p_name, p_retailprice::DECIMAL(18,2)::DOUBLE AS p_retailprice

@@ -1,0 +1,52 @@
+"""Scalable range (interval) join.
+
+``probe.t BETWEEN build.start AND build.end`` is a theta-join: Spark's
+only native plan is BroadcastNestedLoop (fine for a small build side) or
+a cartesian product (fatal at scale). The standard scalable rewrite is
+interval bucketing: chop time into fixed chunks, explode each build
+interval to every chunk it overlaps, bucket each probe row into its
+chunk, equi-join on (key, chunk), then apply the exact range predicate.
+Join work becomes O(rows x avg_chunks_per_interval) instead of
+O(probe x build), and the equi-join shuffles/broadcasts like any other.
+
+Chunk size is a knob: ~the median interval length is a good default
+(each interval explodes to ~2 chunks).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def range_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    probe_time: str,
+    start_col: str,
+    end_col: str,
+    chunk: int,
+    broadcast_build: bool = True,
+) -> DataFrame:
+    """Inner join: probe rows to every build interval (same ``key``)
+    containing ``probe_time`` (inclusive bounds). Both sides keep all
+    their columns. ``chunk`` is the bucketing width in the time column's
+    units; intervals explode to ceil(len/chunk)+1 chunks."""
+    b = build.withColumn(
+        "_chunk",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(start_col) / chunk).cast("long"),
+                F.floor(F.col(end_col) / chunk).cast("long"),
+            )
+        ),
+    )
+    if broadcast_build:
+        b = F.broadcast(b)
+    p = probe.withColumn("_chunk", F.floor(F.col(probe_time) / chunk).cast("long"))
+    joined = p.join(b, [key, "_chunk"]).filter(
+        (F.col(probe_time) >= F.col(start_col))
+        & (F.col(probe_time) <= F.col(end_col))
+    )
+    return joined.drop("_chunk")

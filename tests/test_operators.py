@@ -554,3 +554,26 @@ def test_corpus_assembly_operators(spark):
     out = {r["doc_id"]: r["n_contaminated_shingles"] for r in
            decontaminate(docs, bench).collect()}
     assert 0 in out and 2 in out and 1 not in out
+
+
+def test_range_join_semantics(spark):
+    """Bucketized interval join == naive BETWEEN theta-join, including
+    chunk-spanning intervals, inclusive bounds, and negative times."""
+    from gruut_spark.operators.rangejoin import range_join
+
+    build = spark.createDataFrame(
+        [(1, 0.0, 25.0, "w1"), (1, 30.0, 30.0, "point"), (2, -15.0, 5.0, "neg")],
+        "k long, s double, e double, wname string",
+    )
+    probe = spark.createDataFrame(
+        [(1, 0.0), (1, 10.0), (1, 25.0), (1, 26.0), (1, 30.0),
+         (2, -15.0), (2, -7.0), (2, 5.0), (2, 6.0), (3, 1.0)],
+        "k long, t double",
+    )
+    out = {(r["wname"], r["t"]) for r in range_join(
+        probe, build, key="k", probe_time="t",
+        start_col="s", end_col="e", chunk=10,  # w1 spans 3+ chunks
+    ).collect()}
+    expected = {("w1", 0.0), ("w1", 10.0), ("w1", 25.0), ("point", 30.0),
+                ("neg", -15.0), ("neg", -7.0), ("neg", 5.0)}
+    assert out == expected
