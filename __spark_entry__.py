@@ -387,6 +387,34 @@ def _events_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _events_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct aggregation: unique users + event counts per type (two-
+    phase distinct agg; the partial dedup keeps the shuffle narrow)."""
+    ev = _read(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("n_users"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti join: customers (key < 200) with no events at all — the
+    NOT-EXISTS pattern as a broadcast anti join."""
+    cust = _read(spark, sf_dir, "customer").filter(F.col("c_custkey") < 200)
+    ev_users = _read(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey")
+    ).distinct()
+    return (
+        cust.join(F.broadcast(ev_users), "c_custkey", "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")
+    )
+
+
 def _doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.textstats import token_counts
 
@@ -771,6 +799,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_rollup": _events_rollup,
         "orders_asof_last_event": _orders_asof_last_event,
         "events_range_join": _events_range_join,
+        "events_distinct_users": _events_distinct_users,
+        "customers_without_events": _customers_without_events,
         "events_gapfill": _events_gapfill,
         "events_quantiles": _events_quantiles,
         # gruut-derived text functions (SURVEY.md §2.9) + quality scoring
@@ -1043,6 +1073,19 @@ def oracle_sql() -> dict[str, str]:
             FROM grid g
             LEFT JOIN counts c ON c.event_type = g.event_type AND c.h = g.h
             ORDER BY g.event_type, hour_bucket
+        """,
+        "events_distinct_users": """
+            SELECT event_type,
+                   count(DISTINCT user_id) AS n_users,
+                   count(*) AS n_events
+            FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "customers_without_events": """
+            SELECT c_custkey, c_name
+            FROM customer c
+            WHERE c.c_custkey < 200
+              AND NOT EXISTS (SELECT 1 FROM events e WHERE e.user_id = c.c_custkey)
+            ORDER BY c_custkey
         """,
         "events_quantiles": """
             SELECT event_type,
