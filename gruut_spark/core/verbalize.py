@@ -110,7 +110,7 @@ def en_cardinal(value: Numeric) -> str:
     sign = "minus " if dec < 0 else ""
     dec = abs(dec)
     int_part = int(dec)
-    frac_digits = str(dec).split(".", 1)[1]
+    frac_digits = format(dec, "f").split(".", 1)[1]  # fixed-point: never scientific
     frac_words = " ".join(_EN_ONES[int(d)] for d in frac_digits)
     return f"{sign}{en_cardinal_int(int_part)} point {frac_words}"
 
@@ -254,7 +254,7 @@ def de_cardinal(value: Numeric) -> str:
         return de_cardinal_int(int(dec))
     sign = "minus " if dec < 0 else ""
     dec = abs(dec)
-    frac_digits = str(dec).split(".", 1)[1]
+    frac_digits = format(dec, "f").split(".", 1)[1]  # fixed-point: never scientific
     frac = " ".join(_DE_ONES[int(d)] for d in frac_digits)
     return f"{sign}{de_cardinal_int(int(dec))} Komma {frac}"
 
@@ -308,7 +308,7 @@ def es_cardinal(value: Numeric) -> str:
         return es_cardinal_int(int(dec))
     sign = "menos " if dec < 0 else ""
     dec = abs(dec)
-    frac_digits = str(dec).split(".", 1)[1]
+    frac_digits = format(dec, "f").split(".", 1)[1]  # fixed-point: never scientific
     frac = " ".join(_ES_ONES[int(d)] for d in frac_digits)
     return f"{sign}{es_cardinal_int(int(dec))} punto {frac}"
 
@@ -370,7 +370,7 @@ def fr_cardinal(value: Numeric) -> str:
         return fr_cardinal_int(int(dec))
     sign = "moins " if dec < 0 else ""
     dec = abs(dec)
-    frac_digits = str(dec).split(".", 1)[1]
+    frac_digits = format(dec, "f").split(".", 1)[1]  # fixed-point: never scientific
     frac = " ".join(_FR_ONES[int(d)] for d in frac_digits)
     return f"{sign}{fr_cardinal_int(int(dec))} virgule {frac}"
 
@@ -429,9 +429,13 @@ def it_cardinal_int(n: int) -> str:
         thousands, rest = divmod(n, 1000)
         head = "mille" if thousands == 1 else _it_under_1000(thousands) + "mila"
         return head + (_it_under_1000(rest) if rest else "")
-    millions, rest = divmod(n, 10 ** 6)
-    m_word = "un milione" if millions == 1 else f"{it_cardinal_int(millions)} milioni"
-    return m_word + (f" {it_cardinal_int(rest)}" if rest else "")
+    if n < 10 ** 9:
+        millions, rest = divmod(n, 10 ** 6)
+        m_word = "un milione" if millions == 1 else f"{it_cardinal_int(millions)} milioni"
+        return m_word + (f" {it_cardinal_int(rest)}" if rest else "")
+    billions, rest = divmod(n, 10 ** 9)
+    b_word = "un miliardo" if billions == 1 else f"{it_cardinal_int(billions)} miliardi"
+    return b_word + (f" {it_cardinal_int(rest)}" if rest else "")
 
 
 _NL_ONES = [
@@ -474,9 +478,13 @@ def nl_cardinal_int(n: int) -> str:
         thousands, rest = divmod(n, 1000)
         head = "duizend" if thousands == 1 else _nl_under_1000(thousands) + "duizend"
         return head + (f" {_nl_under_1000(rest)}" if rest else "")
-    millions, rest = divmod(n, 10 ** 6)
-    m_word = "een miljoen" if millions == 1 else f"{nl_cardinal_int(millions)} miljoen"
-    return m_word + (f" {nl_cardinal_int(rest)}" if rest else "")
+    if n < 10 ** 9:
+        millions, rest = divmod(n, 10 ** 6)
+        m_word = "een miljoen" if millions == 1 else f"{nl_cardinal_int(millions)} miljoen"
+        return m_word + (f" {nl_cardinal_int(rest)}" if rest else "")
+    billions, rest = divmod(n, 10 ** 9)
+    b_word = "een miljard" if billions == 1 else f"{nl_cardinal_int(billions)} miljard"
+    return b_word + (f" {nl_cardinal_int(rest)}" if rest else "")
 
 
 _PT_ONES = [
@@ -584,7 +592,11 @@ def ru_cardinal_int(n: int) -> str:
     if n < 1000:
         return _ru_under_1000(n)
     parts = []
-    millions, rest = divmod(n, 10 ** 6)
+    billions, rest = divmod(n, 10 ** 9)
+    if billions:
+        word = slavic_plural(billions, ("миллиард", "миллиарда", "миллиардов"))
+        parts.append(f"{_ru_under_1000(billions)} {word}")
+    millions, rest = divmod(rest, 10 ** 6)
     if millions:
         word = slavic_plural(millions, ("миллион", "миллиона", "миллионов"))
         parts.append(f"{_ru_under_1000(millions)} {word}")
@@ -629,9 +641,13 @@ def sv_cardinal_int(n: int) -> str:
         # num2words sv: "ettusen" (elided), "tvåtusen", joined throughout
         head = "ettusen" if thousands == 1 else _sv_under_1000(thousands) + "tusen"
         return head + (_sv_under_1000(rest) if rest else "")
-    millions, rest = divmod(n, 10 ** 6)
-    m_word = "en miljon" if millions == 1 else f"{sv_cardinal_int(millions)} miljoner"
-    return m_word + (f" {sv_cardinal_int(rest)}" if rest else "")
+    if n < 10 ** 9:
+        millions, rest = divmod(n, 10 ** 6)
+        m_word = "en miljon" if millions == 1 else f"{sv_cardinal_int(millions)} miljoner"
+        return m_word + (f" {sv_cardinal_int(rest)}" if rest else "")
+    billions, rest = divmod(n, 10 ** 9)
+    b_word = "en miljard" if billions == 1 else f"{sv_cardinal_int(billions)} miljarder"
+    return b_word + (f" {sv_cardinal_int(rest)}" if rest else "")
 
 
 _CS_ONES = [
@@ -655,7 +671,7 @@ def _cs_hundreds_word(h: int) -> str:
     return f"{_CS_ONES[h]} set"
 
 
-def _cs_under_1000(n: int) -> str:
+def _cs_under_1000(n: int, feminine: bool = False) -> str:
     parts = []
     hundreds, rest = divmod(n, 100)
     if hundreds:
@@ -665,7 +681,10 @@ def _cs_under_1000(n: int) -> str:
         parts.append(_CS_TENS[tens])
         rest = units
     if rest:
-        parts.append(_CS_ONES[rest])
+        if feminine and rest == 2:
+            parts.append("dvě")
+        else:
+            parts.append(_CS_ONES[rest])
     return " ".join(parts) if parts else _CS_ONES[0]
 
 
@@ -675,7 +694,12 @@ def cs_cardinal_int(n: int) -> str:
     if n < 1000:
         return _cs_under_1000(n)
     parts = []
-    millions, rest = divmod(n, 10 ** 6)
+    billions, rest = divmod(n, 10 ** 9)
+    if billions:
+        word = slavic_plural(billions, ("miliarda", "miliardy", "miliard"))
+        head = "jedna" if billions == 1 else _cs_under_1000(billions, feminine=True)
+        parts.append(f"{head} {word}")
+    millions, rest = divmod(rest, 10 ** 6)
     if millions:
         word = slavic_plural(millions, ("milion", "miliony", "milionů"))
         head = "jeden" if millions == 1 else _cs_under_1000(millions)
@@ -722,7 +746,7 @@ def _make_generic_cardinal(short: str):
             return int_fn(int(dec))
         sign = f"{neg_word} " if dec < 0 else ""
         dec = abs(dec)
-        frac_digits = str(dec).split(".", 1)[1]
+        frac_digits = format(dec, "f").split(".", 1)[1]  # fixed-point: never scientific
         frac = " ".join(ones[int(d)] for d in frac_digits)
         return f"{sign}{int_fn(int(dec))} {dec_word} {frac}"
 
