@@ -1,0 +1,80 @@
+"""Cross-batch streaming NEAR-duplicate detection (incremental
+MinHash-LSH as a custom stateful operator).
+
+A document arriving in micro-batch N must be flagged if any earlier batch
+contained a near-duplicate. Batch LSH can't see across batches; the
+streaming form keys ``applyInPandasWithState`` by the LSH band bucket
+(band, band_hash): state per key is the min doc id ever seen in that
+bucket (8 bytes), so an incoming doc colliding with an occupied bucket
+emits a candidate pair (first_seen_id, new_id) exactly like the batch
+operator's pairs. State size is O(distinct band buckets) — 16 longs per
+distinct document, the inherent floor for incremental LSH (production
+near-dup services hold exactly this index).
+
+Batch analogue: ``operators/dedup.py::minhash_lsh_pairs`` — feeding the
+same rows in any batch split yields the same candidate pair set (up to
+the per-bucket representative, which is arrival-order min).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "min_id long"
+OUTPUT_SCHEMA = "id_a long, id_b long"
+
+
+def _near_dedup_fn(
+    key: Tuple[int, int], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Per (band, band_hash) bucket: pair every arriving id with the
+    bucket's first-ever id; the first arrival only installs the state."""
+    ids: list = []
+    for pdf in batches:
+        ids.extend(int(x) for x in pdf["_id"])
+    if not ids:
+        return
+    ids.sort()
+    if state.exists:
+        (anchor,) = state.get
+    else:
+        anchor = ids[0]
+        state.update((anchor,))
+        ids = ids[1:]
+    if ids:
+        yield pd.DataFrame({"id_a": [anchor] * len(ids), "id_b": ids})
+
+
+def streaming_near_dedup_pairs(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
+) -> DataFrame:
+    """stream (id, text) -> candidate near-dup pairs across ALL
+    micro-batches seen so far. Same signature UDF and banding as the
+    batch operator, so streaming and batch agree on bucket membership."""
+    from ..operators.dedup import minhash_band_hashes
+
+    eligible = stream.filter(F.trim(F.col(text_col)) != "")
+    sigs = minhash_band_hashes(
+        eligible, text_col, id_col, num_perm, bands, shingle_k, seed
+    )
+    banded = sigs.select(
+        F.posexplode_outer(F.col("band_hashes")).alias("band", "band_hash"),
+        F.col("_id"),
+    )
+    pairs = banded.groupBy("band", "band_hash").applyInPandasWithState(
+        _near_dedup_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    # a pair may surface from several bands within one batch; dedup per
+    # batch downstream (the sink sees (id_a, id_b) rows)
+    return pairs

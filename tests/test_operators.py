@@ -577,3 +577,48 @@ def test_range_join_semantics(spark):
     expected = {("w1", 0.0), ("w1", 10.0), ("w1", 25.0), ("point", 30.0),
                 ("neg", -15.0), ("neg", -7.0), ("neg", 5.0)}
     assert out == expected
+
+
+def test_streaming_near_dedup_pairs(spark, tmp_path):
+    """Incremental MinHash-LSH: a near-duplicate arriving in a LATER
+    micro-batch pairs with the earlier doc via band-bucket state; unrelated
+    docs never pair."""
+    from gruut_spark.streaming.stateful_near_dedup import streaming_near_dedup_pairs
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    base = " ".join(f"token{i} word{i}" for i in range(20))  # 40 tokens
+    near = base.replace("token7", "changed")                  # 1-word edit
+    batch1 = spark.createDataFrame(
+        [(0, base), (1, "completely different material about streaming state here")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(2, near), (3, "yet another unrelated document body")],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(in_dir + "/*")
+    )
+
+    def run():
+        q = (
+            streaming_near_dedup_pairs(stream, shingle_k=2)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    batch2.coalesce(1).write.parquet(in_dir + "/b2")
+    run()
+    pairs = {(r["id_a"], r["id_b"])
+             for r in spark.read.parquet(out_dir).collect()}
+    assert (0, 2) in pairs           # cross-batch near dup found
+    assert all(p[0] == 0 and p[1] == 2 for p in pairs), pairs  # nothing else
