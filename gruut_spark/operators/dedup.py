@@ -6,9 +6,9 @@ Four families, each shaped for 100 TB inputs:
                  partial agg; the hash column keeps the shuffle narrow —
                  never shuffle the full text).
 * MinHash+LSH  — numpy-vectorized signatures in a pandas UDF, then
-                 band-explode + groupBy band-hash: candidate pairs emerge
-                 from a single shuffle on (band, band_hash) instead of an
-                 O(n²) self-join.
+                 band-explode + one shuffle on (band, band_hash) into a
+                 sorted streaming pair emitter (bounded all-pairs / star
+                 pairs) instead of an O(n²) self-join.
 * SimHash      — 64-bit signature, banded into 16-bit chunks for
                  Hamming-neighbor candidate generation.
 * n-gram Jaccard — exact token-shingle Jaccard via explode + co-group,
