@@ -68,3 +68,23 @@ def test_verbalize_cardinal_total(value, lang):
 
     out = verbalize.cardinal(value, lang)
     assert isinstance(out, str) and out
+
+
+@FUZZ
+@given(
+    st.text(
+        alphabet="0123456789/:.,-$€£ apm",  # parser-shaped noise
+        max_size=60,
+    )
+)
+def test_numeric_parser_noise_never_raises(text):
+    """Targeted fuzz at the date/time/currency/number classifiers: strings
+    made of digits, separators and meridiem letters are exactly what the
+    parsers chew on."""
+    from gruut_spark.core.tokenizer import sentences
+
+    a = [w.text for s in sentences(text, "en_US") for w in s.words]
+    b = [w.text for s in sentences(text, "en_US") for w in s.words]
+    assert a == b
+    for lang in ("de", "it", "ru"):
+        sentences(text, lang)

@@ -622,3 +622,29 @@ def test_streaming_near_dedup_pairs(spark, tmp_path):
              for r in spark.read.parquet(out_dir).collect()}
     assert (0, 2) in pairs           # cross-batch near dup found
     assert all(p[0] == 0 and p[1] == 2 for p in pairs), pairs  # nothing else
+
+
+def test_sorted_bucket_pairs_chunked_yield(spark, monkeypatch):
+    """The emitter's mid-partition chunk flush (_EMIT_CHUNK) must not drop
+    or duplicate pairs — forced here with a tiny chunk size over many
+    buckets and a megabucket."""
+    import gruut_spark.operators.dedup as D
+
+    monkeypatch.setattr(D, "_EMIT_CHUNK", 7)
+    rows = []
+    # 30 small buckets of 4 members -> 6 pairs each
+    for b in range(30):
+        for m in range(4):
+            rows.append((b, 1000 * b + m))
+    # one megabucket of 50 members (cap 10) -> 49 star pairs
+    rows += [(99, 99000 + m) for m in range(50)]
+    df = spark.createDataFrame(rows, "bucket long, _id long").select("bucket", "_id")
+    out = D.sorted_bucket_pairs(df, ["bucket"], [], max_bucket=10)
+    pairs = [(r["id_a"], r["id_b"]) for r in out.collect()]
+    assert len(pairs) == len(set(pairs))  # no duplicates
+    expected = set()
+    for b in range(30):
+        ids = [1000 * b + m for m in range(4)]
+        expected |= {(a, c) for i, a in enumerate(ids) for c in ids[i + 1:]}
+    expected |= {(99000, 99000 + m) for m in range(1, 50)}
+    assert set(pairs) == expected
