@@ -25,11 +25,15 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 def rate_threshold_hex(rate: float) -> str:
-    """rate in [0,1] -> 8-hex-char threshold. ``substring(md5(id),1,8) <
+    """rate in [0,1] -> 8-char threshold. ``substring(md5(id),1,8) <
     threshold`` keeps ~rate of rows: lowercase hex compares
     lexicographically == numerically, so the SAME string comparison works
-    verbatim in Spark and the DuckDB oracle (no hex parsing)."""
-    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+    verbatim in Spark and the DuckDB oracle (no hex parsing). rate >= 1
+    returns 'g0000000', which sorts above every hex string — keep ALL
+    rows, not all-but-2^-32."""
+    if rate >= 1.0:
+        return "g0000000"
+    return format(int(rate * (1 << 32)), "08x")
 
 
 def stratified_sample(
