@@ -414,8 +414,13 @@ def _zh_settings() -> TextSettings:
         split_words=list,
         major_breaks={"。", "！", "？"},
         minor_breaks={"；", "：", "，", "、", "……"},
-        begin_punctuations={"（", "［", "【", "「", "﹁", '"', "《", "〈"},
-        end_punctuations={"）", "］", "】", "」", "﹂", '"', "》", "〉"},
+        # the reference's sets use the ASCII quote (verified: U+0022 in
+        # gruut/lang.py:839-841); the curly quotes U+201C/U+201D are added
+        # here beyond reference parity — horizontal zh text quotes with
+        # “…”, and under char-level splitting an unlisted quote would
+        # become a junk WORD token feeding the LM/rules
+        begin_punctuations={"（", "［", "【", "「", "﹁", '"', "“", "《", "〈"},
+        end_punctuations={"）", "］", "】", "」", "﹂", '"', "”", "》", "〉"},
         word_breaks={"‧"},
         replacements=[],
         currencies={},

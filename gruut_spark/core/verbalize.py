@@ -573,6 +573,14 @@ def _ru_under_1000(n: int, feminine: bool = False) -> str:
     return " ".join(parts) if parts else _RU_ONES[0]
 
 
+def _ru_count_words(n: int, gender: str) -> str:
+    """Counting words with grammatical gender for the counted noun
+    (currency units: один рубль / одна копейка)."""
+    if n < 1000:
+        return _ru_under_1000(n, feminine=(gender == "f"))
+    return ru_cardinal_int(n)
+
+
 def slavic_plural(n: int, forms: tuple) -> str:
     """(one, few, many) plural selection shared by ru/cs: 1/x1 -> one,
     2-4/x2-x4 -> few, else many (teens always many)."""
@@ -671,7 +679,15 @@ def _cs_hundreds_word(h: int) -> str:
     return f"{_CS_ONES[h]} set"
 
 
-def _cs_under_1000(n: int, feminine: bool = False) -> str:
+_CS_ONE_BY_GENDER = {"m": "jeden", "f": "jedna", "n": "jedno"}
+
+
+def _cs_under_1000(n: int, feminine: bool = False, gender: str = "") -> str:
+    """gender overrides the table's default counting forms for the final
+    1/2 (jeden/jedna/jedno, dva/dvě); feminine=True is shorthand for
+    gender='f' (used by tisíce/miliardy agreement)."""
+    if feminine and not gender:
+        gender = "f"
     parts = []
     hundreds, rest = divmod(n, 100)
     if hundreds:
@@ -681,11 +697,19 @@ def _cs_under_1000(n: int, feminine: bool = False) -> str:
         parts.append(_CS_TENS[tens])
         rest = units
     if rest:
-        if feminine and rest == 2:
+        if rest == 1 and gender in _CS_ONE_BY_GENDER:
+            parts.append(_CS_ONE_BY_GENDER[gender])
+        elif rest == 2 and gender in ("f", "n"):
             parts.append("dvě")
         else:
             parts.append(_CS_ONES[rest])
     return " ".join(parts) if parts else _CS_ONES[0]
+
+
+def _cs_count_words(n: int, gender: str) -> str:
+    if n < 1000:
+        return _cs_under_1000(n, gender=gender)
+    return cs_cardinal_int(n)
 
 
 def cs_cardinal_int(n: int) -> str:
@@ -779,6 +803,14 @@ _LANG_CURRENCY_FORMS = {
            "EUR": ("euro", "eura", "eur", "cent", "centy", "centů")},
 }
 
+# grammatical gender of the (unit, cent) nouns for gendered counting words
+# (один рубль / одна копейка; jedna koruna / jeden haléř; jedno euro)
+_SLAVIC_CURRENCY_GENDER = {
+    ("ru", "RUB"): ("m", "f"),
+    ("cs", "CZK"): ("f", "m"),
+    ("cs", "EUR"): ("n", "m"),
+}
+
 _CARDINALS = {
     "en": en_cardinal,
     "de": de_cardinal,
@@ -833,9 +865,15 @@ def currency(value: Numeric, code: str = "USD", lang: str = "en") -> str:
     if len(forms) == 6:  # slavic (one, few, many) unit + cent forms
         unit = slavic_plural(whole, forms[:3])
         cent = slavic_plural(cents, forms[3:])
-    else:
-        unit = forms[0] if whole == 1 else forms[1]
-        cent = forms[2] if cents == 1 else forms[3]
+        # gendered counting words (одна копейка, jedna koruna, jedno euro)
+        u_gender, c_gender = _SLAVIC_CURRENCY_GENDER.get((short, code), ("m", "m"))
+        count_words = _ru_count_words if short == "ru" else _cs_count_words
+        text = f"{sign}{count_words(whole, u_gender)} {unit}"
+        if cents > 0:
+            text += f" {count_words(cents, c_gender)} {cent}"
+        return text
+    unit = forms[0] if whole == 1 else forms[1]
+    cent = forms[2] if cents == 1 else forms[3]
     text = f"{sign}{card(whole)} {unit}"
     if cents > 0:
         text += f" {card(cents)} {cent}"

@@ -74,14 +74,23 @@ _EMIT_CHUNK = 50_000
 
 def sorted_bucket_pairs(
     df: DataFrame, key_cols: list, payload_cols: list, max_bucket: int,
-    payload_schema: str = "",
+    payload_schema: str = "", star_adjacent: bool = False,
 ) -> DataFrame:
     """``df`` columns must be exactly key_cols + [_id] + payload_cols.
     Returns (id_a, id_b[, <payload>_a..., <payload>_b...]): all (a<b) pairs
     for buckets of size <= max_bucket; star pairs against the bucket's min
-    id beyond that (connectivity preserved, linear output). Buckets are
-    hash-partitioned so each lives in one partition; the sort makes them
-    contiguous and puts the min id first."""
+    id beyond that (linear output). Buckets are hash-partitioned so each
+    lives in one partition; the sort makes them contiguous and puts the
+    min id first.
+
+    Over-cap semantics, precisely: star pairs preserve CONNECTIVITY (for
+    clustering, the whole bucket still merges), but a consumer that
+    VERIFIES pairs afterwards (hamming/cosine) only checks members
+    against the bucket min — two members similar to each other but not to
+    the min are not paired. That coarsening is exact-duplicate-crowd
+    territory by construction; ``star_adjacent=True`` additionally emits
+    the id-adjacent chain inside over-cap buckets (still linear), which
+    verification-based consumers use to retain neighbor pairs."""
     n_keys = len(key_cols)
     out_cols = ["id_a", "id_b"]
     for c in payload_cols:
@@ -92,6 +101,7 @@ def sorted_bucket_pairs(
         cur_key = None
         buf = []          # [(id, payload...)] while bucket <= max_bucket
         center = None     # (id, payload...) of the bucket min (first row)
+        prev = None       # previous member (for the star_adjacent chain)
         count = 0
         star = False
         out = []
@@ -119,12 +129,14 @@ def sorted_bucket_pairs(
                     if len(out) >= _EMIT_CHUNK:
                         yield pd.DataFrame(out, columns=out_cols)
                         out = []
-                    cur_key, buf, center = key, [item], item
+                    cur_key, buf, center, prev = key, [item], item, item
                     count, star = 1, False
                 else:
                     count += 1
                     if star:
                         out.append(pair_row(center, item))
+                        if star_adjacent and prev[0] != center[0]:
+                            out.append(pair_row(prev, item))
                     else:
                         buf.append(item)
                         if count > max_bucket:
@@ -132,7 +144,10 @@ def sorted_bucket_pairs(
                             center = buf[0]
                             for k in range(1, len(buf)):
                                 out.append(pair_row(center, buf[k]))
+                                if star_adjacent and k >= 2:
+                                    out.append(pair_row(buf[k - 1], buf[k]))
                             buf = []
+                    prev = item
                     if len(out) >= _EMIT_CHUNK:
                         yield pd.DataFrame(out, columns=out_cols)
                         out = []
@@ -325,10 +340,13 @@ def simhash_near_pairs(
     Same degenerate-input defenses as ``minhash_lsh_pairs``: empty texts
     (simhash 0, colliding in all four chunks) are filtered before signing;
     per-(chunk_idx, chunk_val) groups larger than ``max_bucket`` emit
-    linear star pairs against the group's min-id member instead of a
-    quadratic expansion (``sorted_bucket_pairs``). The hamming
-    verification runs BEFORE the pair dedup so the final shuffle only
-    carries verified near-dups."""
+    linear star + id-adjacent chain pairs instead of a quadratic
+    expansion (``sorted_bucket_pairs`` with star_adjacent — since hamming
+    verification happens AFTER pairing, over-cap buckets only verify
+    members against the bucket min and their id-neighbors; identical-
+    signature crowds, the actual degenerate case, all survive either
+    route). The hamming verification runs BEFORE the pair dedup so the
+    final shuffle only carries verified near-dups."""
     eligible = df.filter(F.trim(F.col(text_col)) != "")
     sigs = simhash_signatures(eligible, text_col, id_col)
     chunks = sigs.select(
@@ -344,7 +362,7 @@ def simhash_near_pairs(
     ).select("chunk_idx", "chunk_val", "_id", "simhash")
     cand = sorted_bucket_pairs(
         chunks, ["chunk_idx", "chunk_val"], ["simhash"], max_bucket,
-        payload_schema="simhash_a long, simhash_b long",
+        payload_schema="simhash_a long, simhash_b long", star_adjacent=True,
     )
     hamming = F.bit_count(F.col("simhash_a").bitwiseXOR(F.col("simhash_b")))
     return (

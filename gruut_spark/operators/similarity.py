@@ -238,12 +238,15 @@ def embedding_near_dup_pairs(
 
     Scale defenses, mirroring operators.dedup: zero vectors are filtered
     before bucketing (they'd all land in bucket 0 of every table), and
-    buckets beyond ``max_bucket`` emit linear star pairs against the
-    bucket's min id instead of a quadratic within-bucket join — an
-    identical-embedding crowd yields n-1 verified pairs, not n²/2. The
-    shuffles are the (table, bucket) repartition feeding the sorted
-    streaming pair emitter and one final dedup over verified pairs
-    only."""
+    buckets beyond ``max_bucket`` emit linear star + id-adjacent chain
+    pairs instead of a quadratic within-bucket join — an
+    identical-embedding crowd yields verified pairs linearly, not n²/2.
+    Over-cap coarsening (precise): members are only verified against the
+    bucket min and their id-neighbors, so a pair similar to each other
+    but not to the min may be missed inside a megabucket; within-cap
+    buckets are exhaustive. The shuffles are the (table, bucket)
+    repartition feeding the sorted streaming pair emitter and one final
+    dedup over verified pairs only."""
     from pyspark.sql.functions import pandas_udf
 
     dim_row = df.select(vec_col).head()
@@ -278,6 +281,7 @@ def embedding_near_dup_pairs(
     cand = sorted_bucket_pairs(
         sigs, ["table_idx", "bucket"], ["_vec"], max_bucket,
         payload_schema="_vec_a array<float>, _vec_b array<float>",
+        star_adjacent=True,
     )
     dot = F.aggregate(
         F.zip_with(

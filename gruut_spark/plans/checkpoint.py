@@ -92,10 +92,12 @@ def run_with_checkpoints(
         # Idempotent group commit: dynamic partition overwrite replaces
         # exactly the bucket partitions this group writes, so a crash
         # between the data commit and the manifest write re-runs the group
-        # without appending duplicate rows (ADVICE r01).
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        # without appending duplicate rows (ADVICE r01). Writer-scoped
+        # option, not a session conf mutation — other overwrites in the
+        # same session keep their default semantics.
         (
             out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(BUCKET_COL)
             .parquet(verdict_dir)
         )

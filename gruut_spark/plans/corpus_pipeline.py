@@ -49,14 +49,19 @@ def assemble_corpus(
     # stable 64-bit doc key for dedup/sampling (never Python hash)
     keyed = filtered.withColumn("_did", F.xxhash64("repo", "path", "commit"))
 
-    # exact dedup: the filter already computed scrubbed_sha256 — keep the
-    # min-key row per digest (one shuffle on the 64-char digest)
+    # exact dedup: the filter already computed scrubbed_sha256. Rank over
+    # the NARROW (digest, id) projection only, then anti-join the loser
+    # ids — losers are the duplicate rows (a small fraction of any real
+    # corpus), so the anti join broadcasts and the full-width rows never
+    # cross a shuffle for this stage.
     w = Window.partitionBy("scrubbed_sha256").orderBy("_did")
-    deduped = (
-        keyed.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .drop("_rk")
+    exact_losers = (
+        keyed.select("scrubbed_sha256", "_did")
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select("_did")
     )
+    deduped = keyed.join(F.broadcast(exact_losers), "_did", "left_anti")
 
     if near_dup:
         pairs = minhash_lsh_pairs(deduped, "scrubbed_content", "_did")
@@ -64,7 +69,7 @@ def assemble_corpus(
         losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
             F.col("member_id").alias("_did")
         )
-        deduped = deduped.join(losers, "_did", "left_anti")
+        deduped = deduped.join(F.broadcast(losers), "_did", "left_anti")
 
     if sample_rates:
         deduped = stratified_sample(deduped, "lang_pred", "_did", sample_rates,
@@ -74,6 +79,6 @@ def assemble_corpus(
         contaminated = decontaminate(
             deduped, benchmark, text_col="scrubbed_content", id_col="_did"
         ).select(F.col("_did"))
-        deduped = deduped.join(contaminated, "_did", "left_anti")
+        deduped = deduped.join(F.broadcast(contaminated), "_did", "left_anti")
 
     return deduped.drop("_did")

@@ -327,8 +327,16 @@ REFERENCE_SAMPLE = os.environ.get(
 
 
 def _reference_sample_docs() -> Dict[str, List[List[str]]]:
-    if not os.path.exists(REFERENCE_SAMPLE):
+    if REFERENCE_SAMPLE == "skip":
         return {}
+    if not os.path.exists(REFERENCE_SAMPLE):
+        # silent fallback would train LMs that drop ~99.8% of the
+        # canonical corpus as OOV-high-perplexity — fail loudly instead
+        raise FileNotFoundError(
+            f"reference corpus sample not found at {REFERENCE_SAMPLE}; "
+            "set SPARK_GRAFT_REFERENCE_SAMPLE to the documents sample "
+            "parquet, or to 'skip' to train on the synthetic corpus only"
+        )
     from ..core.pipeline import normalize_document
     from ..core.settings import resolve_lang
 

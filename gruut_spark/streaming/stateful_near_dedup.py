@@ -4,10 +4,10 @@ MinHash-LSH as a custom stateful operator).
 A document arriving in micro-batch N must be flagged if any earlier batch
 contained a near-duplicate. Batch LSH can't see across batches; the
 streaming form keys ``applyInPandasWithState`` by the LSH band bucket
-(band, band_hash): state per key is the min doc id ever seen in that
-bucket (8 bytes), so an incoming doc colliding with an occupied bucket
-emits a candidate pair (first_seen_id, new_id) exactly like the batch
-operator's pairs. State size is O(distinct band buckets) — 16 longs per
+(band, band_hash): state per key is the bucket's first-seen anchor id
+(8 bytes), so an incoming doc colliding with an occupied bucket emits a
+candidate pair oriented (min, max) like the batch operator's pairs.
+State size is O(distinct band buckets) — 16 longs per
 distinct document, the inherent floor for incremental LSH (production
 near-dup services hold exactly this index).
 
@@ -48,7 +48,12 @@ def _near_dedup_fn(
         state.update((anchor,))
         ids = ids[1:]
     if ids:
-        yield pd.DataFrame({"id_a": [anchor] * len(ids), "id_b": ids})
+        # orient (id_a < id_b) to match the batch operator's contract even
+        # when a later batch delivers an id smaller than the anchor
+        yield pd.DataFrame(
+            {"id_a": [min(anchor, i) for i in ids],
+             "id_b": [max(anchor, i) for i in ids]}
+        )
 
 
 def streaming_near_dedup_pairs(
