@@ -653,3 +653,33 @@ def test_sorted_bucket_pairs_chunked_yield(spark, monkeypatch):
         expected |= {(a, c) for i, a in enumerate(ids) for c in ids[i + 1:]}
     expected |= {(99000, 99000 + m) for m in range(1, 50)}
     assert set(pairs) == expected
+
+
+def test_near_dedup_fn_orients_pairs():
+    """The stateful near-dedup kernel orients (id_a < id_b) even when a
+    later batch delivers ids below the stored anchor."""
+    import pandas as pd
+
+    from gruut_spark.streaming.stateful_near_dedup import _near_dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = tuple(v)
+
+    state = FakeState()
+    # batch 1: id 7 installs the anchor, no output
+    out1 = list(_near_dedup_fn((0, 1), iter([pd.DataFrame({"_id": [7]})]), state))
+    assert out1 == [] and state.get == (7,)
+    # batch 2: smaller ids arrive -> oriented pairs
+    out2 = pd.concat(list(_near_dedup_fn(
+        (0, 1), iter([pd.DataFrame({"_id": [3, 9]})]), state)))
+    pairs = set(zip(out2.id_a, out2.id_b))
+    assert pairs == {(3, 7), (7, 9)}

@@ -326,3 +326,15 @@ def test_new_language_cardinals():
     # slavic currency plurals
     assert V.currency(2, "RUB", "ru") == "два рубля"
     assert V.currency(5, "RUB", "ru") == "пять рублей"
+
+
+def test_slavic_currency_gender():
+    from gruut_spark.core import verbalize as V
+
+    assert V.currency(1.01, "RUB", "ru") == "один рубль одна копейка"
+    assert V.currency(2.02, "RUB", "ru") == "два рубля две копейки"
+    assert V.currency(1, "CZK", "cs") == "jedna koruna"
+    assert V.currency(2, "CZK", "cs") == "dvě koruny"
+    assert V.currency(1.01, "CZK", "cs") == "jedna koruna jeden haléř"
+    assert V.currency(1, "EUR", "cs") == "jedno euro"
+    assert V.currency(2, "EUR", "cs") == "dvě eura"
