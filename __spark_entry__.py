@@ -36,6 +36,11 @@ def _configure(spark: SparkSession) -> None:
     from gruut_spark.plans.quality_pipeline import configure_session
 
     configure_session(spark)
+    # Engine-wide invariant, not per-query mutation (ADVICE r02): every
+    # oracle interprets timestamps as UTC epochs, so pin the session tz
+    # HERE — every tz-sensitive query routes through _configure, and no
+    # query's behavior depends on which one ran first.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
 
 
 # ---------------------------------------------------------------------------
@@ -214,9 +219,9 @@ def _events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     count of gap-breaks per user — lag + cumulative-sum windows."""
     from pyspark.sql.window import Window
 
-    # Pin the session tz so NTZ->instant interpretation is DST-free and the
-    # fractional-second epochs match DuckDB's epoch(ts) exactly.
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # UTC session tz (via _configure) keeps NTZ->instant interpretation
+    # DST-free so fractional-second epochs match DuckDB's epoch(ts).
+    _configure(spark)
     ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     # ts is TIMESTAMP_NTZ; gaps are timezone-invariant differences.
@@ -313,7 +318,7 @@ def _events_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/rangejoin.py), aggregated per window."""
     from gruut_spark.operators.rangejoin import range_join
 
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _configure(spark)
     ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 100)
     epoch = F.col("ts").cast("timestamp").cast("double")
     windows = ev.filter(F.col("event_id") % 20 == 0).select(
@@ -343,7 +348,7 @@ def _events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hourly counts per event_type with gap filling (empty hours emitted
     as zero rows between each type's min and max hour) — the hypertable
     time_bucket_gapfill pattern as sequence+explode+left-join."""
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    _configure(spark)
     ev = _read(spark, sf_dir, "events").filter(F.col("user_id") < 20)
     hours = ev.select(
         "event_type",
@@ -1278,8 +1283,8 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN best bl ON bl.word = lower(t.word)
             )
             SELECT doc_id,
-                   sum(in_lex::BIGINT) AS n_lexicon,
-                   sum((NOT in_lex)::BIGINT) AS n_g2p,
+                   CAST(sum(in_lex::BIGINT) AS BIGINT) AS n_lexicon,
+                   CAST(sum((NOT in_lex)::BIGINT) AS BIGINT) AS n_g2p,
                    md5(string_agg(wp, '|' ORDER BY wp)) AS phoneme_md5
             FROM phon GROUP BY doc_id ORDER BY doc_id
         """,

@@ -413,7 +413,12 @@ def _zh_settings() -> TextSettings:
         join_str="",
         split_words=list,
         major_breaks={"。", "！", "？"},
-        minor_breaks={"；", "：", "，", "、", "……"},
+        # single '…' (not the reference's two-char '……'): zh splits
+        # char-level, so tokens are single characters and a two-char
+        # break string could never match — '……' in running text becomes
+        # two '…' tokens, each of which must be recognized on its own
+        # (ADVICE r02; same junk-WORD failure mode as unlisted quotes)
+        minor_breaks={"；", "：", "，", "、", "…"},
         # the reference's sets use the ASCII quote (verified: U+0022 in
         # gruut/lang.py:839-841); the curly quotes U+201C/U+201D are added
         # here beyond reference parity — horizontal zh text quotes with

@@ -53,18 +53,37 @@ def stratified_sample(
 
 def quota_cap_per_source(
     df: DataFrame, source_col: str, id_col: str, max_per_source: int,
+    salt_buckets: int = 64,
 ) -> DataFrame:
     """At most ``max_per_source`` rows per source, chosen deterministically
-    (lowest md5-rank first, id tiebreak). One shuffle on source; the
-    window is the standard top-K-per-group plan (rank + filter), which
-    AQE handles under skew the same way as any hot-key window."""
+    (lowest md5-rank first, id tiebreak).
+
+    Two-phase top-K, because a single ``row_number() OVER (PARTITION BY
+    source)`` puts a mega-source's entire row set in ONE task and AQE
+    cannot split a window partition (skew handling applies to joins and
+    aggregates only). Phase 1 salts each source into ``salt_buckets``
+    groups by a deterministic hash of the id and keeps the per-salt top-K,
+    so the widest window task holds ~1/S of the hottest source. The
+    global top-K per source is necessarily a subset of the union of
+    per-salt top-Ks, so phase 2 re-ranks at most S*K survivors per source
+    — a bounded partition at any corpus size. Result set is byte-identical
+    to the single-window plan (oracle-checked)."""
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy(source_col).orderBy(
-        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    rank_key = F.md5(F.col(id_col).cast("string"))
+    salted = df.withColumn(
+        "_salt",
+        F.pmod(F.xxhash64(F.col(id_col).cast("string")), F.lit(salt_buckets)),
     )
+    w1 = Window.partitionBy(source_col, "_salt").orderBy(rank_key, F.col(id_col))
+    survivors = (
+        salted.withColumn("_rk", F.row_number().over(w1))
+        .filter(F.col("_rk") <= max_per_source)
+        .drop("_rk", "_salt")
+    )
+    w2 = Window.partitionBy(source_col).orderBy(rank_key, F.col(id_col))
     return (
-        df.withColumn("_rk", F.row_number().over(w))
+        survivors.withColumn("_rk", F.row_number().over(w2))
         .filter(F.col("_rk") <= max_per_source)
         .drop("_rk")
     )

@@ -483,6 +483,11 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
                 F.col("label") == F.col("_lnode"),
             )
             .select("node", F.col("_llabel").alias("label"))
+            # Materialize once: the convergence count below AND next
+            # round's `labels` both consume this frame — without the
+            # checkpoint the 2-shuffle jump join would execute twice per
+            # round (once for the count, once recomputed next round).
+            .localCheckpoint()
         )
         changed = (
             new_labels.alias("n")

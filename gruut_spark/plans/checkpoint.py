@@ -95,6 +95,23 @@ def run_with_checkpoints(
         # without appending duplicate rows (ADVICE r01). Writer-scoped
         # option, not a session conf mutation — other overwrites in the
         # same session keep their default semantics.
+        #
+        # Dynamic overwrite only replaces partitions PRESENT in the new
+        # write; if a re-run (after a config/rules change) legitimately
+        # produces zero rows for a bucket, its stale committed partition
+        # would survive and be re-counted via the re-read (ADVICE r02).
+        # Pre-clear every partition of every bucket in the group via the
+        # Hadoop FileSystem API (scheme-agnostic: local / HDFS / S3A).
+        # A crash between the clear and the write leaves the group
+        # uncommitted in the manifest, so resume re-runs it — still
+        # idempotent.
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        for b in group:
+            part_path = jvm.org.apache.hadoop.fs.Path(
+                os.path.join(verdict_dir, f"{BUCKET_COL}={b}")
+            )
+            part_path.getFileSystem(hconf).delete(part_path, True)
         (
             out.write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")

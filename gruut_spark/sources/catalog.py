@@ -49,9 +49,15 @@ def append_table(df: DataFrame, table: str) -> None:
 
 
 def read_lines(spark: SparkSession, path: str) -> DataFrame:
-    """Line source (the stdin-lines analogue): one row per line with a
-    stable line id — ``monotonically_increasing_id`` is partition-ordered,
-    matching 'line number within the file feed' semantics at scale."""
+    """Line source (the stdin-lines analogue): one row per line with an
+    ORDERING-ONLY line id. ``monotonically_increasing_id`` is
+    partition-ordered within a single read, but its values depend on
+    partition layout / file listing and are NOT stable across reads or
+    cluster sizes — never join on ``line_id`` across two separate reads
+    (ADVICE r02). For a read-stable key, derive one from content, e.g.
+    ``xxhash64(input_file_name(), text)`` (collides on duplicate lines
+    within a file) or a per-file ``row_number`` (one window task per
+    file — fine for line feeds, skewed for giant single files)."""
     from pyspark.sql import functions as F
 
     return spark.read.text(path).select(

@@ -16,17 +16,29 @@ SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
 TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame) -> "tuple[pd.DataFrame, list[str]]":
+    """Canonicalize for value comparison and return (df, dtype kinds).
+
+    Kinds are compared separately so an int64-vs-float64 mismatch (the
+    DuckDB HUGEINT-sum trap that the driver's value-hash catches) fails
+    locally too instead of being erased by a blanket float cast.
+    """
     df = df[sorted(df.columns)].copy()
+    kinds = []
     for c in df.columns:
-        if df[c].dtype == object:
-            df[c] = df[c].astype(str)
+        if pd.api.types.is_bool_dtype(df[c]):
+            kinds.append("b")
+            df[c] = df[c].astype(bool)
+        elif pd.api.types.is_integer_dtype(df[c]):
+            kinds.append("i")
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_float_dtype(df[c]):
+            kinds.append("f")
+            df[c] = df[c].astype(float).round(6)
         else:
-            try:
-                df[c] = df[c].astype(float).round(6)
-            except (TypeError, ValueError):
-                df[c] = df[c].astype(str)
-    return df.sort_values(list(df.columns)).reset_index(drop=True)
+            kinds.append("s")
+            df[c] = df[c].astype(str)
+    return df.sort_values(list(df.columns)).reset_index(drop=True), kinds
 
 
 def main() -> None:
@@ -67,10 +79,14 @@ def main() -> None:
             failures.append(name)
             print(f"[FAIL-ORACLE] {name}: {e}")
             continue
-        a, b = canon(sdf), canon(odf)
+        (a, ak), (b, bk) = canon(sdf), canon(odf)
         if list(a.columns) != list(b.columns):
             failures.append(name)
             print(f"[FAIL-COLS] {name}: spark={list(a.columns)} duckdb={list(b.columns)}")
+            continue
+        if ak != bk:
+            failures.append(name)
+            print(f"[FAIL-DTYPES] {name}: spark kinds={ak} duckdb kinds={bk} cols={list(a.columns)}")
             continue
         if len(a) != len(b):
             failures.append(name)

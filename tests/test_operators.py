@@ -561,6 +561,49 @@ def test_corpus_assembly_operators(spark):
     assert 0 in out and 2 in out and 1 not in out
 
 
+def test_quota_cap_two_phase_skew(spark):
+    """A mega-source holding >=30% of rows must not become one window
+    task: phase 1 ranks within (source, salt), so the hottest source
+    splits across many reducer partitions, and the two-phase result is
+    byte-identical to the naive single-window top-K."""
+    import hashlib
+
+    from gruut_spark.operators.corpus import quota_cap_per_source
+
+    rows = [(i, "megacorp" if i < 1200 else f"src{i % 7}") for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    capped = quota_cap_per_source(df, "source", "doc_id", 25, salt_buckets=16)
+    got = {(r["source"], r["doc_id"]) for r in capped.collect()}
+
+    by_src = {}
+    for i, src in rows:
+        by_src.setdefault(src, []).append(
+            (hashlib.md5(str(i).encode()).hexdigest(), i))
+    want = {
+        (src, i)
+        for src, lst in by_src.items()
+        for _, i in sorted(lst)[:25]
+    }
+    assert got == want
+
+    # plan shape: two Window nodes (salted partial rank, bounded final
+    # rank) — a single hot-key window is exactly what we're defending
+    # against, and AQE cannot split a window partition.
+    plan = capped._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.count("Window [row_number()") == 2 or plan.count("row_number") == 2
+
+    # the mega-source's rows hash across many (source, salt) partitions
+    # in the phase-1 shuffle (mirrors test_salting_splits_mega_repo)
+    salted = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col("doc_id").cast("string")), F.lit(16)))
+    parts = (
+        salted.repartition(32, "source", "_salt")
+        .filter(F.col("source") == "megacorp")
+        .select(F.spark_partition_id().alias("p")).distinct().count()
+    )
+    assert parts >= 8
+
+
 def test_range_join_semantics(spark):
     """Bucketized interval join == naive BETWEEN theta-join, including
     chunk-spanning intervals, inclusive bounds, and negative times."""

@@ -85,3 +85,35 @@ def test_crash_between_data_commit_and_manifest_is_idempotent(spark, files_sdf, 
         .groupBy("_bucket").count().withColumnRenamed("count", "cnt").collect()
     }
     assert {k: v["rows"] for k, v in m.items()} == per_bucket
+
+
+def test_rerun_clears_stale_partition_even_if_new_run_is_empty(
+    spark, files_sdf, tmp_path
+):
+    """Dynamic overwrite only replaces partitions PRESENT in the new write
+    (ADVICE r02): if a re-run of a group produces zero rows for a bucket
+    (e.g. after a rules change drops everything), the stale committed
+    partition must still be cleared, not survive into the re-read counts."""
+    out = str(tmp_path / "out")
+    run_with_checkpoints(spark, files_sdf, out, n_buckets=4, group_size=2)
+
+    # un-commit buckets 2,3 and replace the input with rows that all hash
+    # into buckets 0,1 — the re-run writes NOTHING for buckets 2,3
+    manifest_file = os.path.join(out, "_manifest", "completed.json")
+    manifest = json.load(open(manifest_file))
+    for b in ("2", "3"):
+        manifest.pop(b)
+    json.dump(manifest, open(manifest_file, "w"))
+
+    from gruut_spark.plans.checkpoint import with_bucket
+
+    only01 = (
+        with_bucket(files_sdf, 4)
+        .filter("_bucket in (0, 1)")
+        .drop("_bucket")
+    )
+    m = run_with_checkpoints(spark, only01, out, n_buckets=4, group_size=2)
+    got = spark.read.parquet(os.path.join(out, "verdicts"))
+    buckets_on_disk = {r["_bucket"] for r in got.select("_bucket").distinct().collect()}
+    assert buckets_on_disk <= {0, 1}          # stale 2,3 partitions cleared
+    assert m["2"]["rows"] == 0 and m["3"]["rows"] == 0

@@ -284,6 +284,20 @@ def test_zh_char_tokenization():
     assert [w.text for w in sents[1].words] == ["很", "好", "！"]
 
 
+def test_zh_ellipsis_is_minor_break_not_word():
+    """'……' under char-level splitting is two '…' tokens; each must be a
+    minor break, never a junk WORD feeding the LM/rules (ADVICE r02 —
+    the two-char '……' entry could never match a single-char token)."""
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    sents = core_sentences("等等……好。", "zh")
+    words = [w for s in sents for w in s.words]
+    ellipses = [w for w in words if w.text == "…"]
+    assert len(ellipses) == 2
+    assert all(not w.is_spoken for w in ellipses)  # break/punct, not WORD
+    assert "…" not in "".join(s.text_spoken for s in sents)
+
+
 def test_nl_currency_reference_fixture():
     """Ported from reference tests/test_text_processor.py:458-484:
     nl '€10' -> 'tien euro' (invariant euro, no cents)."""
