@@ -788,6 +788,55 @@ def _corpus_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("repo", "path", "lang", "lang_pred", "keep").orderBy("path")
 
 
+def _corpus_assembled_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME composed assembly plan (compose_corpus_stages:
+    filter -> exact dedup -> near-dup cluster drop -> stratified sample ->
+    decontaminate), with every stage SQL-expressible so the whole
+    composition is DuckDB-oracled end-to-end: a length rule stands in for
+    the model filter, and the near-dup edges are the relational
+    adjacent-Jaccard pairs already used by dedup_clusters_relational
+    (VERDICT r02 #3). The model-backed `corpus_assembled` stays rows-only
+    alongside.
+
+    The documents table has no exact duplicates by construction, so the
+    query plants verbatim twins (every 25th doc, id offset 100k) — the
+    exact-dedup stage must drop ALL of them (min-id keep), proving that
+    stage's wiring end-to-end rather than passing vacuously."""
+    from gruut_spark.operators.dedup import ngram_jaccard_adjacent
+    from gruut_spark.plans.corpus_pipeline import compose_corpus_stages
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "source", "text"
+    )
+    twins = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100_000).alias("doc_id"), "lang", "source", "text"
+    )
+    base = docs.unionByName(twins)
+    filt = base.filter(F.length(F.trim(F.col("text"))) >= 80)
+    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    keyed = filt.withColumn("_digest", F.md5(norm))
+    # % 13 (not the % 97 used by doc_decontaminate) so several benchmark
+    # docs survive to the sampled stage and decontamination demonstrably
+    # drops rows — with a sparser bench set the stage passes vacuously
+    bench = base.filter(F.col("doc_id") % 13 == 0).select("text")
+    out = compose_corpus_stages(
+        keyed,
+        id_col="doc_id",
+        digest_col="_digest",
+        lang_col="lang",
+        text_col="text",
+        pair_fn=lambda d: (
+            ngram_jaccard_adjacent(d, "text", "doc_id")
+            .filter(F.col("jaccard") >= 0.5)
+            .select("id_a", "id_b")
+        ),
+        sample_rates=SAMPLE_RATES,
+        benchmark=bench,
+        cc_max_iterations=20,
+    )
+    return out.select("doc_id", "lang", "source").orderBy("doc_id")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (scans/joins/aggs/windows/top-k)
@@ -841,6 +890,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dups": _embedding_near_dups,
         "multimodal_features": _multimodal_features,
         "corpus_assembled": _corpus_assembled,
+        "corpus_assembled_relational": _corpus_assembled_relational,
     }
 
 
@@ -901,6 +951,115 @@ def _stratified_sample_oracle_sql() -> str:
         WHERE substring(md5(doc_id::VARCHAR), 1, 8)
               < CASE lang {cases} ELSE '00000000' END
         ORDER BY doc_id
+    """
+
+
+def _corpus_assembled_relational_oracle_sql() -> str:
+    """End-to-end oracle for the composed assembly: every stage mirrors
+    compose_corpus_stages exactly — length filter, min-id exact dedup on
+    the normalized-text md5, adjacent-Jaccard(>=0.5) edges -> recursive-CTE
+    connected components -> drop non-representatives, md5-threshold
+    stratified sample, 8-gram decontamination vs every 97th doc."""
+    from gruut_spark.operators.corpus import rate_threshold_hex
+
+    cases = " ".join(
+        f"WHEN '{cls}' THEN '{rate_threshold_hex(r)}'"
+        for cls, r in sorted(SAMPLE_RATES.items())
+    )
+    return rf"""
+        WITH RECURSIVE
+        base AS (
+            SELECT doc_id, lang, source, text FROM documents
+            UNION ALL
+            SELECT doc_id + 100000, lang, source, text FROM documents
+            WHERE doc_id % 25 = 0
+        ),
+        filt AS (
+            SELECT doc_id, lang, source, text FROM base
+            WHERE length(trim(text)) >= 80
+        ),
+        hashed AS (
+            SELECT *, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h
+            FROM filt
+        ),
+        exact AS (
+            SELECT doc_id, lang, source, text FROM (
+                SELECT *, row_number() OVER (PARTITION BY h ORDER BY doc_id) AS rk
+                FROM hashed
+            ) WHERE rk = 1
+        ),
+        toks AS (
+            SELECT DISTINCT doc_id AS _id, tok
+            FROM exact,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+            WHERE tok <> ''
+        ),
+        sizes AS (SELECT _id, count(*) AS n_tok FROM toks GROUP BY _id),
+        inter AS (
+            SELECT a._id, count(*) AS n_inter
+            FROM toks a JOIN toks b ON b._id = a._id + 1 AND b.tok = a.tok
+            GROUP BY a._id
+        ),
+        jac AS (
+            SELECT s._id AS id_a, s._id + 1 AS id_b
+            FROM sizes s
+            JOIN sizes s2 ON s2._id = s._id + 1
+            LEFT JOIN inter i ON i._id = s._id
+            WHERE coalesce(i.n_inter, 0)
+                  / (s.n_tok + s2.n_tok - coalesce(i.n_inter, 0)) >= 0.5
+        ),
+        und AS (SELECT id_a AS s, id_b AS d FROM jac
+                UNION SELECT id_b, id_a FROM jac),
+        nodes AS (SELECT DISTINCT s AS node FROM und),
+        reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT reach.node, und.d FROM reach JOIN und ON und.s = reach.r
+        ),
+        losers AS (
+            SELECT node FROM reach GROUP BY node HAVING min(r) <> node
+        ),
+        nodup AS (
+            SELECT e.* FROM exact e
+            LEFT JOIN losers l ON l.node = e.doc_id
+            WHERE l.node IS NULL
+        ),
+        sampled AS (
+            SELECT * FROM nodup
+            WHERE substring(md5(doc_id::VARCHAR), 1, 8)
+                  < CASE lang {cases} ELSE 'g0000000' END
+        ),
+        dt AS (
+            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM sampled
+        ),
+        grams AS (
+            SELECT doc_id,
+                   unnest(list_distinct([
+                       md5(array_to_string(t[i:i+7], ' '))
+                       FOR i IN range(1, greatest(len(t) - 6, 1))
+                   ])) AS gram_key
+            FROM dt
+        ),
+        bt AS (
+            SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            FROM base WHERE doc_id % 13 = 0
+        ),
+        bgrams AS (
+            SELECT DISTINCT unnest(list_distinct([
+                       md5(array_to_string(t[i:i+7], ' '))
+                       FOR i IN range(1, greatest(len(t) - 6, 1))
+                   ])) AS gram_key
+            FROM bt
+        ),
+        contaminated AS (
+            SELECT DISTINCT g.doc_id FROM grams g JOIN bgrams b USING (gram_key)
+        )
+        SELECT s.doc_id, s.lang, s.source
+        FROM sampled s
+        LEFT JOIN contaminated c ON c.doc_id = s.doc_id
+        WHERE c.doc_id IS NULL
+        ORDER BY s.doc_id
     """
 
 
@@ -1211,6 +1370,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_rolling_fingerprints": _winnowing_oracle_sql(),
         "doc_stratified_sample": _stratified_sample_oracle_sql(),
+        "corpus_assembled_relational": _corpus_assembled_relational_oracle_sql(),
         "doc_quota_per_source": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

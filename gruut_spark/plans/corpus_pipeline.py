@@ -20,7 +20,7 @@ and ids, never raw text.
 
 from __future__ import annotations
 
-from typing import Dict, Optional
+from typing import Callable, Dict, Optional
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -29,6 +29,66 @@ from ..core.rules import RuleConfig
 from ..operators.corpus import decontaminate, stratified_sample
 from ..operators.dedup import dedup_clusters, minhash_lsh_pairs
 from .quality_pipeline import build_pipeline
+
+
+def compose_corpus_stages(
+    df: DataFrame,
+    *,
+    id_col: str,
+    digest_col: str,
+    lang_col: str,
+    text_col: str,
+    pair_fn: Optional[Callable[[DataFrame], DataFrame]] = None,
+    sample_rates: Optional[Dict[str, float]] = None,
+    benchmark: Optional[DataFrame] = None,
+    cc_max_iterations: int = 10,
+) -> DataFrame:
+    """The post-filter composition shared by the model-backed
+    ``assemble_corpus`` and the SQL-oracle-checkable relational variant:
+
+        exact dedup (keep min id per digest)
+          -> near-dup cluster drop (``pair_fn(deduped)`` -> connected
+             components; only the min-id representative survives)
+          -> stratified sampling (per ``lang_col``, deterministic)
+          -> decontamination (8-gram overlap vs ``benchmark``)
+
+    ``pair_fn`` receives the EXACT-DEDUPED frame and returns candidate
+    (id_a, id_b) pairs — the model path plugs in MinHash-LSH, the
+    relational path plugs in SQL-expressible edges, and both exercise the
+    same dedup/cluster/sample/decontaminate code.
+
+    Scale shape: exact-dup ranking runs over the narrow (digest, id)
+    projection only; every drop stage is an anti-join against a broadcast
+    loser set, so full-width rows never cross a shuffle here."""
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy(digest_col).orderBy(id_col)
+    exact_losers = (
+        df.select(digest_col, id_col)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") > 1)
+        .select(id_col)
+    )
+    out = df.join(F.broadcast(exact_losers), id_col, "left_anti")
+
+    if pair_fn is not None:
+        clusters = dedup_clusters(pair_fn(out), max_iterations=cc_max_iterations)
+        losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
+            F.col("member_id").alias(id_col)
+        )
+        out = out.join(F.broadcast(losers), id_col, "left_anti")
+
+    if sample_rates:
+        out = stratified_sample(out, lang_col, id_col, sample_rates,
+                                default_rate=1.0)
+
+    if benchmark is not None:
+        contaminated = decontaminate(
+            out, benchmark, text_col=text_col, id_col=id_col
+        ).select(F.col(id_col))
+        out = out.join(F.broadcast(contaminated), id_col, "left_anti")
+
+    return out
 
 
 def assemble_corpus(
@@ -41,44 +101,23 @@ def assemble_corpus(
 ) -> DataFrame:
     """files (repo, path, commit, lang, content) -> the assembled corpus
     (kept, deduped, sampled, decontaminated rows of the filter output)."""
-    from pyspark.sql.window import Window
-
     filtered = build_pipeline(files, cfg=cfg, num_partitions=num_partitions).filter(
         F.col("keep")
     )
     # stable 64-bit doc key for dedup/sampling (never Python hash)
     keyed = filtered.withColumn("_did", F.xxhash64("repo", "path", "commit"))
 
-    # exact dedup: the filter already computed scrubbed_sha256. Rank over
-    # the NARROW (digest, id) projection only, then anti-join the loser
-    # ids — losers are the duplicate rows (a small fraction of any real
-    # corpus), so the anti join broadcasts and the full-width rows never
-    # cross a shuffle for this stage.
-    w = Window.partitionBy("scrubbed_sha256").orderBy("_did")
-    exact_losers = (
-        keyed.select("scrubbed_sha256", "_did")
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") > 1)
-        .select("_did")
+    out = compose_corpus_stages(
+        keyed,
+        id_col="_did",
+        digest_col="scrubbed_sha256",   # the filter already computed it
+        lang_col="lang_pred",
+        text_col="scrubbed_content",
+        pair_fn=(
+            (lambda d: minhash_lsh_pairs(d, "scrubbed_content", "_did"))
+            if near_dup else None
+        ),
+        sample_rates=sample_rates,
+        benchmark=benchmark,
     )
-    deduped = keyed.join(F.broadcast(exact_losers), "_did", "left_anti")
-
-    if near_dup:
-        pairs = minhash_lsh_pairs(deduped, "scrubbed_content", "_did")
-        clusters = dedup_clusters(pairs)
-        losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
-            F.col("member_id").alias("_did")
-        )
-        deduped = deduped.join(F.broadcast(losers), "_did", "left_anti")
-
-    if sample_rates:
-        deduped = stratified_sample(deduped, "lang_pred", "_did", sample_rates,
-                                    default_rate=1.0)
-
-    if benchmark is not None:
-        contaminated = decontaminate(
-            deduped, benchmark, text_col="scrubbed_content", id_col="_did"
-        ).select(F.col("_did"))
-        deduped = deduped.join(F.broadcast(contaminated), "_did", "left_anti")
-
-    return deduped.drop("_did")
+    return out.drop("_did")
