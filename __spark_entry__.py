@@ -788,6 +788,38 @@ def _corpus_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("repo", "path", "lang", "lang_pred", "keep").orderBy("path")
 
 
+def _doc_pos_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±2-word POS feature context per token (reference gruut/pos.py:
+    107-156 flattened to columns): zero-shuffle array-indexing form —
+    see operators/crf_context.py."""
+    from gruut_spark.operators.crf_context import pos_context_table
+
+    return pos_context_table(
+        _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    ).orderBy("doc_id", "word_idx")
+
+
+def _doc_g2p_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """±3-grapheme G2P feature context over the corpus vocabulary
+    (reference gruut/g2p.py:108-148 flattened to columns)."""
+    from gruut_spark.operators.crf_context import g2p_grapheme_table
+
+    words = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z]+$"))
+        .distinct()
+        .withColumn("word_id", F.col("word"))
+    )
+    return g2p_grapheme_table(words, "word", "word_id").orderBy(
+        "word_id", "g_idx"
+    )
+
+
 def _corpus_assembled_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SAME composed assembly plan (compose_corpus_stages:
     filter -> exact dedup -> near-dup cluster drop -> stratified sample ->
@@ -891,6 +923,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": _multimodal_features,
         "corpus_assembled": _corpus_assembled,
         "corpus_assembled_relational": _corpus_assembled_relational,
+        "doc_pos_context": _doc_pos_context,
+        "doc_g2p_context": _doc_g2p_context,
     }
 
 
@@ -1060,6 +1094,63 @@ def _corpus_assembled_relational_oracle_sql() -> str:
         LEFT JOIN contaminated c ON c.doc_id = s.doc_id
         WHERE c.doc_id IS NULL
         ORDER BY s.doc_id
+    """
+
+
+def _pos_context_oracle_sql() -> str:
+    import string as _string
+
+    punct = ", ".join("'" + c.replace("'", "''") + "'" for c in _string.punctuation)
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+            FROM documents WHERE doc_id < 100 AND trim(text) <> ''
+        ),
+        idx AS (
+            SELECT doc_id, i, i - 1 AS word_idx, t[i] AS word, len(t) AS n, t
+            FROM toks, unnest(generate_series(1, len(t))) AS g(i)
+        )
+        SELECT doc_id, word_idx, word,
+               length(word) AS len_word,
+               word IN ({punct}) AS is_punct,
+               regexp_matches(word, '^[0-9]+$') AS is_digit,
+               substr(word, 1, 2) AS pre2,
+               substr(word, 1, 3) AS pre3,
+               word_idx = 0 AS bos,
+               i = n AS eos,
+               CASE WHEN i >= 2 THEN t[i - 1] ELSE '' END AS prev_1,
+               CASE WHEN i >= 3 THEN t[i - 2] ELSE '' END AS prev_2,
+               CASE WHEN i + 1 <= n THEN t[i + 1] ELSE '' END AS next_1,
+               CASE WHEN i + 2 <= n THEN t[i + 2] ELSE '' END AS next_2,
+               right(word, 2) AS suf2,
+               right(word, 3) AS suf3
+        FROM idx ORDER BY doc_id, word_idx
+    """
+
+
+def _g2p_context_oracle_sql() -> str:
+    return r"""
+        WITH words AS (
+            SELECT DISTINCT tok AS word
+            FROM documents,
+                 unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+            WHERE regexp_matches(tok, '^[a-z]+$')
+        ),
+        idx AS (
+            SELECT word, i, i - 1 AS g_idx, length(word) AS n
+            FROM words, unnest(generate_series(1, length(word))) AS g(i)
+        )
+        SELECT word AS word_id, word, g_idx,
+               substr(word, i, 1) AS grapheme,
+               g_idx = 0 AS "begin",
+               i = n AS "end",
+               CASE WHEN i - 1 >= 1 THEN substr(word, i - 1, 1) ELSE '' END AS g_prev1,
+               CASE WHEN i - 2 >= 1 THEN substr(word, i - 2, 1) ELSE '' END AS g_prev2,
+               CASE WHEN i - 3 >= 1 THEN substr(word, i - 3, 1) ELSE '' END AS g_prev3,
+               CASE WHEN i + 1 <= n THEN substr(word, i + 1, 1) ELSE '' END AS g_next1,
+               CASE WHEN i + 2 <= n THEN substr(word, i + 2, 1) ELSE '' END AS g_next2,
+               CASE WHEN i + 3 <= n THEN substr(word, i + 3, 1) ELSE '' END AS g_next3
+        FROM idx ORDER BY word_id, g_idx
     """
 
 
@@ -1371,6 +1462,8 @@ def oracle_sql() -> dict[str, str]:
         "doc_rolling_fingerprints": _winnowing_oracle_sql(),
         "doc_stratified_sample": _stratified_sample_oracle_sql(),
         "corpus_assembled_relational": _corpus_assembled_relational_oracle_sql(),
+        "doc_pos_context": _pos_context_oracle_sql(),
+        "doc_g2p_context": _g2p_context_oracle_sql(),
         "doc_quota_per_source": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

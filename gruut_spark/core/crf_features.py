@@ -1,0 +1,149 @@
+"""CRF feature extraction for POS tagging and G2P.
+
+Semantics ported from the reference (feature-dict parity pinned by the
+reference's own model-free tests):
+
+* POS word/context features + base64 codec — gruut/pos.py:70-166,
+  fixture tests/test_pos.py:12-83.
+* G2P grapheme context features (±N chars, NFC-normalized) —
+  gruut/g2p.py:93-160, fixture tests/test_g2p.py:11-38.
+
+Only feature EXTRACTION is in scope: the reference's CRF *inference*
+needs pycrfsuite and trained .crf binaries, neither of which exists in
+this environment (SURVEY §7.4); the reference tests assert exactly the
+feature dicts below and never run a model, so this is the portable
+surface. The base64 codec exists because crfsuite only accepts ASCII
+attribute names; it round-trips arbitrary unicode.
+
+Spark-free on purpose (gruut_spark/core discipline): the DataFrame
+window variant lives in operators/crf_context.py and must agree with
+these functions.
+"""
+
+from __future__ import annotations
+
+import base64
+import string
+import unicodedata
+from typing import Dict, List, Sequence, Union
+
+FeatureDict = Dict[str, Union[str, bool, int, float]]
+
+_PUNCT = frozenset(string.punctuation)
+
+
+def encode_string(s: str) -> str:
+    """Unicode -> ASCII-safe attribute value (crfsuite constraint)."""
+    return base64.b64encode(s.encode()).decode("ascii")
+
+
+def decode_string(s: str) -> str:
+    """Inverse of :func:`encode_string`."""
+    return base64.b64decode(s.encode("ascii")).decode()
+
+
+def pos_word_features(
+    word: str,
+    prefix: str = "",
+    bias: float = 1.0,
+    add_punctuation: bool = True,
+    add_digit: bool = True,
+    add_length: bool = True,
+    chars_front: int = 3,
+    chars_back: int = 3,
+    encode: bool = True,
+) -> FeatureDict:
+    """Features of a single word; ``prefix`` marks context position
+    ("-1:", "+2:", ...). Key names must match the reference verbatim —
+    they are CRF attribute names a trained model would depend on."""
+    feats: FeatureDict = {
+        prefix + "bias": bias,
+        prefix + "word": encode_string(word) if encode else word,
+    }
+    if add_length:
+        feats[prefix + "len(word)"] = len(word)
+    if add_punctuation:
+        feats[prefix + "word.ispunctuation"] = word in _PUNCT
+    if add_digit:
+        feats[prefix + "word.isdigit()"] = word.isdigit()
+    for n in range(2, chars_front + 1):
+        feats[f"{prefix}word[:{n}]"] = word[:n]
+    for n in range(2, chars_back + 1):
+        feats[f"{prefix}word[-{n}:]"] = word[-n:]
+    return feats
+
+
+def pos_context_features(
+    sentence: Sequence[str],
+    i: int,
+    add_bos: bool = True,
+    add_eos: bool = True,
+    words_backward: int = 2,
+    words_forward: int = 2,
+    **word_kwargs,
+) -> FeatureDict:
+    """Word i's features plus its ±window neighbors' (prefixed) features,
+    with BOS/EOS markers at the sentence edges."""
+    feats = pos_word_features(sentence[i], **word_kwargs)
+    if add_bos and i == 0:
+        feats["BOS"] = True
+    if add_eos and i == len(sentence) - 1:
+        feats["EOS"] = True
+    for j in range(1, words_backward + 1):
+        if i - j >= 0:
+            feats.update(
+                pos_word_features(sentence[i - j], prefix=f"-{j}:", **word_kwargs)
+            )
+    for j in range(1, words_forward + 1):
+        if i + j < len(sentence):
+            feats.update(
+                pos_word_features(sentence[i + j], prefix=f"+{j}:", **word_kwargs)
+            )
+    return feats
+
+
+def pos_sentence_features(sentence: Sequence[str], **kwargs) -> List[FeatureDict]:
+    """Context features for every word of a sentence."""
+    return [pos_context_features(sentence, i, **kwargs) for i in range(len(sentence))]
+
+
+def g2p_grapheme_features(
+    word: Union[str, Sequence[str]],
+    i: int,
+    add_begin: bool = True,
+    add_end: bool = True,
+    chars_backward: int = 3,
+    chars_forward: int = 3,
+    bias: float = 1.0,
+    encode: bool = True,
+) -> FeatureDict:
+    """Features of grapheme i with ±N grapheme context (begin/end flags
+    at word edges)."""
+    g = word[i]
+    feats: FeatureDict = {
+        "bias": bias,
+        "grapheme": encode_string(g) if encode else g,
+    }
+    if add_begin and i == 0:
+        feats["begin"] = True
+    for j in range(1, chars_backward + 1):
+        if i - j >= 0:
+            prev = word[i - j]
+            feats[f"grapheme-{j}"] = encode_string(prev) if encode else prev
+    for j in range(1, chars_forward + 1):
+        if i + j < len(word):
+            nxt = word[i + j]
+            feats[f"grapheme+{j}"] = encode_string(nxt) if encode else nxt
+    if add_end and i == len(word) - 1:
+        feats["end"] = True
+    return feats
+
+
+def g2p_word_features(
+    word: Union[str, Sequence[str]], normalize: bool = True, **kwargs
+) -> List[FeatureDict]:
+    """Feature dicts for all graphemes of a word (NFC-combined first, so
+    'e'+combining-acute is ONE grapheme, as in the reference)."""
+    if normalize and isinstance(word, str):
+        word = unicodedata.normalize("NFC", word)
+    return [g2p_grapheme_features(word, i, **kwargs) for i in range(len(word))]

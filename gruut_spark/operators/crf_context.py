@@ -1,0 +1,127 @@
+"""DataFrame variants of the CRF context-feature extractors.
+
+SURVEY §2.6 parity for the reference's ±2-word POS feature window
+(gruut/pos.py:107-156) and ±3-grapheme G2P window (gruut/g2p.py:108-148),
+re-expressed for scale: the context is computed by INDEXING INTO THE
+PER-ROW TOKEN ARRAY (``transform`` over a ``sequence`` of positions +
+``element_at``), not by lag/lead windows — so there is NO shuffle and no
+per-doc window task at all; the whole operator is one codegen projection
++ explode that scales embarrassingly. (A lag/lead formulation would
+hash-partition by doc and put every token of a document in one window
+task; the array form keeps the document local to its scan partition.)
+
+Exact feature-dict fidelity (key names, base64 codec, kwargs) is owned
+by the Spark-free core (core/crf_features.py, fixture-pinned against the
+reference's tests); these tables expose the same signals as FLAT COLUMNS
+(word, len, is_punct, is_digit, affix chunks, BOS/EOS, ±N neighbors) so
+they stay SQL-expressible and DuckDB-oracle-checkable. One documented
+deviation: ``is_digit`` is ASCII ``^[0-9]+$`` on both engine and oracle,
+where Python's ``str.isdigit`` also accepts unicode digit forms — the
+core keeps Python semantics; the relational column pins a portable
+definition. Edge context cells are '' (empty) rather than NULL,
+matching 'feature absent' in the dict form and keeping oracle value
+comparison null-free.
+"""
+
+from __future__ import annotations
+
+import string
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+PUNCT_CHARS = list(string.punctuation)
+
+
+def pos_context_table(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    words_backward: int = 2,
+    words_forward: int = 2,
+) -> DataFrame:
+    """One row per (doc, token): the token's local features + its ±N
+    neighbor words + BOS/EOS flags."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    n = F.size(toks)
+
+    def at(i: Column) -> Column:  # 0-based index into toks
+        return F.element_at(toks, i + 1)
+
+    def row(i: Column) -> Column:
+        word = at(i)
+        fields = [
+            i.alias("word_idx"),
+            word.alias("word"),
+            F.length(word).alias("len_word"),
+            word.isin(PUNCT_CHARS).alias("is_punct"),
+            word.rlike("^[0-9]+$").alias("is_digit"),
+            F.substring(word, 1, 2).alias("pre2"),
+            F.substring(word, 1, 3).alias("pre3"),
+            (i == 0).alias("bos"),
+            (i == n - 1).alias("eos"),
+        ]
+        for j in range(1, words_backward + 1):
+            fields.append(
+                F.when(i >= j, at(i - j)).otherwise(F.lit("")).alias(f"prev_{j}")
+            )
+        for j in range(1, words_forward + 1):
+            fields.append(
+                F.when(i < n - j, at(i + j)).otherwise(F.lit("")).alias(f"next_{j}")
+            )
+        return F.struct(*fields)
+
+    feats = F.transform(F.sequence(F.lit(0), n - 1), row)
+    return (
+        df.filter(F.trim(F.col(text_col)) != "")
+        .select(F.col(id_col), F.explode(feats).alias("f"))
+        .select(id_col, "f.*")
+        # suffix chunks: right() handles short words (right('a', 2)='a')
+        # identically in Spark SQL and DuckDB
+        .withColumn("suf2", F.expr("right(word, 2)"))
+        .withColumn("suf3", F.expr("right(word, 3)"))
+    )
+
+
+def g2p_grapheme_table(
+    df: DataFrame,
+    word_col: str = "word",
+    id_col: str = "doc_id",
+    chars_backward: int = 3,
+    chars_forward: int = 3,
+) -> DataFrame:
+    """One row per (word, grapheme): grapheme + ±N grapheme context +
+    begin/end flags — pure substring indexing, no shuffle."""
+    # alias in a separate select FIRST: referencing an alias made in the
+    # same select from inside the explode lambda trips Spark's lateral
+    # column alias resolution (INTERNAL_ERROR on 4.1)
+    base = df.select(
+        F.col(id_col).alias("_gid"), F.col(word_col).alias("word")
+    ).filter(F.length("word") > 0)
+    word = F.col("word")
+    n = F.length(word)
+
+    def row(i: Column) -> Column:  # 0-based grapheme index
+        fields = [
+            i.alias("g_idx"),
+            F.substring(word, i + 1, 1).alias("grapheme"),
+            (i == 0).alias("begin"),
+            (i == n - 1).alias("end"),
+        ]
+        for j in range(1, chars_backward + 1):
+            fields.append(
+                F.when(i >= j, F.substring(word, i - j + 1, 1))
+                .otherwise(F.lit("")).alias(f"g_prev{j}")
+            )
+        for j in range(1, chars_forward + 1):
+            fields.append(
+                F.when(i < n - j, F.substring(word, i + j + 1, 1))
+                .otherwise(F.lit("")).alias(f"g_next{j}")
+            )
+        return F.struct(*fields)
+
+    feats = F.transform(F.sequence(F.lit(0), n - 1), row)
+    return (
+        base.select("_gid", "word", F.explode(feats).alias("f"))
+        .select(F.col("_gid").alias(id_col), "word", "f.*")
+    )

@@ -1,0 +1,121 @@
+"""CRF feature-extraction fixtures ported from the reference's own
+model-free tests (tests/test_pos.py:12-83, tests/test_g2p.py:11-38):
+the expected dicts below are the reference's pinned values verbatim."""
+
+import copy
+
+from gruut_spark.core.crf_features import (
+    decode_string,
+    encode_string,
+    g2p_word_features,
+    pos_sentence_features,
+)
+
+IPA = "ði ıntəˈnæʃənəl fəˈnɛtık əsoʊsiˈeıʃn"
+
+
+def test_encode_decode_roundtrip():
+    assert decode_string(encode_string(IPA)) == IPA
+    assert encode_string("test").isascii()
+
+
+def test_pos_sentence_features_reference_fixture():
+    """Reference tests/test_pos.py:21-83: '1 test .' with ±1 context,
+    2-char chunks, unencoded."""
+    word_features = {
+        "1": {
+            "bias": 1.0,
+            "word": "1",
+            "len(word)": 1,
+            "word.ispunctuation": False,
+            "word.isdigit()": True,
+            "word[:2]": "1",
+            "word[-2:]": "1",
+        },
+        "test": {
+            "bias": 1.0,
+            "word": "test",
+            "len(word)": 4,
+            "word.ispunctuation": False,
+            "word[-2:]": "st",
+            "word[:2]": "te",
+            "word.isdigit()": False,
+        },
+        ".": {
+            "bias": 1.0,
+            "word": ".",
+            "len(word)": 1,
+            "word.ispunctuation": True,
+            "word.isdigit()": False,
+            "word[-2:]": ".",
+            "word[:2]": ".",
+        },
+    }
+
+    def with_prefix(d, prefix):
+        return {prefix + k: v for k, v in d.items()}
+
+    expected = copy.deepcopy(
+        [word_features["1"], word_features["test"], word_features["."]]
+    )
+    expected[0].update(with_prefix(word_features["test"], "+1:"))
+    expected[0]["BOS"] = True
+    expected[1].update(with_prefix(word_features["1"], "-1:"))
+    expected[1].update(with_prefix(word_features["."], "+1:"))
+    expected[2].update(with_prefix(word_features["test"], "-1:"))
+    expected[2]["EOS"] = True
+
+    actual = pos_sentence_features(
+        "1 test .".split(),
+        words_forward=1,
+        words_backward=1,
+        chars_front=2,
+        chars_back=2,
+        encode=False,
+    )
+    assert actual == expected
+
+
+def test_pos_default_window_is_plus_minus_two():
+    feats = pos_sentence_features("a b c d e".split(), encode=False)
+    mid = feats[2]
+    assert mid["-2:word"] == "a" and mid["-1:word"] == "b"
+    assert mid["+1:word"] == "d" and mid["+2:word"] == "e"
+    assert "BOS" not in mid and "EOS" not in mid
+    assert feats[0]["BOS"] is True and feats[4]["EOS"] is True
+    # default 3-char chunks exist, 4-char don't
+    assert "word[:3]" in mid and "word[:4]" not in mid
+
+
+def test_g2p_word_features_reference_fixture():
+    """Reference tests/test_g2p.py:18-38: 'test' with ±1 grapheme
+    context, unencoded."""
+    expected = [
+        {"bias": 1.0, "grapheme": "t", "begin": True, "grapheme+1": "e"},
+        {"bias": 1.0, "grapheme": "e", "grapheme+1": "s", "grapheme-1": "t"},
+        {"bias": 1.0, "grapheme": "s", "grapheme+1": "t", "grapheme-1": "e"},
+        {"bias": 1.0, "grapheme": "t", "end": True, "grapheme-1": "s"},
+    ]
+    actual = g2p_word_features(
+        "test", chars_forward=1, chars_backward=1, encode=False
+    )
+    assert actual == expected
+
+
+def test_g2p_nfc_normalization_combines_graphemes():
+    # 'e' + COMBINING ACUTE must become ONE grapheme 'é' (reference
+    # normalizes with unicodedata.normalize('NFC', word))
+    decomposed = "cafe\u0301"  # 5 codepoints: e + COMBINING ACUTE
+    assert len(decomposed) == 5
+    feats = g2p_word_features(decomposed, encode=False)
+    assert len(feats) == 4
+    assert feats[-1]["grapheme"] == "é"
+    assert feats[-1]["end"] is True
+
+
+def test_g2p_encoded_values_are_ascii():
+    feats = g2p_word_features("né", chars_forward=1, chars_backward=1)
+    assert all(
+        str(v).isascii() for f in feats for v in f.values() if isinstance(v, str)
+    )
+    assert decode_string(feats[1]["grapheme"]) == "é"

@@ -604,6 +604,60 @@ def test_quota_cap_two_phase_skew(spark):
     assert parts >= 8
 
 
+def test_pos_context_table_matches_core_and_is_shuffle_free(spark):
+    """The flat-column POS context table must agree with the fixture-pinned
+    core extractor (core/crf_features.py) field-for-field, and its plan
+    must contain NO Exchange — the ±2 context comes from array indexing,
+    not a per-doc window."""
+    from gruut_spark.core.crf_features import pos_sentence_features
+    from gruut_spark.operators.crf_context import pos_context_table
+
+    rows = [(0, "1 test ."), (1, "a  bb   ccc dddd eeeee"), (2, "solo")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = pos_context_table(df)
+    got = {(r["doc_id"], r["word_idx"]): r.asDict() for r in out.collect()}
+
+    for doc_id, text in rows:
+        toks = text.split()
+        feats = pos_sentence_features(toks, encode=False)
+        for i, f in enumerate(feats):
+            g = got[(doc_id, i)]
+            assert g["word"] == f["word"]
+            assert g["len_word"] == f["len(word)"]
+            assert g["is_punct"] == f["word.ispunctuation"]
+            assert g["is_digit"] == f["word.isdigit()"]
+            assert g["pre2"] == f["word[:2]"] and g["pre3"] == f["word[:3]"]
+            assert g["suf2"] == f["word[-2:]"] and g["suf3"] == f["word[-3:]"]
+            assert g["bos"] == ("BOS" in f) and g["eos"] == ("EOS" in f)
+            for j in (1, 2):
+                assert g[f"prev_{j}"] == f.get(f"-{j}:word", "")
+                assert g[f"next_{j}"] == f.get(f"+{j}:word", "")
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_g2p_grapheme_table_matches_core(spark):
+    from gruut_spark.core.crf_features import g2p_word_features
+    from gruut_spark.operators.crf_context import g2p_grapheme_table
+
+    words = ["test", "a", "rhythm"]
+    df = spark.createDataFrame([(w, w) for w in words], "word_id string, word string")
+    out = g2p_grapheme_table(df, "word", "word_id")
+    got = {(r["word_id"], r["g_idx"]): r.asDict() for r in out.collect()}
+    for w in words:
+        feats = g2p_word_features(w, encode=False)
+        for i, f in enumerate(feats):
+            g = got[(w, i)]
+            assert g["grapheme"] == f["grapheme"]
+            assert g["begin"] == ("begin" in f) and g["end"] == ("end" in f)
+            for j in (1, 2, 3):
+                assert g[f"g_prev{j}"] == f.get(f"grapheme-{j}", "")
+                assert g[f"g_next{j}"] == f.get(f"grapheme+{j}", "")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
 def test_range_join_semantics(spark):
     """Bucketized interval join == naive BETWEEN theta-join, including
     chunk-spanning intervals, inclusive bounds, and negative times."""
