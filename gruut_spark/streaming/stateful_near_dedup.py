@@ -18,7 +18,7 @@ the per-bucket representative, which is arrival-order min).
 
 from __future__ import annotations
 
-from typing import Iterator, Tuple
+from typing import Callable, Iterator, Optional, Tuple
 
 import pandas as pd
 
@@ -30,39 +30,70 @@ STATE_SCHEMA = "min_id long"
 OUTPUT_SCHEMA = "id_a long, id_b long"
 
 
-def _near_dedup_fn(
-    key: Tuple[int, int], batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """Per (band, band_hash) bucket: pair every arriving id with the
-    bucket's first-ever id; the first arrival only installs the state."""
-    ids: list = []
-    for pdf in batches:
-        ids.extend(int(x) for x in pdf["_id"])
-    if not ids:
-        return
-    ids.sort()
-    if state.exists:
-        (anchor,) = state.get
-    else:
-        anchor = ids[0]
-        state.update((anchor,))
-        ids = ids[1:]
-    if ids:
-        # orient (id_a < id_b) to match the batch operator's contract even
-        # when a later batch delivers an id smaller than the anchor
-        yield pd.DataFrame(
-            {"id_a": [min(anchor, i) for i in ids],
-             "id_b": [max(anchor, i) for i in ids]}
-        )
+def _make_near_dedup_fn(
+    ttl_minutes: Optional[float] = None,
+) -> Callable[..., Iterator[pd.DataFrame]]:
+    """Build the per-bucket kernel; with ``ttl_minutes`` set, every
+    update re-arms a processing-time timeout, and a fired timeout evicts
+    the bucket's anchor (bounded-state production mode)."""
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+
+    def fn(
+        key: Tuple[int, int], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        """Per (band, band_hash) bucket: pair every arriving id with the
+        bucket's first-ever id; the first arrival only installs the
+        state. (getattr: the pure-python unit-test fake state predates
+        the TTL option and has no hasTimedOut.)"""
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        ids: list = []
+        for pdf in batches:
+            ids.extend(int(x) for x in pdf["_id"])
+        if not ids:
+            return
+        ids.sort()
+        if state.exists:
+            (anchor,) = state.get
+        else:
+            anchor = ids[0]
+            state.update((anchor,))
+            ids = ids[1:]
+        if ttl_ms is not None:
+            # re-arm on every touch: a bucket expires only after
+            # ttl_minutes of INACTIVITY (setTimeoutDuration requires the
+            # state to exist, which it now does either way)
+            state.setTimeoutDuration(ttl_ms)
+        if ids:
+            # orient (id_a < id_b) to match the batch operator's contract
+            # even when a later batch delivers an id below the anchor
+            yield pd.DataFrame(
+                {"id_a": [min(anchor, i) for i in ids],
+                 "id_b": [max(anchor, i) for i in ids]}
+            )
+
+    return fn
+
+
+_near_dedup_fn = _make_near_dedup_fn()
 
 
 def streaming_near_dedup_pairs(
     stream: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
+    state_ttl_minutes: Optional[float] = None,
 ) -> DataFrame:
     """stream (id, text) -> candidate near-dup pairs across ALL
     micro-batches seen so far. Same signature UDF and banding as the
-    batch operator, so streaming and batch agree on bucket membership."""
+    batch operator, so streaming and batch agree on bucket membership.
+
+    ``state_ttl_minutes``: by default state is global and grows with the
+    distinct-document count — inherent for exact global near-dedup. For
+    bounded-state production mode, set a TTL: band buckets idle longer
+    than the TTL are evicted (processing-time timeout), so a later
+    near-dup of an evicted doc re-installs the bucket WITHOUT pairing —
+    bounded memory traded for recall beyond the retention horizon."""
     from ..operators.dedup import minhash_band_hashes
 
     eligible = stream.filter(F.trim(F.col(text_col)) != "")
@@ -74,11 +105,15 @@ def streaming_near_dedup_pairs(
         F.col("_id"),
     )
     pairs = banded.groupBy("band", "band_hash").applyInPandasWithState(
-        _near_dedup_fn,
+        _make_near_dedup_fn(state_ttl_minutes),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
     )
     # a pair may surface from several bands within one batch; dedup per
     # batch downstream (the sink sees (id_a, id_b) rows)

@@ -780,3 +780,52 @@ def test_near_dedup_fn_orients_pairs():
         (0, 1), iter([pd.DataFrame({"_id": [3, 9]})]), state)))
     pairs = set(zip(out2.id_a, out2.id_b))
     assert pairs == {(3, 7), (7, 9)}
+
+
+def test_near_dedup_state_ttl_evicts_and_readmits():
+    """With a TTL, every touch re-arms the processing-time timeout; a
+    fired timeout evicts the bucket anchor, and the next arrival
+    re-installs WITHOUT pairing (bounded-state mode, VERDICT r02 #7)."""
+    import pandas as pd
+
+    from gruut_spark.streaming.stateful_near_dedup import _make_near_dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+            self.hasTimedOut = False
+            self.timeouts = []
+        @property
+        def exists(self):
+            return self._v is not None
+        @property
+        def get(self):
+            return self._v
+        def update(self, v):
+            self._v = tuple(v)
+        def remove(self):
+            self._v = None
+        def setTimeoutDuration(self, ms):
+            self.timeouts.append(ms)
+
+    fn = _make_near_dedup_fn(ttl_minutes=10)
+    state = FakeState()
+
+    # install: no pairs, timeout armed at 10 min
+    assert list(fn((0, 1), iter([pd.DataFrame({"_id": [5]})]), state)) == []
+    assert state.get == (5,) and state.timeouts == [600_000]
+
+    # active bucket pairs AND re-arms
+    out = pd.concat(list(fn((0, 1), iter([pd.DataFrame({"_id": [8]})]), state)))
+    assert set(zip(out.id_a, out.id_b)) == {(5, 8)}
+    assert state.timeouts == [600_000, 600_000]
+
+    # timeout fires -> state evicted, nothing emitted
+    state.hasTimedOut = True
+    assert list(fn((0, 1), iter([]), state)) == []
+    assert not state.exists
+
+    # post-eviction arrival re-admits silently (no pair with evicted 5)
+    state.hasTimedOut = False
+    assert list(fn((0, 1), iter([pd.DataFrame({"_id": [9]})]), state)) == []
+    assert state.get == (9,)
