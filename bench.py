@@ -5,11 +5,21 @@ Prints ONE JSON line:
   {"metric": "headline_suite", "value": <total sec>, "unit": "sec",
    "queries": {name: sec, ...}, "sf": <sf>, "files_per_sec": ...}
 
+By default the harness runs the WHOLE suite BENCH_RUNS (=3) times, each
+in a fresh JVM subprocess, and reports the per-query MINIMUM (total =
+sum of minima, files/sec = max). This is the bench_scaling protocol
+applied to the headline suite: this host is a shared VM whose hypervisor
+steal swings single measurements 2-4x (BENCH.md), and whole-suite
+repeats interleave every query across the steal timeline, so the min is
+the engine, not the neighbor. `run_totals` carries the raw per-run
+totals for honesty about the spread.
+
 Env:
   SPARK_GRAFT_SF_DIR  input tables dir (default /root/testdata/sf0.1)
   SPARK_GRAFT_CPUS    local[N] parallelism (default 32)
   BENCH_FILES_ROWS    synthetic files-table rows for pipeline throughput
                       (default 8000)
+  BENCH_RUNS          fresh-JVM suite repetitions (default 3; 1 = quick)
 """
 
 from __future__ import annotations
@@ -61,7 +71,45 @@ def _files_parquet(rows: int) -> str:
     return os.path.join(cache, "files.parquet")
 
 
+def _orchestrate(runs: int) -> None:
+    """Run the suite `runs` times, fresh JVM each, report per-query min."""
+    import subprocess
+
+    env = dict(os.environ, BENCH_INNER="1")
+    results = []
+    for i in range(runs):
+        print(f"[bench] suite run {i + 1}/{runs} (fresh JVM)", file=sys.stderr)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, text=True,
+        )
+        lines = [
+            ln for ln in proc.stdout.splitlines()
+            if ln.startswith('{"metric"')
+        ]
+        if proc.returncode != 0 or not lines:
+            print(proc.stdout[-2000:], file=sys.stderr)
+            raise SystemExit(f"bench inner run {i + 1} failed rc={proc.returncode}")
+        results.append(json.loads(lines[-1]))
+
+    merged = dict(results[0])
+    merged["queries"] = {
+        q: min(r["queries"][q] for r in results) for q in results[0]["queries"]
+    }
+    merged["value"] = round(sum(merged["queries"].values()), 3)
+    merged["files_per_sec"] = max(r["files_per_sec"] for r in results)
+    merged["runs"] = runs
+    merged["run_totals"] = [r["value"] for r in results]
+    print(json.dumps(merged))
+
+
 def main() -> None:
+    if os.environ.get("BENCH_INNER") != "1":
+        runs = int(os.environ.get("BENCH_RUNS", "3"))
+        if runs > 1:
+            _orchestrate(runs)
+            return
+
     from pyspark.sql import SparkSession
 
     import __spark_entry__ as entrymod

@@ -22,10 +22,46 @@ oracle-checked (DuckDB replicates the whole flow in SQL).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 WORD_RE = "^[a-z']+$"
+
+
+def lexicon_from_sqlite(
+    spark: SparkSession, db_path: str, role: Optional[str] = None,
+    empty_role: str = "_",
+) -> DataFrame:
+    """Provenance path for REAL lexicon data: read a reference-format
+    lexicon database (gruut/lexicon2db.py:53-59 schema —
+    ``word_phonemes(id, word TEXT, pron_order INTEGER, phonemes TEXT,
+    role TEXT)``) into the (word, pron_order, phonemes) frame that
+    ``phonemize_tokens`` consumes. With ``role`` set, keeps that role's
+    prons plus the empty-role ('_') defaults, mirroring the reference's
+    role-preference lookup.
+
+    Scale shape: lexicons are deliberately driver-small — the reference
+    ships them as per-worker sqlite files and this engine BROADCASTS the
+    ranked lookup — so one driver-side sqlite read is correct. For a
+    lexicon too big to broadcast, run this same SELECT once into parquet
+    and feed ``spark.read.parquet`` output to ``phonemize_tokens``
+    instead (the join degrades gracefully to shuffle hash)."""
+    import sqlite3
+
+    import pandas as pd
+
+    with sqlite3.connect(db_path) as conn:
+        sql = "SELECT word, pron_order, phonemes FROM word_phonemes"
+        params: tuple = ()
+        if role is not None:
+            sql += " WHERE role = ? OR role = ?"
+            params = (role, empty_role)
+        pdf = pd.read_sql_query(sql, conn, params=params)
+    return spark.createDataFrame(
+        pdf, "word string, pron_order int, phonemes string"
+    )
 
 
 def grapheme_pron(col) -> F.Column:

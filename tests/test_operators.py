@@ -460,6 +460,47 @@ def test_lexicon_lookup_chain_and_pron_order(spark):
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
 
 
+def test_lexicon_from_sqlite_reference_schema(spark, tmp_path):
+    """A lexicon2db-shaped sqlite (word_phonemes(word, pron_order,
+    phonemes, role), gruut/lexicon2db.py:53-59) feeds phonemize_tokens:
+    role filter keeps the requested role + '_' defaults, and the ranked
+    selection still picks pron_order 0."""
+    import sqlite3
+
+    from gruut_spark.operators.lexicon import lexicon_from_sqlite, phonemize_tokens
+
+    db = str(tmp_path / "lexicon.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE word_phonemes (id INTEGER PRIMARY KEY AUTOINCREMENT,"
+            " word TEXT, pron_order INTEGER, phonemes TEXT, role TEXT)"
+        )
+        conn.executemany(
+            "INSERT INTO word_phonemes (word, pron_order, phonemes, role)"
+            " VALUES (?, ?, ?, ?)",
+            [
+                ("read", 0, "ɹ ɛ d", "_"),
+                ("read", 1, "ɹ iː d", "_"),
+                ("wind", 0, "w ɪ n d", "VERB"),
+                ("wind", 0, "w aɪ n d", "NOUN"),
+            ],
+        )
+
+    lex = lexicon_from_sqlite(spark, db, role="VERB")
+    rows = {(r["word"], r["pron_order"]): r["phonemes"] for r in lex.collect()}
+    assert rows[("read", 0)] == "ɹ ɛ d" and ("read", 1) in rows
+    assert rows[("wind", 0)] == "w ɪ n d"        # VERB kept
+    assert len(rows) == 3                          # NOUN row filtered out
+
+    toks = spark.createDataFrame(
+        [(0, "read"), (0, "wind")], "doc_id long, word string"
+    )
+    out = {r["word"]: (r["phonemes"], r["source"])
+           for r in phonemize_tokens(toks, lex).collect()}
+    assert out["read"] == ("ɹ ɛ d", "lexicon")     # pron_order 0 wins
+    assert out["wind"] == ("w ɪ n d", "lexicon")
+
+
 def test_streaming_windowed_watermark(spark, tmp_path):
     """Watermarked tumbling-window agg (append mode): windows emit once the
     watermark passes their end; an event arriving later than the watermark
