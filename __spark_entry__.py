@@ -788,6 +788,19 @@ def _corpus_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("repo", "path", "lang", "lang_pred", "keep").orderBy("path")
 
 
+def _doc_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide word-trigram counts, top 30 (the relational twin of
+    the distributed LM count table — operators/lm_train.py; the hashed
+    trainer is pinned to the serial core by an exact-equivalence test)."""
+    from gruut_spark.operators.lm_train import ngram_count_text
+
+    return (
+        ngram_count_text(_read(spark, sf_dir, "documents"), "text", n=3)
+        .orderBy(F.desc("cnt"), F.asc("gram"))
+        .limit(30)
+    )
+
+
 def _doc_pos_context(spark: SparkSession, sf_dir: str) -> DataFrame:
     """±2-word POS feature context per token (reference gruut/pos.py:
     107-156 flattened to columns): zero-shuffle array-indexing form —
@@ -925,6 +938,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_assembled_relational": _corpus_assembled_relational,
         "doc_pos_context": _doc_pos_context,
         "doc_g2p_context": _doc_g2p_context,
+        "doc_trigram_counts": _doc_trigram_counts,
     }
 
 
@@ -1464,6 +1478,21 @@ def oracle_sql() -> dict[str, str]:
         "corpus_assembled_relational": _corpus_assembled_relational_oracle_sql(),
         "doc_pos_context": _pos_context_oracle_sql(),
         "doc_g2p_context": _g2p_context_oracle_sql(),
+        "doc_trigram_counts": r"""
+            WITH toks AS (
+                SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT array_to_string(t[i:i+2], ' ') AS gram
+                FROM toks,
+                     unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+            )
+            SELECT gram, count(*) AS cnt
+            FROM grams GROUP BY gram
+            ORDER BY cnt DESC, gram ASC
+            LIMIT 30
+        """,
         "doc_quota_per_source": """
             SELECT doc_id, source FROM (
                 SELECT doc_id, source,

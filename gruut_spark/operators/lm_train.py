@@ -1,0 +1,155 @@
+"""Distributed n-gram LM training (the scale path for the perplexity
+stage's artifacts).
+
+The pipeline's KenLM-style scorer (core/ngram_lm.py) is trained serially
+by scripts/train_models.py — right for the seeded test corpora, wrong at
+corpus scale: a 100 TB corpus's counts must be computed WHERE THE DATA
+IS. This module produces a bit-identical ``NGramLM`` from a DataFrame of
+token sequences:
+
+* ``lm_count_table`` — ONE ``mapInPandas`` stage (a single Python eval
+  node, per the repo's measured one-node-per-stage rule) that emits
+  per-batch PRE-AGGREGATED (k, key, cnt) partial counts — a map-side
+  combine, so the only shuffle carries distinct-n-gram partials, not one
+  row per token — followed by ``groupBy(k, key).sum``. Keys are the same
+  FNV-1a chain the serial trainer uses (core/ngram_lm.py::_key), stored
+  as two's-complement int64 (Spark has no uint64).
+  Rows with ``k = -1`` carry distinct raw token ids for the vocab count;
+  ``total_unigrams`` is the sum of unigram counts (every token position
+  increments exactly one unigram key).
+* ``lm_from_counts`` — reassemble the counts frame into an ``NGramLM``.
+  With ``min_count`` pruning the collect is bounded (standard web-scale
+  LM practice: singleton n-grams dominate the table and contribute
+  noise); at full fidelity it equals the serial trainer exactly
+  (asserted by test_distributed_lm_matches_serial).
+
+At 100 TB you would keep the counts AS a table (parquet/Iceberg,
+partitioned by k) and serve scoring from a pruned broadcast — the
+collect here is the artifact-assembly step, after pruning.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.ngram_lm import BOS, EOS, ORDER, NGramLM, _key, _tok_id
+
+COUNT_SCHEMA = "k int, key long, cnt long"
+
+
+def _count_batches(order: int):
+    """mapInPandas kernel: token-array batches -> pre-aggregated
+    (k, key, cnt) partials (+ k=-1 vocab-id rows)."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        grams: List[Counter] = [Counter() for _ in range(order)]
+        vocab: set = set()
+        for pdf in batches:
+            for tokens in pdf["tokens"]:
+                ids = [_tok_id(BOS)] * (order - 1) + [
+                    _tok_id(t) for t in tokens
+                ] + [_tok_id(EOS)]
+                vocab.update(ids)
+                for i in range(order - 1, len(ids)):
+                    for k in range(order):
+                        grams[k][_key(ids[i - k : i + 1])] += 1
+        ks: List[int] = []
+        keys: List[int] = []
+        cnts: List[int] = []
+        for k, c in enumerate(grams):
+            ks.extend([k] * len(c))
+            keys.extend(c.keys())
+            cnts.extend(c.values())
+        ks.extend([-1] * len(vocab))
+        keys.extend(vocab)
+        cnts.extend([1] * len(vocab))
+        if ks:
+            yield pd.DataFrame(
+                {
+                    "k": np.asarray(ks, dtype=np.int32),
+                    # uint64 FNV keys -> two's-complement int64 for Spark
+                    "key": np.asarray(keys, dtype=np.uint64).astype(np.int64),
+                    "cnt": np.asarray(cnts, dtype=np.int64),
+                }
+            )
+
+    return fn
+
+
+def lm_count_table(
+    tokens_df: DataFrame, tokens_col: str = "tokens", order: int = ORDER
+) -> DataFrame:
+    """(k, key, cnt) n-gram counts over a DataFrame of token arrays.
+    k in [0, order): (k+1)-gram counts; k = -1: vocab marker rows
+    (cnt = number of partitions that saw the id — use countDistinct-style
+    presence only, not the value)."""
+    partials = tokens_df.select(F.col(tokens_col).alias("tokens")).mapInPandas(
+        _count_batches(order), schema=COUNT_SCHEMA
+    )
+    return partials.groupBy("k", "key").agg(F.sum("cnt").alias("cnt"))
+
+
+def lm_from_counts(
+    counts: DataFrame, order: int = ORDER, min_count: int = 1
+) -> NGramLM:
+    """Assemble the distributed counts into the exact NGramLM the serial
+    trainer would build (modulo ``min_count`` pruning of k>0 n-grams)."""
+    pruned = counts.filter(
+        (F.col("k") <= 0) | (F.col("cnt") >= min_count)
+    )
+    rows = pruned.collect()
+    dicts: List[dict] = [dict() for _ in range(order)]
+    vocab_size = 0
+    total = 0
+    for r in rows:
+        if r["k"] == -1:
+            vocab_size += 1
+            continue
+        key = np.int64(r["key"]).astype(np.uint64).item()
+        dicts[r["k"]][key] = r["cnt"]
+        if r["k"] == 0:
+            total += r["cnt"]
+    return NGramLM(dicts, total, vocab_size, order)
+
+
+def train_lm_distributed(
+    tokens_df: DataFrame,
+    tokens_col: str = "tokens",
+    order: int = ORDER,
+    min_count: int = 1,
+) -> NGramLM:
+    """End to end: token-array DataFrame -> NGramLM."""
+    return lm_from_counts(
+        lm_count_table(tokens_df, tokens_col, order), order, min_count
+    )
+
+
+def ngram_count_text(
+    docs: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """Relational twin for the oracle gate: (gram, cnt) word n-gram
+    counts over whitespace tokens — pure Catalyst (transform + slice +
+    explode + two-phase agg), zero Python, SQL-expressible in DuckDB.
+    The hashed trainer above is pinned to the serial core by an
+    equivalence test; this twin pins the counting semantics to SQL."""
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+    return (
+        docs.select(F.explode(grams).alias("gram"))
+        .groupBy("gram")
+        .agg(F.count("*").alias("cnt"))
+    )

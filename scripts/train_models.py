@@ -27,6 +27,9 @@ def main() -> None:
     acc = sum(model.classes[int(p)] == l for p, l in zip(pred, labels)) / len(labels)
     print(f"langid train accuracy: {acc:.4f} ({len(labels)} docs)")
 
+    # Serial training is right at this seeded-corpus scale; the corpus-
+    # scale path is operators/lm_train.py::train_lm_distributed, proven
+    # bit-identical to this trainer (test_distributed_lm_matches_serial).
     for lang, docs in lm_corpus().items():
         lm = NGramLM.train(docs)
         lm.save(os.path.join(ART, f"lm_{lang}.npz"))

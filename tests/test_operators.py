@@ -699,6 +699,32 @@ def test_g2p_grapheme_table_matches_core(spark):
     assert "Exchange" not in plan
 
 
+def test_distributed_lm_matches_serial(spark):
+    """Distributed n-gram counting (mapInPandas partials + one groupBy)
+    must reproduce the serial trainer EXACTLY: same count dicts, totals,
+    vocab, perplexities — the proof that LM artifacts can be rebuilt at
+    corpus scale without changing pipeline behavior."""
+    from gruut_spark.core.ngram_lm import NGramLM
+    from gruut_spark.operators.lm_train import train_lm_distributed
+    from gruut_spark.sources.testgen import lm_corpus
+
+    docs = lm_corpus(per_lang_docs=30)["en"][:60]
+    serial = NGramLM.train(docs)
+    sdf = spark.createDataFrame([(list(d),) for d in docs], "tokens array<string>")
+    dist = train_lm_distributed(sdf.repartition(7))
+    assert dist.total_unigrams == serial.total_unigrams
+    assert dist.vocab_size == serial.vocab_size
+    assert dist.counts == serial.counts
+    for d in docs[:5]:
+        assert abs(dist.perplexity(d) - serial.perplexity(d)) < 1e-12
+
+    # min_count pruning bounds the artifact without touching totals
+    pruned = train_lm_distributed(sdf, min_count=2)
+    assert len(pruned.counts[2]) < len(serial.counts[2])
+    assert pruned.total_unigrams == serial.total_unigrams
+    assert pruned.counts[0] == serial.counts[0]  # unigrams never pruned
+
+
 def test_range_join_semantics(spark):
     """Bucketized interval join == naive BETWEEN theta-join, including
     chunk-spanning intervals, inclusive bounds, and negative times."""
