@@ -23,7 +23,9 @@ import time
 
 ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 ROWS = int(os.environ.get("SCALING_ROWS", "32000"))
-N, FOUR_N = 8, 32
+# N vs 4N cores; SCALING_N=1 gives the uncontended 1->4 primary regime
+N = int(os.environ.get("SCALING_N", "8"))
+FOUR_N = 4 * N
 
 WORKER = r"""
 import json, os, sys, time
