@@ -788,6 +788,78 @@ def _corpus_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("repo", "path", "lang", "lang_pred", "keep").orderBy("path")
 
 
+def _doc_phonemize_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POS-informed pronunciation rollup: the role-preference chain
+    (exact role -> default '_' -> any role -> lowercase retry -> G2P,
+    reference gruut/phonemize.py:55-73) over a synthetic role-ful
+    lexicon, with every leg demonstrably non-vacuous at sf0.01: odd
+    5+-letter words carry NO default pron (forces the any-role leg),
+    every 13th token gets an OOV suffix (G2P leg), every 11th is
+    capitalized (lowercase-retry leg); token roles cycle V/N/X by
+    position (X is never a lexicon role -> default/any legs)."""
+    from gruut_spark.operators.lexicon import (
+        WORD_RE, grapheme_pron, phonemize_tokens_role,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    ).filter(F.col("word").rlike(WORD_RE))
+    counted = words.groupBy("word").agg(F.count("*").alias("freq")).filter(
+        F.col("freq") >= 20
+    )
+    gp = counted.select("word", grapheme_pron(F.col("word")).alias("pron"))
+    ln = F.length("word")
+
+    def entry(frame, order, suffix, role):
+        p = F.col("pron") if not suffix else F.concat("pron", F.lit(suffix))
+        return frame.select(
+            "word", F.lit(order).alias("pron_order"), p.alias("phonemes"),
+            F.lit(role).alias("role"),
+        )
+
+    has_default = (ln % 2 == 0) | (ln < 5)
+    lex = (
+        entry(gp.filter(has_default), 0, "", "_")
+        .unionByName(entry(gp.filter(has_default & (ln % 2 == 0)), 1, " ə", "_"))
+        .unionByName(entry(gp.filter(ln % 3 == 0), 0, " v", "V"))
+        .unionByName(entry(gp.filter(ln % 5 == 0), 0, " n", "N"))
+    )
+
+    raw = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias("idx", "word"),
+    ).filter(F.col("word") != "")
+    mutated = F.when(
+        F.col("idx") % 13 == 0, F.concat("word", F.lit("xq"))
+    ).when(
+        F.col("idx") % 11 == 0,
+        F.concat(
+            F.upper(F.substring("word", 1, 1)), F.expr("substring(word, 2)")
+        ),
+    ).otherwise(F.col("word"))
+    toks = raw.select(
+        "doc_id", mutated.alias("word"),
+        F.when(F.col("idx") % 3 == 0, "V")
+        .when(F.col("idx") % 3 == 1, "N")
+        .otherwise("X").alias("role"),
+    )
+    phon = phonemize_tokens_role(toks, lex)
+    tag = F.concat_ws(":", "word", "role", "phonemes")
+    return (
+        phon.groupBy("doc_id")
+        .agg(
+            F.sum((F.col("source") == "lexicon").cast("long")).alias("n_lexicon"),
+            F.sum((F.col("source") == "lexicon_lower").cast("long")).alias("n_lower"),
+            F.sum((F.col("source") == "g2p").cast("long")).alias("n_g2p"),
+            F.md5(F.concat_ws("|", F.sort_array(F.collect_list(tag)))).alias(
+                "roles_md5"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _doc_trigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide word-trigram counts, top 30 (the relational twin of
     the distributed LM count table — operators/lm_train.py; the hashed
@@ -939,6 +1011,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pos_context": _doc_pos_context,
         "doc_g2p_context": _doc_g2p_context,
         "doc_trigram_counts": _doc_trigram_counts,
+        "doc_phonemize_roles": _doc_phonemize_roles,
     }
 
 
@@ -1478,6 +1551,90 @@ def oracle_sql() -> dict[str, str]:
         "corpus_assembled_relational": _corpus_assembled_relational_oracle_sql(),
         "doc_pos_context": _pos_context_oracle_sql(),
         "doc_g2p_context": _g2p_context_oracle_sql(),
+        "doc_phonemize_roles": r"""
+            WITH lex_words AS (
+                SELECT tok AS word
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+                WHERE regexp_matches(tok, '^[a-z'']+$')
+            ),
+            counted AS (
+                SELECT word FROM lex_words GROUP BY word HAVING count(*) >= 20
+            ),
+            gp AS (
+                SELECT word,
+                       array_to_string(string_split(word, ''), ' ') AS pron
+                FROM counted
+            ),
+            lex AS (
+                SELECT word, 0 AS pron_order, pron AS phonemes, '_' AS role
+                FROM gp WHERE length(word) % 2 = 0 OR length(word) < 5
+                UNION ALL
+                SELECT word, 1, pron || ' ə', '_'
+                FROM gp WHERE length(word) % 2 = 0
+                UNION ALL
+                SELECT word, 0, pron || ' v', 'V' FROM gp WHERE length(word) % 3 = 0
+                UNION ALL
+                SELECT word, 0, pron || ' n', 'N' FROM gp WHERE length(word) % 5 = 0
+            ),
+            by_role AS (
+                SELECT word, role, arg_min(phonemes, pron_order) AS phonemes
+                FROM lex GROUP BY word, role
+            ),
+            deflt AS (SELECT word, phonemes AS p_def FROM by_role WHERE role = '_'),
+            any_r AS (
+                SELECT word,
+                       arg_min(phonemes, printf('%03d|%s', pron_order, role)) AS p_any
+                FROM lex GROUP BY word
+            ),
+            toks AS (
+                SELECT s.doc_id, i - 1 AS idx, s.t[i] AS word
+                FROM (
+                    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents
+                ) s, unnest(generate_series(1, len(s.t))) AS g(i)
+                WHERE s.t[i] <> ''
+            ),
+            rt AS (
+                SELECT doc_id,
+                       CASE WHEN idx % 13 = 0 THEN word || 'xq'
+                            WHEN idx % 11 = 0
+                                 THEN upper(substr(word, 1, 1)) || substr(word, 2)
+                            ELSE word END AS word,
+                       CASE idx % 3 WHEN 0 THEN 'V' WHEN 1 THEN 'N'
+                            ELSE 'X' END AS role
+                FROM toks
+            ),
+            ph AS (
+                SELECT rt.doc_id, rt.word, rt.role,
+                       coalesce(br.phonemes, d.p_def, a.p_any,
+                                brl.phonemes, dl.p_def, al.p_any,
+                                array_to_string(
+                                    string_split(lower(rt.word), ''), ' ')
+                       ) AS phonemes,
+                       CASE WHEN coalesce(br.phonemes, d.p_def, a.p_any)
+                                 IS NOT NULL THEN 'lexicon'
+                            WHEN coalesce(brl.phonemes, dl.p_def, al.p_any)
+                                 IS NOT NULL THEN 'lexicon_lower'
+                            ELSE 'g2p' END AS source
+                FROM rt
+                LEFT JOIN by_role br ON br.word = rt.word AND br.role = rt.role
+                LEFT JOIN deflt d ON d.word = rt.word
+                LEFT JOIN any_r a ON a.word = rt.word
+                LEFT JOIN by_role brl
+                       ON brl.word = lower(rt.word) AND brl.role = rt.role
+                LEFT JOIN deflt dl ON dl.word = lower(rt.word)
+                LEFT JOIN any_r al ON al.word = lower(rt.word)
+            )
+            SELECT doc_id,
+                   CAST(sum((source = 'lexicon')::BIGINT) AS BIGINT) AS n_lexicon,
+                   CAST(sum((source = 'lexicon_lower')::BIGINT) AS BIGINT) AS n_lower,
+                   CAST(sum((source = 'g2p')::BIGINT) AS BIGINT) AS n_g2p,
+                   md5(string_agg(word || ':' || role || ':' || phonemes, '|'
+                                  ORDER BY word || ':' || role || ':' || phonemes)
+                   ) AS roles_md5
+            FROM ph GROUP BY doc_id ORDER BY doc_id
+        """,
         "doc_trigram_counts": r"""
             WITH toks AS (
                 SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t

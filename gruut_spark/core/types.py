@@ -124,3 +124,39 @@ class Sentence:
 
     def __getitem__(self, i):
         return self.words[i]
+
+
+def break_time_to_milliseconds(time_str: str) -> int:
+    """SSML break-time string -> milliseconds (reference
+    BreakNode.get_milliseconds, gruut/const.py:284-292): '250ms' -> 250,
+    '2.5s' -> 2500, anything else -> 0."""
+    if time_str.endswith("ms"):
+        return int(time_str[:-2])
+    if time_str.endswith("s"):
+        return int(float(time_str[:-1]) * 1000)
+    return 0
+
+
+def maybe_split_ipa(s: str) -> List[str]:
+    """Split an IPA pronunciation string into phonemes (reference
+    maybe_split_ipa, gruut/utils.py:286-293): whitespace wins if present;
+    otherwise cluster codepoints. The reference's automatic path calls
+    gruut_ipa.IPA.graphemes (the gruut-ipa package, not vendored in the
+    reference snapshot); the stand-in here groups each base character
+    with its trailing combining marks plus IPA length/stress/tie
+    modifiers — the documented subset of that behavior."""
+    if " " in s:
+        return s.split()
+    import unicodedata
+
+    # IPA modifiers that attach to the preceding base symbol
+    _ATTACH = {"ː", "ˑ", "̆", "͡", "‿", "ʰ", "ʷ", "ʲ", "ˠ", "ˤ", "̃"}
+    out: List[str] = []
+    for ch in s:  # as-is: composed codepoints stay single graphemes
+        if out and (unicodedata.combining(ch) or ch in _ATTACH):
+            out[-1] += ch
+        elif out and out[-1] and out[-1][-1] == "͡":
+            out[-1] += ch  # second member of a tie (t͡ʃ)
+        else:
+            out.append(ch)
+    return out

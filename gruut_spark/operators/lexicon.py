@@ -126,6 +126,74 @@ def phonemize_tokens(toks: DataFrame, lexicon: DataFrame) -> DataFrame:
     )
 
 
+def phonemize_tokens_role(
+    toks: DataFrame, lexicon: DataFrame, role_col: str = "role",
+    empty_role: str = "_",
+) -> DataFrame:
+    """POS-informed pronunciation lookup (reference role-preference
+    chain, gruut/phonemize.py:55-73): for a token with a POS role, prefer
+    the role-specific pron, then the default-role ('_') pron, then ANY
+    pron of the word (lowest pron_order; role as the deterministic
+    tiebreak where the reference inherits sqlite's arbitrary order) —
+    and only if the word is absent entirely, retry the chain on the
+    lowercased word, then fall back to G2P.
+
+    Physical shape: six broadcast hash joins of the tiny ranked lexicon
+    against the token stream — all codegen, no shuffle; the token side
+    stays narrow throughout (same scale argument as phonemize_tokens)."""
+    by_role = lexicon.groupBy("word", role_col).agg(
+        F.min_by("phonemes", "pron_order").alias("phonemes")
+    )
+    default = (
+        by_role.filter(F.col(role_col) == empty_role)
+        .select("word", F.col("phonemes").alias("p_def"))
+    )
+    any_role = lexicon.groupBy("word").agg(
+        F.min_by("phonemes", F.struct("pron_order", role_col)).alias("p_any")
+    )
+
+    def chain(frame: DataFrame, word_expr, tag: str) -> DataFrame:
+        r = frame.join(
+            F.broadcast(by_role.select(
+                F.col("word").alias(f"_w{tag}"),
+                F.col(role_col).alias(f"_r{tag}"),
+                F.col("phonemes").alias(f"p_role{tag}"),
+            )),
+            (word_expr == F.col(f"_w{tag}"))
+            & (F.col(role_col) == F.col(f"_r{tag}")),
+            "left",
+        ).drop(f"_w{tag}", f"_r{tag}")
+        r = r.join(
+            F.broadcast(default.select(
+                F.col("word").alias(f"_w{tag}d"), F.col("p_def").alias(f"p_def{tag}")
+            )),
+            word_expr == F.col(f"_w{tag}d"), "left",
+        ).drop(f"_w{tag}d")
+        return r.join(
+            F.broadcast(any_role.select(
+                F.col("word").alias(f"_w{tag}a"), F.col("p_any").alias(f"p_any{tag}")
+            )),
+            word_expr == F.col(f"_w{tag}a"), "left",
+        ).drop(f"_w{tag}a")
+
+    out = chain(toks, toks.word, "")
+    out = chain(out, F.lower(F.col("word")), "l")
+    exact_hit = F.coalesce("p_role", "p_def", "p_any")
+    lower_hit = F.coalesce("p_rolel", "p_defl", "p_anyl")
+    return out.select(
+        "doc_id",
+        "word",
+        role_col,
+        F.coalesce(exact_hit, lower_hit, grapheme_pron(F.col("word"))).alias(
+            "phonemes"
+        ),
+        F.when(exact_hit.isNotNull(), "lexicon")
+        .when(lower_hit.isNotNull(), "lexicon_lower")
+        .otherwise("g2p")
+        .alias("source"),
+    )
+
+
 def doc_phoneme_summary(
     docs: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_count: int = 20,

@@ -501,6 +501,62 @@ def test_lexicon_from_sqlite_reference_schema(spark, tmp_path):
     assert out["wind"] == ("w ɪ n d", "lexicon")
 
 
+def test_phonemize_role_preference_chain(spark, tmp_path):
+    """POS-informed pronunciation (reference gruut/phonemize.py:55-73):
+    exact role -> default '_' -> any role, then lowercase retry, then
+    G2P; all via broadcast joins."""
+    import sqlite3
+
+    from gruut_spark.operators.lexicon import phonemize_tokens_role
+
+    db = str(tmp_path / "lexicon.db")
+    with sqlite3.connect(db) as conn:
+        conn.execute(
+            "CREATE TABLE word_phonemes (id INTEGER PRIMARY KEY AUTOINCREMENT,"
+            " word TEXT, pron_order INTEGER, phonemes TEXT, role TEXT)"
+        )
+        conn.executemany(
+            "INSERT INTO word_phonemes (word, pron_order, phonemes, role)"
+            " VALUES (?, ?, ?, ?)",
+            [
+                ("read", 0, "ɹ ɛ d", "_"),
+                ("read", 1, "ɹ iː d", "_"),
+                ("wind", 0, "w ɪ n d", "VERB"),
+                ("wind", 0, "w aɪ n d", "NOUN"),
+            ],
+        )
+    # read ALL roles (no filter): the role chain needs the role column
+    import pandas as pd
+
+    with sqlite3.connect(db) as conn:
+        pdf = pd.read_sql_query(
+            "SELECT word, pron_order, phonemes, role FROM word_phonemes", conn
+        )
+    lex = spark.createDataFrame(
+        pdf, "word string, pron_order int, phonemes string, role string"
+    )
+
+    toks = spark.createDataFrame(
+        [
+            (0, "wind", "VERB"),   # exact role
+            (0, "wind", "NOUN"),   # exact role
+            (0, "wind", "ADJ"),    # unknown role -> any (pron_order, role) min
+            (0, "read", "VERB"),   # no VERB entry -> default '_', order 0
+            (0, "Read", "NOUN"),   # absent word -> lowercase retry
+            (0, "zzz", "NOUN"),    # OOV -> G2P
+        ],
+        "doc_id long, word string, role string",
+    )
+    out = {(r["word"], r["role"]): (r["phonemes"], r["source"])
+           for r in phonemize_tokens_role(toks, lex).collect()}
+    assert out[("wind", "VERB")] == ("w ɪ n d", "lexicon")
+    assert out[("wind", "NOUN")] == ("w aɪ n d", "lexicon")
+    assert out[("wind", "ADJ")] == ("w aɪ n d", "lexicon")   # NOUN < VERB tiebreak
+    assert out[("read", "VERB")] == ("ɹ ɛ d", "lexicon")
+    assert out[("Read", "NOUN")] == ("ɹ ɛ d", "lexicon_lower")
+    assert out[("zzz", "NOUN")] == ("z z z", "g2p")
+
+
 def test_streaming_windowed_watermark(spark, tmp_path):
     """Watermarked tumbling-window agg (append mode): windows emit once the
     watermark passes their end; an event arriving later than the watermark

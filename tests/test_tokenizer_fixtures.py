@@ -352,3 +352,26 @@ def test_slavic_currency_gender():
     assert V.currency(1.01, "CZK", "cs") == "jedna koruna jeden haléř"
     assert V.currency(1, "EUR", "cs") == "jedno euro"
     assert V.currency(2, "EUR", "cs") == "dvě eura"
+
+
+def test_break_time_to_milliseconds():
+    """Reference BreakNode.get_milliseconds (gruut/const.py:284-292)."""
+    from gruut_spark.core.types import break_time_to_milliseconds
+
+    assert break_time_to_milliseconds("250ms") == 250
+    assert break_time_to_milliseconds("2s") == 2000
+    assert break_time_to_milliseconds("2.5s") == 2500
+    assert break_time_to_milliseconds("") == 0
+    assert break_time_to_milliseconds("soon") == 0
+
+
+def test_maybe_split_ipa():
+    """Reference maybe_split_ipa (gruut/utils.py:286-293): manual
+    (whitespace) split wins; automatic split clusters combining marks and
+    IPA modifiers with their base symbol."""
+    from gruut_spark.core.types import maybe_split_ipa
+
+    assert maybe_split_ipa("h ə l oʊ") == ["h", "ə", "l", "oʊ"]
+    assert maybe_split_ipa("t͡ʃiːz") == ["t͡ʃ", "iː", "z"]      # tie + length
+    assert maybe_split_ipa("pʰat") == ["pʰ", "a", "t"]         # aspiration
+    assert "".join(maybe_split_ipa("ĩta")) == "ĩta"            # nasal combining
