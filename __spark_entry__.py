@@ -1713,13 +1713,19 @@ def oracle_sql() -> dict[str, str]:
             phon AS (
                 SELECT t.doc_id,
                        t.word || ':' || coalesce(
-                           be.phonemes, bl.phonemes,
+                           be.phonemes, bl.phonemes, bn.phonemes, bnl.phonemes,
                            array_to_string(string_split(lower(t.word), ''), ' ')
                        ) AS wp,
-                       (be.phonemes IS NOT NULL OR bl.phonemes IS NOT NULL) AS in_lex
+                       (be.phonemes IS NOT NULL OR bl.phonemes IS NOT NULL
+                        OR bn.phonemes IS NOT NULL OR bnl.phonemes IS NOT NULL
+                       ) AS in_lex
                 FROM toks t
                 LEFT JOIN best be ON be.word = t.word
                 LEFT JOIN best bl ON bl.word = lower(t.word)
+                LEFT JOIN best bn
+                       ON bn.word = regexp_replace(t.word, '\W', '', 'g')
+                LEFT JOIN best bnl
+                       ON bnl.word = regexp_replace(lower(t.word), '\W', '', 'g')
             )
             SELECT doc_id,
                    CAST(sum(in_lex::BIGINT) AS BIGINT) AS n_lexicon,

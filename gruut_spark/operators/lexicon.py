@@ -99,30 +99,48 @@ def build_lexicon(
 
 
 def phonemize_tokens(toks: DataFrame, lexicon: DataFrame) -> DataFrame:
-    """Lookup chain over (doc_id, word) tokens: exact match -> lowercase
-    match -> G2P grapheme fallback. Both joins broadcast the ranked
-    lexicon; the fallback is pure codegen, so the whole operator is one
-    narrow pass over the token stream."""
+    """Lookup chain over (doc_id, word) tokens with the reference's FULL
+    word-transform sequence (gruut/lang.py:93-99 + phonemize.py:75-112):
+    exact -> lower -> remove_non_word_chars -> remove∘lower -> G2P
+    grapheme fallback. Four broadcast joins of the ranked lexicon; the
+    fallback is pure codegen, so the whole operator is one narrow pass
+    over the token stream. remove_non_word_chars is \\W -> '' (ASCII
+    word-class in Spark/RE2, matching the oracle; the reference's Python
+    \\W is unicode-aware — identical on the [a-z']-keyed lexicon)."""
     best = lexicon.groupBy("word").agg(
         F.min_by("phonemes", "pron_order").alias("phonemes")
     )
-    b = F.broadcast(best)
-    exact = toks.join(b, "word", "left").withColumnRenamed("phonemes", "p_exact")
-    lowered = exact.join(
-        b.select(F.col("word").alias("_lword"), F.col("phonemes").alias("p_lower")),
-        F.lower(exact.word) == F.col("_lword"),
-        "left",
-    ).drop("_lword")
-    return lowered.select(
+
+    legs = [
+        ("p_exact", F.col("word")),
+        ("p_lower", F.lower(F.col("word"))),
+        ("p_nonword", F.regexp_replace(F.col("word"), r"\W", "")),
+        ("p_nonword_lower", F.regexp_replace(F.lower(F.col("word")), r"\W", "")),
+    ]
+    out = toks
+    for alias, expr in legs:
+        out = out.join(
+            F.broadcast(best.select(
+                F.col("word").alias(f"_w_{alias}"),
+                F.col("phonemes").alias(alias),
+            )),
+            expr == F.col(f"_w_{alias}"),
+            "left",
+        ).drop(f"_w_{alias}")
+    src = F.when(F.col("p_exact").isNotNull(), "lexicon")
+    for alias, label in [
+        ("p_lower", "lexicon_lower"),
+        ("p_nonword", "lexicon_nonword"),
+        ("p_nonword_lower", "lexicon_nonword_lower"),
+    ]:
+        src = src.when(F.col(alias).isNotNull(), label)
+    return out.select(
         "doc_id",
         "word",
         F.coalesce(
-            F.col("p_exact"), F.col("p_lower"), grapheme_pron(F.col("word"))
+            *[F.col(a) for a, _ in legs], grapheme_pron(F.col("word"))
         ).alias("phonemes"),
-        F.when(F.col("p_exact").isNotNull(), "lexicon")
-        .when(F.col("p_lower").isNotNull(), "lexicon_lower")
-        .otherwise("g2p")
-        .alias("source"),
+        src.otherwise("g2p").alias("source"),
     )
 
 

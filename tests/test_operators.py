@@ -445,7 +445,7 @@ def test_lexicon_lookup_chain_and_pron_order(spark):
     lex_rows = {(r["word"], r["pron_order"]): r["phonemes"] for r in lex.collect()}
     assert ("said", 1) in lex_rows and lex_rows[("said", 1)].endswith(" ə")
     toks = spark.createDataFrame(
-        [(0, "hello"), (0, "Hello"), (0, "zzyzx")],
+        [(0, "hello"), (0, "Hello"), (0, "zzyzx"), (0, "hello,"), (0, "Hello!")],
         "doc_id long, word string",
     )
     out = phonemize_tokens(toks, lex)
@@ -453,6 +453,9 @@ def test_lexicon_lookup_chain_and_pron_order(spark):
     assert rows["hello"] == ("h e l l o", "lexicon")
     assert rows["Hello"] == ("h e l l o", "lexicon_lower")  # lowercase fallback
     assert rows["zzyzx"] == ("z z y z x", "g2p")            # OOV fallback
+    # reference's remove_non_word_chars transforms (gruut/lang.py:93-99)
+    assert rows["hello,"] == ("h e l l o", "lexicon_nonword")
+    assert rows["Hello!"] == ("h e l l o", "lexicon_nonword_lower")
     # the lookup must be a broadcast join, not a shuffle join
     plan = out._sc._jvm.PythonSQLUtils.explainString(
         out._jdf.queryExecution(), "formatted"
