@@ -1,0 +1,43 @@
+"""Driver-contract smoke checks that need no Spark session: the
+queries()/oracle_sql() registries stay consistent and every oracle is
+executable DuckDB SQL over the registered tables (catches a typo'd
+oracle in seconds instead of at the driver gate)."""
+
+import os
+import sys
+
+import duckdb
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_every_oracle_has_a_query_and_callables():
+    import __spark_entry__ as e
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    missing = set(oracles) - set(qs)
+    assert not missing, f"oracle_sql keys without queries(): {missing}"
+    assert all(callable(f) for f in qs.values())
+    # the gate's weak (rows-only) checks should stay the exception
+    assert len(oracles) >= 0.7 * len(qs)
+
+
+def test_every_oracle_executes_in_duckdb():
+    import __spark_entry__ as e
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'"
+        )
+    for name, sql in e.oracle_sql().items():
+        try:
+            con.sql(sql).fetchall()
+        except Exception as ex:  # noqa: BLE001
+            raise AssertionError(f"oracle {name} failed in DuckDB: {ex}") from ex
