@@ -14,11 +14,12 @@ Four families, each shaped for 100 TB inputs:
 * n-gram Jaccard — exact token-shingle Jaccard via explode + co-group,
                  expressible purely relationally (and thus DuckDB-checkable).
 
-All hashing is seed-stable (FNV/md5), never Python ``hash``.
+All hashing is seed-stable (BLAKE2b/md5), never Python ``hash``.
 """
 
 from __future__ import annotations
 
+import hashlib
 from typing import Optional
 
 import numpy as np
@@ -26,6 +27,17 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _hash64(data: bytes) -> int:
+    """Stable 64-bit content hash via BLAKE2b (C implementation).
+    Python's builtin ``hash`` is per-process salted and banned in data
+    paths; the earlier per-byte pure-Python FNV loop cost ~1 µs per
+    shingle, which dominated the signature UDF on long documents —
+    BLAKE2b keeps determinism at C speed. (langid/LM keep FNV: their
+    trained artifacts are keyed by those hash values; LSH signatures
+    carry no artifacts, so the function here is free to change.)"""
+    return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
 
 # ---------------------------------------------------------------------------
 # Exact dedup
@@ -177,10 +189,7 @@ def _minhash_params(num_perm: int, seed: int = 1) -> tuple:
 
 
 def _shingle_hashes(text: str, k: int) -> np.ndarray:
-    """Stable 64-bit hashes of word k-shingles (Python's salted hash is
-    banned; use FNV over the joined shingle)."""
-    from ..core.langid import _fnv1a_bytes
-
+    """Stable 64-bit hashes of word k-shingles (BLAKE2b; see _hash64)."""
     toks = text.lower().split()
     if len(toks) < k:
         shingles = [" ".join(toks)] if toks else []
@@ -189,7 +198,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     if not shingles:
         return np.zeros(0, dtype=np.uint64)
     return np.fromiter(
-        (_fnv1a_bytes(s.encode("utf-8", "ignore")) for s in set(shingles)),
+        (_hash64(s.encode("utf-8", "ignore")) for s in set(shingles)),
         dtype=np.uint64,
     )
 
@@ -303,7 +312,6 @@ def minhash_lsh_pairs(
 def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """64-bit SimHash over word unigrams (weighted bit-vote), numpy per
     batch."""
-    from ..core.langid import _fnv1a_bytes
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("long")
@@ -315,7 +323,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 out.append(0)
                 continue
             hashes = np.fromiter(
-                (_fnv1a_bytes(w.encode("utf-8", "ignore")) for w in toks),
+                (_hash64(w.encode("utf-8", "ignore")) for w in toks),
                 dtype=np.uint64,
             )
             bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
