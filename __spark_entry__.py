@@ -788,6 +788,22 @@ def _corpus_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("repo", "path", "lang", "lang_pred", "keep").orderBy("path")
 
 
+def _multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling plan (operators/multimodal.py): metadata-only
+    integer arithmetic — durations derived deterministically from the
+    documents table so the oracle shares the exact input. 2 fps capped
+    at 16 frames."""
+    from gruut_spark.operators.multimodal import frame_sample_plan
+
+    vids = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("sample_id"),
+        (F.lit(500) + (F.col("doc_id") % 40) * 331).alias("duration_ms"),
+    )
+    return frame_sample_plan(
+        vids, fps_num=2, fps_den=1, max_frames=16
+    ).orderBy("sample_id", "frame_idx")
+
+
 def _doc_phonemize_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """POS-informed pronunciation rollup: the role-preference chain
     (exact role -> default '_' -> any role -> lowercase retry -> G2P,
@@ -1012,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_g2p_context": _doc_g2p_context,
         "doc_trigram_counts": _doc_trigram_counts,
         "doc_phonemize_roles": _doc_phonemize_roles,
+        "multimodal_frame_plan": _multimodal_frame_plan,
     }
 
 
@@ -1551,6 +1568,22 @@ def oracle_sql() -> dict[str, str]:
         "corpus_assembled_relational": _corpus_assembled_relational_oracle_sql(),
         "doc_pos_context": _pos_context_oracle_sql(),
         "doc_g2p_context": _g2p_context_oracle_sql(),
+        "multimodal_frame_plan": """
+            WITH vids AS (
+                SELECT doc_id AS sample_id,
+                       500 + (doc_id % 40) * 331 AS duration_ms
+                FROM documents
+            ),
+            n AS (
+                SELECT sample_id, duration_ms,
+                       least(greatest((duration_ms * 2) // 1000, 1), 16) AS nf
+                FROM vids
+            )
+            SELECT sample_id, i AS frame_idx,
+                   (i * duration_ms) // nf AS ts_ms
+            FROM n, unnest(generate_series(0, nf - 1)) AS g(i)
+            ORDER BY sample_id, frame_idx
+        """,
         "doc_phonemize_roles": r"""
             WITH lex_words AS (
                 SELECT tok AS word

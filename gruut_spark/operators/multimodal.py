@@ -111,3 +111,47 @@ def synthetic_multimodal(spark: SparkSession, n: int = 64, seed: int = 42) -> Da
         }
         rows.append((i, modality, payload, meta))
     return spark.createDataFrame(rows, schema=MULTIMODAL_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame,
+    fps_num: int = 1,
+    fps_den: int = 1,
+    max_frames: int = 32,
+    id_col: str = "sample_id",
+    duration_col: str = "duration_ms",
+) -> DataFrame:
+    """Deterministic frame-sampling PLAN for video rows: which timestamps
+    to decode, computed from metadata alone — the step a real pipeline
+    runs before touching any pixels, so it must be cheap and exactly
+    reproducible. n_frames = clamp(duration_ms * fps / 1000, 1,
+    max_frames), evenly spaced; all INTEGER arithmetic (fps as the
+    rational fps_num/fps_den) so a SQL oracle reproduces it bit-for-bit
+    and a retried task samples identical frames. Pure codegen
+    (sequence + explode), zero shuffle, zero Python."""
+    dur = F.col(duration_col).cast("long")
+    # integer floor-div via DIV keeps Spark and DuckDB identical
+    nf = F.least(
+        F.greatest(
+            F.expr(
+                f"(cast({duration_col} as bigint) * {int(fps_num)}) "
+                f"DIV {1000 * int(fps_den)}"
+            ),
+            F.lit(1),
+        ),
+        F.lit(int(max_frames)),
+    )
+    plan = df.select(F.col(id_col), dur.alias("_dur"), nf.alias("_nf"))
+    return (
+        plan.select(
+            id_col,
+            F.explode(F.sequence(F.lit(0), F.col("_nf") - 1)).alias("frame_idx"),
+            "_dur",
+            "_nf",
+        )
+        .select(
+            id_col,
+            "frame_idx",
+            F.expr("(frame_idx * _dur) DIV _nf").alias("ts_ms"),
+        )
+    )

@@ -102,6 +102,37 @@ def test_multimodal_plumbing(spark):
     }
 
 
+def test_frame_sample_plan(spark):
+    """Frame-sampling plan: integer-exact clamp + even spacing, matches a
+    python reference loop, and the plan is pure codegen (no Exchange, no
+    Python node)."""
+    from gruut_spark.operators.multimodal import frame_sample_plan
+
+    rows = [(0, 100), (1, 999), (2, 1000), (3, 4500), (4, 60000)]
+    df = spark.createDataFrame(rows, "sample_id long, duration_ms long")
+    out = frame_sample_plan(df, fps_num=2, fps_den=1, max_frames=8)
+    got = {(r["sample_id"], r["frame_idx"]): r["ts_ms"] for r in out.collect()}
+
+    want = {}
+    for sid, dur in rows:
+        nf = min(max(dur * 2 // 1000, 1), 8)
+        for i in range(nf):
+            want[(sid, i)] = i * dur // nf
+    assert got == want
+    # 0.5 fps via the rational form
+    half = frame_sample_plan(df, fps_num=1, fps_den=2, max_frames=8)
+    n_by_id = {r["sample_id"]: 1 for r in half.collect()}
+    got_counts = {}
+    for r in half.collect():
+        got_counts[r["sample_id"]] = got_counts.get(r["sample_id"], 0) + 1
+    assert got_counts[4] == 8          # 60s at 0.5fps -> 30, capped at 8
+    assert got_counts[0] == 1          # clamp floor
+    assert n_by_id  # plan returned rows
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+
+
 def test_streaming_matches_batch(spark, tmp_path):
     from gruut_spark.plans.quality_pipeline import build_pipeline
     from gruut_spark.sources.testgen import generate_files
