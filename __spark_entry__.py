@@ -788,6 +788,36 @@ def _corpus_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("repo", "path", "lang", "lang_pred", "keep").orderBy("path")
 
 
+def _doc_g2p_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beam-search G2P decode over the corpus vocabulary (rows-only: the
+    search is iterative, not SQL-expressible; core semantics are pinned
+    against an exhaustive-enumeration oracle in tests/test_g2p_beam.py).
+    Model: ambiguous digraph rules over single-char fallbacks, the
+    phonetisaurus chunk shape (reference g2p_phonetisaurus.py:326-480)."""
+    from gruut_spark.core.g2p_decode import chunk_model
+    from gruut_spark.operators.g2p_beam import g2p_guess_table
+
+    rules = [(( c,), (c,), 0.31) for c in "abcdefghijklmnopqrstuvwxyz'"]
+    rules += [
+        (("t", "h"), ("θ",), 0.17),
+        (("s", "h"), ("ʃ",), 0.18),
+        (("p", "h"), ("f",), 0.19),
+        (("o", "o"), ("uː",), 0.21),
+        (("e", "e"), ("iː",), 0.22),
+    ]
+    words = (
+        _read(spark, sf_dir, "documents")
+        .select(
+            F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z']+$"))
+        .distinct()
+    )
+    return g2p_guess_table(
+        words, chunk_model(rules), max_guesses=2
+    ).orderBy("word", "guess_idx")
+
+
 def _multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (operators/multimodal.py): metadata-only
     integer arithmetic — durations derived deterministically from the
@@ -1029,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_trigram_counts": _doc_trigram_counts,
         "doc_phonemize_roles": _doc_phonemize_roles,
         "multimodal_frame_plan": _multimodal_frame_plan,
+        "doc_g2p_beam": _doc_g2p_beam,
     }
 
 

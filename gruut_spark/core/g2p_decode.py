@@ -1,0 +1,173 @@
+"""Beam-search G2P decode (phonetisaurus-style WFST, from scratch).
+
+Search semantics ported from the reference decoder
+(gruut/g2p_phonetisaurus.py:326-480):
+
+* costs are negative log probs — LOWER is better, sort ascending;
+* each round expands every hypothesis over the FST arcs: an arc either
+  consumes a matching grapheme chunk or is epsilon (consumes nothing),
+  and appends its phoneme chunk to the output;
+* a hypothesis whose graphemes are exhausted AND whose node is final
+  re-enters the queue as a completed guess with the final cost added —
+  completed guesses still compete in the beam sort;
+* after each round the queue is sorted by cost and truncated to the
+  current beam, which decays by ``beam_scale`` down to ``min_beam``
+  (the reference's 5000 -> x0.6 -> floor 100 schedule);
+* completed guesses dedup by phoneme tuple; the search stops once
+  ``max_guesses`` distinct guesses complete; results are the cheapest
+  ``max_guesses`` in cost order, empty phonemes filtered;
+* an empty word yields no guesses (the reference's early return).
+
+The reference ships its trained FSTs inside gruut-lang-* model packages,
+which are absent from the snapshot — so ``chunk_model`` builds a
+single-state WFST from an explicit (grapheme-chunk -> phoneme-chunk,
+cost) rule table. That model class exercises the identical search code
+path (chunk matching, ambiguity, epsilon, dedup, beam decay) and is
+small enough for tests to verify the beam against exhaustive
+enumeration. A production FST loader would populate the same
+``G2PModel`` arcs from its edge table.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Dict, Iterable, List, Optional, Sequence, Tuple
+
+DEFAULT_BEAM = 5000
+DEFAULT_MIN_BEAM = 100
+DEFAULT_BEAM_SCALE = 0.6
+
+
+@dataclass(frozen=True)
+class G2PArc:
+    """One FST transition. ``igraphemes is None`` = epsilon."""
+
+    igraphemes: Optional[Tuple[str, ...]]
+    ophonemes: Tuple[str, ...]
+    cost: float
+    to_node: int
+
+
+@dataclass
+class G2PModel:
+    arcs: Dict[int, List[G2PArc]] = field(default_factory=dict)
+    final_costs: Dict[int, float] = field(default_factory=dict)
+    start: int = 0
+
+
+def chunk_model(
+    rules: Iterable[Tuple[Sequence[str], Sequence[str], float]],
+    final_cost: float = 0.0,
+) -> G2PModel:
+    """Single-state WFST from (grapheme-chunk, phoneme-chunk, cost)
+    rules: decoding a word = segmenting it into known chunks, with
+    ambiguity wherever chunks overlap."""
+    arcs = [
+        G2PArc(tuple(ig), tuple(op), float(c), 0) for ig, op, c in rules
+    ]
+    return G2PModel(arcs={0: arcs}, final_costs={0: float(final_cost)})
+
+
+def beam_decode(
+    model: G2PModel,
+    word: Sequence[str],
+    beam: int = DEFAULT_BEAM,
+    min_beam: int = DEFAULT_MIN_BEAM,
+    beam_scale: float = DEFAULT_BEAM_SCALE,
+    max_guesses: int = 1,
+) -> List[List[str]]:
+    """Top-``max_guesses`` phoneme sequences for ``word`` (a string is
+    split into characters, matching the reference's default)."""
+    graphemes = list(word)
+    if not graphemes:
+        return []
+    n = len(graphemes)
+
+    # hypothesis: (cost, node-or-None, consumed, output); node None marks
+    # a completed guess re-entering the queue (the reference's is_final)
+    q: List[Tuple[float, Optional[int], int, Tuple[str, ...]]] = [
+        (0.0, model.start, 0, ())
+    ]
+    best: List[Tuple[float, Tuple[str, ...]]] = []
+    guessed: set = set()
+    current_beam = beam
+
+    while q:
+        done = False
+        q_next: List[Tuple[float, Optional[int], int, Tuple[str, ...]]] = []
+        for cost, node, consumed, output in q:
+            if node is None:
+                if output not in guessed:
+                    guessed.add(output)
+                    best.append((cost, output))
+                if len(best) >= max_guesses:
+                    done = True
+                    break
+                continue
+            if consumed == n:
+                fc = model.final_costs.get(node)
+                if fc is not None:
+                    q_next.append((cost + fc, None, consumed, output))
+            for arc in model.arcs.get(node, ()):
+                if arc.igraphemes is None:
+                    q_next.append(
+                        (cost + arc.cost, arc.to_node, consumed,
+                         output + arc.ophonemes)
+                    )
+                    continue
+                k = len(arc.igraphemes)
+                if consumed + k <= n and (
+                    tuple(graphemes[consumed : consumed + k]) == arc.igraphemes
+                ):
+                    q_next.append(
+                        (cost + arc.cost, arc.to_node, consumed + k,
+                         output + arc.ophonemes)
+                    )
+        if done:
+            break
+        q = sorted(q_next, key=lambda h: h[0])[:current_beam]
+        current_beam = max(min_beam, int(current_beam * beam_scale))
+
+    return [
+        [p for p in phonemes if p]
+        for _, phonemes in sorted(best, key=lambda h: h[0])[:max_guesses]
+    ]
+
+
+def exhaustive_decode(
+    model: G2PModel, word: Sequence[str], max_guesses: int = 1,
+    max_eps_depth: int = 0,
+) -> List[List[str]]:
+    """Test oracle: enumerate EVERY complete path (depth-first, epsilon
+    excluded unless a depth budget is given) and return the true top-k.
+    Only usable on tiny models/words — that is its job."""
+    graphemes = list(word)
+    if not graphemes:
+        return []
+    n = len(graphemes)
+    results: Dict[Tuple[str, ...], float] = {}
+
+    def walk(node: int, consumed: int, cost: float,
+             output: Tuple[str, ...], eps_left: int) -> None:
+        if consumed == n:
+            fc = model.final_costs.get(node)
+            if fc is not None:
+                total = cost + fc
+                if output not in results or total < results[output]:
+                    results[output] = total
+        for arc in model.arcs.get(node, ()):
+            if arc.igraphemes is None:
+                if eps_left > 0:
+                    walk(arc.to_node, consumed, cost + arc.cost,
+                         output + arc.ophonemes, eps_left - 1)
+                continue
+            k = len(arc.igraphemes)
+            if consumed + k <= n and (
+                tuple(graphemes[consumed : consumed + k]) == arc.igraphemes
+            ):
+                walk(arc.to_node, consumed + k, cost + arc.cost,
+                     output + arc.ophonemes, eps_left)
+
+    walk(model.start, 0, 0.0, (), max_eps_depth)
+    ranked = sorted(results.items(), key=lambda kv: (kv[1], kv[0]))
+    return [[p for p in out if p] for out, _ in ranked[:max_guesses]]

@@ -1,0 +1,60 @@
+"""DataFrame form of the beam-search G2P decoder.
+
+One ``mapInPandas`` stage (single Python eval node, per the repo's
+measured rule); the model is broadcast by closure capture exactly like
+the pipeline's other model bundles (functions/runtime.py pattern). Each
+input word expands to ``max_guesses`` ranked rows — the per-word beam
+search itself is inherently sequential (reference
+gruut/g2p_phonetisaurus.py:326-480), so the parallelism axis is words,
+which is the right axis at corpus scale (millions of OOV words, each
+milliseconds of search)."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.g2p_decode import G2PModel, beam_decode
+
+GUESS_SCHEMA = "word string, guess_idx int, phonemes string"
+
+
+def g2p_guess_table(
+    df: DataFrame,
+    model: G2PModel,
+    word_col: str = "word",
+    max_guesses: int = 1,
+    beam: int = 5000,
+    min_beam: int = 100,
+    beam_scale: float = 0.6,
+) -> DataFrame:
+    """(word, guess_idx, phonemes) for every input word; phonemes are
+    space-joined, guess_idx ranks by cost (0 = best). Words with no
+    complete path emit no rows (mirrors the reference's empty yield)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words, idxs, phons = [], [], []
+            for w in pdf["word"].fillna(""):
+                for i, guess in enumerate(
+                    beam_decode(
+                        model, w, beam=beam, min_beam=min_beam,
+                        beam_scale=beam_scale, max_guesses=max_guesses,
+                    )
+                ):
+                    words.append(w)
+                    idxs.append(i)
+                    phons.append(" ".join(guess))
+            yield pd.DataFrame(
+                {"word": pd.Series(words, dtype="object"),
+                 "guess_idx": pd.Series(idxs, dtype="int32"),
+                 "phonemes": pd.Series(phons, dtype="object")}
+            )
+
+    return df.select(F.col(word_col).alias("word")).mapInPandas(
+        run, schema=GUESS_SCHEMA
+    )

@@ -1,0 +1,105 @@
+"""Beam-search G2P decode (phonetisaurus search semantics, from-scratch
+WFST): beam vs exhaustive oracle, beam decay, dedup, and the Spark form."""
+
+import pytest
+
+from gruut_spark.core.g2p_decode import (
+    G2PArc,
+    G2PModel,
+    beam_decode,
+    chunk_model,
+    exhaustive_decode,
+)
+
+# An ambiguous toy inventory: 'ph' can be one chunk (f) or two (p + h),
+# 'oo' one chunk (uː) or two (o + o); costs make the chunked readings win.
+RULES = [
+    (("p", "h"), ("f",), 0.3),
+    (("p",), ("p",), 0.4),
+    (("h",), ("h",), 0.5),
+    (("o", "o"), ("uː",), 0.2),
+    (("o",), ("o",), 0.35),
+    (("n",), ("n",), 0.1),
+    (("e",), ("iː",), 0.25),
+    (("t",), ("t",), 0.1),
+]
+
+
+def test_beam_matches_exhaustive_topk():
+    model = chunk_model(RULES)
+    for word, k in [("phone", 3), ("photo", 4), ("noon", 3), ("pet", 2)]:
+        assert beam_decode(model, word, max_guesses=k) == exhaustive_decode(
+            model, word, max_guesses=k
+        ), word
+
+
+def test_best_guess_prefers_cheap_chunks():
+    model = chunk_model(RULES)
+    assert beam_decode(model, "phone")[0] == ["f", "o", "n", "iː"]
+    assert beam_decode(model, "noon")[0] == ["n", "uː", "n"]
+
+
+def test_tiny_beam_still_returns_a_valid_segmentation():
+    model = chunk_model(RULES)
+    out = beam_decode(model, "phone", beam=1, min_beam=1, max_guesses=1)
+    assert len(out) == 1 and out[0]  # some complete path survived
+
+
+def test_unsegmentable_word_yields_nothing_and_empty_word_too():
+    model = chunk_model(RULES)
+    assert beam_decode(model, "xyz") == []
+    assert beam_decode(model, "") == []
+
+
+def test_duplicate_phoneme_outputs_dedup():
+    # two same-length paths to the SAME phoneme output at different costs:
+    # the output appears once (reference dedups by phoneme tuple)
+    model = chunk_model([
+        (("a",), ("A",), 0.9),
+        (("a",), ("A",), 0.1),
+        (("b",), ("B",), 0.1),
+    ])
+    out = beam_decode(model, "ab", max_guesses=5)
+    assert out == [["A", "B"]]
+
+
+def test_epsilon_arcs_and_final_costs():
+    # node 0 --a/A--> node 1 (final, cost 1.0); node 1 --eps/ə--> node 2
+    # (final, cost 0.0): epsilon continuation beats stopping early
+    model = G2PModel(
+        arcs={
+            0: [G2PArc(("a",), ("A",), 0.1, 1)],
+            1: [G2PArc(None, ("ə",), 0.05, 2)],
+        },
+        final_costs={1: 1.0, 2: 0.0},
+    )
+    out = beam_decode(model, "a", max_guesses=2)
+    assert out == [["A", "ə"], ["A"]]
+
+
+def test_beam_decay_schedule_reaches_floor():
+    # beam 10 with scale 0.6 decays 10 -> 6 -> 3 -> ... -> floor 2; the
+    # search must still terminate and return the best reachable guess
+    model = chunk_model(RULES)
+    out = beam_decode(
+        model, "phonophone", beam=10, min_beam=2, beam_scale=0.6,
+        max_guesses=1,
+    )
+    assert out and out[0][0] == "f"
+
+
+def test_g2p_guess_table_matches_core(spark):
+    from gruut_spark.operators.g2p_beam import g2p_guess_table
+
+    model = chunk_model(RULES)
+    words = ["phone", "noon", "pet", "xyz"]
+    df = spark.createDataFrame([(w,) for w in words], "word string")
+    got = {}
+    for r in g2p_guess_table(df, model, max_guesses=2).collect():
+        got.setdefault(r["word"], []).append((r["guess_idx"], r["phonemes"]))
+    for w in words:
+        want = [
+            (i, " ".join(g))
+            for i, g in enumerate(beam_decode(model, w, max_guesses=2))
+        ]
+        assert sorted(got.get(w, [])) == want, w
