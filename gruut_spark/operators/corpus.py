@@ -100,7 +100,15 @@ def decontaminate(
     text crosses the join)."""
 
     def shingles(frame: DataFrame, col: str, out: str) -> DataFrame:
-        toks = F.split(F.lower(F.trim(F.col(col))), r"\s+")
+        # materialize the token array as a column FIRST: a split()
+        # referenced inside the transform lambda is re-evaluated per
+        # produced element (CollapseProject won't inline a multiply-
+        # referenced non-cheap alias) — measured 5x slower
+        base = frame.select(
+            *([F.col(id_col).alias("_id")] if out == "doc" else []),
+            F.split(F.lower(F.trim(F.col(col))), r"\s+").alias("_t"),
+        )
+        toks = F.col("_t")
         # n-gram i..i+n-1 for i in 0..len-n (codegen transform+slice)
         grams = F.when(
             F.size(toks) >= n,
@@ -111,8 +119,8 @@ def decontaminate(
                 ),
             ),
         ).otherwise(F.array())
-        return frame.select(
-            *([F.col(id_col).alias("_id")] if out == "doc" else []),
+        return base.select(
+            *(["_id"] if out == "doc" else []),
             F.explode(F.array_distinct(grams)).alias("gram"),
         ).select(
             *(["_id"] if out == "doc" else []), F.md5(F.col("gram")).alias("gram_key")

@@ -42,7 +42,13 @@ def pos_context_table(
 ) -> DataFrame:
     """One row per (doc, token): the token's local features + its ±N
     neighbor words + BOS/EOS flags."""
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # materialize the token array as a column FIRST: a split() referenced
+    # inside the transform lambda (here: many times per struct field) is
+    # re-evaluated per reference — measured 5x slower on the n-gram twin
+    base = df.filter(F.trim(F.col(text_col)) != "").select(
+        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    )
+    toks = F.col("_toks")
     n = F.size(toks)
 
     def at(i: Column) -> Column:  # 0-based index into toks
@@ -73,8 +79,7 @@ def pos_context_table(
 
     feats = F.transform(F.sequence(F.lit(0), n - 1), row)
     return (
-        df.filter(F.trim(F.col(text_col)) != "")
-        .select(F.col(id_col), F.explode(feats).alias("f"))
+        base.select(F.col(id_col), F.explode(feats).alias("f"))
         .select(id_col, "f.*")
         # suffix chunks: right() handles short words (right('a', 2)='a')
         # identically in Spark SQL and DuckDB

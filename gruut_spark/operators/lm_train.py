@@ -139,8 +139,17 @@ def ngram_count_text(
     counts over whitespace tokens — pure Catalyst (transform + slice +
     explode + two-phase agg), zero Python, SQL-expressible in DuckDB.
     The hashed trainer above is pinned to the serial core by an
-    equivalence test; this twin pins the counting semantics to SQL."""
-    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    equivalence test; this twin pins the counting semantics to SQL.
+
+    The token array is materialized as a column FIRST: referencing the
+    split() expression directly inside the transform lambda makes
+    Catalyst re-evaluate the split per produced element (CollapseProject
+    only inlines cheap or singly-referenced aliases) — measured 5x
+    slower at sf0.1."""
+    base = docs.select(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_t")
+    )
+    toks = F.col("_t")
     grams = F.when(
         F.size(toks) >= n,
         F.transform(
@@ -149,7 +158,7 @@ def ngram_count_text(
         ),
     ).otherwise(F.array())
     return (
-        docs.select(F.explode(grams).alias("gram"))
+        base.select(F.explode(grams).alias("gram"))
         .groupBy("gram")
         .agg(F.count("*").alias("cnt"))
     )
