@@ -18,6 +18,14 @@ Search semantics ported from the reference decoder
   ``max_guesses`` in cost order, empty phonemes filtered;
 * an empty word yields no guesses (the reference's early return).
 
+Fidelity note on early exit: like the reference, stopping at the FIRST
+``max_guesses`` completions can return a guess that completes earlier
+(fewer arcs) than a cheaper longer path still in flight — the reference
+is a beam heuristic, not exact shortest-path. With ``max_guesses``
+larger than the completion count, the search exhausts and the result is
+exactly the cost-ranked completion set (property-tested against
+exhaustive enumeration in tests/test_fuzz.py).
+
 The reference ships its trained FSTs inside gruut-lang-* model packages,
 which are absent from the snapshot — so ``chunk_model`` builds a
 single-state WFST from an explicit (grapheme-chunk -> phoneme-chunk,

@@ -88,3 +88,59 @@ def test_numeric_parser_noise_never_raises(text):
     assert a == b
     for lang in ("de", "it", "ru"):
         sentences(text, lang)
+
+
+@FUZZ
+@given(st.data())
+def test_beam_decode_matches_exhaustive_on_random_models(data):
+    """For random ambiguous chunk WFSTs and random words, a wide beam
+    must return exactly the exhaustive top-k (dedup collisions excluded
+    by giving every rule a distinct phoneme output)."""
+    from gruut_spark.core.g2p_decode import (
+        beam_decode, chunk_model, exhaustive_decode,
+    )
+
+    alphabet = data.draw(st.sampled_from(["ab", "abc"]))
+    n_rules = data.draw(st.integers(2, 8))
+    rules = []
+    for i in range(n_rules):
+        k = data.draw(st.integers(1, 2))
+        chunk = tuple(
+            data.draw(st.sampled_from(alphabet)) for _ in range(k)
+        )
+        cost = data.draw(
+            st.floats(0.05, 2.0, allow_nan=False, allow_infinity=False)
+        )
+        # unique phoneme symbol per rule -> distinct outputs per path, so
+        # beam first-completion dedup can't diverge from exhaustive min
+        rules.append((chunk, (f"P{i}",), round(cost, 4)))
+    model = chunk_model(rules)
+    word = "".join(
+        data.draw(st.sampled_from(alphabet))
+        for _ in range(data.draw(st.integers(0, 6)))
+    )
+    # Exhaust the search (max_guesses larger than any possible completion
+    # count): with no early exit, the beam must find EXACTLY the
+    # exhaustive completion set. (With small max_guesses the reference
+    # semantics stop at the FIRST k completions, which can precede a
+    # cheaper longer path — tested separately below.)
+    got = beam_decode(model, word, beam=10_000, min_beam=10_000,
+                      max_guesses=10_000)
+    want = exhaustive_decode(model, word, max_guesses=10_000)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+
+    def cost_of(guess):
+        # unique P<i> symbols map back to rule costs
+        return round(sum(rules[int(p[1:])][2] for p in guess), 6)
+
+    if len({cost_of(g) for g in want}) == len(want):
+        # costs strictly orderable -> exact best-first sequence equality
+        assert list(map(tuple, got)) == list(map(tuple, want))
+
+    # early-exit mode: every returned guess is a real completion
+    k = data.draw(st.integers(1, 4))
+    early = beam_decode(model, word, beam=10_000, min_beam=10_000,
+                        max_guesses=k)
+    allowed = set(map(tuple, want))
+    assert len(early) <= k
+    assert all(tuple(g) in allowed for g in early)
