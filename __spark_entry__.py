@@ -788,6 +788,62 @@ def _corpus_assembled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("repo", "path", "lang", "lang_pred", "keep").orderBy("path")
 
 
+def _token_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared shape for the POS-eval queries: (doc_id, sent_idx, idx,
+    word) with 10-token pseudo-sentences."""
+    return (
+        _read(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.col("text")), r"\s+")).alias(
+                "idx", "word"
+            ),
+        )
+        .filter(F.col("word") != "")
+        .withColumn("sent_idx", F.expr("idx DIV 10"))
+    )
+
+
+def _doc_voice_consensus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sentence voice consensus (reference
+    gruut/text_processor.py:371-389): one distinct non-empty voice ->
+    adopted; mixed voices -> ''. Voices synthesized deterministically so
+    all three outcomes occur."""
+    from gruut_spark.operators.pos_eval import voice_consensus
+
+    words = _token_sentences(spark, sf_dir).withColumn(
+        "voice",
+        F.when(F.col("idx") % 13 == 0, "bob")
+        .when(F.col("doc_id") % 2 == 0, "alice")
+        .otherwise(""),
+    )
+    return voice_consensus(words).orderBy("doc_id", "sent_idx")
+
+
+def _pos_tag_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POS-test accuracy counters (reference gruut/pos.py:304-352):
+    word/sentence error counts + raw-fraction rates over a deterministic
+    (gold, pred) tag pair (every 7th token mis-tagged)."""
+    from gruut_spark.operators.pos_eval import tag_accuracy
+
+    words = _token_sentences(spark, sf_dir).select(
+        "doc_id", "sent_idx",
+        F.when(F.col("idx") % 3 == 0, "V")
+        .when(F.col("idx") % 3 == 1, "N")
+        .otherwise("X").alias("gold_tag"),
+        F.when(F.col("idx") % 7 == 0, "E")
+        .when(F.col("idx") % 3 == 0, "V")
+        .when(F.col("idx") % 3 == 1, "N")
+        .otherwise("X").alias("pred_tag"),
+    )
+    out = tag_accuracy(words)
+    return out.select(
+        "n_sentences", "n_words", "n_errors", "sents_with_errors",
+        F.round("word_error_rate", 6).alias("word_error_rate"),
+        F.round("sentence_error_rate", 6).alias("sentence_error_rate"),
+    )
+
+
 def _doc_g2p_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Beam-search G2P decode over the corpus vocabulary (rows-only: the
     search is iterative, not SQL-expressible; core semantics are pinned
@@ -1060,6 +1116,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_phonemize_roles": _doc_phonemize_roles,
         "multimodal_frame_plan": _multimodal_frame_plan,
         "doc_g2p_beam": _doc_g2p_beam,
+        "doc_voice_consensus": _doc_voice_consensus,
+        "pos_tag_accuracy": _pos_tag_accuracy,
     }
 
 
@@ -1599,6 +1657,62 @@ def oracle_sql() -> dict[str, str]:
         "corpus_assembled_relational": _corpus_assembled_relational_oracle_sql(),
         "doc_pos_context": _pos_context_oracle_sql(),
         "doc_g2p_context": _g2p_context_oracle_sql(),
+        "doc_voice_consensus": r"""
+            WITH toks AS (
+                SELECT s.doc_id, i - 1 AS idx
+                FROM (
+                    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents
+                ) s, unnest(generate_series(1, len(s.t))) AS g(i)
+                WHERE s.t[i] <> ''
+            ),
+            w AS (
+                SELECT doc_id, idx // 10 AS sent_idx,
+                       CASE WHEN idx % 13 = 0 THEN 'bob'
+                            WHEN doc_id % 2 = 0 THEN 'alice'
+                            ELSE '' END AS voice
+                FROM toks
+            )
+            SELECT doc_id, sent_idx,
+                   CASE WHEN count(DISTINCT CASE WHEN voice <> '' THEN voice END) = 1
+                        THEN max(CASE WHEN voice <> '' THEN voice END)
+                        ELSE '' END AS sent_voice
+            FROM w GROUP BY doc_id, sent_idx
+            ORDER BY doc_id, sent_idx
+        """,
+        "pos_tag_accuracy": r"""
+            WITH toks AS (
+                SELECT s.doc_id, i - 1 AS idx
+                FROM (
+                    SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
+                    FROM documents
+                ) s, unnest(generate_series(1, len(s.t))) AS g(i)
+                WHERE s.t[i] <> ''
+            ),
+            w AS (
+                SELECT doc_id, idx // 10 AS sent_idx,
+                       CASE idx % 3 WHEN 0 THEN 'V' WHEN 1 THEN 'N'
+                            ELSE 'X' END AS gold_tag,
+                       CASE WHEN idx % 7 = 0 THEN 'E'
+                            WHEN idx % 3 = 0 THEN 'V'
+                            WHEN idx % 3 = 1 THEN 'N'
+                            ELSE 'X' END AS pred_tag
+                FROM toks
+            ),
+            per_sent AS (
+                SELECT doc_id, sent_idx, count(*) AS n_words,
+                       sum((gold_tag <> pred_tag)::BIGINT) AS n_errors
+                FROM w GROUP BY doc_id, sent_idx
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_sentences,
+                   CAST(sum(n_words) AS BIGINT) AS n_words,
+                   CAST(sum(n_errors) AS BIGINT) AS n_errors,
+                   CAST(sum((n_errors > 0)::BIGINT) AS BIGINT) AS sents_with_errors,
+                   round(sum(n_errors)::DOUBLE / sum(n_words), 6) AS word_error_rate,
+                   round(sum((n_errors > 0)::BIGINT)::DOUBLE / count(*), 6)
+                       AS sentence_error_rate
+            FROM per_sent
+        """,
         "multimodal_frame_plan": """
             WITH vids AS (
                 SELECT doc_id AS sample_id,

@@ -1,0 +1,85 @@
+"""Sentence-level consensus + tagging-accuracy aggregations (SURVEY
+§2.5).
+
+* ``voice_consensus`` — the reference's per-sentence voice resolution
+  (gruut/text_processor.py:371-389): scanning words in order, a sentence
+  adopts the single non-empty voice used across its words (seeded by any
+  pre-set sentence voice); ANY two distinct non-empty voices collapse
+  the sentence to "". Because the scan only ever breaks on a mismatch,
+  the result is exactly: one distinct non-empty value -> that value,
+  zero -> the seed (or ""), two+ -> "" — i.e. the
+  ``countDistinct == 1`` form, which is how it is expressed here.
+* ``tag_accuracy`` — the reference's POS test counters
+  (gruut/pos.py:304-352): words with a wrong tag, sentences with at
+  least one error, and the corresponding rates (the reference prints raw
+  fractions; so do we). CRF inference itself is out of scope (model
+  binaries absent); these counters take any (gold, pred) tag columns.
+
+Both are single partial+final aggregations — one bounded shuffle keyed
+by (doc, sentence), the floor for any engine.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def voice_consensus(
+    words: DataFrame,
+    doc_col: str = "doc_id",
+    sent_col: str = "sent_idx",
+    voice_col: str = "voice",
+    seed_voice_col: Optional[str] = None,
+) -> DataFrame:
+    """(doc, sent, sent_voice): the consensus voice per sentence.
+    ``seed_voice_col``, if given, is a per-row constant carrying a
+    pre-set sentence voice that participates like a word voice."""
+    vals = [F.col(voice_col)]
+    if seed_voice_col is not None:
+        vals.append(F.col(seed_voice_col))
+    stacked = words.select(
+        F.col(doc_col).alias("_doc"), F.col(sent_col).alias("_sent"),
+        F.explode(F.array(*vals)).alias("_v"),
+    )
+    nonempty = F.when(F.col("_v") != "", F.col("_v"))
+    return (
+        stacked.groupBy("_doc", "_sent")
+        .agg(
+            F.countDistinct(nonempty).alias("_n"),
+            F.max(nonempty).alias("_one"),
+        )
+        .select(
+            F.col("_doc").alias(doc_col),
+            F.col("_sent").alias(sent_col),
+            F.when(F.col("_n") == 1, F.col("_one"))
+            .otherwise(F.lit("")).alias("sent_voice"),
+        )
+    )
+
+
+def tag_accuracy(
+    words: DataFrame,
+    gold_col: str = "gold_tag",
+    pred_col: str = "pred_tag",
+    doc_col: str = "doc_id",
+    sent_col: str = "sent_idx",
+) -> DataFrame:
+    """One row of corpus counters: n_sentences, n_words, n_errors,
+    sents_with_errors, word_error_rate, sentence_error_rate."""
+    err = (F.col(gold_col) != F.col(pred_col)).cast("long")
+    per_sent = words.groupBy(doc_col, sent_col).agg(
+        F.count("*").alias("n_words"), F.sum(err).alias("n_errors")
+    )
+    return per_sent.agg(
+        F.count("*").alias("n_sentences"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_errors").alias("n_errors"),
+        F.sum((F.col("n_errors") > 0).cast("long")).alias("sents_with_errors"),
+        (F.sum("n_errors") / F.sum("n_words")).alias("word_error_rate"),
+        (
+            F.sum((F.col("n_errors") > 0).cast("long")) / F.count("*")
+        ).alias("sentence_error_rate"),
+    )

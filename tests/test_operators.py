@@ -591,6 +591,50 @@ def test_phonemize_role_preference_chain(spark, tmp_path):
     assert out[("zzz", "NOUN")] == ("z z z", "g2p")
 
 
+def test_voice_consensus_and_tag_accuracy(spark):
+    """Reference voice resolution (text_processor.py:371-389): one
+    distinct non-empty voice (incl. the sentence seed) -> adopted; any
+    conflict -> ''; none -> seed or ''. Plus the POS-test counters
+    (pos.py:304-352)."""
+    from gruut_spark.operators.pos_eval import tag_accuracy, voice_consensus
+
+    rows = [
+        # sent 0: one word voice -> adopted
+        (0, 0, "alice", ""),
+        (0, 0, "", ""),
+        # sent 1: conflicting word voices -> ''
+        (0, 1, "alice", ""),
+        (0, 1, "bob", ""),
+        # sent 2: no word voice, seed set -> seed survives
+        (0, 2, "", "carol"),
+        (0, 2, "", "carol"),
+        # sent 3: word voice conflicts with seed -> ''
+        (0, 3, "dave", "carol"),
+        # sent 4: word voice AGREES with seed -> kept
+        (0, 4, "carol", "carol"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, sent_idx long, voice string, seed string"
+    )
+    got = {r["sent_idx"]: r["sent_voice"] for r in voice_consensus(
+        df, seed_voice_col="seed").collect()}
+    assert got == {0: "alice", 1: "", 2: "carol", 3: "", 4: "carol"}
+    # without the seed column, sent 2 has no voice at all
+    got2 = {r["sent_idx"]: r["sent_voice"] for r in voice_consensus(df).collect()}
+    assert got2[2] == "" and got2[0] == "alice"
+
+    tags = spark.createDataFrame(
+        [(0, 0, "V", "V"), (0, 0, "N", "E"), (0, 1, "X", "X"),
+         (1, 0, "V", "E"), (1, 0, "N", "E")],
+        "doc_id long, sent_idx long, gold_tag string, pred_tag string",
+    )
+    row = tag_accuracy(tags).collect()[0]
+    assert row["n_sentences"] == 3 and row["n_words"] == 5
+    assert row["n_errors"] == 3 and row["sents_with_errors"] == 2
+    assert abs(row["word_error_rate"] - 3 / 5) < 1e-12
+    assert abs(row["sentence_error_rate"] - 2 / 3) < 1e-12
+
+
 def test_streaming_windowed_watermark(spark, tmp_path):
     """Watermarked tumbling-window agg (append mode): windows emit once the
     watermark passes their end; an event arriving later than the watermark
