@@ -18,13 +18,22 @@ Search semantics ported from the reference decoder
   ``max_guesses`` in cost order, empty phonemes filtered;
 * an empty word yields no guesses (the reference's early return).
 
-Fidelity note on early exit: like the reference, stopping at the FIRST
-``max_guesses`` completions can return a guess that completes earlier
-(fewer arcs) than a cheaper longer path still in flight — the reference
-is a beam heuristic, not exact shortest-path. With ``max_guesses``
-larger than the completion count, the search exhausts and the result is
-exactly the cost-ranked completion set (property-tested against
-exhaustive enumeration in tests/test_fuzz.py).
+Two deliberate deviations from the reference, both strictly safer:
+
+* duplicate phoneme outputs keep their MINIMUM completion cost (the
+  reference keeps the FIRST completion's, letting a shorter-but-costlier
+  path outrank a cheaper longer one even on an exhausted search). With
+  ``max_guesses`` larger than the completion count the search exhausts
+  and the result is EXACTLY the cost-ranked completion set
+  (property-tested against exhaustive enumeration in tests/test_fuzz.py);
+* a round budget of ``len(word) + max_eps_rounds`` guarantees
+  termination on models with epsilon cycles (the reference has no guard
+  and spins on a cyclic FST).
+
+Early exit remains reference-faithful: stopping at the first
+``max_guesses`` completions can still return a guess that completes
+earlier than a cheaper path still in flight — it is a beam heuristic,
+not exact shortest-path.
 
 The reference ships its trained FSTs inside gruut-lang-* model packages,
 which are absent from the snapshot — so ``chunk_model`` builds a
@@ -69,10 +78,19 @@ def chunk_model(
 ) -> G2PModel:
     """Single-state WFST from (grapheme-chunk, phoneme-chunk, cost)
     rules: decoding a word = segmenting it into known chunks, with
-    ambiguity wherever chunks overlap."""
-    arcs = [
-        G2PArc(tuple(ig), tuple(op), float(c), 0) for ig, op, c in rules
-    ]
+    ambiguity wherever chunks overlap. An EMPTY grapheme chunk would be
+    a non-consuming self-loop (infinite segmentations) — rejected; use a
+    real epsilon arc on a multi-state G2PModel if you mean epsilon."""
+    arcs = []
+    for ig, op, c in rules:
+        ig = tuple(ig)
+        if not ig:
+            raise ValueError(
+                "chunk_model rule with empty grapheme chunk: a single-state "
+                "non-consuming arc never terminates; build an explicit "
+                "G2PModel with an epsilon arc (igraphemes=None) instead"
+            )
+        arcs.append(G2PArc(ig, tuple(op), float(c), 0))
     return G2PModel(arcs={0: arcs}, final_costs={0: float(final_cost)})
 
 
@@ -83,9 +101,17 @@ def beam_decode(
     min_beam: int = DEFAULT_MIN_BEAM,
     beam_scale: float = DEFAULT_BEAM_SCALE,
     max_guesses: int = 1,
+    max_eps_rounds: int = 8,
 ) -> List[List[str]]:
     """Top-``max_guesses`` phoneme sequences for ``word`` (a string is
-    split into characters, matching the reference's default)."""
+    split into characters, matching the reference's default).
+
+    Termination is guaranteed even for models with epsilon cycles: every
+    round either consumes a grapheme or is an epsilon-only extension, so
+    the round budget is ``len(word) + max_eps_rounds + 1`` — a model
+    whose useful epsilon chains are longer than ``max_eps_rounds`` needs
+    the knob raised (the reference has no such guard and spins on a
+    cyclic FST)."""
     graphemes = list(word)
     if not graphemes:
         return []
@@ -96,19 +122,24 @@ def beam_decode(
     q: List[Tuple[float, Optional[int], int, Tuple[str, ...]]] = [
         (0.0, model.start, 0, ())
     ]
-    best: List[Tuple[float, Tuple[str, ...]]] = []
-    guessed: set = set()
+    best_cost: Dict[Tuple[str, ...], float] = {}
     current_beam = beam
 
-    while q:
+    for _round in range(n + max_eps_rounds + 3):
+        if not q:
+            break
         done = False
         q_next: List[Tuple[float, Optional[int], int, Tuple[str, ...]]] = []
         for cost, node, consumed, output in q:
             if node is None:
-                if output not in guessed:
-                    guessed.add(output)
-                    best.append((cost, output))
-                if len(best) >= max_guesses:
+                # min-cost dedup (deliberate improvement over the
+                # reference, which keeps the FIRST completion's cost —
+                # a shorter-but-costlier path could then outrank a
+                # cheaper longer one even on an exhausted search)
+                prev = best_cost.get(output)
+                if prev is None or cost < prev:
+                    best_cost[output] = cost
+                if len(best_cost) >= max_guesses:
                     done = True
                     break
                 continue
@@ -136,10 +167,8 @@ def beam_decode(
         q = sorted(q_next, key=lambda h: h[0])[:current_beam]
         current_beam = max(min_beam, int(current_beam * beam_scale))
 
-    return [
-        [p for p in phonemes if p]
-        for _, phonemes in sorted(best, key=lambda h: h[0])[:max_guesses]
-    ]
+    ranked = sorted(best_cost.items(), key=lambda kv: (kv[1], kv[0]))
+    return [[p for p in phonemes if p] for phonemes, _ in ranked[:max_guesses]]
 
 
 def exhaustive_decode(

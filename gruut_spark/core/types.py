@@ -129,11 +129,17 @@ class Sentence:
 def break_time_to_milliseconds(time_str: str) -> int:
     """SSML break-time string -> milliseconds (reference
     BreakNode.get_milliseconds, gruut/const.py:284-292): '250ms' -> 250,
-    '2.5s' -> 2500, anything else -> 0."""
-    if time_str.endswith("ms"):
-        return int(time_str[:-2])
-    if time_str.endswith("s"):
-        return int(float(time_str[:-1]) * 1000)
+    '2.5s' -> 2500, anything else -> 0. Deviation: malformed numeric
+    values ('0.5ms' is fractional where the reference int()-crashes;
+    'fasts' is junk) degrade to the documented 0 instead of raising —
+    a corpus engine must not fail a task on one bad attribute."""
+    try:
+        if time_str.endswith("ms"):
+            return int(float(time_str[:-2]))
+        if time_str.endswith("s"):
+            return int(float(time_str[:-1]) * 1000)
+    except ValueError:
+        return 0
     return 0
 
 

@@ -99,26 +99,15 @@ def decontaminate(
     and broadcast; documents explode to distinct md5 shingle keys (no raw
     text crosses the join)."""
 
+    from .textstats import word_ngrams
+
     def shingles(frame: DataFrame, col: str, out: str) -> DataFrame:
-        # materialize the token array as a column FIRST: a split()
-        # referenced inside the transform lambda is re-evaluated per
-        # produced element (CollapseProject won't inline a multiply-
-        # referenced non-cheap alias) — measured 5x slower
-        base = frame.select(
-            *([F.col(id_col).alias("_id")] if out == "doc" else []),
-            F.split(F.lower(F.trim(F.col(col))), r"\s+").alias("_t"),
+        # gram construction shared with ngram_count_text (word_ngrams
+        # owns the materialize-the-array-first plan trap, PLANS.md)
+        base, grams = word_ngrams(
+            frame, col, n,
+            keep_cols=([F.col(id_col).alias("_id")] if out == "doc" else []),
         )
-        toks = F.col("_t")
-        # n-gram i..i+n-1 for i in 0..len-n (codegen transform+slice)
-        grams = F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-                lambda _, i: F.array_join(
-                    F.slice(toks, i + 1, n), " "
-                ),
-            ),
-        ).otherwise(F.array())
         return base.select(
             *(["_id"] if out == "doc" else []),
             F.explode(F.array_distinct(grams)).alias("gram"),

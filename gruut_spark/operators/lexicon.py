@@ -49,10 +49,13 @@ def lexicon_from_sqlite(
     and feed ``spark.read.parquet`` output to ``phonemize_tokens``
     instead (the join degrades gracefully to shuffle hash)."""
     import sqlite3
+    from contextlib import closing
 
     import pandas as pd
 
-    with sqlite3.connect(db_path) as conn:
+    # contextlib.closing: sqlite3's own context manager only scopes the
+    # TRANSACTION — it leaves the connection (and file handle) open
+    with closing(sqlite3.connect(db_path)) as conn:
         sql = "SELECT word, pron_order, phonemes FROM word_phonemes"
         params: tuple = ()
         if role is not None:

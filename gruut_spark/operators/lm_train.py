@@ -139,24 +139,12 @@ def ngram_count_text(
     counts over whitespace tokens — pure Catalyst (transform + slice +
     explode + two-phase agg), zero Python, SQL-expressible in DuckDB.
     The hashed trainer above is pinned to the serial core by an
-    equivalence test; this twin pins the counting semantics to SQL.
+    equivalence test; this twin pins the counting semantics to SQL
+    (gram construction shared with decontaminate via
+    textstats.word_ngrams, which owns the materialize-first plan trap)."""
+    from .textstats import word_ngrams
 
-    The token array is materialized as a column FIRST: referencing the
-    split() expression directly inside the transform lambda makes
-    Catalyst re-evaluate the split per produced element (CollapseProject
-    only inlines cheap or singly-referenced aliases) — measured 5x
-    slower at sf0.1."""
-    base = docs.select(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+").alias("_t")
-    )
-    toks = F.col("_t")
-    grams = F.when(
-        F.size(toks) >= n,
-        F.transform(
-            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-            lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
-        ),
-    ).otherwise(F.array())
+    base, grams = word_ngrams(docs, text_col, n)
     return (
         base.select(F.explode(grams).alias("gram"))
         .groupBy("gram")

@@ -16,6 +16,30 @@ from pyspark.sql import functions as F
 TOKEN_SPLIT = r"\s+"
 
 
+def word_ngrams(frame: DataFrame, text_col: str, n: int, keep_cols=()):
+    """(base_frame, grams_array_column): lowercased whitespace word
+    n-grams. The token array is materialized as the column ``_t`` FIRST:
+    referencing the split() expression inside the transform lambda makes
+    Catalyst re-evaluate it per produced element (CollapseProject only
+    inlines cheap or singly-referenced aliases — the measured 5x plan
+    trap, PLANS.md). One shared builder so the gram semantics that two
+    DuckDB oracles mirror (trigram counts, decontamination) live in one
+    place. ``keep_cols``: Columns to carry through the projection."""
+    base = frame.select(
+        *keep_cols,
+        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT).alias("_t"),
+    )
+    toks = F.col("_t")
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+            lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
+        ),
+    ).otherwise(F.array())
+    return base, grams
+
+
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Whitespace token count + char count per document (pure codegen)."""
     trimmed = F.trim(F.col(text_col))

@@ -103,3 +103,43 @@ def test_g2p_guess_table_matches_core(spark):
             for i, g in enumerate(beam_decode(model, w, max_guesses=2))
         ]
         assert sorted(got.get(w, [])) == want, w
+
+
+def test_min_cost_dedup_on_exhausted_search():
+    """A shorter-but-costlier path to the SAME phoneme output must not
+    outrank a cheaper longer one (min-cost dedup — deliberate deviation
+    from the reference's first-completion cost)."""
+    model = chunk_model([
+        (("a", "b"), ("X", "Y"), 5.0),   # 1 arc, completes a round earlier
+        (("a",), ("X",), 1.0),
+        (("b",), ("Y",), 1.0),            # 2 arcs, total 2.0 -> cheaper
+        (("a", "b"), ("Z",), 3.0),
+    ])
+    # exhausted search (max_guesses above the completion count): the
+    # later 2.0 completion must REPLACE the recorded 5.0 cost
+    out = beam_decode(model, "ab", max_guesses=10)
+    assert out == [["X", "Y"], ["Z"]]     # 2.0 < 3.0, not 5.0 > 3.0
+    assert out == exhaustive_decode(model, "ab", max_guesses=10)
+    # early exit at k=2 is the documented heuristic: the round where both
+    # 1-arc paths complete stops the search, so X,Y keeps its 5.0 cost
+    assert beam_decode(model, "ab", max_guesses=2) == [["Z"], ["X", "Y"]]
+
+
+def test_empty_grapheme_chunk_rejected():
+    with pytest.raises(ValueError):
+        chunk_model([(("a",), ("A",), 0.1), ((), (), 0.5)])
+
+
+def test_epsilon_cycle_terminates():
+    """A cyclic epsilon arc must not hang the search (round budget); the
+    consuming completions are still returned."""
+    model = G2PModel(
+        arcs={
+            0: [G2PArc(("a",), ("A",), 0.1, 0),
+                G2PArc(None, ("ə",), 0.5, 0)],   # eps self-loop
+        },
+        final_costs={0: 0.0},
+    )
+    out = beam_decode(model, "aa", max_guesses=3, max_eps_rounds=3)
+    assert ["A", "A"] in out
+    assert all(g[:1] == ["A"] or g[0] == "ə" for g in out)

@@ -363,6 +363,11 @@ def test_break_time_to_milliseconds():
     assert break_time_to_milliseconds("2.5s") == 2500
     assert break_time_to_milliseconds("") == 0
     assert break_time_to_milliseconds("soon") == 0
+    # malformed values degrade to 0 / truncate instead of raising
+    assert break_time_to_milliseconds("0.5ms") == 0
+    assert break_time_to_milliseconds("250.7ms") == 250
+    assert break_time_to_milliseconds("fasts") == 0
+    assert break_time_to_milliseconds("s") == 0
 
 
 def test_maybe_split_ipa():
