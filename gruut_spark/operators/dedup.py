@@ -39,6 +39,24 @@ def _hash64(data: bytes) -> int:
     carry no artifacts, so the function here is free to change.)"""
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
 
+def content_key(col) -> "F.Column":
+    """md5 of whitespace-normalized text — THE exact-dedup key. One
+    definition shared by the batch operators and the streaming stateful
+    dedup so the two can never desynchronize (r03 review: three inline
+    copies existed); the DuckDB oracles mirror this exact expression as
+    md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))."""
+    return F.md5(F.regexp_replace(F.trim(col), r"\s+", " "))
+
+
+def has_content(col) -> "F.Column":
+    """Eligibility for near-dup signatures: the document contains ANY
+    non-whitespace. `trim(col) != ''` is wrong here — Spark trim strips
+    only ASCII spaces, so a tabs/newlines-only document would pass,
+    hash to the all-zero MinHash signature, and falsely pair with every
+    other whitespace-only document (r03 review)."""
+    return col.rlike(r"\S")
+
+
 # ---------------------------------------------------------------------------
 # Exact dedup
 # ---------------------------------------------------------------------------
@@ -49,9 +67,9 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     (content_hash, keep_id, dup_count) for groups with >1 member.
     Scale note: groupBy on the 32-byte hash, not the text — the shuffle
     carries (hash, id) pairs only."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return (
-        df.select(F.md5(norm).alias("content_hash"), F.col(id_col).alias("_id"))
+        df.select(content_key(F.col(text_col)).alias("content_hash"),
+                  F.col(id_col).alias("_id"))
         .groupBy("content_hash")
         .agg(
             F.min("_id").alias("keep_id"),
@@ -64,9 +82,9 @@ def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 def exact_dedup_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """The deduplicated table: keeps the min-id row of each exact group.
     min_by avoids a join back to the input."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
     return (
-        df.select(F.md5(norm).alias("content_hash"), F.col(id_col).alias("_id"))
+        df.select(content_key(F.col(text_col)).alias("content_hash"),
+                  F.col(id_col).alias("_id"))
         .groupBy("content_hash")
         .agg(F.min("_id").alias("keep_id"), F.count("*").alias("dup_count"))
     )
@@ -288,7 +306,7 @@ def minhash_lsh_pairs(
       per-pair n_bands count inside megabuckets is coarsened —
       megabuckets are identical-band-slice crowds, i.e. exact/near-exact
       duplicate territory that ``exact_dedup_groups`` also covers."""
-    eligible = df.filter(F.trim(F.col(text_col)) != "")
+    eligible = df.filter(has_content(F.col(text_col)))
     sigs = minhash_band_hashes(
         eligible, text_col, id_col, num_perm, bands, shingle_k, seed
     )
@@ -355,7 +373,7 @@ def simhash_near_pairs(
     signature crowds, the actual degenerate case, all survive either
     route). The hamming verification runs BEFORE the pair dedup so the
     final shuffle only carries verified near-dups."""
-    eligible = df.filter(F.trim(F.col(text_col)) != "")
+    eligible = df.filter(has_content(F.col(text_col)))
     sigs = simhash_signatures(eligible, text_col, id_col)
     chunks = sigs.select(
         # _outer for the same inferred-filter reason as minhash_lsh_pairs

@@ -122,17 +122,38 @@ def run_with_checkpoints(
         # metrics + manifest counts from ONE re-read of the committed
         # parquet (cheap, pruned): aggregate per (bucket, partition),
         # collect the tiny result, and derive both sinks from it.
-        written = spark.read.parquet(verdict_dir).filter(
+        # Explicit schema: if every bucket of the very first group wrote
+        # ZERO rows, the directory holds no part files and schema
+        # inference would throw UNABLE_TO_INFER_SCHEMA on every re-run —
+        # the job could never progress (r03 review).
+        written = spark.read.schema(out.schema).parquet(verdict_dir).filter(
             F.col(BUCKET_COL).isin(group)
         )
         stats = partition_metrics(written, extra_keys=(BUCKET_COL,))
         stat_rows = stats.collect()
+        group_key = "-".join(map(str, group))
         metrics = (
             spark.createDataFrame(stat_rows, stats.schema)
             .withColumn("buckets", F.lit(",".join(map(str, group))))
             .withColumn("wall_s", F.lit(float(time.time() - t0)))
+            .withColumn("_group", F.lit(group_key))
         )
-        metrics.write.mode("append").parquet(os.path.join(out_dir, "metrics"))
+        # Idempotent like the verdict sink: a replayed group REPLACES its
+        # _group partition instead of appending a second set of counters
+        # (r03 review — a crash between this write and the manifest, or
+        # a --no-resume re-run, double-counted every rollup). Pre-clear
+        # covers the zero-row re-run case, as with verdicts.
+        metrics_dir = os.path.join(out_dir, "metrics")
+        gpath = jvm.org.apache.hadoop.fs.Path(
+            os.path.join(metrics_dir, f"_group={group_key}")
+        )
+        gpath.getFileSystem(hconf).delete(gpath, True)
+        (
+            metrics.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_group")
+            .parquet(metrics_dir)
+        )
 
         counts: Dict[int, int] = {}
         for r in stat_rows:

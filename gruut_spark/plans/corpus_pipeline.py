@@ -58,25 +58,56 @@ def compose_corpus_stages(
     same dedup/cluster/sample/decontaminate code.
 
     Scale shape: exact-dup ranking runs over the narrow (digest, id)
-    projection only; every drop stage is an anti-join against a broadcast
-    loser set, so full-width rows never cross a shuffle here."""
+    projection only; every drop stage is an anti-join against a loser-id
+    set, so full-width rows never cross a shuffle here. The loser joins
+    carry no broadcast hint: loser sets are usually tiny and AQE
+    broadcasts them on its own, but a 100 TB corpus with a 30% dup rate
+    has billions of loser ids — a forced broadcast would exceed the 8 GB
+    broadcast ceiling exactly on the inputs this module targets.
+
+    Duplicate-id safety (r03 review): ``id_col`` is normally row-unique,
+    but duplicate INGEST delivers the same id (same repo/path/commit)
+    twice with the same digest. Ranking raw rows would then mark the
+    winner's own id as a loser and the anti-join would delete BOTH
+    copies — silent data loss. The ranking therefore runs over DISTINCT
+    (digest, id) pairs (a same-id re-ingest is one candidate, so the doc
+    survives), and the residual same-id full-width duplicates are
+    collapsed afterwards — but only for the (tiny) set of ids actually
+    observed twice, so the wide dropDuplicates shuffle touches almost
+    nothing. Residual accepted risk: a 64-bit id COLLISION between two
+    DISTINCT documents can still drop the colliding winner (~3% chance
+    of any single collision at 1e9 docs); use a 128-bit id (md5 of the
+    natural key) where that matters."""
     from pyspark.sql.window import Window
 
     w = Window.partitionBy(digest_col).orderBy(id_col)
     exact_losers = (
         df.select(digest_col, id_col)
+        .distinct()
         .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") > 1)
         .select(id_col)
     )
-    out = df.join(F.broadcast(exact_losers), id_col, "left_anti")
+    out = df.join(exact_losers, id_col, "left_anti")
+
+    # collapse residual same-id duplicate rows (duplicate ingest): the
+    # dup-id set is found on the narrow projection and is ~empty in a
+    # healthy corpus, so only those rows pay the wide shuffle
+    dup_ids = (
+        df.groupBy(id_col).agg(F.count("*").alias("_c"))
+        .filter(F.col("_c") > 1)
+        .select(id_col)
+    )
+    clean = out.join(dup_ids, id_col, "left_anti")
+    dedup_dups = out.join(dup_ids, id_col, "left_semi").dropDuplicates([id_col])
+    out = clean.unionByName(dedup_dups)
 
     if pair_fn is not None:
         clusters = dedup_clusters(pair_fn(out), max_iterations=cc_max_iterations)
         losers = clusters.filter(F.col("member_id") != F.col("cluster_id")).select(
             F.col("member_id").alias(id_col)
         )
-        out = out.join(F.broadcast(losers), id_col, "left_anti")
+        out = out.join(losers, id_col, "left_anti")
 
     if sample_rates:
         out = stratified_sample(out, lang_col, id_col, sample_rates,
@@ -86,7 +117,7 @@ def compose_corpus_stages(
         contaminated = decontaminate(
             out, benchmark, text_col=text_col, id_col=id_col
         ).select(F.col(id_col))
-        out = out.join(F.broadcast(contaminated), id_col, "left_anti")
+        out = out.join(contaminated, id_col, "left_anti")
 
     return out
 

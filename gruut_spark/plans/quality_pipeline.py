@@ -31,7 +31,6 @@ from ..functions.udfs import (
     MODEL_SCRUB_SCHEMA,
     langid_udf,
     model_scrub_map,
-    model_stage_udf,
     normalize_features_udf,
     scrub_udf,
 )
@@ -117,7 +116,12 @@ def _resolved(col):
     code keyword, base-key alias, en_US fallback."""
     from ..core.settings import CODE_LANG_KEYS, _LANG_ALIASES
 
-    lowered = F.lower(F.trim(F.regexp_replace(col, "_", "-")))
+    # (?U)\s-strip, not F.trim: core resolve_lang uses str.strip(), which
+    # removes tabs/newlines/unicode whitespace, while Spark trim removes
+    # only ASCII spaces — a 'python\t' tag would resolve to code on the
+    # oracle side and en_US here, silently shifting the ppl threshold
+    stripped = F.regexp_replace(col, r"(?U)^\s+|\s+$", "")
+    lowered = F.lower(F.regexp_replace(stripped, "_", "-"))
     base = F.split(lowered, "-").getItem(0)
     alias_map = F.create_map(
         *[F.lit(x) for kv in sorted(_LANG_ALIASES.items()) for x in kv]

@@ -18,6 +18,7 @@ from __future__ import annotations
 from typing import Optional
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..core.rules import RuleConfig
 from ..plans.quality_pipeline import build_pipeline
@@ -45,14 +46,26 @@ def start_pipeline_stream(
     """readStream -> (same batch pipeline via foreachBatch) -> parquet.
 
     foreachBatch reuses build_pipeline verbatim, so streaming and batch
-    results are identical by construction; Spark's own streaming
-    checkpoint gives exactly-once per micro-batch on top of the engine's
-    bucket manifest for batch jobs."""
+    results are identical by construction. foreachBatch itself is only
+    AT-LEAST-once (a crash between the data write and the streaming
+    checkpoint commit replays the micro-batch), so the sink must be
+    idempotent to reach end-to-end exactly-once: each batch writes its
+    own ``_batch=<id>`` partition with dynamic partition overwrite — a
+    replayed batch REPLACES its partition instead of appending a second
+    copy (same discipline as the batch job's bucket commits,
+    plans/checkpoint.py)."""
     stream = read_files_stream(spark, input_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        out = build_pipeline(batch_df, cfg=cfg)
-        out.write.mode("append").parquet(output_dir)
+        out = build_pipeline(batch_df, cfg=cfg).withColumn(
+            "_batch", F.lit(int(batch_id))
+        )
+        (
+            out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_batch")
+            .parquet(output_dir)
+        )
 
     return (
         stream.writeStream.foreachBatch(_process)

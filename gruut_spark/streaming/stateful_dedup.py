@@ -51,10 +51,11 @@ def _dedup_fn(
 def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
     """stream: (doc_id long, text string) -> first occurrence per
     normalized-content hash across all micro-batches."""
-    hashed = stream.withColumn(
-        "content_hash",
-        F.md5(F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")),
-    )
+    # the SAME key expression as the batch operators (operators/dedup.py
+    # ::content_key) — streaming and batch keep-sets must agree exactly
+    from ..operators.dedup import content_key
+
+    hashed = stream.withColumn("content_hash", content_key(F.col("text")))
     return hashed.groupBy("content_hash").applyInPandasWithState(
         _dedup_fn,
         outputStructType=OUTPUT_SCHEMA,

@@ -60,6 +60,10 @@ def _make_near_dedup_fn(
             anchor = ids[0]
             state.update((anchor,))
             ids = ids[1:]
+        # an at-least-once source can re-deliver the anchor id itself;
+        # pairing it with itself would emit a degenerate (X, X) row
+        # violating the id_a < id_b contract (r03 review)
+        ids = [i for i in ids if i != anchor]
         if ttl_ms is not None:
             # re-arm on every touch: a bucket expires only after
             # ttl_minutes of INACTIVITY (setTimeoutDuration requires the
@@ -94,9 +98,9 @@ def streaming_near_dedup_pairs(
     than the TTL are evicted (processing-time timeout), so a later
     near-dup of an evicted doc re-installs the bucket WITHOUT pairing —
     bounded memory traded for recall beyond the retention horizon."""
-    from ..operators.dedup import minhash_band_hashes
+    from ..operators.dedup import has_content, minhash_band_hashes
 
-    eligible = stream.filter(F.trim(F.col(text_col)) != "")
+    eligible = stream.filter(has_content(F.col(text_col)))
     sigs = minhash_band_hashes(
         eligible, text_col, id_col, num_perm, bands, shingle_k, seed
     )

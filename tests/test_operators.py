@@ -736,6 +736,45 @@ def test_corpus_assembly_operators(spark):
     assert 0 in out and 2 in out and 1 not in out
 
 
+def test_whitespace_only_docs_never_pair(spark):
+    """Tabs/newlines-only documents must be ineligible for signatures:
+    Spark trim strips only ASCII spaces, so `trim(text) != ''` let them
+    through to share the all-zero MinHash signature and falsely pair
+    (r03 review). has_content (rlike \\S) routes them out."""
+    from gruut_spark.operators.dedup import minhash_lsh_pairs
+
+    df = spark.createDataFrame(
+        [(1, "\n\n\n"), (2, "\t\t"), (3, "  "), (4, "real content words here"),
+         (5, "real content words here indeed")],
+        "doc_id long, text string",
+    )
+    pairs = minhash_lsh_pairs(df, "text", "doc_id", shingle_k=2).collect()
+    bad = {1, 2, 3}
+    assert all(r["id_a"] not in bad and r["id_b"] not in bad for r in pairs)
+
+
+def test_compose_corpus_duplicate_ingest_survives_once(spark):
+    """Duplicate INGEST (same id, same digest, delivered twice) must keep
+    the document exactly once — ranking raw rows would mark the winner's
+    own id as a loser and delete both copies (r03 review finding)."""
+    from gruut_spark.plans.corpus_pipeline import compose_corpus_stages
+
+    rows = [
+        (1, "h1", "en", "alpha text one"),
+        (1, "h1", "en", "alpha text one"),        # same row ingested twice
+        (2, "h2", "en", "beta text two"),
+        (3, "h2", "en", "beta text two again"),   # digest dup, distinct id
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, digest string, lang string, text string"
+    )
+    out = compose_corpus_stages(
+        df, id_col="doc_id", digest_col="digest",
+        lang_col="lang", text_col="text",
+    ).collect()
+    assert sorted(r["doc_id"] for r in out) == [1, 2]
+
+
 def test_quota_cap_two_phase_skew(spark):
     """A mega-source holding >=30% of rows must not become one window
     task: phase 1 ranks within (source, salt), so the hottest source

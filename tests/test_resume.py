@@ -85,6 +85,32 @@ def test_crash_between_data_commit_and_manifest_is_idempotent(spark, files_sdf, 
         .groupBy("_bucket").count().withColumnRenamed("count", "cnt").collect()
     }
     assert {k: v["rows"] for k, v in m.items()} == per_bucket
+    # metrics are idempotent too (r03 review): the reprocessed group
+    # REPLACED its _group partition, so per-bucket metric row counts sum
+    # to the actual data, not double it
+    from pyspark.sql import functions as F
+
+    metric_rows = {
+        str(r["_bucket"]): r["s"]
+        for r in spark.read.parquet(os.path.join(out, "metrics"))
+        .groupBy("_bucket").agg(F.sum("rows").alias("s")).collect()
+    }
+    assert metric_rows == per_bucket
+
+
+def test_empty_input_completes_with_zero_row_manifest(spark, tmp_path):
+    """A first-ever group writing ZERO rows must not crash the re-read
+    with UNABLE_TO_INFER_SCHEMA (r03 review: the re-read now carries an
+    explicit schema) — the job completes with an all-zero manifest."""
+    empty = spark.createDataFrame(
+        [], "repo string, path string, commit string, lang string, content string"
+    )
+    m = run_with_checkpoints(
+        spark, empty, str(tmp_path / "out"), n_buckets=4, group_size=2
+    )
+    assert {k: v["rows"] for k, v in m.items()} == {
+        "0": 0, "1": 0, "2": 0, "3": 0,
+    }
 
 
 def test_rerun_clears_stale_partition_even_if_new_run_is_empty(

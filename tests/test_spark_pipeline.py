@@ -179,6 +179,10 @@ def test_resolved_mirror_matches_resolve_lang(spark):
         "sv", "sv_SE", "cs", "cs-CZ",
         "code", "code-python", "CODE-go", "python", "JS", "yaml", "markdown",
         "tlh", "xx-YY", " en ", "",
+        # non-space whitespace (r03 review: F.trim strips only ASCII
+        # spaces while core .strip() removes tabs/newlines — 'python\t'
+        # resolved to en_US on the Spark side before the (?U)\s fix)
+        "python\t", "code-go\n", "\tde\r\n", "en_US ",
     ]
     df = spark.createDataFrame([(t,) for t in tags], "lang string")
     out = {
