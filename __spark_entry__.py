@@ -674,7 +674,7 @@ def _dedup_clusters_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import dedup_clusters, ngram_jaccard_adjacent
 
     docs = _read(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     hashed = docs.select(F.md5(norm).alias("content_hash"), F.col("doc_id"))
     w = Window.partitionBy("content_hash")
     star = (
@@ -1032,7 +1032,7 @@ def _corpus_assembled_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     base = docs.unionByName(twins)
     filt = base.filter(F.length(F.trim(F.col("text"))) >= 80)
-    norm = F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.col("text"), r"\s+", " "))
     keyed = filt.withColumn("_digest", F.md5(norm))
     # % 13 (not the % 97 used by doc_decontaminate) so several benchmark
     # docs survive to the sampled stage and decontamination demonstrably
@@ -1131,7 +1131,7 @@ def _winnowing_oracle_sql(k: int = 8, window: int = 4) -> str:
     hterm = " + ".join(f"hb[i+{j}]*{powers[j]}::HUGEINT" for j in range(k))
     return f"""
         WITH norm AS (
-          SELECT doc_id, lower(regexp_replace(trim(text), '\\s+', ' ', 'g')) AS s
+          SELECT doc_id, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS s
           FROM documents
         ), hx AS (
           SELECT doc_id, hex(encode(s)) AS hs, octet_length(encode(s)) AS n FROM norm
@@ -1206,7 +1206,7 @@ def _corpus_assembled_relational_oracle_sql() -> str:
             WHERE length(trim(text)) >= 80
         ),
         hashed AS (
-            SELECT *, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS h
+            SELECT *, md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS h
             FROM filt
         ),
         exact AS (
@@ -1257,7 +1257,10 @@ def _corpus_assembled_relational_oracle_sql() -> str:
                   < CASE lang {cases} ELSE 'g0000000' END
         ),
         dt AS (
-            SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                       '\s+') AS t
             FROM sampled
         ),
         grams AS (
@@ -1269,7 +1272,9 @@ def _corpus_assembled_relational_oracle_sql() -> str:
             FROM dt
         ),
         bt AS (
-            SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+            SELECT regexp_split_to_array(
+                       lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                       '\s+') AS t
             FROM base WHERE doc_id % 13 = 0
         ),
         bgrams AS (
@@ -1296,8 +1301,12 @@ def _pos_context_oracle_sql() -> str:
     punct = ", ".join("'" + c.replace("'", "''") + "'" for c in _string.punctuation)
     return rf"""
         WITH toks AS (
-            SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS t
-            FROM documents WHERE doc_id < 100 AND trim(text) <> ''
+            SELECT doc_id,
+                   regexp_split_to_array(
+                       regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                       '\s+') AS t
+            FROM documents
+            WHERE doc_id < 100 AND regexp_matches(text, '\S')
         ),
         idx AS (
             SELECT doc_id, i, i - 1 AS word_idx, t[i] AS word, len(t) AS n, t
@@ -1553,14 +1562,16 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_token_count": r"""
             SELECT doc_id,
-                   CASE WHEN trim(text) = '' THEN 0
-                        ELSE len(regexp_split_to_array(trim(text), '\s+')) END::BIGINT AS n_tokens,
+                   CASE WHEN regexp_replace(text, '^\s+|\s+$', '', 'g') = '' THEN 0
+                        ELSE len(regexp_split_to_array(
+                                 regexp_replace(text, '^\s+|\s+$', '', 'g'),
+                                 '\s+')) END::BIGINT AS n_tokens,
                    length(text)::BIGINT AS n_chars
             FROM documents ORDER BY doc_id
         """,
         "doc_normalize_fingerprint": r"""
             SELECT doc_id,
-                   md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fingerprint
+                   md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS fingerprint
             FROM documents ORDER BY doc_id
         """,
         "doc_quality_scores": r"""
@@ -1585,7 +1596,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents ORDER BY doc_id
         """,
         "doc_exact_dedup": r"""
-            SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash,
+            SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
                    min(doc_id) AS keep_id,
                    count(*) AS dup_count
             FROM documents
@@ -1815,7 +1826,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "doc_trigram_counts": r"""
             WITH toks AS (
-                SELECT regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                SELECT regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS t
                 FROM documents
             ),
             grams AS (
@@ -1842,7 +1855,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontaminate": r"""
             WITH toks AS (
                 SELECT doc_id,
-                       regexp_split_to_array(lower(trim(text)), '\s+') AS t
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS t
                 FROM documents
             ),
             grams AS (
@@ -1914,7 +1929,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters_relational": r"""
             WITH RECURSIVE
             hashed AS (
-                SELECT md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS content_hash,
+                SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
                        doc_id
                 FROM documents
             ),

@@ -62,8 +62,9 @@ class NGramLM:
         counts: List[Dict[int, int]] = [dict() for _ in range(order)]
         total = 0
         vocab = set()
+        bos = _tok_id(BOS)
         for doc in token_docs:
-            ids = [_tok_id(BOS)] * (order - 1) + [_tok_id(t) for t in doc] + [
+            ids = [bos] * (order - 1) + [_tok_id(t) for t in doc] + [
                 _tok_id(EOS)
             ]
             vocab.update(ids)
@@ -73,6 +74,18 @@ class NGramLM:
                     key = _key(ids[i - k : i + 1])
                     d = counts[k]
                     d[key] = d.get(key, 0) + 1
+            # BOS context counts (r03 review): scoring the FIRST token
+            # looks up contexts (<s>,...,<s>) of every order, which the
+            # window above never counts — without them every document's
+            # first token backed off to a doubly-penalized unigram even
+            # when its BOS n-gram was frequent. One per doc = each doc
+            # contributes exactly one (k+1)-gram with that context, so
+            # P(w|<s>...) stays normalized. total/vocab are untouched
+            # (these keys are only ever denominators).
+            for k in range(1, order):
+                key = _key([bos] * k)
+                d = counts[k - 1]
+                d[key] = d.get(key, 0) + 1
         return cls(counts, total, len(vocab), order)
 
     def _score_id_seq(self, ids: List[int]) -> Tuple[float, int]:

@@ -91,14 +91,12 @@ def scrub(content: str, tox_pattern: Optional[Pattern] = None) -> Tuple[str, Dic
     for category, pattern, repl in _BASE_STEPS:
         if callable(repl):
             # count only real replacements (the semver negative case)
-            n_before = counts[category]
             def _counting(m, _c=counts, _cat=category, _fn=repl):
                 out = _fn(m)
                 if out != m.group(0):
                     _c[_cat] += 1
                 return out
             text = pattern.sub(_counting, text)
-            del n_before
         else:
             text, n = pattern.subn(repl, text)
             counts[category] += n

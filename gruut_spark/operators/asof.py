@@ -5,8 +5,15 @@ with t_b <= t. Implemented as the union+window pattern:
 
   union(tagged build, tagged probe)
   -> window partitionBy(key) orderBy(t, tag)   [build sorts before probe at ties]
-  -> last(build_payload, ignorenulls=True) carried forward
+  -> last(struct(build_payload), ignorenulls=True) carried forward
   -> keep probe rows
+
+The carried value is ONE struct over all payload columns, not per-column
+last(): per-column carry-forward would skip a matched build row's NULL
+payload field and resurrect an older row's value — and could stitch
+together fields from DIFFERENT build rows (r03 review). The struct is
+non-null for every build row, so its fields travel together and a NULL
+payload stays NULL, matching DuckDB's ASOF JOIN exactly.
 
 One shuffle on the key, no range self-join, no per-key driver loop —
 the shape that survives 100 TB (both sides stream through a single
@@ -49,20 +56,20 @@ def asof_join(
         .filter(F.col("_rn") == 1)
         .drop("_rn")
     )
+    payload_struct = F.struct(*[F.col(c).alias(c) for c in payload_cols])
+    struct_type = build_d.select(payload_struct.alias("_p")).schema["_p"].dataType
     b = build_d.select(
         F.col(key).alias("_k"),
         F.col(build_time).alias("_t"),
         F.lit(0).alias("_tag"),
-        F.lit(None).cast("long").alias("_probe_id"),
-        *[F.col(c).alias(f"_p_{c}") for c in payload_cols],
+        payload_struct.alias("_p"),
     )
     probe_cols = probe.columns
     p = probe.select(
         F.col(key).alias("_k"),
         F.col(probe_time).alias("_t"),
         F.lit(1).alias("_tag"),
-        F.monotonically_increasing_id().alias("_probe_id"),
-        *[F.lit(None).cast(build_d.schema[c].dataType).alias(f"_p_{c}") for c in payload_cols],
+        F.lit(None).cast(struct_type).alias("_p"),
         *[F.col(c) for c in probe_cols],
     )
     # align schemas: b lacks the probe columns
@@ -75,14 +82,10 @@ def asof_join(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(F.col(f"_p_{c}"), ignorenulls=True).over(w).alias(f"_asof_{c}")
-            for c in payload_cols
-        ],
+        "*", F.last(F.col("_p"), ignorenulls=True).over(w).alias("_asof")
     )
     out = carried.filter(F.col("_tag") == 1).select(
         *probe_cols,
-        *[F.col(f"_asof_{c}").alias(f"asof_{c}") for c in payload_cols],
+        *[F.col(f"_asof.{c}").alias(f"asof_{c}") for c in payload_cols],
     )
     return out

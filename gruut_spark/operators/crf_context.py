@@ -45,8 +45,12 @@ def pos_context_table(
     # materialize the token array as a column FIRST: a split() referenced
     # inside the transform lambda (here: many times per struct field) is
     # re-evaluated per reference — measured 5x slower on the n-gram twin
-    base = df.filter(F.trim(F.col(text_col)) != "").select(
-        F.col(id_col), F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks")
+    # regex strip + \S eligibility, not F.trim: trim strips only ASCII
+    # spaces, so tab/newline-edged text produced a spurious empty-word
+    # token that shifted every word_idx/BOS/neighbor feature (r03 review)
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
+    base = df.filter(F.col(text_col).rlike(r"\S")).select(
+        F.col(id_col), F.split(stripped, r"\s+").alias("_toks")
     )
     toks = F.col("_toks")
     n = F.size(toks)

@@ -45,7 +45,7 @@ def content_key(col) -> "F.Column":
     dedup so the two can never desynchronize (r03 review: three inline
     copies existed); the DuckDB oracles mirror this exact expression as
     md5(regexp_replace(trim(text), '\\s+', ' ', 'g'))."""
-    return F.md5(F.regexp_replace(F.trim(col), r"\s+", " "))
+    return F.md5(F.trim(F.regexp_replace(col, r"\s+", " ")))
 
 
 def has_content(col) -> "F.Column":
@@ -62,32 +62,21 @@ def has_content(col) -> "F.Column":
 # ---------------------------------------------------------------------------
 
 
-def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Duplicate groups by md5 of whitespace-normalized text: returns
-    (content_hash, keep_id, dup_count) for groups with >1 member.
-    Scale note: groupBy on the 32-byte hash, not the text — the shuffle
-    carries (hash, id) pairs only."""
-    return (
-        df.select(content_key(F.col(text_col)).alias("content_hash"),
-                  F.col(id_col).alias("_id"))
-        .groupBy("content_hash")
-        .agg(
-            F.min("_id").alias("keep_id"),
-            F.count("*").alias("dup_count"),
-        )
-        .filter(F.col("dup_count") > 1)
-    )
-
-
 def exact_dedup_keep(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """The deduplicated table: keeps the min-id row of each exact group.
-    min_by avoids a join back to the input."""
+    """One row per exact-content group: (content_hash, keep_id =
+    min id, dup_count). Scale note: groupBy on the 32-byte hash, not the
+    text — the shuffle carries (hash, id) pairs only."""
     return (
         df.select(content_key(F.col(text_col)).alias("content_hash"),
                   F.col(id_col).alias("_id"))
         .groupBy("content_hash")
         .agg(F.min("_id").alias("keep_id"), F.count("*").alias("dup_count"))
     )
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Only the groups with >1 member (the actual duplicates)."""
+    return exact_dedup_keep(df, text_col, id_col).filter(F.col("dup_count") > 1)
 
 
 # ---------------------------------------------------------------------------

@@ -50,36 +50,45 @@ def _count_batches(order: int):
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from collections import Counter
 
-        grams: List[Counter] = [Counter() for _ in range(order)]
-        vocab: set = set()
+        bos = _tok_id(BOS)
+        # one partial frame PER ARROW BATCH (r03 review: accumulating one
+        # Counter per partition grows with every distinct n-gram in the
+        # task's whole input — unbounded at corpus scale; per-batch
+        # partials bound memory by the Arrow batch and the groupBy sums
+        # them identically)
         for pdf in batches:
+            grams: List[Counter] = [Counter() for _ in range(order)]
+            vocab: set = set()
             for tokens in pdf["tokens"]:
-                ids = [_tok_id(BOS)] * (order - 1) + [
+                ids = [bos] * (order - 1) + [
                     _tok_id(t) for t in tokens
                 ] + [_tok_id(EOS)]
                 vocab.update(ids)
                 for i in range(order - 1, len(ids)):
                     for k in range(order):
                         grams[k][_key(ids[i - k : i + 1])] += 1
-        ks: List[int] = []
-        keys: List[int] = []
-        cnts: List[int] = []
-        for k, c in enumerate(grams):
-            ks.extend([k] * len(c))
-            keys.extend(c.keys())
-            cnts.extend(c.values())
-        ks.extend([-1] * len(vocab))
-        keys.extend(vocab)
-        cnts.extend([1] * len(vocab))
-        if ks:
-            yield pd.DataFrame(
-                {
-                    "k": np.asarray(ks, dtype=np.int32),
-                    # uint64 FNV keys -> two's-complement int64 for Spark
-                    "key": np.asarray(keys, dtype=np.uint64).astype(np.int64),
-                    "cnt": np.asarray(cnts, dtype=np.int64),
-                }
-            )
+                # BOS context counts — mirrors NGramLM.train exactly
+                for k in range(1, order):
+                    grams[k - 1][_key([bos] * k)] += 1
+            ks: List[int] = []
+            keys: List[int] = []
+            cnts: List[int] = []
+            for k, c in enumerate(grams):
+                ks.extend([k] * len(c))
+                keys.extend(c.keys())
+                cnts.extend(c.values())
+            ks.extend([-1] * len(vocab))
+            keys.extend(vocab)
+            cnts.extend([1] * len(vocab))
+            if ks:
+                yield pd.DataFrame(
+                    {
+                        "k": np.asarray(ks, dtype=np.int32),
+                        # uint64 FNV keys -> int64 (two's complement)
+                        "key": np.asarray(keys, dtype=np.uint64).astype(np.int64),
+                        "cnt": np.asarray(cnts, dtype=np.int64),
+                    }
+                )
 
     return fn
 
@@ -117,6 +126,9 @@ def lm_from_counts(
         dicts[r["k"]][key] = r["cnt"]
         if r["k"] == 0:
             total += r["cnt"]
+    # the per-doc BOS unigram is a CONTEXT count, not a token position —
+    # the serial trainer's total excludes it
+    total -= dicts[0].get(_key([_tok_id(BOS)]), 0)
     return NGramLM(dicts, total, vocab_size, order)
 
 

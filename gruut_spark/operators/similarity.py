@@ -249,7 +249,14 @@ def embedding_near_dup_pairs(
     dedup over verified pairs only."""
     from pyspark.sql.functions import pandas_udf
 
+    # empty input (or a NULL first vector) must return an empty pairs
+    # frame, not TypeError on head() (r03 review)
     dim_row = df.select(vec_col).head()
+    if dim_row is None or dim_row[0] is None:
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            [], "id_a long, id_b long, cos_sim double"
+        )
     dim = len(dim_row[0])
     planes = _hyperplanes(dim, n_planes * n_tables, seed)
     weights = 1 << np.arange(n_planes, dtype=np.int64)

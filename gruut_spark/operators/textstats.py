@@ -25,9 +25,13 @@ def word_ngrams(frame: DataFrame, text_col: str, n: int, keep_cols=()):
     trap, PLANS.md). One shared builder so the gram semantics that two
     DuckDB oracles mirror (trigram counts, decontamination) live in one
     place. ``keep_cols``: Columns to carry through the projection."""
+    # strip with a regex, not F.trim: trim removes only ASCII spaces, so
+    # tab/newline-leading text produced an empty leading token and grams
+    # like ' foo' (r03 review)
+    stripped = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     base = frame.select(
         *keep_cols,
-        F.split(F.lower(F.trim(F.col(text_col))), TOKEN_SPLIT).alias("_t"),
+        F.split(F.lower(stripped), TOKEN_SPLIT).alias("_t"),
     )
     toks = F.col("_t")
     grams = F.when(
@@ -41,8 +45,10 @@ def word_ngrams(frame: DataFrame, text_col: str, n: int, keep_cols=()):
 
 
 def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """Whitespace token count + char count per document (pure codegen)."""
-    trimmed = F.trim(F.col(text_col))
+    """Whitespace token count + char count per document (pure codegen).
+    Regex strip (not F.trim) so tab/newline-edged text doesn't count an
+    empty leading/trailing token (r03 review)."""
+    trimmed = F.regexp_replace(F.col(text_col), r"^\s+|\s+$", "")
     return df.select(
         F.col(id_col).alias("doc_id"),
         F.when(trimmed == "", 0)
@@ -57,7 +63,7 @@ def token_counts(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
 def normalize_ws(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """gruut default_normalize_whitespace (gruut/const.py:575-577) as a
     native expression + md5 fingerprint of the normalized text."""
-    norm = F.regexp_replace(F.trim(F.col(text_col)), r"\s+", " ")
+    norm = F.trim(F.regexp_replace(F.col(text_col), r"\s+", " "))
     return df.select(
         F.col(id_col).alias("doc_id"),
         norm.alias("norm_text"),

@@ -179,6 +179,26 @@ def test_asof_join_semantics(spark):
     assert out["e"] == (None, None)  # unseen key
 
 
+def test_asof_join_null_payload_not_resurrected(spark):
+    """A matched build row with a NULL payload field must yield NULL —
+    per-column last(ignorenulls) resurrected the older row's value and
+    could stitch fields from different build rows (r03 review); the
+    struct carry keeps a row's fields together."""
+    from gruut_spark.operators.asof import asof_join
+
+    build = spark.createDataFrame(
+        [(1, 10, 100, 5.0), (1, 20, 101, None)],
+        "k long, t long, id long, v double",
+    )
+    probe = spark.createDataFrame([(1, 25, "x")], "k long, t long, name string")
+    row = asof_join(
+        probe, build, key="k", probe_time="t", build_time="t",
+        payload_cols=["id", "v"], tiebreak_col="id",
+    ).collect()[0]
+    # the t=20 row matches: id from t=20, v NULL (NOT 5.0 from t=10)
+    assert row["asof_id"] == 101 and row["asof_v"] is None
+
+
 def test_bucketed_join_is_shuffle_free(spark, tmp_path):
     from gruut_spark.sources.bucketing import (
         bucketed_join,
@@ -734,6 +754,34 @@ def test_corpus_assembly_operators(spark):
     out = {r["doc_id"]: r["n_contaminated_shingles"] for r in
            decontaminate(docs, bench).collect()}
     assert 0 in out and 2 in out and 1 not in out
+
+
+def test_whitespace_edges_tokenize_cleanly(spark):
+    """Tab/newline-edged text must not produce empty leading tokens:
+    F.trim strips only ASCII spaces, so '\\tfoo bar' used to count 3
+    tokens, emit the bigram ' foo', and shift every POS-context index
+    (r03 review)."""
+    from gruut_spark.operators.crf_context import pos_context_table
+    from gruut_spark.operators.textstats import token_counts, word_ngrams
+
+    df = spark.createDataFrame(
+        [(0, "\tfoo bar\n"), (1, "\n\t "), (2, "plain text")],
+        "doc_id long, text string",
+    )
+    counts = {r["doc_id"]: r["n_tokens"] for r in token_counts(df).collect()}
+    assert counts == {0: 2, 1: 0, 2: 2}
+
+    base, grams = word_ngrams(df, "text", 2)
+    got = [r["g"] for r in base.select(F.explode(grams).alias("g")).collect()]
+    assert got == ["foo bar", "plain text"]
+
+    pos = pos_context_table(df).collect()
+    by_doc = {}
+    for r in pos:
+        by_doc.setdefault(r["doc_id"], []).append((r["word_idx"], r["word"]))
+    assert sorted(by_doc[0]) == [(0, "foo"), (1, "bar")]
+    assert 1 not in by_doc                      # whitespace-only: no rows
+    assert all(w for _, ws in by_doc.items() for _, w in ws)
 
 
 def test_whitespace_only_docs_never_pair(spark):
