@@ -83,7 +83,11 @@ def process_document(
     ppl = float("nan")
     if models.lms:
         lm_key = resolve_lang(pred) if (pred and conf >= 0.5) else resolve_lang(lang)
-        lm = models.lms.get(lm_key) or models.lms.get("code")
+        # no code-LM fallback for natural languages (r03 review: clean
+        # it/nl/pt/ru/sv/cs prose scored against the code LM at ppl
+        # ~150k-300k and was dropped wholesale); a missing LM means skip
+        # perplexity (nan -> rules treat as 0), same as the no-LM case
+        lm = models.lms.get(lm_key)
         if lm is not None and tokens:
             ppl = lm.perplexity(tokens[:PPL_MAX_TOKENS])
 

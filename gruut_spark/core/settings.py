@@ -145,7 +145,11 @@ class TextSettings:
 
     default_currency: str = "USD"
     currencies: Dict[str, str] = field(default_factory=dict)  # symbol -> code
-    default_date_format: str = "mdy-ordinal"
+    # a REAL template (r03 review: the old name-like default
+    # 'mdy-ordinal' exploded into bogus per-character format slots and
+    # KeyError'd the first parseable date in any profile that didn't
+    # override it — notably code files containing dates)
+    default_date_format: str = "{m} {o}, {y}"
 
     # locale for decimal parsing: (group_char, decimal_char)
     group_char: str = ","
@@ -439,6 +443,11 @@ def _code_settings() -> TextSettings:
     (the quality stages read token statistics, not verbalized words)."""
     return TextSettings(
         lang="code",
+        # detect-only, exactly as this docstring promises: without this
+        # flag the profile rewrote 'x = 42' into 'x = forty-two',
+        # feeding English number words to the code LM and token stats
+        # (r03 review)
+        verbalize_supported=False,
         major_breaks={".", "?", "!", ";"},
         minor_breaks={","},
         begin_punctuations={'"', "'", "(", "[", "{", "<"},

@@ -249,6 +249,14 @@ def _split_abbreviations(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
         return None
     new_text = None
     for pattern, template in s.abbreviations_compiled:
+        # Matches against whitespace-carrying text, like the reference's
+        # pattern.match(word.text_with_ws) (gruut/text_processor.py:1750).
+        # Parity quirk kept on purpose: '$'-anchored patterns (the Roman
+        # numerals '^VIII$', gruut/lang.py:396-403) only match when the
+        # token carries no trailing whitespace (text-final position);
+        # mid-text 'VIII' falls through to initialism splitting in the
+        # reference too (patterns ending in '$' skip the auto-appended
+        # optional-break suffix, gruut/const.py:767-780).
         m = pattern.match(tok.ws)
         if m is not None:
             new_text = m.expand(template)
@@ -421,13 +429,23 @@ def _transform_date(tok: Tok, s: TextSettings) -> bool:
         return False
     if (not tok.maybe_date) or (tok.interpret_as and tok.interpret_as != DATE):
         return False
+    if tok.date is not None:
+        return False  # already parsed (verbalization may be off)
     if s.is_maybe_date is not None and not s.is_maybe_date(tok.text):
         tok.maybe_date = False
         return False
     date = parse_date(tok.text, date_order=s.date_order, lang=s.lang)
-    if date is not None:
-        tok.interpret_as = DATE
-        tok.date = date
+    if date is None:
+        # Memo the failed parse (types.py flag contract). The reference
+        # leaves the flag set and returns True, re-parsing the same text
+        # every pass until max_passes (gruut/text_processor.py:1987-2002)
+        # — output-identical (extra passes are no-ops for an unchanged
+        # token; splits mint fresh Toks with fresh flags), but it re-ran
+        # every stage 5x on any digit-bearing doc in the hot path.
+        tok.maybe_date = False
+        return False
+    tok.interpret_as = DATE
+    tok.date = date
     return True
 
 
@@ -439,6 +457,8 @@ def _transform_currency(tok: Tok, s: TextSettings) -> bool:
         tok.interpret_as and tok.interpret_as != CURRENCY
     ):
         return False
+    if tok.number is not None and tok.interpret_as == CURRENCY:
+        return False  # already parsed (verbalization may be off)
     if s.is_maybe_currency is not None and not s.is_maybe_currency(tok.text):
         tok.maybe_currency = False
         return False
@@ -460,6 +480,11 @@ def _transform_currency(tok: Tok, s: TextSettings) -> bool:
         if number is not None:
             tok.currency_name = s.default_currency
             tok.number = number
+            parsed = True
+    if not parsed:
+        # memo failed parse; see _transform_date for the parity argument
+        tok.maybe_currency = False
+        return False
     return True
 
 
@@ -480,16 +505,24 @@ def _transform_number(tok: Tok, s: TextSettings) -> bool:
 
             tok.number = Decimal(ordinal_num)
             return False  # reference returns False on the ordinal path
+    if tok.number is not None and tok.interpret_as == NUMBER:
+        return False  # already parsed (verbalization may be off)
     number = parse_decimal(tok.text, s.group_char, s.decimal_char)
     if number is None:
         tok.maybe_number = False
-        return True
+        # reference returns True here (gruut/text_processor.py:1890-1895)
+        # — no-op parity deviation, see _transform_date
+        return False
     tok.interpret_as = NUMBER
     if not tok.fmt:
         tok.fmt = CARDINAL
     tok.number = number
     if 1000 < number < 3000 and _ALL_DIGITS.match(tok.text) is not None:
-        # Year heuristic: all-digit 1000..3000 (gruut/text_processor.py:1884-1890)
+        # Year heuristic: all-digit 1000..3000 (gruut/text_processor.py:1884-1890).
+        # Parity quirk kept on purpose: the reference applies this even
+        # over an explicitly requested format (say-as number/cardinal on
+        # '2020' still reads 'twenty twenty') — only the CARDINAL default
+        # above is guarded by `if not tok.fmt`, exactly as upstream.
         tok.fmt = YEAR
     return True
 
@@ -502,13 +535,18 @@ def _transform_time(tok: Tok, s: TextSettings) -> bool:
         return False
     if s.parse_time is None:
         return False
+    if tok.time is not None:
+        return False  # already parsed (verbalization may be off)
     if s.is_maybe_time is not None and not s.is_maybe_time(tok.text):
         tok.maybe_time = False
         return False
     time = s.parse_time(tok.text)
-    if time is not None:
-        tok.interpret_as = TIME
-        tok.time = time
+    if time is None:
+        # memo failed parse; see _transform_date for the parity argument
+        tok.maybe_time = False
+        return False
+    tok.interpret_as = TIME
+    tok.time = time
     return True
 
 
@@ -602,7 +640,11 @@ def _verbalize_number(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
 def _date_format_str(fmt: str, join_str: str) -> str:
     if "{" in fmt:
         return fmt
-    return join_str.join(f"{{{c}}}" for c in fmt.strip().upper())
+    # only M/D/Y/O are slot letters; drop anything else so a malformed
+    # format string degrades instead of KeyError-ing the whole task
+    return join_str.join(
+        f"{{{c}}}" for c in fmt.strip().upper() if c in "MDYO"
+    )
 
 
 def _verbalize_date(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:

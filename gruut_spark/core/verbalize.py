@@ -41,6 +41,13 @@ _EN_TENS = [
     "eighty", "ninety",
 ]
 _EN_SCALE = [
+    # extends past billion (r03 review: a 13+-digit number — e.g. an
+    # epoch-milliseconds timestamp in corpus text — crashed the under-1000
+    # group verbalizer); the top-scale count recurses, so even values
+    # beyond quintillion verbalize ('one thousand quintillion')
+    (10 ** 18, "quintillion"),
+    (10 ** 15, "quadrillion"),
+    (10 ** 12, "trillion"),
     (10 ** 9, "billion"),
     (10 ** 6, "million"),
     (10 ** 3, "thousand"),
@@ -87,7 +94,9 @@ def en_cardinal_int(n: int) -> str:
     for scale_val, scale_name in _EN_SCALE:
         if rest >= scale_val:
             count, rest = divmod(rest, scale_val)
-            parts.append(f"{_en_under_1000(count)} {scale_name}")
+            # recursion, not _en_under_1000: the top-scale count can
+            # itself exceed 999
+            parts.append(f"{en_cardinal_int(count)} {scale_name}")
     if rest:
         last = _en_under_1000(rest)
         if rest < 100 and parts:
@@ -172,6 +181,9 @@ def en_currency(value: Numeric, currency: str = "USD") -> str:
     dec = abs(dec)
     whole = int(dec)
     cents = int((dec - whole) * 100 + Decimal("0.5"))
+    if cents >= 100:  # a >=.995 fraction rounds to a whole unit — carry,
+        whole += 1    # never emit "one hundred cents" (r03 review)
+        cents = 0
     unit = forms[0] if whole == 1 else forms[1]
     text = f"{sign}{en_cardinal_int(whole)} {unit}"
     if cents > 0:
@@ -600,7 +612,11 @@ def ru_cardinal_int(n: int) -> str:
     if n < 1000:
         return _ru_under_1000(n)
     parts = []
-    billions, rest = divmod(n, 10 ** 9)
+    trillions, rest = divmod(n, 10 ** 12)
+    if trillions:
+        word = slavic_plural(trillions, ("триллион", "триллиона", "триллионов"))
+        parts.append(f"{ru_cardinal_int(trillions)} {word}")
+    billions, rest = divmod(rest, 10 ** 9)
     if billions:
         word = slavic_plural(billions, ("миллиард", "миллиарда", "миллиардов"))
         parts.append(f"{_ru_under_1000(billions)} {word}")
@@ -718,7 +734,12 @@ def cs_cardinal_int(n: int) -> str:
     if n < 1000:
         return _cs_under_1000(n)
     parts = []
-    billions, rest = divmod(n, 10 ** 9)
+    trillions, rest = divmod(n, 10 ** 12)
+    if trillions:
+        word = slavic_plural(trillions, ("bilion", "biliony", "bilionů"))
+        head = "jeden" if trillions == 1 else cs_cardinal_int(trillions)
+        parts.append(f"{head} {word}")
+    billions, rest = divmod(rest, 10 ** 9)
     if billions:
         word = slavic_plural(billions, ("miliarda", "miliardy", "miliard"))
         head = "jedna" if billions == 1 else _cs_under_1000(billions, feminine=True)
@@ -862,6 +883,9 @@ def currency(value: Numeric, code: str = "USD", lang: str = "en") -> str:
     dec = abs(dec)
     whole = int(dec)
     cents = int((dec - whole) * 100 + Decimal("0.5"))
+    if cents >= 100:  # same carry as en_currency (r03 review)
+        whole += 1
+        cents = 0
     if len(forms) == 6:  # slavic (one, few, many) unit + cent forms
         unit = slavic_plural(whole, forms[:3])
         cent = slavic_plural(cents, forms[3:])

@@ -150,7 +150,10 @@ def _features_fn(
         ppl = -1.0
         if models.lms:
             key = resolve_lang(pred) if (pred and conf >= 0.5) else resolve_lang(lg)
-            lm = models.lms.get(key) or models.lms.get("code")
+            # no code-LM fallback: mirrors core.pipeline (a natural
+            # language without an LM artifact skips perplexity instead of
+            # being scored against the code LM and dropped wholesale)
+            lm = models.lms.get(key)
             if lm is not None and tokens:
                 ppl = float(lm.perplexity(tokens[:PPL_MAX_TOKENS]))
         rows.append(

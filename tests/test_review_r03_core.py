@@ -1,0 +1,190 @@
+"""Regression tests for the round-3 core review findings (pure-Python,
+no Spark): two crash paths (huge cardinals, default date format), the
+code-LM fallback silent-drop, the code-profile verbalization contract,
+failed-parse memoization, cent-rounding carry, and two pinned
+parity-by-design quirks (Roman-numeral position sensitivity, year
+heuristic overriding an explicit cardinal — both match the reference,
+gruut/const.py:767-780 and gruut/text_processor.py:1884-1890)."""
+
+from gruut_spark.core.pipeline import (
+    PipelineModels,
+    normalize_document,
+    process_document,
+)
+from gruut_spark.core.rules import RuleConfig
+from gruut_spark.core.scrub import compile_tox_pattern
+from gruut_spark.core.tokenizer import sentences, words
+from gruut_spark.core.verbalize import (
+    cs_cardinal_int,
+    currency,
+    en_cardinal_int,
+    en_currency,
+    ru_cardinal_int,
+)
+
+
+def texts(s, lang="en_US", **kw):
+    return [w.text for w in words(s, lang=lang, **kw)]
+
+
+# --- finding 1: cardinals >= 1e12 crashed (IndexError) or misworded ---------
+
+
+def test_en_cardinal_trillions():
+    assert en_cardinal_int(10 ** 12) == "one trillion"
+    assert en_cardinal_int(2 * 10 ** 12) == "two trillion"
+    assert en_cardinal_int(10 ** 15) == "one quadrillion"
+    assert en_cardinal_int(10 ** 18) == "one quintillion"
+    # top-scale count recurses past the table's largest scale
+    assert en_cardinal_int(10 ** 21) == "one thousand quintillion"
+    assert (
+        en_cardinal_int(1_500_000_000_000)
+        == "one trillion, five hundred billion"
+    )
+
+
+def test_slavic_cardinal_trillions_no_crash():
+    assert "триллион" in ru_cardinal_int(2 * 10 ** 12)
+    assert "bilion" in cs_cardinal_int(2 * 10 ** 12)
+
+
+def test_epoch_millis_document_does_not_crash():
+    # 13-digit epoch-milliseconds timestamps are ordinary corpus text
+    sents = sentences("the debt hit 2000000000000 dollars")
+    assert sents  # used to raise IndexError inside _en_under_1000
+
+
+# --- finding 2: default_date_format was a name, not a template --------------
+
+
+def test_default_date_format_is_a_template():
+    from gruut_spark.core.settings import TextSettings
+
+    assert "{" in TextSettings(lang="xx").default_date_format
+
+
+def test_date_in_code_document_does_not_crash():
+    # code profile: is_maybe_date=has_digit, so dates parse; the old
+    # 'mdy-ordinal' default KeyError'd _verbalize_date for any profile
+    # without an explicit format (code verbalization is now off, but the
+    # template must still be expandable for custom profiles)
+    tokens, _ = normalize_document("version released 12/31/1999 ok", "python")
+    assert "ok" in tokens
+
+
+def test_date_format_str_drops_non_slot_chars():
+    from gruut_spark.core.tokenizer import _date_format_str
+
+    fmt = _date_format_str("mdy-ordinal", " ")
+    assert set(fmt) <= set("{MDYO} ")
+
+
+# --- finding 3: natural language without an LM must skip ppl ----------------
+
+
+def _models_without_langid():
+    from gruut_spark.oracle import load_models
+    from gruut_spark.sources.testgen import SLUR_LEXICON
+
+    base = load_models()
+    return PipelineModels(
+        langid=None,  # force declared-lang LM selection
+        lms=base.lms,
+        tox_pattern=compile_tox_pattern(SLUR_LEXICON),
+        rule_config=RuleConfig(),
+    )
+
+
+def test_missing_lm_language_skips_perplexity():
+    m = _models_without_langid()
+    text = (
+        "Il gatto dorme sul tavolo della cucina. "
+        "La casa è molto bella e il sole splende sopra la città.\n" * 5
+    )
+    row = process_document("r", "p", "c", "it", text, m)
+    assert row["ppl"] == -1.0  # not scored against the code LM
+    assert "drop:high_perplexity" not in list(row["rule_flags"])
+
+
+# --- finding 4: code profile is detect-only -------------------------------
+
+
+def test_code_profile_never_rewrites_numbers():
+    tokens, _ = normalize_document("x = 42", "python")
+    assert "42" in tokens
+    assert "forty-two" not in tokens and "forty" not in tokens
+
+
+# --- finding 5 (parity pin): '$'-anchored Roman numerals are
+# position-sensitive in the reference too ----------------------------------
+
+
+def test_roman_numeral_final_position_expands():
+    assert texts("see chapter VIII")[-1] == "eight"
+
+
+def test_roman_numeral_mid_text_initialism_split():
+    got = texts("chapter VIII is long")
+    assert "eight" not in got
+    assert got.count("V") == 1 and got.count("I") == 3
+
+
+# --- finding 6: failed parses are memoized (perf; output-equivalent) --------
+
+
+def test_failed_date_parse_runs_once(monkeypatch):
+    import gruut_spark.core.tokenizer as tk
+
+    calls = []
+    real = tk.parse_date
+
+    def counting(text, **kw):
+        calls.append(text)
+        return real(text, **kw)
+
+    monkeypatch.setattr(tk, "parse_date", counting)
+    sentences("about 1/2 cup of sugar")
+    assert calls.count("1/2") == 1  # was re-parsed every one of 5 passes
+
+
+def test_failed_parse_memo_converges_early(monkeypatch):
+    # digit token that parses as neither date/number/currency/time must
+    # not force max_passes: stage functions stop reporting changes
+    import gruut_spark.core.tokenizer as tk
+
+    calls = []
+    real = tk.parse_decimal
+
+    def counting(text, *a, **kw):
+        calls.append(text)
+        return real(text, *a, **kw)
+
+    monkeypatch.setattr(tk, "parse_decimal", counting)
+    sentences("v2.0 and 4x4 again")
+    for t in set(calls):
+        assert calls.count(t) <= 2, (t, calls.count(t))
+
+
+# --- finding 7 (parity pin): year heuristic beats explicit cardinal ---------
+
+
+def test_year_heuristic_overrides_explicit_cardinal():
+    sents = sentences("2020", interpret_as="number", say_format="cardinal")
+    got = [w.text for s in sents for w in s.words]
+    assert got == ["twenty", "twenty"]
+
+
+# --- finding 8: cent rounding carries into the unit amount ------------------
+
+
+def test_cent_rounding_carries_en():
+    assert en_currency("4.999") == "five dollars"
+    assert en_currency("0.999") == "one dollar"
+    assert en_currency("4.994") == "four dollars ninety-nine cents"
+
+
+def test_cent_rounding_carries_multilang():
+    # de shares the generic (non-slavic) branch of currency()
+    text = currency("4.999", "EUR", "de")
+    assert "hundert" not in text.lower()
+    assert text.lower().endswith("euro")
