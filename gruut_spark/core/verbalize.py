@@ -233,6 +233,18 @@ def de_cardinal_int(n: int) -> str:
         prefix = "ein" if thousands == 1 else de_cardinal_int(thousands)
         text = f"{prefix}tausend"
         return text + (de_cardinal_int(rest) if rest else "")
+    # long-scale rungs per num2words de wording (r03: 1e9 used to render
+    # as the non-standard "eintausend Millionen")
+    for scale_val, sing, plur in (
+        (10 ** 18, "eine Trillion", "Trillionen"),
+        (10 ** 15, "eine Billiarde", "Billiarden"),
+        (10 ** 12, "eine Billion", "Billionen"),
+        (10 ** 9, "eine Milliarde", "Milliarden"),
+    ):
+        if n >= scale_val:
+            count, rest = divmod(n, scale_val)
+            word = sing if count == 1 else f"{de_cardinal_int(count)} {plur}"
+            return word + (f" {de_cardinal_int(rest)}" if rest else "")
     millions, rest = divmod(n, 10 ** 6)
     m_word = "eine Million" if millions == 1 else f"{de_cardinal_int(millions)} Millionen"
     return m_word + (f" {de_cardinal_int(rest)}" if rest else "")
@@ -309,6 +321,12 @@ def es_cardinal_int(n: int) -> str:
         thousands, rest = divmod(n, 1000)
         prefix = "mil" if thousands == 1 else f"{es_cardinal_int(thousands)} mil"
         return f"{prefix} {es_cardinal_int(rest)}" if rest else prefix
+    # es keeps "mil millones" for 1e9 (standard), but 1e12 is "un billón"
+    # (long scale, num2words es wording)
+    if n >= 10 ** 12:
+        count, rest = divmod(n, 10 ** 12)
+        word = "un billón" if count == 1 else f"{es_cardinal_int(count)} billones"
+        return f"{word} {es_cardinal_int(rest)}" if rest else word
     millions, rest = divmod(n, 10 ** 6)
     m_word = "un millón" if millions == 1 else f"{es_cardinal_int(millions)} millones"
     return f"{m_word} {es_cardinal_int(rest)}" if rest else m_word
@@ -371,6 +389,16 @@ def fr_cardinal_int(n: int) -> str:
         thousands, rest = divmod(n, 1000)
         head = "mille" if thousands == 1 else f"{fr_cardinal_int(thousands)} mille"
         return f"{head} {fr_cardinal_int(rest)}" if rest else head
+    # long-scale rungs per num2words fr wording (r03: 1e9 used to render
+    # as the non-standard "mille millions")
+    for scale_val, sing, plur in (
+        (10 ** 12, "un billion", "billions"),
+        (10 ** 9, "un milliard", "milliards"),
+    ):
+        if n >= scale_val:
+            count, rest = divmod(n, scale_val)
+            word = sing if count == 1 else f"{fr_cardinal_int(count)} {plur}"
+            return f"{word} {fr_cardinal_int(rest)}" if rest else word
     millions, rest = divmod(n, 10 ** 6)
     m_word = "un million" if millions == 1 else f"{fr_cardinal_int(millions)} millions"
     return f"{m_word} {fr_cardinal_int(rest)}" if rest else m_word
@@ -445,6 +473,10 @@ def it_cardinal_int(n: int) -> str:
         millions, rest = divmod(n, 10 ** 6)
         m_word = "un milione" if millions == 1 else f"{it_cardinal_int(millions)} milioni"
         return m_word + (f" {it_cardinal_int(rest)}" if rest else "")
+    if n >= 10 ** 12:  # long scale: bilione (num2words it wording)
+        count, rest = divmod(n, 10 ** 12)
+        word = "un bilione" if count == 1 else f"{it_cardinal_int(count)} bilioni"
+        return word + (f" {it_cardinal_int(rest)}" if rest else "")
     billions, rest = divmod(n, 10 ** 9)
     b_word = "un miliardo" if billions == 1 else f"{it_cardinal_int(billions)} miliardi"
     return b_word + (f" {it_cardinal_int(rest)}" if rest else "")
@@ -494,6 +526,10 @@ def nl_cardinal_int(n: int) -> str:
         millions, rest = divmod(n, 10 ** 6)
         m_word = "een miljoen" if millions == 1 else f"{nl_cardinal_int(millions)} miljoen"
         return m_word + (f" {nl_cardinal_int(rest)}" if rest else "")
+    if n >= 10 ** 12:  # biljoen; nl scale words don't pluralize
+        count, rest = divmod(n, 10 ** 12)
+        word = "een biljoen" if count == 1 else f"{nl_cardinal_int(count)} biljoen"
+        return word + (f" {nl_cardinal_int(rest)}" if rest else "")
     billions, rest = divmod(n, 10 ** 9)
     b_word = "een miljard" if billions == 1 else f"{nl_cardinal_int(billions)} miljard"
     return b_word + (f" {nl_cardinal_int(rest)}" if rest else "")
@@ -542,6 +578,15 @@ def pt_cardinal_int(n: int) -> str:
         # "e" after mil only for a remainder under 100 or a round hundred
         joiner = " e " if (rest < 100 or rest % 100 == 0) else " "
         return head + joiner + _pt_under_1000(rest)
+    # pt-PT long scale: 1e9 stays "mil milhões" (standard European
+    # usage via the milhões rung), 1e12 is "um bilião"
+    if n >= 10 ** 12:
+        count, rest = divmod(n, 10 ** 12)
+        word = "um bilião" if count == 1 else f"{pt_cardinal_int(count)} biliões"
+        if rest == 0:
+            return word
+        joiner = " e " if (rest < 100 or rest % 100 == 0) else " "
+        return word + joiner + pt_cardinal_int(rest)
     millions, rest = divmod(n, 10 ** 6)
     m_word = "um milhão" if millions == 1 else f"{pt_cardinal_int(millions)} milhões"
     if rest == 0:
@@ -669,6 +714,10 @@ def sv_cardinal_int(n: int) -> str:
         millions, rest = divmod(n, 10 ** 6)
         m_word = "en miljon" if millions == 1 else f"{sv_cardinal_int(millions)} miljoner"
         return m_word + (f" {sv_cardinal_int(rest)}" if rest else "")
+    if n >= 10 ** 12:  # biljon (num2words sv wording)
+        count, rest = divmod(n, 10 ** 12)
+        word = "en biljon" if count == 1 else f"{sv_cardinal_int(count)} biljoner"
+        return word + (f" {sv_cardinal_int(rest)}" if rest else "")
     billions, rest = divmod(n, 10 ** 9)
     b_word = "en miljard" if billions == 1 else f"{sv_cardinal_int(billions)} miljarder"
     return b_word + (f" {sv_cardinal_int(rest)}" if rest else "")

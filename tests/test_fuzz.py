@@ -60,14 +60,58 @@ def test_process_document_never_raises(text, lang):
 @FUZZ
 @given(
     st.decimals(allow_nan=False, allow_infinity=False,
-                min_value=-10**12, max_value=10**12),
+                min_value=-10**24, max_value=10**24),
     st.sampled_from(["en", "de", "es", "fr", "it", "nl", "pt", "ru", "sv", "cs"]),
 )
 def test_verbalize_cardinal_total(value, lang):
+    # range reaches 1e24: the r03 review found >=2e12 crashed en/ru/cs
+    # while this fuzz stopped at exactly 1e12 — magnitude bounds must
+    # exceed anything corpus text can contain (epoch-nanos is ~2e18)
     from gruut_spark.core import verbalize
 
     out = verbalize.cardinal(value, lang)
     assert isinstance(out, str) and out
+
+
+_NUMBERISH = st.one_of(
+    st.integers(min_value=0, max_value=10**22).map(str),
+    st.integers(min_value=-10**15, max_value=10**15).map(lambda n: f"{n:,}"),
+    st.decimals(allow_nan=False, allow_infinity=False,
+                min_value=0, max_value=10**9, places=3).map(str),
+    st.tuples(st.integers(1, 12), st.integers(1, 31), st.integers(1, 3000)).map(
+        lambda t: f"{t[0]}/{t[1]}/{t[2]}"
+    ),
+    st.tuples(st.integers(1, 31), st.integers(1, 12), st.integers(0, 99)).map(
+        lambda t: f"{t[0]}.{t[1]}.{t[2]:02d}"
+    ),
+    st.tuples(st.sampled_from("$€£¥"), st.decimals(
+        allow_nan=False, allow_infinity=False, min_value=0,
+        max_value=10**13, places=3)).map(lambda t: f"{t[0]}{t[1]}"),
+    st.tuples(st.integers(0, 23), st.integers(0, 59)).map(
+        lambda t: f"{t[0]}:{t[1]:02d}"
+    ),
+    st.sampled_from(["p.m.", "a.m.", "Dr.", "VIII", "II", "1st", "22nd",
+                     "1609459200000", "1.5e300", "0x1F", "v2.0"]),
+)
+
+
+@FUZZ
+@given(
+    st.lists(st.one_of(_NUMBERISH, st.sampled_from(
+        ["the", "price", "was", "on", "released", "um", "etwa", "цена"]
+    )), min_size=1, max_size=12).map(" ".join),
+    st.sampled_from(_LANGS),
+)
+def test_structured_corpus_text_never_raises(text, lang):
+    """Adversarial *parseable* inputs — realistic numbers, dates, currency
+    and times embedded in sentences. Plain st.text() almost never emits a
+    13-digit integer or a full date, which is how the r03 crash paths
+    (huge cardinals, default date format) survived the generic fuzz."""
+    from gruut_spark.core.tokenizer import sentences
+
+    a = [w.text for s in sentences(text, lang) for w in s.words]
+    b = [w.text for s in sentences(text, lang) for w in s.words]
+    assert a == b
 
 
 @FUZZ

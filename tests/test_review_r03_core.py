@@ -48,6 +48,33 @@ def test_slavic_cardinal_trillions_no_crash():
     assert "bilion" in cs_cardinal_int(2 * 10 ** 12)
 
 
+def test_long_scale_rungs_follow_num2words_wording():
+    # de/fr previously lacked the 1e9 rung entirely ("eintausend
+    # Millionen" / "mille millions"); all seven languages now carry
+    # their long-scale words (es keeps the standard "mil millones")
+    from gruut_spark.core.verbalize import cardinal
+
+    cases = [
+        ("de", 10 ** 9, "eine Milliarde"),
+        ("de", 2 * 10 ** 9, "zwei Milliarden"),
+        ("de", 2 * 10 ** 12, "zwei Billionen"),
+        ("de", 10 ** 15, "eine Billiarde"),
+        ("de", 1_234_000_000,
+         "eine Milliarde zweihundertvierunddreißig Millionen"),
+        ("fr", 10 ** 9, "un milliard"),
+        ("fr", 2 * 10 ** 9, "deux milliards"),
+        ("fr", 2 * 10 ** 12, "deux billions"),
+        ("es", 10 ** 9, "mil millones"),
+        ("es", 2 * 10 ** 12, "dos billones"),
+        ("it", 2 * 10 ** 12, "due bilioni"),
+        ("nl", 2 * 10 ** 12, "twee biljoen"),
+        ("pt", 2 * 10 ** 12, "dois biliões"),
+        ("sv", 2 * 10 ** 12, "två biljoner"),
+    ]
+    for lang, n, want in cases:
+        assert cardinal(n, lang) == want, (lang, n)
+
+
 def test_epoch_millis_document_does_not_crash():
     # 13-digit epoch-milliseconds timestamps are ordinary corpus text
     sents = sentences("the debt hit 2000000000000 dollars")
