@@ -56,6 +56,35 @@ def normalize_document(content: str, lang: str) -> Tuple[List[str], List[str]]:
     return spoken, sentence_texts
 
 
+# The languages that ship LM artifacts: resolved key -> artifact short
+# code (lm_<short>.npz). Single source of truth for oracle.load_models
+# and testgen's training-corpus routing (r03 review: two drifting copies
+# existed, and one defaulted unknown languages into the en corpus).
+LM_LANGS = {
+    "en_US": "en",
+    "de_DE": "de",
+    "es_ES": "es",
+    "fr_FR": "fr",
+    "zh_CN": "zh",
+    "code": "code",
+}
+
+
+def select_lm(lms, declared_lang: str, pred: str, conf: float):
+    """CCNet-style LM selection, shared by the oracle core and the Spark
+    UDF path (functions/udfs.py) — the policy lives HERE only, because
+    drift between the two copies breaks the keep/drop F1 = 1.0 gate
+    (r03 review). Score against the DETECTED language's LM when langid
+    is confident (conf >= 0.5), else the declared one; a language
+    without an LM artifact skips perplexity entirely — no code-LM
+    fallback (r03 review: clean it/nl/pt/ru/sv/cs prose scored against
+    the code LM at ppl ~150k-300k and was dropped wholesale)."""
+    key = (
+        resolve_lang(pred) if (pred and conf >= 0.5) else resolve_lang(declared_lang)
+    )
+    return lms.get(key)
+
+
 def process_document(
     repo: str,
     path: str,
@@ -82,12 +111,7 @@ def process_document(
     #    (FIXTURES.md wrong_lang row: mismatch is surfaced, not dropped)
     ppl = float("nan")
     if models.lms:
-        lm_key = resolve_lang(pred) if (pred and conf >= 0.5) else resolve_lang(lang)
-        # no code-LM fallback for natural languages (r03 review: clean
-        # it/nl/pt/ru/sv/cs prose scored against the code LM at ppl
-        # ~150k-300k and was dropped wholesale); a missing LM means skip
-        # perplexity (nan -> rules treat as 0), same as the no-LM case
-        lm = models.lms.get(lm_key)
+        lm = select_lm(models.lms, lang, pred, conf)
         if lm is not None and tokens:
             ppl = lm.perplexity(tokens[:PPL_MAX_TOKENS])
 

@@ -82,7 +82,15 @@ def model_scrub_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         scrub_out = _scrub_fn(pdf["content"])
         if "_source_file" not in pdf.columns:
             pdf = pdf.assign(_source_file="")
-        keys = pdf[["repo", "path", "commit", "lang", "_source_file"]].reset_index(drop=True)
+        # NULL keys/lang coerce to "" like process_document does — a
+        # nullable input column must not break row-level oracle parity
+        # (the oracle emits '' where this stage would pass NULL through,
+        # r03 review)
+        keys = (
+            pdf[["repo", "path", "commit", "lang", "_source_file"]]
+            .fillna("")
+            .reset_index(drop=True)
+        )
         out = pd.concat(
             [keys, lid.reset_index(drop=True), feats.reset_index(drop=True),
              scrub_out.reset_index(drop=True)],
@@ -136,8 +144,7 @@ def _features_fn(
     """gruut-normalization + quality features + LM perplexity per batch.
     LM selection mirrors core.pipeline: detected language when langid is
     confident, declared otherwise."""
-    from ..core.pipeline import PPL_MAX_TOKENS, normalize_document
-    from ..core.settings import resolve_lang
+    from ..core.pipeline import PPL_MAX_TOKENS, normalize_document, select_lm
 
     models = get_models()
     rows = []
@@ -149,11 +156,9 @@ def _features_fn(
         f = quality_features(text, sentence_texts, n_tokens=len(tokens))
         ppl = -1.0
         if models.lms:
-            key = resolve_lang(pred) if (pred and conf >= 0.5) else resolve_lang(lg)
-            # no code-LM fallback: mirrors core.pipeline (a natural
-            # language without an LM artifact skips perplexity instead of
-            # being scored against the code LM and dropped wholesale)
-            lm = models.lms.get(key)
+            # selection policy shared with the oracle core — see
+            # core.pipeline.select_lm for the contract
+            lm = select_lm(models.lms, lg, pred, conf)
             if lm is not None and tokens:
                 ppl = float(lm.perplexity(tokens[:PPL_MAX_TOKENS]))
         rows.append(

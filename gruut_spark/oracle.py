@@ -35,12 +35,10 @@ def load_models(artifact_dir: str = ARTIFACT_DIR) -> PipelineModels:
 
     langid_path = os.path.join(artifact_dir, "langid.npz")
     langid = LangIdModel.load(langid_path) if os.path.exists(langid_path) else None
+    from .core.pipeline import LM_LANGS
+
     lms = {}
-    for key in ["en_US", "de_DE", "es_ES", "fr_FR", "zh_CN", "code"]:
-        short = {
-            "en_US": "en", "de_DE": "de", "es_ES": "es", "fr_FR": "fr",
-            "zh_CN": "zh",
-        }.get(key, key)
+    for key, short in LM_LANGS.items():
         p = os.path.join(artifact_dir, f"lm_{short}.npz")
         if os.path.exists(p):
             lms[key] = NGramLM.load(p)

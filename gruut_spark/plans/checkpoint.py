@@ -158,10 +158,17 @@ def run_with_checkpoints(
         counts: Dict[int, int] = {}
         for r in stat_rows:
             counts[r[BUCKET_COL]] = counts.get(r[BUCKET_COL], 0) + r["rows"]
+        # wall time is measured per GROUP (buckets in a group share one
+        # job); record the group total once under group_wall_s and an
+        # amortized per-bucket share under wall_s so summing the manifest
+        # reproduces total runtime instead of overcounting by group_size
+        # (r03 review)
+        group_wall = round(time.time() - t0, 3)
         for b in group:
             manifest[str(b)] = {
                 "rows": int(counts.get(b, 0)),
-                "wall_s": round(time.time() - t0, 3),
+                "wall_s": round(group_wall / max(len(group), 1), 3),
+                "group_wall_s": group_wall,
                 "committed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
         _write_manifest(out_dir, manifest)

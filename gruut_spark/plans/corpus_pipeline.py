@@ -137,6 +137,15 @@ def assemble_corpus(
     )
     # stable 64-bit doc key for dedup/sampling (never Python hash)
     keyed = filtered.withColumn("_did", F.xxhash64("repo", "path", "commit"))
+    # Materialize the filter output ONCE: compose_corpus_stages fans this
+    # frame into ~10 plan branches (loser anti-joins, pair_fn edges,
+    # decontamination), and Spark reuses identical Exchanges but NOT the
+    # mapInPandas model stage above them — without this the langid+LM+
+    # scrub UDF (the most expensive stage by far) re-runs once per branch
+    # (r03 review). Lazy (eager=False) so assembly stays a lazy plan until
+    # the first action; swap for checkpoint() with a checkpoint dir when
+    # executor-local storage isn't durable enough.
+    keyed = keyed.localCheckpoint(eager=False)
 
     out = compose_corpus_stages(
         keyed,

@@ -46,4 +46,11 @@ def plan_has_shuffle(df: DataFrame) -> bool:
     """True if the physical plan contains a shuffle exchange (broadcast
     exchanges are not shuffles and don't count)."""
     plan = df._jdf.queryExecution().executedPlan().toString()
-    return "Exchange hashpartitioning" in plan or "Exchange rangepartitioning" in plan
+    # any shuffle Exchange counts: hash/range AND SinglePartition (global
+    # agg) / RoundRobinPartitioning (df.repartition(n)) — r03 review; only
+    # BroadcastExchange is excluded
+    for line in plan.splitlines():
+        stripped = line.lstrip("+-: *")
+        if stripped.startswith("Exchange") and "BroadcastExchange" not in stripped:
+            return True
+    return False

@@ -13,8 +13,15 @@ def _has_iceberg(spark: SparkSession, table: str) -> bool:
     # Iceberg tables are addressed as catalog.db.table; paths contain '/'
     if "/" in table:
         return False
-    for key in spark.sparkContext.getConf().getAll():
-        if key[0].startswith("spark.sql.catalog."):
+    # Runtime conf first: catalogs are routinely configured via
+    # spark.conf.set AFTER session start, which the immutable
+    # SparkContext launch conf never sees (r03 review). The table's own
+    # leading name part is the catalog to check.
+    first = table.split(".", 1)[0]
+    if spark.conf.get(f"spark.sql.catalog.{first}", None) is not None:
+        return True
+    for key, _val in spark.sparkContext.getConf().getAll():
+        if key.startswith("spark.sql.catalog."):
             return True
     return False
 

@@ -219,7 +219,8 @@ def _pii_samples(rng: np.random.Generator) -> List[Tuple[str, str]]:
 def generate_files(n_rows: int = 1000, seed: int = SEED) -> pd.DataFrame:
     """The synthetic `files` table: FIXTURES.md §1-2 categories, one
     mega-repo with ≥30% of rows (skew fixture)."""
-    rng = np.random.default_rng(seed)
+    # determinism comes from the per-row default_rng(seed * 1_000_003 + i)
+    # scheme below (order-independent), not a shared generator
     rows: List[Dict[str, object]] = []
 
     def add(repo, path, lang, content, category):
@@ -337,15 +338,18 @@ def _reference_sample_docs() -> Dict[str, List[List[str]]]:
             "set SPARK_GRAFT_REFERENCE_SAMPLE to the documents sample "
             "parquet, or to 'skip' to train on the synthetic corpus only"
         )
-    from ..core.pipeline import normalize_document
+    from ..core.pipeline import LM_LANGS, normalize_document
     from ..core.settings import resolve_lang
 
     pdf = pd.read_parquet(REFERENCE_SAMPLE, columns=["lang", "text"])
-    short_of = {"en_US": "en", "de_DE": "de", "es_ES": "es", "fr_FR": "fr",
-                "zh_CN": "zh", "code": "code"}
     out: Dict[str, List[List[str]]] = {}
     for lang, text in zip(pdf["lang"], pdf["text"]):
-        short = short_of.get(resolve_lang(str(lang)), "en")
+        short = LM_LANGS.get(resolve_lang(str(lang)))
+        if short is None:
+            # deliberately SKIP languages without an LM artifact (the
+            # pipeline skips ppl for them too) — defaulting to 'en' would
+            # silently train the en LM on foreign prose (r03 review)
+            continue
         tokens, _ = normalize_document(str(text), str(lang))
         if tokens:
             out.setdefault(short, []).append(tokens)

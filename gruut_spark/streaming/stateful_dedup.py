@@ -36,6 +36,8 @@ def _dedup_fn(
         return
     best = None
     for pdf in batches:
+        if pdf.empty:  # Arrow chunk boundaries can deliver empty frames
+            continue
         cand = pdf.sort_values("doc_id").iloc[0]
         if best is None or cand.doc_id < best.doc_id:
             best = cand

@@ -1,0 +1,90 @@
+"""Regression tests for the round-3 infra review (streaming / plans /
+sources / functions): shuffle-detector coverage, empty-chunk kernel
+guard, NULL-key oracle parity of the production map stage, manifest
+wall-time accounting, and the shared LM-selection helper."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_plan_has_shuffle_sees_roundrobin_and_single_partition(spark):
+    from gruut_spark.sources.bucketing import plan_has_shuffle
+
+    df = spark.range(0, 100)
+    assert plan_has_shuffle(df.repartition(4)), "round-robin is a shuffle"
+    assert plan_has_shuffle(
+        df.agg(F.sum("id"))
+    ), "global agg's SinglePartition exchange is a shuffle"
+    # broadcast-only plans still don't count
+    dim = spark.range(0, 10).select(F.col("id"), F.lit("x").alias("v"))
+    joined = df.join(F.broadcast(dim), "id")
+    assert not plan_has_shuffle(joined)
+
+
+def test_stateful_dedup_fn_skips_empty_chunks():
+    from gruut_spark.streaming.stateful_dedup import _dedup_fn
+
+    class FakeState:
+        def __init__(self):
+            self._v = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        def update(self, v):
+            self._v = tuple(v)
+
+    empty = pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                          "text": pd.Series([], dtype="object")})
+    full = pd.DataFrame({"doc_id": [5, 3], "text": ["b", "a"]})
+    out = list(_dedup_fn(("h",), iter([empty, full, empty]), FakeState()))
+    assert len(out) == 1 and int(out[0]["doc_id"].iloc[0]) == 3
+    # all-empty input emits nothing and leaves state unset
+    state = FakeState()
+    assert list(_dedup_fn(("h2",), iter([empty]), state)) == []
+    assert not state.exists
+
+
+def test_model_scrub_map_coerces_null_keys(spark):
+    """A NULL lang/key column must come out as '' (the oracle's
+    process_document coerces None to ''), keeping row-level parity."""
+    from gruut_spark.functions.udfs import MODEL_SCRUB_SCHEMA, model_scrub_map
+
+    sdf = spark.createDataFrame(
+        [("r", "p", "c", None, "x = 1\n")],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    row = sdf.mapInPandas(model_scrub_map, MODEL_SCRUB_SCHEMA).collect()[0]
+    assert row["lang"] == ""
+
+
+def test_select_lm_shared_policy():
+    from gruut_spark.core.pipeline import select_lm
+
+    lms = {"en_US": "EN-LM", "code": "CODE-LM"}
+    # confident detection wins over declared
+    assert select_lm(lms, "de", "en", 0.9) == "EN-LM"
+    # unconfident detection falls back to declared
+    assert select_lm(lms, "en", "de", 0.2) == "EN-LM"
+    # missing LM -> None, never the code LM
+    assert select_lm(lms, "it", "it", 0.9) is None
+
+
+def test_manifest_wall_time_sums_to_job_total(spark, tmp_path):
+    from gruut_spark.plans.checkpoint import run_with_checkpoints
+    from gruut_spark.sources.testgen import generate_files
+
+    files = spark.createDataFrame(
+        generate_files(60, seed=7)[["repo", "path", "commit", "lang", "content"]]
+    )
+    manifest = run_with_checkpoints(
+        spark, files, str(tmp_path / "out"), n_buckets=4, group_size=2,
+    )
+    total = sum(e["wall_s"] for e in manifest.values())
+    group_walls = {e["group_wall_s"] for e in manifest.values()}
+    # per-bucket shares of each group sum back to that group's wall
+    assert total == pytest.approx(sum(group_walls), rel=0.01)
+    for e in manifest.values():
+        assert e["wall_s"] <= e["group_wall_s"]
