@@ -29,7 +29,11 @@ from typing import Dict, List, Sequence, Union
 
 FeatureDict = Dict[str, Union[str, bool, int, float]]
 
-_PUNCT = frozenset(string.punctuation)
+# the reference computes `word in string.punctuation` — a SUBSTRING test
+# on the punctuation string, not set membership (gruut/pos.py:92): ''
+# and adjacent-pair tokens like '()' are True there; a frozenset would
+# diverge on exactly those (r03 review)
+_PUNCT = string.punctuation
 
 
 def encode_string(s: str) -> str:

@@ -36,12 +36,16 @@ _NAME_DATE_DMY = re.compile(r"^\s*(\d{1,2})\.?\s+([A-Za-zÀ-ÿ]+)\s+(\d{4})\s*$"
 
 
 def _valid(year: int, month: int, day: int) -> Optional[DateTuple]:
-    days_in_month = [31, 29, 31, 30, 31, 30, 31, 31, 30, 31, 30, 31]
     if not (1 <= month <= 12):
         return None
-    if not (1 <= day <= days_in_month[month - 1]):
-        return None
     if not (1 <= year <= 9999):
+        return None
+    # leap-aware February: dateparser constructs a real datetime, so
+    # '2/29/2023' must fail like the reference does (r03 review)
+    leap = year % 4 == 0 and (year % 100 != 0 or year % 400 == 0)
+    days_in_month = [31, 29 if leap else 28, 31, 30, 31, 30, 31, 31, 30,
+                     31, 30, 31]
+    if not (1 <= day <= days_in_month[month - 1]):
         return None
     return (year, month, day)
 
@@ -67,9 +71,17 @@ def parse_date(text: str, date_order: str = "MDY", lang: str = "en") -> Optional
             return None
         year = _expand_year(ci)
         if date_order == "DMY":
-            return _valid(year, bi, ai)
-        # MDY
-        return _valid(year, ai, bi)
+            primary, alternate = (year, bi, ai), (year, ai, bi)
+        else:  # MDY
+            primary, alternate = (year, ai, bi), (year, bi, ai)
+        got = _valid(*primary)
+        if got is None:
+            # dateparser resolves an impossible component under the
+            # locale's preferred order by trying the other one
+            # ('13/01/2020' parses as Jan 13 even for en/MDY) — r03
+            # review
+            got = _valid(*alternate)
+        return got
 
     short = lang[:2].lower()
     months = _MONTH_LOOKUP.get(short, _MONTH_LOOKUP["en"])

@@ -149,6 +149,13 @@ def beam_decode(
                     q_next.append((cost + fc, None, consumed, output))
             for arc in model.arcs.get(node, ()):
                 if arc.igraphemes is None:
+                    if consumed >= n:
+                        # reference parity: the eps symbol is stored with
+                        # length 1, so `len_igraphemes > len(next_
+                        # graphemes)` skips ALL arcs — epsilon included —
+                        # once the word is fully consumed
+                        # (g2p_phonetisaurus.py:285,443-448; r03 review)
+                        continue
                     q_next.append(
                         (cost + arc.cost, arc.to_node, consumed,
                          output + arc.ophonemes)
@@ -194,7 +201,9 @@ def exhaustive_decode(
                     results[output] = total
         for arc in model.arcs.get(node, ()):
             if arc.igraphemes is None:
-                if eps_left > 0:
+                # trailing-epsilon arcs are never taken (same parity rule
+                # as beam_decode — g2p_phonetisaurus.py:443-448)
+                if eps_left > 0 and consumed < n:
                     walk(arc.to_node, consumed, cost + arc.cost,
                          output + arc.ophonemes, eps_left - 1)
                 continue

@@ -94,7 +94,6 @@ class NGramLM:
         padded = [_tok_id(BOS)] * (order - 1) + ids + [_tok_id(EOS)]
         log_sum = 0.0
         n = 0
-        uni = self.counts[0]
         for i in range(order - 1, len(padded)):
             n += 1
             score = None

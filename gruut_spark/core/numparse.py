@@ -38,7 +38,28 @@ def parse_decimal(text: str, group_char: str = ",", decimal_char: str = ".") -> 
     body = s[1:] if s[:1] in _SIGNS else s
     if not body:
         return None
-    int_part, dot, frac_part = body.partition(".")
+    # Optional exponent: babel's non-strict parse_decimal is a thin
+    # wrapper over decimal.Decimal, which accepts scientific notation —
+    # the reference parses '1e5' as 1E+5 and verbalizes it
+    # (gruut/text_processor.py:1866-1877). Crash-guard deviation: the
+    # reference hands ANY finite Decimal to num2words, which raises an
+    # uncaught OverflowError past ~1e306 (only NotImplementedError is
+    # caught, text_processor.py:2147-2151) and builds absurd word chains
+    # long before that, so magnitudes beyond ±1e30 stay plain word
+    # tokens here instead of crashing the task.
+    mantissa, exp_digits = body, None
+    for echar in ("e", "E"):
+        head, sep, tail = body.partition(echar)
+        if sep:
+            mantissa, exp_digits = head, tail
+            break
+    if exp_digits is not None:
+        exp_body = exp_digits[1:] if exp_digits[:1] in _SIGNS else exp_digits
+        if not (mantissa and exp_body and exp_body.isdigit()):
+            return None
+        if int(exp_body) > 30:
+            return None
+    int_part, dot, frac_part = mantissa.partition(".")
     if not (int_part or frac_part):
         return None
     if int_part and not int_part.isdigit():

@@ -51,11 +51,14 @@ _IPV4 = re.compile(
 
 def _ipv4_sub(m: "re.Match") -> str:
     """Replace an IPv4 match unless it reads as a version string: all
-    octets single-digit (1.2.3.4-style semver, the FIXTURES.md negative
-    case). Real addresses effectively always carry a multi-digit octet."""
+    octets single-digit AND not all identical (1.2.3.4-style semver, the
+    FIXTURES.md negative case). All-identical quads — 8.8.8.8, 1.1.1.1,
+    9.9.9.9 — are exactly the public DNS resolvers, i.e. real addresses
+    that never appear as versions, so they ARE scrubbed (r03 review:
+    the old all-single-digit exemption let them through a PII pass)."""
     text = m.group(0)
     octets = text.split(".")
-    if all(len(o) == 1 for o in octets):
+    if all(len(o) == 1 for o in octets) and len(set(octets)) > 1:
         return text
     return IP_TOKEN
 

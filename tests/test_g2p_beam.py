@@ -65,7 +65,11 @@ def test_duplicate_phoneme_outputs_dedup():
 
 def test_epsilon_arcs_and_final_costs():
     # node 0 --a/A--> node 1 (final, cost 1.0); node 1 --eps/ə--> node 2
-    # (final, cost 0.0): epsilon continuation beats stopping early
+    # (final, cost 0.0). Reference parity (r03 review): epsilon arcs are
+    # NEVER taken once the word is fully consumed — the eps symbol has
+    # length 1 and `len_igraphemes > len(next_graphemes)` skips it
+    # (g2p_phonetisaurus.py:285,443-448) — so the cheaper trailing-eps
+    # continuation is unreachable and node 1's final cost is paid.
     model = G2PModel(
         arcs={
             0: [G2PArc(("a",), ("A",), 0.1, 1)],
@@ -74,7 +78,20 @@ def test_epsilon_arcs_and_final_costs():
         final_costs={1: 1.0, 2: 0.0},
     )
     out = beam_decode(model, "a", max_guesses=2)
-    assert out == [["A", "ə"], ["A"]]
+    assert out == [["A"]]
+
+
+def test_epsilon_arcs_mid_word_still_taken():
+    # the same eps arc IS followed while graphemes remain: a --eps--> b
+    model = G2PModel(
+        arcs={
+            0: [G2PArc(("a",), ("A",), 0.1, 1)],
+            1: [G2PArc(None, ("ə",), 0.05, 2)],
+            2: [G2PArc(("b",), ("B",), 0.1, 3)],
+        },
+        final_costs={3: 0.0},
+    )
+    assert beam_decode(model, "ab") == [["A", "ə", "B"]]
 
 
 def test_beam_decay_schedule_reaches_floor():

@@ -1,0 +1,90 @@
+"""Regression tests for the second round-3 core review (langid / LM /
+rules / scrub / dates / numparse / G2P / CRF): exponent-notation number
+parity, leap-year and order-fallback date parity, the DNS-resolver scrub
+gap, and CRF punctuation-feature substring semantics. (The G2P
+trailing-epsilon parity fix is pinned in test_g2p_beam.py.)"""
+
+from decimal import Decimal
+
+from gruut_spark.core.dates import parse_date
+from gruut_spark.core.numparse import parse_decimal
+from gruut_spark.core.scrub import scrub
+
+
+# --- numparse: babel's non-strict parse_decimal accepts scientific
+# notation (it is a thin wrapper over decimal.Decimal) -----------------------
+
+
+def test_exponent_notation_parses_like_reference():
+    assert parse_decimal("1e5") == Decimal("1e5")
+    assert parse_decimal("1E5") == Decimal("1e5")
+    assert parse_decimal("1.5e3") == Decimal("1500")
+    assert parse_decimal("-2e3") == Decimal("-2000")
+    assert parse_decimal("1e-2") == Decimal("0.01")
+
+
+def test_exponent_crash_guard_and_junk():
+    # documented deviation: magnitudes past 1e30 stay words (the
+    # reference hands them to num2words, which crashes uncaught)
+    assert parse_decimal("1e31") is None
+    assert parse_decimal("1.5e300") is None
+    assert parse_decimal("1e") is None
+    assert parse_decimal("e5") is None
+    assert parse_decimal("1e5e5") is None
+    assert parse_decimal("0x1F") is None
+
+
+def test_exponent_number_verbalizes_in_sentence():
+    from gruut_spark.core.tokenizer import sentences
+
+    got = [w.text for s in sentences("scale is 1e5 items") for w in s.words]
+    assert "one" in got and "hundred" in got and "thousand" in got
+
+
+# --- dates: leap-aware February + component-order fallback ------------------
+
+
+def test_feb_29_requires_leap_year():
+    assert parse_date("2/29/2023") is None
+    assert parse_date("2/29/2024") == (2024, 2, 29)
+    assert parse_date("2/29/1900") is None  # century non-leap
+    assert parse_date("2/29/2000") == (2000, 2, 29)
+
+
+def test_impossible_month_falls_back_to_other_order():
+    # dateparser resolves '13/01/2020' as Jan 13 even under en/MDY
+    assert parse_date("13/01/2020", date_order="MDY") == (2020, 1, 13)
+    # and the mirror case under DMY
+    assert parse_date("01/13/2020", date_order="DMY") == (2020, 1, 13)
+    # genuinely impossible both ways stays rejected
+    assert parse_date("13/13/2020", date_order="MDY") is None
+
+
+# --- scrub: all-identical single-digit quads are real resolvers -------------
+
+
+def test_public_dns_resolvers_are_scrubbed():
+    out, counts = scrub("nameserver 8.8.8.8 and dns 1.1.1.1 end")
+    assert "8.8.8.8" not in out and "1.1.1.1" not in out
+    assert counts["ip"] == 2
+
+
+def test_semver_negative_case_still_exempt():
+    out, counts = scrub("version 1.2.3.4 and 1.0.0.0 end")
+    assert out == "version 1.2.3.4 and 1.0.0.0 end"
+    assert counts["ip"] == 0
+
+
+# --- CRF: ispunctuation is a substring test like the reference --------------
+
+
+def test_ispunctuation_substring_semantics():
+    from gruut_spark.core.crf_features import pos_sentence_features
+
+    feats = pos_sentence_features(["(", ")", "()", "word"], encode=False)
+    by_word = {f["word"]: f for f in feats}
+    assert by_word["("]["word.ispunctuation"] is True
+    # adjacent chars of string.punctuation: substring-True (reference
+    # `word in string.punctuation`, gruut/pos.py:92)
+    assert by_word["()"]["word.ispunctuation"] is True
+    assert by_word["word"]["word.ispunctuation"] is False
