@@ -25,9 +25,6 @@ from pyspark.sql import functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-_TOK = r"\s+"
-
-
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
@@ -1186,7 +1183,8 @@ def _corpus_assembled_relational_oracle_sql() -> str:
     compose_corpus_stages exactly — length filter, min-id exact dedup on
     the normalized-text md5, adjacent-Jaccard(>=0.5) edges -> recursive-CTE
     connected components -> drop non-representatives, md5-threshold
-    stratified sample, 8-gram decontamination vs every 97th doc."""
+    stratified sample, 8-gram decontamination vs every 13th doc (the
+    same % 13 benchmark slice the Spark side uses)."""
     from gruut_spark.operators.corpus import rate_threshold_hex
 
     cases = " ".join(
@@ -1652,7 +1650,14 @@ def oracle_sql() -> dict[str, str]:
                             * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))), 6) AS cos_sim
             FROM embeddings e, q
             WHERE e.vec_id <> 0
-            ORDER BY cos_sim DESC, e.vec_id ASC
+            -- order by the RAW similarity, not the rounded alias (DuckDB
+            -- resolves `ORDER BY cos_sim` to the SELECT alias): Spark's
+            -- brute_force_topk ranks unrounded, and a 6-decimal tie at
+            -- the top-k cut would pick different rows (r03 review)
+            ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qv::DOUBLE[])
+                     / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                        * sqrt(list_dot_product(q.qv::DOUBLE[], q.qv::DOUBLE[]))) DESC,
+                     e.vec_id ASC
             LIMIT 10
         """,
         "pairwise_cosine_stride": """

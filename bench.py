@@ -54,21 +54,14 @@ HEADLINE = [
 
 def _files_parquet(rows: int) -> str:
     """Deterministic synthetic files table, cached as parquet (generation
-    excluded from timing)."""
-    cache = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)),
-        ".bench_cache", f"files_{rows}",
-    )
-    if not os.path.exists(os.path.join(cache, "_SUCCESS.marker")):
-        from gruut_spark.sources.testgen import generate_files
+    excluded from timing); shared corpus-digest-keyed cache with
+    scripts/bench_scaling.py (testgen.bench_files_parquet)."""
+    from gruut_spark.sources.testgen import bench_files_parquet
 
-        os.makedirs(cache, exist_ok=True)
-        pdf = generate_files(rows, seed=42)[
-            ["repo", "path", "commit", "lang", "content"]
-        ]
-        pdf.to_parquet(os.path.join(cache, "files.parquet"), index=False)
-        open(os.path.join(cache, "_SUCCESS.marker"), "w").write("ok")
-    return os.path.join(cache, "files.parquet")
+    cache_root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), ".bench_cache"
+    )
+    return bench_files_parquet(rows, cache_root)
 
 
 def _orchestrate(runs: int) -> None:

@@ -391,3 +391,33 @@ def lm_corpus(seed: int = SEED, per_lang_docs: int = 300) -> Dict[str, List[List
     for short, docs in _reference_sample_docs().items():
         out.setdefault(short, []).extend(docs)
     return out
+
+
+def bench_files_parquet(rows: int, cache_root: str, seed: int = SEED) -> str:
+    """Deterministic synthetic files table cached as parquet for the
+    benchmark scripts (generation excluded from timing). ONE shared
+    implementation — bench.py and scripts/bench_scaling.py previously
+    carried verbatim copies (r03 review). The success marker stores a
+    digest of THIS module's source plus the seed, so a corpus change
+    regenerates the cache instead of silently benchmarking stale inputs
+    against new code."""
+    with open(__file__, "rb") as f:
+        digest = (
+            hashlib.blake2b(f.read(), digest_size=8).hexdigest() + f":{seed}"
+        )
+    cache = os.path.join(cache_root, f"files_{rows}")
+    marker = os.path.join(cache, "_SUCCESS.marker")
+    out_path = os.path.join(cache, "files.parquet")
+    fresh = False
+    if os.path.exists(marker):
+        with open(marker) as f:
+            fresh = f.read() == digest
+    if not fresh:
+        os.makedirs(cache, exist_ok=True)
+        pdf = generate_files(rows, seed=seed)[
+            ["repo", "path", "commit", "lang", "content"]
+        ]
+        pdf.to_parquet(out_path, index=False)
+        with open(marker, "w") as f:
+            f.write(digest)
+    return out_path

@@ -41,7 +41,12 @@ def main() -> None:
     configure_session(spark)
 
     if args.no_resume:
-        manifest_file = os.path.join(args.output, "_manifest", "completed.json")
+        # the ONE authority on the manifest location — a hand-built path
+        # here would silently stop deleting it if the layout ever moved
+        # (r03 review)
+        from gruut_spark.plans.checkpoint import _manifest_path
+
+        manifest_file = _manifest_path(args.output)
         if os.path.exists(manifest_file):
             os.remove(manifest_file)
 

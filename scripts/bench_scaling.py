@@ -3,13 +3,16 @@
 
 Runs the full quality pipeline on the same 32k-row input at local[8] (N)
 and local[32] (4N) — the sandbox stand-in for N vs 4N executors (driver
-instruction: no real cluster here). Each config runs in a fresh JVM,
-best-of-2 timed runs after a full untimed warm pass.
+instruction: no real cluster here). Each config runs interleaved
+fresh-JVM repetitions (one timed run per JVM, after an in-JVM untimed
+warm pass); the per-config BEST is reported.
 
 Also measures a pure-CPython multiprocessing control (tight arithmetic
 loop, no Spark) at the same process counts: on this shared VM, *any* 4x
 CPU scale-up pays frequency/steal/memory-bandwidth costs, and the control
-separates engine overhead from host ceiling. Writes BENCH.md with both.
+separates engine overhead from host ceiling. Appends the raw result to
+bench_scaling_runs.jsonl — BENCH.md is curated BY HAND from that log
+(this script does not write BENCH.md).
 """
 
 from __future__ import annotations
@@ -81,17 +84,9 @@ def control(nproc: int) -> float:
 
 def _files_parquet(rows: int) -> str:
     sys.path.insert(0, ROOT)
-    cache = os.path.join(ROOT, ".bench_cache", f"files_{rows}")
-    if not os.path.exists(os.path.join(cache, "_SUCCESS.marker")):
-        from gruut_spark.sources.testgen import generate_files
+    from gruut_spark.sources.testgen import bench_files_parquet
 
-        os.makedirs(cache, exist_ok=True)
-        pdf = generate_files(rows, seed=42)[
-            ["repo", "path", "commit", "lang", "content"]
-        ]
-        pdf.to_parquet(os.path.join(cache, "files.parquet"), index=False)
-        open(os.path.join(cache, "_SUCCESS.marker"), "w").write("ok")
-    return os.path.join(cache, "files.parquet")
+    return bench_files_parquet(rows, os.path.join(ROOT, ".bench_cache"))
 
 
 def run_spark(cpus: int, files_path: str) -> dict:

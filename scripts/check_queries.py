@@ -45,6 +45,15 @@ def main() -> None:
     only = sys.argv[1:] or None
     import __spark_entry__ as entrymod
 
+    if only:
+        # an unknown/misspelled name must FAIL, not silently match
+        # nothing and print a vacuous ALL OK (r03 review)
+        known = set(entrymod.queries())
+        unknown = [n for n in only if n not in known]
+        if unknown:
+            print(f"[ERROR] unknown query name(s): {', '.join(unknown)}")
+            sys.exit(2)
+
     from pyspark.sql import SparkSession
 
     spark = (
