@@ -593,6 +593,41 @@ def _quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("path")
 
 
+def _doc_ssml_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSML source scan (core/ssml.py via operators/ssml_source.py):
+    every document XML-escaped into a <speak>/<voice> envelope JVM-side,
+    parsed + tokenized in ONE mapInPandas pass, word rows aggregated per
+    doc. Rows-only: XML parsing is not SQL-expressible in DuckDB."""
+    _configure(spark)
+    from gruut_spark.operators.ssml_source import ssml_words_table
+
+    docs = _read(spark, sf_dir, "documents")
+    esc = F.substring(F.col("text"), 1, 400)
+    for raw, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(raw), F.lit(ent))
+    voice = F.when(F.col("doc_id") % 2 == 0, F.lit("narrator_a")).otherwise(
+        F.lit("narrator_b")
+    )
+    ssml = F.concat(
+        F.lit('<speak xml:lang="'), F.col("lang"), F.lit('"><voice name="'),
+        voice, F.lit('">'), esc, F.lit("</voice></speak>"),
+    )
+    words = ssml_words_table(
+        docs.select("doc_id", ssml.alias("ssml")), "ssml", "doc_id"
+    )
+    return (
+        words.groupBy("doc_id")
+        .agg(
+            (F.max("sent_idx") + F.lit(1)).alias("n_sentences"),
+            F.count("*").alias("n_words"),
+            F.sum(F.col("is_spoken").cast("long")).alias("n_spoken"),
+            F.max("voice").alias("voice"),
+            F.min_by("word", F.struct("sent_idx", "word_idx")).alias("first_word"),
+        )
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1115,6 +1150,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_g2p_beam": _doc_g2p_beam,
         "doc_voice_consensus": _doc_voice_consensus,
         "pos_tag_accuracy": _pos_tag_accuracy,
+        "doc_ssml_words": _doc_ssml_words,
     }
 
 

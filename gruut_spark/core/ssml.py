@@ -1,0 +1,302 @@
+"""SSML source: parse a speech-synthesis-markup document into the same
+Sentence/Word records the plain-text path produces.
+
+Re-expresses the reference's SSML event-stream processing
+(``gruut/utils.py:197-227`` ``text_and_elements`` + the ssml=True branch
+of ``gruut/text_processor.py:760-1000``) over the flat tokenizer core:
+the XML tree is walked once into a list of *segments* (runs of plain
+text, or single protected ``<w>``/``<token>`` words) each carrying its
+inherited context (xml:lang, voice, lookup refs, say-as attributes,
+paragraph index, explicit-sentence scope), every segment is tokenized
+with ITS OWN language's settings, and the combined token stream is
+assembled into sentences.
+
+Element support (the surface ``tests/test_ssml.py`` pins):
+
+* ``<speak>`` / ``<p>`` (paragraph index) / ``<s>`` (explicit sentence)
+* ``<voice name=...>`` — carried onto every word in scope
+* ``xml:lang`` on any element + ``<lang xml:lang=...>`` spans; the
+  ORIGINAL attribute string is kept on ``Word.lang`` (reference keeps
+  "en-US"/"fr" verbatim) while tokenization resolves it to a profile
+* ``<w>``/``<token>`` — explicitly tokenized words: never split, never
+  transformed (reference marks them in_lexicon), optional ``role``
+* ``<sub alias=...>`` — alias text replaces element content
+* ``<say-as interpret-as=... format=...>`` — forced interpretation,
+  same mapping as the plain-text ``process_tokens`` API
+* ``<phoneme ph=...>`` — explicit pronunciation attached to the word
+* ``<lexicon xml:id=...>`` (inline lexemes or ``uri="file://..."``) +
+  ``<lookup ref=...>`` — role-aware pronunciation lookup regions
+* ``<metadata>``/``<desc>`` skipped; ``<emphasis>``/``<audio>``/
+  ``<mark>``/``<break>`` are transparent to the word stream (break
+  timing metadata is TTS-only, SURVEY §7.4)
+
+Deviation (documented): words NOT under a ``<lookup>`` get no default
+pronunciation — the reference consults its per-language ``lexicon.db``,
+which the snapshot does not ship (gruut-lang-* carry only .crf models);
+``Word.phonemes`` stays None there.
+"""
+
+from __future__ import annotations
+
+import re
+import xml.etree.ElementTree as ET
+from dataclasses import dataclass
+from typing import Dict, List, Optional, Tuple
+
+from .settings import get_settings, normalize_whitespace, resolve_lang
+from .tokenizer import process_tokens
+from .types import IGNORE, MAJOR, MINOR, PUNCT, Sentence, Tok, Word
+
+_XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
+_XML_ID = "{http://www.w3.org/XML/1998/namespace}id"
+
+
+def _local(tag: str) -> str:
+    """Strip the XML namespace: '{...synthesis}speak' -> 'speak'."""
+    return tag.rsplit("}", 1)[-1] if "}" in tag else tag
+
+
+@dataclass
+class _Segment:
+    """A run of the word stream with one inherited context."""
+
+    kind: str  # 'text' | 'word'
+    text: str
+    lang: str  # original attribute string ("en-US"), '' = document root
+    voice: str = ""
+    role: str = ""
+    par_idx: int = 0
+    sent_scope: int = -1  # explicit <s> id; -1 = implicit flow
+    lookups: Tuple[str, ...] = ()
+    phonemes: Optional[List[str]] = None  # explicit <phoneme ph=...>
+    interpret_as: str = ""
+    say_format: str = ""
+
+
+@dataclass
+class _Ctx:
+    lang: str
+    voice: str = ""
+    par_idx: int = 0
+    sent_scope: int = -1
+    lookups: Tuple[str, ...] = ()
+    interpret_as: str = ""
+    say_format: str = ""
+
+
+Lexicon = Dict[Tuple[str, str], List[str]]  # (grapheme, role) -> phonemes
+
+
+def _parse_lexicon(elem: ET.Element) -> Lexicon:
+    """Inline ``<lexicon>`` body (W3C PLS subset: lexeme/grapheme/
+    phoneme; phonemes are whitespace-separated)."""
+    lex: Lexicon = {}
+    for lexeme in elem.iter():
+        if _local(lexeme.tag) != "lexeme":
+            continue
+        role = lexeme.attrib.get("role", "")
+        grapheme = None
+        phonemes: Optional[List[str]] = None
+        for child in lexeme:
+            name = _local(child.tag)
+            body = normalize_whitespace(child.text or "")
+            if name == "grapheme":
+                grapheme = body
+            elif name == "phoneme":
+                phonemes = body.split()
+        if grapheme and phonemes:
+            lex[(grapheme, role)] = phonemes
+    return lex
+
+
+def _load_lexicon(elem: ET.Element) -> Lexicon:
+    uri = elem.attrib.get("uri", "")
+    if not uri:
+        return _parse_lexicon(elem)
+    if uri.startswith("file://"):
+        path = uri[len("file://"):]
+        return _parse_lexicon(ET.parse(path).getroot())
+    raise ValueError(f"unsupported lexicon uri scheme: {uri}")
+
+
+_SKIP_ELEMENTS = frozenset({"metadata", "desc"})
+
+
+class _Walker:
+    def __init__(self) -> None:
+        self.segments: List[_Segment] = []
+        self.lexicons: Dict[str, Lexicon] = {}
+        self.next_sent_scope = 0
+        self.par_counter = 0
+
+    def _emit_text(self, text: Optional[str], ctx: _Ctx) -> None:
+        if text and text.strip():
+            self.segments.append(
+                _Segment(
+                    kind="text", text=text, lang=ctx.lang, voice=ctx.voice,
+                    par_idx=ctx.par_idx, sent_scope=ctx.sent_scope,
+                    lookups=ctx.lookups, interpret_as=ctx.interpret_as,
+                    say_format=ctx.say_format,
+                )
+            )
+
+    def walk(self, elem: ET.Element, ctx: _Ctx) -> None:
+        name = _local(elem.tag)
+        if name in _SKIP_ELEMENTS:
+            return
+
+        sub = dict(
+            lang=elem.attrib.get(_XML_LANG, ctx.lang),
+            voice=ctx.voice, par_idx=ctx.par_idx,
+            sent_scope=ctx.sent_scope, lookups=ctx.lookups,
+            interpret_as=ctx.interpret_as, say_format=ctx.say_format,
+        )
+        if name == "voice":
+            sub["voice"] = elem.attrib.get("name", ctx.voice)
+        elif name == "p":
+            sub["par_idx"] = self.par_counter
+            self.par_counter += 1
+        elif name == "s":
+            sub["sent_scope"] = self.next_sent_scope
+            self.next_sent_scope += 1
+        elif name == "say-as":
+            sub["interpret_as"] = elem.attrib.get("interpret-as", "")
+            sub["say_format"] = elem.attrib.get("format", "")
+        elif name == "lexicon":
+            lex_id = elem.attrib.get(_XML_ID) or elem.attrib.get("id", "")
+            if lex_id:
+                self.lexicons[lex_id] = _load_lexicon(elem)
+            return  # definition only; content is not spoken
+        elif name == "lookup":
+            ref = elem.attrib.get("ref", "")
+            if ref:
+                sub["lookups"] = (ref,) + ctx.lookups
+        elif name == "sub":
+            alias = elem.attrib.get("alias", "")
+            self._emit_text(alias, _Ctx(**sub))
+            return  # alias REPLACES the element content
+        elif name in ("w", "token"):
+            word_text = normalize_whitespace("".join(elem.itertext()))
+            if word_text:
+                self.segments.append(
+                    _Segment(
+                        kind="word", text=word_text, lang=sub["lang"],
+                        voice=sub["voice"],
+                        role=elem.attrib.get("role", ""),
+                        par_idx=sub["par_idx"],
+                        sent_scope=sub["sent_scope"],
+                        lookups=sub["lookups"],
+                    )
+                )
+            return
+        elif name == "phoneme":
+            ph = elem.attrib.get("ph", "")
+            word_text = normalize_whitespace("".join(elem.itertext()))
+            if word_text:
+                self.segments.append(
+                    _Segment(
+                        kind="word", text=word_text, lang=sub["lang"],
+                        voice=sub["voice"], par_idx=sub["par_idx"],
+                        sent_scope=sub["sent_scope"],
+                        phonemes=ph.split() if " " in ph else list(ph),
+                    )
+                )
+            return
+
+        inner = _Ctx(**sub)
+        self._emit_text(elem.text, inner)
+        for child in elem:
+            self.walk(child, inner)
+            # the child's tail belongs to THIS element's context
+            self._emit_text(child.tail, inner)
+
+
+def _segment_tokens(seg: _Segment, root_lang: str) -> List[Tok]:
+    lang_attr = seg.lang or root_lang
+    key = resolve_lang(lang_attr)
+    if seg.kind == "word":
+        # explicitly tokenized: never split, never transformed
+        # (reference in_lexicon protection, gruut/text_processor.py:930)
+        return [Tok(text=seg.text, ws=seg.text, protected=True)]
+    return process_tokens(
+        seg.text, lang=key, settings=get_settings(key),
+        interpret_as=seg.interpret_as, say_format=seg.say_format,
+    )
+
+
+def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
+    """Parse an SSML document into Sentence/Word records. ``lang`` is the
+    fallback when the document carries no xml:lang."""
+    root = ET.fromstring(xml_text)
+    walker = _Walker()
+    root_lang = root.attrib.get(_XML_LANG, "") or lang
+    walker.walk(root, _Ctx(lang=root_lang))
+
+    # tokenize each segment with its own language profile, keeping the
+    # segment context per token
+    stream: List[Tuple[Tok, _Segment]] = []
+    for seg in walker.segments:
+        for tok in _segment_tokens(seg, root_lang):
+            if tok.kind == IGNORE:
+                continue
+            stream.append((tok, seg))
+
+    # assemble sentences: explicit <s> scopes are hard boundaries (one
+    # sentence each); implicit flow splits after MAJOR breaks — same
+    # group-boundary rule as flatten()
+    sentences: List[Sentence] = []
+    cur: Optional[Sentence] = None
+    cur_scope: Optional[int] = None
+    pending_break = False
+    for tok, seg in stream:
+        boundary = (
+            cur is None
+            or seg.sent_scope != cur_scope
+            or (seg.sent_scope == -1 and pending_break)
+        )
+        if boundary:
+            cur = Sentence(idx=len(sentences), par_idx=seg.par_idx,
+                           lang=seg.lang or root_lang)
+            sentences.append(cur)
+            cur_scope = seg.sent_scope
+            pending_break = False
+        phonemes = seg.phonemes
+        if phonemes is None and seg.kind == "word" and seg.lookups:
+            for ref in seg.lookups:
+                lex = walker.lexicons.get(ref, {})
+                got = lex.get((tok.text, seg.role)) or lex.get((tok.text, ""))
+                if got is not None:
+                    phonemes = got
+                    break
+        cur.words.append(
+            Word(
+                idx=len(cur.words), sent_idx=cur.idx, text=tok.text,
+                text_with_ws=tok.ws, par_idx=seg.par_idx,
+                lang=seg.lang or root_lang, voice=seg.voice,
+                role=seg.role, phonemes=phonemes,
+                is_major_break=tok.kind == MAJOR,
+                is_minor_break=tok.kind == MINOR,
+                is_punctuation=tok.kind == PUNCT,
+            )
+        )
+        if tok.kind == MAJOR:
+            pending_break = True
+
+    # sentence text fields, with the root profile's joiner (flatten's
+    # assembly rule)
+    s = get_settings(resolve_lang(root_lang))
+    for sent in sentences:
+        sent.text_with_ws = "".join(w.text_with_ws for w in sent.words)
+        sent.text = normalize_whitespace(sent.text_with_ws)
+        sent.text_spoken = s.join_str.join(
+            w.text for w in sent.words if w.is_spoken
+        )
+    return sentences
+
+
+_LOOKS_LIKE_XML = re.compile(r"^\s*(?:<\?xml|<speak)")
+
+
+def maybe_ssml(text: str) -> bool:
+    """Cheap routing check: does this document look like SSML?"""
+    return _LOOKS_LIKE_XML.match(text) is not None

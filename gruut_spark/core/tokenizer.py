@@ -932,8 +932,16 @@ def flatten(toks: List[Tok], lang: str = "", settings: Optional[TextSettings] = 
     return sentences
 
 
-def sentences(text: str, lang: str = "en_US", **kwargs) -> List[Sentence]:
-    """Primary API (reference gruut.sentences, gruut/__init__.py:36-91)."""
+def sentences(
+    text: str, lang: str = "en_US", ssml: bool = False, **kwargs
+) -> List[Sentence]:
+    """Primary API (reference gruut.sentences, gruut/__init__.py:36-91);
+    ``ssml=True`` routes through the SSML source (core/ssml.py), same as
+    the reference flag."""
+    if ssml:
+        from .ssml import ssml_sentences
+
+        return ssml_sentences(text, lang=lang)
     s = get_settings(lang)
     toks = process_tokens(text, lang=lang, settings=s, **kwargs)
     return flatten(toks, lang=lang, settings=s)

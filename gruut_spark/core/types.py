@@ -81,7 +81,9 @@ class Tok:
 
 @dataclass(slots=True)
 class Word:
-    """Output word record (reference Word, gruut/const.py:375-446)."""
+    """Output word record (reference Word, gruut/const.py:375-446).
+    ``voice``/``role``/``phonemes`` are populated by the SSML path
+    (core/ssml.py) and stay at their defaults for plain text."""
 
     idx: int
     sent_idx: int
@@ -89,6 +91,9 @@ class Word:
     text_with_ws: str
     par_idx: int = 0
     lang: str = ""
+    voice: str = ""
+    role: str = ""
+    phonemes: Optional[List[str]] = None
     is_major_break: bool = False
     is_minor_break: bool = False
     is_punctuation: bool = False

@@ -1,0 +1,78 @@
+"""SSML source as a distributed scan: parse an SSML-document column into
+word rows.
+
+Re-expresses the reference's SSML ingest (``gruut.sentences(ssml=True)``,
+gruut/utils.py:197-227 + text_processor.py:760-1000) as a mapInPandas
+stage: ONE Python eval node (the repo's measured single-eval-node rule,
+PLANS.md), XML parsing + tokenization + sentence assembly all inside the
+same Arrow batch pass, words exploded to rows JVM-side-free. Each input
+row is independent, so the stage scales embarrassingly: no shuffle, no
+state, partition-local parse — the same shape at 100 TB.
+
+``build_ssml`` is the deterministic wrapper used by tests and the driver
+query: it XML-escapes a document prefix into a minimal ``<speak>``
+envelope so any corpus text becomes a valid SSML document.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, List
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+SSML_WORDS_SCHEMA = (
+    "doc_id string, sent_idx int, word_idx int, word string,"
+    " word_lang string, voice string, is_spoken boolean"
+)
+
+
+def build_ssml(text: str, lang: str, voice: str = "") -> str:
+    """Wrap a raw document prefix in a minimal SSML envelope
+    (XML-escaped, so arbitrary corpus bytes parse)."""
+    from xml.sax.saxutils import escape
+
+    body = escape(text)
+    if voice:
+        body = f'<voice name="{escape(voice)}">{body}</voice>'
+    return f'<speak xml:lang="{escape(lang)}">{body}</speak>'
+
+
+def _ssml_words_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    from ..core.ssml import ssml_sentences
+
+    for pdf in batches:
+        rows: List[tuple] = []
+        for doc_id, ssml in zip(pdf["doc_id"].fillna(""), pdf["ssml"].fillna("")):
+            if not ssml:
+                continue
+            try:
+                sents = ssml_sentences(ssml)
+            except Exception:
+                # per-row failure policy (reference --no-fail,
+                # gruut/__main__.py:172-176): a malformed document yields
+                # no rows, never a dead task
+                continue
+            for sent in sents:
+                for w in sent.words:
+                    rows.append(
+                        (doc_id, sent.idx, w.idx, w.text, w.lang,
+                         w.voice, w.is_spoken)
+                    )
+        yield pd.DataFrame(
+            rows,
+            columns=["doc_id", "sent_idx", "word_idx", "word",
+                     "word_lang", "voice", "is_spoken"],
+        )
+
+
+def ssml_words_table(df: DataFrame, ssml_col: str, id_col: str) -> DataFrame:
+    """(id, ssml) -> one row per word with sentence/word indices and the
+    word's resolved SSML context (lang, voice)."""
+    from pyspark.sql import functions as F
+
+    src = df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(ssml_col).alias("ssml"),
+    )
+    return src.mapInPandas(_ssml_words_map, SSML_WORDS_SCHEMA)
