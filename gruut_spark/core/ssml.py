@@ -26,9 +26,11 @@ Element support (the surface ``tests/test_ssml.py`` pins):
 * ``<phoneme ph=...>`` — explicit pronunciation attached to the word
 * ``<lexicon xml:id=...>`` (inline lexemes or ``uri="file://..."``) +
   ``<lookup ref=...>`` — role-aware pronunciation lookup regions
+* ``<break time=...>`` — milliseconds (BreakNode.get_milliseconds
+  semantics, gruut/const.py:284-292) attached to the neighboring word
+  as ``pause_after_ms`` / ``pause_before_ms``
 * ``<metadata>``/``<desc>`` skipped; ``<emphasis>``/``<audio>``/
-  ``<mark>``/``<break>`` are transparent to the word stream (break
-  timing metadata is TTS-only, SURVEY §7.4)
+  ``<mark>`` are transparent to the word stream
 
 Deviation (documented): words NOT under a ``<lookup>`` get no default
 pronunciation — the reference consults its per-language ``lexicon.db``,
@@ -71,6 +73,7 @@ class _Segment:
     phonemes: Optional[List[str]] = None  # explicit <phoneme ph=...>
     interpret_as: str = ""
     say_format: str = ""
+    pause_ms: int = 0  # kind='break' only
 
 
 @dataclass
@@ -117,6 +120,17 @@ def _load_lexicon(elem: ET.Element) -> Lexicon:
         path = uri[len("file://"):]
         return _parse_lexicon(ET.parse(path).getroot())
     raise ValueError(f"unsupported lexicon uri scheme: {uri}")
+
+
+def break_to_milliseconds(time_str: str) -> int:
+    """SSML <break time=...> to milliseconds (reference
+    BreakNode.get_milliseconds, gruut/const.py:284-292): '250ms' -> 250,
+    '3s' -> 3000, anything else -> 0."""
+    if time_str.endswith("ms"):
+        return int(time_str[:-2])
+    if time_str.endswith("s"):
+        return int(float(time_str[:-1]) * 1000)
+    return 0
 
 
 _SKIP_ELEMENTS = frozenset({"metadata", "desc"})
@@ -175,6 +189,16 @@ class _Walker:
             alias = elem.attrib.get("alias", "")
             self._emit_text(alias, _Ctx(**sub))
             return  # alias REPLACES the element content
+        elif name == "break":
+            ms = break_to_milliseconds(elem.attrib.get("time", ""))
+            self.segments.append(
+                _Segment(
+                    kind="break", text="", lang=sub["lang"],
+                    par_idx=sub["par_idx"], sent_scope=sub["sent_scope"],
+                    pause_ms=ms,
+                )
+            )
+            return
         elif name in ("w", "token"):
             word_text = normalize_whitespace("".join(elem.itertext()))
             if word_text:
@@ -234,8 +258,11 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
 
     # tokenize each segment with its own language profile, keeping the
     # segment context per token
-    stream: List[Tuple[Tok, _Segment]] = []
+    stream: List[Tuple[Optional[Tok], _Segment]] = []
     for seg in walker.segments:
+        if seg.kind == "break":
+            stream.append((None, seg))  # pause marker, no word
+            continue
         for tok in _segment_tokens(seg, root_lang):
             if tok.kind == IGNORE:
                 continue
@@ -248,7 +275,14 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
     cur: Optional[Sentence] = None
     cur_scope: Optional[int] = None
     pending_break = False
+    pending_pause_before = 0
     for tok, seg in stream:
+        if tok is None:  # <break>: attach to the neighboring word
+            if cur is not None and cur.words:
+                cur.words[-1].pause_after_ms += seg.pause_ms
+            else:
+                pending_pause_before += seg.pause_ms
+            continue
         boundary = (
             cur is None
             or seg.sent_scope != cur_scope
@@ -274,11 +308,13 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
                 text_with_ws=tok.ws, par_idx=seg.par_idx,
                 lang=seg.lang or root_lang, voice=seg.voice,
                 role=seg.role, phonemes=phonemes,
+                pause_before_ms=pending_pause_before,
                 is_major_break=tok.kind == MAJOR,
                 is_minor_break=tok.kind == MINOR,
                 is_punctuation=tok.kind == PUNCT,
             )
         )
+        pending_pause_before = 0
         if tok.kind == MAJOR:
             pending_break = True
 

@@ -94,6 +94,10 @@ class Word:
     voice: str = ""
     role: str = ""
     phonemes: Optional[List[str]] = None
+    # SSML <break> pauses (reference WordNode pause fields; milliseconds
+    # via BreakNode.get_milliseconds semantics)
+    pause_before_ms: int = 0
+    pause_after_ms: int = 0
     is_major_break: bool = False
     is_minor_break: bool = False
     is_punctuation: bool = False

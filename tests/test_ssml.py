@@ -282,3 +282,22 @@ def test_ssml_words_table_spark(spark):
     # text: '<a>' keeps its bracket punctuation (test_unclean parity)
     assert {"see", "<", "a", ">", "b"} <= set(d2.word)
     assert len(out[out.doc_id == "3"]) == 0
+
+
+def test_break_element_pauses():
+    # BreakNode.get_milliseconds semantics (gruut/const.py:284-292)
+    from gruut_spark.core.ssml import break_to_milliseconds
+
+    assert break_to_milliseconds("250ms") == 250
+    assert break_to_milliseconds("3s") == 3000
+    assert break_to_milliseconds("0.5s") == 500
+    assert break_to_milliseconds("weak") == 0
+
+    text = """<speak xml:lang="en-US">
+  <break time="100ms"/> Hello <break time="250ms"/> there <break time="3s"/>
+</speak>"""
+    words = [w for s in ssml_sentences(text) for w in s]
+    assert [w.text for w in words] == ["Hello", "there"]
+    assert words[0].pause_before_ms == 100
+    assert words[0].pause_after_ms == 250
+    assert words[1].pause_after_ms == 3000
