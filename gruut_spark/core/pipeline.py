@@ -49,6 +49,23 @@ def normalize_document(content: str, lang: str) -> Tuple[List[str], List[str]]:
     key = resolve_lang(lang)
     settings = get_settings(key)
     prefix = content[:TOKENIZE_MAX_CHARS]
+    if prefix.lstrip()[:7] in ("<speak>", "<speak ") or prefix.lstrip().startswith("<?xml"):
+        # SSML documents route through the markup-aware source so the
+        # quality stages see WORDS, not tags (core/ssml.py); a truncated
+        # or malformed document falls back to the plain path — per-row
+        # no-fail, same policy as everywhere else
+        from .ssml import maybe_ssml, ssml_sentences
+
+        if maybe_ssml(prefix):
+            try:
+                sents = ssml_sentences(prefix, lang=key)
+            except Exception:
+                sents = None
+            if sents is not None:
+                spoken = [
+                    w.text for s in sents for w in s.words if w.is_spoken
+                ]
+                return spoken, [s.text_spoken for s in sents]
     toks = process_tokens(prefix, lang=key, settings=settings)
     sents = flatten(toks, lang=key, settings=settings)
     spoken = [w.text for s in sents for w in s.words if w.is_spoken]

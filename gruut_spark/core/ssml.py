@@ -47,7 +47,17 @@ from typing import Dict, List, Optional, Tuple
 
 from .settings import get_settings, normalize_whitespace, resolve_lang
 from .tokenizer import process_tokens
-from .types import IGNORE, MAJOR, MINOR, PUNCT, Sentence, Tok, Word
+from .types import (
+    IGNORE,
+    MAJOR,
+    MINOR,
+    PUNCT,
+    Sentence,
+    Tok,
+    Word,
+    break_time_to_milliseconds,
+    maybe_split_ipa,
+)
 
 _XML_LANG = "{http://www.w3.org/XML/1998/namespace}lang"
 _XML_ID = "{http://www.w3.org/XML/1998/namespace}id"
@@ -122,17 +132,6 @@ def _load_lexicon(elem: ET.Element) -> Lexicon:
     raise ValueError(f"unsupported lexicon uri scheme: {uri}")
 
 
-def break_to_milliseconds(time_str: str) -> int:
-    """SSML <break time=...> to milliseconds (reference
-    BreakNode.get_milliseconds, gruut/const.py:284-292): '250ms' -> 250,
-    '3s' -> 3000, anything else -> 0."""
-    if time_str.endswith("ms"):
-        return int(time_str[:-2])
-    if time_str.endswith("s"):
-        return int(float(time_str[:-1]) * 1000)
-    return 0
-
-
 _SKIP_ELEMENTS = frozenset({"metadata", "desc"})
 
 
@@ -190,7 +189,7 @@ class _Walker:
             self._emit_text(alias, _Ctx(**sub))
             return  # alias REPLACES the element content
         elif name == "break":
-            ms = break_to_milliseconds(elem.attrib.get("time", ""))
+            ms = break_time_to_milliseconds(elem.attrib.get("time", ""))
             self.segments.append(
                 _Segment(
                     kind="break", text="", lang=sub["lang"],
@@ -222,7 +221,9 @@ class _Walker:
                         kind="word", text=word_text, lang=sub["lang"],
                         voice=sub["voice"], par_idx=sub["par_idx"],
                         sent_scope=sub["sent_scope"],
-                        phonemes=ph.split() if " " in ph else list(ph),
+                        # whitespace-separated or IPA grapheme clustering
+                        # (reference maybe_split_ipa, gruut/utils.py:286)
+                        phonemes=maybe_split_ipa(ph) if ph else None,
                     )
                 )
             return
@@ -330,9 +331,13 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
     return sentences
 
 
-_LOOKS_LIKE_XML = re.compile(r"^\s*(?:<\?xml|<speak)")
+_LOOKS_LIKE_SSML = re.compile(
+    r"^\s*(?:<\?xml[^>]*\?>\s*)?<speak[\s>]"
+)
 
 
 def maybe_ssml(text: str) -> bool:
-    """Cheap routing check: does this document look like SSML?"""
-    return _LOOKS_LIKE_XML.match(text) is not None
+    """Cheap routing check: does this document look like SSML? Requires
+    a <speak> ROOT (optionally after an XML declaration) — a generic XML
+    document must NOT be routed here."""
+    return _LOOKS_LIKE_SSML.match(text) is not None

@@ -286,7 +286,7 @@ def test_ssml_words_table_spark(spark):
 
 def test_break_element_pauses():
     # BreakNode.get_milliseconds semantics (gruut/const.py:284-292)
-    from gruut_spark.core.ssml import break_to_milliseconds
+    from gruut_spark.core.types import break_time_to_milliseconds as break_to_milliseconds
 
     assert break_to_milliseconds("250ms") == 250
     assert break_to_milliseconds("3s") == 3000
@@ -301,3 +301,27 @@ def test_break_element_pauses():
     assert words[0].pause_before_ms == 100
     assert words[0].pause_after_ms == 250
     assert words[1].pause_after_ms == 3000
+
+
+def test_pipeline_routes_ssml_documents():
+    """normalize_document extracts WORDS from an SSML doc (tags never
+    reach the quality statistics), and falls back to the plain path for
+    malformed XML and generic non-speak XML."""
+    from gruut_spark.core.pipeline import normalize_document
+
+    tokens, sents = normalize_document(
+        '<speak xml:lang="en-US">Hello there. <w>world</w></speak>', "en"
+    )
+    assert tokens == ["Hello", "there", "world"]
+    assert len(sents) == 2
+
+    # malformed XML: plain path, no crash, raw text tokenized
+    tokens, _ = normalize_document("<speak>broken <", "en")
+    assert tokens and any("broken" in t for t in tokens)
+
+    # generic XML is NOT routed through the SSML source (which would
+    # strip the markup and return just ['x'])
+    tokens, _ = normalize_document(
+        '<?xml version="1.0"?><catalog><item>x</item></catalog>', "en"
+    )
+    assert tokens != ["x"] and any("catalog" in t for t in tokens)
