@@ -246,11 +246,19 @@ def generate_files(n_rows: int = 1000, seed: int = SEED) -> pd.DataFrame:
             tpl = GRUUT_TEMPLATES[cat]
             content = tpl[int(rng_row.integers(0, len(tpl)))]
             add(repo, f"docs/{cat}_{i}.txt", "en", content, cat)
-        elif sel < 0.18:
+        elif sel < 0.17:
             lang = natural_langs[1 + int(rng_row.integers(0, 3))]
             tpl = MULTILANG_TEMPLATES[lang]
             content = tpl[int(rng_row.integers(0, len(tpl)))] + " " + _prose(rng_row, lang, 3)
             add(repo, f"docs/multi_{i}.txt", lang, content, "multilang")
+        elif sel < 0.18:  # SSML documents (markup-aware routing fixture)
+            lang = natural_langs[int(rng_row.integers(0, 4))]
+            body = _prose(rng_row, lang, int(rng_row.integers(3, 8)))
+            content = (
+                f'<speak xml:lang="{lang}"><voice name="narrator_{i % 3}">'
+                f"{body}</voice></speak>"
+            )
+            add(repo, f"docs/speech_{i}.ssml", lang, content, "ssml")
         elif sel < 0.38:  # good prose
             lang = natural_langs[int(rng_row.integers(0, 4))]
             content = _prose(rng_row, lang, int(rng_row.integers(5, 30)))
