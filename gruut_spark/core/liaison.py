@@ -1,0 +1,88 @@
+"""French liaison post-processing (reference
+``gruut/lang.py:553-625`` ``fr_post_process_sentence`` + helpers at
+``lang.py:627-661``): when a word ends in a silent consonant and the
+next word starts with a vowel phoneme, the liaison consonant is
+appended to the first word's pronunciation, gated on POS pairs
+(determiner→noun, pronoun→verb, preposition/"très", adjective→noun,
+verb→vowel; "et" never liaises).
+
+Operates on the flat ``Word`` records: needs ``phonemes`` (from the
+SSML lexicon path or the phonemize operators) and ``pos`` populated —
+with either missing the pass is a no-op, which is exactly the
+reference's behavior without its lexicon/POS models. The reference
+registers the SAME function for Italian (``gruut/lang.py:698``), so
+``it`` profiles may reuse it.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from .types import Word
+
+# gruut/lang.py:643-661 (nasal vowels are base + combining tilde)
+_FR_VOWELS = frozenset(
+    ["i", "y", "u", "e", "ø", "o", "ə", "ɛ", "œ", "ɔ", "a",
+     "ɔ̃", "ɛ̃", "ɑ̃", "œ̃"]
+)
+
+
+def fr_is_vowel(phoneme: str) -> bool:
+    """True for a French vowel phoneme (gruut/lang.py:643-661)."""
+    return phoneme in _FR_VOWELS
+
+
+def fr_has_silent_consonant(last_char: str, last_phoneme: str) -> bool:
+    """True when the final written consonant is silent
+    (gruut/lang.py:627-640; rule set credited there to
+    Remiphilius/PoemesProfonds)."""
+    if last_char in ("d", "p", "t"):
+        return last_phoneme != last_char
+    if last_char == "r":
+        return last_phoneme != "ʁ"
+    if last_char in ("s", "x", "z"):
+        return last_phoneme not in ("s", "z")
+    if last_char == "n":
+        return last_phoneme not in ("n", "ŋ")
+    return False
+
+
+def _wants_liaison(w1: Word, w2: Word) -> bool:
+    """POS-pair gate (gruut/lang.py:589-610)."""
+    if w1.text == "et":  # mandatory exception
+        return False
+    if w1.pos in ("DET", "NUM"):
+        return True
+    if w1.pos == "PRON" and w2.pos in ("AUX", "VERB"):
+        return True
+    if w1.pos == "ADP" or w1.text == "très":
+        return True
+    if w1.pos == "ADJ" and w2.pos in ("NOUN", "PROPN"):
+        return True
+    if w1.pos in ("AUX", "VERB"):
+        return True
+    return False
+
+
+def fr_liaison_sentence(words: Sequence[Word]) -> None:
+    """Apply liaison in place over a sentence's word sequence
+    (the post_process_sentence hook body, gruut/lang.py:553-625)."""
+    spoken = [w for w in words if w.is_spoken]
+    for w1, w2 in zip(spoken, spoken[1:]):
+        if not (w1.text and w1.phonemes and w2.text and w2.phonemes):
+            continue
+        last_char = w1.text[-1]
+        if not fr_has_silent_consonant(last_char, w1.phonemes[-1]):
+            continue
+        if not fr_is_vowel(w2.phonemes[0]):
+            continue
+        if not _wants_liaison(w1, w2):
+            continue
+        # liaison consonant (gruut/lang.py:612-625: s|x|z -> z, d -> t,
+        # t|p|n -> themselves)
+        if last_char in ("s", "x", "z"):
+            w1.phonemes.append("z")
+        elif last_char == "d":
+            w1.phonemes.append("t")
+        elif last_char in ("t", "p", "n"):
+            w1.phonemes.append(last_char)

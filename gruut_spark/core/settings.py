@@ -133,6 +133,12 @@ class TextSettings:
     # than wrong-language number words.
     verbalize_supported: bool = True
 
+    # Per-sentence post-processing hook (reference
+    # post_process_sentence, gruut/const.py settings): called by
+    # flatten() with the sentence's Word list; fr/it register liaison
+    # (core/liaison.py). Must be a no-op when phonemes/pos are absent.
+    post_process_sentence: Optional[Callable[[List], None]] = None
+
     major_breaks: FrozenSet[str] = frozenset()
     minor_breaks: FrozenSet[str] = frozenset()
     word_breaks: FrozenSet[str] = frozenset()
@@ -363,10 +369,14 @@ def _es_settings() -> TextSettings:
 
 
 def _fr_settings() -> TextSettings:
-    """French settings (gruut/lang.py:664-682); liaison post-processing is
-    phoneme-level and out of scope for a text quality filter."""
+    """French settings (gruut/lang.py:664-682), incl. the liaison
+    post-process hook (core/liaison.py — a no-op until words carry
+    phonemes+pos, exactly like the reference without its models)."""
+    from .liaison import fr_liaison_sentence
+
     return TextSettings(
         lang="fr_FR",
+        post_process_sentence=fr_liaison_sentence,
         major_breaks={".", "?", "!"},
         minor_breaks={",", ";", ":", "..."},
         word_breaks={"-", "_"},
@@ -380,6 +390,13 @@ def _fr_settings() -> TextSettings:
         decimal_char=",",
         date_order="DMY",
     )
+
+
+def _with_liaison(s: TextSettings) -> TextSettings:
+    from .liaison import fr_liaison_sentence
+
+    s.post_process_sentence = fr_liaison_sentence
+    return s
 
 
 def _generic_eu_settings(lang: str, currency: str = "EUR",
@@ -464,7 +481,9 @@ _SETTINGS_FACTORIES = {
     "fr_FR": _fr_settings,
     # Tokenizer-table-only languages (reference gruut/lang.py:249-812)
     "cs_CZ": lambda: _generic_eu_settings("cs_CZ", extra_begin={"’"}, extra_end={"’"}),
-    "it_IT": lambda: _generic_eu_settings("it_IT"),
+    # the reference registers the SAME liaison post-process for Italian
+    # (gruut/lang.py:698) — mirrored here
+    "it_IT": lambda: _with_liaison(_generic_eu_settings("it_IT")),
     "nl": lambda: _generic_eu_settings("nl"),
     "pt": lambda: _generic_eu_settings("pt"),
     "ru_RU": lambda: _generic_eu_settings("ru_RU", currency="RUB", minor_extra=frozenset()),

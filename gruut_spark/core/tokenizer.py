@@ -929,6 +929,10 @@ def flatten(toks: List[Tok], lang: str = "", settings: Optional[TextSettings] = 
         sent.text_spoken = s.join_str.join(
             w.text for w in sent.words if w.is_spoken
         )
+        if s.post_process_sentence is not None:
+            # per-sentence hook (reference gruut/text_processor.py runs
+            # post_process_sentence after assembly; fr/it: liaison)
+            s.post_process_sentence(sent.words)
     return sentences
 
 

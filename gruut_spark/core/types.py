@@ -93,6 +93,7 @@ class Word:
     lang: str = ""
     voice: str = ""
     role: str = ""
+    pos: str = ""  # part-of-speech tag (liaison gate; CRF features)
     phonemes: Optional[List[str]] = None
     # SSML <break> pauses (reference WordNode pause fields; milliseconds
     # via BreakNode.get_milliseconds semantics)

@@ -1,0 +1,102 @@
+"""Ported reference French liaison tests (tests/test_fr.py:47-86) over
+core/liaison.py. The reference derives each word's phonemes/POS from its
+fr lexicon.db + CRF POS model (neither shipped in the snapshot), so the
+fixtures here supply exactly the phoneme/POS inputs the reference tests
+document, and assert the same outputs — the liaison RULE is what's
+under test, not the lexicon."""
+
+from gruut_spark.core.liaison import (
+    fr_has_silent_consonant,
+    fr_is_vowel,
+    fr_liaison_sentence,
+)
+from gruut_spark.core.types import Word
+
+
+def _w(i, text, phonemes, pos=""):
+    return Word(idx=i, sent_idx=0, text=text, text_with_ws=text + " ",
+                phonemes=list(phonemes), pos=pos)
+
+
+def test_liaison_after_determiner():
+    # tests/test_fr.py:47-49: "Les arbres" -> Les [l e] => [l e z]
+    words = [_w(0, "Les", ["l", "e"], "DET"),
+             _w(1, "arbres", ["a", "ʁ", "b", "ʁ"], "NOUN")]
+    fr_liaison_sentence(words)
+    assert words[0].phonemes == ["l", "e", "z"]
+
+
+def test_liaison_adjective_noun():
+    # tests/test_fr.py:51-58: "des petites oreilles" -> petites
+    # [p ə t i t] => [p ə t i t z]
+    words = [
+        _w(0, "des", ["d", "e"], "DET"),
+        _w(1, "petites", ["p", "ə", "t", "i", "t"], "ADJ"),
+        _w(2, "oreilles", ["ɔ", "ʁ", "ɛ", "j"], "NOUN"),
+    ]
+    fr_liaison_sentence(words)
+    assert words[1].phonemes == ["p", "ə", "t", "i", "t", "z"]
+
+
+def test_liaison_pronoun_verb():
+    # tests/test_fr.py:59-61: "On est là!" -> On [ɔ̃] => [ɔ̃ n]
+    words = [_w(0, "On", ["ɔ̃"], "PRON"),
+             _w(1, "est", ["ɛ"], "AUX"),
+             _w(2, "là", ["l", "a"], "ADV")]
+    fr_liaison_sentence(words)
+    assert words[0].phonemes == ["ɔ̃", "n"]
+
+
+def test_liaison_tres():
+    # tests/test_fr.py:63-67: "très amusant" -> très [t ʁ ɛ] => + z
+    words = [_w(0, "très", ["t", "ʁ", "ɛ"], "ADV"),
+             _w(1, "amusant", ["a", "m", "y", "z", "ɑ̃"], "ADJ")]
+    fr_liaison_sentence(words)
+    assert words[0].phonemes == ["t", "ʁ", "ɛ", "z"]
+
+
+def test_no_liaison_for_et():
+    # mandatory exception (gruut/lang.py:592-594)
+    words = [_w(0, "et", ["e"], "CCONJ"),
+             _w(1, "aussi", ["o", "s", "i"], "ADV")]
+    fr_liaison_sentence(words)
+    assert words[0].phonemes == ["e"]
+
+
+def test_no_liaison_without_silent_consonant_or_vowel():
+    # pronounced final consonant: no liaison
+    words = [_w(0, "sans", ["s", "ɑ̃", "s"], "ADP"),
+             _w(1, "eau", ["o"], "NOUN")]
+    fr_liaison_sentence(words)
+    assert words[0].phonemes == ["s", "ɑ̃", "s"]
+    # consonant-initial next word: no liaison
+    words = [_w(0, "Les", ["l", "e"], "DET"),
+             _w(1, "chats", ["ʃ", "a"], "NOUN")]
+    fr_liaison_sentence(words)
+    assert words[0].phonemes == ["l", "e"]
+
+
+def test_liaison_d_becomes_t():
+    # gruut/lang.py:618-620: final silent 'd' liaises as 't'
+    words = [_w(0, "grand", ["ɡ", "ʁ", "ɑ̃"], "ADJ"),
+             _w(1, "ami", ["a", "m", "i"], "NOUN")]
+    fr_liaison_sentence(words)
+    assert words[0].phonemes == ["ɡ", "ʁ", "ɑ̃", "t"]
+
+
+def test_helpers():
+    assert fr_is_vowel("ɔ̃") and fr_is_vowel("a") and not fr_is_vowel("z")
+    assert fr_has_silent_consonant("s", "ɛ")
+    assert not fr_has_silent_consonant("s", "s")
+    assert fr_has_silent_consonant("d", "ɑ̃")
+    assert not fr_has_silent_consonant("r", "ʁ")
+    assert not fr_has_silent_consonant("e", "e")
+
+
+def test_hook_is_noop_in_plain_pipeline():
+    # fr profile registers the hook; without phonemes/pos it must not
+    # change anything (reference behavior without its models)
+    from gruut_spark.core.tokenizer import sentences
+
+    got = [w.text for s in sentences("Les arbres sont grands.", "fr") for w in s.words]
+    assert got == ["Les", "arbres", "sont", "grands", "."]
