@@ -64,6 +64,16 @@ def _wants_liaison(w1: Word, w2: Word) -> bool:
     return False
 
 
+def fa_genitive_sentence(words: Sequence[Word]) -> None:
+    """Farsi genitive (ezāfe) post-process (reference
+    ``fa_post_process_sentence``, gruut/lang.py:507-526): words tagged
+    with the Ne part of speech get the linking vowel ``e̞`` appended to
+    their pronunciation. No-op without phonemes/pos, like liaison."""
+    for w in words:
+        if w.phonemes and w.pos == "Ne":
+            w.phonemes.append("e̞")
+
+
 def fr_liaison_sentence(words: Sequence[Word]) -> None:
     """Apply liaison in place over a sentence's word sequence
     (the post_process_sentence hook body, gruut/lang.py:553-625)."""

@@ -392,6 +392,28 @@ def _fr_settings() -> TextSettings:
     )
 
 
+def _fa_settings() -> TextSettings:
+    """Farsi settings (gruut/lang.py:528-546): Arabic question mark as a
+    major break, DMY dates, apostrophe normalization, and the genitive
+    (ezāfe) post-process hook. The reference's FarsiPartOfSpeechTagger
+    (hazm) is model-backed and not shipped; the hook no-ops without pos."""
+    from .liaison import fa_genitive_sentence
+
+    return TextSettings(
+        lang="fa",
+        post_process_sentence=fa_genitive_sentence,
+        major_breaks={".", "؟", "!"},
+        minor_breaks={",", ";", ":"},
+        word_breaks={"-", "_"},
+        begin_punctuations={'"', "“", "«", "[", "(", "<", "’", "„"},
+        end_punctuations={'"', "”", "»", "]", ")", ">", "’"},
+        default_date_format="dmy",
+        date_order="DMY",
+        replacements=[("’", "'")],
+        verbalize_supported=False,  # no from-scratch fa num2words
+    )
+
+
 def _with_liaison(s: TextSettings) -> TextSettings:
     from .liaison import fr_liaison_sentence
 
@@ -489,6 +511,7 @@ _SETTINGS_FACTORIES = {
     "ru_RU": lambda: _generic_eu_settings("ru_RU", currency="RUB", minor_extra=frozenset()),
     "sv_SE": lambda: _generic_eu_settings("sv_SE", currency="SEK"),
     "zh_CN": _zh_settings,
+    "fa": _fa_settings,
     "code": _code_settings,
 }
 
@@ -506,6 +529,7 @@ _LANG_ALIASES = {
     "ru": "ru_RU", "ru-ru": "ru_RU",
     "sv": "sv_SE", "sv-se": "sv_SE",
     "zh": "zh_CN", "zh-cn": "zh_CN", "zh-tw": "zh_CN",
+    "fa": "fa", "fa-ir": "fa",
 }
 
 _SETTINGS_CACHE: Dict[str, TextSettings] = {}

@@ -100,3 +100,29 @@ def test_hook_is_noop_in_plain_pipeline():
 
     got = [w.text for s in sentences("Les arbres sont grands.", "fr") for w in s.words]
     assert got == ["Les", "arbres", "sont", "grands", "."]
+
+
+def test_fa_genitive_ezafe():
+    # reference fa_post_process_sentence (gruut/lang.py:507-526):
+    # pos 'Ne' words get the linking vowel appended
+    from gruut_spark.core.liaison import fa_genitive_sentence
+
+    words = [_w(0, "کتاب", ["k", "e", "t", "ɒ", "b"], "Ne"),
+             _w(1, "من", ["m", "æ", "n"], "PRO")]
+    fa_genitive_sentence(words)
+    assert words[0].phonemes == ["k", "e", "t", "ɒ", "b", "e̞"]
+    assert words[1].phonemes == ["m", "æ", "n"]
+
+
+def test_fa_settings_profile():
+    from gruut_spark.core.settings import get_settings, resolve_lang
+    from gruut_spark.core.tokenizer import sentences
+
+    assert resolve_lang("fa-IR") == "fa"
+    s = get_settings("fa")
+    assert "؟" in s.major_breaks
+    # Arabic question mark ends a sentence; digits stay literal
+    # (verbalization off for fa)
+    sents = sentences("این چیست؟ عدد 42 است.", "fa")
+    assert len(sents) == 2
+    assert "42" in [w.text for w in sents[1].words]
