@@ -126,3 +126,56 @@ def test_fa_settings_profile():
     sents = sentences("این چیست؟ عدد 42 است.", "fa")
     assert len(sents) == 2
     assert "42" in [w.text for w in sents[1].words]
+
+
+# --- real reference lexicon data (provenance demo): present only when
+# the reference snapshot is mounted; skipped elsewhere -----------------------
+
+import os
+
+import pytest
+
+REFERENCE_IT_LEXICON = "/root/reference/gruut-lang-it/gruut_lang_it/lexicon.db"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(REFERENCE_IT_LEXICON),
+    reason="reference it lexicon.db not mounted",
+)
+def test_real_reference_lexicon_end_to_end(spark):
+    """lexicon_from_sqlite reads the REFERENCE'S OWN Italian lexicon.db
+    (29k prons, lexicon2db schema) and drives the production broadcast
+    phonemize join; the liaison hook then runs over the real phonemes.
+    This is the operator's provenance story on real data, not synthetic."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.operators.lexicon import (
+        lexicon_from_sqlite,
+        phonemize_tokens,
+    )
+
+    lex = lexicon_from_sqlite(spark, REFERENCE_IT_LEXICON)
+    assert lex.count() > 25_000
+    ciao = lex.filter(F.col("word") == "ciao").collect()
+    assert ciao and ciao[0]["phonemes"].split() == ["ˈt͡ʃ", "a", "o"]
+
+    toks = spark.createDataFrame(
+        [(1, 0, "ciao"), (1, 1, "Mare"), (1, 2, "qqqxyz")],
+        "doc_id long, pos_idx long, word string",
+    )
+    out = {r["word"]: r for r in phonemize_tokens(toks, lex).collect()}
+    assert out["ciao"]["phonemes"].split() == ["ˈt͡ʃ", "a", "o"]
+    assert out["Mare"]["phonemes"].split() == ["ˈm", "a", "r", "e"]  # lower leg
+    assert out["qqqxyz"]["source"] == "g2p"  # fallback fires
+
+    # liaison over REAL lexicon phonemes (hand POS — the snapshot ships
+    # no it POS model): "les amis"-style pair using it words
+    from gruut_spark.core.liaison import fr_liaison_sentence
+    from gruut_spark.core.types import Word
+
+    w1 = Word(idx=0, sent_idx=0, text="les", text_with_ws="les ",
+              phonemes=["l", "e"], pos="DET")
+    w2 = Word(idx=1, sent_idx=0, text="amici", text_with_ws="amici",
+              phonemes=["a", "m", "i", "t͡ʃ", "i"], pos="NOUN")
+    fr_liaison_sentence([w1, w2])
+    assert w1.phonemes == ["l", "e", "z"]
