@@ -1957,9 +1957,9 @@ def oracle_sql() -> dict[str, str]:
                 LEFT JOIN best be ON be.word = t.word
                 LEFT JOIN best bl ON bl.word = lower(t.word)
                 LEFT JOIN best bn
-                       ON bn.word = regexp_replace(t.word, '\W', '', 'g')
+                       ON bn.word = regexp_replace(t.word, '[^\p{L}\p{N}_]', '', 'g')
                 LEFT JOIN best bnl
-                       ON bnl.word = regexp_replace(lower(t.word), '\W', '', 'g')
+                       ON bnl.word = regexp_replace(lower(t.word), '[^\p{L}\p{N}_]', '', 'g')
             )
             SELECT doc_id,
                    CAST(sum(in_lex::BIGINT) AS BIGINT) AS n_lexicon,

@@ -101,15 +101,25 @@ def build_lexicon(
     return base.unionByName(alts)
 
 
+# unicode non-word class — Java regex AND RE2 compatible (see
+# phonemize_tokens docstring)
+_NON_WORD_RE = r"[^\p{L}\p{N}_]"
+
+
 def phonemize_tokens(toks: DataFrame, lexicon: DataFrame) -> DataFrame:
     """Lookup chain over (doc_id, word) tokens with the reference's FULL
     word-transform sequence (gruut/lang.py:93-99 + phonemize.py:75-112):
     exact -> lower -> remove_non_word_chars -> remove∘lower -> G2P
     grapheme fallback. Four broadcast joins of the ranked lexicon; the
     fallback is pure codegen, so the whole operator is one narrow pass
-    over the token stream. remove_non_word_chars is \\W -> '' (ASCII
-    word-class in Spark/RE2, matching the oracle; the reference's Python
-    \\W is unicode-aware — identical on the [a-z']-keyed lexicon)."""
+    over the token stream. remove_non_word_chars strips
+    ``[^\\p{L}\\p{N}_]`` — the UNICODE word class, matching the
+    reference's Python ``\\W`` (gruut/lang.py:96). An ASCII ``\\W`` here
+    (the r03 bug this replaced) deleted accented letters, so 'úhořů'
+    collapsed to 'ho' and FALSE-MATCHED a real cs lexicon entry instead
+    of falling through to G2P; ``\\p{L}`` spells identically in Java
+    regex (Spark) and RE2 (the DuckDB oracle), keeping both sides
+    exact."""
     best = lexicon.groupBy("word").agg(
         F.min_by("phonemes", "pron_order").alias("phonemes")
     )
@@ -117,8 +127,9 @@ def phonemize_tokens(toks: DataFrame, lexicon: DataFrame) -> DataFrame:
     legs = [
         ("p_exact", F.col("word")),
         ("p_lower", F.lower(F.col("word"))),
-        ("p_nonword", F.regexp_replace(F.col("word"), r"\W", "")),
-        ("p_nonword_lower", F.regexp_replace(F.lower(F.col("word")), r"\W", "")),
+        ("p_nonword", F.regexp_replace(F.col("word"), _NON_WORD_RE, "")),
+        ("p_nonword_lower",
+         F.regexp_replace(F.lower(F.col("word")), _NON_WORD_RE, "")),
     ]
     out = toks
     for alias, expr in legs:

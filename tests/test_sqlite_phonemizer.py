@@ -1,0 +1,81 @@
+"""Ported reference sqlite-phonemizer tests (reference
+tests/test_sqlite_phonemizer.py) run against the snapshot's REAL
+lexicon.db files through the engine's own path: profile tokenization →
+``lexicon_from_sqlite`` → the broadcast ``phonemize_tokens`` join.
+
+Skipif-gated on the reference mount. Portable subset: languages whose
+lexicon.db ships in the snapshot (sv fully; cs minus its one
+G2P-decided word — the reference resolves 'úhořů' with its CRF G2P
+model, which is a binary we do not run; our grapheme-fallback G2P fires
+instead and the test asserts exactly that). The reference renders the
+sentence-final major break as the ``‖`` phoneme
+(tests/test_sqlite_phonemizer.py:294) — a presentation-layer constant,
+asserted here literally."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+REF = "/root/reference"
+SV_LEXICON = f"{REF}/gruut-lang-sv/gruut_lang_sv/lexicon.db"
+CS_LEXICON = f"{REF}/gruut-lang-cs/gruut_lang_cs/lexicon.db"
+
+MAJOR_BREAK_PHONEME = ["‖"]  # reference break rendering
+
+
+def _phonemize(spark, text, lang, db_path):
+    from gruut_spark.core.tokenizer import sentences
+    from gruut_spark.operators.lexicon import (
+        lexicon_from_sqlite,
+        phonemize_tokens,
+    )
+
+    words = [w for s in sentences(text, lang) for w in s.words]
+    toks = spark.createDataFrame(
+        [(1, i, w.text) for i, w in enumerate(words) if w.is_spoken],
+        "doc_id long, pos_idx long, word string",
+    )
+    lex = lexicon_from_sqlite(spark, db_path)
+    got = {
+        r["word"]: (r["phonemes"].split(), r["source"])
+        for r in phonemize_tokens(toks, lex).collect()
+    }
+    out = []
+    for w in words:
+        if w.is_major_break:
+            out.append((w.text, MAJOR_BREAK_PHONEME, "break"))
+        elif w.is_spoken:
+            ph, src = got[w.text]
+            out.append((w.text, ph, src))
+    return out
+
+
+@pytest.mark.skipif(not os.path.exists(SV_LEXICON), reason="no reference mount")
+def test_sv(spark):
+    # reference tests/test_sqlite_phonemizer.py:280-296, verbatim
+    got = _phonemize(spark, "Min svävare är full med ål.", "sv_SE", SV_LEXICON)
+    assert [(w, p) for w, p, _src in got] == [
+        ("Min", ["m", "iː", "n"]),
+        ("svävare", ["²s", "v", "'ɛː", "v", "a", "r", "ɛ"]),
+        ("är", ["ɛː", "r"]),
+        ("full", ["f", "ɵ", "l"]),
+        ("med", ["m", "eː", "d"]),
+        ("ål", ["oː", "l"]),
+        (".", ["‖"]),
+    ]
+
+
+@pytest.mark.skipif(not os.path.exists(CS_LEXICON), reason="no reference mount")
+def test_cs(spark):
+    # reference tests/test_sqlite_phonemizer.py:45-57; 'úhořů' is the
+    # reference's CRF-G2P word (model not run here) — our grapheme
+    # fallback fires for it, asserted explicitly
+    got = _phonemize(spark, "Moje vznášedlo je plné úhořů.", "cs-cz", CS_LEXICON)
+    by_word = {w: (p, src) for w, p, src in got}
+    assert by_word["Moje"][0] == ["m", "o", "j", "ɛ"]
+    assert by_word["vznášedlo"][0] == ["v", "z", "n", "aː", "ʃ", "ɛ", "d", "l", "o"]
+    assert by_word["je"][0] == ["j", "ɛ"]
+    assert by_word["plné"][0] == ["p", "l", "n", "ɛː"]
+    assert by_word["úhořů"][1] == "g2p"
+    assert by_word["."][0] == ["‖"]
