@@ -906,6 +906,32 @@ def _doc_g2p_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("word", "guess_idx")
 
 
+def _g2p_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Phonetisaurus pair counting — the relational twin of
+    the pair-n-gram G2P trainer (operators/g2p_train.py; the full n-gram
+    trainer is pinned to the serial core by a bit-identical-counts test
+    and validated on the reference's real Italian g2p_alignments table).
+    Alignment strings are derived deterministically from the corpus
+    vocabulary (word -> 'word}drow' identity-pair token per word, joined
+    per document) so the oracle shares the exact input."""
+    from gruut_spark.operators.g2p_train import alignment_pair_counts
+
+    docs = _read(spark, sf_dir, "documents")
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: w.rlike("^[a-z']+$"),
+    )
+    aligns = docs.select(
+        F.concat_ws(
+            " ",
+            F.transform(
+                words, lambda w: F.concat(w, F.lit("}"), F.reverse(w))
+            ),
+        ).alias("alignment")
+    )
+    return alignment_pair_counts(aligns).orderBy("pair")
+
+
 def _multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (operators/multimodal.py): metadata-only
     integer arithmetic — durations derived deterministically from the
@@ -1118,6 +1144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_jaccard_adjacent": _doc_jaccard_adjacent,
         "top_tokens": _top_tokens,
         "doc_bpe_token_count": _doc_bpe_token_count,
+        "g2p_pair_counts": _g2p_pair_counts,
         # embeddings / similarity
         "embedding_norms_by_label": _embedding_norms_by_label,
         "ann_brute_topk": _ann_brute_topk,
@@ -1672,6 +1699,26 @@ def oracle_sql() -> dict[str, str]:
             + r"''s|''t|''re|''ve|''m|''ll|''d| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
             + "'))::BIGINT AS n_bpe_tokens FROM documents ORDER BY doc_id"
         ),
+        "g2p_pair_counts": r"""
+            WITH aligns AS (
+                SELECT array_to_string(
+                    list_transform(
+                        list_filter(
+                            regexp_split_to_array(lower(trim(text)), '\s+'),
+                            w -> regexp_full_match(w, '[a-z'']+')
+                        ),
+                        w -> w || '}' || reverse(w)
+                    ), ' ') AS alignment
+                FROM documents
+            ),
+            pairs AS (
+                SELECT unnest(string_split(alignment, ' ')) AS pair
+                FROM aligns
+            )
+            SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+            FROM pairs WHERE pair <> ''
+            GROUP BY pair ORDER BY pair
+        """,
         "embedding_norms_by_label": """
             SELECT label, count(*) AS n,
                    round(avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm

@@ -1,0 +1,149 @@
+"""Distributed pair-n-gram G2P training (the scale path for
+core/g2p_train.py).
+
+The reference trains its G2P models offline with Phonetisaurus
+(gruut/g2p_phonetisaurus.py docstring points at the upstream trainer);
+at corpus scale the alignment table is a DataFrame (e.g. the
+``g2p_alignments`` table of every per-language lexicon.db, ETL'd the
+same way operators/lexicon.py ETLs ``word_phonemes``), and the n-gram
+statistics must be computed where the data is. Identical split to
+operators/lm_train.py:
+
+* ``g2p_count_table`` — ONE ``mapInPandas`` stage (single Python eval
+  node, the repo's measured rule) emitting per-batch PRE-AGGREGATED
+  (ctx, pair, cnt) partials — map-side combine, so the shuffle carries
+  distinct n-grams, not one row per aligned chunk — then
+  ``groupBy(ctx, pair).sum``. ctx/pair are canonical Phonetisaurus
+  token strings (core/g2p_train.py::pair_token), NOT hashes: unlike LM
+  scoring, FST compilation needs the symbols back.
+* ``g2p_model_from_counts`` — collect the (bounded: distinct-n-gram)
+  counts, refold them through the SAME ``PairNGramCounts`` +
+  ``model_from_counts`` path as the serial trainer — bit-identical
+  statistics by construction (asserted in tests).
+
+At 100 TB-corpus scale the counts frame is the artifact you persist
+(parquet, partitioned by context length); the collect here is the
+final model-assembly step after ``min_count`` pruning, same contract as
+lm_train.lm_from_counts.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.g2p_decode import G2PModel
+from ..core.g2p_train import (
+    DEFAULT_ORDER,
+    EOS_PAIR,
+    PairNGramCounts,
+    model_from_counts,
+    pair_token,
+    parse_alignment,
+)
+
+COUNT_SCHEMA = "ctx string, pair string, cnt long"
+
+
+def _count_batches(order: int):
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from collections import Counter
+
+        # one partial frame per Arrow batch (bounded memory; the groupBy
+        # sums partials identically — lm_train.py r03 rule)
+        for pdf in batches:
+            partial: Counter = Counter()
+            for alignment in pdf["alignment"].fillna(""):
+                seq = parse_alignment(alignment)
+                if not seq:
+                    continue
+                toks = [pair_token(p) for p in seq] + [pair_token(EOS_PAIR)]
+                n = len(toks)
+                for i in range(n):
+                    lo = max(0, i - (order - 1))
+                    for start in range(lo, i + 1):
+                        partial[(" ".join(toks[start:i]), toks[i])] += 1
+            if partial:
+                ctxs, pairs = zip(*partial.keys())
+                yield pd.DataFrame(
+                    {
+                        "ctx": pd.Series(ctxs, dtype="object"),
+                        "pair": pd.Series(pairs, dtype="object"),
+                        "cnt": np.asarray(
+                            list(partial.values()), dtype=np.int64
+                        ),
+                    }
+                )
+
+    return fn
+
+
+def g2p_count_table(
+    aligns_df: DataFrame,
+    alignment_col: str = "alignment",
+    order: int = DEFAULT_ORDER,
+) -> DataFrame:
+    """(ctx, pair, cnt) pair-n-gram counts over an alignment-string
+    DataFrame. ctx is the space-joined canonical token form of up to
+    ``order - 1`` preceding pairs ('' at word start); pair is the
+    canonical next-pair token (EOS = ``__EOS__}_``)."""
+    partials = aligns_df.select(
+        F.col(alignment_col).alias("alignment")
+    ).mapInPandas(_count_batches(order), schema=COUNT_SCHEMA)
+    return partials.groupBy("ctx", "pair").agg(F.sum("cnt").alias("cnt"))
+
+
+def g2p_model_from_counts(
+    counts: DataFrame, order: int = DEFAULT_ORDER, min_count: int = 1
+) -> G2PModel:
+    """Collect the counts frame and compile the WFST through the serial
+    builder. ``min_count`` prunes long-tail n-grams EXCEPT unigrams
+    (k = 0 rows must stay complete or the interpolation base shifts) —
+    same pruning contract as lm_train.lm_from_counts."""
+    pruned = counts.filter(
+        (F.col("ctx") == "") | (F.col("cnt") >= min_count)
+    )
+    folded = PairNGramCounts(order)
+
+    def one_pair(tok: str):
+        parsed = parse_alignment(tok)
+        return parsed[0] if parsed else EOS_PAIR
+
+    for r in pruned.collect():
+        ctx = tuple(parse_alignment(r["ctx"])) if r["ctx"] else ()
+        folded.merge_counts([(ctx, one_pair(r["pair"]), r["cnt"])])
+    return model_from_counts(folded)
+
+
+def train_g2p_distributed(
+    aligns_df: DataFrame,
+    alignment_col: str = "alignment",
+    order: int = DEFAULT_ORDER,
+    min_count: int = 1,
+) -> G2PModel:
+    """End to end: alignment DataFrame -> decodable G2PModel."""
+    return g2p_model_from_counts(
+        g2p_count_table(aligns_df, alignment_col, order), order, min_count
+    )
+
+
+def alignment_pair_counts(aligns_df: DataFrame, alignment_col: str = "alignment") -> DataFrame:
+    """Relational twin for the oracle gate: (pair, cnt) UNIGRAM pair
+    counts — pure Catalyst (split + explode + two-phase agg), zero
+    Python, SQL-expressible in DuckDB. Pins the pair-tokenization
+    semantics (space-split, empty tokens dropped) to SQL; the n-gram
+    trainer above is pinned to the serial core by the
+    bit-identical-counts equivalence test."""
+    return (
+        aligns_df.select(
+            F.explode(F.split(F.col(alignment_col), " ")).alias("pair")
+        )
+        .filter(F.col("pair") != "")
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+    )

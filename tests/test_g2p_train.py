@@ -1,0 +1,202 @@
+"""Pair-n-gram G2P training: Phonetisaurus-alignment parsing, serial vs
+distributed count equivalence, and decode validation against the
+reference's own shipped Italian lexicon (gruut-lang-it lexicon.db —
+the snapshot's REAL g2p_alignments + word_phonemes tables, written by
+gruut/lexicon2db.py:83-100). Reference-data tests are skipif-gated on
+the mount like tests/test_sqlite_phonemizer.py.
+
+Accuracy thresholds are set ~20% below measured values (order-5
+Witten-Bell, beam 150): in-train exact 0.82 / segmental 0.96; held-out
+(200-word split) exact 0.51 / segmental 0.72 — the honest
+generalization numbers for a 29k-entry pair-n-gram model; the
+reference's shipped FSTs are higher-order Phonetisaurus builds."""
+
+import math
+import random
+import sqlite3
+
+import os
+
+import pytest
+
+from gruut_spark.core.g2p_decode import beam_decode
+from gruut_spark.core.g2p_train import (
+    EOS_PAIR,
+    PairNGramCounts,
+    model_from_counts,
+    pair_token,
+    parse_alignment,
+    train_pair_ngram,
+)
+
+IT_LEXICON = "/root/reference/gruut-lang-it/gruut_lang_it/lexicon.db"
+
+needs_reference = pytest.mark.skipif(
+    not os.path.exists(IT_LEXICON), reason="no reference mount"
+)
+
+SYNTH_ALIGNMENTS = [
+    "a}a b}b a}a",
+    "a|b}c d}d",
+    "c|i}_ a}ˈa",
+    "a}a|b b}b",
+    "a}a b}b",
+    "d}d a|b}c c|i}_",
+]
+
+
+def test_parse_alignment_format():
+    assert parse_alignment("a}a b|b}b o|r}o c|i}_") == [
+        (("a",), ("a",)),
+        (("b", "b"), ("b",)),
+        (("o", "r"), ("o",)),
+        (("c", "i"), ()),
+    ]
+    # multi-phoneme side, stress marks, round trip through pair_token
+    pairs = parse_alignment("x}ˈa|b y}_")
+    assert pairs == [(("x",), ("ˈa", "b")), (("y",), ())]
+    assert [pair_token(p) for p in pairs] == ["x}ˈa|b", "y}_"]
+    assert pair_token(EOS_PAIR) == "__EOS__}_"
+    assert parse_alignment("") == []
+
+
+def test_chunk_counts_all_context_lengths():
+    c = PairNGramCounts(order=3)
+    c.add_sequence(parse_alignment("a}a b}b"))
+    A, B = (("a",), ("a",)), (("b",), ("b",))
+    # every (ctx, next) window up to order-1 context, EOS included
+    assert c.ngram[((), A)] == 1
+    assert c.ngram[((A,), B)] == 1
+    assert c.ngram[((), B)] == 1
+    assert c.ngram[((A, B), EOS_PAIR)] == 1
+    assert c.ngram[((B,), EOS_PAIR)] == 1
+    assert c.ngram[((), EOS_PAIR)] == 1
+
+
+def test_synthetic_train_decodes_training_words():
+    model = train_pair_ngram(SYNTH_ALIGNMENTS, order=3)
+    # 'aba' seen as a}a b}b a}a — reconstructs exactly
+    assert beam_decode(model, "aba", max_guesses=1) == [["a", "b", "a"]]
+    # 'abd' seen as a|b}c d}d
+    assert beam_decode(model, "abd", max_guesses=1) == [["c", "d"]]
+    # unseen word decodes through backoff (no dead end)
+    assert beam_decode(model, "dab", max_guesses=1, max_eps_rounds=12)
+
+
+def test_distributed_counts_match_serial(spark):
+    from gruut_spark.operators.g2p_train import g2p_count_table
+
+    serial = PairNGramCounts(order=3)
+    serial.add_alignments(SYNTH_ALIGNMENTS)
+    expect = {
+        (" ".join(pair_token(p) for p in ctx), pair_token(nxt)): c
+        for (ctx, nxt), c in serial.ngram.items()
+    }
+
+    df = spark.createDataFrame(
+        [(a,) for a in SYNTH_ALIGNMENTS], "alignment string"
+    ).repartition(4)
+    got = {
+        (r["ctx"], r["pair"]): r["cnt"]
+        for r in g2p_count_table(df, order=3).collect()
+    }
+    assert got == expect
+
+
+def test_distributed_model_matches_serial_decode(spark):
+    from gruut_spark.operators.g2p_train import train_g2p_distributed
+
+    df = spark.createDataFrame(
+        [(a,) for a in SYNTH_ALIGNMENTS], "alignment string"
+    ).repartition(3)
+    dist = train_g2p_distributed(df, order=3)
+    serial = train_pair_ngram(SYNTH_ALIGNMENTS, order=3)
+    for w in ("aba", "abd", "ab", "ba", "dabci"):
+        d = beam_decode(dist, w, max_guesses=2, max_eps_rounds=12)
+        s = beam_decode(serial, w, max_guesses=2, max_eps_rounds=12)
+        assert d == s, w
+
+
+def test_alignment_pair_counts_relational(spark):
+    from gruut_spark.operators.g2p_train import alignment_pair_counts
+
+    df = spark.createDataFrame(
+        [(a,) for a in SYNTH_ALIGNMENTS], "alignment string"
+    )
+    got = {r["pair"]: r["cnt"] for r in alignment_pair_counts(df).collect()}
+    assert got["a}a"] == 3
+    assert got["a|b}c"] == 2
+    assert got["c|i}_"] == 2
+
+
+def _load_italian():
+    con = sqlite3.connect(IT_LEXICON)
+    aligns = con.execute(
+        "SELECT word, alignment FROM g2p_alignments ORDER BY id"
+    ).fetchall()
+    prons = {}
+    for w, po, ph in con.execute(
+        "SELECT word, pron_order, phonemes FROM word_phonemes"
+    ):
+        if w not in prons or po < prons[w][0]:
+            prons[w] = (po, ph)
+    con.close()
+    return aligns, {w: ph for w, (_, ph) in prons.items()}
+
+
+def _strip_stress(s):
+    return s.replace("ˈ", "").replace("ˌ", "")
+
+
+def _accuracy(model, sample, prons, order):
+    ex = seg = tot = 0
+    for w, _a in sample:
+        if w not in prons:
+            continue
+        tot += 1
+        guesses = beam_decode(
+            model, w, beam=150, min_beam=75, max_guesses=1,
+            max_eps_rounds=(order - 1) * len(w) + 8,
+        )
+        if not guesses:
+            continue
+        got = " ".join(guesses[0])
+        if got == prons[w]:
+            ex += 1
+        if _strip_stress(got) == _strip_stress(prons[w]):
+            seg += 1
+    return ex / tot, seg / tot, tot
+
+
+@needs_reference
+def test_real_alignments_reconstruct_graphemes():
+    aligns, _ = _load_italian()
+    assert len(aligns) > 25000
+    for w, a in aligns:
+        assert "".join("".join(g) for g, _p in parse_alignment(a)) == w
+
+
+@needs_reference
+def test_trained_model_reconstructs_reference_lexicon():
+    aligns, prons = _load_italian()
+    model = train_pair_ngram((a for _, a in aligns), order=5)
+    rng = random.Random(7)
+    sample = rng.sample(aligns, 100)
+    exact, segmental, n = _accuracy(model, sample, prons, order=5)
+    assert n >= 90
+    assert exact >= 0.70, exact        # measured 0.82
+    assert segmental >= 0.85, segmental  # measured 0.96
+
+
+@needs_reference
+def test_trained_model_generalizes_heldout():
+    aligns, prons = _load_italian()
+    rng = random.Random(13)
+    shuffled = aligns[:]
+    rng.shuffle(shuffled)
+    heldout, train = shuffled[:100], shuffled[100:]
+    model = train_pair_ngram((a for _, a in train), order=5)
+    exact, segmental, n = _accuracy(model, heldout, prons, order=5)
+    assert n >= 90
+    assert exact >= 0.35, exact          # measured 0.51 (200-word split)
+    assert segmental >= 0.55, segmental  # measured 0.72
