@@ -506,6 +506,9 @@ _SETTINGS_FACTORIES = {
     # the reference registers the SAME liaison post-process for Italian
     # (gruut/lang.py:698) — mirrored here
     "it_IT": lambda: _with_liaison(_generic_eu_settings("it_IT")),
+    # Luxembourgish (gruut/lang.py:707-722): the same shared EU table —
+    # verified field-for-field against get_lb_settings
+    "lb": lambda: _generic_eu_settings("lb"),
     "nl": lambda: _generic_eu_settings("nl"),
     "pt": lambda: _generic_eu_settings("pt"),
     "ru_RU": lambda: _generic_eu_settings("ru_RU", currency="RUB", minor_extra=frozenset()),
@@ -524,6 +527,7 @@ _LANG_ALIASES = {
     "fr": "fr_FR", "fr-fr": "fr_FR", "fr_fr": "fr_FR",
     "cs": "cs_CZ", "cs-cz": "cs_CZ",
     "it": "it_IT", "it-it": "it_IT",
+    "lb": "lb", "lb-lb": "lb", "lb_lb": "lb",
     "nl": "nl", "nl-nl": "nl",
     "pt": "pt", "pt-br": "pt",
     "ru": "ru_RU", "ru-ru": "ru_RU",

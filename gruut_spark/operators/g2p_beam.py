@@ -31,10 +31,17 @@ def g2p_guess_table(
     beam: int = 5000,
     min_beam: int = 100,
     beam_scale: float = 0.6,
+    max_eps_rounds: int = 8,
+    eps_per_grapheme: int = 0,
 ) -> DataFrame:
     """(word, guess_idx, phonemes) for every input word; phonemes are
     space-joined, guess_idx ranks by cost (0 = best). Words with no
-    complete path emit no rows (mirrors the reference's empty yield)."""
+    complete path emit no rows (mirrors the reference's empty yield).
+
+    ``eps_per_grapheme``: extra epsilon-round budget per grapheme —
+    pair-n-gram backoff models (core/g2p_train.py) take up to order-1
+    backoff epsilon arcs between consumptions, so pass ``order - 1``
+    for those; plain chunk models need none."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -44,6 +51,9 @@ def g2p_guess_table(
                     beam_decode(
                         model, w, beam=beam, min_beam=min_beam,
                         beam_scale=beam_scale, max_guesses=max_guesses,
+                        max_eps_rounds=(
+                            max_eps_rounds + eps_per_grapheme * len(w)
+                        ),
                     )
                 ):
                     words.append(w)

@@ -67,6 +67,24 @@ def lexicon_from_sqlite(
     )
 
 
+def alignments_from_sqlite(spark: SparkSession, db_path: str) -> DataFrame:
+    """Companion provenance read: the ``g2p_alignments(word, alignment)``
+    table the reference writes next to ``word_phonemes``
+    (gruut/lexicon2db.py:83-100) — the training input for the pair-n-gram
+    G2P trainer (operators/g2p_train.py). Driver-small, same argument as
+    ``lexicon_from_sqlite``."""
+    import sqlite3
+    from contextlib import closing
+
+    import pandas as pd
+
+    with closing(sqlite3.connect(db_path)) as conn:
+        pdf = pd.read_sql_query(
+            "SELECT word, alignment FROM g2p_alignments", conn
+        )
+    return spark.createDataFrame(pdf, "word string, alignment string")
+
+
 def grapheme_pron(col) -> F.Column:
     """Deterministic pseudo-phonemes: space-separated letters."""
     return F.array_join(
@@ -106,7 +124,13 @@ def build_lexicon(
 _NON_WORD_RE = r"[^\p{L}\p{N}_]"
 
 
-def phonemize_tokens(toks: DataFrame, lexicon: DataFrame) -> DataFrame:
+def phonemize_tokens(
+    toks: DataFrame,
+    lexicon: DataFrame,
+    g2p_model=None,
+    g2p_order: int = 7,
+    g2p_beam: int = 150,
+) -> DataFrame:
     """Lookup chain over (doc_id, word) tokens with the reference's FULL
     word-transform sequence (gruut/lang.py:93-99 + phonemize.py:75-112):
     exact -> lower -> remove_non_word_chars -> remove∘lower -> G2P
@@ -119,7 +143,18 @@ def phonemize_tokens(toks: DataFrame, lexicon: DataFrame) -> DataFrame:
     collapsed to 'ho' and FALSE-MATCHED a real cs lexicon entry instead
     of falling through to G2P; ``\\p{L}`` spells identically in Java
     regex (Spark) and RE2 (the DuckDB oracle), keeping both sides
-    exact."""
+    exact.
+
+    With ``g2p_model`` (a trained ``core.g2p_train`` pair-n-gram WFST —
+    the reference's runtime Phonetisaurus decode, gruut/phonemize.py
+    guess_phonemes), words missing all four lexicon legs are beam-decoded
+    BEFORE the grapheme stand-in: the miss set is deduped to DISTINCT
+    words first (decode cost scales with OOV vocabulary, not token
+    count), decoded in one mapInPandas stage, and joined back — no
+    broadcast hint, AQE picks the strategy for the bounded-vocab side.
+    Sources become 'g2p' (model-decoded) vs 'g2p_grapheme' (no complete
+    beam path, e.g. a grapheme the training alignments never saw);
+    without a model the fallback and its 'g2p' label are unchanged."""
     best = lexicon.groupBy("word").agg(
         F.min_by("phonemes", "pron_order").alias("phonemes")
     )
@@ -148,13 +183,54 @@ def phonemize_tokens(toks: DataFrame, lexicon: DataFrame) -> DataFrame:
         ("p_nonword_lower", "lexicon_nonword_lower"),
     ]:
         src = src.when(F.col(alias).isNotNull(), label)
+    leg_cols = [F.col(a) for a, _ in legs]
+    if g2p_model is None:
+        return out.select(
+            "doc_id",
+            "word",
+            F.coalesce(*leg_cols, grapheme_pron(F.col("word"))).alias(
+                "phonemes"
+            ),
+            src.otherwise("g2p").alias("source"),
+        )
+
+    from .g2p_beam import g2p_guess_table
+
+    # decode the LOWERCASED form: alignment training data is lowercase
+    # (the reference's lexicon2db pipeline lowercases words), so an
+    # uppercase grapheme would never find an arc
+    miss = (
+        out.filter(F.coalesce(*leg_cols).isNull())
+        .select(F.lower(F.col("word")).alias("word"))
+        .distinct()
+    )
+    # max_guesses=3, keep rank 0: with a single guess the search stops
+    # at the FIRST completion (reference early-exit), letting a
+    # short-but-costly epsilon path beat the cheapest decode; asking for
+    # three keeps searching and the rank-0 result is the true min-cost
+    decoded = (
+        g2p_guess_table(
+            miss, g2p_model, max_guesses=3, beam=g2p_beam,
+            min_beam=max(1, g2p_beam // 2),
+            eps_per_grapheme=max(0, g2p_order - 1),
+        )
+        .filter(F.col("guess_idx") == 0)
+        .select(
+            F.col("word").alias("_w_g2p"), F.col("phonemes").alias("p_g2p")
+        )
+    )
+    out = out.join(
+        decoded, F.lower(F.col("word")) == F.col("_w_g2p"), "left"
+    ).drop("_w_g2p")
     return out.select(
         "doc_id",
         "word",
         F.coalesce(
-            *[F.col(a) for a, _ in legs], grapheme_pron(F.col("word"))
+            *leg_cols, F.col("p_g2p"), grapheme_pron(F.col("word"))
         ).alias("phonemes"),
-        src.otherwise("g2p").alias("source"),
+        src.when(F.col("p_g2p").isNotNull(), "g2p")
+        .otherwise("g2p_grapheme")
+        .alias("source"),
     )
 
 
