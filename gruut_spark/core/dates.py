@@ -99,3 +99,34 @@ def parse_date(text: str, date_order: str = "MDY", lang: str = "en") -> Optional
             return _valid(int(m.group(3)), month, int(m.group(1)))
 
     return None
+
+_NUMERIC_MD = re.compile(r"^\s*(\d{1,2})([/.\-])(\d{1,2})\s*$")
+
+NO_YEAR = 0  # sentinel outside _valid's 1..9999 range
+
+
+def parse_date_lenient(
+    text: str, date_order: str = "MDY", lang: str = "en"
+) -> Optional[DateTuple]:
+    """Non-strict retry for FORCED dates (say-as interpret-as="date"):
+    the reference re-parses with ``STRICT_PARSING=False``
+    (gruut/text_processor.py:1989-1994), which lets dateparser fill the
+    missing year with *today's* — nondeterministic by design. This
+    engine stays deterministic: a two-component date parses with
+    ``year = NO_YEAR`` and verbalization simply skips when the format
+    actually needs the year (month/day formats like "md" render
+    identically to the reference)."""
+    got = parse_date(text, date_order, lang)
+    if got is not None:
+        return got
+    m = _NUMERIC_MD.match(text)
+    if m is None:
+        return None
+    a, b = int(m.group(1)), int(m.group(3))
+    month, day = (b, a) if date_order == "DMY" else (a, b)
+    if not (1 <= month <= 12 and 1 <= day <= 31):
+        # one permissive alternate-order retry, mirroring parse_date
+        month, day = day, month
+        if not (1 <= month <= 12 and 1 <= day <= 31):
+            return None
+    return (NO_YEAR, month, day)

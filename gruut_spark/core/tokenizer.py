@@ -435,6 +435,15 @@ def _transform_date(tok: Tok, s: TextSettings) -> bool:
         tok.maybe_date = False
         return False
     date = parse_date(tok.text, date_order=s.date_order, lang=s.lang)
+    if date is None and tok.interpret_as == DATE:
+        # FORCED date (say-as): the reference retries with
+        # STRICT_PARSING=False (text_processor.py:1989-1994); our
+        # deterministic equivalent parses yearless month/day forms
+        from .dates import parse_date_lenient
+
+        date = parse_date_lenient(
+            tok.text, date_order=s.date_order, lang=s.lang
+        )
     if date is None:
         # Memo the failed parse (types.py flag contract). The reference
         # leaves the flag set and returns True, re-parsing the same text
@@ -669,6 +678,13 @@ def _verbalize_date(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
     if "{O}" in fmt_str or "{o}" in fmt_str:
         day_ord = verbalize.ordinal(day_n, s.lang)
     if "{Y}" in fmt_str or "{y}" in fmt_str:
+        from .dates import NO_YEAR
+
+        if year_n == NO_YEAR:
+            # yearless forced date but the format needs the year: the
+            # reference would inject today's year (nondeterministic);
+            # deterministic engine leaves the token unverbalized
+            return None
         year_str = verbalize.year(year_n, s.lang)
     date_str = fmt_str.format(
         M=month_str, m=month_str, D=day_card, d=day_card, O=day_ord,

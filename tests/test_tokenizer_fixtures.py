@@ -380,3 +380,66 @@ def test_maybe_split_ipa():
     assert maybe_split_ipa("t͡ʃiːz") == ["t͡ʃ", "iː", "z"]      # tie + length
     assert maybe_split_ipa("pʰat") == ["pʰ", "a", "t"]         # aspiration
     assert "".join(maybe_split_ipa("ĩta")) == "ĩta"            # nasal combining
+
+
+def test_multiple_passes_initialism_plus_number():
+    """Reference tests/test_text_processor.py test_multiple_passes:
+    'ABCD-10' needs two fixpoint passes — word-break split first
+    (ABCD-10 -> ABCD 10), then initialism spell-out + number
+    verbalization (-> A B C D ten)."""
+    got = [w.text for s in sentences("ABCD-10", "en_US")
+           for w in s.words if w.is_spoken]
+    assert got == ["A", "B", "C", "D", "ten"]
+
+
+def test_initialism_expansion_roofus():
+    """Reference test_override_initialism's base behavior (the inline
+    SSML lexicon override itself is out of scope): an all-caps unknown
+    word expands letter by letter."""
+    got = [w.text for s in sentences("ROOFUS", "en_US")
+           for w in s.words if w.is_spoken]
+    assert got == ["R", "O", "O", "F", "U", "S"]
+
+
+def test_number_nonfinite_not_parsed():
+    """Reference test_number_nonfinite: 'nan' and 'inf' must NOT be
+    treated as numbers (Python float() accepts both — the classic
+    numparse trap the reference test pins)."""
+    got = [w.text for s in sentences("nan inf", "en_US")
+          for w in s.words if w.is_spoken]
+    assert got == ["nan", "inf"]
+
+
+def test_say_as_date_format_md():
+    """Reference test_date_format_ordinal: forced date without a year
+    (<say-as interpret-as="date" format="md">4/1</say-as>) — the
+    reference retries dateparser non-strict; our deterministic lenient
+    parse renders the same month/cardinal-day words."""
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    got = [w.text for s in core_sentences(
+        "4/1", "en_US", interpret_as="date", say_format="md")
+        for w in s.words if w.is_spoken]
+    assert got == ["April", "one"]
+
+
+def test_say_as_date_format_dmy_cardinal():
+    """Reference test_date_format_cardinal: format dmy with a year."""
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    got = [w.text for s in core_sentences(
+        "4/1/2000", "en_US", interpret_as="date", say_format="dmy")
+        for w in s.words if w.is_spoken]
+    assert got == ["one", "April", "two", "thousand"]
+
+
+def test_forced_yearless_date_with_year_format_stays_text():
+    """Deterministic deviation (documented in dates.parse_date_lenient):
+    a yearless forced date whose format needs the year stays unverbalized
+    instead of injecting today's year like dateparser would."""
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    got = [w.text for s in core_sentences(
+        "4/1", "en_US", interpret_as="date")
+        for w in s.words if w.is_spoken]
+    assert got == ["4/1"]
