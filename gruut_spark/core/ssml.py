@@ -159,7 +159,13 @@ class _Walker:
             return
 
         sub = dict(
-            lang=elem.attrib.get(_XML_LANG, ctx.lang),
+            # xml:lang, with the un-namespaced 'lang' attribute accepted
+            # too — the reference reads every attribute namespace-blind
+            # (gruut/utils.py:185 attrib_no_namespace; its tests write
+            # <w lang="es_ES"> with the plain attribute)
+            lang=elem.attrib.get(_XML_LANG)
+            or elem.attrib.get("lang")
+            or ctx.lang,
             voice=ctx.voice, par_idx=ctx.par_idx,
             sent_scope=ctx.sent_scope, lookups=ctx.lookups,
             interpret_as=ctx.interpret_as, say_format=ctx.say_format,
@@ -240,9 +246,19 @@ def _segment_tokens(seg: _Segment, root_lang: str) -> List[Tok]:
     lang_attr = seg.lang or root_lang
     key = resolve_lang(lang_attr)
     if seg.kind == "word":
-        # explicitly tokenized: never split, never transformed
-        # (reference in_lexicon protection, gruut/text_processor.py:930)
-        return [Tok(text=seg.text, ws=seg.text, protected=True)]
+        # explicitly tokenized: never SPLIT, but transforms still apply
+        # — the reference's in_lexicon flag guards only split stages
+        # (gruut/text_processor.py:1294,1341,1453,1499), so a number in
+        # <w lang="de_DE">3</w> verbalizes as 'drei' (its own language).
+        # Words carrying explicit phonemes or an inline-lexicon lookup
+        # stay fully protected: rewriting their text would orphan the
+        # pronunciation they were annotated with.
+        tok = Tok(text=seg.text, ws=seg.text, protected=True)
+        if seg.phonemes is not None or seg.lookups:
+            return [tok]
+        from .tokenizer import run_token_passes
+
+        return run_token_passes([tok], get_settings(key))
     return process_tokens(
         seg.text, lang=key, settings=get_settings(key),
         interpret_as=seg.interpret_as, say_format=seg.say_format,

@@ -815,6 +815,39 @@ def process_tokens(
                 interpret_as=interpret_as, fmt=say_format)
         )
 
+    return run_token_passes(
+        toks, s, max_passes=max_passes,
+        detect_numbers=detect_numbers, detect_currency=detect_currency,
+        detect_dates=detect_dates, detect_times=detect_times,
+        verbalize_numbers=verbalize_numbers,
+        verbalize_currency=verbalize_currency,
+        verbalize_dates=verbalize_dates, verbalize_times=verbalize_times,
+    )
+
+
+def run_token_passes(
+    toks: List[Tok],
+    s: TextSettings,
+    max_passes: int = DEFAULT_MAX_PASSES,
+    detect_numbers: bool = True,
+    detect_currency: bool = True,
+    detect_dates: bool = True,
+    detect_times: bool = True,
+    verbalize_numbers: bool = True,
+    verbalize_currency: bool = True,
+    verbalize_dates: bool = True,
+    verbalize_times: bool = True,
+) -> List[Tok]:
+    """The fixpoint stage loop over PRE-BUILT tokens. Split from
+    ``process_tokens`` so the SSML path can run transforms/verbalization
+    over explicitly tokenized ``<w>``/``<token>`` words: a protected Tok
+    skips every SPLIT stage but still date/currency/number/time
+    transforms — exactly the reference's in_lexicon guard placement
+    (splits check it, gruut/text_processor.py:1294,1341,1453,1499;
+    transforms don't)."""
+    if not s.verbalize_supported:
+        verbalize_numbers = verbalize_currency = False
+        verbalize_dates = verbalize_times = False
     passes_left = max_passes
     while passes_left > 0:
         was_changed = False

@@ -325,3 +325,36 @@ def test_pipeline_routes_ssml_documents():
         '<?xml version="1.0"?><catalog><item>x</item></catalog>', "en"
     )
     assert tokens != ["x"] and any("catalog" in t for t in tokens)
+
+
+def test_numbers_multiple_languages():
+    """Reference tests/test_text_processor.py test_numbers_multiple_languages:
+    numbers inside <w lang=...> verbalize in their OWN language (plain
+    un-namespaced lang attribute, read namespace-blind like the
+    reference's attrib_no_namespace)."""
+    sents = ssml_sentences(
+        '<speak>1 <w lang="es_ES">2</w> <w lang="de_DE">3</w></speak>',
+        "en_US",
+    )
+    got = [(w.text, w.lang) for s in sents for w in s.words if w.is_spoken]
+    assert got == [("one", "en_US"), ("dos", "es_ES"), ("drei", "de_DE")]
+
+
+def test_currency_multiple_languages():
+    """Reference test_currency_multiple_language: €10 per language —
+    en 'ten euro', fr 'dix euros' (plural), nl 'tien euro' (no plural)."""
+    sents = ssml_sentences(
+        '<speak>€10 <w lang="fr_FR">€10</w> <w lang="nl_NL">€10</w></speak>',
+        "en_US",
+    )
+    got = [w.text for s in sents for w in s.words if w.is_spoken]
+    assert got == ["ten", "euro", "dix", "euros", "tien", "euro"]
+
+
+def test_w_element_still_never_splits():
+    """The <w> guarantee transforms must not break: non-number content
+    with inner punctuation stays ONE word (the reference's in_lexicon
+    guard on split stages)."""
+    sents = ssml_sentences('<speak><w>ABCD-10x</w></speak>', "en_US")
+    got = [w.text for s in sents for w in s.words if w.is_spoken]
+    assert got == ["ABCD-10x"]
