@@ -268,7 +268,13 @@ def _segment_tokens(seg: _Segment, root_lang: str) -> List[Tok]:
 def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
     """Parse an SSML document into Sentence/Word records. ``lang`` is the
     fallback when the document carries no xml:lang."""
-    root = ET.fromstring(xml_text)
+    try:
+        root = ET.fromstring(xml_text)
+    except ET.ParseError:
+        # the reference auto-wraps fragments without a root —
+        # '<s>a</s><s>b</s>' is valid input (gruut/text_processor.py,
+        # test_missing_speak); re-raises if it still isn't XML
+        root = ET.fromstring(f"<speak>{xml_text}</speak>")
     walker = _Walker()
     root_lang = root.attrib.get(_XML_LANG, "") or lang
     walker.walk(root, _Ctx(lang=root_lang))
@@ -302,11 +308,20 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
             continue
         boundary = (
             cur is None
+            or seg.par_idx != cur.par_idx
             or seg.sent_scope != cur_scope
             or (seg.sent_scope == -1 and pending_break)
         )
         if boundary:
-            cur = Sentence(idx=len(sentences), par_idx=seg.par_idx,
+            # sentence index resets per paragraph (reference
+            # test_multiple_paragraphs: each <p>'s first sentence is
+            # sent_idx 0)
+            next_idx = (
+                cur.idx + 1
+                if cur is not None and cur.par_idx == seg.par_idx
+                else 0
+            )
+            cur = Sentence(idx=next_idx, par_idx=seg.par_idx,
                            lang=seg.lang or root_lang)
             sentences.append(cur)
             cur_scope = seg.sent_scope

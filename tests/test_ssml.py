@@ -358,3 +358,36 @@ def test_w_element_still_never_splits():
     sents = ssml_sentences('<speak><w>ABCD-10x</w></speak>', "en_US")
     got = [w.text for s in sents for w in s.words if w.is_spoken]
     assert got == ["ABCD-10x"]
+
+
+def test_missing_speak_autowrap():
+    """Reference test_missing_speak: fragments without a root element
+    are wrapped in <speak> automatically."""
+    sents = ssml_sentences("<s>hello</s><s>world</s>", "en_US")
+    got = [(s.idx, [w.text for w in s.words]) for s in sents]
+    assert got == [(0, ["hello"]), (1, ["world"])]
+
+
+def test_multiple_paragraphs_index():
+    """Reference test_multiple_paragraphs: each <p> starts a new
+    paragraph index AND resets the sentence index."""
+    sents = ssml_sentences(
+        "<speak><p>First paragraph</p><p>Second paragraph</p></speak>",
+        "en_US",
+    )
+    got = [(s.par_idx, s.idx, [w.text for w in s.words]) for s in sents]
+    assert got == [
+        (0, 0, ["First", "paragraph"]),
+        (1, 0, ["Second", "paragraph"]),
+    ]
+
+
+def test_adjacent_voice_tags():
+    """Reference test_adjacent_voice: sibling <voice> spans keep their
+    own voice on every word."""
+    sents = ssml_sentences(
+        '<voice name="a">hello.</voice><voice name="b">world.</voice>',
+        "en_US",
+    )
+    got = [(w.text, w.voice) for s in sents for w in s.words]
+    assert got == [("hello", "a"), (".", "a"), ("world", "b"), (".", "b")]
