@@ -72,7 +72,7 @@ def _local(tag: str) -> str:
 class _Segment:
     """A run of the word stream with one inherited context."""
 
-    kind: str  # 'text' | 'word'
+    kind: str  # 'text' | 'word' | 'break' | 'mark'
     text: str
     lang: str  # original attribute string ("en-US"), '' = document root
     voice: str = ""
@@ -204,6 +204,20 @@ class _Walker:
                 )
             )
             return
+        elif name == "mark":
+            # <mark name=.../>: name rides in .text; sent_scope != -1
+            # means the mark sits INSIDE an explicit <s> (word-level
+            # attachment), -1 means paragraph/speak level (sentence-level
+            # attachment) — reference _find_parent dichotomy,
+            # gruut/text_processor.py:290-330
+            self.segments.append(
+                _Segment(
+                    kind="mark", text=elem.attrib.get("name", ""),
+                    lang=sub["lang"], par_idx=sub["par_idx"],
+                    sent_scope=sub["sent_scope"],
+                )
+            )
+            return
         elif name in ("w", "token"):
             word_text = normalize_whitespace("".join(elem.itertext()))
             if word_text:
@@ -283,8 +297,8 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
     # segment context per token
     stream: List[Tuple[Optional[Tok], _Segment]] = []
     for seg in walker.segments:
-        if seg.kind == "break":
-            stream.append((None, seg))  # pause marker, no word
+        if seg.kind in ("break", "mark"):
+            stream.append((None, seg))  # marker, no word
             continue
         for tok in _segment_tokens(seg, root_lang):
             if tok.kind == IGNORE:
@@ -299,12 +313,47 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
     cur_scope: Optional[int] = None
     pending_break = False
     pending_pause_before = 0
-    for tok, seg in stream:
-        if tok is None:  # <break>: attach to the neighboring word
+    pending_word_marks: List[str] = []
+    pending_sent_marks: List[str] = []
+
+    def _more_words_in_scope(start: int, scope: int) -> bool:
+        for tok2, seg2 in stream[start:]:
+            if tok2 is None:
+                continue
+            return seg2.sent_scope == scope
+        return False
+
+    for stream_idx, (tok, seg) in enumerate(stream):
+        if tok is None and seg.kind == "break":
+            # <break>: attach to the neighboring word
             if cur is not None and cur.words:
                 cur.words[-1].pause_after_ms += seg.pause_ms
             else:
                 pending_pause_before += seg.pause_ms
+            continue
+        if tok is None:  # <mark>: reference gruut/text_processor.py:290-330
+            name = seg.text
+            if seg.sent_scope != -1:
+                # inside an explicit <s>: word-level attachment
+                if (
+                    cur is not None
+                    and cur_scope == seg.sent_scope
+                    and cur.words
+                ):
+                    if _more_words_in_scope(stream_idx + 1, seg.sent_scope):
+                        w = cur.words[-1]
+                        w.marks_after = (w.marks_after or []) + [name]
+                    else:  # after the sentence's last word
+                        cur.marks_after = (cur.marks_after or []) + [name]
+                else:  # before the sentence's first word
+                    pending_word_marks.append(name)
+            else:
+                # paragraph/speak level: sentence-level attachment
+                if sentences and sentences[-1].par_idx == seg.par_idx:
+                    last = sentences[-1]
+                    last.marks_after = (last.marks_after or []) + [name]
+                else:
+                    pending_sent_marks.append(name)
             continue
         boundary = (
             cur is None
@@ -322,7 +371,9 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
                 else 0
             )
             cur = Sentence(idx=next_idx, par_idx=seg.par_idx,
-                           lang=seg.lang or root_lang)
+                           lang=seg.lang or root_lang,
+                           marks_before=pending_sent_marks or None)
+            pending_sent_marks = []
             sentences.append(cur)
             cur_scope = seg.sent_scope
             pending_break = False
@@ -341,14 +392,23 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
                 lang=seg.lang or root_lang, voice=seg.voice,
                 role=seg.role, phonemes=phonemes,
                 pause_before_ms=pending_pause_before,
+                marks_before=pending_word_marks or None,
                 is_major_break=tok.kind == MAJOR,
                 is_minor_break=tok.kind == MINOR,
                 is_punctuation=tok.kind == PUNCT,
             )
         )
         pending_pause_before = 0
+        pending_word_marks = []
         if tok.kind == MAJOR:
             pending_break = True
+
+    # trailing container-level marks with no sentence after them belong
+    # to the LAST sentence (the reference's paragraph counter is still
+    # "current" at document end, so its par-equality check attaches them)
+    if pending_sent_marks and sentences:
+        last = sentences[-1]
+        last.marks_after = (last.marks_after or []) + pending_sent_marks
 
     # sentence text fields, with the root profile's joiner (flatten's
     # assembly rule)

@@ -8,8 +8,9 @@ with its expansion in place carries the same information (DFS order of
 leaves == list order).
 
 Word/Sentence mirror the reference output records
-(``gruut/const.py:375-499``) minus TTS-only fields (phonemes, pauses,
-marks, voice) that are out of scope for a corpus quality filter.
+(``gruut/const.py:375-499``) including the SSML-populated fields
+(phonemes, pauses, marks, voice) — plain-text processing leaves them at
+their defaults.
 """
 
 from __future__ import annotations
@@ -99,6 +100,10 @@ class Word:
     # via BreakNode.get_milliseconds semantics)
     pause_before_ms: int = 0
     pause_after_ms: int = 0
+    # SSML <mark> names adjacent to this word (reference Word
+    # marks_before/marks_after, gruut/const.py:428-433; None = no marks)
+    marks_before: Optional[List[str]] = None
+    marks_after: Optional[List[str]] = None
     is_major_break: bool = False
     is_minor_break: bool = False
     is_punctuation: bool = False
@@ -124,6 +129,10 @@ class Sentence:
     text_spoken: str = ""
     par_idx: int = 0
     lang: str = ""
+    # SSML <mark> names at paragraph/speak level around this sentence
+    # (reference Sentence marks_before/marks_after, gruut/const.py:478-483)
+    marks_before: Optional[List[str]] = None
+    marks_after: Optional[List[str]] = None
     words: List[Word] = field(default_factory=list)
 
     def __iter__(self):

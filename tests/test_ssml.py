@@ -391,3 +391,35 @@ def test_adjacent_voice_tags():
     )
     got = [(w.text, w.voice) for s in sents for w in s.words]
     assert got == [("hello", "a"), (".", "a"), ("world", "b"), (".", "b")]
+
+
+def test_mark():
+    """Reference tests/test_text_processor.py test_mark, verbatim:
+    paragraph/speak-level marks attach around the SENTENCE
+    (marks_before/marks_after), marks inside <s> attach around the
+    adjacent WORD."""
+    sents = ssml_sentences(
+        """
+        <speak>
+          <mark name="a"/>
+          <p>
+            <mark name="b" />
+            <s>
+              <mark name="c" />
+              Mark <mark name="d" /> here
+            </s>
+            <mark name="e" />
+          </p>
+          <mark name="f" />
+        </speak>
+        """,
+        "en_US",
+    )
+    assert len(sents) == 1
+    s = sents[0]
+    assert s.marks_before == ["a", "b"]
+    assert s.marks_after == ["e", "f"]
+    assert [(w.text, w.marks_before, w.marks_after) for w in s.words] == [
+        ("Mark", ["c"], ["d"]),
+        ("here", None, None),
+    ]
