@@ -1,0 +1,152 @@
+"""Catalan vowel-contact post-processing (reference
+``gruut/lang.py:2206-2489`` ``ca_post_process_sentence`` + the
+diphthong/fusion/elision rules): at word boundaries, adjacent vowel
+phonemes merge (fusion), drop (elision), or glide (diphthong), per
+Central Catalan sandhi. The full ca transcription ENGINE
+(lang.py:1702-2149, orthographic rewriting) stays out of scope
+(SURVEY §7.4); this module is the sentence-level hook that runs AFTER
+phonemization, the same shape as the fr liaison and fa ezāfe hooks.
+
+Faithful details:
+
+* the ``l ʎ l`` -> ``l l`` training-data fix runs first over every
+  word's phonemes (lang.py:2476-2489, the reference's own HACK note);
+* contiguous pairs are collected from STRICTLY adjacent word tokens —
+  a break or punctuation between two words blocks the contact
+  (lang.py:2450-2460 pairs only WordNode-WordNode windows);
+* per pair, rules apply in the reference's order diphthong -> fusion ->
+  elision, mutating in place so later rules and later pairs see
+  earlier edits (lang.py:2462-2467);
+* phoneme classes use the reference's apostrophe-stress notation
+  (lang.py:2206-2209): stressed = ``'a 'ɛ 'ɔ 'e 'i 'o 'u``, high =
+  ``i u 'i 'u``, neutral = ``ə``.
+
+No-op for words without phonemes — the reference's behavior when its
+lexicon has no entry.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from .types import Word
+
+PHONEME_VOWELS = frozenset(
+    ["'a", "'ɛ", "'ɔ", "'e", "'i", "'o", "'u", "ə", "i", "u"]
+)
+PHONEME_STRESSED_VOWELS = frozenset(["'a", "'ɛ", "'ɔ", "'e", "'i", "'o", "'u"])
+PHONEME_HIGH_VOWELS = frozenset(["i", "u", "'i", "'u"])
+PHONEME_NEUTRAL_VOWELS = frozenset(["ə"])
+
+
+def _is_stressed(p: str) -> bool:
+    return p in PHONEME_STRESSED_VOWELS
+
+
+def _is_high(p: str) -> bool:
+    return p in PHONEME_HIGH_VOWELS
+
+
+def _is_high_unstressed(p: str) -> bool:
+    return _is_high(p) and p in PHONEME_VOWELS and not _is_stressed(p)
+
+
+def _is_high_stressed(p: str) -> bool:
+    return _is_high(p) and _is_stressed(p)
+
+
+def _is_neutral(p: str) -> bool:
+    return p in PHONEME_NEUTRAL_VOWELS
+
+
+def _diphthong(w1: Word, w2: Word) -> None:
+    """gruut/lang.py:2344-2421."""
+    last, first = w1.phonemes[-1], w2.phonemes[0]
+    if _is_stressed(last) and not _is_high(last) and _is_high_unstressed(first):
+        # [stressed non-high] + i/u -> glide onset on word 2
+        if first == "i":
+            w2.phonemes[0] = "j"
+        elif first == "u":
+            w2.phonemes[0] = "uw"
+    elif _is_high_unstressed(last) and _is_stressed(first):
+        # clitic i/u + [stressed] -> glide coda on word 1 (only from the
+        # function words hi/ho/i; the reference's u-branch is a
+        # documented pass, mirrored)
+        if last == "i" and first != "'i" and w1.text in ("hi", "ho", "i"):
+            w1.phonemes[-1] = "y"
+    elif _is_neutral(last) and _is_high_unstressed(first):
+        # [ə] + i/u -> glide onset on word 2
+        if first == "i":
+            w2.phonemes[0] = "j"
+        elif first == "u":
+            w2.phonemes[0] = "uw"
+
+
+def _fusion(w1: Word, w2: Word) -> None:
+    """gruut/lang.py:2259-2305."""
+    last, first = w1.phonemes[-1], w2.phonemes[0]
+    if (
+        _is_high_unstressed(last)
+        and _is_high_stressed(first)
+        and last == first.replace("'", "")
+    ):
+        # [i]+['i] / [u]+['u]: the unstressed copy drops
+        w1.phonemes.pop()
+    elif _is_high_unstressed(last) and _is_high_unstressed(first) and last == first:
+        # [i]+[i] / [u]+[u]
+        w1.phonemes.pop()
+    elif (
+        _is_neutral(last)
+        and _is_neutral(first)
+        and w1.text != "a"
+        and w2.text != "a"
+    ):
+        # [ə]+[ə], except around the preposition "a"
+        w1.phonemes.pop()
+
+
+def _elision(w1: Word, w2: Word) -> None:
+    """gruut/lang.py:2308-2341."""
+    last, first = w1.phonemes[-1], w2.phonemes[0]
+    if (
+        _is_stressed(last)
+        and not _is_high(last)
+        and _is_neutral(first)
+        and w2.text != "a"
+    ):
+        # ['a 'ɛ 'e 'o 'ɔ] + [ə] -> neutral drops from word 2
+        w2.phonemes.pop(0)
+    elif _is_neutral(last) and _is_stressed(first) and not _is_high(first):
+        # [ə] + ['a 'ɛ 'e 'o 'ɔ] -> neutral drops from word 1
+        w1.phonemes.pop()
+
+
+def ca_post_process_sentence(words: Sequence[Word]) -> None:
+    """The ca post_process_sentence hook body (gruut/lang.py:2424-2467),
+    over flat Word records."""
+    # the reference's l ʎ l -> l l phoneme-sequence fix
+    for w in words:
+        if not (w.text and w.phonemes):
+            continue
+        joined = " ".join(w.phonemes)
+        if "l ʎ l" in joined:
+            w.phonemes[:] = joined.replace("l ʎ l", "l l").split(" ")
+
+    pairs: List[tuple] = []
+    for w1, w2 in zip(words, list(words)[1:]):
+        if not (w1.is_spoken and w2.is_spoken):
+            continue  # a break/punctuation between words blocks contact
+        if not (w1.text and w1.phonemes and w2.text and w2.phonemes):
+            continue
+        pairs.append((w1, w2))
+
+    for w1, w2 in pairs:
+        if not (w1.phonemes and w2.phonemes):
+            continue  # an earlier rule may have emptied a side
+        _diphthong(w1, w2)
+        if not (w1.phonemes and w2.phonemes):
+            continue
+        _fusion(w1, w2)
+        if not (w1.phonemes and w2.phonemes):
+            continue
+        _elision(w1, w2)

@@ -445,6 +445,37 @@ def _generic_eu_settings(lang: str, currency: str = "EUR",
     )
 
 
+def _ca_settings() -> TextSettings:
+    """Catalan (reference gruut/lang.py:2494-2532 get_ca_settings):
+    its own break/punctuation tables (¡ ¿ begin-puncts; ! ? both major
+    breaks AND end-puncts), apostrophe/hyphen-dropping replacements,
+    l·l -> l. The vowel-contact post-process hook
+    (core/ca_fusion.py) is registered like the reference does;
+    CatalanPreProcessText (the ~1,450-LoC transcription engine) stays
+    out of scope per SURVEY §7.4 — without it, number verbalization is
+    off (no ca num2words here) and words keep their written form."""
+    from .ca_fusion import ca_post_process_sentence
+
+    s = TextSettings(
+        lang="ca",
+        verbalize_supported=False,
+        major_breaks={".", "?", "!"},
+        minor_breaks={",", ";", ":", "..."},
+        word_breaks={"_"},
+        begin_punctuations={'"', "“", "«", "[", "(", "<", "¡", "¿"},
+        end_punctuations={'"', "”", "»", "]", ")", ">", "!", "?"},
+        default_currency="EUR",
+        default_date_format="dmy",
+        replacements=[("’", "'"), ("'", ""), ("-", ""), ("l·l", "l")],
+        currencies={"€": "EUR", "$": "USD", "£": "GBP"},
+        group_char=".",
+        decimal_char=",",
+        date_order="DMY",
+    )
+    s.post_process_sentence = ca_post_process_sentence
+    return s
+
+
 def _zh_settings() -> TextSettings:
     """Chinese (reference gruut/lang.py:833-847): char-level split_words
     (``list``), join_str="", CJK punctuation/break tables. Number
@@ -506,6 +537,7 @@ _SETTINGS_FACTORIES = {
     # the reference registers the SAME liaison post-process for Italian
     # (gruut/lang.py:698) — mirrored here
     "it_IT": lambda: _with_liaison(_generic_eu_settings("it_IT")),
+    "ca": _ca_settings,
     # Luxembourgish (gruut/lang.py:707-722): the same shared EU table —
     # verified field-for-field against get_lb_settings
     "lb": lambda: _generic_eu_settings("lb"),
@@ -525,6 +557,7 @@ _LANG_ALIASES = {
     "de": "de_DE", "de-de": "de_DE", "de_de": "de_DE",
     "es": "es_ES", "es-es": "es_ES", "es_es": "es_ES", "es-mx": "es_ES",
     "fr": "fr_FR", "fr-fr": "fr_FR", "fr_fr": "fr_FR",
+    "ca": "ca", "ca-ce": "ca", "ca-ba": "ca", "ca-no": "ca", "ca-va": "ca",
     "cs": "cs_CZ", "cs-cz": "cs_CZ",
     "it": "it_IT", "it-it": "it_IT",
     "lb": "lb", "lb-lb": "lb", "lb_lb": "lb",

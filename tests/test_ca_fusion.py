@@ -1,0 +1,119 @@
+"""Catalan vowel-contact post-processing (core/ca_fusion.py), ported
+from the reference's diphthong/fusion/elision rules
+(gruut/lang.py:2259-2489). The reference ships no unit tests for these
+functions (its test_ca exercises the full transcription engine, out of
+scope per SURVEY §7.4), so the fixtures here encode each rule's
+documented case with explicit phoneme inputs — the same approach as
+tests/test_liaison.py."""
+
+from gruut_spark.core.ca_fusion import ca_post_process_sentence
+from gruut_spark.core.types import Word
+
+
+def _w(text, phonemes, **kw):
+    return Word(idx=0, sent_idx=0, text=text, text_with_ws=text,
+                phonemes=list(phonemes), **kw)
+
+
+def _run(*words):
+    ca_post_process_sentence(list(words))
+    return [w.phonemes for w in words]
+
+
+def test_diphthong_stressed_plus_high_i():
+    # lang.py:2358-2366: [stressed non-high] + [i] -> glide j on word 2
+    p1, p2 = _run(_w("mà", ["m", "'a"]), _w("i", ["i"]))
+    assert p1 == ["m", "'a"] and p2 == ["j"]
+
+
+def test_diphthong_stressed_plus_high_u():
+    p1, p2 = _run(_w("mà", ["m", "'a"]), _w("un", ["u", "n"]))
+    assert p2 == ["uw", "n"]
+
+
+def test_diphthong_clitic_i_plus_stressed():
+    # lang.py:2378-2387: hi/ho/i clitic [i] + stressed -> y
+    p1, p2 = _run(_w("hi", ["i"]), _w("ha", ["'a"]))
+    assert p1 == ["y"] and p2 == ["'a"]
+    # any other word keeps its [i]
+    p1, p2 = _run(_w("si", ["s", "i"]), _w("ha", ["'a"]))
+    assert p1 == ["s", "i"]
+
+
+def test_diphthong_neutral_plus_high():
+    # lang.py:2398-2414: [ə] + [i] -> j ; [ə] + [u] -> uw
+    _, p2 = _run(_w("una", ["u", "n", "ə"]), _w("illa", ["i", "ʎ", "ə"]))
+    assert p2 == ["j", "ʎ", "ə"]
+
+
+def test_fusion_high_unstressed_plus_same_stressed():
+    # lang.py:2269-2280: [i] + ['i] -> the unstressed copy drops
+    p1, p2 = _run(_w("si", ["s", "i"]), _w("illa", ["'i", "ʎ", "ə"]))
+    assert p1 == ["s"] and p2 == ["'i", "ʎ", "ə"]
+
+
+def test_fusion_same_high_unstressed():
+    # lang.py:2282-2292: [u] + [u] -> one drops
+    p1, _ = _run(_w("tu", ["t", "u"]), _w("urbà", ["u", "r", "β", "'a"]))
+    assert p1 == ["t"]
+
+
+def test_fusion_neutral_neutral_except_a():
+    # lang.py:2294-2303: [ə] + [ə] -> one drops, except around "a"
+    p1, _ = _run(_w("una", ["u", "n", "ə"]), _w("escola", ["ə", "s", "k"]))
+    assert p1 == ["u", "n"]
+    p1, _ = _run(_w("a", ["ə"]), _w("escola", ["ə", "s", "k"]))
+    assert p1 == ["ə"]  # preposition "a" is exempt
+
+
+def test_elision_stressed_plus_neutral():
+    # lang.py:2320-2330: ['ɛ] + [ə] -> neutral drops from word 2
+    _, p2 = _run(_w("cafè", ["k", "'ɛ"]), _w("amarg", ["ə", "m"]))
+    assert p2 == ["m"]
+    # but not when word 2 is the preposition "a"
+    _, p2 = _run(_w("cafè", ["k", "'ɛ"]), _w("a", ["ə"]))
+    assert p2 == ["ə"]
+
+
+def test_elision_neutral_plus_stressed():
+    # lang.py:2332-2340: [ə] + ['a] -> neutral drops from word 1
+    p1, _ = _run(_w("pota", ["p", "ə"]), _w("alta", ["'a", "l"]))
+    assert p1 == ["p"]
+
+
+def test_l_geminate_fix():
+    # lang.py:2476-2489: training-data 'l ʎ l' -> 'l l'
+    (p1,) = _run(_w("til·la", ["t", "i", "l", "ʎ", "l", "ə"]))
+    assert p1 == ["t", "i", "l", "l", "ə"]
+
+
+def test_punctuation_blocks_contact():
+    comma = Word(idx=1, sent_idx=0, text=",", text_with_ws=", ",
+                 is_minor_break=True)
+    w1, w2 = _w("mà", ["m", "'a"]), _w("i", ["i"])
+    ca_post_process_sentence([w1, comma, w2])
+    assert w2.phonemes == ["i"]  # no pair across the break
+
+
+def test_rule_order_diphthong_before_fusion():
+    # diphthong runs first within a pair: [ə]+[i] becomes [ə]+[j],
+    # which then matches no fusion/elision pattern
+    p1, p2 = _run(_w("una", ["u", "n", "ə"]), _w("hi", ["i"]))
+    assert p1 == ["u", "n", "ə"] and p2 == ["j"]
+
+
+def test_profile_registration():
+    from gruut_spark.core.settings import get_settings, resolve_lang
+
+    assert resolve_lang("ca-ce") == "ca"
+    assert resolve_lang("ca-va") == "ca"
+    s = get_settings("ca")
+    assert s.post_process_sentence is ca_post_process_sentence
+    # apostrophe/hyphen-dropping replacements (lang.py:2516-2521)
+    from gruut_spark.core.tokenizer import sentences
+
+    got = [w.text for sent in sentences(
+        "El meu aerolliscador està ple d'anguiles.", "ca-ce")
+        for w in sent.words]
+    assert got == ["El", "meu", "aerolliscador", "està", "ple",
+                   "danguiles", "."]
