@@ -200,3 +200,35 @@ def test_trained_model_generalizes_heldout():
     assert n >= 90
     assert exact >= 0.35, exact          # measured 0.51 (200-word split)
     assert segmental >= 0.55, segmental  # measured 0.72
+
+
+CS_LEXICON = "/root/reference/gruut-lang-cs/gruut_lang_cs/lexicon.db"
+
+
+@pytest.mark.skipif(
+    not os.path.exists(CS_LEXICON), reason="no reference mount"
+)
+def test_cs_crf_word_decoded_by_pair_ngram():
+    """'úhořů' is the word the reference resolves with its Czech CRF G2P
+    model (tests/test_sqlite_phonemizer.py:45-57; binary not run here —
+    tests/test_sqlite_phonemizer.py::test_cs asserts the lookup chain's
+    fallback). A pair-n-gram model trained on the SAME lexicon's
+    alignments decodes it correctly: the reference's exact phonemes
+    appear in the top guesses, with the top-1 differing only by the
+    (phonologically standard) Czech glottal onset on the initial
+    vowel."""
+    con = sqlite3.connect(CS_LEXICON)
+    aligns = [r[0] for r in con.execute("SELECT alignment FROM g2p_alignments")]
+    con.close()
+    model = train_pair_ngram(aligns, order=4)
+    from gruut_spark.core.g2p_decode import beam_decode
+
+    guesses = [
+        " ".join(g)
+        for g in beam_decode(
+            model, "úhořů", beam=150, min_beam=75, max_guesses=3,
+            max_eps_rounds=3 * len("úhořů") + 8,
+        )
+    ]
+    assert guesses[0] == "ʔ uː ɦ o r̝ uː"
+    assert "uː ɦ o r̝ uː" in guesses  # the reference CRF's output
