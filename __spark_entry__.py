@@ -618,11 +618,16 @@ def _doc_ssml_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         words.groupBy("doc_id")
         .agg(
-            (F.max("sent_idx") + F.lit(1)).alias("n_sentences"),
+            # sent_idx resets per paragraph, so count distinct positions
+            # (envelope docs are single-paragraph, but the operator
+            # contract holds for real multi-<p> SSML — r03 review)
+            F.countDistinct("par_idx", "sent_idx").alias("n_sentences"),
             F.count("*").alias("n_words"),
             F.sum(F.col("is_spoken").cast("long")).alias("n_spoken"),
             F.max("voice").alias("voice"),
-            F.min_by("word", F.struct("sent_idx", "word_idx")).alias("first_word"),
+            F.min_by(
+                "word", F.struct("par_idx", "sent_idx", "word_idx")
+            ).alias("first_word"),
         )
         .orderBy(F.col("doc_id").cast("long"))
     )

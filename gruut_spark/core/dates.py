@@ -124,9 +124,12 @@ def parse_date_lenient(
         return None
     a, b = int(m.group(1)), int(m.group(3))
     month, day = (b, a) if date_order == "DMY" else (a, b)
-    if not (1 <= month <= 12 and 1 <= day <= 31):
-        # one permissive alternate-order retry, mirroring parse_date
+    # calendar-validate with a leap-permissive stand-in year, so '2/31'
+    # fails like dateparser's real datetime construction does ('2/29'
+    # stays parseable — no year to rule the leap out); alternate-order
+    # retry mirrors parse_date
+    if _valid(2000, month, day) is None:
         month, day = day, month
-        if not (1 <= month <= 12 and 1 <= day <= 31):
+        if _valid(2000, month, day) is None:
             return None
     return (NO_YEAR, month, day)

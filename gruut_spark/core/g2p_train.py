@@ -124,7 +124,14 @@ class PairNGramCounts:
 
     def add_alignments(self, alignments: Iterable[str]) -> None:
         for a in alignments:
-            self.add_sequence(parse_alignment(a))
+            pairs = parse_alignment(a)
+            if not pairs:
+                # empty/malformed alignment contributes NOTHING — not an
+                # EOS-only sequence, which would shift the EOS unigram
+                # mass; the distributed counter skips these identically
+                # (operators/g2p_train.py), preserving bit-identity
+                continue
+            self.add_sequence(pairs)
 
     def merge_counts(self, items: Iterable[Tuple[Tuple[Pair, ...], Pair, int]]) -> None:
         """Fold (ctx, pair, count) triples in (distributed partials)."""
@@ -187,10 +194,15 @@ def model_from_counts(counts: PairNGramCounts) -> G2PModel:
     start = sid(())
     arcs: Dict[int, List[G2PArc]] = defaultdict(list)
     finals: Dict[int, float] = {}
-    for ctx in all_ctx:
+    # sorted iteration everywhere: set/dict order depends on the
+    # per-process str-hash salt, and beam_decode's stable sort breaks
+    # equal-cost ties by insertion order — unsorted compilation would
+    # make rank-k decode output vary across processes (the repo's
+    # deterministic-hashing invariant, caught in r03 review)
+    for ctx in sorted(all_ctx):
         s = sid(ctx)
         k = len(ctx) + 1
-        for pair in ctx_next.get(ctx, ()):
+        for pair in sorted(ctx_next.get(ctx, ())):
             cost = -math.log(wb(k, ctx, pair))
             if pair == EOS_PAIR:
                 if s not in finals or cost < finals[s]:
@@ -212,7 +224,7 @@ def model_from_counts(counts: PairNGramCounts) -> G2PModel:
     # takes epsilon arcs after the last grapheme (reference parity,
     # g2p_phonetisaurus.py:443-448), so a state with no observed EOS
     # must carry its backed-off final cost directly
-    for ctx in sorted(all_ctx, key=len, reverse=True):
+    for ctx in sorted(all_ctx, key=lambda c: (-len(c), c)):
         s = sid(ctx)
         if s in finals or not ctx:
             continue

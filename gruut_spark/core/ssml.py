@@ -84,6 +84,7 @@ class _Segment:
     interpret_as: str = ""
     say_format: str = ""
     pause_ms: int = 0  # kind='break' only
+    container: str = "speak"  # kind='mark': nearest enclosing speak/p/s
 
 
 @dataclass
@@ -95,6 +96,7 @@ class _Ctx:
     lookups: Tuple[str, ...] = ()
     interpret_as: str = ""
     say_format: str = ""
+    container: str = "speak"  # nearest enclosing speak/p/s
 
 
 Lexicon = Dict[Tuple[str, str], List[str]]  # (grapheme, role) -> phonemes
@@ -169,6 +171,7 @@ class _Walker:
             voice=ctx.voice, par_idx=ctx.par_idx,
             sent_scope=ctx.sent_scope, lookups=ctx.lookups,
             interpret_as=ctx.interpret_as, say_format=ctx.say_format,
+            container=(name if name in ("speak", "p", "s") else ctx.container),
         )
         if name == "voice":
             sub["voice"] = elem.attrib.get("name", ctx.voice)
@@ -215,6 +218,9 @@ class _Walker:
                     kind="mark", text=elem.attrib.get("name", ""),
                     lang=sub["lang"], par_idx=sub["par_idx"],
                     sent_scope=sub["sent_scope"],
+                    # the PARENT element decides attachment (mark itself
+                    # is not a container)
+                    container=ctx.container,
                 )
             )
             return
@@ -229,6 +235,12 @@ class _Walker:
                         par_idx=sub["par_idx"],
                         sent_scope=sub["sent_scope"],
                         lookups=sub["lookups"],
+                        # an enclosing <say-as> forces interpretation of
+                        # explicit words too (reference scope_kwargs /
+                        # say-as stack reach every WordNode,
+                        # text_processor.py:556-558; r03 review)
+                        interpret_as=sub["interpret_as"],
+                        say_format=sub["say_format"],
                     )
                 )
             return
@@ -267,7 +279,8 @@ def _segment_tokens(seg: _Segment, root_lang: str) -> List[Tok]:
         # Words carrying explicit phonemes or an inline-lexicon lookup
         # stay fully protected: rewriting their text would orphan the
         # pronunciation they were annotated with.
-        tok = Tok(text=seg.text, ws=seg.text, protected=True)
+        tok = Tok(text=seg.text, ws=seg.text, protected=True,
+                  interpret_as=seg.interpret_as, fmt=seg.say_format)
         if seg.phonemes is not None or seg.lookups:
             return [tok]
         from .tokenizer import run_token_passes
@@ -325,8 +338,16 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
 
     for stream_idx, (tok, seg) in enumerate(stream):
         if tok is None and seg.kind == "break":
-            # <break>: attach to the neighboring word
-            if cur is not None and cur.words:
+            # <break>: attach to the neighboring word — but a break
+            # opening a NEW paragraph pauses before the next sentence,
+            # not after the previous paragraph's last word (reference
+            # ParagraphNode par-equality branch,
+            # text_processor.py:257-279; r03 review)
+            if (
+                cur is not None
+                and cur.words
+                and cur.par_idx == seg.par_idx
+            ):
                 cur.words[-1].pause_after_ms += seg.pause_ms
             else:
                 pending_pause_before += seg.pause_ms
@@ -346,10 +367,24 @@ def ssml_sentences(xml_text: str, lang: str = "en_US") -> List[Sentence]:
                     else:  # after the sentence's last word
                         cur.marks_after = (cur.marks_after or []) + [name]
                 else:  # before the sentence's first word
+                    # deliberately NOT scoped to this sentence: the
+                    # reference's word_marks_before survives until the
+                    # next WordNode regardless of sentence boundaries
+                    # (text_processor.py:132,320), so a mark in an empty
+                    # <s> reaches the next sentence's first word there
+                    # too — confirmed reference-faithful in r03 review
                     pending_word_marks.append(name)
             else:
-                # paragraph/speak level: sentence-level attachment
-                if sentences and sentences[-1].par_idx == seg.par_idx:
+                # paragraph/speak level: sentence-level attachment. A
+                # speak-parent mark attaches to the LAST sentence
+                # unconditionally (reference SpeakNode branch,
+                # text_processor.py:332-339); a p-parent mark only to a
+                # sentence of ITS paragraph, else it waits for the next
+                # one (ParagraphNode par-equality branch)
+                if sentences and (
+                    seg.container == "speak"
+                    or sentences[-1].par_idx == seg.par_idx
+                ):
                     last = sentences[-1]
                     last.marks_after = (last.marks_after or []) + [name]
                 else:

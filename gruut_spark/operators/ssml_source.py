@@ -22,9 +22,13 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 SSML_WORDS_SCHEMA = (
-    "doc_id string, sent_idx int, word_idx int, word string,"
+    "doc_id string, par_idx int, sent_idx int, word_idx int, word string,"
     " word_lang string, voice string, is_spoken boolean"
 )
+# par_idx is part of the row key: sent_idx RESETS per paragraph
+# (core/ssml.py paragraph boundaries, reference test_multiple_paragraphs),
+# so (par_idx, sent_idx, word_idx) is the unique position — sent_idx
+# alone collides across paragraphs (r03 review)
 
 
 def build_ssml(text: str, lang: str, voice: str = "") -> str:
@@ -56,13 +60,13 @@ def _ssml_words_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             for sent in sents:
                 for w in sent.words:
                     rows.append(
-                        (doc_id, sent.idx, w.idx, w.text, w.lang,
-                         w.voice, w.is_spoken)
+                        (doc_id, sent.par_idx, sent.idx, w.idx, w.text,
+                         w.lang, w.voice, w.is_spoken)
                     )
         yield pd.DataFrame(
             rows,
-            columns=["doc_id", "sent_idx", "word_idx", "word",
-                     "word_lang", "voice", "is_spoken"],
+            columns=["doc_id", "par_idx", "sent_idx", "word_idx",
+                     "word", "word_lang", "voice", "is_spoken"],
         )
 
 

@@ -232,3 +232,45 @@ def test_cs_crf_word_decoded_by_pair_ngram():
     ]
     assert guesses[0] == "ʔ uː ɦ o r̝ uː"
     assert "uː ɦ o r̝ uː" in guesses  # the reference CRF's output
+
+
+def test_empty_alignments_ignored_serial_and_distributed(spark):
+    """r03 review: an empty/malformed alignment contributes nothing on
+    BOTH paths (the serial trainer used to count an EOS-only sequence
+    for it, shifting the EOS unigram mass vs the distributed counter)."""
+    from gruut_spark.operators.g2p_train import g2p_count_table
+
+    with_empty = SYNTH_ALIGNMENTS + ["", "garbage-no-brace"]
+    clean = PairNGramCounts(order=3)
+    clean.add_alignments(SYNTH_ALIGNMENTS)
+    dirty = PairNGramCounts(order=3)
+    dirty.add_alignments(with_empty)
+    assert clean.ngram == dirty.ngram
+
+    df = spark.createDataFrame(
+        [(a,) for a in with_empty] + [(None,)], "alignment string"
+    )
+    got = {
+        (r["ctx"], r["pair"]): r["cnt"]
+        for r in g2p_count_table(df, order=3).collect()
+    }
+    expect = {
+        (" ".join(pair_token(p) for p in ctx), pair_token(nxt)): c
+        for (ctx, nxt), c in clean.ngram.items()
+    }
+    assert got == expect
+
+
+def test_model_compile_is_insertion_order_independent():
+    """r03 review: WFST compilation iterates SORTED contexts/arcs, so
+    equal-count models built from differently ordered input produce
+    byte-identical arc lists (beam ties at the cutoff break by arc
+    order — unsorted sets made rank-k decode vary across processes)."""
+    a = PairNGramCounts(order=3)
+    a.add_alignments(SYNTH_ALIGNMENTS)
+    b = PairNGramCounts(order=3)
+    b.add_alignments(list(reversed(SYNTH_ALIGNMENTS)))
+    assert a.ngram == b.ngram
+    ma, mb = model_from_counts(a), model_from_counts(b)
+    assert ma.arcs == mb.arcs
+    assert ma.final_costs == mb.final_costs

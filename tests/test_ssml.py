@@ -423,3 +423,41 @@ def test_mark():
         ("Mark", ["c"], ["d"]),
         ("here", None, None),
     ]
+
+
+def test_say_as_reaches_w_elements():
+    """r03 review: an enclosing <say-as> forces interpretation of
+    explicitly tokenized <w> words too (the reference's say-as stack
+    reaches every WordNode)."""
+    sents = ssml_sentences(
+        '<speak><say-as interpret-as="date" format="md"><w>4/1</w>'
+        "</say-as></speak>",
+        "en_US",
+    )
+    got = [w.text for s in sents for w in s.words if w.is_spoken]
+    assert got == ["April", "one"]
+
+
+def test_speak_level_mark_after_multiple_paragraphs():
+    """r03 review: a speak-parent mark attaches to the LAST sentence
+    unconditionally (reference SpeakNode branch), even when the last
+    sentence belongs to a later paragraph than the speak context."""
+    sents = ssml_sentences(
+        '<speak><p>x.</p><p>y.</p><mark name="m"/><p>z.</p></speak>',
+        "en_US",
+    )
+    texts = [(s.par_idx, s.text_spoken, s.marks_after) for s in sents]
+    assert texts == [(0, "x", None), (1, "y", ["m"]), (2, "z", None)]
+
+
+def test_break_opening_new_paragraph_pauses_before():
+    """r03 review: a <break> at the start of a new paragraph becomes
+    pause_before of the next sentence's first word, not pause_after of
+    the previous paragraph's last word (reference ParagraphNode
+    par-equality branch)."""
+    sents = ssml_sentences(
+        '<speak><p>a.</p><p><break time="1s"/>b.</p></speak>', "en_US"
+    )
+    first_par_words = sents[0].words
+    assert all(w.pause_after_ms == 0 for w in first_par_words)
+    assert sents[1].words[0].pause_before_ms == 1000

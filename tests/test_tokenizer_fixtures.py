@@ -443,3 +443,20 @@ def test_forced_yearless_date_with_year_format_stays_text():
         "4/1", "en_US", interpret_as="date")
         for w in s.words if w.is_spoken]
     assert got == ["4/1"]
+
+
+def test_forced_impossible_calendar_date_stays_text():
+    """r03 review: the lenient yearless parse calendar-validates, so
+    '2/31' (like dateparser's real datetime construction) fails and the
+    token stays unverbalized; '2/29' remains parseable with no year to
+    rule the leap out."""
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    got = [w.text for s in core_sentences(
+        "2/31", "en_US", interpret_as="date", say_format="md")
+        for w in s.words if w.is_spoken]
+    assert got == ["2/31"]
+    got = [w.text for s in core_sentences(
+        "2/29", "en_US", interpret_as="date", say_format="md")
+        for w in s.words if w.is_spoken]
+    assert got == ["February", "twenty", "nine"]
