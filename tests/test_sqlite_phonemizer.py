@@ -195,3 +195,37 @@ def test_lb(spark):
     ]
     by_word = {w: (p, src) for w, p, src in got}
     assert by_word["d'Sonn"] == (["d", "'", "s", "o", "n", "n"], "g2p")
+
+
+IT_ESPEAK = f"{REF}/gruut-lang-it/gruut_lang_it/espeak/lexicon.db"
+
+
+@pytest.mark.skipif(not os.path.exists(IT_ESPEAK), reason="no reference mount")
+def test_espeak_lexicon_variant(spark):
+    """Each gruut-lang-* package ships a second lexicon.db under
+    espeak/ with the same lexicon2db schema but an espeak-flavored
+    phoneme inventory (the reference selects the variant by model
+    prefix). The ETL reads both identically; the same word resolves to
+    DIFFERENT phonemes per variant."""
+    from gruut_spark.operators.lexicon import (
+        lexicon_from_sqlite,
+        phonemize_tokens,
+    )
+
+    toks = spark.createDataFrame(
+        [(1, 0, "mio"), (1, 1, "pieno")],
+        "doc_id long, pos_idx long, word string",
+    )
+
+    def lookup(db):
+        return {
+            r["word"]: r["phonemes"]
+            for r in phonemize_tokens(
+                toks, lexicon_from_sqlite(spark, db)
+            ).collect()
+        }
+
+    ipa = lookup(IT_LEXICON)
+    espeak = lookup(IT_ESPEAK)
+    assert ipa["mio"] == "ˈm i o" and espeak["mio"] == "m ˌi o"
+    assert ipa["pieno"] == "ˈp j ɛ n o" and espeak["pieno"] == "p j ˈɛ n o"
