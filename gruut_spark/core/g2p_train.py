@@ -156,18 +156,30 @@ def model_from_counts(counts: PairNGramCounts) -> G2PModel:
     uni_total = ctx_total[()]
     uni_vocab = len(ctx_next[()]) + 1
 
+    # memoized: long contexts share suffix sub-results (every order-k
+    # arc recurses through the same (k-1)-suffix chain), so the memo
+    # turns the compile from O(arcs x order) recomputation into one
+    # evaluation per distinct (ctx, pair)
+    wb_memo: Dict[Tuple[Tuple[Pair, ...], Pair], float] = {}
+
     def wb(k: int, ctx: Tuple[Pair, ...], pair: Pair) -> float:
         if k == 1:
             n = ngram.get(((), pair), 0)
             return (n + UNIGRAM_EPS) / (uni_total + uni_vocab * UNIGRAM_EPS)
+        got = wb_memo.get((ctx, pair))
+        if got is not None:
+            return got
         c = ctx_total.get(ctx, 0)
         if c == 0:
-            return wb(k - 1, ctx[1:], pair)
-        t = len(ctx_next[ctx])
-        lam = c / (c + t)
-        return lam * ngram.get((ctx, pair), 0) / c + (1 - lam) * wb(
-            k - 1, ctx[1:], pair
-        )
+            v = wb(k - 1, ctx[1:], pair)
+        else:
+            t = len(ctx_next[ctx])
+            lam = c / (c + t)
+            v = lam * ngram.get((ctx, pair), 0) / c + (1 - lam) * wb(
+                k - 1, ctx[1:], pair
+            )
+        wb_memo[(ctx, pair)] = v
+        return v
 
     def unseen_mass_cost(ctx: Tuple[Pair, ...]) -> float:
         c = ctx_total.get(ctx, 0)

@@ -114,9 +114,14 @@ def g2p_model_from_counts(
         parsed = parse_alignment(tok)
         return parsed[0] if parsed else EOS_PAIR
 
-    for r in pruned.collect():
-        ctx = tuple(parse_alignment(r["ctx"])) if r["ctx"] else ()
-        folded.merge_counts([(ctx, one_pair(r["pair"]), r["cnt"])])
+    folded.merge_counts(
+        (
+            tuple(parse_alignment(r["ctx"])) if r["ctx"] else (),
+            one_pair(r["pair"]),
+            r["cnt"],
+        )
+        for r in pruned.collect()
+    )
     return model_from_counts(folded)
 
 

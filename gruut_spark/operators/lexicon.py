@@ -185,52 +185,49 @@ def phonemize_tokens(
         src = src.when(F.col(alias).isNotNull(), label)
     leg_cols = [F.col(a) for a, _ in legs]
     if g2p_model is None:
-        return out.select(
-            "doc_id",
-            "word",
-            F.coalesce(*leg_cols, grapheme_pron(F.col("word"))).alias(
-                "phonemes"
-            ),
-            src.otherwise("g2p").alias("source"),
-        )
+        src = src.otherwise("g2p")
+    else:
+        from .g2p_beam import g2p_guess_table
 
-    from .g2p_beam import g2p_guess_table
-
-    # decode the LOWERCASED form: alignment training data is lowercase
-    # (the reference's lexicon2db pipeline lowercases words), so an
-    # uppercase grapheme would never find an arc
-    miss = (
-        out.filter(F.coalesce(*leg_cols).isNull())
-        .select(F.lower(F.col("word")).alias("word"))
-        .distinct()
-    )
-    # max_guesses=3, keep rank 0: with a single guess the search stops
-    # at the FIRST completion (reference early-exit), letting a
-    # short-but-costly epsilon path beat the cheapest decode; asking for
-    # three keeps searching and the rank-0 result is the true min-cost
-    decoded = (
-        g2p_guess_table(
-            miss, g2p_model, max_guesses=3, beam=g2p_beam,
-            min_beam=max(1, g2p_beam // 2),
-            eps_per_grapheme=max(0, g2p_order - 1),
+        # decode the LOWERCASED form: alignment training data is
+        # lowercase (the reference's lexicon2db pipeline lowercases
+        # words), so an uppercase grapheme would never find an arc
+        miss = (
+            out.filter(F.coalesce(*leg_cols).isNull())
+            .select(F.lower(F.col("word")).alias("word"))
+            .distinct()
         )
-        .filter(F.col("guess_idx") == 0)
-        .select(
-            F.col("word").alias("_w_g2p"), F.col("phonemes").alias("p_g2p")
+        # max_guesses=3, keep rank 0: with a single guess the search
+        # stops at the FIRST completion (reference early-exit), letting
+        # a short-but-costly epsilon path beat the cheapest decode;
+        # asking for three keeps searching and the rank-0 result is the
+        # true min-cost
+        decoded = (
+            g2p_guess_table(
+                miss, g2p_model, max_guesses=3, beam=g2p_beam,
+                min_beam=max(1, g2p_beam // 2),
+                eps_per_grapheme=max(0, g2p_order - 1),
+            )
+            .filter(F.col("guess_idx") == 0)
+            .select(
+                F.col("word").alias("_w_g2p"),
+                F.col("phonemes").alias("p_g2p"),
+            )
         )
-    )
-    out = out.join(
-        decoded, F.lower(F.col("word")) == F.col("_w_g2p"), "left"
-    ).drop("_w_g2p")
+        out = out.join(
+            decoded, F.lower(F.col("word")) == F.col("_w_g2p"), "left"
+        ).drop("_w_g2p")
+        leg_cols = leg_cols + [F.col("p_g2p")]
+        src = src.when(F.col("p_g2p").isNotNull(), "g2p").otherwise(
+            "g2p_grapheme"
+        )
     return out.select(
         "doc_id",
         "word",
-        F.coalesce(
-            *leg_cols, F.col("p_g2p"), grapheme_pron(F.col("word"))
-        ).alias("phonemes"),
-        src.when(F.col("p_g2p").isNotNull(), "g2p")
-        .otherwise("g2p_grapheme")
-        .alias("source"),
+        F.coalesce(*leg_cols, grapheme_pron(F.col("word"))).alias(
+            "phonemes"
+        ),
+        src.alias("source"),
     )
 
 

@@ -45,6 +45,15 @@ SYNTH_ALIGNMENTS = [
 ]
 
 
+def _string_counts(counts):
+    """PairNGramCounts.ngram in the (ctx, pair) string form the
+    distributed count table emits."""
+    return {
+        (" ".join(pair_token(p) for p in ctx), pair_token(nxt)): c
+        for (ctx, nxt), c in counts.ngram.items()
+    }
+
+
 def test_parse_alignment_format():
     assert parse_alignment("a}a b|b}b o|r}o c|i}_") == [
         (("a",), ("a",)),
@@ -88,10 +97,7 @@ def test_distributed_counts_match_serial(spark):
 
     serial = PairNGramCounts(order=3)
     serial.add_alignments(SYNTH_ALIGNMENTS)
-    expect = {
-        (" ".join(pair_token(p) for p in ctx), pair_token(nxt)): c
-        for (ctx, nxt), c in serial.ngram.items()
-    }
+    expect = _string_counts(serial)
 
     df = spark.createDataFrame(
         [(a,) for a in SYNTH_ALIGNMENTS], "alignment string"
@@ -254,11 +260,7 @@ def test_empty_alignments_ignored_serial_and_distributed(spark):
         (r["ctx"], r["pair"]): r["cnt"]
         for r in g2p_count_table(df, order=3).collect()
     }
-    expect = {
-        (" ".join(pair_token(p) for p in ctx), pair_token(nxt)): c
-        for (ctx, nxt), c in clean.ngram.items()
-    }
-    assert got == expect
+    assert got == _string_counts(clean)
 
 
 def test_model_compile_is_insertion_order_independent():
