@@ -68,3 +68,33 @@ def g2p_guess_table(
     return df.select(F.col(word_col).alias("word")).mapInPandas(
         run, schema=GUESS_SCHEMA
     )
+
+
+def g2p_crf_table(
+    df: DataFrame, model, word_col: str = "word"
+) -> DataFrame:
+    """(word, phonemes) via a shipped crfsuite G2P model
+    (core/crf_tag.py) — the reference's OTHER G2P mechanism
+    (gruut/g2p.py GraphemesToPhonemes vs the Phonetisaurus beam).
+    Same single-mapInPandas shape as ``g2p_guess_table``; the ~MB-scale
+    model ships by closure capture. Words that decode to no phonemes
+    emit no rows, mirroring the beam table's no-path contract."""
+    from ..core.crf_tag import g2p_tag_word
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            words, phons = [], []
+            for w in pdf["word"].fillna(""):
+                got = g2p_tag_word(model, w)
+                if not got:
+                    continue
+                words.append(w)
+                phons.append(" ".join(got))
+            yield pd.DataFrame(
+                {"word": pd.Series(words, dtype="object"),
+                 "phonemes": pd.Series(phons, dtype="object")}
+            )
+
+    return df.select(F.col(word_col).alias("word")).mapInPandas(
+        run, schema="word string, phonemes string"
+    )

@@ -145,9 +145,11 @@ def phonemize_tokens(
     regex (Spark) and RE2 (the DuckDB oracle), keeping both sides
     exact.
 
-    With ``g2p_model`` (a trained ``core.g2p_train`` pair-n-gram WFST —
-    the reference's runtime Phonetisaurus decode, gruut/phonemize.py
-    guess_phonemes), words missing all four lexicon legs are beam-decoded
+    With ``g2p_model`` — either a trained ``core.g2p_train`` pair-n-gram
+    WFST (the reference's Phonetisaurus decode path) or a shipped
+    crfsuite model loaded by ``core.crf_tag.Crf1dModel`` (the
+    reference's CRF path, gruut/g2p.py GraphemesToPhonemes) — words
+    missing all four lexicon legs are model-decoded
     BEFORE the grapheme stand-in: the miss set is deduped to DISTINCT
     words first (decode cost scales with OOV vocabulary, not token
     count), decoded in one mapInPandas stage, and joined back — no
@@ -187,33 +189,40 @@ def phonemize_tokens(
     if g2p_model is None:
         src = src.otherwise("g2p")
     else:
-        from .g2p_beam import g2p_guess_table
+        from .g2p_beam import g2p_crf_table, g2p_guess_table
 
-        # decode the LOWERCASED form: alignment training data is
-        # lowercase (the reference's lexicon2db pipeline lowercases
-        # words), so an uppercase grapheme would never find an arc
+        # decode the LOWERCASED form: G2P training data is lowercase
+        # (the reference's lexicon2db pipeline lowercases words), so an
+        # uppercase grapheme would never match a model feature/arc
         miss = (
             out.filter(F.coalesce(*leg_cols).isNull())
             .select(F.lower(F.col("word")).alias("word"))
             .distinct()
         )
-        # max_guesses=3, keep rank 0: with a single guess the search
-        # stops at the FIRST completion (reference early-exit), letting
-        # a short-but-costly epsilon path beat the cheapest decode;
-        # asking for three keeps searching and the rank-0 result is the
-        # true min-cost
-        decoded = (
-            g2p_guess_table(
-                miss, g2p_model, max_guesses=3, beam=g2p_beam,
-                min_beam=max(1, g2p_beam // 2),
-                eps_per_grapheme=max(0, g2p_order - 1),
-            )
-            .filter(F.col("guess_idx") == 0)
-            .select(
+        if hasattr(g2p_model, "tag_items"):
+            # a shipped crfsuite model (core/crf_tag.py::Crf1dModel)
+            decoded = g2p_crf_table(miss, g2p_model).select(
                 F.col("word").alias("_w_g2p"),
                 F.col("phonemes").alias("p_g2p"),
             )
-        )
+        else:
+            # pair-n-gram WFST — max_guesses=3, keep rank 0: with a
+            # single guess the search stops at the FIRST completion
+            # (reference early-exit), letting a short-but-costly epsilon
+            # path beat the cheapest decode; asking for three keeps
+            # searching and the rank-0 result is the true min-cost
+            decoded = (
+                g2p_guess_table(
+                    miss, g2p_model, max_guesses=3, beam=g2p_beam,
+                    min_beam=max(1, g2p_beam // 2),
+                    eps_per_grapheme=max(0, g2p_order - 1),
+                )
+                .filter(F.col("guess_idx") == 0)
+                .select(
+                    F.col("word").alias("_w_g2p"),
+                    F.col("phonemes").alias("p_g2p"),
+                )
+            )
         out = out.join(
             decoded, F.lower(F.col("word")) == F.col("_w_g2p"), "left"
         ).drop("_w_g2p")

@@ -11,10 +11,11 @@ shipped g2p_alignments table: for it ('Il', 'anguille') and nl
 ('paling') the trained decode reproduces the reference phonemes
 EXACTLY; nl's 'luchtkussenboot' matches segmentally (stress placement
 differs from the reference's higher-order Phonetisaurus build —
-asserted stress-stripped); cs's 'úhořů' uses the CRF G2P we don't run
-(grapheme fallback asserted), and lb's "d'Sonn" contains an apostrophe
-grapheme absent from lb's entire alignment table, so no beam path
-exists and the grapheme stand-in is asserted. The reference renders
+asserted stress-stripped); cs's 'úhořů' uses a cs IPA CRF model absent
+from the snapshot (grapheme fallback asserted — only cs's espeak
+variant ships), and lb's "d'Sonn" goes through the package's SHIPPED
+crfsuite model via our from-scratch crf1d reader (core/crf_tag.py) to
+the exact reference phonemes. The reference renders
 the sentence-final major break as the ``‖`` phoneme
 (tests/test_sqlite_phonemizer.py:294) — a presentation-layer constant,
 asserted here literally."""
@@ -54,7 +55,22 @@ def _trained_g2p(db_path):
     return _G2P_CACHE[db_path]
 
 
+def _crf_g2p(db_path):
+    """The package's own shipped crfsuite G2P model (sibling g2p/
+    directory of the lexicon.db)."""
+    import os.path
+
+    from gruut_spark.core.crf_tag import Crf1dModel
+
+    return Crf1dModel(
+        os.path.join(os.path.dirname(db_path), "g2p", "model.crf")
+    )
+
+
 def _phonemize(spark, text, lang, db_path, g2p=False):
+    """g2p: False = grapheme stand-in only; 'ngram' = pair-n-gram model
+    trained here from the db's alignments; 'crf' = the package's
+    SHIPPED crfsuite model."""
     from gruut_spark.core.tokenizer import sentences
     from gruut_spark.operators.lexicon import (
         lexicon_from_sqlite,
@@ -67,7 +83,11 @@ def _phonemize(spark, text, lang, db_path, g2p=False):
         "doc_id long, pos_idx long, word string",
     )
     lex = lexicon_from_sqlite(spark, db_path)
-    model = _trained_g2p(db_path) if g2p else None
+    model = None
+    if g2p == "crf":
+        model = _crf_g2p(db_path)
+    elif g2p:
+        model = _trained_g2p(db_path)
     got = {
         r["word"]: (r["phonemes"].split(), r["source"])
         for r in phonemize_tokens(toks, lex, g2p_model=model).collect()
@@ -170,18 +190,19 @@ def test_nl(spark):
 
 @pytest.mark.skipif(not os.path.exists(LB_LEXICON), reason="no reference mount")
 def test_lb(spark):
-    # reference tests/test_sqlite_phonemizer.py:201-223; the input's
-    # U+2019 apostrophe ("d’Sonn") normalizes to ASCII through the lb
-    # profile's replacement table (gruut/lang.py:718). Every word except
-    # "d'Sonn" is in the shipped lexicon and matches verbatim; "d'Sonn"
-    # contains an apostrophe grapheme that appears NOWHERE in lb's
-    # g2p_alignments (verified: 0 rows), so no trained-model beam path
-    # can exist and the deterministic grapheme stand-in is asserted
+    # reference tests/test_sqlite_phonemizer.py:201-223, VERBATIM — the
+    # input's U+2019 apostrophe ("d’Sonn") normalizes to ASCII through
+    # the lb profile's replacement table (gruut/lang.py:718); "d'Sonn"
+    # is not in the shipped lexicon (and its apostrophe grapheme appears
+    # nowhere in lb's g2p_alignments, so the pair-n-gram path has no
+    # beam path) — the package's SHIPPED crfsuite model decodes the
+    # lowercased form to the exact reference phonemes through our
+    # from-scratch crf1d reader (core/crf_tag.py)
     got = _phonemize(
         spark, "An der Zäit hunn sech den Nordwand an d’Sonn gestridden.",
-        "lb_LB", LB_LEXICON,
+        "lb_LB", LB_LEXICON, g2p="crf",
     )
-    assert [(w, p) for w, p, _src in got if w != "d'Sonn"] == [
+    assert [(w, p) for w, p, _src in got] == [
         ("An", ["ɑ", "n"]),
         ("der", ["d", "ɐ"]),
         ("Zäit", ["ʦ", "æːɪ", "t"]),
@@ -190,11 +211,12 @@ def test_lb(spark):
         ("den", ["d", "ə", "n"]),
         ("Nordwand", ["n", "o", "ʀ", "d", "v", "ɑ", "n", "t"]),
         ("an", ["ɑ", "n"]),
+        ("d'Sonn", ["d", "z", "o", "n"]),
         ("gestridden", ["g", "ə", "ʃ", "t", "ʀ", "i", "d", "ə", "n"]),
         (".", ["‖"]),
     ]
-    by_word = {w: (p, src) for w, p, src in got}
-    assert by_word["d'Sonn"] == (["d", "'", "s", "o", "n", "n"], "g2p")
+    by_word = {w: src for w, _p, src in got}
+    assert by_word["d'Sonn"] == "g2p"
 
 
 IT_ESPEAK = f"{REF}/gruut-lang-it/gruut_lang_it/espeak/lexicon.db"
