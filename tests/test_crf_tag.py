@@ -138,3 +138,22 @@ def test_spark_crf_table_and_phonemize_leg(spark):
     )
     got = {r["word"]: r["phonemes"] for r in g2p_crf_table(df, m).collect()}
     assert got == {"il": "i l", "anguille": "a n ɡ w i l l e"}
+
+
+@needs_reference
+def test_all_shipped_models_parse_and_decode():
+    """Every model.crf in the snapshot (26 gruut-lang-* files + the
+    data/ copies share the same builds) loads through the reader and
+    decodes without error — format coverage across every language's
+    label/attribute inventory."""
+    import glob
+
+    paths = sorted(
+        glob.glob(f"{REF}/gruut-lang-*/**/model.crf", recursive=True)
+    )
+    assert len(paths) >= 26
+    for p in paths:
+        m = Crf1dModel(p)
+        assert m.num_labels > 0 and len(m.attr_ids) > 0
+        assert m.trans.shape == (m.num_labels, m.num_labels)
+        g2p_tag_word(m, "test")  # must not raise
