@@ -173,7 +173,17 @@ def test_reference_golden_decodes_farsi():
     assert g2p_tag_word(m, "مارماهى") == [
         "m", "ɒː", "ɾ", "æ", "m", "ɒː", "h", "e̞", "l"
     ]
-    # ezafe-less stem matches the reference's pinned phonemes exactly
-    assert g2p_tag_word(m, "هاورکرافت") == [
-        "h", "ɒː", "v", "æ", "ɾ", "k", "æ", "ɾ", "ɒː", "f", "t"
-    ]
+    # ezafe-less stem matches the reference's pinned phonemes exactly,
+    # and composing with the ported fa genitive hook (the reference's
+    # fa_post_process_sentence over a Ne-tagged word) reproduces the
+    # FULL pinned output including the trailing e̞
+    stem = g2p_tag_word(m, "هاورکرافت")
+    assert stem == ["h", "ɒː", "v", "æ", "ɾ", "k", "æ", "ɾ", "ɒː", "f", "t"]
+
+    from gruut_spark.core.liaison import fa_genitive_sentence
+    from gruut_spark.core.types import Word
+
+    w = Word(idx=0, sent_idx=0, text="هاورکرافت",
+             text_with_ws="هاورکرافت", pos="Ne", phonemes=list(stem))
+    fa_genitive_sentence([w])
+    assert w.phonemes == stem + ["e̞"]
