@@ -545,6 +545,11 @@ _SETTINGS_FACTORIES = {
     "pt": lambda: _generic_eu_settings("pt"),
     "ru_RU": lambda: _generic_eu_settings("ru_RU", currency="RUB", minor_extra=frozenset()),
     "sv_SE": lambda: _generic_eu_settings("sv_SE", currency="SEK"),
+    # Swahili (gruut/lang.py:813-825): the shared EU table minus the
+    # '...' minor break, USD default (the reference passes no currency)
+    "sw": lambda: _generic_eu_settings(
+        "sw", currency="USD", minor_extra=frozenset()
+    ),
     "zh_CN": _zh_settings,
     "fa": _fa_settings,
     "code": _code_settings,
@@ -565,6 +570,7 @@ _LANG_ALIASES = {
     "pt": "pt", "pt-br": "pt",
     "ru": "ru_RU", "ru-ru": "ru_RU",
     "sv": "sv_SE", "sv-se": "sv_SE",
+    "sw": "sw",
     "zh": "zh_CN", "zh-cn": "zh_CN", "zh-tw": "zh_CN",
     "fa": "fa", "fa-ir": "fa",
 }

@@ -187,3 +187,40 @@ def test_reference_golden_decodes_farsi():
              text_with_ws="هاورکرافت", pos="Ne", phonemes=list(stem))
     fa_genitive_sentence([w])
     assert w.phonemes == stem + ["e̞"]
+
+
+@needs_reference
+def test_reference_golden_decodes_de_en_fr_ru():
+    """The de/en/fr/ru packages ship IPA CRF models but no lexicon.db;
+    their reference tests mix lexicon words (not reproducible) with
+    CRF-decided words. Every word below decodes to the exact phonemes
+    pinned in reference tests/test_sqlite_phonemizer.py
+    (de :59-93, en :95-111, fr :165-180, ru :261-278)."""
+    cases = {
+        f"{REF}/gruut-lang-de/gruut_lang_de/g2p/model.crf": [
+            ("luftkissenfahrzeug",
+             ["l", "ʊ", "f", "t", "k", "ɪ", "s", "z", "ɛ", "n", "f",
+              "a", "ʁ", "t", "s", "ɔ", "ɔʏ̯", "k"]),
+            ("voller", ["v", "ɔ", "l", "l", "ɐ"]),
+        ],
+        f"{REF}/gruut-lang-en/gruut_lang_en/g2p/model.crf": [
+            ("full", ["f", "ˈʊ", "l"]),
+            ("eels", ["ˈi", "l", "z"]),
+        ],
+        f"{REF}/gruut-lang-fr/gruut_lang_fr/g2p/model.crf": [
+            ("aéroglisseur",
+             ["a", "e", "ʁ", "ɔ", "ɡ", "l", "i", "s", "œ", "ʁ"]),
+            ("plein", ["p", "l", "ɛ̃"]),
+            ("d'anguilles", ["d", "ɑ̃", "ɡ", "i", "j"]),
+        ],
+        f"{REF}/gruut-lang-ru/gruut_lang_ru/g2p/model.crf": [
+            ("моё", ["m", "o", "j", "oː"]),
+            ("судно", ["s", "uː", "d", "n", "o"]),
+            ("воздушной", ["v", "o", "z", "d", "uː", "ʂ", "n", "o", "j"]),
+            ("подушке", ["p", "o", "d", "uː", "ʂ", "kʲ", "e"]),
+        ],
+    }
+    for crf, words in cases.items():
+        m = Crf1dModel(crf)
+        for w, exp in words:
+            assert g2p_tag_word(m, w) == exp, (crf, w)

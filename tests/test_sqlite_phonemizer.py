@@ -3,9 +3,14 @@ tests/test_sqlite_phonemizer.py) run against the snapshot's REAL
 lexicon.db files through the engine's own path: profile tokenization →
 ``lexicon_from_sqlite`` → the broadcast ``phonemize_tokens`` join.
 
-Skipif-gated on the reference mount. Portable subset: languages whose
-lexicon.db ships in the snapshot — sv, cs, it, nl, lb. Words the
-reference resolves with its TRAINED G2P models go through our own
+Skipif-gated on the reference mount. Portable set: the five languages
+whose lexicon.db ships (sv, cs, it, nl, lb) PLUS three lexicon-less
+languages (es, pt, sw) whose reference tests decode ENTIRELY through
+their shipped crfsuite G2P models — 8 of the reference's 15, vs ar/fa
+(mishkal / POS-model dependencies), de/en/fr/ru (lexicon.db absent and
+only some test words are CRF-decided — the CRF-decided ones are pinned
+in tests/test_crf_tag.py), and ca (out-of-scope transcription engine).
+Words the reference resolves with its TRAINED G2P models go through our own
 pair-n-gram trainer (core/g2p_train.py) fitted on the SAME lexicon's
 shipped g2p_alignments table: for it ('Il', 'anguille') and nl
 ('paling') the trained decode reproduces the reference phonemes
@@ -55,22 +60,20 @@ def _trained_g2p(db_path):
     return _G2P_CACHE[db_path]
 
 
-def _crf_g2p(db_path):
-    """The package's own shipped crfsuite G2P model (sibling g2p/
-    directory of the lexicon.db)."""
-    import os.path
-
+def _crf_g2p(crf_path):
+    """A shipped crfsuite G2P model, cached."""
     from gruut_spark.core.crf_tag import Crf1dModel
 
-    return Crf1dModel(
-        os.path.join(os.path.dirname(db_path), "g2p", "model.crf")
-    )
+    if crf_path not in _G2P_CACHE:
+        _G2P_CACHE[crf_path] = Crf1dModel(crf_path)
+    return _G2P_CACHE[crf_path]
 
 
-def _phonemize(spark, text, lang, db_path, g2p=False):
+def _phonemize(spark, text, lang, db_path=None, g2p=False, crf_path=None):
     """g2p: False = grapheme stand-in only; 'ngram' = pair-n-gram model
     trained here from the db's alignments; 'crf' = the package's
-    SHIPPED crfsuite model."""
+    SHIPPED crfsuite model (sibling g2p/ dir of the lexicon.db, or an
+    explicit crf_path for packages that ship no lexicon at all)."""
     from gruut_spark.core.tokenizer import sentences
     from gruut_spark.operators.lexicon import (
         lexicon_from_sqlite,
@@ -82,10 +85,18 @@ def _phonemize(spark, text, lang, db_path, g2p=False):
         [(1, i, w.text) for i, w in enumerate(words) if w.is_spoken],
         "doc_id long, pos_idx long, word string",
     )
-    lex = lexicon_from_sqlite(spark, db_path)
+    if db_path is not None:
+        lex = lexicon_from_sqlite(spark, db_path)
+    else:
+        lex = spark.createDataFrame(
+            [], "word string, pron_order int, phonemes string"
+        )
     model = None
     if g2p == "crf":
-        model = _crf_g2p(db_path)
+        model = _crf_g2p(
+            crf_path
+            or os.path.join(os.path.dirname(db_path), "g2p", "model.crf")
+        )
     elif g2p:
         model = _trained_g2p(db_path)
     got = {
@@ -251,3 +262,72 @@ def test_espeak_lexicon_variant(spark):
     espeak = lookup(IT_ESPEAK)
     assert ipa["mio"] == "ˈm i o" and espeak["mio"] == "m ˌi o"
     assert ipa["pieno"] == "ˈp j ɛ n o" and espeak["pieno"] == "p j ˈɛ n o"
+
+
+ES_CRF = f"{REF}/gruut-lang-es/gruut_lang_es/g2p/model.crf"
+PT_CRF = f"{REF}/gruut-lang-pt/gruut_lang_pt/g2p/model.crf"
+SW_CRF = f"{REF}/gruut-lang-sw/gruut_lang_sw/g2p/model.crf"
+
+
+@pytest.mark.skipif(not os.path.exists(ES_CRF), reason="no reference mount")
+def test_es(spark):
+    # reference tests/test_sqlite_phonemizer.py:113-144, VERBATIM — the
+    # es package ships no lexicon.db, and EVERY test word decodes to the
+    # exact pinned phonemes through the shipped CRF model alone
+    got = _phonemize(
+        spark, "Mi aerodeslizador está lleno de anguilas.", "es_ES",
+        g2p="crf", crf_path=ES_CRF,
+    )
+    assert [(w, p) for w, p, _src in got] == [
+        ("Mi", ["m", "i"]),
+        ("aerodeslizador",
+         ["a", "e", "ɾ", "o", "d", "e", "s", "l", "i", "θ", "a", "d",
+          "o", "ɾ"]),
+        ("está", ["e", "s", "t", "a"]),
+        ("lleno", ["ʎ", "e", "n", "o"]),
+        ("de", ["d", "e"]),
+        ("anguilas", ["a", "n", "g", "i", "l", "a", "s"]),
+        (".", ["‖"]),
+    ]
+    assert all(src == "g2p" for _w, _p, src in got if src != "break")
+
+
+@pytest.mark.skipif(not os.path.exists(PT_CRF), reason="no reference mount")
+def test_pt(spark):
+    # reference tests/test_sqlite_phonemizer.py:242-259, VERBATIM — all
+    # seven words are exact CRF decodes (no pt lexicon ships)
+    got = _phonemize(
+        spark, "O meu hovercraft está cheio de enguias.", "pt",
+        g2p="crf", crf_path=PT_CRF,
+    )
+    assert [(w, p) for w, p, _src in got] == [
+        ("O", ["u"]),
+        ("meu", ["m", "ew"]),
+        ("hovercraft", ["o", "v", "e", "ɹ", "k", "ɾ", "ɐ", "f", "t", "ʃ"]),
+        ("está", ["e", "s", "t", "ɐ"]),
+        ("cheio", ["ʃ", "ej", "u"]),
+        ("de", ["d", "ʒ", "i"]),
+        ("enguias", ["ẽ", "ɡ", "j", "ɐ", "s"]),
+        (".", ["‖"]),
+    ]
+
+
+@pytest.mark.skipif(not os.path.exists(SW_CRF), reason="no reference mount")
+def test_sw(spark):
+    # reference tests/test_sqlite_phonemizer.py:298-317, VERBATIM — all
+    # six words are exact CRF decodes (no sw lexicon ships); the sw
+    # profile mirrors gruut/lang.py:813-825
+    got = _phonemize(
+        spark, "Gari langu linaloangama limejaa na mikunga.", "sw",
+        g2p="crf", crf_path=SW_CRF,
+    )
+    assert [(w, p) for w, p, _src in got] == [
+        ("Gari", ["ɠ", "ɑ", "ɾ", "i"]),
+        ("langu", ["l", "ɑ", "ᵑg", "u"]),
+        ("linaloangama",
+         ["l", "i", "n", "ɑ", "l", "ɔ", "ɑ", "ᵑg", "ɑ", "m", "ɑ"]),
+        ("limejaa", ["l", "i", "m", "ɛ", "ʄ", "ɑ", "ɑ"]),
+        ("na", ["n", "ɑ"]),
+        ("mikunga", ["m", "i", "k", "u", "ᵑg", "ɑ"]),
+        (".", ["‖"]),
+    ]
