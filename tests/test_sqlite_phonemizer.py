@@ -9,7 +9,10 @@ languages (es, pt, sw) whose reference tests decode ENTIRELY through
 their shipped crfsuite G2P models — 8 of the reference's 15, vs ar/fa
 (mishkal / POS-model dependencies), de/en/fr/ru (lexicon.db absent and
 only some test words are CRF-decided — the CRF-decided ones are pinned
-in tests/test_crf_tag.py), and ca (out-of-scope transcription engine).
+in tests/test_crf_tag.py), and ca, whose orthographic rewriting engine
+is out of scope but whose PINNED rewritten word forms reproduce the
+reference output verbatim through lexicon + shipped CRF + the ported
+sandhi hook (test_ca_composed — a 9th language covered).
 Words the reference resolves with its TRAINED G2P models go through our own
 pair-n-gram trainer (core/g2p_train.py) fitted on the SAME lexicon's
 shipped g2p_alignments table: for it ('Il', 'anguille') and nl
@@ -329,5 +332,49 @@ def test_sw(spark):
         ("limejaa", ["l", "i", "m", "ɛ", "ʄ", "ɑ", "ɑ"]),
         ("na", ["n", "ɑ"]),
         ("mikunga", ["m", "i", "k", "u", "ᵑg", "ɑ"]),
+        (".", ["‖"]),
+    ]
+
+
+CA_LEXICON = f"{REF}/gruut-lang-ca/gruut_lang_ca/lexicon.db"
+
+
+@pytest.mark.skipif(not os.path.exists(CA_LEXICON), reason="no reference mount")
+def test_ca_composed(spark):
+    """reference tests/test_sqlite_phonemizer.py:27-44 — the one piece
+    of the Catalan pipeline out of scope is the orthographic rewriting
+    engine (CatalanPreProcessText), whose OUTPUT word forms the
+    reference test itself pins ('aerolliscadór', 'plè', 'danguíles').
+    Feeding those forms to the rest of the pipeline — shipped ca
+    lexicon + shipped ca CRF model + the ported vowel-contact sandhi
+    hook (core/ca_fusion.py) — reproduces the reference phonemes
+    VERBATIM, including the cross-word elision that strips està's
+    leading ə after aerolliscadór's stressed 'o."""
+    from gruut_spark.core.ca_fusion import ca_post_process_sentence
+    from gruut_spark.core.types import Word
+
+    got = _phonemize(
+        spark, "El meu aerolliscadór està plè danguíles.", "ca-ce",
+        CA_LEXICON, g2p="crf",
+    )
+    words = []
+    for w, p, src in got:
+        words.append(
+            Word(
+                idx=len(words), sent_idx=0, text=w, text_with_ws=w,
+                phonemes=None if src == "break" else list(p),
+                is_major_break=src == "break",
+            )
+        )
+    ca_post_process_sentence(words)
+    assert [(w.text.lower(), w.phonemes or MAJOR_BREAK_PHONEME)
+            for w in words] == [
+        ("el", ["ə", "l"]),
+        ("meu", ["m", "'e", "uw"]),
+        ("aerolliscadór",
+         ["ə", "ə", "ɾ", "u", "ʎ", "i", "s", "k", "ə", "ð", "'o"]),
+        ("està", ["s", "t", "'a"]),
+        ("plè", ["p", "l", "'ɛ"]),
+        ("danguíles", ["d", "ə", "ŋ", "g", "'i", "l", "ə", "s"]),
         (".", ["‖"]),
     ]
