@@ -125,11 +125,14 @@ class Crf1dModel:
         if fmagic != b"FEAT":
             raise ValueError(f"expected FEAT at {off_features:#x}")
         feats = struct.unpack_from("<" + "IIId" * nfeat, data, off_features + 12)
-        # feats is a flat (type, src, dst, weight) x nfeat tuple
-        self._ftype = feats[0::4]
-        self._fsrc = feats[1::4]
-        self._fdst = feats[2::4]
-        self._fweight = feats[3::4]
+        # flat (type, src, dst, weight) x nfeat — LOCALS only: keeping
+        # the raw table on the instance tripled the pickle that
+        # g2p_crf_table ships to every Spark task (r03 review; state +
+        # trans below capture everything tagging needs)
+        ftype = feats[0::4]
+        fsrc = feats[1::4]
+        fdst = feats[2::4]
+        fweight = feats[3::4]
 
         labels_db = Cqdb(data, off_labels)
         attrs_db = Cqdb(data, off_attrs)
@@ -145,9 +148,9 @@ class Crf1dModel:
         for fids in arefs:
             self.state.append(
                 [
-                    (self._fdst[fid], self._fweight[fid])
+                    (fdst[fid], fweight[fid])
                     for fid in fids
-                    if self._ftype[fid] == 0
+                    if ftype[fid] == 0
                 ]
             )
 
@@ -159,10 +162,8 @@ class Crf1dModel:
         self.trans = np.zeros((num_labels, num_labels))
         for fids in lrefs[:num_labels]:
             for fid in fids:
-                if self._ftype[fid] == 1:
-                    self.trans[self._fsrc[fid], self._fdst[fid]] = (
-                        self._fweight[fid]
-                    )
+                if ftype[fid] == 1:
+                    self.trans[fsrc[fid], fdst[fid]] = fweight[fid]
 
     # -- tagging ---------------------------------------------------------
 

@@ -414,6 +414,11 @@ def _fa_settings() -> TextSettings:
     )
 
 
+def _without_verbalize(s: TextSettings) -> TextSettings:
+    s.verbalize_supported = False
+    return s
+
+
 def _with_liaison(s: TextSettings) -> TextSettings:
     from .liaison import fr_liaison_sentence
 
@@ -546,9 +551,13 @@ _SETTINGS_FACTORIES = {
     "ru_RU": lambda: _generic_eu_settings("ru_RU", currency="RUB", minor_extra=frozenset()),
     "sv_SE": lambda: _generic_eu_settings("sv_SE", currency="SEK"),
     # Swahili (gruut/lang.py:813-825): the shared EU table minus the
-    # '...' minor break, USD default (the reference passes no currency)
-    "sw": lambda: _generic_eu_settings(
-        "sw", currency="USD", minor_extra=frozenset()
+    # '...' minor break, USD default (the reference passes no currency).
+    # verbalize_supported=False: num2words has no 'sw' locale, so the
+    # reference leaves digits verbatim (text_processor.py:2149-2158) —
+    # same convention as fa/ca/zh here (r03 review: without the flag,
+    # numbers verbalized as ENGLISH words)
+    "sw": lambda: _without_verbalize(
+        _generic_eu_settings("sw", currency="USD", minor_extra=frozenset())
     ),
     "zh_CN": _zh_settings,
     "fa": _fa_settings,

@@ -117,3 +117,15 @@ def test_profile_registration():
         for w in sent.words]
     assert got == ["El", "meu", "aerolliscador", "està", "ple",
                    "danguiles", "."]
+
+
+def test_sw_profile_leaves_digits_verbatim():
+    """r03 review: num2words has no 'sw' locale, so the reference
+    leaves Swahili digits verbatim (text_processor.py:2149-2158) —
+    the sw profile must not verbalize numbers (it was emitting
+    ENGLISH words before the fix)."""
+    from gruut_spark.core.tokenizer import sentences
+
+    got = [w.text for s in sentences("Nina 2.5 kilo.", "sw")
+           for w in s.words if w.is_spoken]
+    assert got == ["Nina", "2.5", "kilo"]

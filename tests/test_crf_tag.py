@@ -162,12 +162,15 @@ def test_all_shipped_models_parse_and_decode():
 @needs_reference
 def test_reference_golden_decodes_farsi():
     """reference tests/test_sqlite_phonemizer.py:146-163: the fa package
-    ships NO lexicon.db, so its test words go through the CRF. Two of
-    the five decode to the exact pinned phonemes through our reader
-    ('هاورکرافت' matches modulo the ezafe e̞ the reference's POS-gated
-    post-process appends — a POS model we don't have; the remaining two
-    differ because the reference's full install resolves them from a
-    lexicon the snapshot omits)."""
+    ships NO lexicon.db, so its test words go through the CRF. The two
+    words asserted first ('من', 'مارماهى') decode to the EXACT pinned
+    reference phonemes — true goldens. 'هاورکرافت' is golden modulo
+    the ezafe e̞ appended by the reference's POS-gated post-process (a
+    POS model we don't have), and composing with our ported ezafe hook
+    reproduces the full pinned output. The OTHER two test words ('پر',
+    'است') are NOT asserted here: the reference's full install resolves
+    them from a lexicon the snapshot omits, so no golden is
+    reproducible for them."""
     m = Crf1dModel(f"{REF}/gruut-lang-fa/gruut_lang_fa/g2p/model.crf")
     assert g2p_tag_word(m, "من") == ["m", "æ", "n"]
     assert g2p_tag_word(m, "مارماهى") == [
