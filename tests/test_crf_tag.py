@@ -227,3 +227,19 @@ def test_reference_golden_decodes_de_en_fr_ru():
         m = Crf1dModel(crf)
         for w, exp in words:
             assert g2p_tag_word(m, w) == exp, (crf, w)
+
+
+@needs_reference
+def test_reference_golden_decodes_arabic():
+    """reference tests/test_sqlite_phonemizer.py:14-26 — the ar pipeline
+    is mishkal diacritization (out of scope, dependency absent) followed
+    by G2P; the reference test itself pins the DIACRITIZED word forms,
+    and given those, the shipped ar CRF model reproduces both expected
+    phoneme sequences verbatim."""
+    m = Crf1dModel(f"{REF}/gruut-lang-ar/gruut_lang_ar/g2p/model.crf")
+    assert g2p_tag_word(m, "حَوَّامَتُي") == [
+        "ħ", "a", "u", "aː", "m", "t", "iː"
+    ]
+    assert g2p_tag_word(m, "مُمْتِلِئَة") == [
+        "m", "u", "m", "t", "i", "l", "i", "ʔ", "i"
+    ]
