@@ -242,7 +242,7 @@ def phonemize_tokens(
 
 def phonemize_tokens_role(
     toks: DataFrame, lexicon: DataFrame, role_col: str = "role",
-    empty_role: str = "_",
+    empty_role: str = "_", g2p_model=None,
 ) -> DataFrame:
     """POS-informed pronunciation lookup (reference role-preference
     chain, gruut/phonemize.py:55-73): for a token with a POS role, prefer
@@ -294,17 +294,49 @@ def phonemize_tokens_role(
     out = chain(out, F.lower(F.col("word")), "l")
     exact_hit = F.coalesce("p_role", "p_def", "p_any")
     lower_hit = F.coalesce("p_rolel", "p_defl", "p_anyl")
+    src = F.when(exact_hit.isNotNull(), "lexicon").when(
+        lower_hit.isNotNull(), "lexicon_lower"
+    )
+    fallbacks = [exact_hit, lower_hit]
+    if g2p_model is None:
+        src = src.otherwise("g2p")
+    else:
+        # same model-backed G2P leg as phonemize_tokens (beam WFST or
+        # shipped crfsuite model), over distinct lowercased misses
+        from .g2p_beam import g2p_crf_table, g2p_guess_table
+
+        miss = (
+            out.filter(F.coalesce(*fallbacks).isNull())
+            .select(F.lower(F.col("word")).alias("word"))
+            .distinct()
+        )
+        if hasattr(g2p_model, "tag_items"):
+            decoded = g2p_crf_table(miss, g2p_model)
+        else:
+            decoded = g2p_guess_table(
+                miss, g2p_model, max_guesses=3, beam=150, min_beam=75,
+                eps_per_grapheme=6,
+            ).filter(F.col("guess_idx") == 0)
+        out = out.join(
+            decoded.select(
+                F.col("word").alias("_w_g2p"),
+                F.col("phonemes").alias("p_g2p"),
+            ),
+            F.lower(F.col("word")) == F.col("_w_g2p"),
+            "left",
+        ).drop("_w_g2p")
+        fallbacks = fallbacks + [F.col("p_g2p")]
+        src = src.when(F.col("p_g2p").isNotNull(), "g2p").otherwise(
+            "g2p_grapheme"
+        )
     return out.select(
         "doc_id",
         "word",
         role_col,
-        F.coalesce(exact_hit, lower_hit, grapheme_pron(F.col("word"))).alias(
+        F.coalesce(*fallbacks, grapheme_pron(F.col("word"))).alias(
             "phonemes"
         ),
-        F.when(exact_hit.isNotNull(), "lexicon")
-        .when(lower_hit.isNotNull(), "lexicon_lower")
-        .otherwise("g2p")
-        .alias("source"),
+        src.alias("source"),
     )
 
 

@@ -243,3 +243,36 @@ def test_reference_golden_decodes_arabic():
     assert g2p_tag_word(m, "مُمْتِلِئَة") == [
         "m", "u", "m", "t", "i", "l", "i", "ʔ", "i"
     ]
+
+
+@needs_reference
+def test_role_chain_with_crf_model(spark):
+    """phonemize_tokens_role accepts the same model kinds as its
+    sibling: an OOV word resolves through the shipped CRF instead of
+    the grapheme stand-in, while role-specific lexicon hits are
+    untouched."""
+    from gruut_spark.operators.lexicon import phonemize_tokens_role
+
+    m = _model(IT_CRF)
+    import pandas as pd
+
+    con = sqlite3.connect(IT_LEXICON)
+    pdf = pd.read_sql_query(
+        "SELECT word, pron_order, phonemes, "
+        "CASE WHEN role = '' THEN '_' ELSE role END AS role "
+        "FROM word_phonemes", con,
+    )
+    con.close()
+    lex = spark.createDataFrame(
+        pdf, "word string, pron_order int, phonemes string, role string"
+    )
+    toks = spark.createDataFrame(
+        [(1, "mio", "_"), (1, "anguille", "_")],
+        "doc_id long, word string, role string",
+    )
+    got = {
+        r["word"]: (r["phonemes"], r["source"])
+        for r in phonemize_tokens_role(toks, lex, g2p_model=m).collect()
+    }
+    assert got["mio"] == ("ˈm i o", "lexicon")
+    assert got["anguille"] == ("a n ɡ w i l l e", "g2p")
