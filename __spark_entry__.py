@@ -937,6 +937,44 @@ def _g2p_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return alignment_pair_counts(aligns).orderBy("pair")
 
 
+def _g2p_train_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END distributed G2P: train a pair-n-gram model
+    (operators/g2p_train.py — mapInPandas counting, one shuffle, model
+    assembly) on char-identity alignments derived from the corpus
+    vocabulary, then beam-decode every vocabulary word with the trained
+    model (operators/g2p_beam.py). Identity alignments make the decode
+    SQL-predictable — every arc maps a character to itself, so any
+    complete path emits the word's own characters and the oracle is
+    char-splitting — which puts the whole train->decode pipeline under
+    the value-exact driver gate instead of rows-only."""
+    from gruut_spark.operators.g2p_beam import g2p_guess_table
+    from gruut_spark.operators.g2p_train import train_g2p_distributed
+
+    docs = _read(spark, sf_dir, "documents")
+    words = (
+        docs.select(
+            F.explode(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+            ).alias("word")
+        )
+        .filter(F.col("word").rlike("^[a-z']+$"))
+        .distinct()
+    )
+    chars = F.filter(F.split(F.col("word"), ""), lambda c: c != "")
+    aligns = words.select(
+        F.concat_ws(
+            " ", F.transform(chars, lambda c: F.concat(c, F.lit("}"), c))
+        ).alias("alignment")
+    )
+    model = train_g2p_distributed(aligns, order=3)
+    return (
+        g2p_guess_table(words, model, max_guesses=1, eps_per_grapheme=2)
+        .filter(F.col("guess_idx") == 0)
+        .select("word", "phonemes")
+        .orderBy("word")
+    )
+
+
 def _multimodal_frame_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video frame-sampling plan (operators/multimodal.py): metadata-only
     integer arithmetic — durations derived deterministically from the
@@ -1150,6 +1188,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "top_tokens": _top_tokens,
         "doc_bpe_token_count": _doc_bpe_token_count,
         "g2p_pair_counts": _g2p_pair_counts,
+        "g2p_train_decode": _g2p_train_decode,
         # embeddings / similarity
         "embedding_norms_by_label": _embedding_norms_by_label,
         "ann_brute_topk": _ann_brute_topk,
@@ -1723,6 +1762,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT pair, CAST(count(*) AS BIGINT) AS cnt
             FROM pairs WHERE pair <> ''
             GROUP BY pair ORDER BY pair
+        """,
+        "g2p_train_decode": r"""
+            WITH words AS (
+                SELECT DISTINCT w AS word FROM (
+                    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+                    FROM documents
+                ) WHERE regexp_full_match(w, '[a-z'']+')
+            )
+            SELECT word,
+                   trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS phonemes
+            FROM words ORDER BY word
         """,
         "embedding_norms_by_label": """
             SELECT label, count(*) AS n,
