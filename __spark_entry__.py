@@ -633,6 +633,30 @@ def _doc_ssml_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sentence POS tagging (averaged-perceptron linear chain over
+    the reference's exact CRF features, core/pos_tag.py; reference
+    inference surface gruut/pos.py:52-68, whose trained model binaries
+    do not ship). Sentences = the first 30 whitespace words of each
+    document (the reference CLI tags whitespace-split stdin lines,
+    pos.py:300-303). Rows-only: Viterbi over trained weights is not
+    SQL-expressible."""
+    _configure(spark)
+    from gruut_spark.operators.pos_tag import pos_tag_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 30).alias("words"),
+    )
+    tagged = pos_tag_table(docs)
+    return tagged.select(
+        "doc_id",
+        F.size("pos").alias("n_words"),
+        F.concat_ws(" ", "pos").alias("tags"),
+        F.md5(F.concat_ws(" ", "pos")).alias("tags_md5"),
+    ).orderBy(F.col("doc_id").cast("long"))
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1222,6 +1246,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_voice_consensus": _doc_voice_consensus,
         "pos_tag_accuracy": _pos_tag_accuracy,
         "doc_ssml_words": _doc_ssml_words,
+        "doc_pos_tags": _doc_pos_tags,
     }
 
 

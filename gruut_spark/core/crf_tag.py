@@ -109,63 +109,18 @@ def _read_refs(data: bytes, offset: int, expect_magic: bytes) -> List[List[int]]
     return refs
 
 
-class Crf1dModel:
-    """A loaded first-order CRF model ready for Viterbi tagging."""
+class LinearChainTagger:
+    """Shared first-order Viterbi machinery over (attribute, value)
+    items. Subclasses provide ``labels``, ``num_labels``,
+    ``attr_ids`` (attribute -> id), ``state`` (id -> [(label, w), ...])
+    and ``trans`` (L x L ndarray) — the crfsuite reader below and the
+    from-scratch trained POS perceptron (core/pos_tag.py) decode through
+    the SAME code path, so tagging semantics cannot drift between them."""
 
-    def __init__(self, path: str):
-        with open(path, "rb") as f:
-            data = f.read()
-        (magic, _size, ftype, _version, _nfeat, num_labels, num_attrs,
-         off_features, off_labels, off_attrs, off_labelrefs,
-         off_attrrefs) = struct.unpack_from("<4sI4s9I", data, 0)
-        if magic != b"lCRF" or ftype != b"FOMC":
-            raise ValueError(f"not a crf1d model: {magic!r}/{ftype!r}")
-
-        fmagic, _fsize, nfeat = struct.unpack_from("<4sII", data, off_features)
-        if fmagic != b"FEAT":
-            raise ValueError(f"expected FEAT at {off_features:#x}")
-        feats = struct.unpack_from("<" + "IIId" * nfeat, data, off_features + 12)
-        # flat (type, src, dst, weight) x nfeat — LOCALS only: keeping
-        # the raw table on the instance tripled the pickle that
-        # g2p_crf_table ships to every Spark task (r03 review; state +
-        # trans below capture everything tagging needs)
-        ftype = feats[0::4]
-        fsrc = feats[1::4]
-        fdst = feats[2::4]
-        fweight = feats[3::4]
-
-        labels_db = Cqdb(data, off_labels)
-        attrs_db = Cqdb(data, off_attrs)
-        self.labels: List[str] = [labels_db.to_str[i] for i in range(num_labels)]
-        self.attr_ids: Dict[str, int] = attrs_db.to_id
-        self.num_labels = num_labels
-
-        # per-attribute state scores: attr id -> [(label, weight), ...]
-        arefs = _read_refs(data, off_attrrefs, b"AFRF")
-        if len(arefs) != num_attrs:
-            raise ValueError("attr ref count mismatch")
-        self.state: List[List[Tuple[int, float]]] = []
-        for fids in arefs:
-            self.state.append(
-                [
-                    (fdst[fid], fweight[fid])
-                    for fid in fids
-                    if ftype[fid] == 0
-                ]
-            )
-
-        # dense transition matrix from the label refs (first num_labels
-        # refs; the +2 BOS/EOS slots are unused by modern crfsuite)
-        import numpy as np
-
-        lrefs = _read_refs(data, off_labelrefs, b"LFRF")
-        self.trans = np.zeros((num_labels, num_labels))
-        for fids in lrefs[:num_labels]:
-            for fid in fids:
-                if ftype[fid] == 1:
-                    self.trans[fsrc[fid], fdst[fid]] = fweight[fid]
-
-    # -- tagging ---------------------------------------------------------
+    labels: List[str]
+    num_labels: int
+    attr_ids: Dict[str, int]
+    state: List[List[Tuple[int, float]]]
 
     @staticmethod
     def items_from_features(
@@ -222,6 +177,62 @@ class Crf1dModel:
     def tag(self, feature_dicts: Sequence[Dict[str, FeatureValue]]) -> List[str]:
         return self.tag_items(self.items_from_features(feature_dicts))
 
+
+class Crf1dModel(LinearChainTagger):
+    """A loaded first-order CRF model ready for Viterbi tagging."""
+
+    def __init__(self, path: str):
+        with open(path, "rb") as f:
+            data = f.read()
+        (magic, _size, ftype, _version, _nfeat, num_labels, num_attrs,
+         off_features, off_labels, off_attrs, off_labelrefs,
+         off_attrrefs) = struct.unpack_from("<4sI4s9I", data, 0)
+        if magic != b"lCRF" or ftype != b"FOMC":
+            raise ValueError(f"not a crf1d model: {magic!r}/{ftype!r}")
+
+        fmagic, _fsize, nfeat = struct.unpack_from("<4sII", data, off_features)
+        if fmagic != b"FEAT":
+            raise ValueError(f"expected FEAT at {off_features:#x}")
+        feats = struct.unpack_from("<" + "IIId" * nfeat, data, off_features + 12)
+        # flat (type, src, dst, weight) x nfeat — LOCALS only: keeping
+        # the raw table on the instance tripled the pickle that
+        # g2p_crf_table ships to every Spark task (r03 review; state +
+        # trans below capture everything tagging needs)
+        ftype = feats[0::4]
+        fsrc = feats[1::4]
+        fdst = feats[2::4]
+        fweight = feats[3::4]
+
+        labels_db = Cqdb(data, off_labels)
+        attrs_db = Cqdb(data, off_attrs)
+        self.labels: List[str] = [labels_db.to_str[i] for i in range(num_labels)]
+        self.attr_ids: Dict[str, int] = attrs_db.to_id
+        self.num_labels = num_labels
+
+        # per-attribute state scores: attr id -> [(label, weight), ...]
+        arefs = _read_refs(data, off_attrrefs, b"AFRF")
+        if len(arefs) != num_attrs:
+            raise ValueError("attr ref count mismatch")
+        self.state: List[List[Tuple[int, float]]] = []
+        for fids in arefs:
+            self.state.append(
+                [
+                    (fdst[fid], fweight[fid])
+                    for fid in fids
+                    if ftype[fid] == 0
+                ]
+            )
+
+        # dense transition matrix from the label refs (first num_labels
+        # refs; the +2 BOS/EOS slots are unused by modern crfsuite)
+        import numpy as np
+
+        lrefs = _read_refs(data, off_labelrefs, b"LFRF")
+        self.trans = np.zeros((num_labels, num_labels))
+        for fids in lrefs[:num_labels]:
+            for fid in fids:
+                if ftype[fid] == 1:
+                    self.trans[fsrc[fid], fdst[fid]] = fweight[fid]
 
 def g2p_tag_word(
     model: Crf1dModel,

@@ -1,0 +1,211 @@
+"""Part-of-speech tagger: averaged structured perceptron over the
+reference's exact CRF feature set.
+
+The reference tags POS with a pycrfsuite linear-chain CRF
+(``gruut/pos.py:52-68`` ``PartOfSpeechTagger``) whose trained model
+binaries do NOT ship in the snapshot (``gruut-lang-fr/pos/`` holds only
+a 38-byte results.txt) and whose trainer needs pycrfsuite + conllu,
+neither installed here. This module supplies the missing inference
+capability from scratch while keeping every reference-pinned surface
+identical:
+
+* features are ``crf_features.pos_sentence_features`` — the byte-exact
+  port of ``gruut/pos.py:70-156`` that the reference's own test pins
+  (``tests/test_pos.py:12-83``);
+* decoding is the SAME first-order Viterbi as the shipped crfsuite G2P
+  models, via :class:`~.crf_tag.LinearChainTagger` (``tag_items``),
+  so a future real ``pos/model.crf`` drops in with zero code changes
+  (``Crf1dModel`` is a sibling subclass);
+* training is an averaged structured perceptron (Collins 2002,
+  "Discriminative Training Methods for HMMs") — a standard published
+  estimator for exactly this model family that needs no external
+  packages and is deterministic (fixed epoch order + seeded shuffle),
+  which the repo's committed-artifact discipline requires.
+
+Downstream, tags become lexicon roles exactly as in the reference:
+``word.role = "gruut:{pos_tag}"`` (``gruut/text_processor.py:1112``)
+feeding the role-preference phonemize chain
+(``operators/lexicon.py::phonemize_tokens_role``) — homograph
+disambiguation is the point of POS in this engine.
+
+Spark-free on purpose (gruut_spark/core discipline): the distributed
+form lives in ``operators/pos_tag.py``.
+"""
+
+from __future__ import annotations
+
+import random
+from typing import Dict, List, Sequence, Tuple
+
+import numpy as np
+
+from .crf_features import pos_sentence_features
+from .crf_tag import LinearChainTagger
+
+TaggedSentence = Tuple[Sequence[str], Sequence[str]]  # (words, tags)
+
+
+class PerceptronPosTagger(LinearChainTagger):
+    """First-order linear-chain tagger with perceptron-trained weights.
+
+    Exposes the ``LinearChainTagger`` decode contract (``labels`` /
+    ``attr_ids`` / ``state`` / ``trans``) so tagging runs through the
+    same Viterbi as the crfsuite reader.
+    """
+
+    def __init__(
+        self,
+        labels: Sequence[str],
+        attrs: Sequence[str],
+        weights: np.ndarray,  # (num_attrs, num_labels)
+        trans: np.ndarray,  # (num_labels, num_labels)
+    ):
+        self.labels = list(labels)
+        self.num_labels = len(self.labels)
+        self.attr_ids = {a: i for i, a in enumerate(attrs)}
+        self._attrs = list(attrs)
+        self._weights = np.asarray(weights, dtype=np.float64)
+        self.trans = np.asarray(trans, dtype=np.float64)
+        # sparse per-attribute view for LinearChainTagger.tag_items
+        self.state: List[List[Tuple[int, float]]] = [
+            [(j, w) for j, w in enumerate(row) if w != 0.0]
+            for row in self._weights
+        ]
+
+    # reference API: tagger(words) -> tags (gruut/pos.py:65-68)
+    def __call__(self, words: Sequence[str]) -> List[str]:
+        if not words:
+            return []
+        return self.tag(pos_sentence_features(words))
+
+    # -- persistence -----------------------------------------------------
+
+    def save(self, path: str) -> None:
+        np.savez_compressed(
+            path,
+            labels=np.array(self.labels, dtype=object),
+            attrs=np.array(self._attrs, dtype=object),
+            weights=self._weights,
+            trans=self.trans,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "PerceptronPosTagger":
+        data = np.load(path, allow_pickle=True)
+        return cls(
+            [str(x) for x in data["labels"]],
+            [str(x) for x in data["attrs"]],
+            data["weights"],
+            data["trans"],
+        )
+
+    # -- training --------------------------------------------------------
+
+    @classmethod
+    def train(
+        cls,
+        sentences: Sequence[TaggedSentence],
+        epochs: int = 8,
+        seed: int = 20260817,
+        prune_below: float = 1e-9,
+    ) -> "PerceptronPosTagger":
+        """Averaged structured perceptron. Deterministic: sentence order
+        is shuffled per epoch with a fixed-seed ``random.Random`` (never
+        the per-process-salted builtin ``hash``), updates and argmax tie
+        breaks are order-stable, and averaging uses exact lazy
+        timestamp accumulation — two runs produce identical weights."""
+        labels = sorted({t for _, tags in sentences for t in tags})
+        lab_id = {t: i for i, t in enumerate(labels)}
+        L = len(labels)
+
+        # features are fixed per sentence — extract once
+        prepared: List[Tuple[List[List[Tuple[str, float]]], List[int]]] = []
+        for words, tags in sentences:
+            if not words:
+                continue
+            items = cls.items_from_features(pos_sentence_features(words))
+            prepared.append((items, [lab_id[t] for t in tags]))
+
+        w_attr: Dict[str, np.ndarray] = {}
+        acc_attr: Dict[str, np.ndarray] = {}
+        ts_attr: Dict[str, int] = {}
+        trans = np.zeros((L, L))
+        acc_trans = np.zeros((L, L))
+        ts_trans = 0
+
+        def decode(items: List[List[Tuple[str, float]]]) -> List[int]:
+            T = len(items)
+            scores = np.zeros((T, L))
+            for t, item in enumerate(items):
+                for attr, val in item:
+                    wv = w_attr.get(attr)
+                    if wv is not None and val != 0.0:
+                        scores[t] += wv * val
+            delta = scores[0].copy()
+            back = np.zeros((T - 1, L), dtype=np.int64)
+            for t in range(1, T):
+                cand = delta[:, None] + trans
+                back[t - 1] = np.argmax(cand, axis=0)
+                delta = cand[back[t - 1], np.arange(L)] + scores[t]
+            path = [int(np.argmax(delta))]
+            for t in range(T - 2, -1, -1):
+                path.append(int(back[t, path[-1]]))
+            path.reverse()
+            return path
+
+        rng = random.Random(seed)
+        order = list(range(len(prepared)))
+        step = 0
+        for _epoch in range(epochs):
+            rng.shuffle(order)
+            for si in order:
+                items, gold = prepared[si]
+                step += 1
+                pred = decode(items)
+                if pred == gold:
+                    continue
+                for t, (g, p) in enumerate(zip(gold, pred)):
+                    if g == p:
+                        continue
+                    for attr, val in items[t]:
+                        if val == 0.0:
+                            continue
+                        wv = w_attr.get(attr)
+                        if wv is None:
+                            wv = np.zeros(L)
+                            w_attr[attr] = wv
+                            acc_attr[attr] = np.zeros(L)
+                            ts_attr[attr] = step
+                        else:
+                            acc_attr[attr] += (step - ts_attr[attr]) * wv
+                            ts_attr[attr] = step
+                        wv[g] += val
+                        wv[p] -= val
+                for t in range(1, len(gold)):
+                    if (gold[t - 1], gold[t]) != (pred[t - 1], pred[t]):
+                        if ts_trans != step:
+                            acc_trans += (step - ts_trans) * trans
+                            ts_trans = step
+                        trans[gold[t - 1], gold[t]] += 1.0
+                        trans[pred[t - 1], pred[t]] -= 1.0
+
+        # finalize averages
+        total = max(step, 1)
+        for attr, wv in w_attr.items():
+            acc_attr[attr] += (total - ts_attr[attr]) * wv
+        acc_trans += (total - ts_trans) * trans
+
+        attrs = sorted(w_attr)
+        weights = np.zeros((len(attrs), L))
+        for i, attr in enumerate(attrs):
+            avg = acc_attr[attr] / total
+            avg[np.abs(avg) < prune_below] = 0.0
+            weights[i] = avg
+        avg_trans = acc_trans / total
+        avg_trans[np.abs(avg_trans) < prune_below] = 0.0
+        return cls(labels, attrs, weights, avg_trans)
+
+
+def pos_to_role(tag: str) -> str:
+    """Reference role derivation: ``gruut/text_processor.py:1112``."""
+    return f"gruut:{tag}"

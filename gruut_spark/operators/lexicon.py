@@ -242,7 +242,7 @@ def phonemize_tokens(
 
 def phonemize_tokens_role(
     toks: DataFrame, lexicon: DataFrame, role_col: str = "role",
-    empty_role: str = "_", g2p_model=None,
+    empty_role: str = "_", g2p_model=None, extra_cols: tuple = (),
 ) -> DataFrame:
     """POS-informed pronunciation lookup (reference role-preference
     chain, gruut/phonemize.py:55-73): for a token with a POS role, prefer
@@ -331,6 +331,7 @@ def phonemize_tokens_role(
         )
     return out.select(
         "doc_id",
+        *extra_cols,
         "word",
         role_col,
         F.coalesce(*fallbacks, grapheme_pron(F.col("word"))).alias(

@@ -1,0 +1,112 @@
+"""DataFrame form of the POS tagger + POS-informed phonemization.
+
+Tagging is per-sentence Viterbi (inherently sequential within a
+sentence, reference ``gruut/pos.py:65-68``), so the parallelism axis is
+sentences: ONE ``mapInPandas`` stage (single Python eval node, the
+repo's measured rule), model loaded lazily once per executor process
+(functions/runtime.py pattern — the ~30 KB npz is NOT closure-shipped
+with every task).
+
+``phonemize_with_pos`` composes the full reference chain
+(``gruut/text_processor.py:1096-1162``): tag each sentence, derive
+``role = "gruut:{tag}"`` per word (:1112), then run the role-preference
+lexicon chain (``operators/lexicon.py::phonemize_tokens_role``).
+Physical shape: mapInPandas (tag) -> posexplode (no shuffle) -> six
+broadcast joins (no shuffle) — the sentence stream is never exchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterator, Union
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.pos_tag import PerceptronPosTagger
+
+POS_SCHEMA = "doc_id string, words array<string>, pos array<string>"
+
+_TAGGERS: dict = {}
+
+
+def default_pos_model_path() -> str:
+    from ..functions.runtime import artifact_dir
+
+    return os.path.join(artifact_dir(), "pos_en.npz")
+
+
+def _get_tagger(model: Union[PerceptronPosTagger, str, None]) -> PerceptronPosTagger:
+    if isinstance(model, PerceptronPosTagger):
+        return model
+    path = model or default_pos_model_path()
+    tagger = _TAGGERS.get(path)
+    if tagger is None:
+        tagger = PerceptronPosTagger.load(path)
+        _TAGGERS[path] = tagger
+    return tagger
+
+
+def pos_tag_table(
+    df: DataFrame,
+    words_col: str = "words",
+    id_col: str = "doc_id",
+    model: Union[PerceptronPosTagger, str, None] = None,
+) -> DataFrame:
+    """(doc_id, words, pos) — one tag per word, per sentence row.
+
+    ``model``: a loaded tagger (closure-captured; fine for tests), a
+    model path, or None for the committed ``artifacts/pos_en.npz``.
+    Paths are resolved and cached per executor process.
+    """
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tagger = _get_tagger(model)
+        for pdf in batches:
+            words_lists = [
+                [str(w) for w in ws] if ws is not None else []
+                for ws in pdf["words"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "words": words_lists,
+                    "pos": [tagger(ws) for ws in words_lists],
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(words_col).alias("words"),
+    ).mapInPandas(run, schema=POS_SCHEMA)
+
+
+def phonemize_with_pos(
+    df: DataFrame,
+    lexicon: DataFrame,
+    words_col: str = "words",
+    id_col: str = "doc_id",
+    model: Union[PerceptronPosTagger, str, None] = None,
+    g2p_model=None,
+) -> DataFrame:
+    """POS-informed pronunciation: tag -> gruut:TAG role -> role-
+    preference lexicon chain. Returns (doc_id, word_idx, word, role,
+    phonemes, source); homographs resolve by tag exactly as in the
+    reference (``word.role = f"gruut:{pos_tag}"``,
+    text_processor.py:1112)."""
+    from .lexicon import phonemize_tokens_role
+
+    tagged = pos_tag_table(df, words_col=words_col, id_col=id_col, model=model)
+    toks = tagged.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip("words", "pos")).alias("word_idx", "wp"),
+    ).select(
+        "doc_id",
+        "word_idx",
+        F.col("wp.words").alias("word"),
+        F.concat(F.lit("gruut:"), F.col("wp.pos")).alias("role"),
+    )
+    return phonemize_tokens_role(
+        toks, lexicon, g2p_model=g2p_model, extra_cols=("word_idx",)
+    )

@@ -429,3 +429,84 @@ def bench_files_parquet(rows: int, cache_root: str, seed: int = SEED) -> str:
         with open(marker, "w") as f:
             f.write(digest)
     return out_path
+
+
+# ---------------------------------------------------------------------------
+# POS training corpus (for core/pos_tag.py)
+# ---------------------------------------------------------------------------
+
+# A small deterministic English grammar with xpos-style tags (the
+# reference's en model is trained on the xpos label, gruut/pos.py:28).
+# The nouns/verbs deliberately overlap on the classic homograph set
+# (record/present/contract/permit/object and read/reads/records), so a
+# tagger that ignores context CANNOT reach high accuracy and the
+# POS -> gruut:TAG role -> phonemize chain has real disambiguation work.
+_POS_VOCAB: Dict[str, List[str]] = {
+    "PRP": ["i", "you", "we", "they", "he", "she"],
+    "MD": ["will", "can", "must", "may", "should"],
+    "DT": ["the", "a", "this", "that", "every", "some"],
+    "JJ": ["old", "small", "bright", "quiet", "heavy", "green", "minute"],
+    "NN": [
+        "record", "present", "contract", "permit", "object", "house",
+        "wind", "dog", "book", "project", "garden", "engine", "minute",
+    ],
+    "NNS": ["records", "presents", "objects", "houses", "dogs", "books",
+            "engines", "permits"],
+    "VB": [
+        "record", "present", "contract", "permit", "object", "read",
+        "see", "move", "open", "wind", "project",
+    ],
+    "VBZ": ["records", "presents", "objects", "reads", "sees", "moves",
+            "opens", "permits"],
+    "VBD": ["recorded", "presented", "moved", "opened", "saw", "read"],
+    "IN": ["in", "on", "under", "near", "with", "for"],
+    "RB": ["quickly", "slowly", "often", "today", "again"],
+    "CC": ["and", "but", "or"],
+    "CD": ["two", "three", "seven", "ten"],
+    ".": ["."],
+}
+
+# Tag-sequence templates; word choices per slot are drawn seeded.
+_POS_TEMPLATES: List[List[str]] = [
+    ["PRP", "MD", "VB", "DT", "NN", "."],
+    ["PRP", "MD", "VB", "DT", "JJ", "NN", "."],
+    ["DT", "JJ", "NN", "VBZ", "RB", "."],
+    ["DT", "NN", "VBZ", "DT", "NN", "."],
+    ["PRP", "VBD", "DT", "NN", "IN", "DT", "JJ", "NN", "."],
+    ["DT", "NNS", "VBD", "IN", "DT", "NN", "."],
+    ["PRP", "MD", "VB", "DT", "NN", "CC", "DT", "NN", "."],
+    ["CD", "NNS", "VBD", "RB", "."],
+    ["PRP", "VBZ", "DT", "NNS", "RB", "."],
+    ["DT", "JJ", "NNS", "VBD", "DT", "JJ", "NN", "."],
+    ["PRP", "MD", "RB", "VB", "DT", "NNS", "."],
+    ["DT", "NN", "IN", "DT", "NN", "VBZ", "DT", "NNS", "."],
+    ["PRP", "VBZ", "DT", "NN", "RB", "."],
+    ["DT", "JJ", "NN", "VBD", "DT", "NN", "RB", "."],
+]
+
+
+def pos_corpus(
+    seed: int = SEED, n_sentences: int = 1800
+) -> List[Tuple[List[str], List[str]]]:
+    """Deterministic (words, tags) sentences for POS training. Python's
+    ``random.Random`` with a fixed seed (never the salted builtin
+    ``hash``); same seed -> identical corpus on every host."""
+    import random as _random
+
+    rng = _random.Random(seed + 40)
+    out: List[Tuple[List[str], List[str]]] = []
+    for i in range(n_sentences):
+        tags = _POS_TEMPLATES[i % len(_POS_TEMPLATES)]
+        words = [rng.choice(_POS_VOCAB[t]) for t in tags]
+        out.append((words, list(tags)))
+    return out
+
+
+def pos_corpus_split(
+    seed: int = SEED, n_sentences: int = 1800, holdout_every: int = 10
+) -> Tuple[List[Tuple[List[str], List[str]]], List[Tuple[List[str], List[str]]]]:
+    """Deterministic train/holdout split (every k-th sentence held out)."""
+    corpus = pos_corpus(seed, n_sentences)
+    train = [s for i, s in enumerate(corpus) if i % holdout_every != 0]
+    hold = [s for i, s in enumerate(corpus) if i % holdout_every == 0]
+    return train, hold

@@ -12,7 +12,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 from gruut_spark.core.langid import LangIdModel
 from gruut_spark.core.ngram_lm import NGramLM
-from gruut_spark.sources.testgen import lm_corpus, training_corpus
+from gruut_spark.core.pos_tag import PerceptronPosTagger
+from gruut_spark.sources.testgen import lm_corpus, pos_corpus_split, training_corpus
 
 ART = os.path.join(os.path.dirname(__file__), "..", "artifacts")
 
@@ -35,6 +36,17 @@ def main() -> None:
         lm.save(os.path.join(ART, f"lm_{lang}.npz"))
         sample = [t for d in docs[:5] for t in d]
         print(f"lm[{lang}]: {len(docs)} docs, sample ppl {lm.perplexity(sample[:200]):.1f}")
+
+    # POS tagger (averaged perceptron over the reference's CRF features)
+    train, hold = pos_corpus_split()
+    tagger = PerceptronPosTagger.train(train)
+    tagger.save(os.path.join(ART, "pos_en.npz"))
+    n_words = n_hits = 0
+    for words, tags in hold:
+        pred = tagger(words)
+        n_words += len(tags)
+        n_hits += sum(p == g for p, g in zip(pred, tags))
+    print(f"pos_en: {len(train)} train sents, holdout word acc {n_hits / n_words:.4f}")
 
 
 if __name__ == "__main__":

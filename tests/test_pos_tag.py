@@ -1,0 +1,151 @@
+"""POS tagger: perceptron training, determinism, homograph
+disambiguation, distributed equivalence, and the POS->role->phonemize
+composition (reference gruut/pos.py:52-68 + text_processor.py:1096-1162).
+
+Feature-dict parity with the reference is pinned separately in
+test_crf_features.py (the reference's own model-free test surface);
+these tests cover the inference capability the snapshot's missing
+pos model binaries leave open.
+"""
+
+import os
+
+import pytest
+
+from gruut_spark.core.pos_tag import PerceptronPosTagger, pos_to_role
+from gruut_spark.sources.testgen import pos_corpus_split
+
+ART = os.path.join(os.path.dirname(__file__), "..", "artifacts", "pos_en.npz")
+
+
+@pytest.fixture(scope="module")
+def tagger():
+    return PerceptronPosTagger.load(ART)
+
+
+def test_holdout_accuracy(tagger):
+    _, hold = pos_corpus_split()
+    n = hits = 0
+    for words, tags in hold:
+        pred = tagger(words)
+        assert len(pred) == len(tags)
+        n += len(tags)
+        hits += sum(p == g for p, g in zip(pred, tags))
+    assert hits / n >= 0.97
+
+
+def test_training_is_deterministic():
+    train, _ = pos_corpus_split()
+    small = train[:200]
+    a = PerceptronPosTagger.train(small, epochs=3)
+    b = PerceptronPosTagger.train(small, epochs=3)
+    assert a.labels == b.labels
+    assert a._attrs == b._attrs
+    import numpy as np
+
+    assert np.array_equal(a._weights, b._weights)
+    assert np.array_equal(a.trans, b.trans)
+
+
+def test_homograph_disambiguation(tagger):
+    # "record": VB after a modal, NN after a determiner — same surface
+    # form, context decides (the reason gruut runs POS at all)
+    words = "they will record the record .".split()
+    assert tagger(words) == ["PRP", "MD", "VB", "DT", "NN", "."]
+    words = "the record records the records .".split()
+    assert tagger(words) == ["DT", "NN", "VBZ", "DT", "NNS", "."]
+    words = "we must object again .".split()
+    assert tagger(words) == ["PRP", "MD", "VB", "RB", "."]
+    words = "the minute object moved quickly .".split()
+    assert tagger(words) == ["DT", "JJ", "NN", "VBD", "RB", "."]
+
+
+def test_empty_and_single(tagger):
+    assert tagger([]) == []
+    assert len(tagger(["record"])) == 1
+
+
+def test_save_load_roundtrip(tmp_path, tagger):
+    p = str(tmp_path / "pos.npz")
+    tagger.save(p)
+    again = PerceptronPosTagger.load(p)
+    words = "i will present the present .".split()
+    assert again(words) == tagger(words)
+
+
+def test_pos_to_role():
+    assert pos_to_role("VB") == "gruut:VB"
+
+
+def test_spark_tagging_matches_serial(spark, tagger):
+    from gruut_spark.operators.pos_tag import pos_tag_table
+
+    _, hold = pos_corpus_split()
+    rows = [(str(i), list(words)) for i, (words, _) in enumerate(hold[:60])]
+    df = spark.createDataFrame(rows, "doc_id string, words array<string>")
+    got = {
+        r["doc_id"]: r["pos"]
+        for r in pos_tag_table(df, model=ART).collect()
+    }
+    for doc_id, words in rows:
+        assert got[doc_id] == tagger(words), (doc_id, words)
+
+
+def test_phonemize_with_pos_homographs(spark):
+    """End-to-end reference chain: tag -> gruut:TAG role -> role-
+    preference lexicon. The homograph 'record' must pick the verb pron
+    after a modal and the noun pron after a determiner, from the SAME
+    lexicon rows."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.operators.pos_tag import phonemize_with_pos
+
+    lex = spark.createDataFrame(
+        [
+            ("record", "gruut:VB", 0, "r ih K OH R D"),
+            ("record", "gruut:NN", 0, "R EH K ER D"),
+            ("record", "_", 0, "R EH K ER D"),
+            ("the", "_", 0, "DH AH"),
+            ("they", "_", 0, "DH EY"),
+            ("will", "_", 0, "W IH L"),
+            (".", "_", 0, ""),
+        ],
+        "word string, role string, pron_order int, phonemes string",
+    )
+    df = spark.createDataFrame(
+        [("d1", "they will record the record .".split())],
+        "doc_id string, words array<string>",
+    )
+    out = (
+        phonemize_with_pos(df, lex, model=ART)
+        .orderBy("word_idx")
+        .collect()
+    )
+    assert [r["word"] for r in out] == [
+        "they", "will", "record", "the", "record", ".",
+    ]
+    assert out[2]["role"] == "gruut:VB"
+    assert out[2]["phonemes"] == "r ih K OH R D"
+    assert out[4]["role"] == "gruut:NN"
+    assert out[4]["phonemes"] == "R EH K ER D"
+    # words without a role-specific entry fall through to default
+    assert out[0]["phonemes"] == "DH EY"
+    assert out[0]["source"] == "lexicon"
+
+
+def test_single_python_eval_node(spark):
+    """The tagging stage must stay ONE Python eval node (repo's measured
+    scaling rule): exactly one *InPandas/ArrowEval occurrence in the
+    physical plan."""
+    from gruut_spark.operators.pos_tag import pos_tag_table
+
+    df = spark.createDataFrame(
+        [("d1", ["they", "will", "record", "."])],
+        "doc_id string, words array<string>",
+    )
+    plan = (
+        pos_tag_table(df, model=ART)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    n_python = plan.count("MapInPandas") + plan.count("ArrowEvalPython")
+    assert n_python == 1, plan
