@@ -673,6 +673,55 @@ def _dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+_MH_REL = dict(num_perm=16, bands=4, shingle_k=3, seed=1, param_high=2 ** 31)
+
+
+def _dedup_minhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked twin of the MinHash-LSH pipeline: the SAME operator
+    code (signature UDF -> band fold -> sorted streaming pair emitter ->
+    n_bands agg), with the two hash primitives swapped to
+    SQL-expressible choices — FNV-1a shingle hashing and 31-bit
+    universal-hash coefficients — so DuckDB replicates every step in
+    HUGEINT list folds and the driver hash-gates the results. The
+    production path (dedup_minhash_lsh, BLAKE2b, 61-bit params) differs
+    ONLY in those injected primitives."""
+    from gruut_spark.operators.dedup import minhash_lsh_pairs
+
+    return (
+        minhash_lsh_pairs(
+            _read(spark, sf_dir, "documents"), "text", "doc_id",
+            max_bucket=1_000_000, hash_name="fnv1a", **_MH_REL,
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("n_bands").cast("long").alias("n_bands"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _dedup_simhash_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-checked twin of the SimHash near-dup pipeline (same operator
+    code; FNV-1a token hashing injected so DuckDB can replicate the
+    64-bit weighted bit-vote, 16-bit chunk banding, and hamming verify
+    exactly)."""
+    from gruut_spark.operators.dedup import simhash_near_pairs
+
+    return (
+        simhash_near_pairs(
+            _read(spark, sf_dir, "documents"), "text", "doc_id",
+            max_hamming=3, max_bucket=1_000_000, hash_name="fnv1a",
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
 def _dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Connected components over MinHash-LSH candidate pairs — duplicate
     clusters with min-id canonical representative (iterative label
@@ -1227,6 +1276,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_relational": _dedup_clusters_relational,
+        "dedup_minhash_relational": _dedup_minhash_relational,
+        "dedup_simhash_relational": _dedup_simhash_relational,
         "doc_phonemize_lexicon": _doc_phonemize_lexicon,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
@@ -1292,6 +1343,121 @@ def _winnowing_oracle_sql(k: int = 8, window: int = 4) -> str:
         )
         SELECT doc_id, len(fps)::INT AS n_fingerprints, list_min(fps) AS min_fingerprint
         FROM signed ORDER BY doc_id
+    """
+
+
+def _fnv1a_sql(var: str) -> str:
+    """DuckDB FNV-1a 64 over a string's UTF-8 bytes: hex(encode(..))
+    byte extraction (the winnowing oracle's pattern) folded with
+    xor-multiply mod 2^64 via list_reduce. Mirrors
+    operators.dedup._fnv1a64 bit-for-bit."""
+    return (
+        "list_reduce(list_prepend(14695981039346656037::HUGEINT,"
+        f" [ ((strpos('0123456789ABCDEF', substr(hex(encode({var})), 2*i-1, 1))-1)*16"
+        f"    + (strpos('0123456789ABCDEF', substr(hex(encode({var})), 2*i, 1))-1))::HUGEINT"
+        f"   FOR i IN range(1, octet_length(encode({var}))+1) ]),"
+        " (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)"
+        " % 18446744073709551616::HUGEINT)"
+    )
+
+
+def _minhash_relational_oracle_sql() -> str:
+    """DuckDB replication of the ENTIRE MinHash-LSH pipeline at the
+    _dedup_minhash_relational parameters: whitespace shingling,
+    distinct k-shingles, FNV-1a shingle hashes, (a*h+b) mod 2^64 mod
+    Mersenne-61 universal min-hashing (numpy's implicit uint64 wrap
+    made explicit), per-band FNV xor-multiply key folds, bucket
+    self-join, per-pair matched-band counts. Verified row-identical to
+    the numpy path before wiring (25 pairs at sf0.01)."""
+    from gruut_spark.operators.dedup import _minhash_params
+
+    k = _MH_REL["shingle_k"]
+    num_perm, bands = _MH_REL["num_perm"], _MH_REL["bands"]
+    rpb = num_perm // bands
+    a, b = _minhash_params(num_perm, _MH_REL["seed"], _MH_REL["param_high"])
+    params_rows = ",".join(
+        f"({p},{p // rpb},{p % rpb},{int(a[p])},{int(b[p])})"
+        for p in range(num_perm)
+    )
+    return f"""
+        WITH params(p, band, slot, a, b) AS (VALUES {params_rows}),
+        docs AS (
+          SELECT doc_id::BIGINT AS _id, text FROM documents
+          WHERE regexp_matches(text, '\\S')
+        ), toks AS (
+          SELECT _id,
+            list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+          FROM docs
+        ), sh AS (
+          SELECT _id, CASE
+            WHEN len(ts) >= {k} THEN list_distinct(
+              [ array_to_string(ts[i:i+{k - 1}], ' ') FOR i IN range(1, len(ts)-{k}+2) ])
+            WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+            ELSE [] END AS shingles
+          FROM toks
+        ), hashed AS (
+          SELECT _id, list_transform(shingles, s -> {_fnv1a_sql('s')}) AS hs
+          FROM sh WHERE len(shingles) > 0
+        ), mh AS (
+          SELECT _id, params.band, params.slot,
+            list_min(list_transform(hs, h ->
+              (((params.a::HUGEINT * h) % 18446744073709551616::HUGEINT
+                 + params.b::HUGEINT) % 18446744073709551616::HUGEINT)
+                % 2305843009213693951::HUGEINT)) AS mv
+          FROM hashed CROSS JOIN params
+        ), bandkeys AS (
+          SELECT _id, band,
+            list_reduce(
+              list_prepend(14695981039346656037::HUGEINT, list(mv ORDER BY slot)),
+              (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
+                % 18446744073709551616::HUGEINT) AS key
+          FROM mh GROUP BY _id, band
+        )
+        SELECT x._id AS id_a, y._id AS id_b, count(*)::BIGINT AS n_bands
+        FROM bandkeys x
+        JOIN bandkeys y ON x.band = y.band AND x.key = y.key AND x._id < y._id
+        GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _simhash_relational_oracle_sql(max_hamming: int = 3) -> str:
+    """DuckDB replication of the SimHash near-dup pipeline: FNV-1a
+    unigram hashes, 64-bit weighted bit-vote signature (bit extraction
+    by literal power-of-two division — `^` is XOR in DuckDB, not
+    power), 4x16-bit chunk banding, hamming-verified distinct pairs.
+    Verified row-identical to the numpy path before wiring (17 pairs
+    at sf0.01)."""
+    powers = "[" + ",".join(f"{1 << i}::HUGEINT" for i in range(64)) + "]"
+    chunk_pows = "[1::HUGEINT, 65536::HUGEINT, 4294967296::HUGEINT, 281474976710656::HUGEINT]"
+    return f"""
+        WITH pw(pws) AS (VALUES ({powers})),
+        docs AS (
+          SELECT doc_id::BIGINT AS _id, text FROM documents
+          WHERE regexp_matches(text, '\\S')
+        ), toks AS (
+          SELECT _id,
+            list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
+          FROM docs
+        ), hashed AS (
+          SELECT _id, list_transform(ts, w -> {_fnv1a_sql('w')}) AS hs
+          FROM toks WHERE len(ts) > 0
+        ), sig AS (
+          SELECT _id,
+            list_sum([ CASE WHEN list_sum(list_transform(hs,
+                  h -> CASE WHEN (h // pws[bit]) % 2 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN pws[bit] ELSE 0::HUGEINT END
+                FOR bit IN range(1, 65) ])::HUGEINT AS s
+          FROM hashed CROSS JOIN pw
+        ), chunks AS (
+          SELECT _id, s, i AS chunk_idx, (s // {chunk_pows}[i+1]) % 65536 AS chunk_val
+          FROM sig, range(0, 4) r(i)
+        )
+        SELECT DISTINCT a._id AS id_a, b._id AS id_b,
+          bit_count(xor(a.s, b.s))::INT AS hamming
+        FROM chunks a JOIN chunks b
+          ON a.chunk_idx = b.chunk_idx AND a.chunk_val = b.chunk_val AND a._id < b._id
+        WHERE bit_count(xor(a.s, b.s)) <= {max_hamming}
+        ORDER BY 1, 2
     """
 
 
@@ -2094,6 +2260,8 @@ def oracle_sql() -> dict[str, str]:
                    md5(string_agg(wp, '|' ORDER BY wp)) AS phoneme_md5
             FROM phon GROUP BY doc_id ORDER BY doc_id
         """,
+        "dedup_minhash_relational": _minhash_relational_oracle_sql(),
+        "dedup_simhash_relational": _simhash_relational_oracle_sql(),
         "dedup_clusters_relational": r"""
             WITH RECURSIVE
             hashed AS (

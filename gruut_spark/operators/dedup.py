@@ -39,6 +39,23 @@ def _hash64(data: bytes) -> int:
     carry no artifacts, so the function here is free to change.)"""
     return int.from_bytes(hashlib.blake2b(data, digest_size=8).digest(), "big")
 
+
+def _fnv1a64(data: bytes) -> int:
+    """FNV-1a 64 — the SQL-expressible hash primitive. Slower than
+    BLAKE2b in Python (per-byte loop), so it is NOT the production
+    default; it exists so the relational oracle twins
+    (``dedup_minhash_relational`` / ``dedup_simhash_relational``) can
+    replicate the whole MinHash/SimHash pipeline inside DuckDB (HUGEINT
+    xor/multiply-mod-2^64 list folds) and value-check the shared
+    signature/banding/pair code end-to-end."""
+    h = 14695981039346656037
+    for b in data:
+        h = ((h ^ b) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+_HASH_FNS = {"blake2b": _hash64, "fnv1a": _fnv1a64}
+
 def content_key(col) -> "F.Column":
     """md5 of whitespace-normalized text — THE exact-dedup key. One
     definition shared by the batch operators and the streaming stateful
@@ -188,14 +205,19 @@ def sorted_bucket_pairs(
 _MERSENNE = (1 << 61) - 1
 
 
-def _minhash_params(num_perm: int, seed: int = 1) -> tuple:
+def _minhash_params(num_perm: int, seed: int = 1, high: int = _MERSENNE) -> tuple:
+    """Universal-hash coefficients. ``high`` defaults to the Mersenne
+    modulus; the relational oracle twin passes ``high=2**31`` so the
+    a*h products stay below 2^95 and fit DuckDB's signed 128-bit
+    HUGEINT after an explicit mod-2^64 (numpy uint64 wraps
+    implicitly)."""
     rng = np.random.default_rng(seed)
-    a = rng.integers(1, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
-    b = rng.integers(0, _MERSENNE, num_perm, dtype=np.int64).astype(np.uint64)
+    a = rng.integers(1, high, num_perm, dtype=np.int64).astype(np.uint64)
+    b = rng.integers(0, high, num_perm, dtype=np.int64).astype(np.uint64)
     return a, b
 
 
-def _shingle_hashes(text: str, k: int) -> np.ndarray:
+def _shingle_hashes(text: str, k: int, hash64=_hash64) -> np.ndarray:
     """Stable 64-bit hashes of word k-shingles (BLAKE2b; see _hash64)."""
     toks = text.lower().split()
     if len(toks) < k:
@@ -205,7 +227,7 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
     if not shingles:
         return np.zeros(0, dtype=np.uint64)
     return np.fromiter(
-        (_hash64(s.encode("utf-8", "ignore")) for s in set(shingles)),
+        (hash64(s.encode("utf-8", "ignore")) for s in set(shingles)),
         dtype=np.uint64,
     )
 
@@ -213,10 +235,12 @@ def _shingle_hashes(text: str, k: int) -> np.ndarray:
 def minhash_signatures(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, shingle_k: int = 3, seed: int = 1,
+    hash_name: str = "blake2b", param_high: int = _MERSENNE,
 ) -> DataFrame:
     """(id, signature:array<long>) via a vectorized pandas UDF — the numpy
     (num_perm × n_shingles) min-reduction runs per Arrow batch."""
-    a, b = _minhash_params(num_perm, seed)
+    a, b = _minhash_params(num_perm, seed, param_high)
+    hash64 = _HASH_FNS[hash_name]
 
     from pyspark.sql.functions import pandas_udf
 
@@ -224,7 +248,7 @@ def minhash_signatures(
     def _sig(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts.fillna(""):
-            h = _shingle_hashes(t, shingle_k)
+            h = _shingle_hashes(t, shingle_k, hash64)
             if h.size == 0:
                 out.append([0] * num_perm)
                 continue
@@ -239,13 +263,15 @@ def minhash_signatures(
 def minhash_band_hashes(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
+    hash_name: str = "blake2b", param_high: int = _MERSENNE,
 ) -> DataFrame:
     """(id, band_hashes:array<long>) — signature computed AND banded inside
     one UDF (hashing each band slice to a 64-bit key), so the plan carries
     `bands` longs per doc instead of a 64-column md5 expression tree."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
-    a, b = _minhash_params(num_perm, seed)
+    a, b = _minhash_params(num_perm, seed, param_high)
+    hash64 = _HASH_FNS[hash_name]
 
     from pyspark.sql.functions import pandas_udf
 
@@ -253,7 +279,7 @@ def minhash_band_hashes(
     def _bands(texts: pd.Series) -> pd.Series:
         out = []
         for t in texts.fillna(""):
-            h = _shingle_hashes(t, shingle_k)
+            h = _shingle_hashes(t, shingle_k, hash64)
             if h.size == 0:
                 sig = np.zeros(num_perm, dtype=np.uint64)
             else:
@@ -273,6 +299,7 @@ def minhash_lsh_pairs(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
     max_bucket: int = 64,
+    hash_name: str = "blake2b", param_high: int = _MERSENNE,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
 
@@ -297,7 +324,8 @@ def minhash_lsh_pairs(
       duplicate territory that ``exact_dedup_groups`` also covers."""
     eligible = df.filter(has_content(F.col(text_col)))
     sigs = minhash_band_hashes(
-        eligible, text_col, id_col, num_perm, bands, shingle_k, seed
+        eligible, text_col, id_col, num_perm, bands, shingle_k, seed,
+        hash_name, param_high,
     )
     banded = sigs.select(
         # _outer: the arrays are fixed-length (bands), so semantics are
@@ -316,10 +344,14 @@ def minhash_lsh_pairs(
 # ---------------------------------------------------------------------------
 
 
-def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+def simhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, hash_name: str = "blake2b",
+) -> DataFrame:
     """64-bit SimHash over word unigrams (weighted bit-vote), numpy per
     batch."""
     from pyspark.sql.functions import pandas_udf
+
+    hash64 = _HASH_FNS[hash_name]
 
     @pandas_udf("long")
     def _sim(texts: pd.Series) -> pd.Series:
@@ -330,7 +362,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
                 out.append(0)
                 continue
             hashes = np.fromiter(
-                (_hash64(w.encode("utf-8", "ignore")) for w in toks),
+                (hash64(w.encode("utf-8", "ignore")) for w in toks),
                 dtype=np.uint64,
             )
             bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1)
@@ -346,7 +378,7 @@ def simhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def simhash_near_pairs(
     df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3,
-    max_bucket: int = 256,
+    max_bucket: int = 256, hash_name: str = "blake2b",
 ) -> DataFrame:
     """Near-duplicate candidates by banding the 64-bit signature into four
     16-bit chunks (pigeonhole: hamming<=3 ⇒ at least one identical chunk),
@@ -363,7 +395,7 @@ def simhash_near_pairs(
     route). The hamming verification runs BEFORE the pair dedup so the
     final shuffle only carries verified near-dups."""
     eligible = df.filter(has_content(F.col(text_col)))
-    sigs = simhash_signatures(eligible, text_col, id_col)
+    sigs = simhash_signatures(eligible, text_col, id_col, hash_name)
     chunks = sigs.select(
         # _outer for the same inferred-filter reason as minhash_lsh_pairs
         F.posexplode_outer(

@@ -1117,3 +1117,14 @@ def test_near_dedup_state_ttl_evicts_and_readmits():
     state.hasTimedOut = False
     assert list(fn((0, 1), iter([pd.DataFrame({"_id": [9]})]), state)) == []
     assert state.get == (9,)
+
+
+def test_fnv1a64_published_vectors():
+    """The oracle-twin hash primitive must be real FNV-1a 64 (the DuckDB
+    replication in __spark_entry__._fnv1a_sql folds the same constants):
+    pin against the published test vectors."""
+    from gruut_spark.operators.dedup import _fnv1a64
+
+    assert _fnv1a64(b"") == 0xCBF29CE484222325
+    assert _fnv1a64(b"a") == 0xAF63DC4C8601EC8C
+    assert _fnv1a64(b"foobar") == 0x85944171F73967E8
