@@ -18,6 +18,7 @@ import os
 import sys
 from collections.abc import Callable
 
+import numpy as np
 import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1461,6 +1462,181 @@ def _simhash_relational_oracle_sql(max_hamming: int = 3) -> str:
     """
 
 
+def _plane_values_sql(planes, weights) -> str:
+    """(p, w, pv DOUBLE[]) VALUES rows for literal hyperplanes. float64
+    repr is shortest-round-trip decimal, so DuckDB parses back the exact
+    same double the numpy UDF multiplies with."""
+    rows = []
+    for p, (w, pv) in enumerate(zip(weights, planes)):
+        vec = ",".join(repr(float(x)) for x in pv)
+        rows.append(f"({p},{int(w)},[{vec}]::DOUBLE[])")
+    return ",".join(rows)
+
+
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 4, seed: int = 7) -> str:
+    """DuckDB replication of lsh_ann_topk: sign-pattern bucket of the
+    literal seeded hyperplanes (list_dot_product > 0), restrict to the
+    query's bucket, exact cosine re-rank (the ann_brute_topk oracle's
+    raw-order/rounded-output pattern). Sign agreement between numpy's
+    BLAS matmul and DuckDB's sequential dot holds because the dots are
+    O(1) magnitude — a flip needs |dot| at the 1e-16 accumulation-error
+    scale."""
+    from gruut_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    weights = 1 << np.arange(n_planes)
+    values = _plane_values_sql(planes, weights)
+    cos = (
+        "list_dot_product(b.embedding::DOUBLE[], q.qv)"
+        " / (sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))"
+        "    * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+        WITH planes(p, w, pv) AS (VALUES {values}),
+        q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        buck AS (
+          SELECT e.vec_id, e.embedding,
+            sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) > 0
+                     THEN p.w ELSE 0 END)::BIGINT AS bucket
+          FROM embeddings e CROSS JOIN planes p
+          GROUP BY e.vec_id, e.embedding
+        ), qb AS (
+          SELECT sum(CASE WHEN list_dot_product(q.qv, p.pv) > 0
+                          THEN p.w ELSE 0 END)::BIGINT AS qbucket
+          FROM q CROSS JOIN planes p
+        )
+        SELECT b.vec_id, round({cos}, 6) AS cos_sim
+        FROM buck b, q, qb
+        WHERE b.bucket = qb.qbucket
+        ORDER BY {cos} DESC, b.vec_id ASC
+        LIMIT 10
+    """
+
+
+def _embedding_near_dups_oracle_sql(
+    dim: int = 64, n_planes: int = 8, n_tables: int = 4, seed: int = 7,
+    threshold: float = 0.98,
+) -> str:
+    """DuckDB replication of embedding_near_dup_pairs at the
+    embedding_near_dups query's parameters, INCLUDING the query's
+    planted perturbed twins (component roll + 5% blend, cast through
+    REAL to match Spark's float storage): multi-table sign-LSH buckets,
+    within-bucket pairs, exact-cosine >= threshold, distinct."""
+    from gruut_spark.operators.similarity import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes * n_tables, seed)
+    weights = list(1 << np.arange(n_planes)) * n_tables
+    # row p belongs to table p // n_planes with weight 2^(p % n_planes)
+    rows = []
+    for p, pv in enumerate(planes):
+        vec = ",".join(repr(float(x)) for x in pv)
+        rows.append(f"({p // n_planes},{int(weights[p])},[{vec}]::DOUBLE[])")
+    values = ",".join(rows)
+    cos = (
+        "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+        " / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))"
+        "    * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))"
+    )
+    return f"""
+        WITH planes(tbl, w, pv) AS (VALUES {values}),
+        twins AS (
+          SELECT vec_id + 10000000 AS vec_id,
+            [ (embedding[i]::DOUBLE
+               + 0.05 * (embedding[2:] || embedding[1:1])[i]::DOUBLE)::REAL
+              FOR i IN range(1, len(embedding)+1) ] AS embedding
+          FROM embeddings WHERE vec_id % 50 = 0
+        ), allv AS (
+          SELECT vec_id, embedding FROM embeddings
+          UNION ALL SELECT vec_id, embedding FROM twins
+        ), nz AS (
+          SELECT * FROM allv
+          WHERE list_sum(list_transform(embedding, x -> abs(x::DOUBLE))) > 0
+        ), buck AS (
+          SELECT e.vec_id, e.embedding, p.tbl,
+            sum(CASE WHEN list_dot_product(e.embedding::DOUBLE[], p.pv) > 0
+                     THEN p.w ELSE 0 END)::BIGINT AS bucket
+          FROM nz e CROSS JOIN planes p
+          GROUP BY e.vec_id, e.embedding, p.tbl
+        )
+        SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+               round({cos}, 6) AS cos_sim
+        FROM buck a JOIN buck b
+          ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE round({cos}, 6) >= {threshold}
+        ORDER BY id_a, id_b
+    """
+
+
+def _ivf_oracle_sql(
+    n_lists: int = 16, n_probe: int = 4, iters: int = 10, seed: int = 11,
+    k: int = 10, dim: int = 64, n_pop: int = 500,
+) -> str:
+    """DuckDB replication of the ENTIRE ivf_ann_topk pipeline including
+    k-means TRAINING: ten unrolled Lloyd iterations as MATERIALIZED CTE
+    pairs (assignment by arg_min over squared distance, per-dimension
+    avg re-centering with empty-cluster carry-over), then probe-list
+    selection, nearest-list assignment of every vector, and the exact
+    cosine re-rank. MATERIALIZED is load-bearing twice over: without it
+    DuckDB re-evaluates each referenced CTE (exponential in iteration
+    depth) and the re-evaluations can disagree in floating summation
+    order, yielding internally inconsistent centroids. Verified
+    bit-identical centroids per iteration and identical top-10 vs the
+    numpy trainer before wiring.
+
+    ``n_pop`` pins the population size the seeded init draws from
+    (numpy's rng.choice depends on it): 500 = the embeddings row count
+    at sf0.01, the scale the driver's correctness gate runs at."""
+    rng = np.random.default_rng(seed)
+    idx = np.sort(rng.choice(n_pop, size=min(n_lists, n_pop), replace=False))
+    init_rows = ",".join(f"({c},{int(i) + 1})" for c, i in enumerate(idx))
+    d2 = "list_sum([ (s.ev[i]-c.v[i])*(s.ev[i]-c.v[i]) FOR i IN range(1, %d) ])" % (dim + 1)
+    ctes = ""
+    for it in range(1, iters + 1):
+        prev, cur = f"cents{it - 1}", f"cents{it}"
+        ctes += f""",
+        assign{it} AS MATERIALIZED (
+          SELECT s.rn, s.ev, arg_min(c.c, {d2}) AS cl
+          FROM samp s CROSS JOIN {prev} c GROUP BY s.rn, s.ev),
+        newc{it} AS MATERIALIZED (
+          SELECT cl AS c, pos, avg(ev[pos]) AS val
+          FROM assign{it}, range(1, {dim + 1}) r(pos) GROUP BY cl, pos),
+        {cur} AS MATERIALIZED (
+          SELECT p.c, coalesce(n.v, p.v) AS v FROM {prev} p
+          LEFT JOIN (SELECT c, list(val ORDER BY pos) AS v
+                     FROM newc{it} GROUP BY c) n ON n.c = p.c)"""
+    cos = (
+        "list_dot_product(k.ev, q.qv)"
+        " / (sqrt(list_dot_product(k.ev, k.ev)) * sqrt(list_dot_product(q.qv, q.qv)))"
+    )
+    return f"""
+        WITH init(c, rn) AS (VALUES {init_rows}),
+        emb_rn AS MATERIALIZED (
+          SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+          FROM embeddings),
+        samp AS MATERIALIZED (
+          SELECT rn, vec_id, embedding::DOUBLE[] AS ev FROM emb_rn WHERE rn <= 1024),
+        cents0 AS MATERIALIZED (
+          SELECT i.c, s.ev AS v FROM init i JOIN samp s ON s.rn = i.rn){ctes},
+        q AS MATERIALIZED (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        probe AS MATERIALIZED (
+          SELECT c.c FROM cents{iters} c, q
+          ORDER BY list_sum([ (q.qv[i]-c.v[i])*(q.qv[i]-c.v[i])
+                              FOR i IN range(1, {dim + 1}) ]) ASC, c.c ASC
+          LIMIT {n_probe}),
+        cand AS MATERIALIZED (
+          SELECT s.vec_id, s.ev FROM (
+            SELECT s.vec_id, s.ev, arg_min(c.c, {d2}) AS cl
+            FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM emb_rn) s
+            CROSS JOIN cents{iters} c GROUP BY s.vec_id, s.ev) s
+          WHERE s.cl IN (SELECT c FROM probe))
+        SELECT k.vec_id, round({cos}, 6) AS cos_sim
+        FROM cand k, q
+        ORDER BY {cos} DESC, k.vec_id ASC
+        LIMIT {k}
+    """
+
+
 def _stratified_sample_oracle_sql() -> str:
     from gruut_spark.operators.corpus import rate_threshold_hex
 
@@ -2262,6 +2438,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_relational": _minhash_relational_oracle_sql(),
         "dedup_simhash_relational": _simhash_relational_oracle_sql(),
+        "ann_lsh_topk": _ann_lsh_oracle_sql(),
+        "ann_ivf_topk": _ivf_oracle_sql(),
+        "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "dedup_clusters_relational": r"""
             WITH RECURSIVE
             hashed AS (
