@@ -1637,6 +1637,52 @@ def _ivf_oracle_sql(
     """
 
 
+def _multimodal_oracle_sql(n: int = 48, seed: int = 42) -> str:
+    """DuckDB twin of multimodal_features. The synthetic payloads are
+    regenerated at oracle-build time (operators.multimodal.synthetic_rows
+    — same seed, Spark-free) and their sha256 digests embedded as
+    literals, because this DuckDB build's sha256() only accepts VARCHAR
+    and the payloads are arbitrary bytes. Everything downstream of the
+    digest is derived IN SQL: the stub decode's 16-dim feature vector
+    (mean-pool of the tiled digest's halves = (d[i]+d[i+16])/2 —
+    half-integer values, float-exact), the rounded mean, the
+    %.4f-formatted md5, and the per-modality frame count."""
+    import hashlib
+
+    from gruut_spark.operators.multimodal import synthetic_rows
+
+    rows = []
+    for i, modality, payload, meta in synthetic_rows(n, seed):
+        sha = hashlib.sha256(payload).hexdigest()
+        dur = meta["duration_ms"] if meta["duration_ms"] is not None else 0
+        rows.append(f"({i},'{modality}',{len(payload)},'{sha}',{dur})")
+    values = ",".join(rows)
+    return f"""
+        WITH samples(sample_id, modality, n_bytes, sha, duration_ms)
+          AS (VALUES {values}),
+        db AS (
+          SELECT *,
+            [ ((strpos('0123456789abcdef', substr(sha, 2*i-1, 1))-1)*16
+               + (strpos('0123456789abcdef', substr(sha, 2*i, 1))-1))::DOUBLE
+              FOR i IN range(1, 33) ] AS bytes32
+          FROM samples
+        ), feat AS (
+          SELECT *,
+            [ (bytes32[i] + bytes32[i+16]) / 2 FOR i IN range(1, 17) ] AS fv
+          FROM db
+        )
+        SELECT sample_id::BIGINT AS sample_id, modality,
+               n_bytes::BIGINT AS n_bytes, sha AS payload_sha256,
+               CASE WHEN modality = 'video'
+                    THEN greatest(1, duration_ms // 1000)
+                    ELSE 1 END::INT AS frames_sampled,
+               round(list_sum(fv) / 16, 6) AS feature_mean,
+               md5(array_to_string(list_transform(fv, v -> printf('%.4f', v)), ','))
+                 AS feature_md5
+        FROM feat ORDER BY sample_id
+    """
+
+
 def _stratified_sample_oracle_sql() -> str:
     from gruut_spark.operators.corpus import rate_threshold_hex
 
@@ -2440,6 +2486,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash_relational": _simhash_relational_oracle_sql(),
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "multimodal_features": _multimodal_oracle_sql(),
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "dedup_clusters_relational": r"""
             WITH RECURSIVE

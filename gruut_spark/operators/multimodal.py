@@ -96,8 +96,10 @@ def extract_features(df: DataFrame) -> DataFrame:
     )
 
 
-def synthetic_multimodal(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake multimodal table for tests/demos."""
+def synthetic_rows(n: int = 64, seed: int = 42) -> list:
+    """Deterministic fake multimodal rows (Spark-free so the DuckDB
+    oracle builder can regenerate the identical payloads at
+    oracle-construction time)."""
     rng = np.random.default_rng(seed)
     rows = []
     for i in range(n):
@@ -110,7 +112,12 @@ def synthetic_multimodal(spark: SparkSession, n: int = 64, seed: int = 42) -> Da
             "duration_ms": int(rng.integers(1000, 10000)) if modality != "image" else None,
         }
         rows.append((i, modality, payload, meta))
-    return spark.createDataFrame(rows, schema=MULTIMODAL_SCHEMA)
+    return rows
+
+
+def synthetic_multimodal(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake multimodal table for tests/demos."""
+    return spark.createDataFrame(synthetic_rows(n, seed), schema=MULTIMODAL_SCHEMA)
 
 
 def frame_sample_plan(
