@@ -658,6 +658,46 @@ def _doc_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("doc_id").cast("long"))
 
 
+def _doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, detection half (Lee et al. 2021
+    ExactSubstr via the distributed k-gram-hash formulation,
+    operators/substring_dedup.py): maximal token spans repeated
+    verbatim anywhere in the corpus."""
+    _configure(spark)
+    from gruut_spark.operators.substring_dedup import repeated_kgram_spans
+
+    return (
+        repeated_kgram_spans(
+            _read(spark, sf_dir, "documents"), "text", "doc_id", k=6
+        )
+        .select(
+            "doc_id",
+            F.col("span_start").cast("int").alias("span_start"),
+            F.col("span_end").cast("int").alias("span_end"),
+            F.col("span_tokens").cast("int").alias("span_tokens"),
+            F.col("n_grams").cast("long").alias("n_grams"),
+        )
+        .orderBy("doc_id", "span_start")
+    )
+
+
+def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup, scrub half: repeated spans removed from
+    the token stream; counts + content digest per document."""
+    _configure(spark)
+    from gruut_spark.operators.substring_dedup import substring_dedup_text
+
+    out = substring_dedup_text(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", k=6
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1279,6 +1319,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_relational": _dedup_clusters_relational,
         "dedup_minhash_relational": _dedup_minhash_relational,
         "dedup_simhash_relational": _dedup_simhash_relational,
+        "doc_repeated_spans": _doc_repeated_spans,
+        "doc_substring_dedup": _doc_substring_dedup,
         "doc_phonemize_lexicon": _doc_phonemize_lexicon,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
@@ -2484,6 +2526,77 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dedup_minhash_relational": _minhash_relational_oracle_sql(),
         "dedup_simhash_relational": _simhash_relational_oracle_sql(),
+        "doc_repeated_spans": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '') AS ts
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(ts[i:i+5], ' ')) AS g
+              FROM toks, unnest(generate_series(1, greatest(0, len(ts)-5))) u(i)
+            ), c AS (
+              SELECT g, count(*) AS n_occ FROM grams GROUP BY g
+            ), rep AS (
+              SELECT doc_id, pos FROM grams JOIN c USING (g) WHERE n_occ >= 2
+            ), fl AS (
+              SELECT doc_id, pos,
+                CASE WHEN max(pos + 6) OVER w1 IS NULL
+                          OR pos > max(pos + 6) OVER w1
+                     THEN 1 ELSE 0 END AS ni
+              FROM rep
+              WINDOW w1 AS (PARTITION BY doc_id ORDER BY pos
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+            ), isl AS (
+              SELECT doc_id, pos,
+                sum(ni) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS island
+              FROM fl
+            )
+            SELECT doc_id, min(pos)::INT AS span_start,
+                   (max(pos) + 6)::INT AS span_end,
+                   (max(pos) + 6 - min(pos))::INT AS span_tokens,
+                   count(*)::BIGINT AS n_grams
+            FROM isl GROUP BY doc_id, island
+            ORDER BY doc_id, span_start
+        """,
+        "doc_substring_dedup": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '') AS ts
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(ts[i:i+5], ' ')) AS g
+              FROM toks, unnest(generate_series(1, greatest(0, len(ts)-5))) u(i)
+            ), c AS (
+              SELECT g, count(*) AS n_occ FROM grams GROUP BY g
+            ), rep AS (
+              SELECT doc_id, pos FROM grams JOIN c USING (g) WHERE n_occ >= 2
+            ), covered AS (
+              SELECT DISTINCT doc_id, pos + j AS tpos
+              FROM rep, unnest(generate_series(0, 5)) v(j)
+            ), tokpos AS (
+              SELECT t.doc_id, i - 1 AS tpos, ts[i] AS tok
+              FROM toks t, unnest(generate_series(1, len(ts))) u(i)
+            ), kept AS (
+              SELECT tp.doc_id, tp.tpos, tp.tok
+              FROM tokpos tp ANTI JOIN covered cv
+                ON tp.doc_id = cv.doc_id AND tp.tpos = cv.tpos
+            ), rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.ts)::INT AS n_tokens,
+                   (len(t.ts) - coalesce(r.n_kept, 0))::INT AS n_removed,
+                   md5(coalesce(r.clean_text, '')) AS clean_md5
+            FROM toks t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+            ORDER BY t.doc_id
+        """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),

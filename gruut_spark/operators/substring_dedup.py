@@ -1,0 +1,154 @@
+"""Exact-substring (repeated k-gram span) deduplication.
+
+The operation from "Deduplicating Training Data Makes Language Models
+Better" (Lee et al., 2021, ExactSubstr): find token spans that occur
+verbatim elsewhere in the corpus and mark/remove them, catching the
+boilerplate/quotation overlap that document-level dedup (exact or
+MinHash) structurally misses.
+
+Lee et al. build a monolithic suffix array — the wrong shape for a
+1000-executor cluster (one giant shared index). The distributed-native
+equivalent used here: hash every k-token gram, count occurrences
+globally (one shuffle over narrow (hash) rows with map-side partial
+aggregation), join the counts back, and merge each document's repeated
+gram positions into maximal spans with a per-document window (interval
+union via the running-max-end trick). A span of j>k repeated tokens
+appears as j-k+1 consecutive repeated grams, so merged spans recover
+exactly the maximal duplicated substrings of length >= k.
+
+Everything is Catalyst expressions — no Python, no UDFs — so the whole
+operator is DuckDB-replicable and value-checked by the driver gate
+(doc_repeated_spans / doc_substring_dedup).
+
+Scale notes: the only wide rows are (doc_id, pos, 32-byte md5) gram
+rows; text never enters a shuffle. The per-document window is bounded
+by document length, not corpus size. min_count=2 means "occurs anywhere
+else, including the same document" (self-repetition is duplication too
+— Lee et al. §3 make the same choice).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _tokens(text_col: str):
+    """Whitespace tokens of lowercased text (the corpus-ops convention:
+    matches dedup.ngram_jaccard_adjacent / textstats token semantics)."""
+    return F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"), lambda t: t != ""
+    )
+
+
+def _gram_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
+    """(doc_id, pos, g): md5 of each k-token gram; pos is the 0-based
+    token offset. Documents shorter than k tokens emit no grams."""
+    grams = F.when(
+        F.size(_tokens(text_col)) >= k,
+        F.transform(
+            F.sequence(F.lit(0), F.size(_tokens(text_col)) - k),
+            lambda i: F.md5(
+                F.concat_ws(" ", F.slice(_tokens(text_col), i + 1, k))
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(grams).alias("pos", "g"),
+    ).filter(F.col("g").isNotNull())
+
+
+def repeated_gram_positions(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, min_count: int = 2,
+) -> DataFrame:
+    """(doc_id, pos, n_occurrences) for every gram whose hash occurs
+    >= min_count times corpus-wide."""
+    grams = _gram_rows(df, text_col, id_col, k)
+    counts = grams.groupBy("g").agg(F.count("*").alias("n_occ"))
+    return (
+        grams.join(counts, "g")
+        .filter(F.col("n_occ") >= min_count)
+        .select("doc_id", "pos", "n_occ")
+    )
+
+
+def repeated_kgram_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated spans per document: (doc_id, span_start,
+    span_end, span_tokens, n_grams), token offsets half-open
+    [span_start, span_end)."""
+    rep = repeated_gram_positions(df, text_col, id_col, k, min_count)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = rep.withColumn(
+        "new_island",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_island").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    return (
+        flagged.groupBy("doc_id", "island")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + k).alias("span_end"),
+            F.count("*").alias("n_grams"),
+        )
+        .select(
+            "doc_id", "span_start", "span_end",
+            (F.col("span_end") - F.col("span_start")).alias("span_tokens"),
+            "n_grams",
+        )
+    )
+
+
+def substring_dedup_text(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, min_count: int = 2,
+) -> DataFrame:
+    """Remove every repeated span's tokens: (doc_id, n_tokens,
+    n_removed, clean_text). Token-level reconstruction (single-space
+    joined) — the operator's contract is token streams, matching the
+    corpus tokenization; exact whitespace is not preserved."""
+    rep = repeated_gram_positions(df, text_col, id_col, k, min_count)
+    covered = rep.select(
+        "doc_id",
+        F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("tpos"),
+    ).distinct()
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.posexplode_outer(_tokens(text_col)).alias("tpos", "tok"),
+    )
+    kept = toks.filter(F.col("tok").isNotNull()).join(
+        covered, ["doc_id", "tpos"], "left_anti"
+    )
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.count("*").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    totals = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.size(_tokens(text_col)).alias("n_tokens"),
+    )
+    return (
+        totals.join(rebuilt, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
+                "n_removed"
+            ),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+        )
+    )

@@ -1,0 +1,68 @@
+"""Exact-substring dedup (Lee et al. 2021 ExactSubstr, k-gram-hash
+formulation): span detection, merging, self-repetition, and text
+scrubbing on planted inputs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from gruut_spark.operators.substring_dedup import (
+    repeated_kgram_spans,
+    substring_dedup_text,
+)
+
+DOCS = [
+    (1, "a b c d e f g h i j"),          # shares a..f with doc 2
+    (2, "x y a b c d e f z w"),
+    (3, "p q r s t p q r s t u v"),      # self-repetition
+    (4, "one two three four five six"),  # unique
+    (5, "  "),                           # whitespace only
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_cross_doc_spans(spark, docs):
+    spans = {
+        (r["doc_id"], r["span_start"], r["span_end"]): (
+            r["span_tokens"], r["n_grams"],
+        )
+        for r in repeated_kgram_spans(docs, "text", "doc_id", k=4).collect()
+    }
+    # doc1: grams at 0,1,2 repeated (a b c d / b c d e / c d e f) -> [0, 6)
+    assert spans[(1, 0, 6)] == (6, 3)
+    # doc2: same grams at 2,3,4 -> [2, 8)
+    assert spans[(2, 2, 8)] == (6, 3)
+    # doc3: "p q r s t" twice -> 'p q r s','q r s t' at 0,1 and 5,6, plus
+    # the bridging 'r s t p'? No: 's t p q','t p q r' occur once each;
+    # islands [0,5) and [5,10) ABUT (pos 5 == prev_end 5 -> merged)
+    assert spans[(3, 0, 10)] == (10, 4)
+    assert not any(d == 4 for d, _, _ in spans)
+
+
+def test_scrubbed_text(spark, docs):
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in substring_dedup_text(docs, "text", "doc_id", k=4).collect()
+    }
+    assert out[1] == (10, 6, "g h i j")
+    assert out[2] == (10, 6, "x y z w")
+    assert out[3] == (12, 10, "u v")
+    assert out[4] == (6, 0, "one two three four five six")
+    assert out[5] == (0, 0, "")
+
+
+def test_min_count_threshold(spark, docs):
+    # min_count=3: nothing occurs three times -> no spans
+    assert repeated_kgram_spans(docs, "text", "doc_id", k=4, min_count=3).count() == 0
+
+
+def test_no_python_nodes(spark, docs):
+    plan = (
+        repeated_kgram_spans(docs, "text", "doc_id", k=4)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert marker not in plan, marker
