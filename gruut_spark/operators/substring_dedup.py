@@ -43,18 +43,22 @@ def _tokens(text_col: str):
 
 def _gram_rows(df: DataFrame, text_col: str, id_col: str, k: int) -> DataFrame:
     """(doc_id, pos, g): md5 of each k-token gram; pos is the 0-based
-    token offset. Documents shorter than k tokens emit no grams."""
+    token offset. Documents shorter than k tokens emit no grams. The
+    token array is projected ONCE per row before the gram expression
+    references it (a single inline expression would re-split the text
+    for size(), the sequence bound, and every slice)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_ts")
+    )
     grams = F.when(
-        F.size(_tokens(text_col)) >= k,
+        F.size("_ts") >= k,
         F.transform(
-            F.sequence(F.lit(0), F.size(_tokens(text_col)) - k),
-            lambda i: F.md5(
-                F.concat_ws(" ", F.slice(_tokens(text_col), i + 1, k))
-            ),
+            F.sequence(F.lit(0), F.size("_ts") - k),
+            lambda i: F.md5(F.concat_ws(" ", F.slice("_ts", i + 1, k))),
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(
-        F.col(id_col).alias("doc_id"),
+    return toks.select(
+        "doc_id",
         F.posexplode_outer(grams).alias("pos", "g"),
     ).filter(F.col("g").isNotNull())
 
