@@ -1725,6 +1725,131 @@ def _multimodal_oracle_sql(n: int = 48, seed: int = 42) -> str:
     """
 
 
+def _pos_viterbi_oracle_sql(max_words: int = 30) -> str:
+    """DuckDB replication of the ENTIRE doc_pos_tags pipeline — feature
+    extraction AND first-order Viterbi decoding — against the committed
+    perceptron weights, embedded as a literal attribute->weight-vector
+    MAP (1395 attrs x 14 labels) plus the 14x14 transition matrix.
+
+    Bit-exactness engineering (verified 500/500 identical tag sequences
+    before wiring):
+
+    * feature structs are emitted in the exact insertion order of
+      core/crf_features.pos_context_features, and each label's score is
+      a SEQUENTIAL list_reduce fold over them — the same left-to-right
+      double-addition sequence as the numpy `+=` in
+      LinearChainTagger.tag_items, so sums are bit-identical, not just
+      close;
+    * `word in string.punctuation` is a SUBSTRING test ('' is True) —
+      mirrored as (W = '' OR strpos(punct, W) > 0), NOT set membership;
+    * DP steps are unrolled MATERIALIZED CTEs (one per word position);
+      argmax tie-break = list_position of the list max = first index,
+      matching np.argmax;
+    * docs shorter than t carry their DP state unchanged through the
+      remaining steps (LEFT JOIN on the score vector)."""
+    import string
+
+    from gruut_spark.core.pos_tag import PerceptronPosTagger
+    from gruut_spark.operators.pos_tag import default_pos_model_path
+
+    tag = PerceptronPosTagger.load(default_pos_model_path())
+    punct = string.punctuation.replace("'", "''")
+
+    def feats(W: str, prefix: str) -> str:
+        p = prefix
+        items = [
+            f"struct_pack(a := '{p}bias', v := 1.0::DOUBLE)",
+            f"struct_pack(a := '{p}word:' || to_base64(encode({W})), v := 1.0::DOUBLE)",
+            f"struct_pack(a := '{p}len(word)', v := length({W})::DOUBLE)",
+            f"struct_pack(a := '{p}word.ispunctuation', v := CASE WHEN {W} = ''"
+            f" OR strpos('{punct}', {W}) > 0 THEN 1.0 ELSE 0.0 END::DOUBLE)",
+            f"struct_pack(a := '{p}word.isdigit()', v := CASE WHEN"
+            f" regexp_matches({W}, '^[0-9]+$') THEN 1.0 ELSE 0.0 END::DOUBLE)",
+            f"struct_pack(a := '{p}word[:2]:' || substr({W}, 1, 2), v := 1.0::DOUBLE)",
+            f"struct_pack(a := '{p}word[:3]:' || substr({W}, 1, 3), v := 1.0::DOUBLE)",
+            f"struct_pack(a := '{p}word[-2:]:' || right({W}, 2), v := 1.0::DOUBLE)",
+            f"struct_pack(a := '{p}word[-3:]:' || right({W}, 3), v := 1.0::DOUBLE)",
+        ]
+        return "[" + ",".join(items) + "]"
+
+    fl = (
+        feats("ws[t]", "")
+        + " || CASE WHEN t = 1 THEN [struct_pack(a := 'BOS', v := 1.0::DOUBLE)] ELSE [] END"
+        + " || CASE WHEN t = L THEN [struct_pack(a := 'EOS', v := 1.0::DOUBLE)] ELSE [] END"
+        + f" || CASE WHEN t >= 2 THEN {feats('ws[t-1]', '-1:')} ELSE [] END"
+        + f" || CASE WHEN t >= 3 THEN {feats('ws[t-2]', '-2:')} ELSE [] END"
+        + f" || CASE WHEN t <= L - 1 THEN {feats('ws[t+1]', '+1:')} ELSE [] END"
+        + f" || CASE WHEN t <= L - 2 THEN {feats('ws[t+2]', '+2:')} ELSE [] END"
+    )
+
+    keys = ",".join("'" + a.replace("'", "''") + "'" for a in tag._attrs)
+    vecs = ",".join(
+        "[" + ",".join(repr(float(x)) for x in row) + "]" for row in tag._weights
+    )
+    trans = "[" + ",".join(
+        "[" + ",".join(repr(float(x)) for x in row) + "]" for row in tag.trans
+    ) + "]"
+    labels_lit = "[" + ",".join(f"'{l}'" for l in tag.labels) + "]"
+    nl = tag.num_labels + 1
+
+    svec_expr = (
+        "[ list_reduce(list_prepend(0.0::DOUBLE, list_transform(fl,"
+        " f -> coalesce((wm.m[f.a])[1][j], 0.0::DOUBLE) * f.v)),"
+        f" (acc, x) -> acc + x) FOR j IN range(1, {nl}) ]"
+    )
+    cand = f"[ d.deltas[i] + tr.m[i][j] FOR i IN range(1, {nl}) ]"
+    steps = []
+    for t in range(2, max_words + 1):
+        steps.append(f"""
+        dp{t} AS MATERIALIZED (
+          SELECT d.doc_id,
+            CASE WHEN s.sv IS NULL THEN d.deltas ELSE
+              [ list_max({cand}) + s.sv[j] FOR j IN range(1, {nl}) ] END AS deltas,
+            CASE WHEN s.sv IS NULL THEN d.paths ELSE
+              [ d.paths[ list_position({cand}, list_max({cand})) ] || [j - 1]
+                FOR j IN range(1, {nl}) ] END AS paths
+          FROM dp{t - 1} d
+          LEFT JOIN svec s ON s.doc_id = d.doc_id AND s.t = {t}
+          CROSS JOIN tr)""")
+
+    return f"""
+        WITH wm AS MATERIALIZED (SELECT map([{keys}], [{vecs}]::DOUBLE[][]) AS m),
+        tr AS (SELECT {trans}::DOUBLE[][] AS m),
+        lb AS (SELECT {labels_lit} AS l),
+        docs AS (
+          SELECT doc_id::VARCHAR AS doc_id,
+            list_slice(string_split_regex(trim(text), '\\s+'), 1, {max_words}) AS ws
+          FROM documents
+        ),
+        pert AS MATERIALIZED (
+          SELECT doc_id, len(ws) AS L, ws, u.t
+          FROM docs, unnest(generate_series(1, len(ws))) u(t)
+        ),
+        svec AS MATERIALIZED (
+          SELECT p.doc_id, p.t, {svec_expr} AS sv
+          FROM (SELECT doc_id, t, L, ws, {fl} AS fl FROM pert) p CROSS JOIN wm
+        ),
+        dp1 AS MATERIALIZED (
+          SELECT s.doc_id, s.sv AS deltas,
+            [ [j - 1] FOR j IN range(1, {nl}) ] AS paths
+          FROM svec s WHERE s.t = 1
+        ),
+        {','.join(steps)},
+        decoded AS (
+          SELECT d.doc_id,
+            array_to_string(
+              [ lb.l[x + 1]
+                FOR x IN d.paths[ list_position(d.deltas, list_max(d.deltas)) ] ],
+              ' ') AS tags
+          FROM dp{max_words} d CROSS JOIN lb
+        )
+        SELECT doc_id,
+               (length(tags) - length(replace(tags, ' ', '')) + 1)::INT AS n_words,
+               tags, md5(tags) AS tags_md5
+        FROM decoded ORDER BY doc_id::BIGINT
+    """
+
+
 def _stratified_sample_oracle_sql() -> str:
     from gruut_spark.operators.corpus import rate_threshold_hex
 
@@ -2600,6 +2725,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
+        "doc_pos_tags": _pos_viterbi_oracle_sql(),
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "dedup_clusters_relational": r"""
             WITH RECURSIVE
