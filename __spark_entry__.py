@@ -698,6 +698,75 @@ def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_tokens_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a whitespace token count (shared by the packing /
+    mixture queries; the corpus-ops token convention)."""
+    return _read(spark, sf_dir, "documents").select(
+        "doc_id", "lang",
+        F.size(
+            F.filter(F.split(F.trim(F.col("text")), r"\s+"), lambda t: t != "")
+        ).alias("n_tokens"),
+    )
+
+
+_PACK_BUDGET, _PACK_GROUPS = 200, 8
+
+
+def _doc_pack_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, offset-binning form (pure Catalyst): per-bin
+    rollup of documents packed into 200-token bins within 8 hash
+    groups."""
+    _configure(spark)
+    from gruut_spark.operators.packing import bin_stats, pack_offset_bins
+
+    packed = pack_offset_bins(
+        _doc_tokens_frame(spark, sf_dir), "n_tokens", "doc_id",
+        _PACK_BUDGET, _PACK_GROUPS,
+    )
+    return bin_stats(packed).select(
+        F.col("grp").cast("long").alias("grp"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("bin_tokens").cast("long").alias("bin_tokens"),
+    ).orderBy("grp", "bin")
+
+
+def _doc_pack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing, exact greedy form (applyInPandas fold per
+    group; bins never exceed the budget)."""
+    _configure(spark)
+    from gruut_spark.operators.packing import bin_stats, pack_greedy
+
+    packed = pack_greedy(
+        _doc_tokens_frame(spark, sf_dir), "n_tokens", "doc_id",
+        _PACK_BUDGET, _PACK_GROUPS,
+    )
+    return bin_stats(packed).select(
+        F.col("grp").cast("long").alias("grp"),
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("bin_tokens").cast("long").alias("bin_tokens"),
+    ).orderBy("grp", "bin")
+
+
+_MIX_TARGETS = {"en": 0.4, "zh": 0.2, "de": 0.2, "es": 0.1, "fr": 0.1}
+_MIX_BUDGET = 5000
+
+
+def _doc_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture sampling toward target token shares (rates from
+    per-class availability, then the deterministic md5-threshold
+    filter)."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import mix_to_target
+
+    out = mix_to_target(
+        _doc_tokens_frame(spark, sf_dir), "lang", "n_tokens", "doc_id",
+        _MIX_TARGETS, _MIX_BUDGET,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import minhash_lsh_pairs
 
@@ -1321,6 +1390,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_relational": _dedup_simhash_relational,
         "doc_repeated_spans": _doc_repeated_spans,
         "doc_substring_dedup": _doc_substring_dedup,
+        "doc_pack_offset": _doc_pack_offset,
+        "doc_pack_greedy": _doc_pack_greedy,
+        "doc_mix_to_target": _doc_mix_to_target,
         "doc_phonemize_lexicon": _doc_phonemize_lexicon,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
@@ -2726,6 +2798,83 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
+        "doc_pack_offset": f"""
+            WITH tok AS (
+              SELECT doc_id,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS n
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n, md5(doc_id::VARCHAR) AS key,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % {_PACK_GROUPS} AS grp
+              FROM tok
+            ), c AS (
+              SELECT grp, doc_id, n,
+                coalesce(sum(n) OVER (PARTITION BY grp ORDER BY key, doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  AS strt
+              FROM g
+            )
+            SELECT grp, (strt // {_PACK_BUDGET})::BIGINT AS bin,
+                   count(*)::BIGINT AS n_docs, sum(n)::BIGINT AS bin_tokens
+            FROM c GROUP BY grp, strt // {_PACK_BUDGET}
+            ORDER BY grp, bin
+        """,
+        "doc_pack_greedy": f"""
+            WITH RECURSIVE tok AS (
+              SELECT doc_id,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS n
+              FROM documents
+            ), g AS (
+              SELECT doc_id, n, md5(doc_id::VARCHAR) AS key,
+                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                  % {_PACK_GROUPS} AS grp
+              FROM tok
+            ), r AS (
+              SELECT grp, doc_id, n,
+                row_number() OVER (PARTITION BY grp ORDER BY key, doc_id) AS rk
+              FROM g
+            ), pack AS (
+              SELECT grp, rk, doc_id, n, 0::BIGINT AS bin, n::BIGINT AS acc
+              FROM r WHERE rk = 1
+              UNION ALL
+              SELECT nx.grp, nx.rk, nx.doc_id, nx.n,
+                CASE WHEN p.acc + nx.n > {_PACK_BUDGET}
+                     THEN p.bin + 1 ELSE p.bin END,
+                CASE WHEN p.acc + nx.n > {_PACK_BUDGET}
+                     THEN nx.n::BIGINT ELSE p.acc + nx.n END
+              FROM pack p JOIN r nx ON nx.grp = p.grp AND nx.rk = p.rk + 1
+            )
+            SELECT grp, bin, count(*)::BIGINT AS n_docs,
+                   sum(n)::BIGINT AS bin_tokens
+            FROM pack GROUP BY grp, bin ORDER BY grp, bin
+        """,
+        "doc_mix_to_target": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS n
+              FROM documents
+            ), shares(lang, share) AS (VALUES
+              {",".join(f"('{c}', {s}::DOUBLE)" for c, s in sorted(_MIX_TARGETS.items()))}
+            ), tot AS (
+              SELECT lang, sum(n)::BIGINT AS t FROM tok GROUP BY lang
+            ), thr AS (
+              SELECT s.lang,
+                CASE WHEN least(1.0::DOUBLE, {_MIX_BUDGET} * s.share / t.t) >= 1.0
+                     THEN 'g0000000'
+                     ELSE printf('%08x',
+                       CAST(floor(least(1.0::DOUBLE, {_MIX_BUDGET} * s.share / t.t)
+                                  * 4294967296) AS BIGINT)) END AS th
+              FROM shares s JOIN tot t ON t.lang = s.lang
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON thr.lang = d.lang
+            WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.th
+            ORDER BY d.doc_id
+        """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "dedup_clusters_relational": r"""
             WITH RECURSIVE

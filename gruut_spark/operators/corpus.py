@@ -89,6 +89,34 @@ def quota_cap_per_source(
     )
 
 
+def mix_to_target(
+    df: DataFrame, class_col: str, token_col: str, id_col: str,
+    target_shares: Dict[str, float], budget_tokens: int,
+) -> DataFrame:
+    """Domain-mixture sampling: choose per-class keep RATES so the
+    sampled corpus approximates ``target_shares`` of ``budget_tokens``
+    (rate = min(1, share*budget / available_tokens) — capped at
+    availability, the standard mixture-weighting recipe), then apply
+    the deterministic md5-threshold filter. Classes absent from
+    ``target_shares`` are dropped.
+
+    The per-class token totals are a bounded driver-side aggregate
+    (one row per class); the filter itself is the same zero-shuffle
+    retry-safe scan predicate as stratified_sample."""
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(class_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+    }
+    rates = {
+        cls: min(1.0, budget_tokens * share / totals[cls])
+        for cls, share in target_shares.items()
+        if totals.get(cls)
+    }
+    return stratified_sample(df, class_col, id_col, rates)
+
+
 def decontaminate(
     docs: DataFrame, benchmark: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",

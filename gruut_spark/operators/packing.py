@@ -1,0 +1,106 @@
+"""Sequence packing: group documents into training sequences under a
+token budget.
+
+The step between a filtered corpus and a training run: concatenate
+documents into fixed-budget sequences with minimal padding waste. A
+truly global greedy pack is a sequential fold over the whole corpus —
+the non-scalable shape (one total order = one partition). Both
+operators here therefore pack WITHIN deterministic hash groups, making
+groups the parallel axis; the waste bound is n_groups * (budget - 1)
+tokens corpus-wide, negligible for n_groups << corpus_tokens / budget.
+``n_groups`` is the scale knob: pick it so a group's rows fit one task
+comfortably (the per-group window/fold is the only sequential part).
+
+* ``pack_offset_bins`` — pure Catalyst: bin = floor(cumulative token
+  offset / budget). A document straddling a boundary joins the bin its
+  START falls in, so a bin can overflow by at most max_doc_tokens - 1;
+  zero Python, one window over the group.
+* ``pack_greedy`` — exact first-fit-sequential: a bin never exceeds the
+  budget (oversized documents sit alone). The per-group fold runs in
+  ONE applyInPandas node; its DuckDB oracle twin is a recursive CTE
+  over the same (group, rank) order.
+
+Group routing and intra-group order both derive from md5(id) — never
+Python ``hash``, and SQL-replicable (the repo's stratified_sample
+convention) — so results are identical across retries and cluster
+sizes.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _grouped(df: DataFrame, id_col: str, n_groups: int) -> DataFrame:
+    """Add deterministic (grp, rank-key) routing columns."""
+    key = F.md5(F.col(id_col).cast("string"))
+    grp = F.conv(F.substring(key, 1, 8), 16, 10).cast("long") % n_groups
+    return df.withColumn("_key", key).withColumn("grp", grp)
+
+
+def pack_offset_bins(
+    df: DataFrame, token_col: str, id_col: str, budget: int,
+    n_groups: int = 64,
+) -> DataFrame:
+    """(doc_id, grp, bin): offset-binning pack. Bins are contiguous
+    [k*budget, (k+1)*budget) windows of the group's cumulative token
+    stream; may overflow by < max_doc_tokens."""
+    g = _grouped(df, id_col, n_groups)
+    w = Window.partitionBy("grp").orderBy("_key", id_col)
+    start = F.coalesce(
+        F.sum(token_col).over(w.rowsBetween(Window.unboundedPreceding, -1)),
+        F.lit(0),
+    )
+    return g.select(
+        F.col(id_col).alias("doc_id"),
+        "grp",
+        F.floor(start / budget).alias("bin"),
+        F.col(token_col).alias("n_tokens"),
+    )
+
+
+def pack_greedy(
+    df: DataFrame, token_col: str, id_col: str, budget: int,
+    n_groups: int = 64,
+) -> DataFrame:
+    """(doc_id, grp, bin): exact sequential first-fit within each group —
+    a bin's total never exceeds ``budget`` (documents larger than the
+    budget occupy a bin alone). One applyInPandas node; groups are the
+    parallel axis."""
+    g = _grouped(df, id_col, n_groups).select(
+        F.col(id_col).alias("doc_id"), "grp", "_key",
+        F.col(token_col).cast("long").alias("n_tokens"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_key", "doc_id"], kind="mergesort")
+        bins, acc, b = [], 0, 0
+        first = True
+        for tok in pdf["n_tokens"]:
+            t = int(tok)
+            if not first and acc + t > budget:
+                b += 1
+                acc = 0
+            bins.append(b)
+            acc += t
+            first = False
+        out = pdf[["doc_id", "grp", "n_tokens"]].copy()
+        out["bin"] = bins
+        return out[["doc_id", "grp", "bin", "n_tokens"]]
+
+    return g.groupBy("grp").applyInPandas(
+        pack, schema="doc_id long, grp long, bin long, n_tokens long"
+    )
+
+
+def bin_stats(packed: DataFrame) -> DataFrame:
+    """Per-bin rollup: (grp, bin, n_docs, bin_tokens)."""
+    return packed.groupBy("grp", "bin").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )

@@ -1,0 +1,102 @@
+"""Sequence packing (offset + exact greedy) and domain-mixture
+sampling."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from gruut_spark.operators.packing import (
+    bin_stats,
+    pack_greedy,
+    pack_offset_bins,
+)
+
+
+def _md5(i) -> str:
+    return hashlib.md5(str(i).encode()).hexdigest()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, 10 + (i * 7) % 90) for i in range(40)]
+    return spark.createDataFrame(rows, "doc_id long, n_tokens long")
+
+
+def test_offset_bins_match_serial(spark, docs):
+    out = {
+        r["doc_id"]: (r["grp"], r["bin"])
+        for r in pack_offset_bins(docs, "n_tokens", "doc_id", 100, n_groups=1).collect()
+    }
+    order = sorted(range(40), key=lambda i: (_md5(i), i))
+    acc = 0
+    for i in order:
+        tokens = 10 + (i * 7) % 90
+        assert out[i] == (0, acc // 100), i
+        acc += tokens
+
+
+def test_greedy_never_overflows(spark, docs):
+    packed = pack_greedy(docs, "n_tokens", "doc_id", 100, n_groups=4)
+    stats = bin_stats(packed).collect()
+    assert all(r["bin_tokens"] <= 100 for r in stats)
+    # every doc packed exactly once
+    assert packed.count() == 40
+    assert packed.select("doc_id").distinct().count() == 40
+
+
+def test_greedy_matches_serial(spark, docs):
+    out = {
+        r["doc_id"]: r["bin"]
+        for r in pack_greedy(docs, "n_tokens", "doc_id", 100, n_groups=1).collect()
+    }
+    order = sorted(range(40), key=lambda i: (_md5(i), i))
+    acc, b, first = 0, 0, True
+    for i in order:
+        t = 10 + (i * 7) % 90
+        if not first and acc + t > 100:
+            b, acc = b + 1, 0
+        assert out[i] == b, i
+        acc += t
+        first = False
+
+
+def test_greedy_oversized_doc_sits_alone(spark):
+    df = spark.createDataFrame(
+        [(1, 50), (2, 500), (3, 60)], "doc_id long, n_tokens long"
+    )
+    packed = pack_greedy(df, "n_tokens", "doc_id", 100, n_groups=1)
+    by_bin = {}
+    for r in packed.collect():
+        by_bin.setdefault(r["bin"], []).append(r["doc_id"])
+    oversized_bin = [b for b, ids in by_bin.items() if 2 in ids][0]
+    assert by_bin[oversized_bin] == [2]
+
+
+def test_mix_to_target(spark):
+    from gruut_spark.operators.corpus import mix_to_target
+
+    rows = [(i, "en" if i % 2 == 0 else "code", 100) for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    # en has 20k tokens available; ask for 0.75/0.25 of an 8k budget
+    out = mix_to_target(
+        df, "lang", "n_tokens", "doc_id",
+        {"en": 0.75, "code": 0.25}, budget_tokens=8000,
+    )
+    got = {r["lang"]: r["cnt"] for r in out.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    # expected keeps ~ rate*200 docs: en 0.3*200=60, code 0.1*200=20
+    assert 40 <= got["en"] <= 80, got
+    assert 10 <= got["code"] <= 32, got
+    # deterministic: second run identical
+    again = mix_to_target(
+        df, "lang", "n_tokens", "doc_id",
+        {"en": 0.75, "code": 0.25}, budget_tokens=8000,
+    )
+    assert sorted(r["doc_id"] for r in out.collect()) == sorted(
+        r["doc_id"] for r in again.collect()
+    )
+    # absent class dropped entirely
+    out2 = mix_to_target(
+        df, "lang", "n_tokens", "doc_id", {"en": 1.0}, budget_tokens=8000
+    )
+    assert out2.filter(F.col("lang") == "code").count() == 0
