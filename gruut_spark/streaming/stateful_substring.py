@@ -1,0 +1,116 @@
+"""Cross-batch streaming exact-substring detection (incremental
+repeated-k-gram flagging as a custom stateful operator).
+
+The streaming face of ``operators/substring_dedup.py``: a k-token gram
+arriving in micro-batch N must be flagged if ANY earlier batch (or the
+same batch) carried the same gram. ``applyInPandasWithState`` keys by
+the gram hash; state per key is the first-seen occurrence (doc_id, pos
+— 16 bytes) plus a running count. When a gram's running count first
+reaches ``min_count``, the operator emits the RETAINED earlier
+occurrences (the anchor) together with the new one — so the first
+occurrence is flagged retroactively at detection time, exactly like the
+near-dedup operator's anchor-pair contract; later occurrences emit
+as they arrive.
+
+State is O(distinct grams) — the inherent floor for global incremental
+substring dedup (the batch operator's count table, held as state).
+``state_ttl_minutes`` bounds it for production: grams idle past the TTL
+evict, and a post-eviction arrival re-installs without flagging
+(bounded memory traded for recall beyond the retention horizon).
+
+Batch analogue: ``operators/substring_dedup.py::repeated_gram_positions``
+— replaying the same rows in any batch split yields the same flagged
+(doc_id, pos) set for min_count=2 (up to the counts, which are
+running, not final). For min_count > 2 the state retains ONE anchor,
+so occurrences between the anchor and the detection moment are not
+retro-flagged — exact retro-flagging there would need min_count-1
+retained occurrences per gram; min_count=2, the standard setting, is
+exact. Span merging stays a batch concern downstream (windows need the
+doc's full position set).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "first_doc long, first_pos long, n_seen long"
+OUTPUT_SCHEMA = "doc_id long, pos long, g string, n_seen long"
+
+
+def _make_repeated_gram_fn(
+    min_count: int = 2, ttl_minutes: Optional[float] = None,
+) -> Callable[..., Iterator[pd.DataFrame]]:
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        occs: list = []
+        for pdf in batches:
+            occs.extend(
+                (int(d), int(p)) for d, p in zip(pdf["doc_id"], pdf["pos"])
+            )
+        if not occs:
+            return
+        occs.sort()
+        if state.exists:
+            first_doc, first_pos, n_seen = state.get
+        else:
+            first_doc, first_pos = occs[0]
+            n_seen = 0
+        out = []
+        for doc, pos in occs:
+            if n_seen == 0:
+                # the anchor occurrence: counted but not emitted until
+                # the gram proves repeated
+                n_seen = 1
+                continue
+            n_seen += 1
+            if n_seen == min_count:
+                # detection moment: flag the retained anchor retroactively
+                out.append((first_doc, first_pos, key[0], n_seen))
+            if n_seen >= min_count:
+                out.append((doc, pos, key[0], n_seen))
+        state.update((first_doc, first_pos, n_seen))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if out:
+            yield pd.DataFrame(
+                out, columns=["doc_id", "pos", "g", "n_seen"]
+            )
+
+    return fn
+
+
+def streaming_repeated_grams(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    k: int = 8, min_count: int = 2,
+    state_ttl_minutes: Optional[float] = None,
+) -> DataFrame:
+    """stream (id, text) -> flagged repeated k-gram occurrences across
+    ALL micro-batches seen so far. Gram construction is the batch
+    operator's (shared ``_gram_rows``), so streaming and batch agree on
+    gram identity."""
+    from ..operators.substring_dedup import _gram_rows
+
+    grams = _gram_rows(stream, text_col, id_col, k)
+    return grams.groupBy("g").applyInPandasWithState(
+        _make_repeated_gram_fn(min_count, state_ttl_minutes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

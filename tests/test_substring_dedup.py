@@ -66,3 +66,51 @@ def test_no_python_nodes(spark, docs):
     )
     for marker in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert marker not in plan, marker
+
+
+def test_streaming_repeated_grams_cross_batch(spark, tmp_path):
+    """A gram repeated across micro-batches flags BOTH the retained
+    anchor occurrence (retroactively, at detection) and the new arrival;
+    unique grams never emit. Matches the batch operator's min_count=2
+    flagged set."""
+    from gruut_spark.streaming.stateful_substring import (
+        streaming_repeated_grams,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    shared = "alpha beta gamma delta"
+    batch1 = spark.createDataFrame(
+        [(1, f"start {shared} end"), (2, "totally unrelated words here now")],
+        "doc_id long, text string",
+    )
+    batch2 = spark.createDataFrame(
+        [(3, f"prefix tokens {shared} suffix")],
+        "doc_id long, text string",
+    )
+    batch1.coalesce(1).write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(in_dir + "/*")
+    )
+
+    def run():
+        q = (
+            streaming_repeated_grams(stream, k=4)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    assert spark.read.parquet(out_dir).count() == 0  # nothing repeated yet
+    batch2.coalesce(1).write.parquet(in_dir + "/b2")
+    run()
+    got = {(r["doc_id"], r["pos"]) for r in spark.read.parquet(out_dir).collect()}
+    # 'alpha beta gamma delta' is the one shared 4-gram: doc1 pos 1,
+    # doc3 pos 2 (0-based token offsets)
+    assert got == {(1, 1), (3, 2)}, got
