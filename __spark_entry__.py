@@ -1465,14 +1465,18 @@ def _fnv1a_sql(var: str) -> str:
     """DuckDB FNV-1a 64 over a string's UTF-8 bytes: hex(encode(..))
     byte extraction (the winnowing oracle's pattern) folded with
     xor-multiply mod 2^64 via list_reduce. Mirrors
-    operators.dedup._fnv1a64 bit-for-bit."""
+    operators.dedup._fnv1a64 bit-for-bit. The hex string is bound ONCE
+    via a single-element list_transform (a SQL 'let') — inlining it in
+    the byte comprehension re-encodes the string per byte, i.e.
+    quadratic character work per hash (review)."""
     return (
-        "list_reduce(list_prepend(14695981039346656037::HUGEINT,"
-        f" [ ((strpos('0123456789ABCDEF', substr(hex(encode({var})), 2*i-1, 1))-1)*16"
-        f"    + (strpos('0123456789ABCDEF', substr(hex(encode({var})), 2*i, 1))-1))::HUGEINT"
-        f"   FOR i IN range(1, octet_length(encode({var}))+1) ]),"
+        f"list_transform([hex(encode({var}))], hx ->"
+        " list_reduce(list_prepend(14695981039346656037::HUGEINT,"
+        " [ ((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1))-1)*16"
+        "    + (strpos('0123456789ABCDEF', substr(hx, 2*i, 1))-1))::HUGEINT"
+        "   FOR i IN range(1, length(hx)//2 + 1) ]),"
         " (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)"
-        " % 18446744073709551616::HUGEINT)"
+        " % 18446744073709551616::HUGEINT))[1]"
     )
 
 
@@ -1835,8 +1839,13 @@ def _pos_viterbi_oracle_sql(max_words: int = 30) -> str:
             f"struct_pack(a := '{p}len(word)', v := length({W})::DOUBLE)",
             f"struct_pack(a := '{p}word.ispunctuation', v := CASE WHEN {W} = ''"
             f" OR strpos('{punct}', {W}) > 0 THEN 1.0 ELSE 0.0 END::DOUBLE)",
+            # str.isdigit() is unicode-aware: all Nd decimals plus the
+            # Numeric_Type=Digit No chars (superscripts/subscripts) are
+            # True, vulgar fractions are not; the class below covers the
+            # plausible corpus surface of that set (review)
             f"struct_pack(a := '{p}word.isdigit()', v := CASE WHEN"
-            f" regexp_matches({W}, '^[0-9]+$') THEN 1.0 ELSE 0.0 END::DOUBLE)",
+            f" regexp_matches({W}, '^[\\p{{Nd}}¹²³⁰-⁹₀-₉]+$')"
+            " THEN 1.0 ELSE 0.0 END::DOUBLE)",
             f"struct_pack(a := '{p}word[:2]:' || substr({W}, 1, 2), v := 1.0::DOUBLE)",
             f"struct_pack(a := '{p}word[:3]:' || substr({W}, 1, 3), v := 1.0::DOUBLE)",
             f"struct_pack(a := '{p}word[-2:]:' || right({W}, 2), v := 1.0::DOUBLE)",
@@ -2862,13 +2871,17 @@ def oracle_sql() -> dict[str, str]:
             ), tot AS (
               SELECT lang, sum(n)::BIGINT AS t FROM tok GROUP BY lang
             ), thr AS (
+              -- t > 0 mirrors mix_to_target's `if totals.get(cls)`: a
+              -- class whose docs sum to ZERO tokens is dropped, not
+              -- kept-all (5000*share/0 is NULL in DuckDB and least()
+              -- SKIPS nulls, which would silently flip to 'g0000000')
               SELECT s.lang,
                 CASE WHEN least(1.0::DOUBLE, {_MIX_BUDGET} * s.share / t.t) >= 1.0
                      THEN 'g0000000'
                      ELSE printf('%08x',
                        CAST(floor(least(1.0::DOUBLE, {_MIX_BUDGET} * s.share / t.t)
                                   * 4294967296) AS BIGINT)) END AS th
-              FROM shares s JOIN tot t ON t.lang = s.lang
+              FROM shares s JOIN tot t ON t.lang = s.lang AND t.t > 0
             )
             SELECT d.doc_id, d.lang
             FROM documents d JOIN thr ON thr.lang = d.lang

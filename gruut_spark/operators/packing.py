@@ -93,8 +93,12 @@ def pack_greedy(
         out["bin"] = bins
         return out[["doc_id", "grp", "bin", "n_tokens"]]
 
+    # the output id keeps the INPUT id type (string/uuid corpora are
+    # valid — _grouped casts to string only for the routing hash);
+    # hardcoding `long` here would crash at Arrow conversion (review)
+    id_type = df.schema[id_col].dataType.simpleString()
     return g.groupBy("grp").applyInPandas(
-        pack, schema="doc_id long, grp long, bin long, n_tokens long"
+        pack, schema=f"doc_id {id_type}, grp long, bin long, n_tokens long"
     )
 
 

@@ -39,8 +39,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "first_doc long, first_pos long, n_seen long"
-OUTPUT_SCHEMA = "doc_id long, pos long, g string, n_seen long"
+def _state_schema(id_type: str) -> str:
+    return f"first_doc {id_type}, first_pos long, n_seen long"
+
+
+def _output_schema(id_type: str) -> str:
+    return f"doc_id {id_type}, pos long, g string, n_seen long"
 
 
 def _make_repeated_gram_fn(
@@ -54,10 +58,13 @@ def _make_repeated_gram_fn(
         if getattr(state, "hasTimedOut", False):
             state.remove()
             return
+        # doc ids pass through with their native type (string/uuid
+        # corpora are valid — the batch analogue is id-type-generic);
+        # only the position is coerced
         occs: list = []
         for pdf in batches:
             occs.extend(
-                (int(d), int(p)) for d, p in zip(pdf["doc_id"], pdf["pos"])
+                (d, int(p)) for d, p in zip(pdf["doc_id"], pdf["pos"])
             )
         if not occs:
             return
@@ -102,11 +109,12 @@ def streaming_repeated_grams(
     gram identity."""
     from ..operators.substring_dedup import _gram_rows
 
+    id_type = stream.schema[id_col].dataType.simpleString()
     grams = _gram_rows(stream, text_col, id_col, k)
     return grams.groupBy("g").applyInPandasWithState(
         _make_repeated_gram_fn(min_count, state_ttl_minutes),
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        outputStructType=_output_schema(id_type),
+        stateStructType=_state_schema(id_type),
         outputMode="append",
         timeoutConf=(
             GroupStateTimeout.NoTimeout

@@ -100,3 +100,14 @@ def test_mix_to_target(spark):
         df, "lang", "n_tokens", "doc_id", {"en": 1.0}, budget_tokens=8000
     )
     assert out2.filter(F.col("lang") == "code").count() == 0
+
+
+def test_pack_greedy_string_ids(spark):
+    """The id contract is type-generic (review: the applyInPandas schema
+    used to hardcode `long` and crash on string-keyed corpora)."""
+    df = spark.createDataFrame(
+        [("u1", 50), ("u2", 60), ("u3", 70)], "url string, n_tokens long"
+    )
+    rows = pack_greedy(df, "n_tokens", "url", 100, n_groups=1).collect()
+    assert {r["doc_id"] for r in rows} == {"u1", "u2", "u3"}
+    assert all(isinstance(r["doc_id"], str) for r in rows)

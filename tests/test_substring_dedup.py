@@ -114,3 +114,33 @@ def test_streaming_repeated_grams_cross_batch(spark, tmp_path):
     # 'alpha beta gamma delta' is the one shared 4-gram: doc1 pos 1,
     # doc3 pos 2 (0-based token offsets)
     assert got == {(1, 1), (3, 2)}, got
+
+
+def test_streaming_repeated_grams_string_ids(spark, tmp_path):
+    """String doc ids flow through the stateful operator (review: the
+    kernel used to coerce ids with int())."""
+    from gruut_spark.streaming.stateful_substring import (
+        streaming_repeated_grams,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    spark.createDataFrame(
+        [("a", "one two three four"), ("b", "five one two three four six")],
+        "doc_id string, text string",
+    ).coalesce(1).write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        streaming_repeated_grams(stream, k=4)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["pos"]) for r in spark.read.parquet(out_dir).collect()}
+    assert got == {("a", 0), ("b", 1)}, got
