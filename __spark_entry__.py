@@ -974,6 +974,26 @@ def _doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench).orderBy("doc_id")
 
 
+def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus maintenance: delta between two snapshots
+    derived deterministically from the documents table (old drops
+    doc_id%7==0, new drops doc_id%5==0 and revises text where
+    doc_id%3==0). Digest-only full-outer join — no text in the shuffle."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import snapshot_diff
+
+    docs = _read(spark, sf_dir, "documents")
+    old = docs.where(F.col("doc_id") % 7 != 0).select("doc_id", "text")
+    new = docs.where(F.col("doc_id") % 5 != 0).select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.coalesce(F.col("text"), F.lit("")), F.lit(" [rev2]")),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return snapshot_diff(old, new).orderBy("doc_id")
+
+
 def _doc_phonemize_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon build ETL + broadcast phonemize lookup chain (exact ->
     lowercase -> G2P fallback) with pron_order-ranked selection, rolled up
@@ -1498,6 +1518,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
         "doc_decontaminate": _doc_decontaminate,
+        "corpus_snapshot_diff": _corpus_snapshot_diff,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
@@ -3034,6 +3055,31 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rk
                 FROM documents
             ) WHERE rk <= 10
+            ORDER BY doc_id
+        """,
+        "corpus_snapshot_diff": r"""
+            WITH oldv AS (
+                SELECT doc_id, coalesce(text, '') AS c FROM documents
+                WHERE doc_id % 7 <> 0
+            ),
+            newv AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 3 = 0
+                            THEN coalesce(text, '') || ' [rev2]'
+                            ELSE coalesce(text, '') END AS c
+                FROM documents WHERE doc_id % 5 <> 0
+            ),
+            j AS (
+                SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                       md5(o.c) AS od, md5(n.c) AS nd
+                FROM oldv o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id
+            )
+            SELECT doc_id,
+                   CASE WHEN od IS NULL THEN 'added'
+                        WHEN nd IS NULL THEN 'removed'
+                        WHEN od <> nd THEN 'changed' END AS status
+            FROM j
+            WHERE od IS NULL OR nd IS NULL OR od <> nd
             ORDER BY doc_id
         """,
         "doc_decontaminate": r"""

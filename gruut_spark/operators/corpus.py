@@ -151,3 +151,29 @@ def decontaminate(
         .agg(F.count("*").alias("n_contaminated_shingles"))
         .select(F.col("_id").alias(id_col), "n_contaminated_shingles")
     )
+
+
+def snapshot_diff(
+    old: DataFrame, new: DataFrame,
+    id_col: str = "doc_id", content_col: str = "text",
+) -> DataFrame:
+    """(id, status) delta between two corpus snapshots: ``added`` /
+    ``removed`` / ``changed``; unchanged rows are dropped (at 100 TB the
+    overwhelming majority — emitting them would make the delta as big as
+    the corpus). Both sides reduce to (id, md5(content)) BEFORE the
+    full-outer join, so the only shuffle carries 16-byte digests, never
+    text — the same no-text-crosses-the-join shape as decontaminate.
+    Deterministic under retry (digest of content, no randomness)."""
+    dig = lambda f: F.md5(F.coalesce(F.col(content_col), F.lit("")))
+    o = old.select(F.col(id_col).alias("id"), dig(old).alias("old_digest"))
+    n = new.select(F.col(id_col).alias("id"), dig(new).alias("new_digest"))
+    j = o.join(n, "id", "full_outer")
+    status = (
+        F.when(F.col("old_digest").isNull(), F.lit("added"))
+        .when(F.col("new_digest").isNull(), F.lit("removed"))
+        .when(F.col("old_digest") != F.col("new_digest"), F.lit("changed"))
+    )
+    return (
+        j.select(F.col("id").alias(id_col), status.alias("status"))
+        .where(F.col("status").isNotNull())
+    )

@@ -1128,3 +1128,28 @@ def test_fnv1a64_published_vectors():
     assert _fnv1a64(b"") == 0xCBF29CE484222325
     assert _fnv1a64(b"a") == 0xAF63DC4C8601EC8C
     assert _fnv1a64(b"foobar") == 0x85944171F73967E8
+
+
+def test_snapshot_diff_statuses_and_digest_only_shuffle(spark):
+    """Planted delta: added / removed / changed classified exactly,
+    unchanged rows absent; and the join inputs carry only (id, digest) —
+    no text column survives into the shuffle."""
+    from gruut_spark.operators.corpus import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma"), (4, None)],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma v2"), (4, ""), (5, "delta")],
+        "doc_id long, text string",
+    )
+    got = {(r["doc_id"], r["status"]) for r in snapshot_diff(old, new).collect()}
+    # 1 removed; 2 unchanged (absent); 3 changed; 4 NULL->'' digests
+    # equal (coalesce) so unchanged; 5 added
+    assert got == {(1, "removed"), (3, "changed"), (5, "added")}
+
+    plan = (
+        snapshot_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
+    )
+    assert "text" not in plan.split("Join")[0] or "md5" in plan
