@@ -512,7 +512,10 @@ def _pairwise_cosine_stride(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a")
 
 
-# -- rows-only (model-backed / LSH / gruut-core; no SQL equivalent) ----------
+# -- model-backed queries. Most were historically rows-only; doc_langid,
+# doc_ppl_relational and quality_verdict_relational now carry full DuckDB
+# value oracles (the models replicated in SQL); the rest keep hash-green
+# relational twins or structural rows-only reasons (COVERAGE.md). --------
 
 
 def _doc_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1495,7 +1498,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms_by_label": _embedding_norms_by_label,
         "ann_brute_topk": _ann_brute_topk,
         "pairwise_cosine_stride": _pairwise_cosine_stride,
-        # rows-only: model-backed, LSH, gruut-core, multimodal
+        # model-backed / LSH / gruut-core / multimodal (value-oracled
+        # where a SQL twin exists — see oracle_sql(); rest rows-only)
         "doc_langid": _doc_langid,
         "doc_ppl": _doc_ppl,
         "doc_ppl_relational": _doc_ppl_relational,
@@ -2079,6 +2083,12 @@ def _langid_oracle_sql() -> str:
         defaults.append(float(dv))
         for b in np.nonzero(lp[ci] != dv)[0]:
             exc_rows.append((ci, int(b), float(lp[ci, b])))
+        if not np.any(lp[ci] != dv):
+            # a class with a uniform weight row has zero exceptions; wm
+            # would lack its row and the CROSS JOIN would silently drop
+            # the class, shifting every later list_position — emit one
+            # redundant exception (value == default) to pin the row
+            exc_rows.append((ci, 0, float(lp[ci, 0])))
     exc_values = ",".join(f"({c},{b},{w!r})" for c, b, w in exc_rows)
     priors = "[" + ",".join(repr(float(x)) for x in m.log_priors) + "]"
     defaults_lit = "[" + ",".join(repr(d) for d in defaults) + "]"
@@ -2227,7 +2237,9 @@ def _ppl_oracle_sql() -> str:
     """
 
 
-def _quality_verdict_oracle_sql() -> str:
+def _quality_verdict_oracle_sql(
+    lang_sql: str | None = None, ppl_sql: str | None = None
+) -> str:
     """End-to-end DuckDB replication of the quality verdict for
     quality_verdict_relational: the doc_langid and doc_ppl_relational
     oracles embedded as CTEs, every quality_features ratio recomputed in
@@ -2238,9 +2250,11 @@ def _quality_verdict_oracle_sql() -> str:
     exact append order with the exact thresholds (core/rules.py:100-144).
     Verified 500/500 exact before wiring (proto: mismatches=0, ~21 s)."""
     wsch = "chr(9)||chr(10)||chr(13)||chr(32)||chr(11)||chr(12)"
+    lang_sql = lang_sql if lang_sql is not None else _langid_oracle_sql()
+    ppl_sql = ppl_sql if ppl_sql is not None else _ppl_oracle_sql()
     return f"""
-        WITH lang_cte AS MATERIALIZED ({_langid_oracle_sql()}),
-        ppl_cte AS MATERIALIZED ({_ppl_oracle_sql()}),
+        WITH lang_cte AS MATERIALIZED ({lang_sql}),
+        ppl_cte AS MATERIALIZED ({ppl_sql}),
         vdocs AS (SELECT doc_id, coalesce(text,'') AS s,
                          coalesce(lang,'') AS lg FROM documents),
         vlines AS (
@@ -2524,6 +2538,10 @@ def _g2p_context_oracle_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    # the langid/ppl model oracles are ~MB-scale generated SQL (npz load
+    # + string build); build each once and reuse in the verdict twin
+    lang_sql = _langid_oracle_sql()
+    ppl_sql = _ppl_oracle_sql()
     email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
     ipv4 = r"\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\b"
     return {
@@ -3233,9 +3251,9 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
-        "doc_langid": _langid_oracle_sql(),
-        "doc_ppl_relational": _ppl_oracle_sql(),
-        "quality_verdict_relational": _quality_verdict_oracle_sql(),
+        "doc_langid": lang_sql,
+        "doc_ppl_relational": ppl_sql,
+        "quality_verdict_relational": _quality_verdict_oracle_sql(lang_sql, ppl_sql),
         "doc_pack_offset": f"""
             WITH tok AS (
               SELECT doc_id,

@@ -164,9 +164,9 @@ def snapshot_diff(
     full-outer join, so the only shuffle carries 16-byte digests, never
     text — the same no-text-crosses-the-join shape as decontaminate.
     Deterministic under retry (digest of content, no randomness)."""
-    dig = lambda f: F.md5(F.coalesce(F.col(content_col), F.lit("")))
-    o = old.select(F.col(id_col).alias("id"), dig(old).alias("old_digest"))
-    n = new.select(F.col(id_col).alias("id"), dig(new).alias("new_digest"))
+    dig = F.md5(F.coalesce(F.col(content_col), F.lit("")))
+    o = old.select(F.col(id_col).alias("id"), dig.alias("old_digest"))
+    n = new.select(F.col(id_col).alias("id"), dig.alias("new_digest"))
     j = o.join(n, "id", "full_outer")
     status = (
         F.when(F.col("old_digest").isNull(), F.lit("added"))

@@ -41,3 +41,36 @@ def test_every_oracle_executes_in_duckdb():
             con.sql(sql).fetchall()
         except Exception as ex:  # noqa: BLE001
             raise AssertionError(f"oracle {name} failed in DuckDB: {ex}") from ex
+
+
+def test_oracle_charclass_invariants_hold_on_gate_corpus():
+    """The langid/ppl/verdict SQL oracles assume Python and DuckDB agree
+    on the gate corpus for: lower() (full vs utf8proc simple case
+    mapping — U+0130-class chars diverge), the alnum char class
+    (Python [^\\W_]|\\s vs RE2 [\\p{L}\\p{N}]|\\s), ASCII-vs-Unicode
+    whitespace (strip/split), all verified empirically when the oracles
+    were built. This test makes that a standing invariant: if a testgen
+    change ever introduces a divergent character, it fails HERE with a
+    doc id instead of as an opaque driver hash mismatch."""
+    import re
+
+    con = duckdb.connect()
+    rows = con.sql(
+        "SELECT doc_id, coalesce(text,'') FROM "
+        "'/root/testdata/sf0.01/documents.parquet'"
+    ).fetchall()
+    alnum = re.compile(r"[^\W_]|\s")
+    for did, s in rows:
+        q = lambda sql: con.sql(sql, params=[s]).fetchone()[0]
+        assert s.lower().encode() == q("SELECT encode(lower(?))"), did
+        assert len(alnum.findall(s)) == q(
+            r"SELECT length(regexp_extract_all(?, '[\p{L}\p{N}]|\s'))"
+        ), did
+        assert s.strip() == q(
+            "SELECT trim(?, chr(9)||chr(10)||chr(13)||chr(32)"
+            "||chr(11)||chr(12))"
+        ), did
+        assert len(s.split()) == q(
+            r"SELECT length(regexp_extract_all(?,"
+            r" '[^ \t\n\r\x0b\x0c]+'))"
+        ), did

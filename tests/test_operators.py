@@ -1149,7 +1149,12 @@ def test_snapshot_diff_statuses_and_digest_only_shuffle(spark):
     # equal (coalesce) so unchanged; 5 added
     assert got == {(1, "removed"), (3, "changed"), (5, "added")}
 
+    # text must only ever appear being digested: in the optimized plan
+    # every non-source line touching the text column must be the md5
+    # projection, so the join (and its shuffle) carries digests only
     plan = (
         snapshot_diff(old, new)._jdf.queryExecution().optimizedPlan().toString()
     )
-    assert "text" not in plan.split("Join")[0] or "md5" in plan
+    for line in plan.splitlines():
+        if "text" in line and "Relation" not in line and "LogicalRDD" not in line:
+            assert "md5" in line, f"raw text column escapes the digest:\n{line}"
