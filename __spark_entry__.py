@@ -997,6 +997,29 @@ def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return snapshot_diff(old, new).orderBy("doc_id")
 
 
+def _doc_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document boilerplate-line detection over the documents
+    table with a deterministic planted footer (doc_id%4==0 gets a
+    'Generated by' trailer), so the corpus-level signal is non-vacuous
+    on the synthetic corpus — the same plant-then-detect pattern as
+    corpus_snapshot_diff."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import boilerplate_line_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\nGenerated by corpus-bot v1.0"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    return boilerplate_line_stats(planted, min_docs=50).orderBy("doc_id")
+
+
 def _doc_phonemize_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon build ETL + broadcast phonemize lookup chain (exact ->
     lowercase -> G2P fallback) with pron_order-ranked selection, rolled up
@@ -1523,6 +1546,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quota_per_source": _doc_quota_per_source,
         "doc_decontaminate": _doc_decontaminate,
         "corpus_snapshot_diff": _corpus_snapshot_diff,
+        "doc_boilerplate_lines": _doc_boilerplate_lines,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
@@ -3074,6 +3098,36 @@ def oracle_sql() -> dict[str, str]:
                 FROM documents
             ) WHERE rk <= 10
             ORDER BY doc_id
+        """,
+        "doc_boilerplate_lines": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN coalesce(text, '') || chr(10)
+                                 || 'Generated by corpus-bot v1.0'
+                            ELSE coalesce(text, '') END AS s
+                FROM documents
+            ),
+            l AS (
+                SELECT doc_id,
+                       regexp_replace(
+                           regexp_replace(x, '^\s+|\s+$', '', 'g'),
+                           '\s+', ' ', 'g') AS ln
+                FROM (SELECT doc_id, unnest(string_split(s, chr(10))) AS x
+                      FROM planted)
+            ),
+            nl AS (SELECT doc_id, md5(ln) AS lk FROM l WHERE ln <> ''),
+            b AS (
+                SELECT lk FROM nl GROUP BY lk
+                HAVING count(DISTINCT doc_id) >= 50
+            )
+            SELECT nl.doc_id,
+                   count(*) AS n_lines,
+                   count(b.lk) AS n_boilerplate,
+                   count(b.lk) / count(*) AS boilerplate_frac
+            FROM nl LEFT JOIN b ON nl.lk = b.lk
+            GROUP BY nl.doc_id
+            ORDER BY nl.doc_id
         """,
         "corpus_snapshot_diff": r"""
             WITH oldv AS (

@@ -177,3 +177,51 @@ def snapshot_diff(
         j.select(F.col("id").alias(id_col), status.alias("status"))
         .where(F.col("status").isNotNull())
     )
+
+
+def boilerplate_line_stats(
+    docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", min_docs: int = 5,
+) -> DataFrame:
+    """(id, n_lines, n_boilerplate, boilerplate_frac): cross-document
+    boilerplate-line detection (CCNet-style) — a normalized line is
+    boilerplate when it occurs in >= ``min_docs`` DISTINCT documents
+    (license headers, generated-by footers, nav chrome). Complements the
+    rules' within-document ``dup_line_frac``. All Catalyst: lines
+    explode to md5 keys (no text past the first projection), one
+    shuffle counts distinct docs per key, the qualifying key set is
+    broadcast back (small by construction — lines repeated across >=
+    min_docs docs; if a corpus made it huge, drop the explicit
+    broadcast and AQE falls back to a shuffle join), one doc-level agg.
+    Docs with no non-empty line emit no row."""
+    lines = docs.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("raw"),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
+    )
+    keys = (
+        lines.select(id_col, F.md5(norm).alias("lk"), norm.alias("ln"))
+        .where(F.col("ln") != "")
+        .drop("ln")
+    )
+    boiler = (
+        keys.groupBy("lk")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("lk", F.lit(1).alias("_b"))
+    )
+    return (
+        keys.join(F.broadcast(boiler), "lk", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_lines"),
+            F.count("_b").alias("n_boilerplate"),
+        )
+        .withColumn(
+            "boilerplate_frac", F.col("n_boilerplate") / F.col("n_lines")
+        )
+    )

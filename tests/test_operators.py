@@ -1158,3 +1158,26 @@ def test_snapshot_diff_statuses_and_digest_only_shuffle(spark):
     for line in plan.splitlines():
         if "text" in line and "Relation" not in line and "LogicalRDD" not in line:
             assert "md5" in line, f"raw text column escapes the digest:\n{line}"
+
+
+def test_boilerplate_line_stats_cross_doc_detection(spark):
+    """A footer line repeated across >= min_docs distinct docs is
+    boilerplate; a line repeated many times WITHIN one doc is not
+    (distinct-doc counting); whitespace-variant copies of the same line
+    normalize to one key."""
+    from gruut_spark.operators.corpus import boilerplate_line_stats
+
+    footer = "(c) corp 2026"
+    rows = [(i, f"unique line {i}\n{footer}") for i in range(4)]
+    # doc 4: footer with whitespace variation still counts as the same line
+    rows.append((4, f"unique line 4\n   {footer.replace(' ', '  ')}  "))
+    # doc 5: one line repeated 10x within the doc only -> not boilerplate
+    rows.append((5, "\n".join(["echo echo"] * 10)))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_lines"], r["n_boilerplate"], r["boilerplate_frac"])
+        for r in boilerplate_line_stats(df, min_docs=5).collect()
+    }
+    for i in range(5):
+        assert got[i] == (2, 1, 0.5), got[i]
+    assert got[5] == (10, 0, 0.0), got[5]
