@@ -1020,6 +1020,33 @@ def _doc_boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     return boilerplate_line_stats(planted, min_docs=50).orderBy("doc_id")
 
 
+def _doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-granular boilerplate removal over the planted-footer corpus
+    (same plant as doc_boilerplate_lines); emits a digest + length of
+    the cleaned text so the gate hashes stay compact."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import strip_boilerplate_lines
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.concat(
+                F.coalesce(F.col("text"), F.lit("")),
+                F.lit("\nGenerated by corpus-bot v1.0"),
+            ),
+        ).otherwise(F.col("text")).alias("text"),
+    )
+    out = strip_boilerplate_lines(planted, min_docs=50)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+        "n_removed",
+    ).orderBy("doc_id")
+
+
 def _doc_phonemize_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon build ETL + broadcast phonemize lookup chain (exact ->
     lowercase -> G2P fallback) with pron_order-ranked selection, rolled up
@@ -1547,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontaminate": _doc_decontaminate,
         "corpus_snapshot_diff": _corpus_snapshot_diff,
         "doc_boilerplate_lines": _doc_boilerplate_lines,
+        "doc_strip_boilerplate": _doc_strip_boilerplate,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
@@ -3128,6 +3156,46 @@ def oracle_sql() -> dict[str, str]:
             FROM nl LEFT JOIN b ON nl.lk = b.lk
             GROUP BY nl.doc_id
             ORDER BY nl.doc_id
+        """,
+        "doc_strip_boilerplate": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 4 = 0
+                            THEN coalesce(text, '') || chr(10)
+                                 || 'Generated by corpus-bot v1.0'
+                            ELSE coalesce(text, '') END AS s
+                FROM documents
+            ),
+            pl AS (
+                SELECT doc_id,
+                       [ {'pos': i - 1, 'raw': ls[i]}
+                         FOR i IN range(1, len(ls) + 1) ] AS recs
+                FROM (SELECT doc_id, string_split(s, chr(10)) AS ls
+                      FROM planted)
+            ),
+            l AS (
+                SELECT doc_id, r.pos AS pos, r.raw AS raw,
+                       regexp_replace(
+                           regexp_replace(r.raw, '^\s+|\s+$', '', 'g'),
+                           '\s+', ' ', 'g') AS ln
+                FROM pl, unnest(recs) AS t(r)
+            ),
+            k AS (SELECT doc_id, pos, raw, md5(ln) AS lk, ln FROM l),
+            b AS (
+                SELECT lk FROM k WHERE ln <> '' GROUP BY lk
+                HAVING count(DISTINCT doc_id) >= 50
+            )
+            SELECT k.doc_id,
+                   md5(coalesce(
+                       string_agg(k.raw, chr(10) ORDER BY k.pos)
+                           FILTER (WHERE b.lk IS NULL), '')) AS clean_md5,
+                   length(coalesce(
+                       string_agg(k.raw, chr(10) ORDER BY k.pos)
+                           FILTER (WHERE b.lk IS NULL), '')) AS clean_len,
+                   count(b.lk) AS n_removed
+            FROM k LEFT JOIN b ON k.lk = b.lk
+            GROUP BY k.doc_id
+            ORDER BY k.doc_id
         """,
         "corpus_snapshot_diff": r"""
             WITH oldv AS (

@@ -225,3 +225,51 @@ def boilerplate_line_stats(
             "boilerplate_frac", F.col("n_boilerplate") / F.col("n_lines")
         )
     )
+
+
+def strip_boilerplate_lines(
+    docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", min_docs: int = 5,
+) -> DataFrame:
+    """(id, clean_text, n_removed): line-granular boilerplate scrub —
+    every line whose NORMALIZED form occurs in >= ``min_docs`` distinct
+    documents is removed; all other lines (including empty/whitespace
+    lines) survive byte-identical and in order. The boilerplate key set
+    comes from the same corpus (``boilerplate_line_stats`` semantics)
+    and broadcasts back onto a posexplode'd line stream; reassembly is
+    a per-document sort-by-position fold — bounded by document size,
+    the same shape as every other per-doc aggregate here."""
+    lines = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("pos", "raw"),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
+    )
+    keyed = lines.select(id_col, "pos", "raw", F.md5(norm).alias("lk"), norm.alias("ln"))
+    boiler = (
+        keyed.where(F.col("ln") != "")
+        .groupBy("lk")
+        .agg(F.count_distinct(F.col(id_col)).alias("n_docs"))
+        .where(F.col("n_docs") >= min_docs)
+        .select("lk", F.lit(1).alias("_b"))
+    )
+    joined = keyed.drop("ln").join(F.broadcast(boiler), "lk", "left")
+    survivors = F.array_sort(
+        F.collect_list(
+            F.when(F.col("_b").isNull(), F.struct("pos", "raw"))
+        )
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(survivors, lambda x: x["raw"]), "\n"
+            ).alias("clean_text"),
+            F.sum(
+                F.when(F.col("_b").isNotNull(), 1).otherwise(0)
+            ).alias("n_removed"),
+        )
+    )

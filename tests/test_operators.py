@@ -1181,3 +1181,24 @@ def test_boilerplate_line_stats_cross_doc_detection(spark):
     for i in range(5):
         assert got[i] == (2, 1, 0.5), got[i]
     assert got[5] == (10, 0, 0.0), got[5]
+
+
+def test_strip_boilerplate_lines_preserves_bytes_and_order(spark):
+    """Only cross-doc boilerplate lines are removed; everything else —
+    ordering, interior empty lines, original whitespace — survives
+    byte-identical, and unaffected documents round-trip exactly."""
+    from gruut_spark.operators.corpus import strip_boilerplate_lines
+
+    footer = "(c) corp 2026"
+    rows = [
+        (i, f"keep {i}\n\n  indented {i}  \n{footer}") for i in range(5)
+    ]
+    rows.append((5, "no footer here\nat all"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in strip_boilerplate_lines(df, min_docs=5).collect()
+    }
+    for i in range(5):
+        assert got[i] == (f"keep {i}\n\n  indented {i}  ", 1), got[i]
+    assert got[5] == ("no footer here\nat all", 0)
