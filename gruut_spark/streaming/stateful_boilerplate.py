@@ -1,0 +1,108 @@
+"""Cross-batch streaming boilerplate-line detection.
+
+A line (license header, generated-by footer, nav chrome) becomes
+boilerplate once it has been seen in >= ``min_docs`` DISTINCT documents
+— but the qualifying documents may arrive in different micro-batches.
+``applyInPandasWithState`` keys by the normalized-line md5; state per
+key is (cumulative distinct-doc count, emitted flag) — 9 bytes, the
+inherent floor for incremental line-frequency tracking. When a key's
+count crosses the threshold it emits ONE (line_key, n_docs) row
+(append-mode "newly qualified boilerplate" feed a downstream scrubber
+subscribes to).
+
+Exactness contract: distinct-doc counting is exact per batch (doc ids
+deduped inside the kernel) and exact across batches when each document
+arrives in exactly one micro-batch — the same at-most-once-per-doc
+ingest assumption the stateful exact-dedup operator documents. A doc
+re-delivered across batches can at most over-count by one per delivery
+(never under-count), i.e. boilerplate may qualify early, never late.
+
+Batch analogue: ``operators/corpus.py::boilerplate_line_stats`` — the
+same normalization and threshold, so a streaming run over any batch
+split of a corpus emits exactly the keys the batch operator flags
+(modulo the re-delivery caveat above).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "n_docs long, emitted boolean"
+OUTPUT_SCHEMA = "line_key string, n_docs long"
+
+
+def _make_boilerplate_fn(
+    min_docs: int, ttl_minutes: Optional[float] = None
+) -> Callable[..., Iterator[pd.DataFrame]]:
+    """Per-line-key kernel; with ``ttl_minutes``, idle keys evict
+    (bounded-state mode — a long-tail line idle past the TTL restarts
+    its count, trading memory for recall on slow-recurring lines)."""
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        docs: set = set()
+        for pdf in batches:
+            docs.update(int(x) for x in pdf["_id"])
+        if not docs:
+            return
+        if state.exists:
+            n_docs, emitted = state.get
+        else:
+            n_docs, emitted = 0, False
+        n_docs += len(docs)
+        newly = (not emitted) and n_docs >= min_docs
+        state.update((n_docs, emitted or newly))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if newly:
+            yield pd.DataFrame({"line_key": [key[0]], "n_docs": [n_docs]})
+
+    return fn
+
+
+def streaming_boilerplate_keys(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_docs: int = 5, state_ttl_minutes: Optional[float] = None,
+) -> DataFrame:
+    """stream (id, text) -> (line_key, n_docs) rows, one per line key at
+    the moment it crosses ``min_docs`` distinct documents. Normalization
+    is byte-identical to the batch operator (strip + collapse ASCII
+    whitespace), so both flag the same keys."""
+    lines = stream.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+        ).alias("raw"),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
+    )
+    keyed = (
+        lines.select("_id", F.md5(norm).alias("lk"), norm.alias("ln"))
+        .where(F.col("ln") != "")
+        # one vote per (doc, line) inside a batch: the kernel dedupes doc
+        # ids per key, so per-doc line multiplicity never inflates counts
+        .drop("ln")
+    )
+    return keyed.groupBy("lk").applyInPandasWithState(
+        _make_boilerplate_fn(min_docs, state_ttl_minutes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

@@ -1202,3 +1202,87 @@ def test_strip_boilerplate_lines_preserves_bytes_and_order(spark):
     for i in range(5):
         assert got[i] == (f"keep {i}\n\n  indented {i}  ", 1), got[i]
     assert got[5] == ("no footer here\nat all", 0)
+
+
+def test_streaming_boilerplate_crosses_batches(spark, tmp_path):
+    """A footer reaching min_docs distinct documents only ACROSS
+    micro-batches emits exactly once, at the crossing batch; unique
+    lines never emit."""
+    from gruut_spark.streaming.stateful_boilerplate import (
+        streaming_boilerplate_keys,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    footer = "(c) corp 2026"
+    b1 = spark.createDataFrame(
+        [(i, f"unique {i}\n{footer}") for i in range(2)],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(i, f"unique {i}\n{footer}") for i in range(2, 4)],
+        "doc_id long, text string",
+    )
+    b1.coalesce(1).write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+
+    def run():
+        q = (
+            streaming_boilerplate_keys(stream, min_docs=3)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # 2 docs seen: below threshold, nothing emitted
+    import glob as _glob
+
+    import pandas as _pd
+
+    files = _glob.glob(out_dir + "/*.parquet")
+    assert not files or sum(len(_pd.read_parquet(f)) for f in files) == 0
+
+    b2.coalesce(1).write.parquet(in_dir + "/b2")
+    run()  # crosses 3 distinct docs -> exactly one emission, n_docs=4
+    out = spark.read.parquet(out_dir).toPandas()
+    assert len(out) == 1
+    assert out.iloc[0]["n_docs"] == 4
+
+
+def test_streaming_boilerplate_kernel_dedupes_and_emits_once():
+    """Kernel unit: per-doc line multiplicity collapses to one vote;
+    the qualifying emission happens once and never again."""
+    import pandas as pd
+
+    from gruut_spark.streaming.stateful_boilerplate import _make_boilerplate_fn
+
+    class FakeState:
+        exists = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+    fn = _make_boilerplate_fn(min_docs=3)
+    state = FakeState()
+    # doc 0 sends the line 5x, doc 1 once -> 2 distinct docs, no emit
+    out = list(fn(("k",), iter([pd.DataFrame({"_id": [0] * 5 + [1]})]), state))
+    assert out == [] and state.get == (2, False)
+    # doc 2 arrives -> crosses 3, one emission
+    out = list(fn(("k",), iter([pd.DataFrame({"_id": [2]})]), state))
+    assert len(out) == 1 and out[0].iloc[0]["n_docs"] == 3
+    assert state.get == (3, True)
+    # doc 3 arrives -> count grows, but no second emission
+    out = list(fn(("k",), iter([pd.DataFrame({"_id": [3]})]), state))
+    assert out == [] and state.get == (4, True)
