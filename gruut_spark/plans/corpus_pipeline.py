@@ -42,6 +42,7 @@ def compose_corpus_stages(
     sample_rates: Optional[Dict[str, float]] = None,
     benchmark: Optional[DataFrame] = None,
     cc_max_iterations: int = 10,
+    strip_boilerplate_min_docs: Optional[int] = None,
 ) -> DataFrame:
     """The post-filter composition shared by the model-backed
     ``assemble_corpus`` and the SQL-oracle-checkable relational variant:
@@ -108,6 +109,28 @@ def compose_corpus_stages(
             F.col("member_id").alias(id_col)
         )
         out = out.join(losers, id_col, "left_anti")
+
+    if strip_boilerplate_min_docs is not None:
+        # line-granular boilerplate scrub, AFTER dedup (removal does not
+        # change document identity; dup decisions already made on full
+        # digests) and BEFORE decontamination (a shared license header
+        # should not count as benchmark contamination). This is the one
+        # stage that legitimately moves text through a shuffle — it
+        # rewrites it — so it is opt-in.
+        from ..operators.corpus import strip_boilerplate_lines
+
+        stripped = strip_boilerplate_lines(
+            out, text_col=text_col, id_col=id_col,
+            min_docs=strip_boilerplate_min_docs,
+        ).select(id_col, F.col("clean_text"))
+        out = (
+            out.join(stripped, id_col, "left")
+            .withColumn(
+                text_col,
+                F.coalesce(F.col("clean_text"), F.col(text_col)),
+            )
+            .drop("clean_text")
+        )
 
     if sample_rates:
         out = stratified_sample(out, lang_col, id_col, sample_rates,

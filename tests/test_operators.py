@@ -1286,3 +1286,29 @@ def test_streaming_boilerplate_kernel_dedupes_and_emits_once():
     # doc 3 arrives -> count grows, but no second emission
     out = list(fn(("k",), iter([pd.DataFrame({"_id": [3]})]), state))
     assert out == [] and state.get == (4, True)
+
+
+def test_compose_corpus_strip_boilerplate_stage(spark):
+    """Opt-in boilerplate stage inside the composed assembly: the shared
+    footer disappears from every surviving doc's text, unique content
+    survives byte-identical, and dedup still ran on the ORIGINAL digests
+    (the exact twin is dropped before stripping)."""
+    from gruut_spark.plans.corpus_pipeline import compose_corpus_stages
+
+    footer = "generated by build-bot"
+    rows = [(i, f"d{i}", "en", f"body {i}\n{footer}") for i in range(6)]
+    rows.append((6, "d0", "en", "body 0\n" + footer))  # digest dup of 0
+    df = spark.createDataFrame(
+        rows, "doc_id long, digest string, lang string, text string"
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in compose_corpus_stages(
+            df, id_col="doc_id", digest_col="digest", lang_col="lang",
+            text_col="text", strip_boilerplate_min_docs=5,
+        ).collect()
+    }
+    assert 6 not in out  # exact dup dropped before stripping
+    assert set(out) == set(range(6))
+    for i in range(6):
+        assert out[i] == f"body {i}", out[i]
