@@ -240,3 +240,35 @@ def test_assemble_corpus_end_to_end(spark):
     assert "bench.txt" not in kept_paths    # contaminated removed
     # all survivors carry the filter's guarantees
     assert out.filter(~F.col("keep")).count() == 0
+
+
+def test_empty_and_degenerate_inputs(spark):
+    """Zero-row input keeps the declared output schema; null / empty /
+    newline-only / control-char contents flow through the fused stage
+    without error and drop for the right reasons."""
+    from gruut_spark.plans.quality_pipeline import build_pipeline
+
+    schema = "repo string, path string, commit string, lang string, content string"
+    empty = build_pipeline(spark.createDataFrame([], schema))
+    assert empty.count() == 0
+    for col in ("keep", "rule_flags", "scrubbed_sha256", "lang_pred"):
+        assert col in empty.columns
+
+    rows = [
+        ("r", "null.txt", "c1", "en", None),
+        ("r", "empty.txt", "c2", "en", ""),
+        ("r", "newlines.txt", "c3", "en", "\n\n\n\n"),
+        ("r", "ctrl.txt", "c4", "en", "\x00\x01\x02" * 20),
+        ("r", "ok.txt", "c5", "en",
+         "This is a perfectly ordinary sentence that should be kept."),
+    ]
+    out = {
+        r["path"]: r
+        for r in build_pipeline(spark.createDataFrame(rows, schema)).collect()
+    }
+    assert len(out) == 5
+    for p in ("null.txt", "empty.txt", "newlines.txt"):
+        assert not out[p]["keep"]
+        assert "drop:too_short" in out[p]["rule_flags"]
+    assert not out["ctrl.txt"]["keep"]  # binary/control content drops
+    assert out["ok.txt"]["keep"]
