@@ -1312,3 +1312,30 @@ def test_compose_corpus_strip_boilerplate_stage(spark):
     assert set(out) == set(range(6))
     for i in range(6):
         assert out[i] == f"body {i}", out[i]
+
+
+def test_corpus_ops_empty_and_no_op_inputs(spark):
+    """Degenerate inputs through the r3c corpus operators: empty frames
+    yield empty results with intact schemas; a threshold no corpus line
+    reaches makes stripping the identity."""
+    from gruut_spark.operators.corpus import (
+        boilerplate_line_stats,
+        snapshot_diff,
+        strip_boilerplate_lines,
+    )
+
+    schema = "doc_id long, text string"
+    empty = spark.createDataFrame([], schema)
+    d = snapshot_diff(empty, empty)
+    assert d.count() == 0 and set(d.columns) == {"doc_id", "status"}
+    b = boilerplate_line_stats(empty)
+    assert b.count() == 0
+
+    docs = spark.createDataFrame(
+        [(0, "alpha\nbeta"), (1, "alpha\ngamma")], schema
+    )
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in strip_boilerplate_lines(docs, min_docs=99).collect()
+    }
+    assert out == {0: ("alpha\nbeta", 0), 1: ("alpha\ngamma", 0)}
