@@ -742,14 +742,17 @@ def _doc_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     inference surface gruut/pos.py:52-68, whose trained model binaries
     do not ship). Sentences = the first 30 whitespace words of each
     document (the reference CLI tags whitespace-split stdin lines,
-    pos.py:300-303). Rows-only: Viterbi over trained weights is not
-    SQL-expressible."""
+    pos.py:300-303). Value-oracled: _pos_viterbi_oracle_sql() replicates
+    feature extraction AND the first-order Viterbi decode in DuckDB SQL
+    against the committed perceptron weights."""
     _configure(spark)
     from gruut_spark.operators.pos_tag import pos_tag_table
 
     docs = _read(spark, sf_dir, "documents").select(
         F.col("doc_id").cast("string").alias("doc_id"),
-        F.slice(F.split(F.trim(F.col("text")), r"\s+"), 1, 30).alias("words"),
+        F.slice(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"), 1, 30
+        ).alias("words"),
     )
     tagged = pos_tag_table(docs)
     return tagged.select(
@@ -2077,7 +2080,8 @@ def _pos_viterbi_oracle_sql(max_words: int = 30) -> str:
         lb AS (SELECT {labels_lit} AS l),
         docs AS (
           SELECT doc_id::VARCHAR AS doc_id,
-            list_slice(string_split_regex(trim(text), '\\s+'), 1, {max_words}) AS ws
+            list_slice(string_split_regex(trim(coalesce(text, '')), '\\s+'),
+                       1, {max_words}) AS ws
           FROM documents
         ),
         pert AS MATERIALIZED (

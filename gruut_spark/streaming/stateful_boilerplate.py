@@ -53,7 +53,7 @@ def _make_boilerplate_fn(
             return
         docs: set = set()
         for pdf in batches:
-            docs.update(int(x) for x in pdf["_id"])
+            docs.update(str(x) for x in pdf["_id"])
         if not docs:
             return
         if state.exists:
