@@ -1,8 +1,14 @@
 #!/usr/bin/env python3
 """Local stand-in for the driver's correctness gate: run every
 __spark_entry__ query on Spark and its oracle SQL on DuckDB at sf0.01,
-compare row counts + order-insensitive values (columns sorted by name)."""
+compare row counts + order-insensitive values (columns sorted by name).
 
+``--json [PATH]`` additionally writes a driver-schema artifact (default
+CORRECTNESS_local.json at the repo root) covering EVERY registered
+query, so a partial driver snapshot can never under-report local gate
+status (round-3 verdict ask #2)."""
+
+import json
 import os
 import sys
 
@@ -42,7 +48,20 @@ def canon(df: pd.DataFrame) -> "tuple[pd.DataFrame, list[str]]":
 
 
 def main() -> None:
-    only = sys.argv[1:] or None
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        nxt = argv[i + 1] if i + 1 < len(argv) and not argv[i + 1].startswith("-") else None
+        if nxt and (os.sep in nxt or nxt.endswith(".json")):
+            json_path = nxt
+            argv = argv[:i] + argv[i + 2:]
+        else:
+            json_path = os.path.join(
+                os.path.dirname(__file__), "..", "CORRECTNESS_local.json"
+            )
+            argv = argv[:i] + argv[i + 1:]
+    only = argv or None
     import __spark_entry__ as entrymod
 
     if only:
@@ -70,6 +89,16 @@ def main() -> None:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    records: "dict[str, dict]" = {}
+
+    def record(name, rows_match=None, schema_match=None, hash_match=None,
+               spark_rows=None, oracle_rows=None, err=None):
+        records[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -77,39 +106,57 @@ def main() -> None:
             sdf = fn(spark, SF_DIR).toPandas()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, err=f"spark: {e}")
             print(f"[FAIL-SPARK] {name}: {e}")
             continue
         if name not in oracles:
+            record(name, spark_rows=len(sdf), err="no_oracle")
             print(f"[rows-only] {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
             continue
         try:
             odf = con.sql(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             failures.append(name)
+            record(name, spark_rows=len(sdf), err=f"oracle: {e}")
             print(f"[FAIL-ORACLE] {name}: {e}")
             continue
         (a, ak), (b, bk) = canon(sdf), canon(odf)
         if list(a.columns) != list(b.columns):
             failures.append(name)
+            record(name, rows_match=len(a) == len(b), schema_match=False,
+                   hash_match=False, spark_rows=len(a), oracle_rows=len(b))
             print(f"[FAIL-COLS] {name}: spark={list(a.columns)} duckdb={list(b.columns)}")
             continue
         if ak != bk:
             failures.append(name)
+            record(name, rows_match=len(a) == len(b), schema_match=False,
+                   hash_match=False, spark_rows=len(a), oracle_rows=len(b))
             print(f"[FAIL-DTYPES] {name}: spark kinds={ak} duckdb kinds={bk} cols={list(a.columns)}")
             continue
         if len(a) != len(b):
             failures.append(name)
+            record(name, rows_match=False, schema_match=True, hash_match=False,
+                   spark_rows=len(a), oracle_rows=len(b))
             print(f"[FAIL-ROWS] {name}: spark={len(a)} duckdb={len(b)}")
             continue
         if not a.equals(b):
             neq = (a != b).any(axis=1)
             failures.append(name)
+            record(name, rows_match=True, schema_match=True, hash_match=False,
+                   spark_rows=len(a), oracle_rows=len(b))
             print(f"[FAIL-VALUES] {name}: {neq.sum()}/{len(a)} rows differ")
             print("spark:", a[neq].head(3).to_string())
             print("duck :", b[neq].head(3).to_string())
             continue
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(a), oracle_rows=len(b))
         print(f"[OK] {name}: {len(a)} rows")
     spark.stop()
+    if json_path is not None:
+        with open(json_path, "w") as f:
+            json.dump(records, f, indent=2)
+            f.write("\n")
+        print(f"wrote {len(records)} records to {os.path.normpath(json_path)}")
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)

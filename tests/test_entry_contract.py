@@ -74,3 +74,24 @@ def test_oracle_charclass_invariants_hold_on_gate_corpus():
             r"SELECT length(regexp_extract_all(?,"
             r" '[^ \t\n\r\x0b\x0c]+'))"
         ), did
+
+
+def test_local_correctness_artifact_covers_every_query():
+    """CORRECTNESS_local.json (refreshed by `scripts/check_queries.py
+    --json`) must carry one record per registered query so a partial
+    driver snapshot can never under-report local gate status (r3
+    verdict ask #2)."""
+    import json
+
+    import __spark_entry__ as e
+
+    path = os.path.join(os.path.dirname(__file__), "..", "CORRECTNESS_local.json")
+    assert os.path.exists(path), "run: python scripts/check_queries.py --json"
+    recs = json.load(open(path))
+    missing = set(e.queries()) - set(recs)
+    assert not missing, f"stale CORRECTNESS_local.json, missing: {missing}"
+    bad = {
+        k: v for k, v in recs.items()
+        if v["err"] not in (None, "no_oracle") or v["hash_match"] is False
+    }
+    assert not bad, f"red local gates recorded: {bad}"
