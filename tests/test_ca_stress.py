@@ -1,0 +1,143 @@
+"""Catalan orthographic stress engine (core/ca_stress.py; reference
+gruut/lang.py:856-2149, Transcripcio + MotNuclis + helpers).
+
+Every pinned expectation below was verified word-for-word against the
+reference engine itself (the pure lang.py:856-2149 slice executed
+standalone) over this list plus a 10,437-word fuzz corpus (random
+strings, syllable-fragment compositions, and the exhaustive 3-char
+product over the vowel/digraph alphabet): ZERO diffs, with the two
+documented degenerate-input divergences (word-initial ü, >6-consonant
+clusters) behaving strictly better here (no hang / no exit(1))."""
+
+import pytest
+
+from gruut_spark.core.ca_stress import (
+    ca_pre_process_text,
+    nucleus_positions,
+    stress_word,
+    syllable_bounds,
+)
+
+# (written form, engine output) — reference-verified
+STRESS_CASES = [
+    # the reference test_ca trio (tests/test_sqlite_phonemizer.py:27-44)
+    ("ple", "plè"),
+    ("aerolliscador", "aerolliscadór"),
+    ("d'anguiles", "d'anguíles"),
+    # atonic function words take no mark; engine lowercases
+    ("el", "el"),
+    ("El", "el"),
+    ("D'Anguiles", "d'anguíles"),
+    # monosyllables and the twelve-terminations paroxytone rule
+    ("meu", "mèu"),
+    ("esta", "èsta"),
+    ("casa", "càsa"),
+    ("cases", "càses"),
+    ("nacions", "nacións"),
+    ("examen", "exàmen"),
+    ("arbre", "àrbre"),
+    ("perque", "pèrque"),
+    # graphic accent passes through (after lowercasing)
+    ("està", "està"),
+    # -ment adverbs: stem stress + secondary stress on the e of -ment
+    ("rapidament", "rapídamènt"),
+    ("ment", "mènt"),
+    ("talment", "tàlmènt"),
+    ("bellament", "bèllamènt"),
+    # irregular-accent exception table
+    ("antropologico", "antropològico"),
+    ("super", "súper"),
+    ("radio", "ràdio"),
+    # argü- hiatus, -ir suffix and its cuir/vair glide exceptions
+    ("argüir", "argüír"),
+    ("cuir", "cúir"),
+    ("vair", "vàir"),
+    ("partir", "partír"),
+    ("constituir", "constituír"),
+    # glide vs nucleus i/u
+    ("aigua", "àigua"),
+    ("iode", "iòde"),
+    ("hiena", "hièna"),
+    ("hissar", "hissàr"),
+    ("ui", "úi"),
+    ("uix", "úix"),
+    ("huns", "húns"),
+    ("uadi", "uàdi"),
+    ("quan", "quàn"),
+    ("ambigu", "ambígu"),
+    ("cantaria", "cantaría"),
+    ("egoisme", "egoísme"),
+    ("altruista", "altruísta"),
+    # falling diphthongs end-of-word
+    ("correu", "corrèu"),
+    ("peix", "pèix"),
+]
+
+
+@pytest.mark.parametrize("word,expected", STRESS_CASES)
+def test_stress_word(word, expected):
+    assert stress_word(word) == expected
+
+
+def test_nucleus_positions_examples():
+    # d'anguiles: a(2), i(6) (gu digraph makes u a glide), e(8)
+    assert nucleus_positions("d'anguiles") == [2, 6, 8]
+    # aerolliscador: every a/e/o plus the free i
+    assert nucleus_positions("aerolliscador") == [0, 1, 3, 6, 9, 11]
+    # argüir: a, ü and the following i (hiatus), NOT the glide-ü rule
+    assert nucleus_positions("argüir") == [0, 3, 4]
+    # qu digraph: u is never a nucleus before a vowel
+    assert nucleus_positions("quota") == [2, 4]
+
+
+def test_syllable_bounds_examples():
+    w = "d'anguiles"
+    b = syllable_bounds(w, nucleus_positions(w))
+    assert [w[s:e] for s, e in b] == ["d'an", "gui", "les"]
+    w = "aerolliscador"
+    b = syllable_bounds(w, nucleus_positions(w))
+    assert [w[s:e] for s, e in b] == ["a", "e", "ro", "llis", "ca", "dor"]
+
+
+def test_degenerate_inputs_do_not_crash():
+    # word-initial ü hangs the reference scanner; here: a plain pass
+    assert isinstance(stress_word("über"), str)
+    # no vowels at all -> unchanged (no nucleus, no stress)
+    assert stress_word("strch") == "strch"
+    assert stress_word("") == ""
+    # huge consonant cluster: reference exit(1)s; engine raises, and the
+    # text wrapper leaves the token unchanged
+    with pytest.raises(ValueError):
+        syllable_bounds("abcdfghjke", [0, 9])
+    assert ca_pre_process_text("abcdfghjke", breaks=[" "]) == "abcdfghjke"
+
+
+def test_pre_process_text_lexicon_and_breaks():
+    """Reference CatalanPreProcessText semantics: break chars and
+    lexicon words pass through untouched; everything else is
+    stress-marked (lang.py:2150-2198)."""
+    lex = {"meu"}
+    got = ca_pre_process_text(
+        "El meu aerolliscador està ple d'anguiles.",
+        in_lexicon=lambda w: w.lower() in lex,
+        breaks=[" ", "."],
+    )
+    assert got == "el meu aerolliscadór està plè d'anguíles."
+
+
+def test_pre_process_hook_through_tokenizer():
+    """End-to-end through the generic pre_process_text settings hook
+    (reference text_processor.py:1591-1593): ca replacements then strip
+    the apostrophe, yielding the reference's exact surface forms."""
+    from gruut_spark.core.settings import ca_settings_with_lexicon
+    from gruut_spark.core.tokenizer import flatten, process_tokens
+
+    lex = {"meu"}
+    s = ca_settings_with_lexicon(lambda w: w.lower() in lex)
+    toks = process_tokens(
+        "El meu aerolliscador està ple d'anguiles.", settings=s
+    )
+    words = [w.text for sent in flatten(toks, settings=s)
+             for w in sent.words]
+    assert words == ["el", "meu", "aerolliscadór", "està", "plè",
+                     "danguíles", "."]

@@ -341,22 +341,42 @@ CA_LEXICON = f"{REF}/gruut-lang-ca/gruut_lang_ca/lexicon.db"
 
 @pytest.mark.skipif(not os.path.exists(CA_LEXICON), reason="no reference mount")
 def test_ca_composed(spark):
-    """reference tests/test_sqlite_phonemizer.py:27-44 — the one piece
-    of the Catalan pipeline out of scope is the orthographic rewriting
-    engine (CatalanPreProcessText), whose OUTPUT word forms the
-    reference test itself pins ('aerolliscadór', 'plè', 'danguíles').
-    Feeding those forms to the rest of the pipeline — shipped ca
-    lexicon + shipped ca CRF model + the ported vowel-contact sandhi
-    hook (core/ca_fusion.py) — reproduces the reference phonemes
-    VERBATIM, including the cross-word elision that strips està's
-    leading ə after aerolliscadór's stressed 'o."""
+    """reference tests/test_sqlite_phonemizer.py:27-44, END TO END from
+    the reference's RAW input sentence: the ported orthographic stress
+    engine (core/ca_stress.py, the reference's Transcripcio) COMPUTES
+    the rewritten word forms ('aerolliscadór', 'plè', 'danguíles') with
+    the real shipped lexicon.db exempting in-lexicon words — exactly
+    the reference's CatalanPreProcessText configuration
+    (gruut/lang.py:2150-2198, 2495-2533) — and the rest of the pipeline
+    (shipped ca lexicon + shipped ca CRF model + the ported
+    vowel-contact sandhi hook, core/ca_fusion.py) reproduces the
+    reference phonemes VERBATIM, including the cross-word elision that
+    strips està's leading ə after aerolliscadór's stressed 'o."""
+    import sqlite3
+
     from gruut_spark.core.ca_fusion import ca_post_process_sentence
+    from gruut_spark.core.ca_stress import ca_pre_process_text
     from gruut_spark.core.types import Word
 
-    got = _phonemize(
-        spark, "El meu aerolliscadór està plè danguíles.", "ca-ce",
-        CA_LEXICON, g2p="crf",
+    con = sqlite3.connect(CA_LEXICON)
+
+    def in_lex(w):
+        return any(
+            con.execute(
+                "SELECT 1 FROM word_phonemes WHERE word = ? LIMIT 1",
+                (cand,),
+            ).fetchone()
+            for cand in (w, w.lower())
+        )
+
+    stressed = ca_pre_process_text(
+        "El meu aerolliscador està ple d'anguiles.", in_lexicon=in_lex
     )
+    con.close()
+    # the engine-computed forms the reference test pins as its output
+    assert stressed == "el meu aerolliscadór està plè d'anguíles."
+
+    got = _phonemize(spark, stressed, "ca-ce", CA_LEXICON, g2p="crf")
     words = []
     for w, p, src in got:
         words.append(
