@@ -1268,11 +1268,21 @@ def _pos_tag_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _doc_g2p_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Beam-search G2P decode over the corpus vocabulary (rows-only: the
-    search is iterative, not SQL-expressible; core semantics are pinned
-    against an exhaustive-enumeration oracle in tests/test_g2p_beam.py).
-    Model: ambiguous digraph rules over single-char fallbacks, the
-    phonetisaurus chunk shape (reference g2p_phonetisaurus.py:326-480)."""
+    """Beam-search G2P decode over the corpus vocabulary with ambiguous
+    digraph rules over single-char fallbacks — the phonetisaurus chunk
+    shape (reference g2p_phonetisaurus.py:326-480). VALUE-ORACLED (r3
+    verdict ask #4): the vocabulary is restricted to words whose total
+    digraph-occurrence count is <= 1 (and with no self-overlapping
+    ooo/eee runs), so each word has at most TWO complete decodings —
+    within ``max_guesses``, which makes the beam exhaust the completion
+    set and return it in exact (cost, phonemes) rank order
+    (core/g2p_decode.py docstring invariant, property-tested in
+    tests/test_fuzz.py). The merged digraph always outranks the split
+    (chunk cost < 2 single-char costs), so guess 0 = digraph-merged,
+    guess 1 = char-split — both SQL-expressible. The beam machinery
+    itself (chunk matching, ambiguity, dedup, rank order) is therefore
+    hash-checked by the driver gate; the unbounded-ambiguity regime
+    stays pinned by the exhaustive-enumeration oracle tests."""
     from gruut_spark.core.g2p_decode import chunk_model
     from gruut_spark.operators.g2p_beam import g2p_guess_table
 
@@ -1284,13 +1294,35 @@ def _doc_g2p_beam(spark: SparkSession, sf_dir: str) -> DataFrame:
         (("o", "o"), ("uː",), 0.21),
         (("e", "e"), ("iː",), 0.22),
     ]
-    words = (
+    occ = sum(
+        (F.length("word") - F.length(F.expr(f"replace(word, '{d}', '')")))
+        / 2
+        for d in ("th", "sh", "ph", "oo", "ee")
+    )
+    vocab = (
         _read(spark, sf_dir, "documents")
         .select(
             F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
         )
         .filter(F.col("word").rlike("^[a-z']+$"))
         .distinct()
+    )
+    # the synthetic corpus vocabulary is tiny (~31 alpha words at
+    # sf0.01), so the ambiguous leg is populated by deterministically
+    # suffixing each vocab word with every digraph — same derivation in
+    # the oracle; same-letter seams (ooo/eee runs, double digraphs) are
+    # filtered identically on both sides
+    words = (
+        vocab.select(
+            F.explode(
+                F.array(*[F.lit(s) for s in ("", "th", "sh", "ph", "oo", "ee")])
+            ).alias("suf"),
+            "word",
+        )
+        .select(F.concat("word", "suf").alias("word"))
+        .distinct()
+        .filter(~F.col("word").rlike("ooo|eee"))
+        .filter(occ <= 1)
     )
     return g2p_guess_table(
         words, chunk_model(rules), max_guesses=2
@@ -2938,6 +2970,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT word,
                    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS phonemes
             FROM words ORDER BY word
+        """,
+        # bounded-ambiguity beam decode: each kept word has <= 1 digraph
+        # occurrence, so its complete decodings are exactly {merged,
+        # split} (or {split} alone) and the beam returns them cost-ranked
+        # (merged chunk cost 0.17-0.22 < 0.62 = two single chars)
+        "doc_g2p_beam": r"""
+            WITH vocab AS (
+                SELECT DISTINCT w AS word FROM (
+                    SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+                    FROM documents
+                ) WHERE regexp_full_match(w, '[a-z'']+')
+            ),
+            words AS (
+                SELECT DISTINCT vocab.word || s.suf AS word
+                FROM vocab CROSS JOIN (
+                    SELECT unnest(['', 'th', 'sh', 'ph', 'oo', 'ee']) AS suf
+                ) s
+                WHERE NOT regexp_matches(vocab.word || s.suf, 'ooo|eee')
+            ),
+            occ AS (
+                SELECT word,
+                       ( (length(word) - length(replace(word, 'th', '')))
+                       + (length(word) - length(replace(word, 'sh', '')))
+                       + (length(word) - length(replace(word, 'ph', '')))
+                       + (length(word) - length(replace(word, 'oo', '')))
+                       + (length(word) - length(replace(word, 'ee', ''))) ) / 2
+                       AS n_occ
+                FROM words
+            ),
+            base AS (
+                SELECT word, n_occ,
+                       trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS split_ph
+                FROM occ WHERE n_occ <= 1
+            )
+            SELECT word, CAST(guess_idx AS INT) AS guess_idx, phonemes FROM (
+                SELECT word, 0 AS guess_idx, split_ph AS phonemes
+                FROM base WHERE n_occ = 0
+                UNION ALL
+                SELECT word, 0,
+                       replace(replace(replace(replace(replace(split_ph,
+                           't h', 'θ'), 's h', 'ʃ'), 'p h', 'f'),
+                           'o o', 'uː'), 'e e', 'iː')
+                FROM base WHERE n_occ = 1
+                UNION ALL
+                SELECT word, 1, split_ph FROM base WHERE n_occ = 1
+            ) ORDER BY word, guess_idx
         """,
         "embedding_norms_by_label": """
             SELECT label, count(*) AS n,
