@@ -1,0 +1,142 @@
+"""Phonetisaurus numpy-FST artifact codec: write a ``G2PModel`` in the
+reference's ``.npz`` graph layout and read it back.
+
+Layout parity target: the reference's ``bin/fst2npy.py`` writer
+(fst2graph, :38-108) and ``PhonetisaurusGraph`` reader
+(gruut/g2p_phonetisaurus.py:264-304 plus the lazy edge-index /
+final-prob access pattern in g2p_one, :396-440):
+
+* ``start_node``  int32[1]
+* ``edges``       int32[E, 4] of (from_node, to_node, ilabel, olabel),
+  sorted by from_node — the reader finds a node's out-edges with
+  ``searchsorted(edges[:, 0], node)`` and a forward scan
+* ``edge_probs``  float32[E], same order (tropical weights = costs)
+* ``final_nodes`` int32[F], sorted — reader uses ``searchsorted``
+* ``final_probs`` float32[F], same order
+* ``symbols``     object[S] of label strings; a label decodes with
+  ``s.replace("_", "").split("|")`` (fst2npy joins multi-character
+  chunks with ``|`` and uses ``_`` for the empty side), and the input
+  label ``<eps>`` marks an epsilon arc (g2p_one's ``igraphemes ==
+  [eps]`` test, :448)
+
+The reference ships no ``.npz`` artifacts in this snapshot, so parity
+is exercised round-trip: models trained from the reference's own
+shipped ``g2p_alignments`` tables (core/g2p_train.py) are written in
+this layout, re-read through the same searchsorted access pattern, and
+must beam-decode identically (tests/test_g2p_npz.py). The reader also
+guards the reference's forward-scan overrun (its ``while
+edges[i][0] == node`` walks past the array for the highest-numbered
+node — an IndexError there on real inputs)."""
+
+from __future__ import annotations
+
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+from .g2p_decode import G2PArc, G2PModel
+
+EPS = "<eps>"
+
+
+def _encode_label(chunk: Tuple[str, ...]) -> str:
+    """fst2npy label syntax: multi-char chunks pipe-joined, empty = _."""
+    return "|".join(chunk) if chunk else "_"
+
+
+def _decode_label(s: str) -> Tuple[str, ...]:
+    parts = s.replace("_", "").split("|")
+    return tuple(p for p in parts if p != "")
+
+
+def model_to_arrays(model: G2PModel) -> Dict[str, np.ndarray]:
+    """G2PModel -> the six reference arrays. Arc order within a node is
+    preserved; nodes and finals are sorted as the reference reader's
+    searchsorted access requires."""
+    symbols: Dict[str, int] = {}
+
+    def sym(label: str) -> int:
+        idx = symbols.get(label, len(symbols))
+        symbols[label] = idx
+        return idx
+
+    edges: List[Tuple[int, int, int, int]] = []
+    edge_probs: List[float] = []
+    for node in sorted(model.arcs):
+        for arc in model.arcs[node]:
+            ilabel = EPS if arc.igraphemes is None else _encode_label(
+                arc.igraphemes
+            )
+            olabel = _encode_label(arc.ophonemes)
+            edges.append((node, arc.to_node, sym(ilabel), sym(olabel)))
+            edge_probs.append(arc.cost)
+
+    finals = sorted(model.final_costs.items())
+    return {
+        "start_node": np.array([model.start], dtype=np.int32),
+        "edges": np.array(edges, dtype=np.int32).reshape(-1, 4),
+        "edge_probs": np.array(edge_probs, dtype=np.float32),
+        "final_nodes": np.array([n for n, _ in finals], dtype=np.int32),
+        "final_probs": np.array([c for _, c in finals], dtype=np.float32),
+        "symbols": np.array(list(symbols), dtype=object),
+    }
+
+
+def save_npz(model: G2PModel, path: str) -> None:
+    """Write ``model`` at ``path`` in the reference npz layout."""
+    with open(path, "wb") as f:
+        np.savez(f, **model_to_arrays(model))
+
+
+def load_npz(path: str) -> G2PModel:
+    """Read a reference-layout npz back into a ``G2PModel``, using the
+    reference reader's own access pattern: symbols pre-split once
+    (PhonetisaurusGraph.__init__:290-292), a node's out-edges located
+    by ``searchsorted`` over the from_node column + forward scan
+    (g2p_one:428-435), final probabilities by ``searchsorted`` over
+    ``final_nodes`` (g2p_one:406-414)."""
+    g = np.load(path, allow_pickle=True)
+    start = int(g["start_node"].item())
+    edges = g["edges"]
+    edge_probs = g["edge_probs"]
+    final_nodes = g["final_nodes"]
+    final_probs = g["final_probs"]
+    symbols = [str(s) for s in g["symbols"]]
+    # per-slot decode: <eps> as an INPUT label is the epsilon arc
+    # marker (g2p_one:448); as an OUTPUT label it emits nothing (the
+    # OpenFST epsilon-output convention; the reference appends the
+    # literal symbol and relies on downstream filtering)
+    decoded = [
+        (
+            None if s == EPS else _decode_label(s),
+            () if s == EPS else _decode_label(s),
+        )
+        for s in symbols
+    ]
+
+    n_edges = len(edges)
+    from_col = edges[:, 0] if n_edges else np.empty(0, dtype=np.int32)
+    arcs: Dict[int, List[G2PArc]] = {}
+    for node in np.unique(from_col):
+        node = int(node)
+        i = int(np.searchsorted(from_col, node))
+        out: List[G2PArc] = []
+        # bounds-guarded forward scan (the reference's loop at
+        # g2p_one:431-433 has no end guard)
+        while i < n_edges and int(edges[i][0]) == node:
+            _, to_node, ilabel_idx, olabel_idx = (int(x) for x in edges[i])
+            igraphemes = decoded[ilabel_idx][0]
+            ophonemes = decoded[olabel_idx][1]
+            out.append(
+                G2PArc(igraphemes, ophonemes, float(edge_probs[i]), to_node)
+            )
+            i += 1
+        arcs[node] = out
+
+    finals: Dict[int, float] = {}
+    for node in final_nodes:
+        node = int(node)
+        j = int(np.searchsorted(final_nodes, node))
+        if j < len(final_nodes) and int(final_nodes[j]) == node:
+            finals[node] = float(final_probs[j])
+    return G2PModel(arcs=arcs, final_costs=finals, start=start)

@@ -2,11 +2,15 @@
 with typed metadata.
 
 The Spark-side machinery — schema, partitioning, Arrow batch shape,
-mapInPandas signatures — is real and tested; the codec step is STUBBED
-(this container ships no image/audio libraries): ``decode_stub`` raises
-``NotImplementedError`` unless ``fake=True``, in which case it produces a
-deterministic fake decode (seeded from the payload hash) so downstream
-feature plumbing is testable end-to-end.
+mapInPandas signatures — is real and tested. HEADER-level decoding is
+real too (pure Python, no codec libs needed): WAV RIFF headers yield
+sample rate / channels / bit depth / data-derived duration, PNG IHDR
+chunks yield width / height / bit depth / color type, both CRC/size
+validated. Only the COMPRESSED-PAYLOAD decode (pixels / PCM frames /
+video) remains stubbed: ``decode_stub`` raises ``NotImplementedError``
+unless ``fake=True``, in which case it produces a deterministic fake
+decode (seeded from the payload hash) so downstream feature plumbing is
+testable end-to-end.
 
 Schema convention for a multimodal table:
     (sample_id:long, modality:string, payload:binary,
@@ -16,7 +20,9 @@ Schema convention for a multimodal table:
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import struct
+import zlib
+from typing import Iterator, Optional
 
 import numpy as np
 import pandas as pd

@@ -206,6 +206,10 @@ def ivf_ann_topk(
     every vector to its nearest list, probe the n_probe lists closest to
     the query, exact re-rank inside. At scale the assignment is a single
     narrow pass and each query touches n_probe/n_lists of the corpus."""
+    # deterministic "first train_sample by id" sample. NOT a global
+    # sort: Catalyst plans orderBy().limit(k) as TakeOrderedAndProject
+    # — per-partition top-k merged on the driver, zero Exchange
+    # (pinned by tests/test_operators.py::test_ivf_sample_plan_no_exchange)
     sample_rows = (
         df.select(vec_col).orderBy(F.col(id_col)).limit(train_sample).collect()
     )
