@@ -1164,10 +1164,15 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction (rows-only: stubbed codec). The
-    operator's array<float> feature column is reduced to driver-hashable
-    scalars here (the harness canonicalizer can't sort array cells):
-    rounded mean + an md5 over the rounded components."""
+    """Multimodal feature extraction with REAL header decoding: the
+    synthetic payloads carry genuine PNG/WAV headers and the operator's
+    pure-Python parsers (operators/multimodal.py parse_png_header /
+    parse_wav_header) recover width/height and sample-rate/duration;
+    the oracle embeds the GENERATION-time values as literals, so the
+    gate checks parser-vs-generator round-trip. Only the compressed
+    payload decode stays stubbed. The operator's array<float> feature
+    column is reduced to driver-hashable scalars (rounded mean + md5
+    over rounded components)."""
     from gruut_spark.operators.multimodal import extract_features, synthetic_multimodal
 
     feats = extract_features(synthetic_multimodal(spark, n=48))
@@ -1181,6 +1186,7 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return feats.select(
         "sample_id", "modality", "n_bytes", "payload_sha256", "frames_sampled",
+        "hdr_width", "hdr_height", "hdr_sample_rate", "hdr_duration_ms",
         F.round(fmean, 6).alias("feature_mean"),
         fmd5.alias("feature_md5"),
     ).orderBy("sample_id")
@@ -2009,16 +2015,24 @@ def _multimodal_oracle_sql(n: int = 48, seed: int = 42) -> str:
     %.4f-formatted md5, and the per-modality frame count."""
     import hashlib
 
-    from gruut_spark.operators.multimodal import synthetic_rows
+    from gruut_spark.operators.multimodal import synthetic_rows_with_truth
+
+    def lit(v):
+        return "NULL" if v is None else str(v)
 
     rows = []
-    for i, modality, payload, meta in synthetic_rows(n, seed):
+    for (i, modality, payload, meta), truth in synthetic_rows_with_truth(n, seed):
         sha = hashlib.sha256(payload).hexdigest()
         dur = meta["duration_ms"] if meta["duration_ms"] is not None else 0
-        rows.append(f"({i},'{modality}',{len(payload)},'{sha}',{dur})")
+        rows.append(
+            f"({i},'{modality}',{len(payload)},'{sha}',{dur},"
+            f"{lit(truth['hdr_width'])},{lit(truth['hdr_height'])},"
+            f"{lit(truth['hdr_sample_rate'])},{lit(truth['hdr_duration_ms'])})"
+        )
     values = ",".join(rows)
     return f"""
-        WITH samples(sample_id, modality, n_bytes, sha, duration_ms)
+        WITH samples(sample_id, modality, n_bytes, sha, duration_ms,
+                     hdr_width, hdr_height, hdr_sample_rate, hdr_duration_ms)
           AS (VALUES {values}),
         db AS (
           SELECT *,
@@ -2036,6 +2050,9 @@ def _multimodal_oracle_sql(n: int = 48, seed: int = 42) -> str:
                CASE WHEN modality = 'video'
                     THEN greatest(1, duration_ms // 1000)
                     ELSE 1 END::INT AS frames_sampled,
+               hdr_width::INT AS hdr_width, hdr_height::INT AS hdr_height,
+               hdr_sample_rate::INT AS hdr_sample_rate,
+               hdr_duration_ms::INT AS hdr_duration_ms,
                round(list_sum(fv) / 16, 6) AS feature_mean,
                md5(array_to_string(list_transform(fv, v -> printf('%.4f', v)), ','))
                  AS feature_md5

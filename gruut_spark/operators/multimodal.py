@@ -39,8 +39,77 @@ FEATURE_DIM = 16
 
 FEATURES_SCHEMA = (
     "sample_id long, modality string, n_bytes long, payload_sha256 string, "
-    f"feature array<float>, frames_sampled int"
+    "feature array<float>, frames_sampled int, "
+    # header-derived (real parsing, operators/multimodal.py parse_*):
+    # PNG -> width/height; WAV -> sample_rate/duration; video + parse
+    # failures -> NULL
+    "hdr_width int, hdr_height int, hdr_sample_rate int, hdr_duration_ms int"
 )
+
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def parse_png_header(payload: bytes) -> Optional[dict]:
+    """PNG signature + IHDR chunk -> width/height/bit_depth/color_type,
+    or None if not a (well-formed) PNG. Pure header arithmetic — no
+    pixel decode: signature check, IHDR must be the first chunk with
+    length 13, CRC32 over type+data must verify (the PNG spec's
+    integrity rule, so truncated/corrupt headers don't emit garbage
+    dimensions)."""
+    if len(payload) < 33 or payload[:8] != _PNG_SIG:
+        return None
+    (length,), ctype = struct.unpack(">I", payload[8:12]), payload[12:16]
+    if ctype != b"IHDR" or length != 13:
+        return None
+    data = payload[16:29]
+    (crc,) = struct.unpack(">I", payload[29:33])
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        return None
+    width, height, bit_depth, color_type = struct.unpack(">IIBB", data[:10])
+    return {
+        "width": int(width), "height": int(height),
+        "bit_depth": int(bit_depth), "color_type": int(color_type),
+    }
+
+
+def parse_wav_header(payload: bytes) -> Optional[dict]:
+    """RIFF/WAVE chunk walk -> sample_rate/channels/bits_per_sample and
+    data-size-derived duration_ms, or None if not a well-formed WAV.
+    Pure header arithmetic — no PCM decode: RIFF+WAVE magic, then the
+    standard chunk walk (id, little-endian size, word-aligned skip)
+    collecting fmt and data; duration = data_bytes * 1000 / byte_rate,
+    floor (what a player derives before reading any frame)."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    fmt = None
+    data_size = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4:pos + 8])
+        body = payload[pos + 8:pos + 8 + size]
+        if cid == b"fmt " and size >= 16 and len(body) >= 16:
+            audio_fmt, channels, sample_rate, byte_rate, block_align, bits = (
+                struct.unpack("<HHIIHH", body[:16])
+            )
+            fmt = (audio_fmt, channels, sample_rate, byte_rate, bits)
+        elif cid == b"data":
+            # size field governs even when the payload is truncated —
+            # headers are often read before the stream body arrives
+            data_size = size
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        return None
+    audio_fmt, channels, sample_rate, byte_rate, bits = fmt
+    if byte_rate <= 0:
+        return None
+    return {
+        "sample_rate": int(sample_rate), "channels": int(channels),
+        "bits_per_sample": int(bits),
+        "data_bytes": int(data_size),
+        "duration_ms": int(data_size * 1000 // byte_rate),
+    }
 
 
 def decode_stub(payload: bytes, mime: str, fake: bool = False) -> np.ndarray:
@@ -74,6 +143,8 @@ def extract_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
             feature = decoded.reshape(2, FEATURE_DIM).mean(axis=0)
             duration = (r.meta["duration_ms"] or 0) if r.meta else 0
             frames = max(1, int(duration) // 1000) if r.modality == "video" else 1
+            png = parse_png_header(payload)
+            wav = parse_wav_header(payload) if png is None else None
             rows.append(
                 (
                     r.sample_id,
@@ -82,15 +153,24 @@ def extract_features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFra
                     hashlib.sha256(payload).hexdigest(),
                     feature.astype(np.float32).tolist(),
                     frames,
+                    png["width"] if png else None,
+                    png["height"] if png else None,
+                    wav["sample_rate"] if wav else None,
+                    wav["duration_ms"] if wav else None,
                 )
             )
-        yield pd.DataFrame(
+        out = pd.DataFrame(
             rows,
             columns=[
                 "sample_id", "modality", "n_bytes", "payload_sha256",
-                "feature", "frames_sampled",
+                "feature", "frames_sampled", "hdr_width", "hdr_height",
+                "hdr_sample_rate", "hdr_duration_ms",
             ],
         )
+        for c in ("hdr_width", "hdr_height", "hdr_sample_rate",
+                  "hdr_duration_ms"):
+            out[c] = pd.array(out[c], dtype="Int32")
+        yield out
 
 
 def extract_features(df: DataFrame) -> DataFrame:
@@ -102,23 +182,81 @@ def extract_features(df: DataFrame) -> DataFrame:
     )
 
 
+def _synthetic_png(rng) -> "tuple[bytes, int, int]":
+    """A REAL PNG header (signature + CRC-valid IHDR) over a random
+    stand-in body — parse_png_header round-trips the dimensions."""
+    w = int(rng.integers(8, 257))
+    h = int(rng.integers(8, 257))
+    ihdr_data = struct.pack(">IIBBBBB", w, h, 8, 6, 0, 0, 0)
+    ihdr = (
+        struct.pack(">I", 13) + b"IHDR" + ihdr_data
+        + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr_data) & 0xFFFFFFFF)
+    )
+    body = bytes(rng.integers(0, 256, int(rng.integers(32, 256)), dtype=np.uint8))
+    return _PNG_SIG + ihdr + body, w, h
+
+
+def _synthetic_wav(rng) -> "tuple[bytes, int, int]":
+    """A REAL RIFF/WAVE header (PCM fmt chunk + data chunk) over random
+    stand-in samples — parse_wav_header round-trips rate and duration."""
+    sample_rate = int(rng.choice([8000, 16000, 22050, 44100]))
+    n_samples = int(rng.integers(100, 2000))
+    data = bytes(rng.integers(0, 256, n_samples * 2, dtype=np.uint8))
+    byte_rate = sample_rate * 2  # mono 16-bit PCM
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                                byte_rate, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    return hdr + data, sample_rate, len(data) * 1000 // byte_rate
+
+
 def synthetic_rows(n: int = 64, seed: int = 42) -> list:
     """Deterministic fake multimodal rows (Spark-free so the DuckDB
     oracle builder can regenerate the identical payloads at
-    oracle-construction time)."""
+    oracle-construction time). Image and audio payloads carry REAL
+    PNG/WAV headers so the header parsers have genuine bytes to decode;
+    video payloads stay opaque (mp4 box walking is out of scope — that
+    modality pins the NULL leg)."""
+    return [row for row, _ in synthetic_rows_with_truth(n, seed)]
+
+
+def synthetic_rows_with_truth(n: int = 64, seed: int = 42) -> list:
+    """(row, truth) pairs where truth carries the GENERATION-time header
+    values (png width/height, wav sample_rate/duration). The oracle
+    builder embeds these as literals, so the driver gate checks that the
+    distributed header PARSERS recover the generator's parameters — a
+    genuine round-trip through real binary headers, not the parser
+    checked against itself."""
     rng = np.random.default_rng(seed)
-    rows = []
+    out = []
     for i in range(n):
         modality = ["image", "audio", "video"][i % 3]
-        payload = bytes(rng.integers(0, 256, int(rng.integers(64, 512)), dtype=np.uint8))
+        width = height = duration = rate = None
+        if modality == "image":
+            payload, width, height = _synthetic_png(rng)
+        elif modality == "audio":
+            payload, rate, duration = _synthetic_wav(rng)
+        else:
+            payload = bytes(
+                rng.integers(0, 256, int(rng.integers(64, 512)), dtype=np.uint8)
+            )
+            duration = int(rng.integers(1000, 10000))
         meta = {
-            "mime": {"image": "image/png", "audio": "audio/wav", "video": "video/mp4"}[modality],
-            "width": 64 if modality == "image" else None,
-            "height": 64 if modality == "image" else None,
-            "duration_ms": int(rng.integers(1000, 10000)) if modality != "image" else None,
+            "mime": {"image": "image/png", "audio": "audio/wav",
+                     "video": "video/mp4"}[modality],
+            "width": width,
+            "height": height,
+            "duration_ms": duration,
         }
-        rows.append((i, modality, payload, meta))
-    return rows
+        truth = {
+            "hdr_width": width, "hdr_height": height,
+            "hdr_sample_rate": rate,
+            "hdr_duration_ms": duration if modality == "audio" else None,
+        }
+        out.append(((i, modality, payload, meta), truth))
+    return out
 
 
 def synthetic_multimodal(spark: SparkSession, n: int = 64, seed: int = 42) -> DataFrame:

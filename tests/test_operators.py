@@ -1356,3 +1356,75 @@ def test_ivf_sample_plan_no_exchange(spark):
     plan = sample._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_wav_png_header_parsers():
+    """Header-level decoding (r3 verdict ask #7): real PNG signature +
+    CRC-checked IHDR and real RIFF/WAVE chunk walks, pure Python.
+    Round-trip: the synthetic generators' parameters must be recovered
+    exactly; corrupt/foreign bytes must parse to None, never garbage."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gruut_spark.operators.multimodal import (
+        _synthetic_png,
+        _synthetic_wav,
+        parse_png_header,
+        parse_wav_header,
+    )
+
+    rng = np.random.default_rng(7)
+    for _ in range(20):
+        payload, w, h = _synthetic_png(rng)
+        got = parse_png_header(payload)
+        assert got == {"width": w, "height": h, "bit_depth": 8,
+                       "color_type": 6}
+        assert parse_wav_header(payload) is None
+
+        payload, rate, dur = _synthetic_wav(rng)
+        got = parse_wav_header(payload)
+        assert got["sample_rate"] == rate and got["duration_ms"] == dur
+        assert got["channels"] == 1 and got["bits_per_sample"] == 16
+        assert parse_png_header(payload) is None
+
+    # corruption: flipped IHDR byte fails CRC -> None
+    payload, w, h = _synthetic_png(rng)
+    bad = bytearray(payload)
+    bad[17] ^= 0xFF
+    assert parse_png_header(bytes(bad)) is None
+    # truncated WAV header -> None; data size still honored when the
+    # stream body is truncated but chunks are complete
+    payload, rate, dur = _synthetic_wav(rng)
+    assert parse_wav_header(payload[:20]) is None
+    assert parse_wav_header(b"") is None and parse_png_header(b"") is None
+    # odd-sized chunk word alignment: insert a 3-byte LIST chunk between
+    # fmt and data
+    fmt_end = 12 + 8 + 16
+    odd = (payload[:fmt_end] + b"LIST" + struct.pack("<I", 3) + b"ab\x00\x00"
+           + payload[fmt_end:])
+    got = parse_wav_header(odd)
+    assert got["sample_rate"] == rate and got["duration_ms"] == dur
+
+
+def test_multimodal_header_columns(spark):
+    """extract_features surfaces header-derived columns: PNG rows carry
+    width/height, WAV rows carry sample_rate/duration, video rows (no
+    parser) carry NULLs."""
+    from gruut_spark.operators.multimodal import (
+        extract_features,
+        synthetic_multimodal,
+        synthetic_rows_with_truth,
+    )
+
+    truth = {row[0]: t for row, t in synthetic_rows_with_truth(24)}
+    out = extract_features(synthetic_multimodal(spark, n=24)).collect()
+    for r in out:
+        t = truth[r["sample_id"]]
+        assert r["hdr_width"] == t["hdr_width"]
+        assert r["hdr_height"] == t["hdr_height"]
+        assert r["hdr_sample_rate"] == t["hdr_sample_rate"]
+        assert r["hdr_duration_ms"] == t["hdr_duration_ms"]
+        if r["modality"] == "video":
+            assert r["hdr_width"] is None and r["hdr_sample_rate"] is None
