@@ -1,0 +1,88 @@
+#!/usr/bin/env python3
+"""Derive a k-times-larger benchmark dataset from an existing sf dir by
+key-offset replication (the testdata dirs are read-only; sf1.0 is not
+shipped). Replica r shifts every key column by r * (max_key + 1) of its
+table, with FOREIGN keys shifted by the PARENT table's stride so
+referential joins keep their selectivity (orders->customer,
+lineitem->{orders,part,supplier}, events.user_id->customer). region and
+nation are dimensions and stay as-is; timestamps are kept, so the
+scale-up grows rows-per-group density rather than group count — the
+right stress for aggregation/window scaling. documents replicate with
+identical text (10x duplicate multiplicity: a dedup stress, bounded by
+the operators' capped emitters).
+
+Usage: python scripts/make_sf.py [SRC_DIR] [DST_DIR] [K]
+Defaults: /root/testdata/sf0.1 -> /tmp/spark_graft_sf1.0, k=10.
+"""
+
+import os
+import sys
+
+import duckdb
+
+SRC = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+DST = sys.argv[2] if len(sys.argv) > 2 else "/tmp/spark_graft_sf1.0"
+K = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+
+# table -> (own key cols, {fk col: parent table})
+KEYS = {
+    "region": ([], {}),
+    "nation": ([], {}),
+    "customer": (["c_custkey"], {}),
+    "supplier": (["s_suppkey"], {}),
+    "part": (["p_partkey"], {}),
+    "orders": (["o_orderkey"], {"o_custkey": "customer"}),
+    "lineitem": ([], {"l_orderkey": "orders", "l_partkey": "part",
+                      "l_suppkey": "supplier"}),
+    "events": (["event_id"], {"user_id": "customer"}),
+    "documents": (["doc_id"], {}),
+    "embeddings": (["vec_id"], {}),
+}
+
+PARENT_KEY = {"customer": "c_custkey", "orders": "o_orderkey",
+              "part": "p_partkey", "supplier": "s_suppkey"}
+
+
+def main() -> None:
+    os.makedirs(DST, exist_ok=True)
+    con = duckdb.connect()
+    stride = {}
+    for t in KEYS:
+        own, _ = KEYS[t]
+        key = own[0] if own else PARENT_KEY.get(t)
+        if key is None and t in PARENT_KEY:
+            key = PARENT_KEY[t]
+        if own:
+            stride[t] = int(
+                con.sql(f"SELECT max({own[0]}) + 1 FROM "
+                        f"'{SRC}/{t}.parquet'").fetchone()[0]
+            )
+    for t, (own, fks) in KEYS.items():
+        cols = [r[0] for r in con.sql(
+            f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+        if not own and not fks:
+            con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+                    f"'{DST}/{t}.parquet' (FORMAT parquet)")
+            print(t, "copied")
+            continue
+        selects = []
+        for r in range(K):
+            exprs = []
+            for c in cols:
+                if c in own:
+                    exprs.append(f"{c} + {r * stride[t]} AS {c}")
+                elif c in fks:
+                    exprs.append(f"{c} + {r * stride[fks[c]]} AS {c}")
+                else:
+                    exprs.append(c)
+            selects.append(
+                f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'"
+            )
+        union = " UNION ALL ".join(selects)
+        con.sql(f"COPY ({union}) TO '{DST}/{t}.parquet' (FORMAT parquet)")
+        n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    main()

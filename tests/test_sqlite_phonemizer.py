@@ -9,10 +9,12 @@ languages (es, pt, sw) whose reference tests decode ENTIRELY through
 their shipped crfsuite G2P models — 8 of the reference's 15, vs ar/fa
 (mishkal / POS-model dependencies), de/en/fr/ru (lexicon.db absent and
 only some test words are CRF-decided — the CRF-decided ones are pinned
-in tests/test_crf_tag.py), and ca, whose orthographic rewriting engine
-is out of scope but whose PINNED rewritten word forms reproduce the
-reference output verbatim through lexicon + shipped CRF + the ported
-sandhi hook (test_ca_composed — a 9th language covered).
+in tests/test_crf_tag.py), and ca — a 9th language covered END TO END
+from raw text: the ported orthographic stress engine
+(core/ca_stress.py) COMPUTES the rewritten word forms, which reproduce
+the reference output verbatim through lexicon + shipped CRF + the
+ported sandhi hook (test_ca_composed). The espeak pronunciation-system
+twin of this suite lives in tests/test_espeak_phonemizer.py.
 Words the reference resolves with its TRAINED G2P models go through our own
 pair-n-gram trainer (core/g2p_train.py) fitted on the SAME lexicon's
 shipped g2p_alignments table: for it ('Il', 'anguille') and nl
