@@ -1,17 +1,24 @@
 """DataFrame form of the beam-search G2P decoder.
 
 One ``mapInPandas`` stage (single Python eval node, per the repo's
-measured rule); the model is broadcast by closure capture exactly like
-the pipeline's other model bundles (functions/runtime.py pattern). Each
-input word expands to ``max_guesses`` ranked rows — the per-word beam
-search itself is inherently sequential (reference
+measured rule). The model ships either by closure capture (an in-memory
+``G2PModel`` — fine for tests and small rule models) or, the
+production shape at scale, as an ``.npz`` artifact PATH (the reference
+Phonetisaurus layout, core/g2p_npz.py) loaded lazily ONCE per executor
+process — a trained order-7 WFST is tens of MB as pickled arcs, and
+closure capture would re-ship it inside every task's serialized
+closure, while the path is a few bytes and the load amortizes across
+all of a worker's batches (same pattern as operators/pos_tag.py).
+
+Each input word expands to ``max_guesses`` ranked rows — the per-word
+beam search itself is inherently sequential (reference
 gruut/g2p_phonetisaurus.py:326-480), so the parallelism axis is words,
 which is the right axis at corpus scale (millions of OOV words, each
 milliseconds of search)."""
 
 from __future__ import annotations
 
-from typing import Iterator
+from typing import Iterator, Union
 
 import pandas as pd
 
@@ -22,10 +29,26 @@ from ..core.g2p_decode import G2PModel, beam_decode
 
 GUESS_SCHEMA = "word string, guess_idx int, phonemes string"
 
+_MODELS: dict = {}
+
+
+def _get_model(model: Union[G2PModel, str]) -> G2PModel:
+    """Resolve a model-or-path; npz paths are loaded once per process
+    (executor-side cache, keyed by path)."""
+    if isinstance(model, G2PModel):
+        return model
+    loaded = _MODELS.get(model)
+    if loaded is None:
+        from ..core.g2p_npz import load_npz
+
+        loaded = load_npz(model)
+        _MODELS[model] = loaded
+    return loaded
+
 
 def g2p_guess_table(
     df: DataFrame,
-    model: G2PModel,
+    model: Union[G2PModel, str],
     word_col: str = "word",
     max_guesses: int = 1,
     beam: int = 5000,
@@ -44,12 +67,13 @@ def g2p_guess_table(
     for those; plain chunk models need none."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        m = _get_model(model)
         for pdf in batches:
             words, idxs, phons = [], [], []
             for w in pdf["word"].fillna(""):
                 for i, guess in enumerate(
                     beam_decode(
-                        model, w, beam=beam, min_beam=min_beam,
+                        m, w, beam=beam, min_beam=min_beam,
                         beam_scale=beam_scale, max_guesses=max_guesses,
                         max_eps_rounds=(
                             max_eps_rounds + eps_per_grapheme * len(w)

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""In-Spark control for the 8->32 scaling narrative (BENCH.md): a
+NO-OP mapInPandas over the same rows as the quality pipeline, at N and
+4N cores. The kernel touches each Arrow batch and returns one tiny row
+per batch, so the measurement isolates scan + Arrow IPC + Python
+worker turnaround from model compute. Together with the pure-CPython
+multiprocessing control (scripts/bench_scaling.py) this separates
+three candidate ceilings at 32 cores: hypervisor steal (hits both
+controls), Arrow/worker-pool overhead (hits only this one), and the
+pipeline's own Python compute (hits only the real pipeline).
+
+Appends a tagged record to bench_scaling_runs.jsonl; BENCH.md is
+curated by hand from that log."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+ROWS = int(os.environ.get("SCALING_ROWS", "32000"))
+N = int(os.environ.get("SCALING_N", "8"))
+FOUR_N = 4 * N
+
+WORKER = r"""
+import json, os, sys, time
+sys.path.insert(0, %(root)r)
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+cpus = int(sys.argv[1]); files_path = sys.argv[2]
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from gruut_spark.plans.quality_pipeline import configure_session
+spark = (SparkSession.builder.master(f"local[{cpus}]")
+         .config("spark.sql.shuffle.partitions", str(cpus))
+         .config("spark.driver.memory", "24g")
+         .config("spark.ui.enabled", "false").appName("arrowctl").getOrCreate())
+configure_session(spark)
+spark.sparkContext.setLogLevel("ERROR")
+files = spark.read.parquet(files_path).repartition(cpus)
+n = files.count()
+
+def noop(batches):
+    # full Arrow deserialization of every batch, near-zero compute
+    for pdf in batches:
+        yield pd.DataFrame({"n": [len(pdf)], "c": [int(pdf["content"].str.len().sum())]})
+
+def run():
+    out = files.mapInPandas(noop, schema="n long, c long")
+    return out.agg(F.sum("n").alias("n"), F.sum("c")).collect()[0]["n"]
+
+assert run() == n  # warm pass: workers hot, steady state
+t0 = time.time()
+assert run() == n
+sec = time.time() - t0
+print(json.dumps({"cpus": cpus, "rows": n, "sec": round(sec, 3),
+                  "rows_per_sec": round(n / sec, 2)}))
+spark.stop()
+"""
+
+
+def _files_parquet(rows: int) -> str:
+    sys.path.insert(0, ROOT)
+    from gruut_spark.sources.testgen import bench_files_parquet
+
+    return bench_files_parquet(rows, os.path.join(ROOT, ".bench_cache"))
+
+
+def run_spark(cpus: int, files_path: str) -> dict:
+    out = subprocess.run(
+        [sys.executable, "-c", WORKER % {"root": ROOT}, str(cpus), files_path],
+        capture_output=True, text=True, check=True, cwd=ROOT,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    files_path = _files_parquet(ROWS)
+    runs_n, runs_4n = [], []
+    for _ in range(3):  # interleaved fresh-JVM best-of-3 (steal protocol)
+        runs_n.append(run_spark(N, files_path))
+        runs_4n.append(run_spark(FOUR_N, files_path))
+    rn = min(runs_n, key=lambda r: r["sec"])
+    r4n = min(runs_4n, key=lambda r: r["sec"])
+    eff = round((rn["sec"] / r4n["sec"]) / 4.0, 3)
+    result = {
+        "experiment": "noop_mapinpandas_control",
+        "n": rn, "four_n": r4n, "scaling_efficiency": eff,
+        "all_n": runs_n, "all_4n": runs_4n,
+    }
+    print(json.dumps(result))
+    with open(os.path.join(ROOT, "bench_scaling_runs.jsonl"), "a") as f:
+        f.write(json.dumps(result) + "\n")
+
+
+if __name__ == "__main__":
+    main()

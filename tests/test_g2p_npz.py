@@ -122,3 +122,26 @@ def test_roundtrip_trained_nl(tmp_path):
     for w in ["paling", "mijn", "vol"]:
         assert beam_decode(m2, w, max_guesses=2, max_eps_rounds=6 * len(w) + 8) \
             == beam_decode(m, w, max_guesses=2, max_eps_rounds=6 * len(w) + 8), w
+
+
+def test_guess_table_loads_from_npz_path(spark, tmp_path):
+    """The DataFrame decoder accepts an npz artifact PATH (loaded once
+    per executor process — the production shipping shape) and matches
+    the closure-captured in-memory model exactly."""
+    from gruut_spark.operators.g2p_beam import g2p_guess_table
+
+    m = _tiny_model()
+    path = str(tmp_path / "m.npz")
+    save_npz(m, path)
+    words = spark.createDataFrame(
+        [("cat",), ("bath",), ("tab",)], "word string"
+    )
+    by_path = {
+        (r["word"], r["guess_idx"]): r["phonemes"]
+        for r in g2p_guess_table(words, path, max_guesses=2).collect()
+    }
+    by_model = {
+        (r["word"], r["guess_idx"]): r["phonemes"]
+        for r in g2p_guess_table(words, m, max_guesses=2).collect()
+    }
+    assert by_path == by_model and by_path
