@@ -141,3 +141,51 @@ def test_pre_process_hook_through_tokenizer():
              for w in sent.words]
     assert words == ["el", "meu", "aerolliscadór", "està", "plè",
                      "danguíles", "."]
+
+
+# --- property tests (hypothesis) -------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _HAS_HYP = True
+except ImportError:  # pragma: no cover
+    _HAS_HYP = False
+
+if _HAS_HYP:
+    _ca_word = st.text(
+        alphabet="aeiouàèéíòóúïübcdfghjlmnpqrstvxyz'-", min_size=1,
+        max_size=12,
+    ).filter(lambda w: not w.startswith("ü"))
+
+    _STRIP = str.maketrans("àèéíòóú", "aeeioou")
+
+    @given(_ca_word)
+    @settings(max_examples=300, deadline=None)
+    def test_stress_word_skeleton_preserved(w):
+        """Stress marking only swaps accent variants of single vowels:
+        the accent-stripped lowercase skeleton never changes, and the
+        length never changes (every ACCENT_EXCEPTIONS entry is
+        equal-length by table construction)."""
+        try:
+            got = stress_word(w)
+        except ValueError:
+            return  # unsyllabifiable cluster: wrapper leaves token alone
+        assert len(got) == len(w)
+        from gruut_spark.core.ca_stress import ACCENT_EXCEPTIONS
+
+        base = ACCENT_EXCEPTIONS.get(w.lower(), w.lower())
+        assert got.translate(_STRIP).replace("ï", "i").replace("ü", "u") \
+            == base.translate(_STRIP).replace("ï", "i").replace("ü", "u")
+
+    @given(_ca_word)
+    @settings(max_examples=300, deadline=None)
+    def test_stress_word_idempotent(w):
+        """A stressed word re-enters the engine as a graphic-accent (or
+        unchanged) word: second application is the identity."""
+        try:
+            once = stress_word(w)
+        except ValueError:
+            return
+        assert stress_word(once) == once
