@@ -1,0 +1,94 @@
+"""Differential gate: the ported Catalan stress engine vs the
+REFERENCE engine itself, executed from the read-only mount.
+
+The reference's Transcripcio + helpers (gruut/lang.py:856-2149) are
+pure Python with no third-party imports, so the slice runs standalone
+(the full gruut package does NOT import here — babel et al. are absent
+— which is why this exec-from-mount harness exists). Nothing is copied
+into the repo: the reference source is read from /root/reference at
+test time and skipped when the mount is absent.
+
+The engine-level contract: identical output for every word, except the
+two documented degenerate classes where the reference malfunctions
+(word-initial ü hangs its scanner; >6-consonant clusters exit(1) the
+process) — those are excluded/mapped here and pinned separately in
+tests/test_ca_stress.py."""
+
+import logging
+import os
+import re
+import typing
+from collections import deque
+
+import pytest
+
+LANG_PY = "/root/reference/gruut/lang.py"
+
+
+@pytest.fixture(scope="module")
+def reference_engine():
+    if not os.path.exists(LANG_PY):
+        pytest.skip("no reference mount")
+    with open(LANG_PY, encoding="utf-8") as f:
+        src = f.read().split("\n")
+    ns = {
+        "typing": typing, "re": re, "deque": deque,
+        "_LOGGER": logging.getLogger("ca-ref"),
+    }
+    exec("\n".join(src[855:2149]), ns)  # noqa: S102 — read-only parity harness
+    return ns["Transcripcio"]
+
+
+def _ref_stress(Transcripcio, word):
+    try:
+        return Transcripcio(word).stress_word()
+    except SystemExit:
+        return "<exit>"
+    except Exception as e:  # noqa: BLE001
+        return f"<err {type(e).__name__}>"
+
+
+def _our_stress(word):
+    from gruut_spark.core.ca_stress import stress_word
+
+    try:
+        return stress_word(word)
+    except Exception as e:  # noqa: BLE001
+        return f"<err {type(e).__name__}>"
+
+
+def test_differential_pinned_and_fuzz(reference_engine):
+    import itertools
+    import random
+
+    from tests.test_ca_stress import STRESS_CASES
+
+    words = [w for w, _ in STRESS_CASES]
+    rng = random.Random(20260817)
+    alpha = "aeiouàèéíòóúïübcdfghjlmnpqrstvxyz'-"
+    frags = ["ca", "que", "gui", "ment", "ir", "ui", "uix", "argü",
+             "hu", "ix", "lla", "tre", "s", "n", "ts", "en", "in",
+             "au", "eu", "iu", "qü", "gü", "isme", "ista", "iràs"]
+    for _ in range(800):
+        words.append("".join(rng.choice(alpha)
+                             for _ in range(rng.randint(1, 10))))
+    for _ in range(800):
+        words.append("".join(rng.choice(frags)
+                             for _ in range(rng.randint(1, 4))))
+    # exhaustive 3-char corner sweep over the vowel/digraph alphabet
+    words.extend("".join(t) for t in itertools.product("aeiouügqhxs", repeat=3))
+
+    diffs = []
+    for w in words:
+        if w.startswith("ü"):
+            continue  # reference hangs (documented divergence)
+        ref = _ref_stress(reference_engine, w)
+        got = _our_stress(w)
+        if ref == "<exit>":
+            # reference kills the process; we raise -> token unchanged
+            if not got.startswith("<err"):
+                diffs.append((w, ref, got))
+            continue
+        if ref != got:
+            diffs.append((w, ref, got))
+    assert not diffs, diffs[:10]
