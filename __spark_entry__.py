@@ -763,6 +763,20 @@ def _doc_pos_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("doc_id").cast("long"))
 
 
+def _doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1)
+    over the documents table: top-2/3-gram character fraction +
+    duplicated-5-gram positional-union coverage
+    (operators/textstats.py::repetition_ngram_stats). Pure Catalyst on
+    both sides; the oracle mirrors the same tokenization, tie-break
+    (count DESC, gram ASC) and interval-union semantics."""
+    from gruut_spark.operators.textstats import repetition_ngram_stats
+
+    return repetition_ngram_stats(
+        _read(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 def _doc_ca_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalan orthographic stress engine over the corpus
     (operators/ca_transcribe.py; reference Transcripcio,
@@ -1661,6 +1675,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ssml_words": _doc_ssml_words,
         "doc_pos_tags": _doc_pos_tags,
         "doc_ca_transcribe": _doc_ca_transcribe,
+        "doc_repetition_stats": _doc_repetition_stats,
     }
 
 
@@ -2987,6 +3002,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT word,
                    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS phonemes
             FROM words ORDER BY word
+        """,
+        "doc_repetition_stats": r"""
+            WITH docs AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                  string_split_regex(lower(regexp_replace(coalesce(text, ''),
+                      '^\s+|\s+$', '', 'g')), '\s+') AS t
+                FROM documents
+            ),
+            stats AS (
+                SELECT doc_id, t, len(t) AS n_words,
+                  coalesce(list_sum(list_transform(t, x -> length(x))), 0)::BIGINT
+                    AS total_chars
+                FROM docs
+            ),
+            g2 AS (
+                SELECT doc_id, total_chars,
+                       array_to_string(t[s : s + 1], ' ') AS gram
+                FROM stats, unnest(generate_series(1, len(t) - 1)) u(s)
+                WHERE len(t) >= 2
+            ),
+            c2 AS (SELECT doc_id, total_chars, gram, count(*) AS cnt
+                   FROM g2 GROUP BY ALL),
+            t2 AS (
+                SELECT doc_id,
+                  round(CASE WHEN total_chars > 0
+                        THEN cnt * (length(gram) - 1) / total_chars
+                        ELSE 0 END, 6) AS top2_frac
+                FROM c2
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gram ASC) = 1
+            ),
+            g3 AS (
+                SELECT doc_id, total_chars,
+                       array_to_string(t[s : s + 2], ' ') AS gram
+                FROM stats, unnest(generate_series(1, len(t) - 2)) u(s)
+                WHERE len(t) >= 3
+            ),
+            c3 AS (SELECT doc_id, total_chars, gram, count(*) AS cnt
+                   FROM g3 GROUP BY ALL),
+            t3 AS (
+                SELECT doc_id,
+                  round(CASE WHEN total_chars > 0
+                        THEN cnt * (length(gram) - 2) / total_chars
+                        ELSE 0 END, 6) AS top3_frac
+                FROM c3
+                QUALIFY row_number() OVER (PARTITION BY doc_id
+                        ORDER BY cnt DESC, gram ASC) = 1
+            ),
+            g5 AS (
+                SELECT doc_id, s, array_to_string(t[s : s + 4], ' ') AS gram
+                FROM stats, unnest(generate_series(1, len(t) - 4)) u(s)
+                WHERE len(t) >= 5
+            ),
+            d5 AS (
+                SELECT doc_id, s FROM (
+                  SELECT doc_id, s,
+                         count(*) OVER (PARTITION BY doc_id, gram) AS cnt
+                  FROM g5)
+                WHERE cnt >= 2
+            ),
+            cov AS (
+                SELECT DISTINCT doc_id, idx
+                FROM d5, unnest(generate_series(s, s + 4)) u(idx)
+            ),
+            wl AS (
+                SELECT doc_id, i AS idx, length(t[i]) AS wl
+                FROM stats, unnest(generate_series(1, len(t))) u(i)
+            ),
+            dc AS (
+                SELECT c.doc_id, sum(w.wl) AS dup_chars
+                FROM cov c JOIN wl w ON w.doc_id = c.doc_id AND w.idx = c.idx
+                GROUP BY c.doc_id
+            )
+            SELECT s.doc_id, s.n_words::INT AS n_words, s.total_chars,
+                   coalesce(t2.top2_frac, 0.0) AS top2_frac,
+                   coalesce(t3.top3_frac, 0.0) AS top3_frac,
+                   round(CASE WHEN s.total_chars > 0
+                         THEN coalesce(dc.dup_chars, 0) / s.total_chars
+                         ELSE 0 END, 6) AS dup5_frac
+            FROM stats s
+            LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
+            LEFT JOIN dc USING (doc_id)
+            ORDER BY s.doc_id
         """,
         # bounded-ambiguity beam decode: each kept word has <= 1 digraph
         # occurrence, so its complete decodings are exactly {merged,

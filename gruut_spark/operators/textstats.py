@@ -209,3 +209,124 @@ def rolling_fingerprints(
     return df.select(
         F.col(id_col).alias("doc_id"), _fp(F.col(text_col)).alias("fingerprints")
     )
+
+
+def repetition_ngram_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    dup_n: int = 5,
+) -> DataFrame:
+    """Gopher-style n-gram repetition signals (Rae et al. 2021 §A1.1,
+    the standard web-scale quality-filter battery alongside the
+    line-level `dup_line_frac` already in core/rules.py):
+
+    * ``top2_frac`` / ``top3_frac`` — occurrence-count x gram character
+      length / document character length for the most frequent word
+      2-/3-gram (tie broken by lexicographically smallest gram).
+      Deliberately unclamped: overlapping occurrences can push it past
+      1.0 ("a a a a" -> 1.5) — it is a repetition score, not a
+      probability, and clamping would erase exactly the worst cases.
+    * ``dup5_frac`` — fraction of characters covered by ANY word
+      ``dup_n``-gram that occurs more than once (positional interval
+      UNION, so overlapping duplicate grams count each word once).
+
+    Characters = sum of word lengths (whitespace excluded), words =
+    lowercased whitespace tokens — the same tokenization as
+    ``word_ngrams`` so the DuckDB oracle mirrors one definition.
+    Pure Catalyst: explode -> map-side-combined counts -> min_by/join;
+    no Python anywhere."""
+    stripped = F.regexp_replace(
+        F.coalesce(F.col(text_col), F.lit("")), r"^\s+|\s+$", ""
+    )
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.split(F.lower(stripped), TOKEN_SPLIT).alias("_t"),
+    )
+    toks = F.col("_t")
+
+    def grams_col(n):
+        return F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+                lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
+            ),
+        ).otherwise(F.array())
+
+    stats = base.select(
+        "doc_id",
+        "_t",
+        F.size("_t").alias("n_words"),
+        F.aggregate(
+            "_t", F.lit(0), lambda acc, x: acc + F.length(x)
+        ).alias("total_chars"),
+    )
+
+    def top_frac(n, out_name):
+        g = stats.select(
+            "doc_id", "total_chars", F.explode(grams_col(n)).alias("gram")
+        )
+        counts = g.groupBy("doc_id", "total_chars", "gram").agg(
+            F.count("*").alias("cnt")
+        )
+        # max count, then lexicographically smallest gram
+        top = counts.groupBy("doc_id").agg(
+            F.min_by(
+                F.struct("cnt", "gram", "total_chars"),
+                F.struct((-F.col("cnt")).alias("nc"), F.col("gram")),
+            ).alias("top")
+        )
+        gram_chars = F.length("top.gram") - (n - 1)
+        frac = F.when(
+            F.col("top.total_chars") > 0,
+            F.col("top.cnt") * gram_chars / F.col("top.total_chars"),
+        ).otherwise(F.lit(0.0))
+        return top.select("doc_id", F.round(frac, 6).alias(out_name))
+
+    g5 = stats.select(
+        "doc_id", F.posexplode(grams_col(dup_n)).alias("s", "gram")
+    )
+    dup_cov = (
+        g5.groupBy("doc_id", "gram")
+        .agg(F.collect_list("s").alias("ss"))
+        .filter(F.size("ss") >= 2)
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.flatten(
+                        F.transform(
+                            "ss", lambda s: F.sequence(s, s + dup_n - 1)
+                        )
+                    )
+                )
+            ).alias("idx"),
+        )
+        .distinct()
+    )
+    words = stats.select(
+        "doc_id", F.posexplode("_t").alias("idx", "w")
+    ).select("doc_id", (F.col("idx")).alias("idx"), F.length("w").alias("wl"))
+    cov = dup_cov.join(words, ["doc_id", "idx"]).groupBy("doc_id").agg(
+        F.sum("wl").alias("dup_chars")
+    )
+
+    out = (
+        stats.select("doc_id", "n_words", "total_chars")
+        .join(top_frac(2, "top2_frac"), "doc_id", "left")
+        .join(top_frac(3, "top3_frac"), "doc_id", "left")
+        .join(cov, "doc_id", "left")
+    )
+    dup_frac = F.when(
+        F.col("total_chars") > 0,
+        F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("total_chars"),
+    ).otherwise(F.lit(0.0))
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("int").alias("n_words"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+        F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
+        F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
+        F.round(dup_frac, 6).alias("dup5_frac"),
+    )

@@ -1428,3 +1428,43 @@ def test_multimodal_header_columns(spark):
         assert r["hdr_duration_ms"] == t["hdr_duration_ms"]
         if r["modality"] == "video":
             assert r["hdr_width"] is None and r["hdr_sample_rate"] is None
+
+
+def test_repetition_ngram_stats(spark):
+    """Gopher repetition signals, hand-computed: overlap pushes the
+    unclamped top fraction past 1.0; duplicated-5-gram coverage is a
+    positional UNION (each word counted once); ties break to the
+    lexicographically smallest gram; empty docs are all-zero."""
+    from gruut_spark.operators.textstats import repetition_ngram_stats
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a a a a"),
+            (1, "x y x y x y z w q"),
+            (2, "a b c d e a b c d e f"),
+            (3, "b b a a"),
+            (4, ""),
+            (5, None),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r.asDict()
+        for r in repetition_ngram_stats(docs).collect()
+    }
+    # "a a a a": top 2-gram "a a" occurs 3x, 2 chars -> 3*2/4 = 1.5
+    assert got[0]["top2_frac"] == 1.5 and got[0]["top3_frac"] == 1.5
+    assert got[0]["dup5_frac"] == 0.0 and got[0]["total_chars"] == 4
+    # alternating: "x y" 3x -> 6/9; 3-gram tie ("x y x"/"y x y" both 2x)
+    # -> smaller gram, same value 6/9
+    assert got[1]["top2_frac"] == round(6 / 9, 6)
+    assert got[1]["top3_frac"] == round(6 / 9, 6)
+    assert got[1]["dup5_frac"] == 0.0
+    # repeated 5-gram at starts 0 and 5 -> union covers words 0..9
+    assert got[2]["dup5_frac"] == round(10 / 11, 6)
+    # all 2-grams unique -> tie on cnt=1 -> smallest gram "a a" -> 2/4
+    assert got[3]["top2_frac"] == 0.5
+    # degenerate inputs: all-zero signals
+    for d in (4, 5):
+        assert got[d]["total_chars"] == 0
+        assert got[d]["top2_frac"] == 0.0 and got[d]["dup5_frac"] == 0.0
