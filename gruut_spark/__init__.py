@@ -8,7 +8,13 @@ gruut/__init__.py:36-91, plus the Spark-side pipeline):
     from gruut_spark import run_oracle, load_models   # single-node oracle
 """
 
-from .core.settings import TextSettings, get_settings, resolve_lang
+from .core.settings import (
+    TextSettings,
+    get_settings,
+    get_supported_languages,
+    is_language_supported,
+    resolve_lang,
+)
 from .core.tokenizer import sentences, words
 
 __version__ = "0.1.0"
@@ -16,6 +22,8 @@ __version__ = "0.1.0"
 __all__ = [
     "TextSettings",
     "get_settings",
+    "get_supported_languages",
+    "is_language_supported",
     "resolve_lang",
     "sentences",
     "words",

@@ -647,6 +647,22 @@ def get_settings(lang: str) -> TextSettings:
     return _SETTINGS_CACHE[key]
 
 
+def is_language_supported(lang: str) -> bool:
+    """True when ``lang`` resolves to a real profile — NOT via the
+    unknown-language en_US fallback (reference gruut/__init__.py:97-99:
+    ``resolve_lang(lang) in KNOWN_LANGS``)."""
+    key = lang.strip().replace("_", "-").lower()
+    if key in _LANG_ALIASES or key.startswith("code") or key in CODE_LANG_KEYS:
+        return True
+    return key.split("-")[0] in _LANG_ALIASES
+
+
+def get_supported_languages() -> "set[str]":
+    """The set of carried profile keys (reference
+    gruut/__init__.py:102-104)."""
+    return set(_SETTINGS_FACTORIES)
+
+
 # Month names for date verbalization (Babel format_date stand-in,
 # gruut/text_processor.py:2216-2218)
 MONTH_NAMES = {

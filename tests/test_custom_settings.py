@@ -65,3 +65,18 @@ def test_no_whitespace_mode():
     s2 = TextSettings(lang="x", keep_whitespace=False, major_breaks={"."})
     sents2 = run("First test. Second.", s2)
     assert sents2[0].text_with_ws == "First test."
+
+
+def test_supported_language_api():
+    """Reference top-level API parity (gruut/__init__.py __all__):
+    is_language_supported / get_supported_languages. Unknown tags fall
+    back to en_US in get_settings but are NOT 'supported'."""
+    from gruut_spark import get_supported_languages, is_language_supported
+
+    for tag in ["en", "en_US", "de-de", "ca-ce", "sv", "zh", "fa-IR",
+                "fr-CA", "code", "python"]:
+        assert is_language_supported(tag), tag
+    for tag in ["xx", "tlh", "no-NO"]:
+        assert not is_language_supported(tag), tag
+    langs = get_supported_languages()
+    assert {"en_US", "ca", "zh_CN", "code", "sv_SE"} <= langs
