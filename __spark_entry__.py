@@ -777,6 +777,18 @@ def _doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_line_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level Gopher signals (blank/bullet/ellipsis fractions, line
+    lengths) + the dup_line_frac verdict feature's relational twin
+    (operators/textstats.py::line_signal_stats). Zero-shuffle per-row
+    array expressions on both sides."""
+    from gruut_spark.operators.textstats import line_signal_stats
+
+    return line_signal_stats(
+        _read(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
 def _doc_ca_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalan orthographic stress engine over the corpus
     (operators/ca_transcribe.py; reference Transcripcio,
@@ -1676,6 +1688,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pos_tags": _doc_pos_tags,
         "doc_ca_transcribe": _doc_ca_transcribe,
         "doc_repetition_stats": _doc_repetition_stats,
+        "doc_line_signals": _doc_line_signals,
     }
 
 
@@ -3002,6 +3015,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT word,
                    trim(regexp_replace(word, '(.)', '\1 ', 'g')) AS phonemes
             FROM words ORDER BY word
+        """,
+        "doc_line_signals": r"""
+            WITH docs AS (
+                SELECT doc_id::BIGINT AS doc_id,
+                       string_split(coalesce(text, ''), chr(10)) AS lines
+                FROM documents
+            ),
+            feat AS (
+                SELECT doc_id,
+                  len(lines) AS n,
+                  list_transform(lines, l -> length(l)) AS lens,
+                  list_transform(lines, l -> trim(l)) AS tl,
+                  list_transform(lines,
+                      l -> regexp_replace(trim(l), '\s+', ' ', 'g')) AS norm
+                FROM docs
+            )
+            SELECT doc_id, n::INT AS n_lines,
+                   list_max(lens)::INT AS max_line_len,
+                   round(list_sum(lens) / n, 6) AS mean_line_len,
+                   round(len(list_filter(tl, l -> l = '')) / n, 6)
+                       AS blank_frac,
+                   round(len(list_filter(tl,
+                       l -> regexp_matches(l, '^[-*•‣▪–]'))) / n, 6)
+                       AS bullet_frac,
+                   round(len(list_filter(tl,
+                       l -> regexp_matches(l, '(\.\.\.|…)$'))) / n, 6)
+                       AS ellipsis_frac,
+                   round((n - len(list_distinct(norm))) / n, 6)
+                       AS dup_line_frac
+            FROM feat ORDER BY doc_id
         """,
         "doc_repetition_stats": r"""
             WITH docs AS (

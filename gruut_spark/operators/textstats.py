@@ -330,3 +330,46 @@ def repetition_ngram_stats(
         F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
         F.round(dup_frac, 6).alias("dup5_frac"),
     )
+
+
+def line_signal_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Line-level quality signals (the Gopher battery's line rules,
+    Rae et al. 2021 §A1.1, alongside core/rules.py's line features):
+    blank-line fraction, bullet-start fraction, ellipsis-end fraction,
+    max/mean line length, and ``dup_line_frac`` — the SAME
+    sum(count-1)/n_lines definition as core.rules.quality_features
+    (rules.py:84-86, via n_lines - distinct_count) over
+    whitespace-normalized lines, so the verdict feature gets a
+    value-oracled relational twin. Entirely per-row array expressions:
+    zero shuffle, whole-stage codegen."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.split(text, "\n")
+    n = F.size(lines)
+    lens = F.transform(lines, lambda l: F.length(l))
+    # single-arg lambda, NOT bare F.trim: transform feeds two-arg
+    # callables (value, index), and trim has a deprecated two-parameter
+    # signature — bare F.trim would silently become trim(line, index)
+    trimmedl = F.transform(lines, lambda l: F.trim(l))
+    norm = F.transform(
+        lines, lambda l: F.regexp_replace(F.trim(l), r"\s+", " ")
+    )
+    blank = F.size(F.filter(trimmedl, lambda l: l == ""))
+    bullet = F.size(F.filter(trimmedl, lambda l: l.rlike(r"^[-*•‣▪–]")))
+    ellipsis = F.size(
+        F.filter(trimmedl, lambda l: l.rlike(r"(\.\.\.|…)$"))
+    )
+    dups = n - F.size(F.array_distinct(norm))
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        n.cast("int").alias("n_lines"),
+        F.array_max(lens).cast("int").alias("max_line_len"),
+        F.round(
+            F.aggregate(lens, F.lit(0), lambda a, x: a + x) / n, 6
+        ).alias("mean_line_len"),
+        F.round(blank / n, 6).alias("blank_frac"),
+        F.round(bullet / n, 6).alias("bullet_frac"),
+        F.round(ellipsis / n, 6).alias("ellipsis_frac"),
+        F.round(dups / n, 6).alias("dup_line_frac"),
+    )

@@ -1468,3 +1468,31 @@ def test_repetition_ngram_stats(spark):
     for d in (4, 5):
         assert got[d]["total_chars"] == 0
         assert got[d]["top2_frac"] == 0.0 and got[d]["dup5_frac"] == 0.0
+
+
+def test_line_signal_stats(spark):
+    """Line signals, hand-computed: blanks, bullets, ellipses, dup
+    lines (sum(count-1)/n, matching core.rules.quality_features'
+    definition on whitespace-normalized lines)."""
+    from gruut_spark.operators.textstats import line_signal_stats
+
+    text0 = "alpha beta\n\n- item one\n- item one\nwait...\nalpha  beta"
+    docs = spark.createDataFrame(
+        [(0, text0), (1, ""), (2, None)], "doc_id long, text string"
+    )
+    got = {r["doc_id"]: r.asDict() for r in line_signal_stats(docs).collect()}
+    d = got[0]
+    # 6 lines; 1 blank; 2 bullets; 1 ellipsis-ended
+    assert d["n_lines"] == 6
+    assert d["blank_frac"] == round(1 / 6, 6)
+    assert d["bullet_frac"] == round(2 / 6, 6)
+    assert d["ellipsis_frac"] == round(1 / 6, 6)
+    # normalized dups: "- item one" x2 and "alpha beta" x2 (the second
+    # via whitespace collapse) -> sum(c-1) = 2 -> 2/6
+    assert d["dup_line_frac"] == round(2 / 6, 6)
+    assert d["max_line_len"] == len("alpha  beta")
+    # empty/null text: one empty line, all-zero signals except the
+    # degenerate dup count
+    for i in (1, 2):
+        assert got[i]["n_lines"] == 1 and got[i]["blank_frac"] == 1.0
+        assert got[i]["bullet_frac"] == 0.0 and got[i]["dup_line_frac"] == 0.0
