@@ -96,3 +96,68 @@ def test_espeak(spark, lang):
         ).fetchone()
         assert row is not None and row[0].split() == phonemes, word
     con.close()
+
+
+# Languages with NO lexicon.db anywhere in the snapshot (de/en/fr/ru)
+# decode ENTIRELY through their shipped espeak CRF models — the same
+# lexicon-less class as the IPA suite's es/pt/sw, adding four more
+# languages of real-model coverage. Pinned outputs are the
+# deterministic decode of the shipped binaries through the from-scratch
+# crf1d reader (core/crf_tag.py).
+CRF_ONLY = {
+    "de": ("Mein Luftkissenfahrzeug ist voller Aale.", "de-de", [
+        ("Mein", ["m", "ˈa", "ɪ", "n"]),
+        ("Luftkissenfahrzeug",
+         ["l", "ˈʊ", "f", "t", "k", "ɪ", "s", "ə", "n", "f", "ˌɑː", "ɾ",
+          "t", "s", "ɔ", "ø", "k"]),
+        ("ist", ["ˈɪ", "s", "t"]),
+        ("voller", ["f", "ˈɔ", "l", "ɜ"]),
+        ("Aale", ["ˈɑː", "l", "ə"]),
+        (".", MAJOR_BREAK_PHONEME),
+    ]),
+    "en": ("My hovercraft is full of eels.", "en-us", [
+        ("My", ["m", "i"]),
+        ("hovercraft", ["h", "ˈʌ", "v", "ɚ", "k", "ɹ", "ˈæ", "f", "t"]),
+        ("is", ["ɪ", "z"]),
+        ("full", ["f", "ˈʊ", "l"]),
+        ("of", ["ˈɑː", "f"]),
+        ("eels", ["ˈiː", "l", "z"]),
+        (".", MAJOR_BREAK_PHONEME),
+    ]),
+    "fr": ("Mon aéroglisseur est plein d'anguilles.", "fr-fr", [
+        ("Mon", ["m", "ˈɔ̃"]),
+        ("aéroglisseur",
+         ["a", "e", "ʁ", "ɔ", "ɡ", "l", "ˈi", "s", "ˈœ", "ʁ"]),
+        ("est", ["ˈɛ", "s", "t"]),
+        ("plein", ["p", "l", "ˈɛ̃"]),
+        ("d'anguilles", ["d", "ɑ̃", "ɡ", "ˈi", "j"]),
+        (".", MAJOR_BREAK_PHONEME),
+    ]),
+    "ru": ("Моё судно на воздушной подушке полно угрей.", "ru-ru", [
+        ("Моё", ["m", "ʌ", "ˈɵ"]),
+        ("судно", ["s", "ˈu", "d", "n", "ʌ"]),
+        ("на", ["n", "a"]),
+        ("воздушной", ["v", "ʌ", "z", "d", "ˈu", "ʃ", "n", "ʌ", "j"]),
+        ("подушке", ["p", "ʌ", "d", "ˈu", "ʃ", "k", "ʲ", "i"]),
+        ("полно", ["p", "ʌ", "ɭ", "n", "ʌ"]),
+        ("угрей", ["u", "ɡ", "r", "ʲ", "ˈe", "j"]),
+        (".", MAJOR_BREAK_PHONEME),
+    ]),
+}
+
+
+@pytest.mark.skipif(
+    not os.path.exists(
+        f"{REF}/gruut-lang-de/gruut_lang_de/espeak/g2p/model.crf"
+    ),
+    reason="no reference mount",
+)
+@pytest.mark.parametrize("lang", sorted(CRF_ONLY))
+def test_espeak_crf_only(spark, lang):
+    text, code, expected = CRF_ONLY[lang]
+    crf = f"{REF}/gruut-lang-{lang}/gruut_lang_{lang}/espeak/g2p/model.crf"
+    got = _phonemize(spark, text, code, db_path=None, g2p="crf",
+                     crf_path=crf)
+    assert [(w, p) for w, p, _ in got] == expected
+    # every spoken word decodes via the model, none via grapheme fallback
+    assert all(s == "g2p" for _, _, s in got if s != "break")
