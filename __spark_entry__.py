@@ -3027,8 +3027,10 @@ def oracle_sql() -> dict[str, str]:
                   len(lines) AS n,
                   list_transform(lines, l -> length(l)) AS lens,
                   list_transform(lines, l -> trim(l)) AS tl,
-                  list_transform(lines,
-                      l -> regexp_replace(trim(l), '\s+', ' ', 'g')) AS norm
+                  list_filter(list_transform(lines,
+                      l -> regexp_replace(regexp_replace(l,
+                               '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g')),
+                      l -> l <> '') AS nonblank
                 FROM docs
             )
             SELECT doc_id, n::INT AS n_lines,
@@ -3042,8 +3044,10 @@ def oracle_sql() -> dict[str, str]:
                    round(len(list_filter(tl,
                        l -> regexp_matches(l, '(\.\.\.|…)$'))) / n, 6)
                        AS ellipsis_frac,
-                   round((n - len(list_distinct(norm))) / n, 6)
-                       AS dup_line_frac
+                   CASE WHEN len(nonblank) > 0 THEN
+                       round((len(nonblank) - len(list_distinct(nonblank)))
+                             / len(nonblank), 6)
+                   ELSE 0.0 END AS dup_line_frac
             FROM feat ORDER BY doc_id
         """,
         "doc_repetition_stats": r"""

@@ -22,6 +22,12 @@ Deliberate divergences from the reference, all on degenerate inputs:
 * a >6-consonant cluster calls ``exit(1)`` in the reference
   (killing the process); here it raises ``ValueError``, which the
   text-level wrapper turns into "leave the token unchanged";
+* a word ENDING in ``argü`` (the hiatus rule marks the position after
+  the ``ü`` as a nucleus, reference lang.py:1560-1566) errors in BOTH
+  engines — the reference indexes an empty final syllable, and this
+  port raises the same ``IndexError`` for parity; the text wrapper
+  leaves such tokens unchanged (no real Catalan word ends in
+  ``argü`` — the rule targets argüir/argüiu/...);
 * the reference's prefix segmentation tables ship EMPTY
   (lang.py:1707-1710 — ``carrega_einesgram`` loads only the function
   words and accent exceptions), so segmentation is the identity there;
@@ -420,8 +426,13 @@ def ca_pre_process_text(
         breaks = list(breaks)
     tokens = [text.strip()]
     for b in breaks:
-        # reference pattern: backslash-escape the first char only
-        pat = re.compile(f"(\\{b})")
+        # re.escape, DELIBERATELY stronger than the reference's
+        # first-char-only escape (lang.py:2173): its '\...' arm would
+        # match '.' + any two chars, but is unreachable in the reference
+        # because major breaks ('.') always split before minor ('...');
+        # with caller-supplied break lists that ordering guarantee is
+        # gone, so escape fully instead of inheriting the latent bug
+        pat = re.compile("(" + re.escape(b) + ")")
         tokens = [t for tok in tokens for t in pat.split(tok) if t != ""]
     out = []
     break_set = set(breaks)

@@ -40,7 +40,19 @@ EPS = "<eps>"
 
 
 def _encode_label(chunk: Tuple[str, ...]) -> str:
-    """fst2npy label syntax: multi-char chunks pipe-joined, empty = _."""
+    """fst2npy label syntax: multi-char chunks pipe-joined, empty = _.
+
+    The format is LOSSY for symbols containing ``_`` or ``|`` (the
+    reference reader strips every underscore and splits on every pipe,
+    fst2npy.py + PhonetisaurusGraph.__init__:290-292) — refuse to write
+    such chunks instead of silently corrupting the round-trip (a real
+    hazard: espeak-style inventories use ``t_s``-like affricates)."""
+    for sym in chunk:
+        if "_" in sym or "|" in sym:
+            raise ValueError(
+                f"symbol {sym!r} contains '_' or '|', which the reference "
+                "npz label syntax cannot represent losslessly"
+            )
     return "|".join(chunk) if chunk else "_"
 
 

@@ -54,7 +54,9 @@ def ca_stress_table(
                 joined.append(" ".join(out))
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype(str),
+                    # nullable "string" dtype, NOT astype(str): a NULL
+                    # doc_id must stay null, not become the literal 'None'
+                    "doc_id": pdf["doc_id"].astype("string"),
                     "n_words": pd.array(n_words, dtype="int32"),
                     "n_marked": pd.array(n_marked, dtype="int32"),
                     "stressed": joined,

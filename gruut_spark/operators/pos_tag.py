@@ -70,7 +70,9 @@ def pos_tag_table(
             ]
             yield pd.DataFrame(
                 {
-                    "doc_id": pdf["doc_id"].astype(str),
+                    # nullable "string" dtype, NOT astype(str): a NULL
+                    # doc_id must stay null, not become the literal 'None'
+                    "doc_id": pdf["doc_id"].astype("string"),
                     "words": words_lists,
                     "pos": [tagger(ws) for ws in words_lists],
                 }

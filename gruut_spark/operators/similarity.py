@@ -197,6 +197,17 @@ def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
     )
 
 
+def ivf_train_sample(
+    df: DataFrame, vec_col: str, id_col: str, train_sample: int
+) -> DataFrame:
+    """Deterministic "first train_sample by id" k-means training
+    sample. NOT a global sort: Catalyst plans orderBy().limit(k) as
+    TakeOrderedAndProject — per-partition top-k merged on the driver,
+    zero Exchange (pinned on THIS code path by
+    tests/test_operators.py::test_ivf_sample_plan_no_exchange)."""
+    return df.select(vec_col).orderBy(F.col(id_col)).limit(train_sample)
+
+
 def ivf_ann_topk(
     df: DataFrame, vec_col: str, id_col: str, query: Sequence[float],
     k: int = 10, n_lists: int = 16, n_probe: int = 4,
@@ -206,13 +217,7 @@ def ivf_ann_topk(
     every vector to its nearest list, probe the n_probe lists closest to
     the query, exact re-rank inside. At scale the assignment is a single
     narrow pass and each query touches n_probe/n_lists of the corpus."""
-    # deterministic "first train_sample by id" sample. NOT a global
-    # sort: Catalyst plans orderBy().limit(k) as TakeOrderedAndProject
-    # — per-partition top-k merged on the driver, zero Exchange
-    # (pinned by tests/test_operators.py::test_ivf_sample_plan_no_exchange)
-    sample_rows = (
-        df.select(vec_col).orderBy(F.col(id_col)).limit(train_sample).collect()
-    )
+    sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
     sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     centroids = _ivf_centroids(sample, n_lists, seed=seed)
     q = np.asarray(list(query), dtype=np.float64)

@@ -338,12 +338,14 @@ def line_signal_stats(
     """Line-level quality signals (the Gopher battery's line rules,
     Rae et al. 2021 §A1.1, alongside core/rules.py's line features):
     blank-line fraction, bullet-start fraction, ellipsis-end fraction,
-    max/mean line length, and ``dup_line_frac`` — the SAME
-    sum(count-1)/n_lines definition as core.rules.quality_features
-    (rules.py:84-86, via n_lines - distinct_count) over
-    whitespace-normalized lines, so the verdict feature gets a
-    value-oracled relational twin. Entirely per-row array expressions:
-    zero shuffle, whole-stage codegen."""
+    max/mean line length, and ``dup_line_frac`` — the SAME definition
+    as core.rules.quality_features (rules.py:81-86): sum(count-1) over
+    NON-EMPTY whitespace-normalized lines (full ``\\s`` strip +
+    collapse, core/settings.py::normalize_whitespace), divided by the
+    non-empty count — so the verdict feature gets a value-oracled
+    relational twin (blank lines are neither duplicates nor
+    denominator). Entirely per-row array expressions: zero shuffle,
+    whole-stage codegen."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.split(text, "\n")
     n = F.size(lines)
@@ -352,15 +354,22 @@ def line_signal_stats(
     # callables (value, index), and trim has a deprecated two-parameter
     # signature — bare F.trim would silently become trim(line, index)
     trimmedl = F.transform(lines, lambda l: F.trim(l))
+    # normalize_whitespace twin: \s strip (trim removes only spaces,
+    # not tabs) + internal collapse
     norm = F.transform(
-        lines, lambda l: F.regexp_replace(F.trim(l), r"\s+", " ")
+        lines,
+        lambda l: F.regexp_replace(
+            F.regexp_replace(l, r"^\s+|\s+$", ""), r"\s+", " "
+        ),
     )
+    nonblank = F.filter(norm, lambda l: l != "")
+    nb = F.size(nonblank)
     blank = F.size(F.filter(trimmedl, lambda l: l == ""))
     bullet = F.size(F.filter(trimmedl, lambda l: l.rlike(r"^[-*•‣▪–]")))
     ellipsis = F.size(
         F.filter(trimmedl, lambda l: l.rlike(r"(\.\.\.|…)$"))
     )
-    dups = n - F.size(F.array_distinct(norm))
+    dups = nb - F.size(F.array_distinct(nonblank))
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         n.cast("int").alias("n_lines"),
@@ -371,5 +380,7 @@ def line_signal_stats(
         F.round(blank / n, 6).alias("blank_frac"),
         F.round(bullet / n, 6).alias("bullet_frac"),
         F.round(ellipsis / n, 6).alias("ellipsis_frac"),
-        F.round(dups / n, 6).alias("dup_line_frac"),
+        F.when(nb > 0, F.round(dups / nb, 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_line_frac"),
     )

@@ -47,11 +47,7 @@ def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
     stride = {}
-    for t in KEYS:
-        own, _ = KEYS[t]
-        key = own[0] if own else PARENT_KEY.get(t)
-        if key is None and t in PARENT_KEY:
-            key = PARENT_KEY[t]
+    for t, (own, _) in KEYS.items():
         if own:
             stride[t] = int(
                 con.sql(f"SELECT max({own[0]}) + 1 FROM "

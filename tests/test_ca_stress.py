@@ -189,3 +189,30 @@ if _HAS_HYP:
         except ValueError:
             return
         assert stress_word(once) == once
+
+
+def test_argu_final_word_errors_like_the_reference():
+    """A word ENDING in 'argü' trips the hiatus rule's forward nucleus
+    (lang.py:1560-1566) and errors in BOTH engines (the reference
+    indexes an empty final syllable); the text wrapper leaves the
+    token unchanged — the documented 4th degenerate class (r4
+    review)."""
+    with pytest.raises(IndexError):
+        stress_word("argü")
+    assert ca_pre_process_text("argü caargü", breaks=[" "]) == \
+        "argü caargü"
+
+
+def test_custom_break_lists_escape_fully():
+    """Multi-char break tokens must match literally — the reference's
+    first-char-only escape would let '...' match '.xy' (r4 review);
+    safe here even when '.' is absent from the break list."""
+    # '.de' must NOT be captured as a break: 'a.de' stays one token
+    # (stressed as a whole word), instead of '.de' splitting off and
+    # getting its own stress mark
+    assert ca_pre_process_text("va a.de casa", breaks=["...", " "]) == \
+        "và à.de càsa"
+    # a real '...' still splits; 'si' is an atonic function word,
+    # 'no' takes its mark
+    assert ca_pre_process_text("si... no", breaks=["...", " "]) == \
+        "si... nó"

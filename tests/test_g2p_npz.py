@@ -145,3 +145,14 @@ def test_guess_table_loads_from_npz_path(spark, tmp_path):
         for r in g2p_guess_table(words, m, max_guesses=2).collect()
     }
     assert by_path == by_model and by_path
+
+
+def test_save_rejects_unrepresentable_symbols():
+    """The reference label syntax strips '_' and splits on '|'
+    unconditionally, so such symbols cannot round-trip — the writer
+    must refuse loudly instead of corrupting (r4 review: a 't_s'
+    affricate decoded back as 'ts')."""
+    with pytest.raises(ValueError, match="losslessly"):
+        save_npz(chunk_model([(("a",), ("t_s",), 0.5)]), "/dev/null")
+    with pytest.raises(ValueError, match="losslessly"):
+        save_npz(chunk_model([(("a|b",), ("x",), 0.5)]), "/dev/null")

@@ -1342,17 +1342,20 @@ def test_corpus_ops_empty_and_no_op_inputs(spark):
 
 
 def test_ivf_sample_plan_no_exchange(spark):
-    """The IVF training sample (operators/similarity.py::ivf_ann_topk)
-    is declared orderBy(id).limit(k) — which Catalyst plans as
+    """The IVF training sample (operators/similarity.py::
+    ivf_train_sample, the exact code path ivf_ann_topk collects) is
+    declared orderBy(id).limit(k) — which Catalyst plans as
     TakeOrderedAndProject (per-partition top-k merged on the driver),
-    NOT a global sort: the sample subplan must contain no Exchange
-    (r3 verdict residual note #2, resolved by evidence)."""
-    from pyspark.sql import functions as F
+    NOT a global sort: the OPERATOR'S sample subplan must contain no
+    Exchange (r3 verdict residual note #2, resolved by evidence; the
+    review pointed out a hand-rebuilt expression would not pin the
+    operator)."""
+    from gruut_spark.operators.similarity import ivf_train_sample
 
     df = spark.createDataFrame(
         [(i, [float(i), 1.0]) for i in range(50)], "vec_id long, embedding array<double>"
     ).repartition(4)
-    sample = df.select("embedding").orderBy(F.col("vec_id")).limit(16)
+    sample = ivf_train_sample(df, "embedding", "vec_id", 16)
     plan = sample._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan
@@ -1487,12 +1490,25 @@ def test_line_signal_stats(spark):
     assert d["blank_frac"] == round(1 / 6, 6)
     assert d["bullet_frac"] == round(2 / 6, 6)
     assert d["ellipsis_frac"] == round(1 / 6, 6)
-    # normalized dups: "- item one" x2 and "alpha beta" x2 (the second
-    # via whitespace collapse) -> sum(c-1) = 2 -> 2/6
-    assert d["dup_line_frac"] == round(2 / 6, 6)
+    # normalized dups over NON-EMPTY lines (core.rules definition,
+    # rules.py:81-86 — blanks excluded from numerator AND denominator):
+    # "- item one" x2 and "alpha beta" x2 (the second via whitespace
+    # collapse) -> sum(c-1) = 2 over 5 non-empty lines
+    assert d["dup_line_frac"] == round(2 / 5, 6)
     assert d["max_line_len"] == len("alpha  beta")
-    # empty/null text: one empty line, all-zero signals except the
-    # degenerate dup count
+    # cross-check the twin claim against the CORE verdict feature
+    # itself, including the blank-line and tab-leading cases the r4
+    # review caught diverging
+    from gruut_spark.core.rules import quality_features
+
+    for t in ["a\n\nb\n\nc", "foo\n\tfoo", "x\nx\n\ny", None, ""]:
+        row = line_signal_stats(
+            spark.createDataFrame([(0, t)], "doc_id long, text string")
+        ).collect()[0]
+        assert row["dup_line_frac"] == round(
+            quality_features(t or "").dup_line_frac, 6
+        ), t
+    # empty/null text: one empty line, all-zero signals
     for i in (1, 2):
         assert got[i]["n_lines"] == 1 and got[i]["blank_frac"] == 1.0
         assert got[i]["bullet_frac"] == 0.0 and got[i]["dup_line_frac"] == 0.0
