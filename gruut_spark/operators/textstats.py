@@ -234,8 +234,23 @@ def repetition_ngram_stats(
     Characters = sum of word lengths (whitespace excluded), words =
     lowercased whitespace tokens — the same tokenization as
     ``word_ngrams`` so the DuckDB oracle mirrors one definition.
-    Pure Catalyst: explode -> map-side-combined counts -> min_by/join;
-    no Python anywhere."""
+
+    ZERO-SHUFFLE formulation: every signal is a per-DOCUMENT statistic,
+    so nothing may cross the cluster — the first version shuffled
+    exploded (doc_id, gram) pairs through 11 Exchanges; this one is
+    pure per-row array algebra (mode via a sorted-run fold, duplicate
+    flags via a sort-tag-mark-unsort pass, interval union via a bounded
+    window-back scan), one narrow stage end to end (plan pinned by
+    tests/test_operators.py::test_repetition_stats_plan_no_exchange).
+
+    Every heavy intermediate is materialized as its OWN projection
+    column, never inlined into a lambda: a higher-order function that
+    captures an outer *expression* re-evaluates that whole subtree per
+    array element (the first draft recomputed the O(G log G) duplicate
+    scan per WORD — quadratic, hung at sf0.01), whereas a captured
+    column attribute binds once per row. CollapseProject keeps the
+    staged selects apart because each alias is non-cheap and referenced
+    more than once (SPARK-36718)."""
     stripped = F.regexp_replace(
         F.coalesce(F.col(text_col), F.lit("")), r"^\s+|\s+$", ""
     )
@@ -252,83 +267,120 @@ def repetition_ngram_stats(
                 F.slice(toks, 1, F.greatest(F.size(toks) - (n - 1), F.lit(0))),
                 lambda _, i: F.array_join(F.slice(toks, i + 1, n), " "),
             ),
-        ).otherwise(F.array())
+        ).otherwise(F.array().cast("array<string>"))
 
-    stats = base.select(
+    grams = base.select(
         "doc_id",
-        "_t",
-        F.size("_t").alias("n_words"),
-        F.aggregate(
-            "_t", F.lit(0), lambda acc, x: acc + F.length(x)
-        ).alias("total_chars"),
+        toks,
+        F.size(toks).alias("_nw"),
+        F.aggregate(toks, F.lit(0), lambda acc, x: acc + F.length(x)).alias(
+            "_tc"
+        ),
+        grams_col(2).alias("_g2"),
+        grams_col(3).alias("_g3"),
+        grams_col(dup_n).alias("_g5"),
     )
 
-    def top_frac(n, out_name):
-        g = stats.select(
-            "doc_id", "total_chars", F.explode(grams_col(n)).alias("gram")
+    def top_struct(col_name):
+        """Mode of the gram multiset per row: sort, then a single fold
+        tracking the current run and the best (longest, first-seen =
+        lexicographically smallest) run — (count DESC, gram ASC)."""
+        srt = F.array_sort(F.col(col_name))
+        zero = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"),
+            F.lit("").alias("bg"), F.lit(0).alias("best"),
         )
-        counts = g.groupBy("doc_id", "total_chars", "gram").agg(
-            F.count("*").alias("cnt")
-        )
-        # max count, then lexicographically smallest gram
-        top = counts.groupBy("doc_id").agg(
-            F.min_by(
-                F.struct("cnt", "gram", "total_chars"),
-                F.struct((-F.col("cnt")).alias("nc"), F.col("gram")),
-            ).alias("top")
-        )
-        gram_chars = F.length("top.gram") - (n - 1)
-        frac = F.when(
-            F.col("top.total_chars") > 0,
-            F.col("top.cnt") * gram_chars / F.col("top.total_chars"),
+
+        def step(acc, x):
+            run2 = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+            return F.struct(
+                x.alias("prev"), run2.alias("run"),
+                F.when(run2 > acc["best"], x).otherwise(acc["bg"]).alias("bg"),
+                F.greatest(run2, acc["best"]).alias("best"),
+            )
+
+        return F.aggregate(srt, zero, step)
+
+    # duplicate-start flags for _g5 in O(G log G): tag each gram with
+    # its position, sort by (gram, pos), mark entries whose sorted
+    # neighbor shares the gram (count >= 2), sort back by pos, strip.
+    tagged = grams.select(
+        "doc_id", "_t", "_nw", "_tc",
+        top_struct("_g2").alias("_top2"),
+        top_struct("_g3").alias("_top3"),
+        F.array_sort(
+            F.transform(
+                "_g5", lambda g, i: F.struct(g.alias("g"), i.alias("i"))
+            )
+        ).alias("_tag5"),
+    )
+    tag5 = F.col("_tag5")
+    dup = tagged.select(
+        "doc_id", "_t", "_nw", "_tc", "_top2", "_top3",
+        F.transform(
+            tag5,
+            lambda s, j: F.struct(
+                s["i"].alias("i"),
+                (
+                    F.get(tag5, j - 1)["g"].eqNullSafe(s["g"])
+                    | F.get(tag5, j + 1)["g"].eqNullSafe(s["g"])
+                ).alias("d"),
+            ),
+        ).alias("_mark5"),
+    ).select(
+        "doc_id", "_t", "_nw", "_tc", "_top2", "_top3",
+        F.transform(
+            F.array_sort(F.col("_mark5")), lambda s: s["d"]
+        ).alias("_dup5"),
+    )
+
+    # word w is covered iff ANY dup gram start in [w-dup_n+1, w]
+    dup_start = F.col("_dup5")
+    covered_chars = F.aggregate(
+        F.transform(
+            F.col("_t"),
+            lambda w, i: F.when(
+                F.exists(
+                    F.slice(
+                        dup_start,
+                        F.greatest(i - (dup_n - 1), F.lit(0)) + 1,
+                        F.greatest(
+                            F.least(i, F.size(dup_start) - 1)
+                            - F.greatest(i - (dup_n - 1), F.lit(0))
+                            + 1,
+                            F.lit(0),
+                        ),
+                    ),
+                    lambda f: f,
+                ),
+                F.length(w),
+            ).otherwise(F.lit(0)),
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    scored = dup.select(
+        "doc_id", "_nw", "_tc", "_top2", "_top3",
+        covered_chars.alias("_dc"),
+    )
+
+    def frac(top_col, n):
+        top = F.col(top_col)
+        gram_chars = F.length(top["bg"]) - (n - 1)
+        return F.when(
+            (top["best"] > 0) & (F.col("_tc") > 0),
+            F.round(top["best"] * gram_chars / F.col("_tc"), 6),
         ).otherwise(F.lit(0.0))
-        return top.select("doc_id", F.round(frac, 6).alias(out_name))
 
-    g5 = stats.select(
-        "doc_id", F.posexplode(grams_col(dup_n)).alias("s", "gram")
-    )
-    dup_cov = (
-        g5.groupBy("doc_id", "gram")
-        .agg(F.collect_list("s").alias("ss"))
-        .filter(F.size("ss") >= 2)
-        .select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.flatten(
-                        F.transform(
-                            "ss", lambda s: F.sequence(s, s + dup_n - 1)
-                        )
-                    )
-                )
-            ).alias("idx"),
-        )
-        .distinct()
-    )
-    words = stats.select(
-        "doc_id", F.posexplode("_t").alias("idx", "w")
-    ).select("doc_id", (F.col("idx")).alias("idx"), F.length("w").alias("wl"))
-    cov = dup_cov.join(words, ["doc_id", "idx"]).groupBy("doc_id").agg(
-        F.sum("wl").alias("dup_chars")
-    )
-
-    out = (
-        stats.select("doc_id", "n_words", "total_chars")
-        .join(top_frac(2, "top2_frac"), "doc_id", "left")
-        .join(top_frac(3, "top3_frac"), "doc_id", "left")
-        .join(cov, "doc_id", "left")
-    )
-    dup_frac = F.when(
-        F.col("total_chars") > 0,
-        F.coalesce(F.col("dup_chars"), F.lit(0)) / F.col("total_chars"),
-    ).otherwise(F.lit(0.0))
-    return out.select(
+    return scored.select(
         "doc_id",
-        F.col("n_words").cast("int").alias("n_words"),
-        F.col("total_chars").cast("long").alias("total_chars"),
-        F.coalesce("top2_frac", F.lit(0.0)).alias("top2_frac"),
-        F.coalesce("top3_frac", F.lit(0.0)).alias("top3_frac"),
-        F.round(dup_frac, 6).alias("dup5_frac"),
+        F.col("_nw").cast("int").alias("n_words"),
+        F.col("_tc").cast("long").alias("total_chars"),
+        frac("_top2", 2).alias("top2_frac"),
+        frac("_top3", 3).alias("top3_frac"),
+        F.when(
+            F.col("_tc") > 0, F.round(F.col("_dc") / F.col("_tc"), 6)
+        ).otherwise(F.lit(0.0)).alias("dup5_frac"),
     )
 
 

@@ -1512,3 +1512,17 @@ def test_line_signal_stats(spark):
     for i in (1, 2):
         assert got[i]["n_lines"] == 1 and got[i]["blank_frac"] == 1.0
         assert got[i]["bullet_frac"] == 0.0 and got[i]["dup_line_frac"] == 0.0
+
+
+def test_repetition_stats_plan_no_exchange(spark):
+    """Every repetition signal is per-document, so the plan must be one
+    narrow stage: zero Exchange, zero Python (the first version
+    shuffled exploded (doc_id, gram) pairs through 11 Exchanges)."""
+    from gruut_spark.operators.textstats import repetition_ngram_stats
+
+    df = spark.createDataFrame(
+        [(0, "a b c a b c d")], "doc_id long, text string"
+    )
+    plan = repetition_ngram_stats(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
