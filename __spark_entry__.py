@@ -789,6 +789,19 @@ def _doc_line_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023) for target-distribution
+    data selection: hashed word uni+bigram bucket models fit on the
+    lang='en' slice vs the whole corpus, one log-ratio score per doc
+    (operators/corpus.py::dsir_importance). Pure Catalyst on both sides;
+    the md5 bucketing is replicated bit-for-bit in the DuckDB oracle."""
+    from gruut_spark.operators.corpus import dsir_importance
+
+    return dsir_importance(
+        _read(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
 def _doc_ca_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalan orthographic stress engine over the corpus
     (operators/ca_transcribe.py; reference Transcripcio,
@@ -1689,6 +1702,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ca_transcribe": _doc_ca_transcribe,
         "doc_repetition_stats": _doc_repetition_stats,
         "doc_line_signals": _doc_line_signals,
+        "doc_dsir_importance": _doc_dsir_importance,
     }
 
 
@@ -3132,6 +3146,52 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN t2 USING (doc_id) LEFT JOIN t3 USING (doc_id)
             LEFT JOIN dc USING (doc_id)
             ORDER BY s.doc_id
+        """,
+        # DSIR bucket models: same md5-hex bucketing as the Spark side
+        # (md5 + first-8-hex -> int is built into both engines), same
+        # add-alpha smoothing with alpha=1, B=8192; inner join suffices
+        # because scoring the fit frame can only see fit-time buckets
+        "doc_dsir_importance": r"""
+            WITH docs AS (
+                SELECT doc_id,
+                  coalesce(lang = 'en', FALSE) AS is_t,
+                  list_filter(string_split_regex(
+                      lower(coalesce(text, '')), '\s+'),
+                      x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, is_t,
+                  list_concat(t, list_transform(
+                      generate_series(1, len(t) - 1),
+                      s -> t[s] || ' ' || t[s + 1])) AS g
+                FROM docs
+            ),
+            ex AS (
+                SELECT doc_id, is_t,
+                  CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+                    % 8192 AS b
+                FROM grams, unnest(g) u(gram)
+            ),
+            counts AS (
+                SELECT b, count(*) AS raw_cnt,
+                       sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_cnt
+                FROM ex GROUP BY b
+            ),
+            totals AS (
+                SELECT sum(raw_cnt) AS R, sum(tgt_cnt) AS T FROM counts
+            ),
+            weights AS (
+                SELECT b,
+                  ln((tgt_cnt + 1.0) / (T + 8192.0))
+                  - ln((raw_cnt + 1.0) / (R + 8192.0)) AS w
+                FROM counts, totals
+            )
+            SELECT e.doc_id, count(*) AS n_grams,
+                   round(sum(w.w), 6) AS log_weight
+            FROM ex e JOIN weights w ON e.b = w.b
+            GROUP BY e.doc_id
+            ORDER BY e.doc_id
         """,
         # bounded-ambiguity beam decode: each kept word has <= 1 digraph
         # occurrence, so its complete decodings are exactly {merged,

@@ -273,3 +273,131 @@ def strip_boilerplate_lines(
             ).alias("n_removed"),
         )
     )
+
+
+def _dsir_gram_frame(
+    df: DataFrame, text_col: str, keep_cols: list
+) -> DataFrame:
+    """(keep_cols..., _g): word unigram + bigram feature strings per
+    document. Tokens are non-empty lowercased whitespace splits (the
+    minhash-twin tokenization, so one definition serves every oracle).
+
+    Staged selects on purpose: a higher-order-function lambda that
+    captures an outer EXPRESSION re-evaluates the whole subtree per
+    array element, while a captured column attribute binds once per row
+    (see repetition_ngram_stats) — so the token array is materialized
+    as its own projection before the bigram zip_with consumes it."""
+    toks = df.select(
+        *keep_cols,
+        F.filter(
+            F.split(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            ),
+            lambda x: x != "",
+        ).alias("_t"),
+    )
+    t = F.col("_t")
+    n1 = F.greatest(F.size(t) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(t, 1, n1),
+        F.slice(t, 2, n1),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return toks.select(*keep_cols, F.concat(t, bigrams).alias("_g"))
+
+
+def _dsir_bucket(gram) -> "F.Column":
+    """Hash a feature string to a bucket with md5 — built into BOTH
+    engines (Spark codegen-side, DuckDB natively), so the SQL oracle
+    replicates the bucketing bit-for-bit with no injected hash. First
+    8 hex chars -> int (< 2^32) -> mod DSIR_BUCKETS."""
+    return (
+        F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long")
+        % DSIR_BUCKETS
+    )
+
+
+DSIR_BUCKETS = 8192
+
+
+def dsir_importance(
+    df: DataFrame,
+    target,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 1.0,
+    persist: bool = True,
+) -> DataFrame:
+    """DSIR-style importance weights for target-distribution data
+    selection (Xie et al. 2023, "Data Selection for Language Models
+    via Importance Resampling"): hash word unigrams+bigrams into
+    DSIR_BUCKETS buckets, fit smoothed bucket unigram models for the
+    TARGET slice (rows where ``target`` holds) and the RAW corpus
+    (all rows), and score every document with
+
+        log_weight = sum over features f of
+            log p_target(bucket(f)) - log p_raw(bucket(f))
+
+    High log_weight = "looks like the target distribution"; feed it to
+    ``stratified_sample``-style thresholding or Gumbel top-k for the
+    actual selection.
+
+    Pure Catalyst end to end — no Python, no UDFs: the fit is one
+    explode -> groupBy(bucket) producing <= DSIR_BUCKETS rows (count
+    shuffle only; map-side combine collapses each partition to at most
+    B partials), which is ``localCheckpoint``-ed (tiny, and reused by
+    both the totals and the scoring join without rescanning the
+    corpus). Scoring broadcast-joins the weight table and re-aggregates
+    per document; the (doc_id, weight) shuffle is map-side combined to
+    ~1 row per doc per partition. Two corpus scans total — the same
+    fit-then-score shape the reference method uses, with no driver
+    collect anywhere.
+
+    Returns (doc_id, n_grams, log_weight) for every document with at
+    least one token; log_weight rounded to 6 places for oracle-stable
+    comparison."""
+    grams = _dsir_gram_frame(
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.coalesce(target, F.lit(False)).alias("_is_t"),
+            F.col(text_col),
+        ),
+        text_col,
+        ["_id", "_is_t"],
+    )
+    ex = grams.select(
+        "_id", "_is_t", F.explode("_g").alias("_gram")
+    ).select("_id", "_is_t", _dsir_bucket(F.col("_gram")).alias("_b"))
+
+    counts = ex.groupBy("_b").agg(
+        F.count("*").alias("_raw_cnt"),
+        F.sum(F.when(F.col("_is_t"), 1).otherwise(0)).alias("_tgt_cnt"),
+    )
+    if persist:
+        counts = counts.localCheckpoint()
+    totals = counts.agg(
+        F.sum("_raw_cnt").alias("_R"), F.sum("_tgt_cnt").alias("_T")
+    )
+    a, b = F.lit(float(alpha)), F.lit(float(alpha * DSIR_BUCKETS))
+    weights = counts.crossJoin(F.broadcast(totals)).select(
+        "_b",
+        (
+            F.log((F.col("_tgt_cnt") + a) / (F.col("_T") + b))
+            - F.log((F.col("_raw_cnt") + a) / (F.col("_R") + b))
+        ).alias("_w"),
+    )
+    # buckets unseen at fit time (only possible when scoring a frame
+    # other than the fit frame) fall back to the smoothed default,
+    # log(a/(T+aB)) - log(a/(R+aB)) = log(R+aB) - log(T+aB)
+    default_w = F.log(F.col("_R") + b) - F.log(F.col("_T") + b)
+    return (
+        ex.join(F.broadcast(weights), "_b", "left")
+        .crossJoin(F.broadcast(totals))
+        .groupBy(F.col("_id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.round(
+                F.sum(F.coalesce(F.col("_w"), default_w)), 6
+            ).alias("log_weight"),
+        )
+    )

@@ -1526,3 +1526,65 @@ def test_repetition_stats_plan_no_exchange(spark):
     plan = repetition_ngram_stats(df)._jdf.queryExecution() \
         .executedPlan().toString()
     assert "Exchange" not in plan and "Python" not in plan
+
+
+def test_dsir_importance_exact_and_semantics(spark):
+    """dsir_importance (DSIR, Xie et al. 2023) matches a from-scratch
+    Python replication (hashlib-md5 bucketing, add-alpha bucket models,
+    log-ratio scoring) to the rounded 6th place; target-like documents
+    outrank off-distribution ones; token-less docs emit no row; and the
+    plan is pure Catalyst (no Python eval nodes)."""
+    import hashlib
+    import math
+
+    from gruut_spark.operators.corpus import DSIR_BUCKETS, dsir_importance
+
+    rows = [
+        (0, "the cat sat on the mat", True),
+        (1, "the dog sat on the log", True),
+        (2, "le chat est sur le tapis", False),
+        (3, "the cat sat", False),
+        (4, "  \n\t ", False),
+        (5, None, False),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, is_en boolean"
+    )
+    out = dsir_importance(df, target=F.col("is_en"))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    got = {r["doc_id"]: r for r in out.collect()}
+
+    def grams(text):
+        t = (text or "").lower().split()
+        return t + [f"{a} {b}" for a, b in zip(t, t[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % DSIR_BUCKETS
+
+    raw, tgt = {}, {}
+    for _, text, is_t in rows:
+        for b in map(bucket, grams(text)):
+            raw[b] = raw.get(b, 0) + 1
+            if is_t:
+                tgt[b] = tgt.get(b, 0) + 1
+    R, T, B = sum(raw.values()), sum(tgt.values()), float(DSIR_BUCKETS)
+    expected = {}
+    for doc_id, text, _ in rows:
+        bs = [bucket(g) for g in grams(text)]
+        if not bs:
+            continue
+        w = sum(
+            math.log((tgt.get(b, 0) + 1.0) / (T + B))
+            - math.log((raw[b] + 1.0) / (R + B))
+            for b in bs
+        )
+        expected[doc_id] = (len(bs), round(w, 6))
+
+    assert set(got) == set(expected) == {0, 1, 2, 3}
+    for doc_id, (n, w) in expected.items():
+        assert got[doc_id]["n_grams"] == n
+        assert got[doc_id]["log_weight"] == pytest.approx(w, abs=2e-6)
+    # english docs (target-like) score above the french doc
+    assert min(got[0]["log_weight"], got[1]["log_weight"], got[3]["log_weight"]) \
+        > got[2]["log_weight"]
