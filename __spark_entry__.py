@@ -802,6 +802,38 @@ def _doc_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full DSIR selection loop: importance weights (lang='en'
+    target) -> Gumbel-top-k resampling without replacement, k=50
+    (operators/corpus.py::gumbel_topk; Vieira 2014 / Kool et al. 2019).
+    Noise is md5-derived so the draw is deterministic, retry-safe, and
+    bit-replicable in the DuckDB oracle; the top-k compiles to
+    TakeOrderedAndProject (no global sort)."""
+    from gruut_spark.operators.corpus import dsir_importance, gumbel_topk
+
+    weights = dsir_importance(
+        _read(spark, sf_dir, "documents"), target=F.col("lang") == "en"
+    )
+    return gumbel_topk(weights, "log_weight", k=50).orderBy("doc_id")
+
+
+_BM25_QUERY_TERMS = ["hash", "join", "skew", "broadcast"]
+
+
+def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranked retrieval (Robertson & Zaragoza 2009, Lucene +1 idf)
+    over the documents table for a fixed 4-term query
+    (operators/search.py::bm25_topk). The query folds into the plan —
+    token arrays are filtered to query terms BEFORE exploding, so only
+    matching occurrences shuffle; the top-k is TakeOrderedAndProject."""
+    from gruut_spark.operators.search import bm25_topk
+
+    return bm25_topk(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        _BM25_QUERY_TERMS, k=15,
+    ).orderBy("doc_id")
+
+
 def _doc_ca_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalan orthographic stress engine over the corpus
     (operators/ca_transcribe.py; reference Transcripcio,
@@ -1175,17 +1207,11 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs via multi-table hyperplane
-    LSH (rows-only). The raw embeddings table has no near-dups by
-    construction (max off-diagonal cosine ~0.51 at sf0.01), so the query
-    plants deterministic perturbed twins (every 50th vector, component
-    roll + 5% blend, id offset 10M) and proves the operator recovers them
-    end-to-end through the bucketing — a recall gate, not just a row
-    count."""
-    from gruut_spark.operators.similarity import embedding_near_dup_pairs
-
-    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+def _with_planted_twins(emb: DataFrame) -> DataFrame:
+    """The raw embeddings table has no near-dups by construction (max
+    off-diagonal cosine ~0.51 at sf0.01), so the near-dup queries plant
+    deterministic perturbed twins: every 50th vector, component roll +
+    5% blend (cos to the original ~0.9987), id offset 10M."""
     rolled = F.expr(
         "concat(slice(embedding, 2, size(embedding) - 1), slice(embedding, 1, 1))"
     )
@@ -1196,10 +1222,37 @@ def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = emb.filter(F.col("vec_id") % 50 == 0).select(
         (F.col("vec_id") + 10_000_000).alias("vec_id"), twin_vec.alias("embedding")
     )
+    return emb.unionByName(twins)
+
+
+def _embedding_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via multi-table hyperplane
+    LSH over the twin-planted table — a recall gate, not just a row
+    count: the operator must recover every planted pair end-to-end
+    through the bucketing."""
+    from gruut_spark.operators.similarity import embedding_near_dup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return embedding_near_dup_pairs(
-        emb.unionByName(twins), "embedding", "vec_id",
+        _with_planted_twins(emb), "embedding", "vec_id",
         threshold=0.98, n_planes=8, n_tables=4,
     ).orderBy("id_a", "id_b")
+
+
+def _embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023) over the twin-planted embeddings:
+    k-means clusters confine the pairwise cosine pass, every planted
+    twin must be dropped with dup_of = its original
+    (operators/similarity.py::semdedup). The oracle replicates the
+    whole pipeline — twins, Lloyd training, assignment, pair rule — in
+    SQL via the shared _kmeans_assign_ctes chain."""
+    from gruut_spark.operators.similarity import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return semdedup(
+        _with_planted_twins(emb), "embedding", "vec_id",
+        n_clusters=16, threshold=0.95,
+    ).orderBy("vec_id")
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1686,6 +1739,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
+        "embedding_semdedup": _embedding_semdedup,
         "multimodal_features": _multimodal_features,
         "corpus_assembled": _corpus_assembled,
         "corpus_assembled_relational": _corpus_assembled_relational,
@@ -1703,6 +1757,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition_stats": _doc_repetition_stats,
         "doc_line_signals": _doc_line_signals,
         "doc_dsir_importance": _doc_dsir_importance,
+        "doc_dsir_select": _doc_dsir_select,
+        "doc_bm25_topk": _doc_bm25_topk,
     }
 
 
@@ -1975,25 +2031,27 @@ def _embedding_near_dups_oracle_sql(
     """
 
 
-def _ivf_oracle_sql(
-    n_lists: int = 16, n_probe: int = 4, iters: int = 10, seed: int = 11,
-    k: int = 10, dim: int = 64, n_pop: int = 500,
+def _kmeans_assign_ctes(
+    source_sql: str = "SELECT vec_id, embedding FROM embeddings",
+    n_lists: int = 16, iters: int = 10, seed: int = 11, dim: int = 64,
+    n_pop: int = 500, train_sample: int = 1024,
 ) -> str:
-    """DuckDB replication of the ENTIRE ivf_ann_topk pipeline including
-    k-means TRAINING: ten unrolled Lloyd iterations as MATERIALIZED CTE
-    pairs (assignment by arg_min over squared distance, per-dimension
-    avg re-centering with empty-cluster carry-over), then probe-list
-    selection, nearest-list assignment of every vector, and the exact
-    cosine re-rank. MATERIALIZED is load-bearing twice over: without it
-    DuckDB re-evaluates each referenced CTE (exponential in iteration
-    depth) and the re-evaluations can disagree in floating summation
-    order, yielding internally inconsistent centroids. Verified
-    bit-identical centroids per iteration and identical top-10 vs the
-    numpy trainer before wiring.
+    """Shared DuckDB CTE chain replicating the repo's deterministic
+    k-means (similarity.py::_ivf_centroids + ivf_assign) over any
+    (vec_id, embedding) source: seeded init rows, ``iters`` unrolled
+    Lloyd iterations as MATERIALIZED CTE pairs (assignment by arg_min
+    over squared distance, per-dimension avg re-centering with
+    empty-cluster carry-over), ending in ``allassign(vec_id, ev, cl)``
+    — every vector's nearest final centroid. MATERIALIZED is
+    load-bearing twice over: without it DuckDB re-evaluates each
+    referenced CTE (exponential in iteration depth) and the
+    re-evaluations can disagree in floating summation order, yielding
+    internally inconsistent centroids. Verified bit-identical centroids
+    per iteration and identical assignments vs the numpy trainer.
 
     ``n_pop`` pins the population size the seeded init draws from
-    (numpy's rng.choice depends on it): 500 = the embeddings row count
-    at sf0.01, the scale the driver's correctness gate runs at."""
+    (numpy's rng.choice depends on it) and must equal the source's row
+    count when that is below ``train_sample``."""
     rng = np.random.default_rng(seed)
     idx = np.sort(rng.choice(n_pop, size=min(n_lists, n_pop), replace=False))
     init_rows = ",".join(f"({c},{int(i) + 1})" for c, i in enumerate(idx))
@@ -2012,19 +2070,36 @@ def _ivf_oracle_sql(
           SELECT p.c, coalesce(n.v, p.v) AS v FROM {prev} p
           LEFT JOIN (SELECT c, list(val ORDER BY pos) AS v
                      FROM newc{it} GROUP BY c) n ON n.c = p.c)"""
+    return f"""init(c, rn) AS (VALUES {init_rows}),
+        emb_rn AS MATERIALIZED (
+          SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
+          FROM ({source_sql})),
+        samp AS MATERIALIZED (
+          SELECT rn, vec_id, embedding::DOUBLE[] AS ev FROM emb_rn
+          WHERE rn <= {train_sample}),
+        cents0 AS MATERIALIZED (
+          SELECT i.c, s.ev AS v FROM init i JOIN samp s ON s.rn = i.rn){ctes},
+        allassign AS MATERIALIZED (
+          SELECT s.vec_id, s.ev, arg_min(c.c, {d2}) AS cl
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM emb_rn) s
+          CROSS JOIN cents{iters} c GROUP BY s.vec_id, s.ev)"""
+
+
+def _ivf_oracle_sql(
+    n_lists: int = 16, n_probe: int = 4, iters: int = 10, seed: int = 11,
+    k: int = 10, dim: int = 64, n_pop: int = 500,
+) -> str:
+    """DuckDB replication of the ENTIRE ivf_ann_topk pipeline including
+    k-means TRAINING (the shared _kmeans_assign_ctes chain), then
+    probe-list selection against the query vector and the exact cosine
+    re-rank inside the probed lists."""
     cos = (
         "list_dot_product(k.ev, q.qv)"
         " / (sqrt(list_dot_product(k.ev, k.ev)) * sqrt(list_dot_product(q.qv, q.qv)))"
     )
     return f"""
-        WITH init(c, rn) AS (VALUES {init_rows}),
-        emb_rn AS MATERIALIZED (
-          SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
-          FROM embeddings),
-        samp AS MATERIALIZED (
-          SELECT rn, vec_id, embedding::DOUBLE[] AS ev FROM emb_rn WHERE rn <= 1024),
-        cents0 AS MATERIALIZED (
-          SELECT i.c, s.ev AS v FROM init i JOIN samp s ON s.rn = i.rn){ctes},
+        WITH {_kmeans_assign_ctes(n_lists=n_lists, iters=iters, seed=seed,
+                                  dim=dim, n_pop=n_pop)},
         q AS MATERIALIZED (
           SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
         probe AS MATERIALIZED (
@@ -2033,15 +2108,52 @@ def _ivf_oracle_sql(
                               FOR i IN range(1, {dim + 1}) ]) ASC, c.c ASC
           LIMIT {n_probe}),
         cand AS MATERIALIZED (
-          SELECT s.vec_id, s.ev FROM (
-            SELECT s.vec_id, s.ev, arg_min(c.c, {d2}) AS cl
-            FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM emb_rn) s
-            CROSS JOIN cents{iters} c GROUP BY s.vec_id, s.ev) s
-          WHERE s.cl IN (SELECT c FROM probe))
+          SELECT vec_id, ev FROM allassign
+          WHERE cl IN (SELECT c FROM probe))
         SELECT k.vec_id, round({cos}, 6) AS cos_sim
         FROM cand k, q
         ORDER BY {cos} DESC, k.vec_id ASC
         LIMIT {k}
+    """
+
+
+def _semdedup_oracle_sql(
+    threshold: float = 0.95, iters: int = 10, seed: int = 11,
+    n_pop: int = 510,
+) -> str:
+    """DuckDB replication of the ENTIRE embedding_semdedup pipeline:
+    planted twins (same roll + 5% blend through REAL as the Spark
+    query), the shared k-means training/assignment chain
+    (_kmeans_assign_ctes over the union, n_pop=510 = 500 embeddings +
+    10 twins at sf0.01), then the within-cluster lower-id pair rule
+    with exact cosine."""
+    cos = (
+        "list_dot_product(a.ev, b.ev)"
+        " / (sqrt(list_dot_product(a.ev, a.ev))"
+        "    * sqrt(list_dot_product(b.ev, b.ev)))"
+    )
+    source = """SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000000 AS vec_id,
+            [ (embedding[i]::DOUBLE
+               + 0.05 * (embedding[2:] || embedding[1:1])[i]::DOUBLE)::REAL
+              FOR i IN range(1, len(embedding)+1) ] AS embedding
+          FROM embeddings WHERE vec_id % 50 = 0"""
+    return f"""
+        WITH {_kmeans_assign_ctes(source_sql=source, iters=iters,
+                                  seed=seed, n_pop=n_pop)},
+        losers AS (
+          SELECT b.vec_id, min(a.vec_id) AS dup_of, max({cos}) AS max_sim
+          FROM allassign a JOIN allassign b
+            ON a.cl = b.cl AND a.vec_id < b.vec_id
+          WHERE {cos} >= {threshold}
+          GROUP BY b.vec_id)
+        SELECT s.vec_id, s.cl AS cluster_id,
+               l.dup_of IS NULL AS keep,
+               coalesce(l.dup_of, -1) AS dup_of,
+               round(coalesce(l.max_sim, 0.0), 6) AS max_sim
+        FROM allassign s LEFT JOIN losers l ON l.vec_id = s.vec_id
+        ORDER BY s.vec_id
     """
 
 
@@ -2713,6 +2825,52 @@ def _g2p_context_oracle_sql() -> str:
     """
 
 
+# Shared CTE chain replicating operators/corpus.py::dsir_importance in
+# DuckDB (md5-hex bucketing, alpha=1 / B=8192 smoothing); `scored` is
+# the (doc_id, n_grams, log_weight) frame both DSIR oracles read.
+_DSIR_ORACLE_CTES = r"""docs AS (
+                SELECT doc_id,
+                  coalesce(lang = 'en', FALSE) AS is_t,
+                  list_filter(string_split_regex(
+                      lower(coalesce(text, '')), '\s+'),
+                      x -> x <> '') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id, is_t,
+                  list_concat(t, list_transform(
+                      generate_series(1, len(t) - 1),
+                      s -> t[s] || ' ' || t[s + 1])) AS g
+                FROM docs
+            ),
+            ex AS (
+                SELECT doc_id, is_t,
+                  CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
+                    % 8192 AS b
+                FROM grams, unnest(g) u(gram)
+            ),
+            counts AS (
+                SELECT b, count(*) AS raw_cnt,
+                       sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_cnt
+                FROM ex GROUP BY b
+            ),
+            totals AS (
+                SELECT sum(raw_cnt) AS R, sum(tgt_cnt) AS T FROM counts
+            ),
+            weights AS (
+                SELECT b,
+                  ln((tgt_cnt + 1.0) / (T + 8192.0))
+                  - ln((raw_cnt + 1.0) / (R + 8192.0)) AS w
+                FROM counts, totals
+            ),
+            scored AS (
+                SELECT e.doc_id, count(*) AS n_grams,
+                       round(sum(w.w), 6) AS log_weight
+                FROM ex e JOIN weights w ON e.b = w.b
+                GROUP BY e.doc_id
+            )"""
+
+
 def oracle_sql() -> dict[str, str]:
     # the langid/ppl model oracles are ~MB-scale generated SQL (npz load
     # + string build); build each once and reuse in the verdict twin
@@ -3151,47 +3309,65 @@ def oracle_sql() -> dict[str, str]:
         # (md5 + first-8-hex -> int is built into both engines), same
         # add-alpha smoothing with alpha=1, B=8192; inner join suffices
         # because scoring the fit frame can only see fit-time buckets
-        "doc_dsir_importance": r"""
-            WITH docs AS (
+        "doc_dsir_importance": f"""
+            WITH {_DSIR_ORACLE_CTES}
+            SELECT doc_id, n_grams, log_weight FROM scored
+            ORDER BY doc_id
+        """,
+        # BM25: same tokenization as every text oracle, same Lucene +1
+        # idf, k1=1.2 / b=0.75 folded as literals; absent query terms
+        # contribute nothing on both sides (no df row to join)
+        "doc_bm25_topk": f"""
+            WITH toks AS (
                 SELECT doc_id,
-                  coalesce(lang = 'en', FALSE) AS is_t,
                   list_filter(string_split_regex(
-                      lower(coalesce(text, '')), '\s+'),
+                      lower(coalesce(text, '')), '\\s+'),
                       x -> x <> '') AS t
                 FROM documents
             ),
-            grams AS (
-                SELECT doc_id, is_t,
-                  list_concat(t, list_transform(
-                      generate_series(1, len(t) - 1),
-                      s -> t[s] || ' ' || t[s + 1])) AS g
-                FROM docs
+            d AS (
+                SELECT doc_id, len(t) AS dl,
+                  list_filter(t, x -> x IN
+                    ({",".join(repr(t) for t in sorted(_BM25_QUERY_TERMS))}))
+                    AS m
+                FROM toks
             ),
-            ex AS (
-                SELECT doc_id, is_t,
-                  CAST(('0x' || substring(md5(gram), 1, 8)) AS BIGINT)
-                    % 8192 AS b
-                FROM grams, unnest(g) u(gram)
+            stats AS (SELECT count(*) AS N, avg(dl) AS avgdl FROM d),
+            tf AS (
+                SELECT doc_id, dl, term, count(*) AS tf
+                FROM d, unnest(m) u(term) GROUP BY doc_id, dl, term
             ),
-            counts AS (
-                SELECT b, count(*) AS raw_cnt,
-                       sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS tgt_cnt
-                FROM ex GROUP BY b
-            ),
-            totals AS (
-                SELECT sum(raw_cnt) AS R, sum(tgt_cnt) AS T FROM counts
-            ),
-            weights AS (
-                SELECT b,
-                  ln((tgt_cnt + 1.0) / (T + 8192.0))
-                  - ln((raw_cnt + 1.0) / (R + 8192.0)) AS w
-                FROM counts, totals
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+            scored AS (
+                SELECT doc_id, count(*) AS n_terms,
+                  sum(ln(1 + (N - df + 0.5) / (df + 0.5))
+                      * tf * 2.2
+                      / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS s
+                FROM tf JOIN dfreq USING (term), stats
+                GROUP BY doc_id
             )
-            SELECT e.doc_id, count(*) AS n_grams,
-                   round(sum(w.w), 6) AS log_weight
-            FROM ex e JOIN weights w ON e.b = w.b
-            GROUP BY e.doc_id
-            ORDER BY e.doc_id
+            SELECT doc_id, n_terms, round(s, 6) AS score
+            FROM scored
+            ORDER BY s DESC, doc_id
+            LIMIT 15
+        """,
+        # weights -> Gumbel-top-k resample: u from the same md5-hex
+        # uniform both engines compute natively, score = log_weight
+        # (the ROUNDED weight both sides emit) - ln(-ln(u))
+        "doc_dsir_select": f"""
+            WITH {_DSIR_ORACLE_CTES},
+            gum AS (
+                SELECT doc_id, n_grams, log_weight,
+                  (CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR) || ':gumbel'), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0 AS u
+                FROM scored
+            )
+            SELECT doc_id, n_grams, log_weight,
+                   round(log_weight - ln(-ln(u)), 6) AS sample_score
+            FROM gum
+            ORDER BY (log_weight - ln(-ln(u))) DESC, doc_id
+            LIMIT 50
         """,
         # bounded-ambiguity beam decode: each kept word has <= 1 digraph
         # occurrence, so its complete decodings are exactly {merged,
@@ -3704,6 +3880,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "embedding_semdedup": _semdedup_oracle_sql(),
         "multimodal_features": _multimodal_oracle_sql(),
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
         "doc_langid": lang_sql,

@@ -401,3 +401,54 @@ def dsir_importance(
             ).alias("log_weight"),
         )
     )
+
+
+def gumbel_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str = "doc_id",
+    salt: str = "gumbel",
+    temperature: float = 1.0,
+) -> DataFrame:
+    """Gumbel-top-k sampling WITHOUT replacement, proportional to
+    exp(weight_col / temperature) — the importance-RESAMPLING half of
+    DSIR (Xie et al. 2023 sample docs ~ their importance weights; the
+    Gumbel-max equivalence is Vieira 2014 / Kool et al. 2019): keep the
+    k rows maximizing  weight/T + Gumbel(0,1).
+
+    The Gumbel noise is DERIVED, not drawn: u = (md5_32(id ":" salt)
+    + 0.5) / 2^32, g = -ln(-ln(u)). Deterministic => retry-safe under
+    task re-execution (same contract as stratified_sample) and
+    replicable bit-for-bit by the DuckDB oracle; changing ``salt``
+    redraws the sample.
+
+    Scale shape: orderBy(score).limit(k) compiles to
+    TakeOrderedAndProject — per-partition top-k heaps, single bounded
+    merge; the full table is never globally sorted and only k rows
+    cross the wire. Adds a ``sample_score`` column (rounded to 6 for
+    oracle-stable hashing; the ORDER itself uses full precision)."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(salt)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    score = F.col(weight_col) / F.lit(float(temperature)) + -F.log(-F.log(u))
+    return (
+        df.withColumn("_score", score)
+        .orderBy(F.desc("_score"), F.col(id_col))
+        .limit(k)
+        .withColumn("sample_score", F.round(F.col("_score"), 6))
+        .drop("_score")
+    )

@@ -1,0 +1,95 @@
+"""Full-text ranked retrieval over the documents table.
+
+BM25 (Robertson & Zaragoza 2009, the Lucene "+1" idf variant) as a pure
+Catalyst composition — no inverted index is materialized because the
+query folds into the plan: the token array is FILTERED to the query's
+terms per row before anything explodes, so the exploded frame holds only
+matching (doc, term) occurrences. At 100 TB the heavy corpus scan stays
+a narrow filtered pass; everything that shuffles afterwards is bounded
+by |query| x |matching docs| (df counts: |query| rows; the per-doc score
+aggregation: map-side combined to ~1 row per matching doc per
+partition), and the final top-k is a TakeOrderedAndProject, never a
+global sort.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def bm25_topk(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    query_terms: Sequence[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Top-k documents by BM25 against a bag of query terms.
+
+    score(d) = sum over query terms t present in d of
+        ln(1 + (N - df_t + 0.5)/(df_t + 0.5))
+        * tf * (k1+1) / (tf + k1*(1 - b + b*dl/avgdl))
+
+    Tokens are the repo-wide analysis tokenization (non-empty lowercased
+    whitespace splits), so the DuckDB oracle shares one definition with
+    every other text operator. Repeated query terms are deduplicated;
+    terms absent from the corpus contribute nothing (no df row exists to
+    join). Returns (id_col, n_terms, score) — n_terms = distinct query
+    terms matched, score rounded to 6 for oracle-stable hashing; the
+    top-k ORDER uses full precision with an id tiebreak."""
+    terms = sorted({t.lower() for t in query_terms})
+    qarr = F.array(*[F.lit(t) for t in terms])
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        ).alias("_t"),
+    ).select(
+        "_id",
+        F.size("_t").alias("_dl"),
+        F.filter(F.col("_t"), lambda x: F.array_contains(qarr, x)).alias("_m"),
+    )
+    # corpus stats: two scalars, broadcast back (tiny agg, no full sort)
+    stats = toks.agg(
+        F.count("*").alias("_N"), F.avg("_dl").alias("_avgdl")
+    )
+    matched = toks.select(
+        "_id", "_dl", F.explode("_m").alias("_term")
+    )
+    tf = matched.groupBy("_id", "_dl", "_term").agg(
+        F.count("*").alias("_tf")
+    )
+    dfreq = tf.groupBy("_term").agg(F.count("*").alias("_df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_N") - F.col("_df") + 0.5) / (F.col("_df") + 0.5)
+    )
+    denom = F.col("_tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
+    )
+    scored = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "_id",
+            (idf * F.col("_tf") * F.lit(float(k1) + 1.0) / denom).alias("_c"),
+        )
+        .groupBy("_id")
+        .agg(F.count("*").alias("n_terms"), F.sum("_c").alias("_score"))
+    )
+    return (
+        scored.orderBy(F.desc("_score"), F.col("_id"))
+        .limit(k)
+        .select(
+            F.col("_id").alias(id_col),
+            "n_terms",
+            F.round("_score", 6).alias("score"),
+        )
+    )

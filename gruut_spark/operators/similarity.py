@@ -313,3 +313,66 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos_sim") >= threshold)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic near-duplicate removal (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame, vec_col: str, id_col: str, n_clusters: int = 16,
+    threshold: float = 0.95, train_sample: int = 1024, iters: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): drop semantic
+    near-duplicates by confining pairwise cosine comparison to k-means
+    clusters of the embedding space — the paper's own trick for making
+    pairwise work tractable: O(sum c_i^2) inside clusters instead of
+    O(N^2), with n_clusters chosen so a cluster's candidate set fits a
+    task (the paper runs 110k clusters at web scale; 16 here matches
+    the IVF defaults at test scale).
+
+    Reuses the IVF machinery verbatim: deterministic seeded Lloyd
+    training on a bounded TakeOrdered sample (ivf_train_sample — no
+    global sort), broadcast centroids, one narrow pandas_udf assignment
+    pass. The drop rule is the repo-wide pair convention (dedup.py): a
+    vector is dropped iff SOME lower-id vector in its cluster has
+    cosine >= threshold; dup_of = the smallest such keeper id. Only
+    (id, vec, cluster) shuffles — on cluster — for the self-join.
+
+    Returns (id_col, cluster_id, keep, dup_of, max_sim); dup_of=-1 and
+    max_sim=0.0 for kept rows (typed sentinels, not NULLs, so dtypes
+    survive pandas round-trips on both engine sides)."""
+    sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    centroids = _ivf_centroids(sample, n_clusters, iters=iters, seed=seed)
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+
+    a = assigned.select(
+        F.col("_id").alias("_ka"), F.col("_vec").alias("_va"), "list_id"
+    )
+    b = assigned.select(
+        F.col("_id").alias("_kb"), F.col("_vec").alias("_vb"), "list_id"
+    )
+    sim = _dot("_va", "_vb") / (_norm("_va") * _norm("_vb"))
+    losers = (
+        a.join(b, "list_id")
+        .filter(F.col("_ka") < F.col("_kb"))
+        .select("_kb", "_ka", sim.alias("_sim"))
+        .filter(F.col("_sim") >= F.lit(float(threshold)))
+        .groupBy("_kb")
+        .agg(F.min("_ka").alias("_dup_of"), F.max("_sim").alias("_max_sim"))
+    )
+    return (
+        assigned.join(losers, assigned["_id"] == losers["_kb"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            F.col("list_id").alias("cluster_id"),
+            F.col("_dup_of").isNull().alias("keep"),
+            F.coalesce(F.col("_dup_of"), F.lit(-1)).alias("dup_of"),
+            F.round(
+                F.coalesce(F.col("_max_sim"), F.lit(0.0)), 6
+            ).alias("max_sim"),
+        )
+    )

@@ -1588,3 +1588,126 @@ def test_dsir_importance_exact_and_semantics(spark):
     # english docs (target-like) score above the french doc
     assert min(got[0]["log_weight"], got[1]["log_weight"], got[3]["log_weight"]) \
         > got[2]["log_weight"]
+
+
+def test_gumbel_topk_exact_and_plan(spark):
+    """gumbel_topk selects exactly the k rows a from-scratch Python
+    replication of the md5-derived Gumbel scores picks (so the draw is
+    deterministic and retry-safe), honors the salt (different salt =>
+    different sample), and compiles to TakeOrderedAndProject — no
+    global sort Exchange, no Python."""
+    import hashlib
+    import math
+
+    from gruut_spark.operators.corpus import gumbel_topk
+
+    rows = [(i, float(-(i % 7))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, w double")
+
+    def score(i, w, salt):
+        h = hashlib.md5(f"{i}:{salt}".encode()).hexdigest()[:8]
+        u = (int(h, 16) + 0.5) / 4294967296.0
+        return w - math.log(-math.log(u))
+
+    expected = sorted(
+        rows, key=lambda r: (-score(r[0], r[1], "gumbel"), r[0])
+    )[:25]
+    out = gumbel_topk(df, "w", k=25, id_col="doc_id")
+    got = {r["doc_id"]: r["sample_score"] for r in out.collect()}
+    assert set(got) == {i for i, _ in expected}
+    for i, w in expected:
+        assert got[i] == pytest.approx(
+            round(score(i, w, "gumbel"), 6), abs=2e-6
+        )
+    other = {
+        r["doc_id"]
+        for r in gumbel_topk(df, "w", k=25, salt="s2").collect()
+    }
+    assert other != set(got)
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "Python" not in plan
+
+
+def test_semdedup_drops_planted_twins(spark):
+    """semdedup (SemDeDup, Abbas et al. 2023) recovers every planted
+    near-twin through the k-means bucketing — a recall gate: each twin
+    is dropped with dup_of = its original, every original survives
+    with the typed keep-sentinels (-1 / 0.0)."""
+    from gruut_spark.operators.similarity import semdedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(40)]
+    for i in (0, 10, 20, 30):
+        v = base[i] + 0.01 * rng.normal(size=16).astype(np.float32)
+        rows.append((1000 + i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "id long, v array<float>")
+    out = {
+        r["id"]: r
+        for r in semdedup(
+            df, "v", "id", n_clusters=4, threshold=0.99
+        ).collect()
+    }
+    assert len(out) == 44
+    for i in (0, 10, 20, 30):
+        twin = out[1000 + i]
+        assert not twin["keep"] and twin["dup_of"] == i
+        assert twin["max_sim"] > 0.99
+        assert twin["cluster_id"] == out[i]["cluster_id"]
+    for i in range(40):
+        assert out[i]["keep"]
+        assert out[i]["dup_of"] == -1 and out[i]["max_sim"] == 0.0
+
+
+def test_bm25_topk_exact_and_plan(spark):
+    """bm25_topk matches a from-scratch Python BM25 (Lucene +1 idf) on
+    a hand-built corpus, dedups repeated query terms, ignores terms
+    absent from the corpus, and plans as TakeOrderedAndProject with no
+    Python eval nodes."""
+    import math
+
+    from gruut_spark.operators.search import bm25_topk
+
+    corpus = [
+        (0, "spark shuffles data across the cluster"),
+        (1, "broadcast joins avoid the shuffle entirely"),
+        (2, "a shuffle moves data between executors and a shuffle is costly"),
+        (3, "catalyst optimizes the logical plan"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(corpus, "doc_id long, text string")
+    query = ["shuffle", "broadcast", "SHUFFLE", "zeppelin"]
+    out = bm25_topk(df, "text", "doc_id", query, k=3, k1=1.2, b=0.75)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan and "Python" not in plan
+    got = [(r["doc_id"], r["n_terms"], r["score"]) for r in out.collect()]
+
+    docs = {i: (t or "").lower().split() for i, t in corpus}
+    N = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / N
+    terms = sorted({t.lower() for t in query})
+    dfreq = {
+        t: sum(1 for d in docs.values() if t in d) for t in terms
+    }
+    exp = []
+    for i, toks in docs.items():
+        s, n = 0.0, 0
+        for t in terms:
+            tf = toks.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            n += 1
+            idf = math.log(1 + (N - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * 2.2 / (
+                tf + 1.2 * (0.25 + 0.75 * len(toks) / avgdl)
+            )
+        if n:
+            exp.append((i, n, s))
+    exp = sorted(exp, key=lambda r: (-r[2], r[0]))[:3]
+    assert [(i, n) for i, n, _ in got] == [(i, n) for i, n, _ in exp]
+    for (gi, gn, gs), (ei, en, es) in zip(
+        sorted(got), sorted((i, n, round(s, 6)) for i, n, s in exp)
+    ):
+        assert gs == pytest.approx(es, abs=2e-6)
