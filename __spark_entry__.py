@@ -834,6 +834,23 @@ def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed quality-classifier distillation (GPT-3 App. A /
+    DataComp-style): full-batch logistic regression on five surface
+    features, trained against the lang='en' label and scoring every
+    document (operators/classifier.py). Each GD iteration is ONE
+    map-side-combined aggregate whose gradient reduction is an EXACT
+    fixed-point integer sum — order-independent, so the DuckDB oracle
+    replicates TRAINING itself as 15 unrolled CTE iterations and the
+    weights match bit-for-bit (see classifier.py docstring)."""
+    from gruut_spark.operators.classifier import quality_logreg_scores
+
+    docs = _read(spark, sf_dir, "documents")
+    return quality_logreg_scores(
+        docs, "text", "doc_id", label=F.col("lang") == "en"
+    ).orderBy("doc_id")
+
+
 def _doc_ca_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalan orthographic stress engine over the corpus
     (operators/ca_transcribe.py; reference Transcripcio,
@@ -1759,6 +1776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_importance": _doc_dsir_importance,
         "doc_dsir_select": _doc_dsir_select,
         "doc_bm25_topk": _doc_bm25_topk,
+        "doc_quality_logreg": _doc_quality_logreg,
     }
 
 
@@ -2114,6 +2132,70 @@ def _ivf_oracle_sql(
         FROM cand k, q
         ORDER BY {cos} DESC, k.vec_id ASC
         LIMIT {k}
+    """
+
+
+def _logreg_oracle_sql(iters: int = 15, lr: float = 0.5) -> str:
+    """DuckDB replication of the ENTIRE doc_quality_logreg pipeline
+    including TRAINING (operators/classifier.py): the five-feature
+    frame, then ``iters`` unrolled GD iterations as MATERIALIZED CTE
+    pairs (per-row sigmoid against the previous iteration's weight row,
+    then the exact fixed-point gradient sum: round(term*1e9) summed as
+    HUGEINT — associative, so engine-order-independent — matching
+    Spark's decimal(38,0) sum bit-for-bit), final scoring with the
+    trained weights. z is built left-associative (0.0 + w1*x1 + ...)
+    exactly as classifier._dot_w folds it."""
+    stops = ",".join(repr(s) for s in
+                     ["a", "and", "in", "is", "of", "the", "to"])
+    z = "(0.0 + pw1*x1 + pw2*x2 + pw3*x3 + pw4*x4 + pw5*x5)"
+    sig = f"(1.0 / (1.0 + exp(-{z})))"
+    ctes = """it0 AS (SELECT 0.0 AS w1, 0.0 AS w2, 0.0 AS w3,
+                             0.0 AS w4, 0.0 AS w5)"""
+    for it in range(1, iters + 1):
+        grads = ",\n              ".join(
+            f"round(pw{j} - {lr} * (CAST(sum(CAST(round((pr - y)*x{j}"
+            f"*1000000000.0) AS HUGEINT)) AS DOUBLE)"
+            f" / (count(*) * 1000000000.0)), 12) AS w{j}"
+            for j in range(1, 6)
+        )
+        ctes += f""",
+            p{it} AS MATERIALIZED (
+              SELECT f.*, p.w1 AS pw1, p.w2 AS pw2, p.w3 AS pw3,
+                     p.w4 AS pw4, p.w5 AS pw5, {sig} AS pr
+              FROM feat f CROSS JOIN it{it - 1} p),
+            it{it} AS MATERIALIZED (
+              SELECT {grads}
+              FROM p{it} GROUP BY pw1, pw2, pw3, pw4, pw5)"""
+    return f"""
+        WITH toks AS MATERIALIZED (
+            SELECT doc_id,
+              CAST(coalesce(lang = 'en', false) AS DOUBLE) AS y,
+              list_filter(string_split_regex(
+                  lower(coalesce(text, '')), '\\s+'),
+                  x -> x <> '') AS t
+            FROM documents
+        ),
+        feat AS MATERIALIZED (
+            SELECT doc_id, y,
+              1.0 AS x1,
+              ln(1.0 + len(t)) AS x2,
+              CAST(list_sum([length(x) FOR x IN t]) AS DOUBLE)
+                / len(t) AS x3,
+              CAST(len(list_filter(t, x -> x IN ({stops}))) AS DOUBLE)
+                / len(t) AS x4,
+              CAST(len(list_distinct(t)) AS DOUBLE) / len(t) AS x5
+            FROM toks WHERE len(t) > 0
+        ),
+        {ctes},
+        score AS (
+            SELECT f.doc_id, f.y, {sig} AS pr
+            FROM feat f CROSS JOIN (
+              SELECT w1 AS pw1, w2 AS pw2, w3 AS pw3, w4 AS pw4,
+                     w5 AS pw5 FROM it{iters}) p
+        )
+        SELECT doc_id, y = 1.0 AS y, round(pr, 6) AS p,
+               pr >= 0.5 AS pred
+        FROM score ORDER BY doc_id
     """
 
 
@@ -3351,6 +3433,10 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s DESC, doc_id
             LIMIT 15
         """,
+        # logistic-regression quality classifier: TRAINING replicated
+        # as 15 unrolled GD iterations (exact fixed-point gradient sums
+        # — see _logreg_oracle_sql)
+        "doc_quality_logreg": _logreg_oracle_sql(),
         # weights -> Gumbel-top-k resample: u from the same md5-hex
         # uniform both engines compute natively, score = log_weight
         # (the ROUNDED weight both sides emit) - ln(-ln(u))

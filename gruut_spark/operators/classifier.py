@@ -1,0 +1,158 @@
+"""Distributed quality-classifier training (logistic regression).
+
+The modern pipeline move (GPT-3 Brown et al. 2020 App. A; DataComp/Dolma
+fastText filters) is to distill a cheap quality signal into a trained
+classifier and score every document with it. This module provides the
+distributed primitive: full-batch logistic regression by gradient
+descent where EVERY iteration is ONE map-side-combined aggregate pass
+producing d+1 numbers on the driver (the treeAggregate shape Spark
+MLlib's own LogisticRegression uses) — no per-row Python, no driver
+data, only the d+1-float gradient crosses the cluster per pass.
+
+Determinism contract — the gradient reduction is EXACTLY
+order-independent: each per-row gradient term is quantized to 1e-9
+fixed point (round(term*1e9) cast to decimal(38,0)) and summed as
+integers. Integer addition is associative, so Spark's nondeterministic
+partition-combine order and DuckDB's scan order produce bit-identical
+sums; a float avg() anchored by rounding would NOT be enough (summation
+drift ~1e-13 vs 1e-12 round granularity flips a weight ~1% per update,
+compounding across 5 weights x 15 iterations). The only residual
+nondeterminism is per-row libm ULP in exp/log (~1e-16 relative, flip
+risk ~1e-7 per quantized term), which is what lets the DuckDB oracle
+replicate TRAINING itself as unrolled CTEs (same pattern as the
+k-means oracle, __spark_entry__._kmeans_assign_ctes). Weights are
+round-12-anchored after each update so they embed exactly in both
+engines. Scale bound: |term| <= ~20, so the decimal(38,0) sum holds
+~1e27 rows — no overflow at any corpus size.
+"""
+
+from __future__ import annotations
+
+from typing import List, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+QUALITY_STOPWORDS = ["a", "and", "in", "is", "of", "the", "to"]
+
+
+def text_feature_frame(
+    df: DataFrame, text_col: str, id_col: str, label: Column
+) -> DataFrame:
+    """(doc_id, y, x): per-document feature vector for quality
+    classification, every component a PER-ROW sequential fold (so both
+    engines compute it bit-identically): intercept, ln(1+n_words),
+    mean word length, stopword fraction (QUALITY_STOPWORDS), distinct
+    token ratio. Token-less documents are excluded (no features to
+    stand on — same convention as dsir_importance)."""
+    toks = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.coalesce(label, F.lit(False)).cast("double").alias("y"),
+        F.filter(
+            F.split(
+                F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"
+            ),
+            lambda x: x != "",
+        ).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    t = F.col("_t")
+    n = F.size(t).cast("double")
+    total_chars = F.aggregate(
+        t, F.lit(0), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    stop = F.array(*[F.lit(s) for s in QUALITY_STOPWORDS])
+    return toks.select(
+        "doc_id",
+        "y",
+        F.array(
+            F.lit(1.0),
+            F.log(F.lit(1.0) + n),
+            total_chars / n,
+            F.size(F.filter(t, lambda x: F.array_contains(stop, x))).cast(
+                "double"
+            )
+            / n,
+            F.size(F.array_distinct(t)).cast("double") / n,
+        ).alias("x"),
+    )
+
+
+def _dot_w(x_col: str, weights: Sequence[float]) -> Column:
+    """w·x with the weight vector folded into the plan as literals."""
+    z = F.lit(0.0)
+    for j, w in enumerate(weights):
+        z = z + F.lit(float(w)) * F.element_at(F.col(x_col), j + 1)
+    return z
+
+
+def logreg_train(
+    feat: DataFrame,
+    dim: int,
+    iters: int = 15,
+    lr: float = 0.5,
+    x_col: str = "x",
+    y_col: str = "y",
+) -> List[float]:
+    """Full-batch GD from w=0: per iteration ONE map-side-combined
+    aggregate pass computing, for each j, the EXACT fixed-point sum
+    S_j = sum(decimal(round(((sigmoid(w·x) - y) * x_j) * 1e9))); update
+    w_j <- round(w_j - lr * (double(S_j) / (n*1e9)), 12). The integer
+    sum makes the reduction independent of partition combine order (see
+    module docstring). The feature frame should be persisted by the
+    caller when iters passes over the source would be expensive (it is
+    d+1 doubles per row — tiny next to the corpus)."""
+    w = [0.0] * dim
+    for _ in range(iters):
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w(x_col, w)))
+        row = feat.agg(
+            *[
+                F.sum(
+                    F.round(
+                        (p - F.col(y_col))
+                        * F.element_at(F.col(x_col), j + 1)
+                        * F.lit(1e9),
+                        0,
+                    ).cast("decimal(38,0)")
+                ).alias(f"g{j}")
+                for j in range(dim)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = float(row["n"])
+        w = [
+            round(w[j] - lr * (float(row[j]) / (n * 1e9)), 12)
+            for j in range(dim)
+        ]
+    return w
+
+
+def quality_logreg_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    label: Column,
+    iters: int = 15,
+    lr: float = 0.5,
+    persist: bool = True,
+) -> DataFrame:
+    """Train the 5-feature logistic quality classifier against
+    ``label`` and score every document: (doc_id, y, p, pred) with
+    p = sigmoid(w·x) rounded to 6 and pred = p >= 0.5. Two logical
+    passes over the corpus text (one to build the persisted feature
+    frame, one implicit in scoring the same frame); training touches
+    only the cached d+1-double rows."""
+    feat = text_feature_frame(df, text_col, id_col, label)
+    if persist:
+        feat = feat.persist()
+    try:
+        w = logreg_train(feat, dim=5, iters=iters, lr=lr)
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-_dot_w("x", w)))
+        return feat.select(
+            "doc_id",
+            F.col("y").cast("boolean").alias("y"),
+            F.round(p, 6).alias("p"),
+            (p >= 0.5).alias("pred"),
+        )
+    finally:
+        if persist:
+            feat.unpersist()

@@ -1711,3 +1711,103 @@ def test_bm25_topk_exact_and_plan(spark):
         sorted(got), sorted((i, n, round(s, 6)) for i, n, s in exp)
     ):
         assert gs == pytest.approx(es, abs=2e-6)
+
+
+def test_quality_logreg_exact_replication(spark):
+    """quality_logreg_scores trains bit-identically to a from-scratch
+    pure-Python replication of the fixed-point GD loop: the gradient
+    reduction quantizes each per-row term to 1e-9 and sums integers, so
+    partition combine order cannot move the result (an avg() of doubles
+    would drift vs the oracle — the reason the operator is built this
+    way). Weights, probabilities, and predictions all match; the
+    scoring plan is pure Catalyst (no Python eval nodes)."""
+    import math
+
+    from gruut_spark.operators.classifier import (
+        QUALITY_STOPWORDS,
+        logreg_train,
+        quality_logreg_scores,
+        text_feature_frame,
+    )
+
+    rows = [
+        (0, "the cat is on the mat and the dog is in the house", True),
+        (1, "zz qq xx vv kk jj ww yy", False),
+        (2, "a small test of the quality of the corpus text", True),
+        (3, "lorem ipsum dolor sit amet consectetur", False),
+        (4, "", False),
+        (5, None, True),
+        (6, "to be or not to be is the question", True),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, en boolean")
+
+    def feats(text):
+        t = [w for w in (text or "").lower().split() if w != ""]
+        if not t:
+            return None
+        n = float(len(t))
+        return [
+            1.0,
+            math.log(1.0 + n),
+            sum(len(w) for w in t) / n,
+            len([w for w in t if w in QUALITY_STOPWORDS]) / n,
+            len(set(t)) / n,
+        ]
+
+    pyfeat = {i: (feats(tx), 1.0 if en else 0.0)
+              for i, tx, en in rows if feats(tx)}
+    w = [0.0] * 5
+    for _ in range(15):
+        sums, n = [0] * 5, len(pyfeat)
+        for x, y in pyfeat.values():
+            z = 0.0
+            for j in range(5):
+                z = z + w[j] * x[j]
+            p = 1.0 / (1.0 + math.exp(-z))
+            for j in range(5):
+                q = (p - y) * x[j] * 1e9
+                # round-half-away-from-zero, matching F.round/duckdb
+                sums[j] += int(math.floor(abs(q) + 0.5)) * (
+                    1 if q >= 0 else -1
+                )
+        w = [round(w[j] - 0.5 * (float(sums[j]) / (n * 1e9)), 12)
+             for j in range(5)]
+
+    feat = text_feature_frame(df, "text", "doc_id", F.col("en"))
+    got_w = logreg_train(feat, dim=5, iters=15, lr=0.5)
+    assert got_w == w  # bit-exact, not approx — that is the contract
+
+    out = quality_logreg_scores(
+        df, "text", "doc_id", F.col("en"), persist=False
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == set(pyfeat)
+    for i, (x, y) in pyfeat.items():
+        z = 0.0
+        for j in range(5):
+            z = z + w[j] * x[j]
+        p = 1.0 / (1.0 + math.exp(-z))
+        assert got[i]["y"] is (y == 1.0)
+        assert got[i]["p"] == pytest.approx(round(p, 6), abs=2e-6)
+        assert got[i]["pred"] is (p >= 0.5)
+
+
+def test_quality_logreg_separates(spark):
+    """On a linearly separable corpus (stopword-rich vs stopword-free
+    docs) the trained classifier actually classifies: every document on
+    each side of the boundary gets the right prediction."""
+    from gruut_spark.operators.classifier import quality_logreg_scores
+
+    good = "the cat and the dog is in the house of the king"
+    bad = "zxq vbn mlp qwr tyu asd fgh jkl"
+    rows = [(i, good + f" w{i}", True) for i in range(20)] + [
+        (100 + i, bad + f" z{i}", False) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, en boolean")
+    out = quality_logreg_scores(
+        df, "text", "doc_id", F.col("en"), iters=30
+    ).collect()
+    assert len(out) == 40
+    assert all(r["pred"] == r["y"] for r in out)
