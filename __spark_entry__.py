@@ -1166,6 +1166,76 @@ def _doc_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global keep-first paragraph dedup (CCNet/RefinedWeb style) over
+    a planted two-paragraph corpus: every doc gets a 'shared paragraph
+    doc_id%25' trailer (~20 docs share each), and the corpus's own
+    duplicate texts make first paragraphs collide too — so both drop
+    paths are non-vacuous. Only (md5, id, pos) triples shuffle; the
+    text never leaves the document row
+    (operators/corpus.py::dedup_paragraphs)."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import dedup_paragraphs
+
+    docs = _read(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit("\nshared paragraph "),
+            (F.col("doc_id") % 25).cast("string"),
+        ).alias("text"),
+    )
+    out = dedup_paragraphs(planted)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("clean_text")).alias("clean_md5"),
+        F.length("clean_text").alias("clean_len"),
+        "n_removed",
+    ).orderBy("doc_id")
+
+
+def _embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-balanced diversity sampling: cap every k-means cluster
+    of the embedding space at 16 md5-ranked rows
+    (operators/similarity.py::cluster_balanced_sample — the IVF
+    trainer + quota_cap_per_source with the cluster as the source).
+    The oracle replicates TRAINING via the shared _kmeans_assign_ctes
+    chain, then a single-window rank (byte-identical to the operator's
+    two-phase salted top-K by construction)."""
+    from gruut_spark.operators.similarity import cluster_balanced_sample
+
+    emb = _read(spark, sf_dir, "embeddings")
+    return cluster_balanced_sample(
+        emb, "embedding", "vec_id", per_cluster=16
+    ).orderBy("vec_id")
+
+
+def _doc_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon character entropy + alphabet-normalized
+    entropy — the two-sided degenerate-text signal (near 0 =
+    repetition, near 1 = noise). Zero-shuffle sorted-run fold
+    (operators/textstats.py::char_entropy_stats)."""
+    from gruut_spark.operators.textstats import char_entropy_stats
+
+    return char_entropy_stats(
+        _read(spark, sf_dir, "documents")
+    ).orderBy("doc_id")
+
+
+def _doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping token-window chunking (embedding /
+    long-context prep): chunk_tokens=16, overlap=4 over the documents
+    table — pure per-row array algebra plus one narrow posexplode,
+    zero shuffle, zero Python
+    (operators/packing.py::chunk_documents)."""
+    from gruut_spark.operators.packing import chunk_documents
+
+    return chunk_documents(
+        _read(spark, sf_dir, "documents"), chunk_tokens=16, overlap=4
+    ).orderBy("doc_id", "chunk_idx")
+
+
 def _doc_phonemize_lexicon(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lexicon build ETL + broadcast phonemize lookup chain (exact ->
     lowercase -> G2P fallback) with pron_order-ranked selection, rolled up
@@ -1753,6 +1823,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_snapshot_diff": _corpus_snapshot_diff,
         "doc_boilerplate_lines": _doc_boilerplate_lines,
         "doc_strip_boilerplate": _doc_strip_boilerplate,
+        "doc_dedup_paragraphs": _doc_dedup_paragraphs,
+        "doc_chunk_overlap": _doc_chunk_overlap,
+        "doc_char_entropy": _doc_char_entropy,
+        "embedding_diverse_sample": _embedding_diverse_sample,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
@@ -3433,6 +3507,117 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY s DESC, doc_id
             LIMIT 15
         """,
+        # Shannon character entropy: group-count twin of the sorted-run
+        # fold; the per-doc term list sums in sorted-char order (list
+        # ORDER BY ch) matching the fold's run order, and 0.0 - sum
+        # keeps single-symbol docs at +0.0 on both engines
+        "doc_char_entropy": r"""
+            WITH cs AS (
+                SELECT doc_id,
+                  list_filter(string_split(lower(coalesce(text, '')), ''),
+                      x -> NOT regexp_matches(x, '^\s$') AND x <> '')
+                      AS c
+                FROM documents
+            ),
+            nz AS (SELECT doc_id, len(c) AS n FROM cs WHERE len(c) > 0),
+            counts AS (
+                SELECT doc_id, ch, count(*) AS cnt FROM (
+                    SELECT doc_id, unnest(c) AS ch FROM cs
+                    WHERE len(c) > 0
+                ) GROUP BY doc_id, ch
+            ),
+            terms AS (
+                SELECT doc_id, list(cnt ORDER BY ch) AS cl,
+                       count(*) AS nd
+                FROM counts GROUP BY doc_id
+            ),
+            agg AS (
+                SELECT t.doc_id, nz.n, t.nd,
+                  0.0 - list_sum([
+                      (CAST(x AS DOUBLE) / CAST(nz.n AS DOUBLE))
+                      * log2(CAST(x AS DOUBLE) / CAST(nz.n AS DOUBLE))
+                      FOR x IN t.cl ]) AS ent
+                FROM terms t JOIN nz USING (doc_id)
+            )
+            SELECT doc_id, n AS n_chars_nws, nd AS n_distinct,
+                   round(ent, 6) AS entropy_bits,
+                   round(CASE WHEN nd > 1
+                              THEN ent / log2(CAST(nd AS DOUBLE))
+                              ELSE 0.0 END, 6) AS norm_entropy
+            FROM agg ORDER BY doc_id
+        """,
+        # overlapping token-window chunking: chunk i = tokens
+        # [i*stride, i*stride+16), stride 12, last chunk = first window
+        # reaching the end; DuckDB list_slice clamps like Spark slice
+        "doc_chunk_overlap": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                  list_filter(string_split_regex(
+                      coalesce(text, ''), '\s+'), x -> x <> '') AS t
+                FROM documents
+            ),
+            nz AS (SELECT doc_id, t, len(t) AS n FROM toks
+                   WHERE len(t) > 0),
+            ch AS (
+                SELECT doc_id,
+                  [ {'i': i,
+                     'c': list_slice(t, i * 12 + 1, i * 12 + 16)}
+                    FOR i IN range(0, greatest(1,
+                        CAST(ceil((n - 16) / 12.0) AS INT) + 1)) ] AS cs
+                FROM nz
+            )
+            SELECT doc_id, r.i AS chunk_idx, len(r.c) AS n_tokens,
+                   array_to_string(r.c, ' ') AS chunk_text
+            FROM ch, unnest(cs) AS u(r)
+            ORDER BY doc_id, chunk_idx
+        """,
+        # keep-first paragraph dedup: same planted-corpus line algebra
+        # as strip_boilerplate, first occurrence = row_number over
+        # (doc_id, pos) — the same total order as Spark's min(struct)
+        "doc_dedup_paragraphs": r"""
+            WITH planted AS (
+                SELECT doc_id,
+                       coalesce(text, '') || chr(10)
+                         || 'shared paragraph '
+                         || CAST(doc_id % 25 AS VARCHAR) AS s
+                FROM documents
+            ),
+            split AS (
+                SELECT doc_id, string_split(s, chr(10)) AS ps
+                FROM planted
+            ),
+            pars AS (
+                SELECT doc_id, r.pos AS pos,
+                       regexp_replace(regexp_replace(r.raw,
+                           '^\s+|\s+$', '', 'g'), '\s+', ' ', 'g') AS pn
+                FROM (
+                    SELECT doc_id,
+                           [ {'pos': i - 1, 'raw': ps[i]}
+                             FOR i IN range(1, len(ps) + 1) ] AS recs
+                    FROM split
+                ), unnest(recs) AS t(r)
+            ),
+            drops AS (
+                SELECT doc_id, list(pos) AS dp FROM (
+                    SELECT doc_id, pos,
+                           row_number() OVER (PARTITION BY md5(pn)
+                               ORDER BY doc_id, pos) AS rn
+                    FROM pars WHERE pn <> ''
+                ) WHERE rn > 1 GROUP BY doc_id
+            ),
+            rebuilt AS (
+                SELECT s.doc_id,
+                       array_to_string(
+                         [ps[i] FOR i IN range(1, len(ps) + 1)
+                          IF NOT list_contains(coalesce(dp, []), i - 1)],
+                         chr(10)) AS clean_text,
+                       len(coalesce(dp, [])) AS n_removed
+                FROM split s LEFT JOIN drops USING (doc_id)
+            )
+            SELECT doc_id, md5(clean_text) AS clean_md5,
+                   length(clean_text) AS clean_len, n_removed
+            FROM rebuilt ORDER BY doc_id
+        """,
         # logistic-regression quality classifier: TRAINING replicated
         # as 15 unrolled GD iterations (exact fixed-point gradient sums
         # — see _logreg_oracle_sql)
@@ -3967,6 +4152,21 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_semdedup": _semdedup_oracle_sql(),
+        # cluster-balanced diversity sample: full k-means training via
+        # the shared CTE chain, then the single-window rank the
+        # two-phase salted top-K is byte-identical to
+        "embedding_diverse_sample": f"""
+            WITH {_kmeans_assign_ctes()},
+            ranked AS (
+                SELECT vec_id, cl,
+                       row_number() OVER (PARTITION BY cl
+                           ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                    vec_id) AS rn
+                FROM allassign
+            )
+            SELECT vec_id, cl AS cluster_id FROM ranked
+            WHERE rn <= 16 ORDER BY vec_id
+        """,
         "multimodal_features": _multimodal_oracle_sql(),
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
         "doc_langid": lang_sql,

@@ -275,6 +275,63 @@ def strip_boilerplate_lines(
     )
 
 
+def dedup_paragraphs(
+    docs: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id", sep: str = "\n",
+) -> DataFrame:
+    """(id, clean_text, n_removed): global keep-first paragraph
+    deduplication (CCNet / RefinedWeb style) — every occurrence of a
+    normalized paragraph except the first (minimal ``(doc_id, pos)``)
+    is removed; empty/whitespace paragraphs are never candidates (they
+    carry formatting, not content) and unique paragraphs survive
+    byte-identical.
+
+    Distinct from ``strip_boilerplate_lines``: that drops lines whose
+    corpus frequency crosses a threshold from EVERY document; this
+    keeps exactly one canonical copy of each duplicated paragraph.
+
+    Scale shape: the document text NEVER crosses a shuffle. Paragraphs
+    explode to (pk=md5, id, pos) triples; one groupBy(pk) finds the
+    global first occurrence (min struct — deterministic total order);
+    a digest-only join emits (id, drop_pos) pairs, collected per doc;
+    the final join back to the intact docs table is on the id key (free
+    when the corpus is bucketed by id), and the rebuild is a per-row
+    indexed array filter — zero extra shuffle, bounded by doc size."""
+    pars = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("pos", "raw"),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
+    )
+    keys = pars.select(
+        id_col, "pos", F.md5(norm).alias("pk"), norm.alias("pn")
+    ).where(F.col("pn") != "").drop("pn")
+    first = keys.groupBy("pk").agg(
+        F.min(F.struct(id_col, "pos")).alias("first")
+    )
+    drops = (
+        keys.join(first, "pk")
+        .where(
+            (F.col(id_col) != F.col(f"first.{id_col}"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .groupBy(id_col)
+        .agg(F.collect_set("pos").alias("_drop_pos"))
+    )
+    joined = docs.join(drops, id_col, "left")
+    ps = F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+    dp = F.coalesce(F.col("_drop_pos"), F.array().cast("array<int>"))
+    kept = F.filter(ps, lambda x, i: ~F.array_contains(dp, i))
+    return joined.select(
+        F.col(id_col),
+        F.array_join(kept, sep).alias("clean_text"),
+        F.size(dp).alias("n_removed"),
+    )
+
+
 def _dsir_gram_frame(
     df: DataFrame, text_col: str, keep_cols: list
 ) -> DataFrame:

@@ -108,3 +108,51 @@ def bin_stats(packed: DataFrame) -> DataFrame:
         F.count("*").alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    chunk_tokens: int = 64, overlap: int = 16,
+) -> DataFrame:
+    """(doc_id, chunk_idx, n_tokens, chunk_text): split each document
+    into fixed-size overlapping token windows — the standard prep for
+    embedding / long-context pipelines (each chunk embeds or trains
+    independently). Chunk i covers tokens [i*stride, i*stride +
+    chunk_tokens) with stride = chunk_tokens - overlap; the last chunk
+    is the first one whose window reaches the end of the document, so
+    every token is covered and no degenerate all-overlap tail chunks
+    are emitted. Token-less documents emit no row.
+
+    Scale shape: pure per-row array algebra (split -> sequence ->
+    slice) followed by one narrow posexplode — zero shuffle, zero
+    Python; output size is input tokens x (1 + overlap/stride)."""
+    if not 0 <= overlap < chunk_tokens:
+        raise ValueError("need 0 <= overlap < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = df.select(
+        F.col(id_col),
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"),
+            lambda x: x != "",
+        ).alias("_t"),
+    ).filter(F.size("_t") > 0)
+    n = F.size("_t")
+    # number of stride steps until a window reaches the end
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + F.lit(1),
+    ).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.slice(F.col("_t"), i * stride + 1, chunk_tokens),
+    )
+    return toks.select(
+        id_col,
+        F.posexplode(chunks).alias("chunk_idx", "_c"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.size("_c").alias("n_tokens"),
+        F.array_join("_c", " ").alias("chunk_text"),
+    )

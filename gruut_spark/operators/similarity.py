@@ -376,3 +376,41 @@ def semdedup(
             ).alias("max_sim"),
         )
     )
+
+
+def cluster_balanced_sample(
+    df: DataFrame, vec_col: str, id_col: str, per_cluster: int,
+    n_clusters: int = 16, train_sample: int = 1024, iters: int = 10,
+    seed: int = 11, salt_buckets: int = 64,
+) -> DataFrame:
+    """(id, cluster_id): diversity sampling over the embedding space —
+    cap every k-means cluster at ``per_cluster`` deterministic
+    md5-ranked rows, so dense modes of the distribution cannot dominate
+    the mix (the cluster-balanced counterpart of the per-source quota:
+    DDC / prototype-style diversity selection).
+
+    Pure composition of two existing primitives, inheriting both scale
+    stories: the IVF trainer + one narrow assignment pass (bounded
+    TakeOrdered sample, broadcast centroids), then
+    ``quota_cap_per_source`` with the CLUSTER as the source — its
+    two-phase salted top-K keeps the hottest cluster's window bounded
+    to ~K*salt_buckets rows per task, byte-identical to the single
+    window."""
+    from gruut_spark.operators.corpus import quota_cap_per_source
+
+    sample_rows = ivf_train_sample(
+        df, vec_col, id_col, train_sample
+    ).collect()
+    sample = np.asarray(
+        [list(r[0]) for r in sample_rows], dtype=np.float64
+    )
+    centroids = _ivf_centroids(sample, n_clusters, iters=iters, seed=seed)
+    assigned = ivf_assign(df, vec_col, id_col, centroids).select(
+        "_id", "list_id"
+    )
+    capped = quota_cap_per_source(
+        assigned, "list_id", "_id", per_cluster, salt_buckets=salt_buckets
+    )
+    return capped.select(
+        F.col("_id").alias(id_col), F.col("list_id").alias("cluster_id")
+    )

@@ -436,3 +436,88 @@ def line_signal_stats(
         .otherwise(F.lit(0.0))
         .alias("dup_line_frac"),
     )
+
+
+def char_entropy_stats(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(doc_id, n_chars_nws, n_distinct, entropy_bits, norm_entropy):
+    per-document Shannon character entropy — the classic two-sided
+    quality signal (near-zero = degenerate repetition, near-maximal =
+    random noise; natural text sits in a band). Characters are the
+    lowercased non-whitespace alphabet; ``norm_entropy`` divides by
+    log2(n_distinct) (1.0 = uniform over the doc's own alphabet; 0 for
+    single-symbol docs). Documents with no non-whitespace character
+    emit no row.
+
+    ZERO-SHUFFLE: a per-document statistic, so nothing crosses the
+    cluster — sort the char array, one fold collapses runs into a
+    count list (O(n log n) + O(|alphabet|^2) appends), one in-order
+    fold sums -p*log2(p). The count list is materialized as its own
+    projection column before the entropy lambda touches it (the
+    captured-expression re-evaluation trap, see
+    repetition_ngram_stats)."""
+    cs = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), ""),
+        lambda x: ~x.rlike(r"^\s$") & (x != ""),
+    )
+    base = df.select(
+        F.col(id_col), F.array_sort(cs).alias("_cs")
+    ).filter(F.size("_cs") > 0)
+
+    zero = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).alias("run"),
+        F.array().cast("array<int>").alias("counts"),
+    )
+    fold = F.aggregate(
+        F.col("_cs"),
+        zero,
+        lambda acc, x: F.when(
+            x == acc["prev"],
+            F.struct(
+                x.alias("prev"),
+                (acc["run"] + 1).alias("run"),
+                acc["counts"].alias("counts"),
+            ),
+        ).otherwise(
+            F.struct(
+                x.alias("prev"),
+                F.lit(1).alias("run"),
+                F.concat(acc["counts"], F.array(acc["run"])).alias(
+                    "counts"
+                ),
+            )
+        ),
+        lambda acc: F.filter(
+            F.concat(acc["counts"], F.array(acc["run"])),
+            lambda c: c > 0,
+        ),
+    )
+    staged = base.select(
+        id_col,
+        F.size("_cs").alias("n_chars_nws"),
+        fold.alias("_counts"),
+    )
+    n = F.col("n_chars_nws").cast("double")
+    # 0.0 - x (not unary minus) so a single-symbol doc yields +0.0,
+    # never -0.0 — the two stringify differently in the value hash
+    ent = F.lit(0.0) - F.aggregate(
+        F.col("_counts"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c.cast("double") / n) * F.log2(c.cast("double") / n),
+    )
+    return staged.select(
+        id_col,
+        "n_chars_nws",
+        F.size("_counts").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy_bits"),
+        F.round(
+            F.when(
+                F.size("_counts") > 1,
+                ent / F.log2(F.size("_counts").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("norm_entropy"),
+    )

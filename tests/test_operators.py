@@ -1811,3 +1811,177 @@ def test_quality_logreg_separates(spark):
     ).collect()
     assert len(out) == 40
     assert all(r["pred"] == r["y"] for r in out)
+
+
+def test_dedup_paragraphs_keep_first(spark):
+    """Global keep-first paragraph dedup: the minimal (doc_id, pos)
+    occurrence of each normalized paragraph survives, later occurrences
+    (cross-doc AND within-doc) are removed, whitespace-only paragraphs
+    are never dedup candidates, and unique paragraphs survive
+    byte-identical (including leading whitespace the normalizer only
+    uses for keying). No Python in the plan."""
+    from gruut_spark.operators.corpus import dedup_paragraphs
+
+    rows = [
+        (1, "alpha beta\n\n  shared  line\nunique one"),
+        (2, "shared line\nalpha beta\nunique two"),
+        (3, "gamma\ngamma\n\n"),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup_paragraphs(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 1 holds the first occurrence of everything it contains
+    assert got[1]["clean_text"] == "alpha beta\n\n  shared  line\nunique one"
+    assert got[1]["n_removed"] == 0
+    # doc 2: 'shared line' normalizes equal to doc 1's '  shared  line'
+    # (later doc_id) and 'alpha beta' repeats -> both dropped
+    assert got[2]["clean_text"] == "unique two"
+    assert got[2]["n_removed"] == 2
+    # doc 3: within-doc dup drops the SECOND gamma; empty tails survive
+    assert got[3]["clean_text"] == "gamma\n\n"
+    assert got[3]["n_removed"] == 1
+    # null text -> one empty paragraph, never a candidate
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 0
+
+
+def test_chunk_documents_coverage_and_plan(spark):
+    """chunk_documents: chunk i covers [i*stride, i*stride+size); the
+    last chunk is the FIRST window reaching the document end (every
+    token covered, no degenerate tails); short docs emit exactly one
+    chunk; token-less docs emit none; plan is zero-Exchange,
+    zero-Python (narrow per-row algebra only)."""
+    from gruut_spark.operators.packing import chunk_documents
+
+    words = [f"w{i}" for i in range(25)]
+    rows = [
+        (1, " ".join(words)),       # 25 tokens: chunks at 0 and 10
+        (2, "a b c"),               # short: one chunk
+        (3, "   "),                 # token-less: no rows
+        (4, None),
+        (5, " ".join(f"x{i}" for i in range(20))),  # exactly 20 = size
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = chunk_documents(df, chunk_tokens=20, overlap=10)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    got = sorted(
+        (r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+        for r in out.collect()
+    )
+    assert got == [
+        (1, 0, 20, " ".join(words[:20])),
+        (1, 1, 15, " ".join(words[10:])),
+        (2, 0, 3, "a b c"),
+        (5, 0, 20, " ".join(f"x{i}" for i in range(20))),
+    ]
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=8, overlap=8)
+
+
+def test_char_entropy_exact_and_plan(spark):
+    """char_entropy_stats matches a from-scratch Python computation
+    (Counter + sorted-order summation, the fold's exact order) on
+    hand-picked cases: uniform alphabet -> norm 1.0, single symbol ->
+    0.0 bits, empty/whitespace docs emit no row. Zero-Exchange,
+    zero-Python plan."""
+    import math
+    from collections import Counter
+
+    from gruut_spark.operators.textstats import char_entropy_stats
+
+    rows = [
+        (1, "abcd"),          # uniform: 2 bits, norm 1.0
+        (2, "aaaa aaaa"),     # single symbol: 0 bits, norm 0
+        (3, "Hello World"),   # mixed case folds to lower
+        (4, "   "),
+        (5, None),
+        (6, "aab"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = char_entropy_stats(df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    got = {r["doc_id"]: r for r in out.collect()}
+    assert set(got) == {1, 2, 3, 6}
+
+    def expect(text):
+        cs = [c for c in text.lower() if not c.isspace()]
+        n = float(len(cs))
+        cnt = Counter(cs)
+        ent = 0.0
+        for ch in sorted(cnt):
+            p = cnt[ch] / n
+            ent = ent + p * math.log2(p)
+        ent = 0.0 - ent
+        nd = len(cnt)
+        norm = ent / math.log2(nd) if nd > 1 else 0.0
+        return len(cs), nd, round(ent, 6), round(norm, 6)
+
+    for i, text in [(1, "abcd"), (2, "aaaa aaaa"),
+                    (3, "Hello World"), (6, "aab")]:
+        n, nd, ent, norm = expect(text)
+        r = got[i]
+        assert (r["n_chars_nws"], r["n_distinct"]) == (n, nd)
+        assert r["entropy_bits"] == pytest.approx(ent, abs=2e-6)
+        assert r["norm_entropy"] == pytest.approx(norm, abs=2e-6)
+    assert got[1]["entropy_bits"] == 2.0 and got[1]["norm_entropy"] == 1.0
+    assert got[2]["entropy_bits"] == 0.0 and got[2]["norm_entropy"] == 0.0
+
+
+def test_cluster_balanced_sample_caps_and_determinism(spark):
+    """cluster_balanced_sample: no cluster exceeds the cap, the kept
+    set is exactly the md5-rank top-K of each cluster's full
+    assignment (two-phase == single-window), and the draw is identical
+    across repeated runs."""
+    import hashlib
+
+    from gruut_spark.operators.similarity import (
+        cluster_balanced_sample,
+        ivf_train_sample,
+        _ivf_centroids,
+        ivf_assign,
+    )
+
+    rng = np.random.default_rng(3)
+    # two dense blobs + scatter so clusters have very uneven sizes
+    vecs = np.vstack([
+        rng.normal(0, 0.05, (60, 8)) + 1.0,
+        rng.normal(0, 0.05, (30, 8)) - 1.0,
+        rng.normal(0, 1.0, (10, 8)),
+    ])
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = cluster_balanced_sample(
+        df, "embedding", "vec_id", per_cluster=5, n_clusters=4
+    ).collect()
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster_id"], []).append(r["vec_id"])
+    assert all(len(v) <= 5 for v in by_cluster.values())
+
+    # expected: md5-rank top-5 of the FULL assignment per cluster
+    sample_rows = ivf_train_sample(df, "embedding", "vec_id", 1024).collect()
+    cents = _ivf_centroids(
+        np.asarray([list(r[0]) for r in sample_rows]), 4
+    )
+    assigned = {
+        r["_id"]: r["list_id"]
+        for r in ivf_assign(df, "embedding", "vec_id", cents).collect()
+    }
+    expected = {}
+    for cl in set(assigned.values()):
+        members = sorted(
+            (i for i, c in assigned.items() if c == cl),
+            key=lambda i: (hashlib.md5(str(i).encode()).hexdigest(), i),
+        )
+        expected[cl] = sorted(members[:5])
+    assert {cl: sorted(v) for cl, v in by_cluster.items()} == expected
+
+    again = cluster_balanced_sample(
+        df, "embedding", "vec_id", per_cluster=5, n_clusters=4
+    ).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
