@@ -1195,6 +1195,37 @@ def _doc_dedup_paragraphs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _embedding_ssl_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSL-prototype diversification (Sorscher et al. 2022): drop the
+    25% most prototypical rows of each k-means cluster (smallest d2 to
+    centroid, id tiebreak)
+    (operators/similarity.py::ssl_prototypes_filter). Oracle: the
+    shared Lloyd-training CTE chain + the identical left-to-right d2
+    fold + the same window rank."""
+    from gruut_spark.operators.similarity import ssl_prototypes_filter
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ssl_prototypes_filter(
+        emb, "embedding", "vec_id", drop_frac=0.25
+    ).orderBy("vec_id")
+
+
+def _embedding_d4_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed D4 selection (Tirumala et al. 2023): SemDeDup over
+    the twin-planted table (all 10 twins drop), then SSL prototypes
+    re-cluster the survivors and drop the 25% most prototypical per
+    cluster (operators/similarity.py::d4_select). The oracle chains TWO
+    independent k-means training passes (prefixed CTE chains) coupled
+    by the survivor NOT-IN — both trainings replicated in SQL."""
+    from gruut_spark.operators.similarity import d4_select
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return d4_select(
+        _with_planted_twins(emb), "embedding", "vec_id",
+        threshold=0.95, drop_frac=0.25,
+    ).orderBy("vec_id")
+
+
 def _embedding_diverse_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cluster-balanced diversity sampling: cap every k-means cluster
     of the embedding space at 16 md5-ranked rows
@@ -1827,6 +1858,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_chunk_overlap": _doc_chunk_overlap,
         "doc_char_entropy": _doc_char_entropy,
         "embedding_diverse_sample": _embedding_diverse_sample,
+        "embedding_ssl_prototypes": _embedding_ssl_prototypes,
+        "embedding_d4_select": _embedding_d4_select,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
         "embedding_near_dups": _embedding_near_dups,
@@ -2126,7 +2159,7 @@ def _embedding_near_dups_oracle_sql(
 def _kmeans_assign_ctes(
     source_sql: str = "SELECT vec_id, embedding FROM embeddings",
     n_lists: int = 16, iters: int = 10, seed: int = 11, dim: int = 64,
-    n_pop: int = 500, train_sample: int = 1024,
+    n_pop: int = 500, train_sample: int = 1024, prefix: str = "",
 ) -> str:
     """Shared DuckDB CTE chain replicating the repo's deterministic
     k-means (similarity.py::_ivf_centroids + ivf_assign) over any
@@ -2143,38 +2176,42 @@ def _kmeans_assign_ctes(
 
     ``n_pop`` pins the population size the seeded init draws from
     (numpy's rng.choice depends on it) and must equal the source's row
-    count when that is below ``train_sample``."""
+    count when that is below ``train_sample``. ``prefix`` namespaces
+    every CTE so two independent chains (e.g. D4's semdedup pass and
+    its re-clustering pass) can live in one WITH; the final assignment
+    CTE is ``{prefix}allassign``."""
     rng = np.random.default_rng(seed)
     idx = np.sort(rng.choice(n_pop, size=min(n_lists, n_pop), replace=False))
     init_rows = ",".join(f"({c},{int(i) + 1})" for c, i in enumerate(idx))
     d2 = "list_sum([ (s.ev[i]-c.v[i])*(s.ev[i]-c.v[i]) FOR i IN range(1, %d) ])" % (dim + 1)
+    p = prefix
     ctes = ""
     for it in range(1, iters + 1):
-        prev, cur = f"cents{it - 1}", f"cents{it}"
+        prev, cur = f"{p}cents{it - 1}", f"{p}cents{it}"
         ctes += f""",
-        assign{it} AS MATERIALIZED (
+        {p}assign{it} AS MATERIALIZED (
           SELECT s.rn, s.ev, arg_min(c.c, {d2}) AS cl
-          FROM samp s CROSS JOIN {prev} c GROUP BY s.rn, s.ev),
-        newc{it} AS MATERIALIZED (
+          FROM {p}samp s CROSS JOIN {prev} c GROUP BY s.rn, s.ev),
+        {p}newc{it} AS MATERIALIZED (
           SELECT cl AS c, pos, avg(ev[pos]) AS val
-          FROM assign{it}, range(1, {dim + 1}) r(pos) GROUP BY cl, pos),
+          FROM {p}assign{it}, range(1, {dim + 1}) r(pos) GROUP BY cl, pos),
         {cur} AS MATERIALIZED (
           SELECT p.c, coalesce(n.v, p.v) AS v FROM {prev} p
           LEFT JOIN (SELECT c, list(val ORDER BY pos) AS v
-                     FROM newc{it} GROUP BY c) n ON n.c = p.c)"""
-    return f"""init(c, rn) AS (VALUES {init_rows}),
-        emb_rn AS MATERIALIZED (
+                     FROM {p}newc{it} GROUP BY c) n ON n.c = p.c)"""
+    return f"""{p}init(c, rn) AS (VALUES {init_rows}),
+        {p}emb_rn AS MATERIALIZED (
           SELECT vec_id, embedding, row_number() OVER (ORDER BY vec_id) AS rn
           FROM ({source_sql})),
-        samp AS MATERIALIZED (
-          SELECT rn, vec_id, embedding::DOUBLE[] AS ev FROM emb_rn
+        {p}samp AS MATERIALIZED (
+          SELECT rn, vec_id, embedding::DOUBLE[] AS ev FROM {p}emb_rn
           WHERE rn <= {train_sample}),
-        cents0 AS MATERIALIZED (
-          SELECT i.c, s.ev AS v FROM init i JOIN samp s ON s.rn = i.rn){ctes},
-        allassign AS MATERIALIZED (
+        {p}cents0 AS MATERIALIZED (
+          SELECT i.c, s.ev AS v FROM {p}init i JOIN {p}samp s ON s.rn = i.rn){ctes},
+        {p}allassign AS MATERIALIZED (
           SELECT s.vec_id, s.ev, arg_min(c.c, {d2}) AS cl
-          FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM emb_rn) s
-          CROSS JOIN cents{iters} c GROUP BY s.vec_id, s.ev)"""
+          FROM (SELECT vec_id, embedding::DOUBLE[] AS ev FROM {p}emb_rn) s
+          CROSS JOIN {p}cents{iters} c GROUP BY s.vec_id, s.ev)"""
 
 
 def _ivf_oracle_sql(
@@ -2273,6 +2310,87 @@ def _logreg_oracle_sql(iters: int = 15, lr: float = 0.5) -> str:
     """
 
 
+# the SQL twin of _with_planted_twins (roll + 5% blend through REAL)
+_TWINS_SOURCE_SQL = """SELECT vec_id, embedding FROM embeddings
+          UNION ALL
+          SELECT vec_id + 10000000 AS vec_id,
+            [ (embedding[i]::DOUBLE
+               + 0.05 * (embedding[2:] || embedding[1:1])[i]::DOUBLE)::REAL
+              FOR i IN range(1, len(embedding)+1) ] AS embedding
+          FROM embeddings WHERE vec_id % 50 = 0"""
+
+
+def _ssl_proto_tail_sql(prefix: str = "", iters: int = 10,
+                        drop_frac: float = 0.25, dim: int = 64) -> str:
+    """The SSL-prototype scoring tail over a (prefixed) k-means chain:
+    d2 to the final centroid via the same left-to-right fold as the
+    operator's zip_with/aggregate, then the per-cluster
+    (d2, vec_id)-ranked drop of the ceil(drop_frac*n) smallest."""
+    p = prefix
+    d2 = (f"list_sum([ (a.ev[i]-c.v[i])*(a.ev[i]-c.v[i])"
+          f" FOR i IN range(1, {dim + 1}) ])")
+    return f"""{p}d AS (
+          SELECT a.vec_id, a.cl, {d2} AS d2
+          FROM {p}allassign a JOIN {p}cents{iters} c ON c.c = a.cl),
+        {p}ranked AS (
+          SELECT vec_id, cl, d2,
+                 row_number() OVER (PARTITION BY cl
+                     ORDER BY d2, vec_id) AS rk,
+                 count(*) OVER (PARTITION BY cl) AS n
+          FROM {p}d)"""
+
+
+def _ssl_prototypes_oracle_sql(iters: int = 10,
+                               drop_frac: float = 0.25) -> str:
+    """DuckDB replication of embedding_ssl_prototypes including the
+    k-means TRAINING (shared CTE chain) and the prototype drop rule."""
+    return f"""
+        WITH {_kmeans_assign_ctes(iters=iters)},
+        {_ssl_proto_tail_sql(iters=iters, drop_frac=drop_frac)}
+        SELECT vec_id, cl AS cluster_id, round(d2, 6) AS d2,
+               rk > CAST(ceil({drop_frac} * n) AS INT) AS keep
+        FROM ranked ORDER BY vec_id
+    """
+
+
+def _d4_oracle_sql(threshold: float = 0.95, drop_frac: float = 0.25,
+                   iters: int = 10, seed: int = 11) -> str:
+    """DuckDB replication of the ENTIRE embedding_d4_select pipeline:
+    chain A (prefix a_) = semdedup over the twin-planted union
+    (n_pop=510), its within-cluster pair rule yields the drop set;
+    chain B (prefix b_) re-trains k-means on the SURVIVORS
+    (n_pop=500 = 510 - the 10 twins, pinned at sf0.01), then the
+    SSL-prototype drop. Two full Lloyd trainings in one WITH."""
+    cos = (
+        "list_dot_product(a.ev, b.ev)"
+        " / (sqrt(list_dot_product(a.ev, a.ev))"
+        "    * sqrt(list_dot_product(b.ev, b.ev)))"
+    )
+    survivors = """SELECT vec_id, embedding FROM ({src}) u
+          WHERE vec_id NOT IN (SELECT vec_id FROM a_losers)""".format(
+        src=_TWINS_SOURCE_SQL
+    )
+    return f"""
+        WITH {_kmeans_assign_ctes(source_sql=_TWINS_SOURCE_SQL,
+                                  iters=iters, seed=seed, n_pop=510,
+                                  prefix="a_")},
+        a_losers AS (
+          SELECT b.vec_id
+          FROM a_allassign a JOIN a_allassign b
+            ON a.cl = b.cl AND a.vec_id < b.vec_id
+          WHERE {cos} >= {threshold}
+          GROUP BY b.vec_id),
+        {_kmeans_assign_ctes(source_sql=survivors, iters=iters,
+                             seed=seed, n_pop=500, prefix="b_")},
+        {_ssl_proto_tail_sql(prefix="b_", iters=iters,
+                             drop_frac=drop_frac)}
+        SELECT vec_id, cl AS cluster_id, round(d2, 6) AS d2
+        FROM b_ranked
+        WHERE rk > CAST(ceil({drop_frac} * n) AS INT)
+        ORDER BY vec_id
+    """
+
+
 def _semdedup_oracle_sql(
     threshold: float = 0.95, iters: int = 10, seed: int = 11,
     n_pop: int = 510,
@@ -2288,13 +2406,7 @@ def _semdedup_oracle_sql(
         " / (sqrt(list_dot_product(a.ev, a.ev))"
         "    * sqrt(list_dot_product(b.ev, b.ev)))"
     )
-    source = """SELECT vec_id, embedding FROM embeddings
-          UNION ALL
-          SELECT vec_id + 10000000 AS vec_id,
-            [ (embedding[i]::DOUBLE
-               + 0.05 * (embedding[2:] || embedding[1:1])[i]::DOUBLE)::REAL
-              FOR i IN range(1, len(embedding)+1) ] AS embedding
-          FROM embeddings WHERE vec_id % 50 = 0"""
+    source = _TWINS_SOURCE_SQL
     return f"""
         WITH {_kmeans_assign_ctes(source_sql=source, iters=iters,
                                   seed=seed, n_pop=n_pop)},
@@ -4152,6 +4264,11 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
         "embedding_semdedup": _semdedup_oracle_sql(),
+        # SSL prototypes: training chain + d2 fold + window drop rule
+        "embedding_ssl_prototypes": _ssl_prototypes_oracle_sql(),
+        # D4 = semdedup chain (a_) -> survivor NOT IN -> re-train (b_)
+        # -> prototype drop; two full Lloyd trainings in one WITH
+        "embedding_d4_select": _d4_oracle_sql(),
         # cluster-balanced diversity sample: full k-means training via
         # the shared CTE chain, then the single-window rank the
         # two-phase salted top-K is byte-identical to

@@ -414,3 +414,90 @@ def cluster_balanced_sample(
     return capped.select(
         F.col("_id").alias(id_col), F.col("list_id").alias("cluster_id")
     )
+
+
+def ssl_prototypes_filter(
+    df: DataFrame, vec_col: str, id_col: str, drop_frac: float = 0.25,
+    n_clusters: int = 16, train_sample: int = 1024, iters: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """(id, cluster_id, d2, keep): SSL-prototype diversification
+    (Sorscher et al. 2022; the "diversify" half of D4, Tirumala et al.
+    2023): within each k-means cluster, DROP the ``drop_frac`` most
+    prototypical rows — smallest squared distance to the centroid, id
+    tiebreak — keeping the informative outskirts of each mode.
+
+    The distance is computed in Catalyst against broadcast centroid
+    literals as a left-to-right zip_with/aggregate fold, so both
+    engines evaluate the identical IEEE sequence (exact-rounded ops on
+    identical inputs are bit-identical; ranking ties are then only
+    genuine equal-vector ties, broken by id). Per-cluster rank is one
+    window; at scale ``n_clusters`` is the knob that keeps a cluster
+    inside a task (D4 runs ~110k clusters), the same contract as
+    semdedup."""
+    sample_rows = ivf_train_sample(
+        df, vec_col, id_col, train_sample
+    ).collect()
+    sample = np.asarray(
+        [list(r[0]) for r in sample_rows], dtype=np.float64
+    )
+    centroids = _ivf_centroids(sample, n_clusters, iters=iters, seed=seed)
+    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    spark = df.sparkSession
+    cents = spark.createDataFrame(
+        [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)],
+        "list_id int, _cv array<double>",
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("_vec"), F.col("_cv"),
+            lambda a, b: (a.cast("double") - b) * (a.cast("double") - b),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    from pyspark.sql.window import Window
+
+    scored = assigned.join(F.broadcast(cents), "list_id").select(
+        "_id", "list_id", d2.alias("_d2")
+    )
+    w = Window.partitionBy("list_id").orderBy("_d2", "_id")
+    cnt = Window.partitionBy("list_id")
+    ranked = scored.select(
+        "_id", "list_id", "_d2",
+        F.row_number().over(w).alias("_rk"),
+        F.count("*").over(cnt).alias("_n"),
+    )
+    n_drop = F.ceil(F.lit(float(drop_frac)) * F.col("_n")).cast("int")
+    return ranked.select(
+        F.col("_id").alias(id_col),
+        F.col("list_id").alias("cluster_id"),
+        F.round("_d2", 6).alias("d2"),
+        (F.col("_rk") > n_drop).alias("keep"),
+    )
+
+
+def d4_select(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.95,
+    drop_frac: float = 0.25, n_clusters: int = 16,
+    train_sample: int = 1024, iters: int = 10, seed: int = 11,
+) -> DataFrame:
+    """(id, cluster_id, d2): the composed D4 selection (Tirumala et
+    al. 2023) — SemDeDup drops semantic near-duplicates, then SSL
+    prototypes re-cluster the SURVIVORS and drop the most prototypical
+    ``drop_frac`` per cluster. Both stages inherit their own scale
+    stories; the only coupling is an id-key semi join recovering the
+    survivor vectors (free under id-bucketing)."""
+    keeps = semdedup(
+        df, vec_col, id_col, n_clusters=n_clusters, threshold=threshold,
+        train_sample=train_sample, iters=iters, seed=seed,
+    ).filter(F.col("keep")).select(F.col(id_col))
+    survivors = df.join(keeps, id_col, "semi")
+    proto = ssl_prototypes_filter(
+        survivors, vec_col, id_col, drop_frac=drop_frac,
+        n_clusters=n_clusters, train_sample=train_sample, iters=iters,
+        seed=seed,
+    )
+    return proto.filter(F.col("keep")).select(
+        id_col, "cluster_id", "d2"
+    )

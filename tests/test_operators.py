@@ -1985,3 +1985,85 @@ def test_cluster_balanced_sample_caps_and_determinism(spark):
         df, "embedding", "vec_id", per_cluster=5, n_clusters=4
     ).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_ssl_prototypes_drop_rule(spark):
+    """ssl_prototypes_filter drops exactly the ceil(frac*n) smallest-d2
+    (id tiebreak) rows of each cluster, verified against a from-scratch
+    numpy replication of training, assignment, distance, and rank."""
+    from gruut_spark.operators.similarity import (
+        _ivf_centroids,
+        ssl_prototypes_filter,
+    )
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(0, 1, (80, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(80)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = ssl_prototypes_filter(
+        df, "embedding", "vec_id", drop_frac=0.25, n_clusters=4
+    ).collect()
+
+    cents = _ivf_centroids(vecs, 4)
+    d = ((vecs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    assign = d.argmin(axis=1)
+    expected_keep = {}
+    for c in range(4):
+        members = sorted(
+            (int(i) for i in np.where(assign == c)[0]),
+            key=lambda i: (d[i, c], i),
+        )
+        n_drop = int(np.ceil(0.25 * len(members)))
+        for rank, i in enumerate(members):
+            expected_keep[i] = rank >= n_drop
+    got = {r["vec_id"]: r for r in out}
+    assert len(got) == 80
+    for i, r in got.items():
+        assert r["cluster_id"] == int(assign[i])
+        assert r["keep"] == expected_keep[i], i
+        assert r["d2"] == pytest.approx(
+            round(float(d[i, assign[i]]), 6), abs=2e-6
+        )
+
+
+def test_d4_select_composition(spark):
+    """d4_select = semdedup keeps -> re-cluster -> prototype keeps:
+    planted exact twins never survive, and the result equals composing
+    the two operators by hand."""
+    from gruut_spark.operators.similarity import (
+        d4_select,
+        semdedup,
+        ssl_prototypes_filter,
+    )
+
+    rng = np.random.default_rng(9)
+    vecs = rng.normal(0, 1, (60, 8))
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    # exact twins of every 10th vector at id+1000
+    rows += [(1000 + i, [float(x) for x in vecs[i]])
+             for i in range(0, 60, 10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = d4_select(
+        df, "embedding", "vec_id", threshold=0.999, drop_frac=0.25,
+        n_clusters=4,
+    ).collect()
+    ids = {r["vec_id"] for r in out}
+    assert not any(i >= 1000 for i in ids)  # twins gone
+
+    keeps = {
+        r["vec_id"]
+        for r in semdedup(
+            df, "embedding", "vec_id", n_clusters=4, threshold=0.999
+        ).collect()
+        if r["keep"]
+    }
+    surv = df.filter(F.col("vec_id").isin([int(x) for x in keeps]))
+    manual = {
+        r["vec_id"]: (r["cluster_id"], r["d2"])
+        for r in ssl_prototypes_filter(
+            surv, "embedding", "vec_id", drop_frac=0.25, n_clusters=4
+        ).collect()
+        if r["keep"]
+    }
+    assert {r["vec_id"]: (r["cluster_id"], r["d2"]) for r in out} == manual
