@@ -1,0 +1,107 @@
+"""Cross-batch streaming keep-first paragraph deduplication.
+
+The streaming sibling of ``operators/corpus.py::dedup_paragraphs``
+(CCNet-style): the FIRST arrival of each normalized paragraph is kept;
+every later occurrence — in the same micro-batch or any later one — is
+emitted as a (doc, pos) DROP instruction that a downstream rewriter
+applies with the same indexed array filter the batch operator uses.
+Emitting drops (not keeps) makes the append stream sparse: steady-state
+duplicate-free traffic produces no output rows at all.
+
+``applyInPandasWithState`` keys by the normalized-paragraph md5; state
+per key is a single boolean (seen) — 1 byte, the inherent floor for
+keep-first tracking. Within one micro-batch the keeper is the minimal
+(doc_id, pos) instance, matching the batch operator's deterministic
+total order; ACROSS batches the keeper is the first ARRIVAL (standard
+streaming keep-first — equal to the batch result whenever ingest is
+ordered by doc id, the usual replay layout). Doc ids pass through as
+strings end-to-end (id-type-generic, the repo-wide streaming
+convention); the within-batch order still uses the NATIVE values so
+numeric ids never sort lexicographically.
+
+Optional TTL bounds state for endless streams: a paragraph idle past
+the TTL may be kept once more if it recurs later — memory traded for
+cross-epoch recall, never a lost document.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+STATE_SCHEMA = "seen boolean"
+OUTPUT_SCHEMA = "doc_id string, pos long"
+
+
+def _make_paragraph_fn(
+    ttl_minutes: Optional[float] = None,
+) -> Callable[..., Iterator[pd.DataFrame]]:
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        insts = []
+        for pdf in batches:
+            insts.extend(zip(pdf["_id"].tolist(), pdf["_pos"].tolist()))
+        if not insts:
+            return
+        insts.sort(key=lambda t: (t[0], t[1]))
+        drops = insts if state.exists else insts[1:]
+        state.update((True,))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        if drops:
+            yield pd.DataFrame(
+                {
+                    "doc_id": [str(i) for i, _ in drops],
+                    "pos": [int(p) for _, p in drops],
+                }
+            )
+
+    return fn
+
+
+def streaming_paragraph_drops(
+    stream: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    state_ttl_minutes: Optional[float] = None, sep: str = "\n",
+) -> DataFrame:
+    """stream (id, text) -> (doc_id, pos) drop instructions: every
+    paragraph instance that is NOT the keep-first canonical copy.
+    Normalization (strip + collapse whitespace; empty paragraphs never
+    candidates) is byte-identical to the batch operator, so a streaming
+    run over an id-ordered batch split emits exactly the batch
+    operator's drop set."""
+    pars = stream.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
+        ).alias("_pos", "raw"),
+    )
+    norm = F.regexp_replace(
+        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
+    )
+    keyed = (
+        pars.select("_id", "_pos", F.md5(norm).alias("pk"), norm.alias("pn"))
+        .where(F.col("pn") != "")
+        .drop("pn")
+    )
+    return keyed.groupBy("pk").applyInPandasWithState(
+        _make_paragraph_fn(state_ttl_minutes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

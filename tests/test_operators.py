@@ -2067,3 +2067,85 @@ def test_d4_select_composition(spark):
         if r["keep"]
     }
     assert {r["vec_id"]: (r["cluster_id"], r["d2"]) for r in out} == manual
+
+
+def test_streaming_paragraph_dedup_crosses_batches(spark, tmp_path):
+    """Keep-first across micro-batches: within batch 1 the minimal
+    (doc_id, pos) instance of a shared paragraph keeps (the other
+    drops); in batch 2 the same paragraph drops outright and a unique
+    paragraph emits nothing."""
+    from gruut_spark.streaming.stateful_paragraphs import (
+        streaming_paragraph_drops,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    b1 = spark.createDataFrame(
+        [(1, "common para\nown one"), (2, "own two\ncommon  para")],
+        "doc_id long, text string",
+    )
+    b2 = spark.createDataFrame(
+        [(3, "common para\nfresh stuff")], "doc_id long, text string"
+    )
+    b1.coalesce(1).write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+
+    def run():
+        q = (
+            streaming_paragraph_drops(stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    out1 = spark.read.parquet(out_dir).toPandas()
+    # only doc 2's normalized-equal 'common  para' (pos 1) drops
+    assert sorted(zip(out1["doc_id"], out1["pos"])) == [("2", 1)]
+
+    b2.coalesce(1).write.parquet(in_dir + "/b2")
+    run()
+    out2 = spark.read.parquet(out_dir).toPandas()
+    assert sorted(zip(out2["doc_id"], out2["pos"])) == [("2", 1), ("3", 0)]
+
+
+def test_streaming_paragraph_kernel_keep_first():
+    """Kernel unit: unseen key keeps its minimal (id, pos) NATIVE-order
+    instance and drops the rest; seen key drops everything; numeric ids
+    sort numerically (10 > 9), not lexicographically."""
+    import pandas as pd
+
+    from gruut_spark.streaming.stateful_paragraphs import _make_paragraph_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self.exists = False
+
+    fn = _make_paragraph_fn()
+    st = FakeState()
+    pdf = pd.DataFrame({"_id": [10, 9, 9], "_pos": [0, 5, 2]})
+    out = list(fn(("k",), iter([pdf]), st))
+    assert len(out) == 1
+    got = sorted(zip(out[0]["doc_id"], out[0]["pos"]))
+    # keeper is (9, 2) by native numeric order; (10, 0) must drop
+    assert got == [("10", 0), ("9", 5)]
+    out2 = list(fn(("k",), iter([pd.DataFrame({"_id": [1], "_pos": [0]})]), st))
+    assert sorted(zip(out2[0]["doc_id"], out2[0]["pos"])) == [("1", 0)]
