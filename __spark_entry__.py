@@ -580,6 +580,32 @@ def _doc_ppl_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style head/middle/tail perplexity bucketing (Wenzek et al.
+    2020) — THE canonical LM quality-filter stage: per-language ntile(3)
+    over the value-oracled Stupid-Backoff perplexity (doc_ppl_relational's
+    scorer), ties broken by doc_id so the total order (and therefore the
+    tile assignment) is deterministic on both engines. One window over
+    (lang) — partition-pruned, no skew (languages are balanced here;
+    a hot language would take the two-phase quota_cap treatment)."""
+    from pyspark.sql.window import Window
+
+    base = _doc_ppl_relational(spark, sf_dir)
+    langs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = base.join(langs, "doc_id")
+    tile = F.ntile(3).over(
+        Window.partitionBy("lang").orderBy(
+            F.col("ppl").asc(), F.col("doc_id").asc()
+        )
+    )
+    bucket = (
+        F.when(tile == 1, "head").when(tile == 2, "middle").otherwise("tail")
+    )
+    return j.select(
+        "doc_id", "lang", "ppl", bucket.alias("ppl_bucket")
+    ).orderBy("doc_id")
+
+
 def _doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.textstats import bpe_token_counts
 
@@ -849,6 +875,52 @@ def _doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return quality_logreg_scores(
         docs, "text", "doc_id", label=F.col("lang") == "en"
     ).orderBy("doc_id")
+
+
+def _doc_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer-merge training (Sennrich et al. 2016;
+    operators/bpe_train.py): ONE corpus-scale word-count shuffle, then
+    10 merge-learning iterations over the ≤256-row vocab histogram —
+    each a one-row argmax job (bounded driver collect) folded back as a
+    string-replace projection. The DuckDB oracle replays TRAINING
+    itself as 10 unrolled CTE iterations (the Lloyd/logreg pattern);
+    ``replace`` left-to-right non-overlapping semantics make the merge
+    rule bit-identical across engines (see bpe_train.py docstring)."""
+    from gruut_spark.operators.bpe_train import bpe_train
+
+    return bpe_train(
+        _read(spark, sf_dir, "documents"),
+        n_merges=10, min_count=2, max_words=256, max_word_len=16,
+    ).orderBy("step")
+
+
+def _sketch_hll_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source HyperLogLog distinct-3-shingle estimate (Flajolet et
+    al. 2007, p=8; operators/sketches.py) — the approx-distinct that
+    replaces count(distinct) at 100 TB: only ≤256 (source, register)
+    rows shuffle, and registers merge by max across partitions/days.
+    Float path pinned to one IEEE order (sorted-register fold, fused
+    alpha·m² literal, single division) and rounded to 6 on both sides;
+    exact_distinct joined for small-sf verification only."""
+    from gruut_spark.operators.sketches import hll_distinct_tokens
+
+    return hll_distinct_tokens(
+        _read(spark, sf_dir, "documents"),
+        group_col="source", with_exact=True, shingle_n=3,
+    )
+
+
+def _sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005; 4×1024
+    salted-md5 counters, operators/sketches.py) point estimates for the
+    20 most frequent tokens next to ground truth. All integer — the
+    DuckDB oracle is hash-exact. Partial agg bounds the shuffle at
+    depth·width rows per partition; the finished sketch broadcasts."""
+    from gruut_spark.operators.sketches import countmin_topk_check
+
+    return countmin_topk_check(
+        _read(spark, sf_dir, "documents"), k=20, depth=4, width=1024
+    )
 
 
 def _doc_ca_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1832,6 +1904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_langid": _doc_langid,
         "doc_ppl": _doc_ppl,
         "doc_ppl_relational": _doc_ppl_relational,
+        "doc_ppl_buckets": _doc_ppl_buckets,
         "doc_rolling_fingerprints": _doc_rolling_fingerprints,
         "doc_gruut_tokens": _doc_gruut_tokens,
         "quality_verdict": _quality_verdict,
@@ -1884,6 +1957,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_select": _doc_dsir_select,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_quality_logreg": _doc_quality_logreg,
+        "doc_bpe_merges": _doc_bpe_merges,
+        "sketch_hll_shingles": _sketch_hll_shingles,
+        "sketch_countmin_tokens": _sketch_countmin_tokens,
     }
 
 
@@ -3139,6 +3215,184 @@ _DSIR_ORACLE_CTES = r"""docs AS (
             )"""
 
 
+def _bpe_oracle_sql(
+    n_merges: int = 10,
+    min_count: int = 2,
+    max_words: int = 256,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB replication of operators.bpe_train.bpe_train: the word
+    histogram (same tokenization/filters/cap) wrapped into separator
+    strings, then n_merges unrolled iterations of pair-count -> argmax
+    (count DESC, lhs, rhs) -> left-to-right non-overlapping replace.
+    Both engines' ``replace`` substitutes disjoint occurrences left to
+    right without rescanning output, so the merge rule is identical."""
+    s = "chr(31)"
+    parts = [
+        f"""w0 AS (
+          SELECT word, CAST(count(*) AS BIGINT) AS cnt
+          FROM (
+            SELECT unnest(list_filter(string_split_regex(
+                lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS word
+            FROM documents
+          )
+          WHERE regexp_matches(word, '^[!-~]+$')
+            AND length(word) <= {max_word_len}
+          GROUP BY word HAVING count(*) >= {min_count}
+          ORDER BY cnt DESC, word LIMIT {max_words}
+        ),
+        v0 AS (
+          SELECT word, cnt,
+            regexp_replace(word, '(.)', {s} || '\\1' || {s}, 'g')
+              || {s} || '</w>' || {s} AS wrapped
+          FROM w0
+        )"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(f"""sy{i} AS (
+          SELECT cnt, string_split(trim(wrapped, {s}), {s} || {s}) AS sm
+          FROM v{p}
+        ),
+        pc{i} AS (
+          SELECT sm[j] AS lhs, sm[j + 1] AS rhs,
+                 CAST(sum(cnt) AS BIGINT) AS pair_count
+          FROM sy{i}, unnest(generate_series(1, len(sm) - 1)) AS t(j)
+          GROUP BY 1, 2
+        ),
+        b{i} AS (
+          SELECT lhs, rhs, pair_count FROM pc{i}
+          ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+        ),
+        v{i} AS (
+          SELECT word, cnt,
+            replace(wrapped, {s} || lhs || {s} || {s} || rhs || {s},
+                             {s} || lhs || rhs || {s}) AS wrapped
+          FROM v{p}, b{i}
+        )""")
+        # each b{i} row is one learned merge; v{i} folds it into the vocab
+    finals = "\n          UNION ALL ".join(
+        f"SELECT CAST({i} AS INT) AS step, lhs, rhs, lhs || rhs AS merged,"
+        f" pair_count FROM b{i}"
+        for i in range(1, n_merges + 1)
+    )
+    ctes = ",\n        ".join(parts)
+    return f"""
+        WITH {ctes}
+        SELECT * FROM (
+          {finals}
+        ) ORDER BY step
+    """
+
+
+def _hll_oracle_sql() -> str:
+    """DuckDB replication of operators.sketches.hll_distinct_tokens
+    (shingle_n=3, per source): md5 register/rho extraction (regexp
+    leading-zero count + nibble CASE), max-merge, then the estimate in
+    the SAME pinned IEEE order as Spark — registers sorted by id,
+    left fold of exact powers of two, fused alpha·m² literal, one
+    division — so the harmonic branch matches bit-for-bit (both sides
+    round to 6). The `rest || '1'` pad keeps the nibble cast total when
+    all 30 hex chars are zero (that branch returns 121 anyway)."""
+    from gruut_spark.operators.sketches import HLL_ALPHA_M2
+
+    return f"""
+        WITH t AS (
+          SELECT source,
+            list_filter(string_split_regex(
+                lower(coalesce(text, '')), '\\s+'), x -> x <> '') AS ts
+          FROM documents
+        ),
+        sh AS (
+          SELECT source, ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2] AS token
+          FROM t, unnest(generate_series(1, len(ts) - 2)) u(j)
+        ),
+        rg AS (
+          SELECT source,
+            CAST(CAST(('0x' || substring(h, 1, 2)) AS BIGINT) AS INT) AS reg,
+            length(regexp_extract(substring(h, 3, 30), '^(0*)', 1)) AS zeros,
+            substring(h, 3, 30) AS rest
+          FROM (SELECT source, md5(token) AS h FROM sh)
+        ),
+        rho AS (
+          SELECT source, reg,
+            CASE WHEN zeros = 30 THEN 121
+                 ELSE zeros * 4 + CASE WHEN nib >= 8 THEN 0
+                                       WHEN nib >= 4 THEN 1
+                                       WHEN nib >= 2 THEN 2
+                                       ELSE 3 END + 1
+            END AS rho
+          FROM (SELECT source, reg, zeros,
+                  CAST(('0x' || substring(rest || '1', zeros + 1, 1))
+                       AS BIGINT) AS nib
+                FROM rg)
+        ),
+        regs AS (SELECT source, reg, max(rho) AS mr FROM rho GROUP BY 1, 2),
+        fold AS (
+          SELECT source, CAST(256 - count(*) AS INT) AS n_zero,
+                 list(mr ORDER BY reg) AS rl
+          FROM regs GROUP BY source
+        ),
+        est AS (
+          SELECT source, n_zero,
+            round(CASE WHEN raw <= 640.0 AND n_zero > 0
+                       THEN 256.0 * ln(256.0 / CAST(n_zero AS DOUBLE))
+                       ELSE raw END, 6) AS hll_estimate
+          FROM (
+            SELECT source, n_zero,
+              {HLL_ALPHA_M2!r} / (
+                list_reduce(
+                  list_prepend(0.0, list_transform(rl, r -> power(2.0, -r))),
+                  (a, b) -> a + b)
+                + CAST(n_zero AS DOUBLE)) AS raw
+            FROM fold)
+        ),
+        exact AS (
+          SELECT source, CAST(count(DISTINCT token) AS BIGINT)
+                 AS exact_distinct
+          FROM sh GROUP BY source
+        )
+        SELECT est.source, n_zero AS n_zero_registers, hll_estimate,
+               exact_distinct
+        FROM est JOIN exact USING (source)
+        ORDER BY source
+    """
+
+
+_COUNTMIN_ORACLE_SQL = r"""
+        WITH occ AS (
+          SELECT unnest(list_filter(string_split_regex(
+              lower(coalesce(text, '')), '\s+'), x -> x <> '')) AS token
+          FROM documents
+        ),
+        cm AS (
+          SELECT r,
+            CAST(('0x' || substring(
+                md5(CAST(r AS VARCHAR) || ':' || token), 1, 8))
+              AS BIGINT) % 1024 AS bucket,
+            CAST(count(*) AS BIGINT) AS counter
+          FROM occ, range(4) t(r)
+          GROUP BY 1, 2
+        ),
+        exact AS (
+          SELECT token, CAST(count(*) AS BIGINT) AS exact_cnt
+          FROM occ GROUP BY token
+          ORDER BY exact_cnt DESC, token LIMIT 20
+        ),
+        lu AS (
+          SELECT e.token, e.exact_cnt, t.r AS r,
+            CAST(('0x' || substring(
+                md5(CAST(t.r AS VARCHAR) || ':' || e.token), 1, 8))
+              AS BIGINT) % 1024 AS bucket
+          FROM exact e, range(4) t(r)
+        )
+        SELECT l.token, l.exact_cnt, min(c.counter) AS cm_estimate
+        FROM lu l JOIN cm c ON c.r = l.r AND c.bucket = l.bucket
+        GROUP BY 1, 2
+        ORDER BY exact_cnt DESC, token
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # the langid/ppl model oracles are ~MB-scale generated SQL (npz load
     # + string build); build each once and reuse in the verdict twin
@@ -3734,6 +3988,9 @@ def oracle_sql() -> dict[str, str]:
         # as 15 unrolled GD iterations (exact fixed-point gradient sums
         # — see _logreg_oracle_sql)
         "doc_quality_logreg": _logreg_oracle_sql(),
+        "doc_bpe_merges": _bpe_oracle_sql(),
+        "sketch_hll_shingles": _hll_oracle_sql(),
+        "sketch_countmin_tokens": _COUNTMIN_ORACLE_SQL,
         # weights -> Gumbel-top-k resample: u from the same md5-hex
         # uniform both engines compute natively, score = log_weight
         # (the ROUNDED weight both sides emit) - ln(-ln(u))
@@ -4288,6 +4545,19 @@ def oracle_sql() -> dict[str, str]:
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
         "doc_langid": lang_sql,
         "doc_ppl_relational": ppl_sql,
+        "doc_ppl_buckets": f"""
+            WITH pplq AS ({ppl_sql}),
+            b AS (
+              SELECT p.doc_id, d.lang, p.ppl,
+                     ntile(3) OVER (PARTITION BY d.lang
+                                    ORDER BY p.ppl, p.doc_id) AS t
+              FROM pplq p JOIN documents d USING (doc_id)
+            )
+            SELECT doc_id, lang, ppl,
+                   CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                          ELSE 'tail' END AS ppl_bucket
+            FROM b ORDER BY doc_id
+        """,
         "quality_verdict_relational": _quality_verdict_oracle_sql(lang_sql, ppl_sql),
         "doc_pack_offset": f"""
             WITH tok AS (

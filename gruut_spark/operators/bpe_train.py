@@ -1,0 +1,185 @@
+"""Distributed BPE tokenizer-merge training (Sennrich et al. 2016).
+
+The industrial scale shape: byte-pair-encoding training never iterates
+over the corpus — it iterates over the *distinct-word histogram*, which
+is Heaps'-law small relative to the corpus. So:
+
+  stage A (the only corpus-scale pass): lowercased whitespace tokens →
+    one map-side-combined groupBy(word) count shuffle → min_count prune
+    + deterministic top-V cap → localCheckpoint. At 100 TB this is the
+    same single-shuffle shape as ``lm_train`` / ``dsir_importance``.
+  stage B (merge learning): n_merges tiny jobs over the ≤max_words-row
+    vocab table. Each iteration counts weighted adjacent symbol pairs
+    (pure Catalyst array algebra), takes the argmax pair with a
+    deterministic tiebreak (count DESC, lhs ASC, rhs ASC — one-row
+    TakeOrderedAndProject, a bounded driver collect like
+    ``mix_to_target``'s availability aggregate), and folds the merge
+    into the vocab as a single string ``replace`` projection.
+
+Symbol sequences are carried as a *wrapped string*, not an array:
+every symbol sits between ``\\x1f`` separators (``\\x1fA\\x1f\\x1fB\\x1f``
+for [A, B]), so applying merge (A, B) is exactly
+``replace(s, '\\x1fA\\x1f\\x1fB\\x1f', '\\x1fAB\\x1f')`` — and because
+``replace`` in both Spark and DuckDB substitutes non-overlapping
+occurrences left-to-right and never re-scans its own output, this IS
+the BPE left-to-right non-overlapping merge rule (e.g. pair (a,a) on
+"aaa" → "aa","a"), bit-identical across engines. That makes the whole
+trainer SQL-expressible: the DuckDB oracle replays every iteration as
+unrolled CTEs (the Lloyd-iteration / logreg-GD oracle pattern).
+
+Words are restricted to ASCII-printable (``^[!-~]+$``): single-byte
+chars keep the per-char regexp wrap engine-identical, and neither the
+separator nor whitespace can occur inside a symbol. The end-of-word
+marker is the classic ``</w>`` — as a *symbol* it is delimited by the
+separator structure, never confused with literal ``<``/``w`` chars.
+
+Reference scope note: gruut has no tokenizer training (it consumes
+pre-built lexicons); this operator is part of the training-data
+pipeline surface the driver prompt mandates (tokenizer prep for token
+counting / packing budgets).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+SEP = "\x1f"
+EOW = "</w>"
+
+
+def bpe_word_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    max_words: int = 512,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """(word, cnt, wrapped): the distinct-word histogram BPE trains on.
+
+    Tokens are non-empty lowercased whitespace splits (the repo-wide
+    oracle tokenization), kept only if ASCII-printable and at most
+    max_word_len chars. The cap is deterministic (cnt DESC, word ASC)
+    and compiles to TakeOrderedAndProject — no global sort. ``wrapped``
+    is the separator-wrapped char-symbol sequence + the </w> marker.
+    """
+    toks = df.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("word")
+    ).where(
+        F.col("word").rlike("^[!-~]+$") & (F.length("word") <= max_word_len)
+    )
+    counts = (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.col("cnt") >= min_count)
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(max_words)
+    )
+    wrapped = F.concat(
+        F.regexp_replace(F.col("word"), "(.)", SEP + "$1" + SEP),
+        F.lit(SEP + EOW + SEP),
+    )
+    return counts.select("word", "cnt", wrapped.alias("wrapped"))
+
+
+def _symbols(col):
+    """Wrapped string -> symbol array (split inner double-separators)."""
+    return F.split(F.btrim(F.col(col), F.lit(SEP)), SEP + SEP)
+
+
+def _pair_counts(vocab: DataFrame) -> DataFrame:
+    """Weighted adjacent-symbol pair counts over the vocab histogram.
+
+    Staged select on purpose (the repetition_ngram_stats capture rule):
+    the symbol array is materialized as its own projection before the
+    zip_with consumes it, so the split binds once per row.
+    """
+    sy = vocab.select(F.col("cnt"), _symbols("wrapped").alias("_s"))
+    s = F.col("_s")
+    n1 = F.greatest(F.size(s) - 1, F.lit(0))
+    pairs = F.zip_with(
+        F.slice(s, 1, n1),
+        F.slice(s, 2, n1),
+        lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+    )
+    return (
+        sy.select(F.col("cnt"), F.explode(pairs).alias("p"))
+        .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+        .agg(F.sum("cnt").alias("pair_count"))
+    )
+
+
+def bpe_train(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 10,
+    min_count: int = 2,
+    max_words: int = 512,
+    max_word_len: int = 16,
+) -> DataFrame:
+    """Learn n_merges BPE merges; returns (step, lhs, rhs, merged,
+    pair_count) — the trained merge table, the artifact a tokenizer
+    ships. One corpus-scale shuffle total; each merge iteration is a
+    one-row argmax job over the localCheckpoint-ed vocab histogram
+    (bounded driver collect: exactly one row per iteration).
+    """
+    spark = df.sparkSession
+    vocab = bpe_word_counts(
+        df, text_col, min_count=min_count, max_words=max_words,
+        max_word_len=max_word_len,
+    ).localCheckpoint()
+    merges = []
+    for step in range(1, n_merges + 1):
+        best = (
+            _pair_counts(vocab)
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.col("lhs").asc(),
+                F.col("rhs").asc(),
+            )
+            .limit(1)
+            .collect()
+        )
+        if not best:
+            break
+        lhs, rhs, cnt = best[0]["lhs"], best[0]["rhs"], best[0]["pair_count"]
+        merges.append((step, lhs, rhs, lhs + rhs, cnt))
+        vocab = vocab.withColumn(
+            "wrapped",
+            F.replace(
+                F.col("wrapped"),
+                F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
+                F.lit(SEP + lhs + rhs + SEP),
+            ),
+        )
+    return spark.createDataFrame(
+        merges, "step int, lhs string, rhs string, merged string, pair_count bigint"
+    )
+
+
+def bpe_encode_words(words: DataFrame, merges: DataFrame,
+                     word_col: str = "word") -> DataFrame:
+    """Apply a trained merge table to words: (word, tokens array).
+
+    The merge list is collected (it IS the model — n_merges rows) and
+    applied as a chain of narrow string-replace projections: zero
+    shuffle, zero Python, corpus-parallel.
+    """
+    ms = [(r["lhs"], r["rhs"]) for r in merges.orderBy("step").collect()]
+    col = F.concat(
+        F.regexp_replace(F.col(word_col), "(.)", SEP + "$1" + SEP),
+        F.lit(SEP + EOW + SEP),
+    )
+    for lhs, rhs in ms:
+        col = F.replace(
+            col,
+            F.lit(SEP + lhs + SEP + SEP + rhs + SEP),
+            F.lit(SEP + lhs + rhs + SEP),
+        )
+    out = words.withColumn("_w", col)
+    return out.withColumn("tokens", _symbols("_w")).drop("_w")

@@ -1,0 +1,243 @@
+"""Mergeable frequency/cardinality sketches for corpus statistics.
+
+At 100 TB, exact ``count(distinct)`` and exact per-token frequency
+tables are the classic scale cliffs: the distinct shuffle carries every
+key. These two sketches are the standard fixes, built deterministic so
+a DuckDB oracle can value-check them bit-for-bit:
+
+- **HyperLogLog** (Flajolet et al. 2007), p=8 / 256 registers, over
+  md5 — the register table is the ONLY thing that shuffles
+  (map-side-combined to ≤256 rows per group), and registers merge by
+  max, so the operator composes across partitions/days/snapshots.
+  The estimate's float arithmetic is evaluated in one pinned order
+  (registers sorted, single fused ``alpha·m²`` literal, one division)
+  so both engines run the identical IEEE sequence; the result is
+  rounded to 6 decimals on both sides (the langid-softmax convention).
+
+- **Count-min** (Cormode & Muthukrishnan 2005), depth×width salted-md5
+  counters — all integer arithmetic, hash-exact across engines. The
+  token stream explodes ``depth`` rows per occurrence but partial
+  aggregation collapses each partition's contribution to ≤ depth·width
+  counter rows before the shuffle; the finished sketch (≤ depth·width
+  rows) broadcasts for point lookups.
+
+No reference counterpart (gruut is not an aggregation engine) — this is
+part of the training-data-pipeline surface the driver prompt mandates
+(vocabulary growth tracking, heavy-hitter detection for boilerplate /
+contamination candidates).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+HLL_P = 8
+HLL_M = 1 << HLL_P  # 256 registers
+# alpha_256 * m^2, fused to one literal so the estimate is a single
+# division in both engines (no multiply-order divergence)
+HLL_ALPHA_M2 = (0.7213 / (1.0 + 1.079 / HLL_M)) * HLL_M * HLL_M
+
+
+def _tokens(df: DataFrame, text_col: str, keep_cols=()) -> DataFrame:
+    """Non-empty lowercased whitespace tokens (the repo-wide oracle
+    tokenization), one row per occurrence."""
+    return df.select(
+        *keep_cols,
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("token"),
+    )
+
+
+def _shingles(df: DataFrame, text_col: str, group_col: str,
+              n: int) -> DataFrame:
+    """(grp, token): n-word shingle occurrences (n=1 → plain tokens).
+    The Spark ``sequence`` builtin DESCENDS when stop < start, so the
+    short-document case is guarded to an empty array explicitly."""
+    if n == 1:
+        return _tokens(df, text_col, keep_cols=[group_col]).select(
+            F.col(group_col).alias("grp"), "token"
+        )
+    base = df.select(
+        F.col(group_col).alias("grp"),
+        F.filter(
+            F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+            lambda x: x != "",
+        ).alias("_t"),
+    )
+    t = F.col("_t")
+    sh = F.when(
+        F.size(t) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(t) - (n - 1)),
+            lambda j: F.concat_ws(" ", F.slice(t, j, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return base.select("grp", F.explode(sh).alias("token"))
+
+
+def hll_register_frame(
+    df: DataFrame, text_col: str = "text", group_col: str = "source",
+    shingle_n: int = 1,
+) -> DataFrame:
+    """(grp, reg, rho): one row per shingle occurrence, pre-register-
+    merge — the stateless projection shared by the batch operator and
+    the streaming sibling (streaming can't pre-aggregate before its own
+    stateful op, so it consumes this frame raw and merges in-kernel)."""
+    toks = _shingles(df, text_col, group_col, shingle_n)
+    h = F.md5(F.col("token"))
+    reg = F.conv(F.substring(h, 1, 2), 16, 10).cast("int")
+    rest = F.substring(h, 3, 30)
+    zeros = F.length(F.regexp_extract(rest, "^(0*)", 1))
+    nibble = F.conv(F.substr(rest, zeros + 1, F.lit(1)), 16, 10).cast("int")
+    nibble_lz = (
+        F.when(nibble >= 8, 0)
+        .when(nibble >= 4, 1)
+        .when(nibble >= 2, 2)
+        .otherwise(3)
+    )
+    rho = F.when(zeros == 30, F.lit(121)).otherwise(
+        zeros * 4 + nibble_lz + 1
+    )
+    return toks.select("grp", reg.alias("reg"), rho.alias("rho"))
+
+
+def hll_estimate_from_registers(regs) -> tuple:
+    """(n_zero, estimate) from a 256-slot rho array (0 = empty) — the
+    SAME pinned IEEE order as the Catalyst fold (registers ascending,
+    exact powers of two, fused alpha·m² literal, one division), so the
+    streaming kernel's running estimate equals the batch operator's."""
+    import math
+
+    n_zero = sum(1 for r in regs if r == 0)
+    acc = 0.0
+    for r in regs:  # slot order == register-ascending order
+        if r > 0:
+            acc += 2.0 ** (-r)
+    z = acc + float(n_zero)
+    raw = HLL_ALPHA_M2 / z
+    if raw <= 2.5 * HLL_M and n_zero > 0:
+        est = float(HLL_M) * math.log(float(HLL_M) / n_zero)
+    else:
+        est = raw
+    return n_zero, round(est, 6)
+
+
+def hll_distinct_tokens(
+    df: DataFrame, text_col: str = "text", group_col: str = "source",
+    with_exact: bool = False, shingle_n: int = 1,
+) -> DataFrame:
+    """Per-group HLL distinct estimate over tokens (or n-word shingles
+    — the cardinality dedup pipelines actually track):
+    (group, n_zero_registers, hll_estimate[, exact_distinct]).
+
+    Register = first 8 md5 bits; rho = 1 + leading zeros of the next
+    120 bits (regexp leading-zero-hex count + a nibble CASE — no loops).
+    Duplicates need no pre-dedup: max() absorbs them, which is exactly
+    why only (group, reg, rho) partials ever shuffle. ``with_exact``
+    joins a count(distinct) per group — the small-sf verification path,
+    NOT something to run at 100 TB (that is the sketch's whole point).
+    """
+    regs = (
+        hll_register_frame(df, text_col, group_col, shingle_n)
+        .groupBy("grp", "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+    per = regs.groupBy("grp").agg(
+        F.array_sort(F.collect_list(F.struct("reg", "rho"))).alias("rs")
+    )
+    n_zero = (F.lit(HLL_M) - F.size("rs")).cast("int")
+    z = F.aggregate(
+        F.col("rs"), F.lit(0.0),
+        lambda a, x: a + F.pow(F.lit(2.0), -x["rho"]),
+    ) + n_zero.cast("double")
+    raw = F.lit(HLL_ALPHA_M2) / z
+    linear = F.lit(float(HLL_M)) * F.log(
+        F.lit(float(HLL_M)) / n_zero.cast("double")
+    )
+    est = F.round(
+        F.when((raw <= 2.5 * HLL_M) & (n_zero > 0), linear).otherwise(raw), 6
+    )
+    out = per.select(
+        F.col("grp").alias(group_col),
+        n_zero.alias("n_zero_registers"),
+        est.alias("hll_estimate"),
+    )
+    if with_exact:
+        exact = (
+            _shingles(df, text_col, group_col, shingle_n)
+            .groupBy(F.col("grp").alias(group_col))
+            .agg(F.countDistinct("token").alias("exact_distinct"))
+        )
+        out = out.join(exact, group_col)
+    return out.orderBy(group_col)
+
+
+def countmin_sketch(
+    df: DataFrame, text_col: str = "text", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(row, bucket, counter): the count-min table over token
+    occurrences. Bucket_i(token) = md5('i:'||token) first-8-hex % width.
+    Partial agg bounds the shuffle at depth·width rows per partition."""
+    toks = _tokens(df, text_col)
+    cells = F.array(*[
+        F.struct(
+            F.lit(i).alias("row"),
+            (F.conv(
+                F.substring(F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))),
+                            1, 8), 16, 10
+            ).cast("long") % width).alias("bucket"),
+        )
+        for i in range(depth)
+    ])
+    return (
+        toks.select(F.explode(cells).alias("c"))
+        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("counter"))
+    )
+
+
+def countmin_topk_check(
+    df: DataFrame, text_col: str = "text", k: int = 20,
+    depth: int = 4, width: int = 1024,
+) -> DataFrame:
+    """(token, exact_cnt, cm_estimate) for the k most frequent tokens:
+    the sketch's point estimates next to ground truth (cm never
+    underestimates; overcount bounded by collisions). The finished
+    sketch is tiny (≤ depth·width rows) and broadcasts; exact counts
+    here are the small-sf verification side, not the scale path."""
+    toks = _tokens(df, text_col)
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_cnt"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+        .limit(k)
+    )
+    sketch = countmin_sketch(df, text_col, depth=depth, width=width)
+    lookups = exact.select(
+        "token", "exact_cnt",
+        F.explode(F.array(*[
+            F.struct(
+                F.lit(i).alias("row"),
+                (F.conv(
+                    F.substring(
+                        F.md5(F.concat(F.lit(f"{i}:"), F.col("token"))), 1, 8
+                    ), 16, 10
+                ).cast("long") % width).alias("bucket"),
+            )
+            for i in range(depth)
+        ])).alias("c"),
+    )
+    joined = lookups.join(
+        F.broadcast(sketch),
+        (F.col("c.row") == F.col("row")) & (F.col("c.bucket") == F.col("bucket")),
+    )
+    return (
+        joined.groupBy("token", "exact_cnt")
+        .agg(F.min("counter").alias("cm_estimate"))
+        .orderBy(F.col("exact_cnt").desc(), F.col("token").asc())
+    )

@@ -1,0 +1,95 @@
+"""Cross-batch streaming HLL cardinality tracking.
+
+Vocabulary / shingle-cardinality growth is a thing production corpus
+pipelines watch continuously (dedup-rate forecasting, crawl-novelty
+monitoring). HLL registers merge by max, which makes the sketch the
+rare aggregate that is *exactly* incremental: per group the state is
+one 256-byte register array, and a micro-batch folds in with 256 byte
+maxes. Emits one (grp, n_zero_registers, hll_estimate) row per group
+per batch — the running-estimate feed.
+
+The register/rho projection is shared verbatim with the batch operator
+(``operators/sketches.py::hll_register_frame``), and the kernel's
+estimate arithmetic is the same pinned IEEE order
+(``hll_estimate_from_registers``) — so after any batch split of a
+corpus the final streaming estimate equals the batch operator's row
+for that group bit-for-bit (harmonic branch; linear-counting branch
+agrees to the shared 6-decimal rounding).
+
+Streaming can't pre-aggregate before its own stateful op (one stateful
+operator per query), so the kernel consumes raw (reg, rho) occurrence
+rows and merges in-kernel — the shuffle carries two small ints per
+shingle occurrence, no text.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from gruut_spark.operators.sketches import (
+    HLL_M,
+    hll_estimate_from_registers,
+    hll_register_frame,
+)
+
+STATE_SCHEMA = "regs binary"
+OUTPUT_SCHEMA = "grp string, n_zero_registers int, hll_estimate double"
+
+
+def _make_hll_fn(
+    ttl_minutes: Optional[float] = None,
+) -> Callable[..., Iterator[pd.DataFrame]]:
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        regs = bytearray(state.get[0]) if state.exists else bytearray(HLL_M)
+        touched = False
+        for pdf in batches:
+            touched = True
+            for r, rho in zip(pdf["reg"], pdf["rho"]):
+                if rho > regs[r]:
+                    regs[r] = rho
+        if not touched:
+            return
+        state.update((bytes(regs),))
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        n_zero, est = hll_estimate_from_registers(regs)
+        yield pd.DataFrame(
+            {"grp": [key[0]], "n_zero_registers": [n_zero],
+             "hll_estimate": [est]}
+        )
+
+    return fn
+
+
+def streaming_hll_estimates(
+    stream: DataFrame, text_col: str = "text", group_col: str = "source",
+    shingle_n: int = 3, state_ttl_minutes: Optional[float] = None,
+) -> DataFrame:
+    """stream (group, text) -> one running-cardinality row per group per
+    micro-batch. State = 256 bytes per group, the information-theoretic
+    floor for a p=8 HLL; TTL mode evicts idle groups (a re-arrival
+    restarts that group's count)."""
+    regs = hll_register_frame(stream, text_col, group_col, shingle_n)
+    return regs.groupBy("grp").applyInPandasWithState(
+        _make_hll_fn(state_ttl_minutes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

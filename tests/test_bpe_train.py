@@ -1,0 +1,145 @@
+"""Distributed BPE merge training vs an independent pure-Python
+reference implementation (exact equality, including tiebreaks and the
+left-to-right non-overlapping merge rule)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from gruut_spark.operators.bpe_train import (
+    EOW,
+    bpe_encode_words,
+    bpe_train,
+    bpe_word_counts,
+)
+
+
+def _ref_bpe(texts, n_merges, min_count=1, max_words=512, max_word_len=16):
+    """From-scratch serial BPE (Sennrich et al. 2016 algorithm 1)."""
+    words = Counter()
+    for t in texts:
+        for w in (t or "").lower().split():
+            if len(w) <= max_word_len and w and all("!" <= c <= "~" for c in w):
+                words[w] += 1
+    top = sorted(
+        ((w, c) for w, c in words.items() if c >= min_count),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:max_words]
+    syms = {w: tuple(list(w) + [EOW]) for w, _ in top}
+    cnts = dict(top)
+    merges = []
+    for step in range(1, n_merges + 1):
+        pc = Counter()
+        for w, c in cnts.items():
+            s = syms[w]
+            for i in range(len(s) - 1):
+                pc[(s[i], s[i + 1])] += c
+        if not pc:
+            break
+        (a, b), c = sorted(pc.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((step, a, b, a + b, c))
+        for w, s in syms.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            syms[w] = tuple(out)
+    return merges, syms, cnts
+
+
+CORPUS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the rain in spain stays mainly in the plain",
+    "pack my box with five dozen liquor jugs",
+    "the the the rain rain plain plain plain",
+    "aaaa aaaa aaaa baa baa",  # overlap rule: (a,a) on odd runs
+    "lowercase MIXED Case WORDS lowercase mixed case words",
+    "x y z xy yz zx xyz",  # single-char words: (char, </w>) pairs
+    "longwordthatishuge longwordthatishuge",  # > max_word_len, dropped
+    None,
+    "",
+]
+
+
+def _docs(spark):
+    rows = [(i, t) for i, t in enumerate(CORPUS)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_bpe_train_matches_reference(spark):
+    got = bpe_train(_docs(spark), n_merges=12, min_count=1, max_words=512)
+    want, _, _ = _ref_bpe(CORPUS, n_merges=12, min_count=1, max_words=512)
+    assert [tuple(r) for r in got.orderBy("step").collect()] == want
+
+
+def test_bpe_word_counts_cap_and_filters(spark):
+    vocab = bpe_word_counts(
+        _docs(spark), min_count=2, max_words=5, max_word_len=16
+    ).collect()
+    ref_words = Counter()
+    for t in CORPUS:
+        for w in (t or "").lower().split():
+            if len(w) <= 16 and all("!" <= c <= "~" for c in w):
+                ref_words[w] += 1
+    want = sorted(
+        ((w, c) for w, c in ref_words.items() if c >= 2),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:5]
+    assert [(r["word"], r["cnt"]) for r in
+            sorted(vocab, key=lambda r: (-r["cnt"], r["word"]))] == want
+    # the 18-char word must not survive the length filter
+    assert all(len(r["word"]) <= 16 for r in vocab)
+
+
+def test_bpe_encode_matches_reference_segmentation(spark):
+    merges = bpe_train(_docs(spark), n_merges=12, min_count=1)
+    _, ref_syms, _ = _ref_bpe(CORPUS, n_merges=12, min_count=1)
+    words = spark.createDataFrame(
+        [(w,) for w in sorted(ref_syms)], "word string"
+    )
+    got = {
+        r["word"]: tuple(r["tokens"])
+        for r in bpe_encode_words(words, merges).collect()
+    }
+    assert got == ref_syms
+
+
+def test_bpe_overlap_rule_left_to_right(spark):
+    """(a,a) over 'aaaa' merges disjointly: aa+aa, and 'baa' keeps b."""
+    docs = spark.createDataFrame(
+        [(0, "aaaa aaaa aaaa baa")], "doc_id long, text string"
+    )
+    merges = bpe_train(docs, n_merges=1, min_count=1)
+    rows = merges.collect()
+    assert (rows[0]["lhs"], rows[0]["rhs"]) == ("a", "a")
+    enc = bpe_encode_words(
+        spark.createDataFrame([("aaaa",), ("baa",)], "word string"), merges
+    ).collect()
+    got = {r["word"]: list(r["tokens"]) for r in enc}
+    assert got["aaaa"] == ["aa", "aa", EOW]
+    assert got["baa"] == ["b", "aa", EOW]
+
+
+def test_bpe_plan_is_python_free(spark):
+    """Both stages stay JVM-side: no Python eval nodes anywhere."""
+    vocab = bpe_word_counts(_docs(spark))
+    plan = vocab._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    merges = bpe_train(_docs(spark), n_merges=3, min_count=1)
+    enc = bpe_encode_words(
+        spark.createDataFrame([("the",)], "word string"), merges
+    )
+    plan2 = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan2
+
+
+def test_bpe_deterministic_across_runs(spark):
+    a = bpe_train(_docs(spark), n_merges=8, min_count=1).collect()
+    b = bpe_train(_docs(spark), n_merges=8, min_count=1).collect()
+    assert a == b

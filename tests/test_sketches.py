@@ -1,0 +1,218 @@
+"""HLL / count-min sketches vs independent pure-Python replications."""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from collections import Counter, defaultdict
+
+from gruut_spark.operators.sketches import (
+    HLL_ALPHA_M2,
+    countmin_topk_check,
+    hll_distinct_tokens,
+)
+
+TEXTS = [
+    " ".join(f"tok{(i * 7 + j) % 97}" for j in range(40)) for i in range(60)
+] + ["", None, "one two", "single"]
+
+
+def _docs(spark):
+    rows = [(i, t, f"s{i % 3}") for i, t in enumerate(TEXTS)]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def _ref_hll(values):
+    regs = {}
+    for v in values:
+        h = hashlib.md5(v.encode()).hexdigest()
+        reg = int(h[:2], 16)
+        rest = h[2:32]
+        zl = len(rest) - len(rest.lstrip("0"))
+        if zl == 30:
+            rho = 121
+        else:
+            nib = int(rest[zl], 16)
+            rho = 4 * zl + (0 if nib >= 8 else 1 if nib >= 4 else
+                            2 if nib >= 2 else 3) + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    n_zero = 256 - len(regs)
+    z = float(n_zero)
+    acc = 0.0
+    for r in sorted(regs):
+        acc += 2.0 ** (-regs[r])
+    z = acc + float(n_zero)
+    raw = HLL_ALPHA_M2 / z
+    est = (256.0 * math.log(256.0 / n_zero)
+           if raw <= 640.0 and n_zero > 0 else raw)
+    return n_zero, round(est, 6)
+
+
+def _shingles_by_source(n=3):
+    out = defaultdict(list)
+    for i, t in enumerate(TEXTS):
+        ts = [w for w in (t or "").lower().split() if w]
+        for j in range(len(ts) - n + 1):
+            out[f"s{i % 3}"].append(" ".join(ts[j:j + n]))
+    return out
+
+
+def test_hll_matches_python_replication(spark):
+    got = {
+        r["source"]: (r["n_zero_registers"], r["hll_estimate"],
+                      r["exact_distinct"])
+        for r in hll_distinct_tokens(
+            _docs(spark), with_exact=True, shingle_n=3
+        ).collect()
+    }
+    ref = _shingles_by_source()
+    assert set(got) == set(ref)
+    for src, vals in ref.items():
+        n_zero, est = _ref_hll(vals)
+        assert got[src][0] == n_zero
+        assert got[src][1] == est  # identical IEEE fold order
+        exact = len(set(vals))
+        assert got[src][2] == exact
+        assert abs(est - exact) / exact < 0.2  # p=8 → ~6.5% std error
+
+
+def test_hll_duplicate_invariance(spark):
+    """The sketch is a function of the distinct set: doubling every
+    document changes nothing (register max absorbs duplicates)."""
+    docs = _docs(spark)
+    a = hll_distinct_tokens(docs, shingle_n=3).collect()
+    b = hll_distinct_tokens(docs.union(docs), shingle_n=3).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_countmin_never_underestimates_and_matches_reference(spark):
+    got = countmin_topk_check(_docs(spark), k=15).collect()
+    assert len(got) == 15
+    # exact top-k ground truth
+    cnt = Counter()
+    for t in TEXTS:
+        for w in (t or "").lower().split():
+            if w:
+                cnt[w] += 1
+    want_top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:15]
+    assert [(r["token"], r["exact_cnt"]) for r in got] == want_top
+    # python count-min replication (same salted md5 buckets)
+    counters = Counter()
+    for tok, c in cnt.items():
+        for i in range(4):
+            b = int(hashlib.md5(f"{i}:{tok}".encode()).hexdigest()[:8],
+                    16) % 1024
+            counters[(i, b)] += c
+    for r in got:
+        est = min(
+            counters[(i, int(hashlib.md5(f"{i}:{r['token']}".encode())
+                             .hexdigest()[:8], 16) % 1024)]
+            for i in range(4)
+        )
+        assert r["cm_estimate"] == est
+        assert r["cm_estimate"] >= r["exact_cnt"]
+
+
+def _hll_stream_rows(lo, hi):
+    return [
+        (i, " ".join(f"w{(i * 31 + j) % 1499}" for j in range(40)),
+         f"s{i % 2}")
+        for i in range(lo, hi)
+    ]
+
+
+def test_streaming_hll_matches_batch(spark, tmp_path):
+    """After any batch split, each group's final running estimate
+    equals the batch operator's row on the union (register merge is
+    exact; harmonic-branch floats are bit-identical by the pinned
+    fold order)."""
+    from gruut_spark.operators.sketches import hll_distinct_tokens
+    from gruut_spark.streaming.stateful_hll import streaming_hll_estimates
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = "doc_id long, text string, source string"
+    b1 = spark.createDataFrame(_hll_stream_rows(0, 60), schema)
+    b2 = spark.createDataFrame(_hll_stream_rows(60, 120), schema)
+    b1.coalesce(1).write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+
+    def run():
+        q = (
+            streaming_hll_estimates(stream, shingle_n=3)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    first = spark.read.parquet(out_dir).toPandas()
+    assert sorted(first["grp"]) == ["s0", "s1"]  # one row per group
+    b2.coalesce(1).write.parquet(in_dir + "/b2")
+    run()
+    both = spark.read.parquet(out_dir).toPandas()
+    assert len(both) == 4
+    # final rows = the 2 new ones (running estimates moved)
+    finals = {}
+    seen_first = {r["grp"]: r["hll_estimate"] for _, r in first.iterrows()}
+    for _, r in both.iterrows():
+        if r["hll_estimate"] != seen_first.get(r["grp"]):
+            finals[r["grp"]] = (r["n_zero_registers"], r["hll_estimate"])
+    batch = {
+        r["source"]: (r["n_zero_registers"], r["hll_estimate"])
+        for r in hll_distinct_tokens(
+            b1.union(b2), group_col="source", shingle_n=3
+        ).collect()
+    }
+    assert finals == batch
+
+
+def test_streaming_hll_kernel_merges_registers():
+    import pandas as pd
+
+    from gruut_spark.operators.sketches import hll_estimate_from_registers
+    from gruut_spark.streaming.stateful_hll import _make_hll_fn
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+        _v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def remove(self):
+            self._v, self.exists = None, False
+
+    fn = _make_hll_fn()
+    st = FakeState()
+    out1 = list(fn(("g",), iter([pd.DataFrame({"reg": [3, 3, 7],
+                                               "rho": [2, 5, 1]})]), st))
+    regs = bytearray(256)
+    regs[3], regs[7] = 5, 1
+    assert bytes(st.get[0]) == bytes(regs)
+    nz, est = hll_estimate_from_registers(regs)
+    assert (out1[0]["n_zero_registers"][0], out1[0]["hll_estimate"][0]) \
+        == (nz, est)
+    # second batch merges by max, never decreases
+    list(fn(("g",), iter([pd.DataFrame({"reg": [3, 9], "rho": [4, 2]})]), st))
+    regs[9] = 2
+    assert bytes(st.get[0]) == bytes(regs)
+
+
+def test_sketch_plans_python_free(spark):
+    hll = hll_distinct_tokens(_docs(spark), shingle_n=3)
+    assert "Python" not in hll._jdf.queryExecution().executedPlan().toString()
+    cm = countmin_topk_check(_docs(spark), k=5)
+    assert "Python" not in cm._jdf.queryExecution().executedPlan().toString()
