@@ -1168,6 +1168,21 @@ def _doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(docs, bench).orderBy("doc_id")
 
 
+def _doc_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination prefilter (Bloom 1970;
+    Kirsch-Mitzenmacher double hashing; operators/corpus.py): the same
+    8-gram overlap as doc_decontaminate, but the broadcast is a fixed
+    128 KB bitset (m=2^20, k=7) instead of every benchmark shingle key
+    — the membership shape you ship when the eval suite is large. No
+    false negatives (bloom count ≥ exact count per doc); integer-only
+    math, so the DuckDB oracle is hash-exact."""
+    from gruut_spark.operators.corpus import decontaminate_bloom
+
+    docs = _read(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 97 == 0).select("text")
+    return decontaminate_bloom(docs, bench).orderBy("doc_id")
+
+
 def _corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental corpus maintenance: delta between two snapshots
     derived deterministically from the documents table (old drops
@@ -1924,6 +1939,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
         "doc_decontaminate": _doc_decontaminate,
+        "doc_decontaminate_bloom": _doc_decontaminate_bloom,
         "corpus_snapshot_diff": _corpus_snapshot_diff,
         "doc_boilerplate_lines": _doc_boilerplate_lines,
         "doc_strip_boilerplate": _doc_strip_boilerplate,
@@ -4392,6 +4408,51 @@ def oracle_sql() -> dict[str, str]:
             FROM grams g JOIN bench b USING (gram_key)
             GROUP BY g.doc_id
             ORDER BY g.doc_id
+        """,
+        "doc_decontaminate_bloom": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(
+                           lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                           '\s+') AS t
+                FROM documents
+            ),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct([
+                           md5(array_to_string(t[i:i+7], ' '))
+                           FOR i IN range(1, greatest(len(t) - 6, 1))
+                       ])) AS gram_key
+                FROM toks
+            ),
+            bench AS (SELECT DISTINCT gram_key FROM grams WHERE doc_id % 97 = 0),
+            bpos AS (
+                SELECT ((h1 + i * h2) % 1048576) AS pos
+                FROM (SELECT CAST(('0x' || substring(gram_key, 1, 8)) AS BIGINT) AS h1,
+                             (CAST(('0x' || substring(gram_key, 9, 8)) AS BIGINT) | 1) AS h2
+                      FROM bench), range(7) t(i)
+            ),
+            bloom AS (
+                SELECT pos >> 5 AS chunk,
+                       bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+                FROM bpos GROUP BY 1
+            ),
+            dpos AS (
+                SELECT doc_id, gram_key, ((h1 + i * h2) % 1048576) AS pos
+                FROM (SELECT doc_id, gram_key,
+                             CAST(('0x' || substring(gram_key, 1, 8)) AS BIGINT) AS h1,
+                             (CAST(('0x' || substring(gram_key, 9, 8)) AS BIGINT) | 1) AS h2
+                      FROM grams), range(7) t(i)
+            ),
+            flag AS (
+                SELECT doc_id, gram_key
+                FROM (SELECT d.doc_id, d.gram_key
+                      FROM dpos d JOIN bloom b ON b.chunk = (d.pos >> 5)
+                      WHERE (b.bits & (1::BIGINT << CAST(d.pos % 32 AS INT))) <> 0)
+                GROUP BY doc_id, gram_key HAVING count(*) = 7
+            )
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bloom_shingles
+            FROM flag GROUP BY doc_id ORDER BY doc_id
         """,
         "doc_phonemize_lexicon": r"""
             WITH lex_words AS (

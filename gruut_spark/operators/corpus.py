@@ -153,6 +153,85 @@ def decontaminate(
     )
 
 
+def decontaminate_bloom(
+    docs: DataFrame, benchmark: DataFrame,
+    text_col: str = "text", id_col: str = "doc_id",
+    bench_text_col: str = "text", n: int = 8,
+    m_bits: int = 1 << 20, k: int = 7,
+) -> DataFrame:
+    """(doc_id, n_bloom_shingles): decontamination membership via a
+    deterministic Bloom filter (Bloom 1970; Kirsch-Mitzenmacher double
+    hashing) instead of the exact broadcast set.
+
+    Scale contract: ``decontaminate`` broadcasts EVERY benchmark shingle
+    key (32 B each — tens of MB for a large eval suite); the Bloom
+    filter broadcasts m_bits/32 packed words (m=2^20 → 32k rows ≈
+    128 KB of bits) regardless of benchmark size, at a tunable
+    false-positive rate (k=7, m/n≈10 → ~1%). False negatives are
+    impossible, so the bloom count per doc is always ≥ the exact count
+    — run it as the cheap prefilter and the exact join only on flagged
+    docs.
+
+    All arithmetic is integer and engine-portable: h1/h2 = two 32-bit
+    md5 slices (h2 forced odd), pos_i = (h1 + i·h2) mod m, packed into
+    32-bit chunks of a BIGINT (bit 31 max — no signed-overflow edge in
+    either engine). A shingle is flagged iff all k bits are set."""
+    from .textstats import word_ngrams
+
+    def gram_keys(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
+        base, grams = word_ngrams(
+            frame, col, n,
+            keep_cols=([F.col(id_col).alias("_id")] if keep_id else []),
+        )
+        return base.select(
+            *(["_id"] if keep_id else []),
+            F.explode(F.array_distinct(grams)).alias("gram"),
+        ).select(
+            *(["_id"] if keep_id else []),
+            F.md5(F.col("gram")).alias("gram_key"),
+        )
+
+    def positions(frame: DataFrame, keep_id: bool) -> DataFrame:
+        h1 = F.conv(F.substring("gram_key", 1, 8), 16, 10).cast("long")
+        h2 = F.conv(F.substring("gram_key", 9, 8), 16, 10).cast("long") \
+            .bitwiseOR(F.lit(1))
+        withpos = frame.select(
+            *(["_id", "gram_key"] if keep_id else []),
+            h1.alias("_h1"), h2.alias("_h2"),
+            F.explode(F.array(*[F.lit(i) for i in range(k)])).alias("_i"),
+        )
+        pos = (F.col("_h1") + F.col("_i") * F.col("_h2")) % m_bits
+        return withpos.select(
+            *(["_id", "gram_key"] if keep_id else []),
+            pos.alias("pos"),
+        ).select(
+            *(["_id", "gram_key"] if keep_id else []),
+            F.shiftright(F.col("pos"), 5).alias("chunk"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 32 AS INT))")
+            .alias("mask"),
+        )
+
+    bloom = (
+        positions(gram_keys(benchmark, bench_text_col, False).distinct(),
+                  False)
+        .groupBy("chunk")
+        .agg(F.expr("bit_or(mask)").alias("bits"))
+    )
+    doc_pos = positions(gram_keys(docs, text_col, True), True)
+    hits = (
+        doc_pos.join(F.broadcast(bloom), "chunk")
+        .where(F.col("bits").bitwiseAND(F.col("mask")) != 0)
+        .groupBy("_id", "gram_key")
+        .agg(F.count(F.lit(1)).alias("_nbits"))
+        .where(F.col("_nbits") == k)
+    )
+    return (
+        hits.groupBy("_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_shingles"))
+        .select(F.col("_id").alias(id_col), "n_bloom_shingles")
+    )
+
+
 def snapshot_diff(
     old: DataFrame, new: DataFrame,
     id_col: str = "doc_id", content_col: str = "text",

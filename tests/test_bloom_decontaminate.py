@@ -1,0 +1,76 @@
+"""Bloom-filter decontamination: no false negatives, tunable false
+positives, exact agreement with the set-based operator at sane m."""
+
+from __future__ import annotations
+
+from gruut_spark.operators.corpus import decontaminate, decontaminate_bloom
+
+
+def _frames(spark):
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    clean = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [
+            (0, bench_text + " lambda mu"),        # contaminated
+            (1, clean),                            # clean
+            (2, "x " + bench_text),                # contaminated, shifted
+            (3, "totally different words here that never overlap at all ok"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    return docs, bench
+
+
+def test_bloom_superset_of_exact_and_equal_at_sane_m(spark):
+    docs, bench = _frames(spark)
+    exact = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in decontaminate(docs, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_shingles"]
+        for r in decontaminate_bloom(docs, bench).collect()
+    }
+    # no false negatives: every exact hit is present with >= count
+    for d, n in exact.items():
+        assert bloom.get(d, 0) >= n
+    # at m=2^20 over a handful of shingles, zero false positives
+    assert bloom == exact
+    assert 0 in exact and 2 in exact and 1 not in exact and 3 not in exact
+
+
+def test_bloom_saturated_m_overcounts_but_never_undercounts(spark):
+    """A 93-shingle benchmark into m=32 bits sets EVERY bit (verified:
+    the md5 positions cover all 32), so each clean shingle becomes a
+    deterministic false positive — while contaminated docs keep at
+    least their exact counts. This is the prefilter contract under
+    worst-case saturation."""
+    bench_text = " ".join(f"w{i}" for i in range(100))
+    clean = "one two three four five six seven eight nine ten eleven twelve"
+    docs = spark.createDataFrame(
+        [(0, bench_text[:200]), (1, clean)], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame([(bench_text,)], "text string")
+    exact = {
+        r["doc_id"]: r["n_contaminated_shingles"]
+        for r in decontaminate(docs, bench).collect()
+    }
+    bloom = {
+        r["doc_id"]: r["n_bloom_shingles"]
+        for r in decontaminate_bloom(docs, bench, m_bits=32, k=2).collect()
+    }
+    for d, n in exact.items():
+        assert bloom.get(d, 0) >= n
+    # saturated filter: the clean doc's 5 shingles all flag
+    assert bloom[1] == 5 and exact.get(1) is None
+
+
+def test_bloom_plan_python_free_and_broadcast(spark):
+    docs, bench = _frames(spark)
+    plan = (
+        decontaminate_bloom(docs, bench)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Python" not in plan
+    assert "BroadcastHashJoin" in plan
