@@ -923,6 +923,40 @@ def _sketch_countmin_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full tokenizer lifecycle under the value gate: train 10 BPE
+    merges (doc_bpe_merges' exact configuration), then ENCODE the
+    corpus with them — per doc, the count of trainable words and of
+    BPE tokens after the merges apply. Encoding is the chained narrow
+    string-replace projection (zero shuffle, zero Python); the DuckDB
+    oracle replays training AND applies the same 10 replaces nested in
+    training order, so train→apply is hash-checked end to end."""
+    from gruut_spark.operators.bpe_train import bpe_encode_words, bpe_train
+
+    docs = _read(spark, sf_dir, "documents")
+    merges = bpe_train(
+        docs, n_merges=10, min_count=2, max_words=256, max_word_len=16
+    )
+    words = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), r"\s+"),
+                lambda x: x != "",
+            )
+        ).alias("word"),
+    ).where(F.col("word").rlike("^[!-~]+$") & (F.length("word") <= 16))
+    enc = bpe_encode_words(words, merges)
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum(F.size("tokens")).alias("n_bpe_tokens"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _doc_ca_transcribe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Catalan orthographic stress engine over the corpus
     (operators/ca_transcribe.py; reference Transcripcio,
@@ -1974,6 +2008,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_quality_logreg": _doc_quality_logreg,
         "doc_bpe_merges": _doc_bpe_merges,
+        "doc_bpe_encode": _doc_bpe_encode,
         "sketch_hll_shingles": _sketch_hll_shingles,
         "sketch_countmin_tokens": _sketch_countmin_tokens,
     }
@@ -3301,6 +3336,53 @@ def _bpe_oracle_sql(
     """
 
 
+def _bpe_encode_oracle_sql(
+    n_merges: int = 10,
+    min_count: int = 2,
+    max_words: int = 256,
+    max_word_len: int = 16,
+) -> str:
+    """DuckDB replication of the doc_bpe_encode query: the training
+    CTE chain from _bpe_oracle_sql, then every trainable word of every
+    document encoded by applying the learned merges as nested replaces
+    in training order (innermost = merge 1) — exactly the chained
+    narrow projections bpe_encode_words builds."""
+    s = "chr(31)"
+    train = _bpe_oracle_sql(n_merges, min_count, max_words, max_word_len)
+    # reuse the CTE block: strip the final SELECT off the training SQL
+    ctes = train.split("SELECT * FROM (")[0].strip().removeprefix("WITH")
+    expr = (
+        f"regexp_replace(word, '(.)', {s} || '\\1' || {s}, 'g')"
+        f" || {s} || '</w>' || {s}"
+    )
+    for i in range(1, n_merges + 1):
+        expr = (
+            f"replace({expr}, {s} || b{i}.lhs || {s} || {s} || b{i}.rhs"
+            f" || {s}, {s} || b{i}.lhs || b{i}.rhs || {s})"
+        )
+    froms = ", ".join(f"b{i}" for i in range(1, n_merges + 1))
+    return f"""
+        WITH {ctes},
+        docwords AS (
+          SELECT doc_id, word FROM (
+            SELECT doc_id, unnest(list_filter(string_split_regex(
+                lower(coalesce(text, '')), '\\s+'), x -> x <> '')) AS word
+            FROM documents
+          )
+          WHERE regexp_matches(word, '^[!-~]+$')
+            AND length(word) <= {max_word_len}
+        ),
+        enc AS (
+          SELECT doc_id,
+            string_split(trim({expr}, {s}), {s} || {s}) AS toks
+          FROM docwords, {froms}
+        )
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(len(toks)) AS BIGINT) AS n_bpe_tokens
+        FROM enc GROUP BY doc_id ORDER BY doc_id
+    """
+
+
 def _hll_oracle_sql() -> str:
     """DuckDB replication of operators.sketches.hll_distinct_tokens
     (shingle_n=3, per source): md5 register/rho extraction (regexp
@@ -4005,6 +4087,7 @@ def oracle_sql() -> dict[str, str]:
         # — see _logreg_oracle_sql)
         "doc_quality_logreg": _logreg_oracle_sql(),
         "doc_bpe_merges": _bpe_oracle_sql(),
+        "doc_bpe_encode": _bpe_encode_oracle_sql(),
         "sketch_hll_shingles": _hll_oracle_sql(),
         "sketch_countmin_tokens": _COUNTMIN_ORACLE_SQL,
         # weights -> Gumbel-top-k resample: u from the same md5-hex
