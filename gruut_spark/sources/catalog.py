@@ -92,3 +92,16 @@ def read_jsonl(spark: SparkSession, path: str) -> DataFrame:
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     """JSONL sink (the jsonlines.Writer analogue)."""
     df.write.mode(mode).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source — the other columnar format warehouse catalogs hand
+    out. Spark's native reader: predicate pushdown and column pruning
+    work exactly as for parquet (no reference counterpart; catalog
+    parity for the input_hint table)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """ORC sink (zlib default codec)."""
+    df.write.mode(mode).orc(path)

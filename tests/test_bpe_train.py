@@ -139,6 +139,46 @@ def test_bpe_plan_is_python_free(spark):
     assert "Python" not in plan2
 
 
+def test_bpe_oracle_fuzz_matches_reference():
+    """Property fuzz (no Spark): the DuckDB oracle that gates
+    doc_bpe_merges replays the exact reference algorithm on arbitrary
+    corpora — including tie-breaks, overlap runs, early exhaustion
+    (fully-merged vocab before n_merges), and the min_count/cap
+    filters."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from __spark_entry__ import _bpe_oracle_sql
+
+    sql = _bpe_oracle_sql(n_merges=6, min_count=1, max_words=64,
+                          max_word_len=16)
+
+    docs_st = st.lists(
+        st.lists(
+            st.text(alphabet="abcde", min_size=1, max_size=6),
+            min_size=0, max_size=12,
+        ),
+        min_size=1, max_size=8,
+    )
+
+    @settings(max_examples=25, deadline=None)
+    @given(docs_st)
+    def check(doc_words):
+        texts = [" ".join(ws) for ws in doc_words]
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame({"doc_id": range(len(texts)), "text": texts}),
+        )
+        got = [tuple(r) for r in con.execute(sql).fetchall()]
+        want, _, _ = _ref_bpe(texts, n_merges=6, min_count=1, max_words=64)
+        assert got == want
+
+    check()
+
+
 def test_bpe_deterministic_across_runs(spark):
     a = bpe_train(_docs(spark), n_merges=8, min_count=1).collect()
     b = bpe_train(_docs(spark), n_merges=8, min_count=1).collect()

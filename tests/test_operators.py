@@ -480,6 +480,14 @@ def test_source_formats_roundtrip(spark, tmp_path):
     }
     assert counts == {"a": 4, "b": 3}
 
+    # ORC sink/source roundtrip (catalog columnar parity)
+    from gruut_spark.sources.catalog import read_orc, write_orc
+
+    orc_out = tmp_path / "out_orc"
+    write_orc(docs, str(orc_out))
+    orc_back = read_orc(spark, str(orc_out))
+    assert {r["id"]: r["text"] for r in orc_back.collect()} == rows
+
 
 def test_lexicon_lookup_chain_and_pron_order(spark):
     """Broadcast lexicon join: exact -> lowercase -> g2p fallback chain,
