@@ -606,6 +606,31 @@ def _doc_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_ppl_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adaptive per-language quality thresholding — the percentile
+    variant of CCNet filtering: flag documents above their language's
+    exact p90 perplexity instead of a fixed config constant, so the
+    filter self-calibrates per language/domain. The p90 is the exact
+    sort-based percentile (matches DuckDB quantile_cont, the
+    events_quantiles pattern), rounded to 6 BEFORE the comparison so
+    both engines flag identically; the threshold table is one row per
+    language and broadcasts."""
+    base = _doc_ppl_relational(spark, sf_dir)
+    langs = _read(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = base.join(langs, "doc_id")
+    thr = j.groupBy("lang").agg(
+        F.round(F.percentile("ppl", F.lit(0.9)), 6).alias("p90")
+    )
+    return (
+        j.join(F.broadcast(thr), "lang")
+        .select(
+            "doc_id", "lang", "ppl", "p90",
+            (F.col("ppl") > F.col("p90")).alias("flag_high_ppl"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _doc_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.textstats import bpe_token_counts
 
@@ -1954,6 +1979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl": _doc_ppl,
         "doc_ppl_relational": _doc_ppl_relational,
         "doc_ppl_buckets": _doc_ppl_buckets,
+        "doc_ppl_adaptive": _doc_ppl_adaptive,
         "doc_rolling_fingerprints": _doc_rolling_fingerprints,
         "doc_gruut_tokens": _doc_gruut_tokens,
         "quality_verdict": _quality_verdict,
@@ -4701,6 +4727,20 @@ def oracle_sql() -> dict[str, str]:
                    CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                           ELSE 'tail' END AS ppl_bucket
             FROM b ORDER BY doc_id
+        """,
+        "doc_ppl_adaptive": f"""
+            WITH pplq AS ({ppl_sql}),
+            j AS (
+              SELECT p.doc_id, d.lang, p.ppl
+              FROM pplq p JOIN documents d USING (doc_id)
+            ),
+            thr AS (
+              SELECT lang, round(quantile_cont(ppl, 0.9), 6) AS p90
+              FROM j GROUP BY lang
+            )
+            SELECT j.doc_id, j.lang, j.ppl, thr.p90,
+                   (j.ppl > thr.p90) AS flag_high_ppl
+            FROM j JOIN thr USING (lang) ORDER BY j.doc_id
         """,
         "quality_verdict_relational": _quality_verdict_oracle_sql(lang_sql, ppl_sql),
         "doc_pack_offset": f"""
