@@ -56,7 +56,9 @@ def _make_hll_fn(
         touched = False
         for pdf in batches:
             touched = True
-            for r, rho in zip(pdf["reg"], pdf["rho"]):
+            # vectorized per-register max: the Python loop runs over
+            # <=256 collapsed entries, not over shingle occurrences
+            for r, rho in pdf.groupby("reg")["rho"].max().items():
                 if rho > regs[r]:
                     regs[r] = rho
         if not touched:
