@@ -211,6 +211,73 @@ def test_streaming_hll_kernel_merges_registers():
     assert bytes(st.get[0]) == bytes(regs)
 
 
+def test_sketch_oracles_fuzz_match_python(spark=None):
+    """Property fuzz (no Spark): the DuckDB oracles gating
+    sketch_hll_shingles / sketch_countmin_tokens reproduce the
+    pure-Python sketch replications on arbitrary corpora — covering
+    both HLL branches (harmonic + linear counting), registers at the
+    zero/30-hex-zeros edges, and count-min collisions."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from __spark_entry__ import _COUNTMIN_ORACLE_SQL, _hll_oracle_sql
+
+    hll_sql = _hll_oracle_sql()
+
+    docs_st = st.lists(
+        st.tuples(
+            st.sampled_from(["s0", "s1"]),
+            st.lists(st.integers(0, 400), min_size=0, max_size=40),
+        ),
+        min_size=1, max_size=10,
+    )
+
+    @settings(max_examples=15, deadline=None)
+    @given(docs_st)
+    def check(rows):
+        texts = [(i, " ".join(f"t{v}" for v in vals), src)
+                 for i, (src, vals) in enumerate(rows)]
+        con = duckdb.connect()
+        con.register(
+            "documents",
+            pd.DataFrame(texts, columns=["doc_id", "text", "source"]),
+        )
+        got = con.execute(hll_sql).df()
+        ref = defaultdict(list)
+        for _, t, src in texts:
+            ts = t.split()
+            for j in range(len(ts) - 2):
+                ref[src].append(" ".join(ts[j:j + 3]))
+        assert sorted(got["source"]) == sorted(ref)
+        for _, r in got.iterrows():
+            n_zero, est = _ref_hll(ref[r["source"]])
+            assert (r["n_zero_registers"], r["hll_estimate"]) == (n_zero, est)
+            assert r["exact_distinct"] == len(set(ref[r["source"]]))
+        # count-min: top-20 estimates vs salted-md5 python replication
+        cm = con.execute(_COUNTMIN_ORACLE_SQL).df()
+        cnt = Counter(w for _, t, _ in texts for w in t.split())
+        want_top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        assert [(r["token"], r["exact_cnt"]) for _, r in cm.iterrows()] \
+            == want_top
+        counters = Counter()
+        for tok, c in cnt.items():
+            for i in range(4):
+                b = int(hashlib.md5(f"{i}:{tok}".encode()).hexdigest()[:8],
+                        16) % 1024
+                counters[(i, b)] += c
+        for _, r in cm.iterrows():
+            est = min(
+                counters[(i, int(hashlib.md5(f"{i}:{r['token']}".encode())
+                                 .hexdigest()[:8], 16) % 1024)]
+                for i in range(4)
+            )
+            assert r["cm_estimate"] == est
+
+    check()
+
+
 def test_sketch_plans_python_free(spark):
     hll = hll_distinct_tokens(_docs(spark), shingle_n=3)
     assert "Python" not in hll._jdf.queryExecution().executedPlan().toString()
