@@ -177,12 +177,13 @@ def hll_distinct_tokens(
     return out.orderBy(group_col)
 
 
-def countmin_sketch(
+def countmin_cells(
     df: DataFrame, text_col: str = "text", depth: int = 4, width: int = 1024
 ) -> DataFrame:
-    """(row, bucket, counter): the count-min table over token
-    occurrences. Bucket_i(token) = md5('i:'||token) first-8-hex % width.
-    Partial agg bounds the shuffle at depth·width rows per partition."""
+    """(row, bucket) cell rows, one per token occurrence per hash row —
+    the stateless projection shared by the batch sketch and the
+    streaming sibling. Bucket_i(token) = md5('i:'||token) first-8-hex
+    % width."""
     toks = _tokens(df, text_col)
     cells = F.array(*[
         F.struct(
@@ -194,9 +195,20 @@ def countmin_sketch(
         )
         for i in range(depth)
     ])
+    return toks.select(F.explode(cells).alias("c")).select(
+        F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket")
+    )
+
+
+def countmin_sketch(
+    df: DataFrame, text_col: str = "text", depth: int = 4, width: int = 1024
+) -> DataFrame:
+    """(row, bucket, counter): the count-min table over token
+    occurrences. Partial agg bounds the shuffle at depth·width rows
+    per partition."""
     return (
-        toks.select(F.explode(cells).alias("c"))
-        .groupBy(F.col("c.row").alias("row"), F.col("c.bucket").alias("bucket"))
+        countmin_cells(df, text_col, depth=depth, width=width)
+        .groupBy("row", "bucket")
         .agg(F.count(F.lit(1)).alias("counter"))
     )
 

@@ -211,6 +211,53 @@ def test_streaming_hll_kernel_merges_registers():
     assert bytes(st.get[0]) == bytes(regs)
 
 
+def test_streaming_countmin_matches_batch(spark, tmp_path):
+    """The latest emitted row per cell after any batch split equals the
+    batch sketch on the union (integer sums commute)."""
+    from gruut_spark.operators.sketches import countmin_sketch
+    from gruut_spark.streaming.stateful_countmin import (
+        streaming_countmin_cells,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = "doc_id long, text string"
+    b1 = spark.createDataFrame(
+        [(i, " ".join(f"w{(i + j) % 13}" for j in range(10)))
+         for i in range(20)], schema)
+    b2 = spark.createDataFrame(
+        [(i, " ".join(f"w{(i * 3 + j) % 13}" for j in range(10)))
+         for i in range(20, 40)], schema)
+    b1.coalesce(1).write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+
+    def run():
+        q = (
+            streaming_countmin_cells(stream, depth=2, width=64)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    b2.coalesce(1).write.parquet(in_dir + "/b2")
+    run()
+    feed = spark.read.parquet(out_dir).toPandas()
+    # latest emission per cell = the max counter (counters only grow)
+    latest = feed.groupby(["row", "bucket"])["counter"].max()
+    batch = {
+        (r["row"], r["bucket"]): r["counter"]
+        for r in countmin_sketch(b1.union(b2), depth=2, width=64).collect()
+    }
+    assert dict(latest) == batch
+
+
 def test_sketch_oracles_fuzz_match_python(spark=None):
     """Property fuzz (no Spark): the DuckDB oracles gating
     sketch_hll_shingles / sketch_countmin_tokens reproduce the
