@@ -1471,6 +1471,25 @@ def _ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) over the embeddings
+    table: 4 sub-space codebooks of 16 centroids trained by the shared
+    deterministic Lloyd trainer, vectors compressed to 4-byte PQ codes
+    in one pandas_udf pass, asymmetric-distance top-k entirely in
+    Catalyst (LUT literals + element_at sum → TakeOrderedAndProject).
+    Value-oracled: the DuckDB twin re-trains all four sub-space k-means
+    chains (_kmeans_assign_ctes per sliced sub-vector) and recomputes
+    the ADC ranking from its own bit-identical centroids."""
+    from gruut_spark.operators.similarity import pq_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return pq_ann_topk(
+        emb, "embedding", "vec_id", [float(x) for x in query],
+        k=10, m=4, ks=16,
+    )
+
+
 def _with_planted_twins(emb: DataFrame) -> DataFrame:
     """The raw embeddings table has no near-dups by construction (max
     off-diagonal cosine ~0.51 at sf0.01), so the near-dup queries plant
@@ -2011,6 +2030,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_d4_select": _embedding_d4_select,
         "ann_lsh_topk": _ann_lsh_topk,
         "ann_ivf_topk": _ann_ivf_topk,
+        "ann_pq_topk": _ann_pq_topk,
         "embedding_near_dups": _embedding_near_dups,
         "embedding_semdedup": _embedding_semdedup,
         "multimodal_features": _multimodal_features,
@@ -2395,6 +2415,54 @@ def _ivf_oracle_sql(
         SELECT k.vec_id, round({cos}, 6) AS cos_sim
         FROM cand k, q
         ORDER BY {cos} DESC, k.vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _pq_oracle_sql(
+    m: int = 4, ks: int = 16, iters: int = 10, seed: int = 11,
+    k: int = 10, dim: int = 64, n_pop: int = 500,
+) -> str:
+    """DuckDB replication of the ENTIRE pq_ann_topk pipeline: one
+    _kmeans_assign_ctes chain PER SUB-SPACE (source = the sliced
+    sub-vector, seed = seed + j, exactly similarity.pq_train_codebooks),
+    then the ADC ranking recomputed from the oracle's own centroids —
+    each row's per-sub-space distance is the squared L2 between the
+    query slice and the row's assigned sub-centroid, summed across the
+    m sub-spaces left-to-right as the Spark literal fold does."""
+    dsub = dim // m
+    chains = []
+    dists = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        chains.append(_kmeans_assign_ctes(
+            source_sql=(
+                f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                " FROM embeddings"
+            ),
+            n_lists=ks, iters=iters, seed=seed + j, dim=dsub,
+            n_pop=n_pop, prefix=f"pq{j}",
+        ))
+        off = j * dsub
+        dists.append(f"""
+        dist{j} AS MATERIALIZED (
+          SELECT a.vec_id,
+                 list_sum([ (q.qv[{off} + i] - c.v[i])
+                            * (q.qv[{off} + i] - c.v[i])
+                            FOR i IN range(1, {dsub + 1}) ]) AS d
+          FROM pq{j}allassign a JOIN pq{j}cents{iters} c ON c.c = a.cl, q)""")
+    total = " + ".join(f"d{j}.d" for j in range(m))
+    joins = " ".join(
+        f"JOIN dist{j} d{j} ON d{j}.vec_id = d0.vec_id" for j in range(1, m)
+    )
+    return f"""
+        WITH {",".join(chains)},
+        q AS MATERIALIZED (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        {",".join(dists)}
+        SELECT d0.vec_id, round({total}, 6) AS adc_dist
+        FROM dist0 d0 {joins}
+        ORDER BY ({total}) ASC, d0.vec_id ASC
         LIMIT {k}
     """
 
@@ -4690,6 +4758,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh_topk": _ann_lsh_oracle_sql(),
         "ann_ivf_topk": _ivf_oracle_sql(),
+        "ann_pq_topk": _pq_oracle_sql(),
         "embedding_semdedup": _semdedup_oracle_sql(),
         # SSL prototypes: training chain + d2 fold + window drop rule
         "embedding_ssl_prototypes": _ssl_prototypes_oracle_sql(),

@@ -501,3 +501,122 @@ def d4_select(
     return proto.filter(F.col("keep")).select(
         id_col, "cluster_id", "d2"
     )
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN — the compressed-domain scale path
+# ---------------------------------------------------------------------------
+
+
+def pq_train_codebooks(
+    sample: np.ndarray, m: int = 4, ks: int = 16, iters: int = 10,
+    seed: int = 11,
+) -> List[np.ndarray]:
+    """PQ codebook training (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split the dim into ``m`` contiguous
+    sub-spaces and run one independent deterministic Lloyd k-means
+    (``ks`` centroids, seed ``seed + j`` for sub-space ``j``) on each —
+    the same `_ivf_centroids` trainer the IVF/SemDeDup family uses, so
+    the DuckDB oracle's MATERIALIZED-CTE replication applies verbatim
+    per sub-space. Codebooks are tiny (m × ks × dim/m) and broadcast."""
+    dim = sample.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    return [
+        _ivf_centroids(
+            np.ascontiguousarray(sample[:, j * dsub:(j + 1) * dsub]),
+            ks, iters=iters, seed=seed + j,
+        )
+        for j in range(m)
+    ]
+
+
+def pq_encode(
+    df: DataFrame, vec_col: str, id_col: str,
+    codebooks: List[np.ndarray],
+) -> DataFrame:
+    """(_id, codes): every vector compressed to ``m`` sub-space
+    centroid ids — the PQ code. This is the 100-TB point of PQ: a
+    64-dim float32 vector (256 B) becomes m small ints (m bytes packed;
+    kept as array<int> here for plan readability), so the re-rankable
+    index is ~64× smaller than the corpus and the ADC scan below never
+    touches the raw vectors. ONE vectorized pandas_udf pass (numpy
+    batch argmin per sub-space), no shuffle."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+
+    @pandas_udf("array<int>")
+    def _codes(vecs: pd.Series) -> pd.Series:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.Series([], dtype=object)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            d = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = d.argmin(axis=1)
+        return pd.Series(out.tolist())
+
+    return df.select(
+        F.col(id_col).alias("_id"), _codes(F.col(vec_col)).alias("codes")
+    )
+
+
+def pq_ann_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: Sequence[float],
+    k: int = 10, m: int = 4, ks: int = 16, train_sample: int = 1024,
+    iters: int = 10, seed: int = 11,
+) -> DataFrame:
+    """PQ ANN with asymmetric distance computation (ADC, Jégou et al.
+    2011 §IV): train ``m`` sub-space codebooks on a bounded
+    deterministic sample (ivf_train_sample — TakeOrdered, no global
+    sort), encode every vector to its m-byte PQ code in one narrow
+    pandas_udf pass, then score candidates WITHOUT touching raw
+    vectors: the query is expanded driver-side into an m × ks lookup
+    table of exact sub-distances (left-to-right Python fold, the same
+    IEEE sequence the SQL oracle's list-comprehension fold produces),
+    folded into the plan as array literals, and every row's
+    approximate distance is a pure-Catalyst sum of m element_at picks
+    — whole-stage-codegen, zero Python, zero shuffle. Top-k compiles
+    to TakeOrderedAndProject (per-partition heaps, only k rows move).
+
+    Scale shape: at 10^12 vectors the codes table is the only thing
+    scanned per query (m ints + id per row); the LUT is O(m·ks)
+    literals; recall is tuned by m/ks exactly as in the paper, and the
+    operator composes with the IVF coarse quantizer (probe lists
+    first, ADC inside) for IVF-PQ. Returns (vec_id, adc_dist) — adc
+    is squared L2 in the quantized space, rounded to 6 for
+    oracle-stable hashing; the ORDER uses full precision."""
+    q = np.asarray(list(query), dtype=np.float64)
+    sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    codebooks = pq_train_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed)
+    dsub = codebooks[0].shape[1]
+
+    lut: List[List[float]] = []
+    for j in range(m):
+        qs = q[j * dsub:(j + 1) * dsub]
+        row = []
+        for c in range(len(codebooks[j])):
+            d = 0.0
+            for i in range(dsub):
+                t = qs[i] - codebooks[j][c][i]
+                d += t * t
+            row.append(float(d))
+        lut.append(row)
+
+    codes = pq_encode(df, vec_col, id_col, codebooks)
+    lut_cols = [F.array(*[F.lit(v) for v in lut[j]]) for j in range(m)]
+    adc = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(lut_cols[j], F.col("codes").getItem(j) + 1)
+    return (
+        codes.select("_id", adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col("_id").asc())
+        .limit(k)
+        .select(
+            F.col("_id").alias("vec_id"), F.round("_adc", 6).alias("adc_dist")
+        )
+    )

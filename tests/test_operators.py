@@ -307,6 +307,70 @@ def test_ivf_ann(spark):
     assert 0 in ids and 42 in ids  # query itself + its near-twin found
 
 
+def test_pq_ann_adc_matches_numpy(spark):
+    """pq_ann_topk's Catalyst ADC ranking must equal a full numpy
+    recomputation (train -> encode -> LUT -> exact top-k) on the same
+    data, and the query vector's own row must rank first (its ADC
+    distance is its own quantization error, minimal for gaussian
+    data)."""
+    from gruut_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(21)
+    vecs = rng.standard_normal((200, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    query = [float(x) for x in vecs[0]]
+    out = pq_ann_topk(
+        df, "embedding", "vec_id", query, k=7, m=4, ks=8, train_sample=200
+    ).collect()
+
+    # independent numpy replication
+    mat = vecs.astype(np.float64)
+    books = pq_train_codebooks(mat, m=4, ks=8)
+    q = np.asarray(query, dtype=np.float64)
+    dsub = 4
+    adc = np.zeros(len(mat))
+    for j in range(4):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        d = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+        codes = d.argmin(axis=1)
+        qd = ((q[j * dsub:(j + 1) * dsub][None, :] - books[j]) ** 2).sum(axis=1)
+        adc += qd[codes]
+    order = np.lexsort((np.arange(len(mat)), adc))[:7]
+    assert [r["vec_id"] for r in out] == [int(i) for i in order]
+    assert out[0]["vec_id"] == 0
+    got = np.asarray([r["adc_dist"] for r in out])
+    assert np.allclose(got, np.round(adc[order], 6), atol=1e-5)
+
+
+def test_pq_encode_shape(spark):
+    """PQ codes are one array<int> of length m per row, every code in
+    [0, ks) — the compressed index the ADC scan reads instead of raw
+    vectors."""
+    from gruut_spark.operators.similarity import (
+        pq_encode,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(22)
+    vecs = rng.standard_normal((60, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    books = pq_train_codebooks(vecs.astype(np.float64), m=2, ks=4)
+    rows = pq_encode(df, "embedding", "vec_id", books).collect()
+    assert len(rows) == 60
+    for r in rows:
+        assert len(r["codes"]) == 2
+        assert all(0 <= c < 4 for c in r["codes"])
+
+
 def test_embedding_near_dup_pairs(spark):
     from gruut_spark.operators.similarity import embedding_near_dup_pairs
 
