@@ -539,6 +539,34 @@ def dsir_importance(
     )
 
 
+def gumbel_score_col(
+    id_col: str, weight_col: str, salt: str = "gumbel",
+    temperature: float = 1.0,
+) -> "F.Column":
+    """The shared Gumbel-top-k sampling score — weight/T + Gumbel(0,1)
+    with the noise DERIVED from md5(id ":" salt) (see gumbel_topk).
+    One Catalyst expression used verbatim by the batch operator, the
+    DuckDB oracle and the streaming reservoir's stateless projection,
+    so all three rank by bit-identical doubles."""
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.col(id_col).cast("string"), F.lit(salt)
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return F.col(weight_col) / F.lit(float(temperature)) + -F.log(-F.log(u))
+
+
 def gumbel_topk(
     df: DataFrame,
     weight_col: str,
@@ -564,23 +592,7 @@ def gumbel_topk(
     merge; the full table is never globally sorted and only k rows
     cross the wire. Adds a ``sample_score`` column (rounded to 6 for
     oracle-stable hashing; the ORDER itself uses full precision)."""
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        ":", F.col(id_col).cast("string"), F.lit(salt)
-                    )
-                ),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("double")
-        + F.lit(0.5)
-    ) / F.lit(4294967296.0)
-    score = F.col(weight_col) / F.lit(float(temperature)) + -F.log(-F.log(u))
+    score = gumbel_score_col(id_col, weight_col, salt, temperature)
     return (
         df.withColumn("_score", score)
         .orderBy(F.desc("_score"), F.col(id_col))

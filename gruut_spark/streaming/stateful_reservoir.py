@@ -1,0 +1,124 @@
+"""Cross-batch streaming weighted reservoir sampling (Gumbel top-k).
+
+A continuously-ingesting corpus pipeline wants a standing weighted
+sample per stratum — "keep the k best-scored documents per language
+seen so far, proportional to exp(weight)" — without ever re-scanning
+history. Gumbel-top-k makes that exactly incremental: each row's
+sampling score (weight/T + derived Gumbel noise, the Efraimidis-
+Spirakis / Vieira 2014 equivalence the batch ``gumbel_topk`` operator
+uses) is a pure function of (id, weight, salt), so the reservoir is
+just the running top-k of a deterministic score and a batch split can
+never change the result.
+
+The score is computed STATELESSLY before the stateful op with the same
+Catalyst expression the batch operator uses
+(``operators/corpus.py::gumbel_score_col``) — bit-identical doubles —
+so after any micro-batch split the final reservoir per stratum equals
+the batch window rank over the union (pinned by
+tests/test_operators.py::test_streaming_reservoir_matches_batch).
+
+Scale shape: the shuffle to the stateful operator carries (stratum,
+id, score) — 24 bytes, no text; state per stratum is exactly k
+(score, id) pairs; the kernel does an O(batch + k) merge against
+arrays. Per batch each stratum emits its current reservoir (k rows)
+plus a monotone ``n_seen`` total so downstream readers can pick each
+stratum's latest emission.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterator, Optional, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from gruut_spark.operators.corpus import gumbel_score_col
+
+STATE_SCHEMA = "ids array<long>, scores array<double>, n_seen long"
+OUTPUT_SCHEMA = (
+    "stratum string, doc_id long, sample_score double, rank int, "
+    "n_seen long"
+)
+
+
+def _make_reservoir_fn(
+    k: int, ttl_minutes: Optional[float] = None
+) -> Callable[..., Iterator[pd.DataFrame]]:
+    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+
+    def fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if getattr(state, "hasTimedOut", False):
+            state.remove()
+            return
+        if state.exists:
+            ids, scores, n_seen = state.get
+            pool = list(zip(list(scores), list(ids)))
+        else:
+            pool, n_seen = [], 0
+        touched = False
+        for pdf in batches:
+            touched = True
+            n_seen += len(pdf)
+            pool.extend(
+                zip(pdf["_score"].tolist(), pdf["_id"].tolist())
+            )
+        if not touched:
+            return
+        # batch tie rule: score desc, id asc (gumbel_topk's orderBy)
+        pool.sort(key=lambda t: (-t[0], t[1]))
+        pool = pool[:k]
+        state.update(
+            ([i for _, i in pool], [s for s, _ in pool], n_seen)
+        )
+        if ttl_ms is not None:
+            state.setTimeoutDuration(ttl_ms)
+        yield pd.DataFrame(
+            {
+                "stratum": [key[0]] * len(pool),
+                "doc_id": [i for _, i in pool],
+                "sample_score": [round(s, 6) for s, _ in pool],
+                "rank": list(range(1, len(pool) + 1)),
+                "n_seen": [n_seen] * len(pool),
+            }
+        )
+
+    return fn
+
+
+def streaming_gumbel_reservoir(
+    stream: DataFrame,
+    weight_col: str,
+    k: int,
+    stratum_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "gumbel",
+    temperature: float = 1.0,
+    state_ttl_minutes: Optional[float] = None,
+) -> DataFrame:
+    """stream (stratum, id, weight) -> each stratum's current weighted
+    sample (k rows, rank-ordered) per micro-batch. State = k
+    (score, id) pairs per stratum; TTL mode evicts idle strata (a
+    re-arrival restarts that stratum's reservoir)."""
+    scored = stream.select(
+        F.col(stratum_col).cast("string").alias("stratum"),
+        F.col(id_col).cast("long").alias("_id"),
+        gumbel_score_col(id_col, weight_col, salt, temperature).alias(
+            "_score"
+        ),
+    )
+    return scored.groupBy("stratum").applyInPandasWithState(
+        _make_reservoir_fn(k, state_ttl_minutes),
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=(
+            GroupStateTimeout.NoTimeout
+            if state_ttl_minutes is None
+            else GroupStateTimeout.ProcessingTimeTimeout
+        ),
+    )

@@ -291,6 +291,75 @@ def test_streaming_stateful_dedup(spark, tmp_path):
     assert list(out.doc_id) == [0, 1, 4]
 
 
+def test_streaming_reservoir_matches_batch(spark, tmp_path):
+    """After any micro-batch split, each stratum's final reservoir
+    equals the batch Gumbel-top-k window rank over the union — the
+    score is the shared deterministic gumbel_score_col expression, so
+    ranking is over bit-identical doubles."""
+    from pyspark.sql.window import Window
+
+    from gruut_spark.operators.corpus import gumbel_score_col
+    from gruut_spark.streaming.stateful_reservoir import (
+        streaming_gumbel_reservoir,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    schema = "doc_id long, lang string, weight double"
+    rows = [
+        (i, "en" if i % 3 else "de", float((i * 7) % 11) * 0.4)
+        for i in range(90)
+    ]
+    b1 = spark.createDataFrame(rows[:50], schema)
+    b2 = spark.createDataFrame(rows[50:], schema)
+    b1.coalesce(1).write.parquet(in_dir + "/b1")
+    b2.coalesce(1).write.parquet(in_dir + "/b2")
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        streaming_gumbel_reservoir(stream, "weight", k=5)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+
+    out = spark.read.parquet(out_dir).toPandas()
+    # latest emission per stratum = the rows with that stratum's max n_seen
+    finals = {
+        s: g[g["n_seen"] == g["n_seen"].max()]
+        for s, g in out.groupby("stratum")
+    }
+    w = Window.partitionBy("lang").orderBy(
+        F.desc("_score"), F.col("doc_id")
+    )
+    expected = (
+        b1.union(b2)
+        .withColumn("_score", gumbel_score_col("doc_id", "weight"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "lang", "doc_id", F.round("_score", 6).alias("sample_score"),
+            "rank",
+        )
+        .toPandas()
+    )
+    for lang, g in expected.groupby("lang"):
+        got = finals[lang].sort_values("rank")
+        want = g.sort_values("rank")
+        assert list(got["doc_id"]) == list(want["doc_id"])
+        assert list(got["rank"]) == list(want["rank"])
+        assert np.allclose(got["sample_score"], want["sample_score"])
+    # both strata saw all their union rows
+    assert {s: int(f["n_seen"].iloc[0]) for s, f in finals.items()} == {
+        "en": 60, "de": 30
+    }
+
+
 def test_ivf_ann(spark):
     from gruut_spark.operators.similarity import ivf_ann_topk
 
