@@ -1,0 +1,230 @@
+"""CLI parity with the reference (`python -m gruut`, gruut/__main__.py).
+
+Single-process by design — the reference CLI's boundary is
+stdin/stdout, and this mirrors it over the SAME pure-Python core the
+Spark executors run (`core/`), so `python -m gruut_spark -l de "1.000"`
+verbalizes exactly like the distributed job's tokenizer stage. The
+cluster-scale equivalent of this entry point is
+`jobs/run_pipeline.py` (spark-submit; per-line errors become status
+columns instead of exceptions — SURVEY §3.2).
+
+Flag surface ported from gruut/__main__.py:191-316: language, text
+args / stdin, --ssml, --stdin-format, the --no-{numbers,currency,
+dates,times} transform toggles, the --no-{punctuation,major-breaks,
+minor-breaks} output filters, --no-fail, --csv/--csv-delimiter and the
+separator knobs, no-args known-language listing, --version. Deviations
+(documented, environmental): model/lexicon auto-discovery
+(find_lang_dir probes installed gruut_lang_* packages that don't ship
+here) is replaced by an explicit --lexicon-db PATH pointing at a
+reference-format sqlite lexicon (gruut/lexicon2db.py schema), with
+--model-prefix/--espeak selecting the pronunciation system when the
+path is a language DATA DIRECTORY rather than a .db file; --no-pos and
+--no-g2p degrade gracefully (POS tagging and model G2P need trained
+artifacts — the lookup falls back to the same deterministic grapheme
+pronunciation the Spark operator uses).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import dataclasses
+import json
+import os
+import re
+import sys
+from typing import Dict, Iterable, List, Optional, Tuple
+
+from gruut_spark.core.settings import get_supported_languages
+from gruut_spark.core.tokenizer import sentences as core_sentences
+from gruut_spark.core.types import Sentence
+
+# the reference's remove_non_word_chars is Python \W (unicode-aware);
+# mirrors operators/lexicon.py::_NON_WORD_RE ([^\p{L}\p{N}_] in Java/RE2)
+_NON_WORD = re.compile(r"\W", re.UNICODE)
+
+
+def _load_lexicon(path: str, model_prefix: str = "") -> Dict[str, str]:
+    """word -> best (min pron_order) phoneme string from a
+    reference-format lexicon db (word_phonemes table). ``path`` may be
+    the .db file itself or a language data dir containing
+    [<model_prefix>/]lexicon.db (the reference's find_lang_dir layout)."""
+    import sqlite3
+    from contextlib import closing
+
+    if os.path.isdir(path):
+        path = os.path.join(path, model_prefix, "lexicon.db")
+    best: Dict[str, Tuple[int, str]] = {}
+    with closing(sqlite3.connect(path)) as conn:
+        for word, order, ph in conn.execute(
+            "SELECT word, pron_order, phonemes FROM word_phonemes"
+        ):
+            cur = best.get(word)
+            if cur is None or order < cur[0]:
+                best[word] = (order, ph)
+    return {w: ph for w, (_, ph) in best.items()}
+
+
+def _phonemize(word: str, lexicon: Dict[str, str], g2p: bool) -> List[str]:
+    """The reference lookup chain (gruut/phonemize.py:75-112 /
+    operators/lexicon.py::phonemize_tokens): exact -> lower -> strip
+    non-word chars -> strip+lower -> grapheme fallback."""
+    for form in (
+        word,
+        word.lower(),
+        _NON_WORD.sub("", word),
+        _NON_WORD.sub("", word.lower()),
+    ):
+        ph = lexicon.get(form)
+        if ph:
+            return ph.split(" ")
+    if g2p:
+        return [c for c in word.lower() if c.strip()]
+    return []
+
+
+def _keep_word(w, args) -> bool:
+    if args.no_punctuation and w.is_punctuation:
+        return False
+    if args.no_major_breaks and w.is_major_break:
+        return False
+    if args.no_minor_breaks and w.is_minor_break:
+        return False
+    return True
+
+
+def _sentences_for(text: str, args) -> List[Sentence]:
+    kwargs = {}
+    if not args.ssml:
+        # the transform toggles only apply on the plain-text path (the
+        # SSML source drives transforms from say-as markup)
+        kwargs = dict(
+            detect_numbers=not args.no_numbers,
+            verbalize_numbers=not args.no_numbers,
+            detect_currency=not args.no_currency,
+            verbalize_currency=not args.no_currency,
+            detect_dates=not args.no_dates,
+            verbalize_dates=not args.no_dates,
+            detect_times=not args.no_times,
+            verbalize_times=not args.no_times,
+        )
+    sents = core_sentences(text, lang=args.language, ssml=args.ssml, **kwargs)
+    lex = args._lexicon
+    for sent in sents:
+        sent.words = [w for w in sent.words if _keep_word(w, args)]
+        if lex is not None and not args.no_lexicon:
+            for w in sent.words:
+                if w.is_spoken and not w.phonemes:
+                    w.phonemes = _phonemize(w.text, lex, not args.no_g2p)
+    return sents
+
+
+def _input_lines(args) -> Iterable[Tuple[str, Optional[List[str]]]]:
+    if args.text:
+        lines: Iterable[str] = args.text
+    elif args.stdin_format == "document" or (
+        args.stdin_format == "auto" and args.ssml
+    ):
+        lines = [sys.stdin.read()]
+    else:
+        if os.isatty(sys.stdin.fileno()):
+            print("Reading input from stdin...", file=sys.stderr)
+        lines = (ln.rstrip("\n") for ln in sys.stdin)
+    if args.csv:
+        for row in csv.reader(lines, delimiter=args.csv_delimiter):
+            yield row[1], row
+    else:
+        for ln in lines:
+            yield ln, None
+
+
+def get_args(argv: Optional[List[str]] = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(prog="gruut_spark")
+    p.add_argument("-l", "--language", default="en-us",
+                   help="Default language code (default: en-us)")
+    p.add_argument("text", nargs="*", help="Text to tokenize (default: stdin)")
+    p.add_argument("--ssml", action="store_true", help="Input text is SSML")
+    p.add_argument("--stdin-format", choices=["auto", "lines", "document"],
+                   default="auto", help="Format of stdin text (default: auto)")
+    for flag, hlp in [
+        ("no-numbers", "Disable number replacement (1 -> one)"),
+        ("no-currency", "Disable currency replacement ($1 -> one dollar)"),
+        ("no-dates", "Disable date replacement"),
+        ("no-times", "Disable time replacement"),
+        ("no-punctuation", "Don't output punctuations"),
+        ("no-major-breaks", "Don't output major breaks"),
+        ("no-minor-breaks", "Don't output minor breaks"),
+        ("no-lexicon", "Disable phoneme lexicon database"),
+        ("no-g2p", "Disable grapheme fallback pronunciation"),
+        ("no-fail", "Skip lines that result in errors"),
+    ]:
+        p.add_argument(f"--{flag}", action="store_true", help=hlp)
+    p.add_argument("--lexicon-db",
+                   help="Path to a reference-format lexicon sqlite db "
+                        "(or a language data dir containing lexicon.db)")
+    p.add_argument("--espeak", action="store_true",
+                   help="Use eSpeak lexicon under a language data dir "
+                        "(sets --model-prefix espeak)")
+    p.add_argument("--model-prefix", default="",
+                   help="Sub-directory of the language data dir with a "
+                        "different lexicon (e.g. espeak)")
+    p.add_argument("--csv", action="store_true",
+                   help="Input text is id|text (see --csv-delimiter)")
+    p.add_argument("--csv-delimiter", default="|")
+    p.add_argument("--sentence-separator", default=". ")
+    p.add_argument("--word-separator", default=" ")
+    p.add_argument("--phoneme-word-separator", default="#")
+    p.add_argument("--phoneme-separator", default=" ")
+    return p.parse_args(argv)
+
+
+def main(argv: Optional[List[str]] = None) -> int:
+    raw = sys.argv[1:] if argv is None else argv
+    if not raw:
+        print("Languages:", *sorted(get_supported_languages()))
+        return 0
+    if raw[0] == "--version":
+        from gruut_spark import __version__
+
+        print(__version__)
+        return 0
+    args = get_args(raw)
+    if args.espeak:
+        args.model_prefix = "espeak"
+    args._lexicon = (
+        _load_lexicon(args.lexicon_db, args.model_prefix)
+        if args.lexicon_db and not args.no_lexicon
+        else None
+    )
+    out = sys.stdout
+    csv_writer = csv.writer(out, delimiter=args.csv_delimiter) if args.csv else None
+    for text, row in _input_lines(args):
+        try:
+            sents = _sentences_for(text, args)
+        except Exception as err:  # noqa: BLE001 — the reference's policy
+            if args.no_fail:
+                print(f"error: {err} (line: {text!r})", file=sys.stderr)
+                continue
+            raise
+        if csv_writer is not None and row is not None:
+            row = list(row)
+            row.append(args.sentence_separator.join(
+                args.word_separator.join(
+                    w.text for w in s.words if w.is_spoken
+                ) for s in sents
+            ))
+            row.append(args.phoneme_word_separator.join(
+                args.phoneme_separator.join(w.phonemes)
+                for s in sents for w in s.words if w.phonemes
+            ))
+            csv_writer.writerow(row)
+        else:
+            for s in sents:
+                json.dump(dataclasses.asdict(s), out, ensure_ascii=False)
+                out.write("\n")
+            out.flush()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

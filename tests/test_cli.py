@@ -1,0 +1,111 @@
+"""CLI parity tests (`python -m gruut_spark`, reference
+gruut/__main__.py surface): language listing, JSONL/CSV writers,
+transform toggles, output filters, --no-fail policy, and the explicit
+--lexicon-db pronunciation path (real reference dbs, skipif-gated on
+the mount)."""
+
+import json
+import os
+
+import pytest
+
+from gruut_spark.__main__ import main
+
+REF_IT = "/root/reference/gruut-lang-it/gruut_lang_it"
+
+
+def run_cli(capsys, *argv):
+    rc = main(list(argv))
+    out = capsys.readouterr()
+    return rc, out.out, out.err
+
+
+def test_no_args_lists_languages(capsys):
+    rc, out, _ = run_cli(capsys)
+    assert rc == 0
+    assert out.startswith("Languages:")
+    assert "en_US" in out and "de_DE" in out and "zh_CN" in out
+
+
+def test_version(capsys):
+    rc, out, _ = run_cli(capsys, "--version")
+    assert rc == 0 and out.strip() == "0.1.0"
+
+
+def test_jsonl_output_verbalizes(capsys):
+    rc, out, _ = run_cli(capsys, "-l", "en", "It costs $10. Done.")
+    assert rc == 0
+    lines = [json.loads(ln) for ln in out.splitlines()]
+    assert [d["idx"] for d in lines] == [0, 1]
+    assert lines[0]["text_spoken"] == "It costs ten dollars"
+    assert lines[1]["text_spoken"] == "Done"
+    # word records are full dataclass dicts
+    w = lines[0]["words"][0]
+    assert w["text"] == "It" and "is_punctuation" in w
+
+
+def test_no_numbers_toggle(capsys):
+    _, out, _ = run_cli(capsys, "-l", "en", "--no-numbers", "I have 2 cats.")
+    d = json.loads(out.splitlines()[0])
+    assert "2" in d["text_spoken"] and "two" not in d["text_spoken"]
+
+
+def test_no_punctuation_filter(capsys):
+    _, out, _ = run_cli(capsys, "-l", "en", "Hi, there.")
+    words = [w["text"] for w in json.loads(out.splitlines()[0])["words"]]
+    assert "," in words or "." in words
+    _, out, _ = run_cli(
+        capsys, "-l", "en", "--no-punctuation", "--no-major-breaks",
+        "--no-minor-breaks", "Hi, there.",
+    )
+    words = [w["text"] for w in json.loads(out.splitlines()[0])["words"]]
+    assert words == ["Hi", "there"]
+
+
+def test_csv_writer(capsys):
+    _, out, _ = run_cli(
+        capsys, "-l", "en", "--csv", "doc1|Dr. Smith bought 2 apples."
+    )
+    row = out.strip().split("|")
+    assert row[0] == "doc1"
+    assert row[2] == "Doctor Smith bought two apples"
+
+
+def test_ssml_input(capsys):
+    _, out, _ = run_cli(
+        capsys, "--ssml",
+        '<speak xml:lang="en"><s>One 2 three</s></speak>',
+    )
+    assert json.loads(out.splitlines()[0])["text_spoken"] == "One two three"
+
+
+def test_no_fail_skips_bad_lines(capsys):
+    # malformed SSML raises on the strict path ...
+    with pytest.raises(Exception):
+        run_cli(capsys, "--ssml", "<speak><bad")
+    # ... and is skipped (stderr note, rc 0) under --no-fail
+    rc, out, err = run_cli(capsys, "--ssml", "--no-fail", "<speak><bad")
+    assert rc == 0 and out == "" and "error:" in err
+
+
+@pytest.mark.skipif(not os.path.isdir(REF_IT), reason="reference not mounted")
+def test_lexicon_db_pronunciations(capsys):
+    _, out, _ = run_cli(
+        capsys, "-l", "it", "--lexicon-db", REF_IT, "Il gatto."
+    )
+    words = {
+        w["text"]: w["phonemes"]
+        for w in json.loads(out.splitlines()[0])["words"]
+    }
+    assert words["gatto"] == ["ˈɡ", "a", "t", "t", "o"]  # real db pron
+    assert words["Il"] == ["i", "l"]  # grapheme fallback (no G2P model)
+    assert words["."] is None  # breaks carry no phonemes
+
+    _, out, _ = run_cli(
+        capsys, "-l", "it", "--lexicon-db", REF_IT, "--espeak", "Il gatto."
+    )
+    words = {
+        w["text"]: w["phonemes"]
+        for w in json.loads(out.splitlines()[0])["words"]
+    }
+    assert words["gatto"] == ["ɡ", "ˈa", "tː", "o"]  # espeak system
