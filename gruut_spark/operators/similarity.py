@@ -620,3 +620,97 @@ def pq_ann_topk(
             F.col("_id").alias("vec_id"), F.round("_adc", 6).alias("adc_dist")
         )
     )
+
+
+def ivfpq_index(
+    df: DataFrame, vec_col: str, id_col: str,
+    coarse_centroids: np.ndarray, codebooks: List[np.ndarray],
+) -> DataFrame:
+    """(_id, list_id, codes): the IVF-PQ index build — coarse-list
+    assignment AND PQ encoding fused into ONE pandas_udf (the repo's
+    one-Python-node-per-stage rule; two separate UDF nodes would double
+    the per-task Python workers). This is the materialized index a
+    production system writes once: (list, m-byte code) per vector,
+    partitionable by list_id so a probe touches n_probe/n_lists of the
+    files."""
+    from pyspark.sql.functions import pandas_udf
+
+    m = len(codebooks)
+    dsub = codebooks[0].shape[1]
+
+    @pandas_udf("struct<list_id:int, codes:array<int>>")
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.DataFrame({"list_id": [], "codes": []})
+        d = ((mat[:, None, :] - coarse_centroids[None, :, :]) ** 2).sum(axis=2)
+        lists = d.argmin(axis=1).astype(np.int32)
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = mat[:, j * dsub:(j + 1) * dsub]
+            dj = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = dj.argmin(axis=1)
+        return pd.DataFrame({"list_id": lists, "codes": out.tolist()})
+
+    return df.select(
+        F.col(id_col).alias("_id"), _enc(F.col(vec_col)).alias("_e")
+    ).select("_id", F.col("_e.list_id").alias("list_id"),
+             F.col("_e.codes").alias("codes"))
+
+
+def ivfpq_ann_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: Sequence[float],
+    k: int = 10, n_lists: int = 16, n_probe: int = 4, m: int = 4,
+    ks: int = 16, train_sample: int = 1024, iters: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """IVF-PQ ANN — the composed production index shape (FAISS
+    IndexIVFPQ with by_residual=False): the coarse quantizer restricts
+    the scan to ``n_probe`` inverted lists, and inside them ranking is
+    the compressed-domain ADC sum, so a query reads n_probe/n_lists of
+    an index that is itself ~64× smaller than the raw vectors. Both
+    trainers share one bounded deterministic sample; the index build is
+    ONE fused pandas_udf pass (ivfpq_index); probe filter + LUT ranking
+    stay whole-stage-codegen ending in TakeOrderedAndProject.
+
+    Non-residual encoding (codes quantize the raw vector, not the
+    vector minus its coarse centroid) keeps PQ codebooks global — the
+    standard accuracy/simplicity trade FAISS exposes as by_residual —
+    and is what makes the DuckDB oracle's chains composable: coarse and
+    sub-space k-means are independent over the same source table."""
+    q = np.asarray(list(query), dtype=np.float64)
+    sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    coarse = _ivf_centroids(sample, n_lists, iters=iters, seed=seed)
+    codebooks = pq_train_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed)
+    dsub = codebooks[0].shape[1]
+    probe_lists = np.argsort(((coarse - q) ** 2).sum(axis=1))[:n_probe]
+
+    lut: List[List[float]] = []
+    for j in range(m):
+        qs = q[j * dsub:(j + 1) * dsub]
+        row = []
+        for c in range(len(codebooks[j])):
+            d = 0.0
+            for i in range(dsub):
+                t = qs[i] - codebooks[j][c][i]
+                d += t * t
+            row.append(float(d))
+        lut.append(row)
+
+    idx = ivfpq_index(df, vec_col, id_col, coarse, codebooks)
+    cand = idx.filter(
+        F.col("list_id").isin([int(x) for x in probe_lists])
+    )
+    lut_cols = [F.array(*[F.lit(v) for v in lut[j]]) for j in range(m)]
+    adc = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(lut_cols[j], F.col("codes").getItem(j) + 1)
+    return (
+        cand.select("_id", adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col("_id").asc())
+        .limit(k)
+        .select(
+            F.col("_id").alias("vec_id"), F.round("_adc", 6).alias("adc_dist")
+        )
+    )

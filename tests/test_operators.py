@@ -440,6 +440,59 @@ def test_pq_encode_shape(spark):
         assert all(0 <= c < 4 for c in r["codes"])
 
 
+def test_ivfpq_ann_matches_numpy(spark):
+    """ivfpq_ann_topk == numpy replication of coarse-assign -> probe
+    filter -> ADC rank; and probing ALL lists must reproduce plain
+    pq_ann_topk exactly (same codebooks, same LUT — the coarse stage
+    only filters)."""
+    from gruut_spark.operators.similarity import (
+        _ivf_centroids,
+        ivfpq_ann_topk,
+        pq_ann_topk,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(31)
+    vecs = rng.standard_normal((250, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    query = [float(x) for x in vecs[0]]
+    out = ivfpq_ann_topk(
+        df, "embedding", "vec_id", query, k=6, n_lists=8, n_probe=3,
+        m=4, ks=8, train_sample=250,
+    ).collect()
+
+    mat = vecs.astype(np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    coarse = _ivf_centroids(mat, 8)
+    books = pq_train_codebooks(mat, m=4, ks=8)
+    lists = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(2).argmin(1)
+    probes = set(np.argsort(((coarse - q) ** 2).sum(1))[:3].tolist())
+    dsub = 4
+    adc = np.zeros(len(mat))
+    for j in range(4):
+        sub = mat[:, j * dsub:(j + 1) * dsub]
+        codes = ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(2).argmin(1)
+        qd = ((q[j * dsub:(j + 1) * dsub][None, :] - books[j]) ** 2).sum(1)
+        adc += qd[codes]
+    cand = [i for i in range(len(mat)) if lists[i] in probes]
+    cand.sort(key=lambda i: (adc[i], i))
+    assert [r["vec_id"] for r in out] == cand[:6]
+
+    full = ivfpq_ann_topk(
+        df, "embedding", "vec_id", query, k=6, n_lists=8, n_probe=8,
+        m=4, ks=8, train_sample=250,
+    ).collect()
+    plain = pq_ann_topk(
+        df, "embedding", "vec_id", query, k=6, m=4, ks=8, train_sample=250
+    ).collect()
+    assert [(r["vec_id"], r["adc_dist"]) for r in full] == [
+        (r["vec_id"], r["adc_dist"]) for r in plain
+    ]
+
+
 def test_embedding_near_dup_pairs(spark):
     from gruut_spark.operators.similarity import embedding_near_dup_pairs
 
