@@ -868,6 +868,41 @@ def _doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gumbel_topk(weights, "log_weight", k=50).orderBy("doc_id")
 
 
+def _doc_gumbel_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-stratum weighted sample without replacement: top-10 per
+    language by the shared Gumbel score (gumbel_score_col — the same
+    Catalyst expression doc_dsir_select and the streaming reservoir
+    rank by), weight = ln(1 + char length). This is the batch twin of
+    streaming/stateful_reservoir.py under the value gate: identical
+    score, identical (score desc, id) tie rule. The per-stratum Window
+    is fine while strata are languages; a hot stratum at 100 TB takes
+    the streaming reservoir's bounded-state path or quota_cap's
+    two-phase split instead (noted in PLANS.md)."""
+    from pyspark.sql.window import Window
+
+    from gruut_spark.operators.corpus import gumbel_score_col
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "lang", "doc_id",
+        (
+            F.log(F.lit(1.0) + F.length(F.coalesce(F.col("text"), F.lit(""))))
+        ).alias("_w"),
+    )
+    scored = docs.select(
+        "lang", "doc_id",
+        gumbel_score_col("doc_id", "_w", salt="strat").alias("_s"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.desc("_s"), F.col("doc_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select(
+            "lang", "doc_id", F.round("_s", 6).alias("sample_score"), "rank"
+        )
+        .orderBy("lang", "rank")
+    )
+
+
 _BM25_QUERY_TERMS = ["hash", "join", "skew", "broadcast"]
 
 
@@ -2069,6 +2104,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_line_signals": _doc_line_signals,
         "doc_dsir_importance": _doc_dsir_importance,
         "doc_dsir_select": _doc_dsir_select,
+        "doc_gumbel_stratified": _doc_gumbel_stratified,
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_quality_logreg": _doc_quality_logreg,
         "doc_bpe_merges": _doc_bpe_merges,
@@ -4278,6 +4314,33 @@ def oracle_sql() -> dict[str, str]:
             FROM gum
             ORDER BY (log_weight - ln(-ln(u))) DESC, doc_id
             LIMIT 50
+        """,
+        # per-stratum Gumbel sample: same md5-derived uniform, weight =
+        # ln(1 + char length), row_number per lang over (score desc, id)
+        "doc_gumbel_stratified": """
+            WITH docs AS (
+                SELECT lang, doc_id,
+                       ln(1.0 + length(coalesce(text, ''))) AS w
+                FROM documents
+            ),
+            gum AS (
+                SELECT lang, doc_id, w,
+                  (CAST(('0x' || substring(md5(
+                       CAST(doc_id AS VARCHAR) || ':strat'), 1, 8))
+                     AS BIGINT) + 0.5) / 4294967296.0 AS u
+                FROM docs
+            ),
+            ranked AS (
+                SELECT lang, doc_id, (w - ln(-ln(u))) AS s,
+                       CAST(row_number() OVER (
+                         PARTITION BY lang
+                         ORDER BY (w - ln(-ln(u))) DESC, doc_id
+                       ) AS INTEGER) AS rank
+                FROM gum
+            )
+            SELECT lang, doc_id, round(s, 6) AS sample_score, rank
+            FROM ranked WHERE rank <= 10
+            ORDER BY lang, rank
         """,
         # bounded-ambiguity beam decode: each kept word has <= 1 digraph
         # occurrence, so its complete decodings are exactly {merged,
