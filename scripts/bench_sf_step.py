@@ -1,0 +1,94 @@
+#!/usr/bin/env python3
+"""Per-query scale-factor step timing (the BENCH.md sf0.1 -> sf1.0
+protocol): run the named __spark_entry__ queries at each SF dir, each
+suite pass in a FRESH JVM subprocess, and report the per-(query, sf)
+minimum across passes — the shared-VM steal defense from bench.py.
+
+Usage:
+  python scripts/bench_sf_step.py q1 q2 ... [--sf DIR]... [--runs N]
+Defaults: --sf /root/testdata/sf0.1 --sf /tmp/spark_graft_sf1.0,
+runs=2, local[32]. Prints one JSON line:
+  {"queries": {name: {sf_dir: min_sec}}, "runs": N}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def _inner(names: list[str], sf_dir: str) -> None:
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    # warm the JVM + Python worker pool outside timing
+    spark.read.parquet(os.path.join(sf_dir, "documents.parquet")).count()
+    out = {}
+    for name in names:
+        t0 = time.time()
+        df = qs[name](spark, sf_dir)
+        df.agg(F.count(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
+        out[name] = round(time.time() - t0, 3)
+    spark.stop()
+    print("RESULT " + json.dumps(out))
+
+
+def main() -> None:
+    if os.environ.get("SF_STEP_INNER"):
+        _inner(json.loads(sys.argv[1]), sys.argv[2])
+        return
+    args = sys.argv[1:]
+    sfs, names, runs = [], [], 2
+    i = 0
+    while i < len(args):
+        if args[i] == "--sf":
+            sfs.append(args[i + 1]); i += 2
+        elif args[i] == "--runs":
+            runs = int(args[i + 1]); i += 2
+        else:
+            names.append(args[i]); i += 1
+    if not sfs:
+        sfs = ["/root/testdata/sf0.1", "/tmp/spark_graft_sf1.0"]
+    result: dict = {q: {} for q in names}
+    for r in range(runs):
+        # interleave SFs within each pass so steal windows hit both
+        for sf in sfs:
+            print(f"[sf_step] run {r + 1}/{runs} @ {sf}", file=sys.stderr)
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 json.dumps(names), sf],
+                env=dict(os.environ, SF_STEP_INNER="1"),
+                stdout=subprocess.PIPE, text=True,
+            )
+            lines = [ln for ln in proc.stdout.splitlines()
+                     if ln.startswith("RESULT ")]
+            if proc.returncode != 0 or not lines:
+                print(proc.stdout[-2000:], file=sys.stderr)
+                raise SystemExit(f"inner run failed rc={proc.returncode}")
+            for q, sec in json.loads(lines[-1][len("RESULT "):]).items():
+                cur = result[q].get(sf)
+                result[q][sf] = sec if cur is None else min(cur, sec)
+    print(json.dumps({"queries": result, "runs": runs}))
+
+
+if __name__ == "__main__":
+    main()
