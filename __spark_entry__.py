@@ -1542,6 +1542,23 @@ def _ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Residual IVF-PQ ANN (FAISS IndexIVFPQ by_residual=True — the
+    accuracy default): sub-quantizers trained on and encoding the
+    residual v - coarse[v's list]; query ADC tables are per probed
+    list. Value-oracled: the DuckDB twin chains the coarse k-means into
+    four residual-source sub-space k-means (the residual CTE references
+    the coarse assignment) and recomputes the per-list ADC ranking."""
+    from gruut_spark.operators.similarity import ivfpq_residual_ann_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    query = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return ivfpq_residual_ann_topk(
+        emb, "embedding", "vec_id", [float(x) for x in query],
+        k=10, n_lists=16, n_probe=4, m=4, ks=16,
+    )
+
+
 def _with_planted_twins(emb: DataFrame) -> DataFrame:
     """The raw embeddings table has no near-dups by construction (max
     off-diagonal cosine ~0.51 at sf0.01), so the near-dup queries plant
@@ -2084,6 +2101,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": _ann_ivf_topk,
         "ann_pq_topk": _ann_pq_topk,
         "ann_ivfpq_topk": _ann_ivfpq_topk,
+        "ann_ivfpq_residual_topk": _ann_ivfpq_residual_topk,
         "embedding_near_dups": _embedding_near_dups,
         "embedding_semdedup": _embedding_semdedup,
         "multimodal_features": _multimodal_features,
@@ -2555,6 +2573,71 @@ def _ivfpq_oracle_sql(
                             * (q.qv[{off} + i] - c.v[i])
                             FOR i IN range(1, {dsub + 1}) ]) AS d
           FROM pq{j}allassign a JOIN pq{j}cents{iters} c ON c.c = a.cl, q)""")
+    total = " + ".join(f"d{j}.d" for j in range(m))
+    joins = " ".join(
+        f"JOIN dist{j} d{j} ON d{j}.vec_id = d0.vec_id" for j in range(1, m)
+    )
+    return f"""
+        WITH {",".join(chains)},
+        q AS MATERIALIZED (
+          SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+        probe AS MATERIALIZED (
+          SELECT c.c FROM ccents{iters} c, q
+          ORDER BY list_sum([ (q.qv[i]-c.v[i])*(q.qv[i]-c.v[i])
+                              FOR i IN range(1, {dim + 1}) ]) ASC, c.c ASC
+          LIMIT {n_probe}),
+        cand AS MATERIALIZED (
+          SELECT vec_id FROM callassign
+          WHERE cl IN (SELECT c FROM probe)),
+        {",".join(dists)}
+        SELECT d0.vec_id, round({total}, 6) AS adc_dist
+        FROM dist0 d0 {joins}
+        WHERE d0.vec_id IN (SELECT vec_id FROM cand)
+        ORDER BY ({total}) ASC, d0.vec_id ASC
+        LIMIT {k}
+    """
+
+
+def _ivfpq_residual_oracle_sql(
+    n_lists: int = 16, n_probe: int = 4, m: int = 4, ks: int = 16,
+    iters: int = 10, seed: int = 11, k: int = 10, dim: int = 64,
+    n_pop: int = 500,
+) -> str:
+    """DuckDB replication of the ENTIRE residual-IVF-PQ pipeline: the
+    coarse chain, then four sub-space chains whose SOURCE is the
+    residual (embedding - assigned coarse centroid, a CTE referencing
+    callassign/ccents), probe selection, candidate filter, and the
+    per-list ADC ranking — each row's distance recomputed as
+    ((q - its coarse centroid) - its residual sub-centroid)² summed,
+    the same two-subtraction IEEE sequence the Spark LUT builds."""
+    dsub = dim // m
+    chains = [_kmeans_assign_ctes(
+        n_lists=n_lists, iters=iters, seed=seed, dim=dim, n_pop=n_pop,
+        prefix="c",
+    )]
+    dists = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        chains.append(_kmeans_assign_ctes(
+            source_sql=(
+                f"SELECT a.vec_id, [ (a.ev[i] - c.v[i])"
+                f" FOR i IN range({lo}, {hi + 1}) ] AS embedding"
+                f" FROM callassign a JOIN ccents{iters} c ON c.c = a.cl"
+            ),
+            n_lists=ks, iters=iters, seed=seed + j, dim=dsub,
+            n_pop=n_pop, prefix=f"rpq{j}",
+        ))
+        off = j * dsub
+        dists.append(f"""
+        dist{j} AS MATERIALIZED (
+          SELECT a.vec_id,
+                 list_sum([ ((q.qv[{off} + i] - cc.v[{off} + i]) - c.v[i])
+                            * ((q.qv[{off} + i] - cc.v[{off} + i]) - c.v[i])
+                            FOR i IN range(1, {dsub + 1}) ]) AS d
+          FROM rpq{j}allassign a
+          JOIN callassign ca ON ca.vec_id = a.vec_id
+          JOIN ccents{iters} cc ON cc.c = ca.cl
+          JOIN rpq{j}cents{iters} c ON c.c = a.cl, q)""")
     total = " + ".join(f"d{j}.d" for j in range(m))
     joins = " ".join(
         f"JOIN dist{j} d{j} ON d{j}.vec_id = d0.vec_id" for j in range(1, m)
@@ -4900,6 +4983,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_topk": _ivf_oracle_sql(),
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(),
+        "ann_ivfpq_residual_topk": _ivfpq_residual_oracle_sql(),
         "embedding_semdedup": _semdedup_oracle_sql(),
         # SSL prototypes: training chain + d2 fold + window drop rule
         "embedding_ssl_prototypes": _ssl_prototypes_oracle_sql(),

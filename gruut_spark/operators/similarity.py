@@ -714,3 +714,111 @@ def ivfpq_ann_topk(
             F.col("_id").alias("vec_id"), F.round("_adc", 6).alias("adc_dist")
         )
     )
+
+
+def ivfpq_residual_ann_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: Sequence[float],
+    k: int = 10, n_lists: int = 16, n_probe: int = 4, m: int = 4,
+    ks: int = 16, train_sample: int = 1024, iters: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """Residual IVF-PQ ANN — FAISS IndexIVFPQ's accuracy DEFAULT
+    (by_residual=True, Jégou et al. 2011 §V): PQ codebooks are trained
+    on and encode the RESIDUAL vector (v - its coarse centroid), so the
+    sub-quantizers only have to cover the within-cell distribution —
+    the standard recall win over global codebooks at the same code
+    size. Consequences this operator carries through exactly:
+
+    * training: coarse Lloyd on the sample, then sub-space Lloyd on the
+      sample's residuals w.r.t. its own coarse assignments;
+    * index build: still ONE fused pandas_udf — coarse assign, subtract
+      the assigned centroid, encode the residual;
+    * query: the ADC lookup table is PER PROBED LIST (the query's
+      residual differs per cell), so the driver expands n_probe × m ×
+      ks literals and the plan picks a row's table by mapping list_id
+      to its probe slot (a when-chain over n_probe values) — still
+      whole-stage codegen, zero Python after the index pass, ending in
+      TakeOrderedAndProject.
+
+    Scale shape is ivfpq_ann_topk's (index ~64× smaller than vectors,
+    query scans n_probe/n_lists of it); the extra cost is only the
+    n_probe-times-larger LUT literal, O(n_probe·m·ks) doubles."""
+    q = np.asarray(list(query), dtype=np.float64)
+    sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    coarse = _ivf_centroids(sample, n_lists, iters=iters, seed=seed)
+    s_assign = ((sample[:, None, :] - coarse[None, :, :]) ** 2).sum(2).argmin(1)
+    resid_sample = sample - coarse[s_assign]
+    codebooks = pq_train_codebooks(
+        resid_sample, m=m, ks=ks, iters=iters, seed=seed
+    )
+    dsub = codebooks[0].shape[1]
+    probe_lists = [
+        int(x) for x in np.argsort(((coarse - q) ** 2).sum(axis=1))[:n_probe]
+    ]
+
+    # per-probed-list ADC tables: lut[p][j][c] = ||(q - coarse[L])_j - book||²
+    lut: List[List[List[float]]] = []
+    for L in probe_lists:
+        qr = q - coarse[L]
+        per_j = []
+        for j in range(m):
+            qs = qr[j * dsub:(j + 1) * dsub]
+            row = []
+            for c in range(len(codebooks[j])):
+                d = 0.0
+                for i in range(dsub):
+                    t = qs[i] - codebooks[j][c][i]
+                    d += t * t
+                row.append(float(d))
+            per_j.append(row)
+        lut.append(per_j)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<list_id:int, codes:array<int>>")
+    def _enc(vecs: pd.Series) -> pd.DataFrame:
+        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
+        if mat.size == 0:
+            return pd.DataFrame({"list_id": [], "codes": []})
+        d = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
+        lists = d.argmin(axis=1).astype(np.int32)
+        resid = mat - coarse[lists]
+        out = np.empty((len(mat), m), dtype=np.int32)
+        for j in range(m):
+            sub = resid[:, j * dsub:(j + 1) * dsub]
+            dj = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = dj.argmin(axis=1)
+        return pd.DataFrame({"list_id": lists, "codes": out.tolist()})
+
+    idx = df.select(
+        F.col(id_col).alias("_id"), _enc(F.col(vec_col)).alias("_e")
+    ).select("_id", F.col("_e.list_id").alias("list_id"),
+             F.col("_e.codes").alias("codes"))
+    cand = idx.filter(F.col("list_id").isin(probe_lists))
+
+    # probe-slot when-chain, then per-slot LUT literals
+    slot = F.lit(None).cast("int")
+    for p, L in enumerate(probe_lists):
+        slot = F.when(F.col("list_id") == L, F.lit(p)).otherwise(slot)
+    # build as nested array literal indexed [slot][j][code]
+    lut_lit = F.array(*[
+        F.array(*[
+            F.array(*[F.lit(v) for v in lut[p][j]]) for j in range(m)
+        ]) for p in range(len(probe_lists))
+    ])
+    adc = F.lit(0.0)
+    for j in range(m):
+        adc = adc + F.element_at(
+            F.element_at(F.element_at(lut_lit, F.col("_slot") + 1), j + 1),
+            F.col("codes").getItem(j) + 1,
+        )
+    return (
+        cand.withColumn("_slot", slot)
+        .select("_id", adc.alias("_adc"))
+        .orderBy(F.col("_adc").asc(), F.col("_id").asc())
+        .limit(k)
+        .select(
+            F.col("_id").alias("vec_id"), F.round("_adc", 6).alias("adc_dist")
+        )
+    )

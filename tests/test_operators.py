@@ -493,6 +493,57 @@ def test_ivfpq_ann_matches_numpy(spark):
     ]
 
 
+def test_ivfpq_residual_matches_numpy(spark):
+    """Residual IVF-PQ == numpy replication: coarse assign, residual
+    encode against residual-trained codebooks, per-probed-list ADC
+    tables, rank inside the probed lists."""
+    from gruut_spark.operators.similarity import (
+        _ivf_centroids,
+        ivfpq_residual_ann_topk,
+        pq_train_codebooks,
+    )
+
+    rng = np.random.default_rng(33)
+    vecs = rng.standard_normal((220, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    query = [float(x) for x in vecs[0]]
+    out = ivfpq_residual_ann_topk(
+        df, "embedding", "vec_id", query, k=6, n_lists=8, n_probe=3,
+        m=4, ks=8, train_sample=220,
+    ).collect()
+
+    mat = vecs.astype(np.float64)
+    q = np.asarray(query, dtype=np.float64)
+    coarse = _ivf_centroids(mat, 8)
+    lists = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(2).argmin(1)
+    resid = mat - coarse[lists]
+    books = pq_train_codebooks(resid, m=4, ks=8)
+    probes = np.argsort(((coarse - q) ** 2).sum(1))[:3].tolist()
+    dsub = 4
+    codes = np.empty((len(mat), 4), dtype=int)
+    for j in range(4):
+        sub = resid[:, j * dsub:(j + 1) * dsub]
+        codes[:, j] = (
+            ((sub[:, None, :] - books[j][None, :, :]) ** 2).sum(2).argmin(1)
+        )
+    adc = {}
+    for i in range(len(mat)):
+        if lists[i] not in probes:
+            continue
+        qr = q - coarse[lists[i]]
+        adc[i] = sum(
+            ((qr[j * dsub:(j + 1) * dsub] - books[j][codes[i, j]]) ** 2).sum()
+            for j in range(4)
+        )
+    want = sorted(adc, key=lambda i: (adc[i], i))[:6]
+    assert [r["vec_id"] for r in out] == want
+    got = np.asarray([r["adc_dist"] for r in out])
+    assert np.allclose(got, np.round([adc[i] for i in want], 6), atol=1e-5)
+
+
 def test_embedding_near_dup_pairs(spark):
     from gruut_spark.operators.similarity import embedding_near_dup_pairs
 
