@@ -131,8 +131,21 @@ def _input_lines(args) -> Iterable[Tuple[str, Optional[List[str]]]]:
             print("Reading input from stdin...", file=sys.stderr)
         lines = (ln.rstrip("\n") for ln in sys.stdin)
     if args.csv:
-        for row in csv.reader(lines, delimiter=args.csv_delimiter):
-            yield row[1], row
+        reader = csv.reader(lines, delimiter=args.csv_delimiter)
+        while True:
+            # row parse failures (short row, csv.Error) must honor
+            # --no-fail too, not just tokenization failures downstream
+            try:
+                row = next(reader)
+                text = row[1]
+            except StopIteration:
+                return
+            except Exception as err:  # noqa: BLE001
+                if args.no_fail:
+                    print(f"error: {err} (csv row)", file=sys.stderr)
+                    continue
+                raise
+            yield text, row
     else:
         for ln in lines:
             yield ln, None
@@ -183,6 +196,8 @@ def main(argv: Optional[List[str]] = None) -> int:
     if not raw:
         print("Languages:", *sorted(get_supported_languages()))
         return 0
+    # first-argument-only, exactly like the reference CLI
+    # (gruut/__main__.py:48 checks sys.argv[1] before argparse)
     if raw[0] == "--version":
         from gruut_spark import __version__
 

@@ -221,7 +221,9 @@ def ivf_ann_topk(
     sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     centroids = _ivf_centroids(sample, n_lists, seed=seed)
     q = np.asarray(list(query), dtype=np.float64)
-    probe_lists = np.argsort(((centroids - q) ** 2).sum(axis=1))[:n_probe]
+    # stable sort: on an exact distance tie the lower list id wins,
+    # matching the oracle's ORDER BY dist, c ASC (same in the PQ family)
+    probe_lists = np.argsort(((centroids - q) ** 2).sum(axis=1), kind="stable")[:n_probe]
     assigned = ivf_assign(df, vec_col, id_col, centroids)
     candidates = assigned.filter(
         F.col("list_id").isin([int(x) for x in probe_lists])
@@ -564,6 +566,38 @@ def pq_encode(
     )
 
 
+def _adc_lut(q: np.ndarray, codebooks: List[np.ndarray]) -> List[List[float]]:
+    """m × ks exact sub-distance table for one (possibly residualized)
+    query vector, built with left-to-right Python folds — the same IEEE
+    sequence the SQL oracles' list-comprehension folds reproduce. The
+    single source of the ADC arithmetic for the whole PQ family."""
+    dsub = codebooks[0].shape[1]
+    lut: List[List[float]] = []
+    for j, book in enumerate(codebooks):
+        qs = q[j * dsub:(j + 1) * dsub]
+        row = []
+        for c in range(len(book)):
+            d = 0.0
+            for i in range(dsub):
+                t = qs[i] - book[c][i]
+                d += t * t
+            row.append(float(d))
+        lut.append(row)
+    return lut
+
+
+def _adc_sum(lut: List[List[float]], codes_col: str = "codes"):
+    """Catalyst ADC fold: left-assoc sum over sub-spaces of an
+    element_at pick from the LUT literal — whole-stage codegen."""
+    adc = F.lit(0.0)
+    for j, row in enumerate(lut):
+        adc = adc + F.element_at(
+            F.array(*[F.lit(v) for v in row]),
+            F.col(codes_col).getItem(j) + 1,
+        )
+    return adc
+
+
 def pq_ann_topk(
     df: DataFrame, vec_col: str, id_col: str, query: Sequence[float],
     k: int = 10, m: int = 4, ks: int = 16, train_sample: int = 1024,
@@ -593,25 +627,8 @@ def pq_ann_topk(
     sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
     sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     codebooks = pq_train_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed)
-    dsub = codebooks[0].shape[1]
-
-    lut: List[List[float]] = []
-    for j in range(m):
-        qs = q[j * dsub:(j + 1) * dsub]
-        row = []
-        for c in range(len(codebooks[j])):
-            d = 0.0
-            for i in range(dsub):
-                t = qs[i] - codebooks[j][c][i]
-                d += t * t
-            row.append(float(d))
-        lut.append(row)
-
     codes = pq_encode(df, vec_col, id_col, codebooks)
-    lut_cols = [F.array(*[F.lit(v) for v in lut[j]]) for j in range(m)]
-    adc = F.lit(0.0)
-    for j in range(m):
-        adc = adc + F.element_at(lut_cols[j], F.col("codes").getItem(j) + 1)
+    adc = _adc_sum(_adc_lut(q, codebooks))
     return (
         codes.select("_id", adc.alias("_adc"))
         .orderBy(F.col("_adc").asc(), F.col("_id").asc())
@@ -625,6 +642,7 @@ def pq_ann_topk(
 def ivfpq_index(
     df: DataFrame, vec_col: str, id_col: str,
     coarse_centroids: np.ndarray, codebooks: List[np.ndarray],
+    residual: bool = False,
 ) -> DataFrame:
     """(_id, list_id, codes): the IVF-PQ index build — coarse-list
     assignment AND PQ encoding fused into ONE pandas_udf (the repo's
@@ -632,7 +650,8 @@ def ivfpq_index(
     the per-task Python workers). This is the materialized index a
     production system writes once: (list, m-byte code) per vector,
     partitionable by list_id so a probe touches n_probe/n_lists of the
-    files."""
+    files. ``residual=True`` encodes v - coarse[v's list] instead of v
+    (FAISS by_residual) — same node count, one extra subtraction."""
     from pyspark.sql.functions import pandas_udf
 
     m = len(codebooks)
@@ -645,6 +664,8 @@ def ivfpq_index(
             return pd.DataFrame({"list_id": [], "codes": []})
         d = ((mat[:, None, :] - coarse_centroids[None, :, :]) ** 2).sum(axis=2)
         lists = d.argmin(axis=1).astype(np.int32)
+        if residual:
+            mat = mat - coarse_centroids[lists]
         out = np.empty((len(mat), m), dtype=np.int32)
         for j in range(m):
             sub = mat[:, j * dsub:(j + 1) * dsub]
@@ -683,29 +704,13 @@ def ivfpq_ann_topk(
     sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     coarse = _ivf_centroids(sample, n_lists, iters=iters, seed=seed)
     codebooks = pq_train_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed)
-    dsub = codebooks[0].shape[1]
-    probe_lists = np.argsort(((coarse - q) ** 2).sum(axis=1))[:n_probe]
-
-    lut: List[List[float]] = []
-    for j in range(m):
-        qs = q[j * dsub:(j + 1) * dsub]
-        row = []
-        for c in range(len(codebooks[j])):
-            d = 0.0
-            for i in range(dsub):
-                t = qs[i] - codebooks[j][c][i]
-                d += t * t
-            row.append(float(d))
-        lut.append(row)
+    probe_lists = np.argsort(((coarse - q) ** 2).sum(axis=1), kind="stable")[:n_probe]
 
     idx = ivfpq_index(df, vec_col, id_col, coarse, codebooks)
     cand = idx.filter(
         F.col("list_id").isin([int(x) for x in probe_lists])
     )
-    lut_cols = [F.array(*[F.lit(v) for v in lut[j]]) for j in range(m)]
-    adc = F.lit(0.0)
-    for j in range(m):
-        adc = adc + F.element_at(lut_cols[j], F.col("codes").getItem(j) + 1)
+    adc = _adc_sum(_adc_lut(q, codebooks))
     return (
         cand.select("_id", adc.alias("_adc"))
         .orderBy(F.col("_adc").asc(), F.col("_id").asc())
@@ -752,49 +757,14 @@ def ivfpq_residual_ann_topk(
     codebooks = pq_train_codebooks(
         resid_sample, m=m, ks=ks, iters=iters, seed=seed
     )
-    dsub = codebooks[0].shape[1]
     probe_lists = [
-        int(x) for x in np.argsort(((coarse - q) ** 2).sum(axis=1))[:n_probe]
+        int(x) for x in np.argsort(((coarse - q) ** 2).sum(axis=1), kind="stable")[:n_probe]
     ]
 
     # per-probed-list ADC tables: lut[p][j][c] = ||(q - coarse[L])_j - book||²
-    lut: List[List[List[float]]] = []
-    for L in probe_lists:
-        qr = q - coarse[L]
-        per_j = []
-        for j in range(m):
-            qs = qr[j * dsub:(j + 1) * dsub]
-            row = []
-            for c in range(len(codebooks[j])):
-                d = 0.0
-                for i in range(dsub):
-                    t = qs[i] - codebooks[j][c][i]
-                    d += t * t
-                row.append(float(d))
-            per_j.append(row)
-        lut.append(per_j)
+    lut = [_adc_lut(q - coarse[L], codebooks) for L in probe_lists]
 
-    from pyspark.sql.functions import pandas_udf
-
-    @pandas_udf("struct<list_id:int, codes:array<int>>")
-    def _enc(vecs: pd.Series) -> pd.DataFrame:
-        mat = np.asarray([np.asarray(v, dtype=np.float64) for v in vecs])
-        if mat.size == 0:
-            return pd.DataFrame({"list_id": [], "codes": []})
-        d = ((mat[:, None, :] - coarse[None, :, :]) ** 2).sum(axis=2)
-        lists = d.argmin(axis=1).astype(np.int32)
-        resid = mat - coarse[lists]
-        out = np.empty((len(mat), m), dtype=np.int32)
-        for j in range(m):
-            sub = resid[:, j * dsub:(j + 1) * dsub]
-            dj = ((sub[:, None, :] - codebooks[j][None, :, :]) ** 2).sum(axis=2)
-            out[:, j] = dj.argmin(axis=1)
-        return pd.DataFrame({"list_id": lists, "codes": out.tolist()})
-
-    idx = df.select(
-        F.col(id_col).alias("_id"), _enc(F.col(vec_col)).alias("_e")
-    ).select("_id", F.col("_e.list_id").alias("list_id"),
-             F.col("_e.codes").alias("codes"))
+    idx = ivfpq_index(df, vec_col, id_col, coarse, codebooks, residual=True)
     cand = idx.filter(F.col("list_id").isin(probe_lists))
 
     # probe-slot when-chain, then per-slot LUT literals

@@ -88,6 +88,17 @@ def test_no_fail_skips_bad_lines(capsys):
     assert rc == 0 and out == "" and "error:" in err
 
 
+def test_no_fail_covers_csv_parse(capsys):
+    # a delimiter-less row fails row[1] extraction; --no-fail skips it
+    with pytest.raises(IndexError):
+        run_cli(capsys, "--csv", "row_without_delimiter")
+    rc, out, err = run_cli(
+        capsys, "--csv", "--no-fail", "row_without_delimiter", "ok|fine."
+    )
+    assert rc == 0 and "error:" in err
+    assert out.startswith("ok|")
+
+
 @pytest.mark.skipif(not os.path.isdir(REF_IT), reason="reference not mounted")
 def test_lexicon_db_pronunciations(capsys):
     _, out, _ = run_cli(
