@@ -1559,6 +1559,27 @@ def _ann_ivfpq_residual_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_pq_multi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch-serving PQ ANN: top-5 for six query vectors (every 97th
+    embedding) in ONE job — LUTs as a broadcast relation joined on
+    (j, code), order-pinned ADC fold, per-query window top-k. The plan
+    family a pipeline stage uses (vs the single-query literal-LUT
+    path). Value-oracled: same four sub-space k-means chains, the
+    per-(query, vector) distance recomputed per chain and summed in
+    the identical j order."""
+    from gruut_spark.operators.similarity import pq_ann_topk_multi
+
+    emb = _read(spark, sf_dir, "embeddings")
+    qrows = (
+        emb.filter(F.col("vec_id") % 97 == 0)
+        .select("vec_id", "embedding").orderBy("vec_id").collect()
+    )
+    queries = [(int(r[0]), [float(x) for x in r[1]]) for r in qrows]
+    return pq_ann_topk_multi(
+        emb, "embedding", "vec_id", queries, k=5, m=4, ks=16
+    )
+
+
 def _with_planted_twins(emb: DataFrame) -> DataFrame:
     """The raw embeddings table has no near-dups by construction (max
     off-diagonal cosine ~0.51 at sf0.01), so the near-dup queries plant
@@ -2102,6 +2123,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_pq_topk": _ann_pq_topk,
         "ann_ivfpq_topk": _ann_ivfpq_topk,
         "ann_ivfpq_residual_topk": _ann_ivfpq_residual_topk,
+        "ann_pq_multi_topk": _ann_pq_multi_topk,
         "embedding_near_dups": _embedding_near_dups,
         "embedding_semdedup": _embedding_semdedup,
         "multimodal_features": _multimodal_features,
@@ -2595,6 +2617,63 @@ def _ivfpq_oracle_sql(
         WHERE d0.vec_id IN (SELECT vec_id FROM cand)
         ORDER BY ({total}) ASC, d0.vec_id ASC
         LIMIT {k}
+    """
+
+
+def _pq_multi_oracle_sql(
+    m: int = 4, ks: int = 16, iters: int = 10, seed: int = 11,
+    k: int = 5, dim: int = 64, n_pop: int = 500, q_mod: int = 97,
+) -> str:
+    """DuckDB replication of pq_ann_topk_multi: the same four sub-space
+    k-means chains as _pq_oracle_sql, a query-set relation (every
+    q_mod-th embedding), per-chain (query, vector) distances, the total
+    summed d0+d1+d2+d3 left-associatively (the order Spark's sorted
+    (j, d) fold produces), and a per-query row_number top-k."""
+    dsub = dim // m
+    chains = []
+    dists = []
+    for j in range(m):
+        lo, hi = j * dsub + 1, (j + 1) * dsub
+        chains.append(_kmeans_assign_ctes(
+            source_sql=(
+                f"SELECT vec_id, embedding[{lo}:{hi}] AS embedding"
+                " FROM embeddings"
+            ),
+            n_lists=ks, iters=iters, seed=seed + j, dim=dsub,
+            n_pop=n_pop, prefix=f"pq{j}",
+        ))
+        off = j * dsub
+        dists.append(f"""
+        dist{j} AS MATERIALIZED (
+          SELECT q.q_id, a.vec_id,
+                 list_sum([ (q.qv[{off} + i] - c.v[i])
+                            * (q.qv[{off} + i] - c.v[i])
+                            FOR i IN range(1, {dsub + 1}) ]) AS d
+          FROM pq{j}allassign a JOIN pq{j}cents{iters} c ON c.c = a.cl
+          CROSS JOIN qset q)""")
+    total = " + ".join(f"d{j}.d" for j in range(m))
+    joins = " ".join(
+        f"JOIN dist{j} d{j} ON d{j}.q_id = d0.q_id"
+        f" AND d{j}.vec_id = d0.vec_id" for j in range(1, m)
+    )
+    return f"""
+        WITH {",".join(chains)},
+        qset AS MATERIALIZED (
+          SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+          FROM embeddings WHERE vec_id % {q_mod} = 0),
+        {",".join(dists)},
+        tot AS (
+          SELECT d0.q_id, d0.vec_id, {total} AS s
+          FROM dist0 d0 {joins}),
+        ranked AS (
+          SELECT q_id, vec_id, s,
+                 CAST(row_number() OVER (
+                   PARTITION BY q_id ORDER BY s ASC, vec_id ASC
+                 ) AS INTEGER) AS rank
+          FROM tot)
+        SELECT q_id, vec_id, round(s, 6) AS adc_dist, rank
+        FROM ranked WHERE rank <= {k}
+        ORDER BY q_id, rank
     """
 
 
@@ -4984,6 +5063,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_pq_topk": _pq_oracle_sql(),
         "ann_ivfpq_topk": _ivfpq_oracle_sql(),
         "ann_ivfpq_residual_topk": _ivfpq_residual_oracle_sql(),
+        "ann_pq_multi_topk": _pq_multi_oracle_sql(),
         "embedding_semdedup": _semdedup_oracle_sql(),
         # SSL prototypes: training chain + d2 fold + window drop rule
         "embedding_ssl_prototypes": _ssl_prototypes_oracle_sql(),

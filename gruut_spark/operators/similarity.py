@@ -792,3 +792,70 @@ def ivfpq_residual_ann_topk(
             F.col("_id").alias("vec_id"), F.round("_adc", 6).alias("adc_dist")
         )
     )
+
+
+def pq_ann_topk_multi(
+    df: DataFrame, vec_col: str, id_col: str,
+    queries: "list[tuple[int, Sequence[float]]]",
+    k: int = 10, m: int = 4, ks: int = 16, train_sample: int = 1024,
+    iters: int = 10, seed: int = 11,
+) -> DataFrame:
+    """Batch-serving PQ ANN: top-k for a SET of queries in one job —
+    the production shape when ANN is a pipeline stage (dedup probes,
+    eval retrieval) rather than an online lookup. Same codebooks and
+    codes as pq_ann_topk, but the per-query LUTs become a broadcast
+    RELATION (q_id, j, code, d) instead of plan literals:
+    posexplode(codes) → BroadcastHashJoin on (j, code) → per-(q, vec)
+    ADC fold → per-query window top-k.
+
+    The ADC fold is order-pinned: collect_list of (j, d) structs,
+    array_sort, left fold — the sorted-struct idiom the sketch
+    operators use — so Spark and the DuckDB oracle sum the m
+    sub-distances in identical j order (partial-agg sum order would
+    otherwise be partition-dependent). Scale: the explode is m rows per
+    vector of three ints; the LUT broadcast is O(Q·m·ks) doubles; the
+    window partitions by query id (Q partitions, each holding only
+    rows that survived... all vectors — at 10^12 use the two-phase
+    quota split or per-query TakeOrdered loops; documented trade for
+    Q small, which is the batch-probe regime)."""
+    spark = df.sparkSession
+    sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    codebooks = pq_train_codebooks(sample, m=m, ks=ks, iters=iters, seed=seed)
+
+    lut_rows = []
+    for qid, qvec in queries:
+        q = np.asarray(list(qvec), dtype=np.float64)
+        lut = _adc_lut(q, codebooks)
+        for j in range(m):
+            for c, d in enumerate(lut[j]):
+                lut_rows.append((int(qid), j, c, float(d)))
+    lut_df = spark.createDataFrame(
+        lut_rows, "q_id long, j int, code int, d double"
+    )
+
+    codes = pq_encode(df, vec_col, id_col, codebooks)
+    exploded = codes.select(
+        "_id", F.posexplode("codes").alias("j", "code")
+    )
+    joined = exploded.join(F.broadcast(lut_df), ["j", "code"])
+    # order-pinned fold: sort the (j, d) pairs, then left-fold d
+    adc = joined.groupBy("q_id", "_id").agg(
+        F.aggregate(
+            F.array_sort(F.collect_list(F.struct("j", "d"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["d"],
+        ).alias("_adc")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("q_id").orderBy(F.col("_adc").asc(), F.col("_id").asc())
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "q_id", F.col("_id").alias("vec_id"),
+            F.round("_adc", 6).alias("adc_dist"), "rank",
+        )
+        .orderBy("q_id", "rank")
+    )

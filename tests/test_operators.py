@@ -493,6 +493,40 @@ def test_ivfpq_ann_matches_numpy(spark):
     ]
 
 
+def test_pq_multi_matches_single(spark):
+    """pq_ann_topk_multi for query set {v0, v5} must reproduce
+    pq_ann_topk's ranking for each query (same sample, same codebooks;
+    the broadcast-LUT join + window path vs the literal-LUT TakeOrdered
+    path must agree exactly)."""
+    from gruut_spark.operators.similarity import (
+        pq_ann_topk,
+        pq_ann_topk_multi,
+    )
+
+    rng = np.random.default_rng(41)
+    vecs = rng.standard_normal((150, 16)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = [(0, [float(x) for x in vecs[0]]),
+               (5, [float(x) for x in vecs[5]])]
+    multi = pq_ann_topk_multi(
+        df, "embedding", "vec_id", queries, k=4, m=4, ks=8,
+        train_sample=150,
+    ).collect()
+    assert len(multi) == 8
+    by_q = {}
+    for r in multi:
+        by_q.setdefault(r["q_id"], []).append((r["vec_id"], r["adc_dist"]))
+    for qid, qvec in queries:
+        single = pq_ann_topk(
+            df, "embedding", "vec_id", qvec, k=4, m=4, ks=8,
+            train_sample=150,
+        ).collect()
+        assert by_q[qid] == [(r["vec_id"], r["adc_dist"]) for r in single]
+
+
 def test_ivfpq_residual_matches_numpy(spark):
     """Residual IVF-PQ == numpy replication: coarse assign, residual
     encode against residual-trained codebooks, per-probed-list ADC
