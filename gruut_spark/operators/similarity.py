@@ -673,10 +673,15 @@ def ivfpq_index(
             out[:, j] = dj.argmin(axis=1)
         return pd.DataFrame({"list_id": lists, "codes": out.tolist()})
 
+    # inline_outer, not select("_e.list_id", "_e.codes"): CollapseProject
+    # rewrites struct-field extraction into TWO _enc(embedding) calls —
+    # two ArrowEvalPython nodes, the UDF evaluated twice per row (caught
+    # by test_pq_family_plan_shapes). A Generate node is a collapse
+    # barrier, same defense as dedup.py's posexplode_outer.
     return df.select(
-        F.col(id_col).alias("_id"), _enc(F.col(vec_col)).alias("_e")
-    ).select("_id", F.col("_e.list_id").alias("list_id"),
-             F.col("_e.codes").alias("codes"))
+        F.col(id_col).alias("_id"),
+        F.inline_outer(F.array(_enc(F.col(vec_col)))),
+    )
 
 
 def ivfpq_ann_topk(
@@ -835,8 +840,11 @@ def pq_ann_topk_multi(
     )
 
     codes = pq_encode(df, vec_col, id_col, codebooks)
+    # _outer: plain posexplode lets Catalyst infer a size(codes)>0
+    # filter that re-evaluates the encode UDF a second time (the
+    # dedup.py posexplode_outer defense; pinned by the plan test)
     exploded = codes.select(
-        "_id", F.posexplode("codes").alias("j", "code")
+        "_id", F.posexplode_outer("codes").alias("j", "code")
     )
     joined = exploded.join(F.broadcast(lut_df), ["j", "code"])
     # order-pinned fold: sort the (j, d) pairs, then left-fold d

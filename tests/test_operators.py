@@ -1620,6 +1620,51 @@ def test_corpus_ops_empty_and_no_op_inputs(spark):
     assert out == {0: ("alpha\nbeta", 0), 1: ("alpha\ngamma", 0)}
 
 
+def test_pq_family_plan_shapes(spark):
+    """Physical-plan pins for the PQ family: the single-query paths are
+    Scan -> ONE Python node -> codegen -> TakeOrderedAndProject with
+    ZERO Exchange; the multi-query path keeps exactly one Python node
+    and joins its LUT relation by BROADCAST, never sort-merge."""
+    from gruut_spark.operators.similarity import (
+        ivfpq_ann_topk,
+        pq_ann_topk,
+        pq_ann_topk_multi,
+    )
+
+    rng = np.random.default_rng(51)
+    vecs = rng.standard_normal((80, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    q = [float(x) for x in vecs[0]]
+
+    for fn in (
+        lambda: pq_ann_topk(df, "embedding", "vec_id", q, k=3, m=2, ks=4,
+                            train_sample=80),
+        lambda: ivfpq_ann_topk(df, "embedding", "vec_id", q, k=3,
+                               n_lists=4, n_probe=2, m=2, ks=4,
+                               train_sample=80),
+    ):
+        plan = fn()._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("ArrowEvalPython") == 1
+        assert "TakeOrderedAndProject" in plan
+        # repartition(4)'s own RoundRobin Exchange is the input, not the
+        # operator; the operator itself must add none
+        assert plan.count("Exchange ") == plan.count(
+            "Exchange RoundRobinPartitioning"
+        )
+
+    multi = pq_ann_topk_multi(
+        df, "embedding", "vec_id", [(0, q)], k=3, m=2, ks=4,
+        train_sample=80,
+    )
+    plan = multi._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") == 1
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
 def test_ivf_sample_plan_no_exchange(spark):
     """The IVF training sample (operators/similarity.py::
     ivf_train_sample, the exact code path ivf_ann_topk collects) is
