@@ -1154,6 +1154,81 @@ def _doc_mix_to_target(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "lang").orderBy("doc_id")
 
 
+_TEMP_MIX_T, _TEMP_MIX_BUDGET = 2.0, 20_000
+
+
+def _doc_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled language mixing (mT5 alpha = 1/T rule):
+    p_lang ~ n_lang^(1/T), rates capped at availability, then the
+    deterministic md5-threshold filter. T = 2.0 so both engines
+    compute the class weights through IEEE sqrt (see
+    operators/corpus.py::temperature_mix's bit-exactness contract)."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import temperature_mix
+
+    out = temperature_mix(
+        _doc_tokens_frame(spark, sf_dir), "lang", "n_tokens", "doc_id",
+        _TEMP_MIX_T, _TEMP_MIX_BUDGET,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
+def _doc_c4_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 cleaning battery (Raffel et al. 2020 sec. 2.2): terminal-punct
+    + min-words + javascript line filters, lorem-ipsum / brace /
+    min-sentences page verdict. Pure array algebra — zero shuffle,
+    zero Python (operators/corpus.py::c4_line_clean).
+
+    The synthetic corpus is single-line punctuation-free word soup, so
+    the gate input derives a multi-line punctuated fixture from it
+    (replace ' value ' -> '.\\n', plant lorem-ipsum / brace lines on
+    id-mod strata) — the SAME deterministic derivation in the DuckDB
+    oracle, the multimodal build-time-fixture precedent. Every rule
+    fires non-vacuously: kept and dropped lines, both page verdicts,
+    all three flags."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import c4_line_clean
+
+    doc_id = F.col("doc_id")
+    planted = F.concat(
+        F.replace(
+            F.coalesce(F.col("text"), F.lit("")),
+            F.lit(" value "), F.lit(".\n"),
+        ),
+        F.when(
+            doc_id % 97 == 0, F.lit("\nthis page contains lorem ipsum filler.")
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 89 == 0, F.lit("\nfunction() { return; }")
+        ).otherwise(F.lit("")),
+        F.when(
+            doc_id % 83 == 0, F.lit("\nenable javascript to view this page.")
+        ).otherwise(F.lit("")),
+    )
+    fixture = _read(spark, sf_dir, "documents").select(
+        "doc_id", planted.alias("text")
+    )
+    return c4_line_clean(
+        fixture, "text", "doc_id", min_words_per_line=5, min_sentences=3,
+    ).orderBy("doc_id")
+
+
+_BLOCKLIST_TERMS = ("merge", "slow", "zzxqj")
+
+
+def _doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-boundary blocklist page filter (the C4 "bad words" rule;
+    the three synthetic stand-in terms exercise hit/miss/absent paths
+    — production swaps in the LDNOOBW list verbatim)."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import blocklist_hits
+
+    return blocklist_hits(
+        _read(spark, sf_dir, "documents"), list(_BLOCKLIST_TERMS),
+        "text", "doc_id",
+    ).orderBy("doc_id")
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2104,6 +2179,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_pack_offset": _doc_pack_offset,
         "doc_pack_greedy": _doc_pack_greedy,
         "doc_mix_to_target": _doc_mix_to_target,
+        "doc_temperature_mix": _doc_temperature_mix,
+        "doc_c4_clean": _doc_c4_clean,
+        "doc_blocklist": _doc_blocklist,
         "doc_phonemize_lexicon": _doc_phonemize_lexicon,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
@@ -5197,6 +5275,115 @@ def oracle_sql() -> dict[str, str]:
             FROM documents d JOIN thr ON thr.lang = d.lang
             WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.th
             ORDER BY d.doc_id
+        """,
+        "doc_temperature_mix": f"""
+            WITH tok AS (
+              SELECT doc_id, lang,
+                len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                t -> t <> '')) AS n
+              FROM documents
+            ), tot AS (
+              SELECT lang, sum(n)::BIGINT AS t FROM tok
+              GROUP BY lang HAVING sum(n) > 0
+            ), pows AS (
+              SELECT lang, t, sqrt(t::DOUBLE) AS sq FROM tot
+            ), nrm AS (
+              -- LEFT FOLD in sorted-lang order: the operator accumulates
+              -- `norm += pows[cls]` over sorted classes, and float adds
+              -- are order-sensitive — an unordered SQL sum() could drift
+              -- 1 ulp and flip an 8-hex threshold
+              SELECT list_reduce(
+                       list_prepend(0.0::DOUBLE, list(sq ORDER BY lang)),
+                       (a, x) -> a + x) AS s
+              FROM pows
+            ), thr AS (
+              SELECT p.lang,
+                CASE WHEN ({_TEMP_MIX_BUDGET} * (p.sq / n.s)) / p.t >= 1.0
+                     THEN 'g0000000'
+                     ELSE printf('%08x',
+                       CAST(floor((({_TEMP_MIX_BUDGET} * (p.sq / n.s)) / p.t)
+                                  * 4294967296) AS BIGINT)) END AS th
+              FROM pows p CROSS JOIN nrm n
+            )
+            SELECT d.doc_id, d.lang
+            FROM documents d JOIN thr ON thr.lang = d.lang
+            WHERE substr(md5(d.doc_id::VARCHAR), 1, 8) < thr.th
+            ORDER BY d.doc_id
+        """,
+        "doc_c4_clean": r"""
+            WITH docs AS (
+              -- the SAME planted-fixture derivation as _doc_c4_clean
+              -- (replace is literal, non-overlapping, left-to-right in
+              -- both engines)
+              SELECT doc_id::BIGINT AS doc_id,
+                replace(coalesce(text, ''), ' value ', '.' || chr(10))
+                || CASE WHEN doc_id % 97 = 0
+                   THEN chr(10) || 'this page contains lorem ipsum filler.'
+                   ELSE '' END
+                || CASE WHEN doc_id % 89 = 0
+                   THEN chr(10) || 'function() { return; }'
+                   ELSE '' END
+                || CASE WHEN doc_id % 83 = 0
+                   THEN chr(10) || 'enable javascript to view this page.'
+                   ELSE '' END AS text
+              FROM documents
+            ), feat AS (
+              SELECT doc_id, text,
+                list_transform(string_split(text, chr(10)),
+                               l -> trim(l)) AS lines
+              FROM docs
+            ), kept AS (
+              SELECT doc_id, text, len(lines)::INT AS n_lines,
+                list_filter(lines, l ->
+                  regexp_matches(l, '[.!?…"]$')
+                  AND len(list_filter(string_split_regex(l, '\s+'),
+                                      w -> w <> '')) >= 5
+                  AND NOT contains(lower(l), 'javascript')) AS kl
+              FROM feat
+            ), agg AS (
+              SELECT doc_id, n_lines, len(kl)::INT AS n_kept,
+                -- array_to_string of an EMPTY list is NULL in DuckDB
+                -- (Spark's array_join gives ''): coalesce or every
+                -- fully-filtered doc diverges
+                coalesce(array_to_string(kl, chr(10)), '') AS clean,
+                CASE WHEN contains(lower(text), 'lorem ipsum')
+                     THEN 1 ELSE 0 END AS has_lorem,
+                CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace
+              FROM kept
+            )
+            SELECT doc_id, n_lines, n_kept,
+              length(regexp_replace(clean, '[^.!?]', '', 'g'))::INT
+                AS n_sentences,
+              has_lorem, has_brace,
+              CASE WHEN has_lorem = 0 AND has_brace = 0
+                    AND length(regexp_replace(clean, '[^.!?]', '', 'g')) >= 3
+                   THEN 1 ELSE 0 END AS keep_doc,
+              md5(clean) AS clean_md5
+            FROM agg ORDER BY doc_id
+        """,
+        "doc_blocklist": f"""
+            WITH docs AS (
+              SELECT doc_id::BIGINT AS doc_id, coalesce(text, '') AS text
+              FROM documents
+            ), w AS (
+              SELECT doc_id,
+                list_transform(
+                  list_filter(string_split_regex(lower(text), '\\s+'),
+                              x -> x <> ''),
+                  x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+                ) AS words
+              FROM docs
+            ), h AS (
+              SELECT doc_id,
+                list_filter(words, x -> list_contains(
+                  [{",".join(repr(t) for t in sorted(_BLOCKLIST_TERMS))}], x)) AS hits
+              FROM w
+            )
+            SELECT doc_id, len(hits)::INT AS n_hits,
+              coalesce(array_to_string(list_sort(list_distinct(hits)), ','),
+                       '') AS hit_terms,
+              CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS keep_doc
+            FROM h ORDER BY doc_id
         """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "dedup_clusters_relational": r"""

@@ -600,3 +600,132 @@ def gumbel_topk(
         .withColumn("sample_score", F.round(F.col("_score"), 6))
         .drop("_score")
     )
+
+
+def temperature_mix(
+    df: DataFrame, class_col: str, token_col: str, id_col: str,
+    temperature: float, budget_tokens: int,
+) -> DataFrame:
+    """Temperature-scaled class sampling — the multilingual mixing rule
+    of mT5 (Xue et al. 2021, alpha = 1/T) / UniMax-adjacent: sample
+    class l with probability p_l proportional to n_l^(1/T), so T > 1
+    upsamples low-resource classes relative to their natural share.
+    Keep rates are min(1, budget * p_l / n_l), then the deterministic
+    md5-threshold filter (stratified_sample) applies them with zero
+    shuffle.
+
+    Bit-exactness contract with the DuckDB oracle: T == 2.0 uses
+    math.sqrt (IEEE-correctly-rounded in BOTH engines — libm pow is
+    not guaranteed correctly rounded, sqrt is), and the normalizer is
+    a LEFT FOLD over classes in sorted order, which the oracle mirrors
+    with list_reduce over list(... ORDER BY class) — same adds, same
+    order, same doubles, same 8-hex thresholds."""
+    import math
+
+    totals = {
+        r[0]: r[1]
+        for r in df.groupBy(class_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+        if r[1]
+    }
+    exp = 1.0 / temperature
+    pows = {
+        cls: (math.sqrt(float(t)) if temperature == 2.0
+              else math.pow(float(t), exp))
+        for cls, t in totals.items()
+    }
+    norm = 0.0
+    for cls in sorted(pows):
+        norm += pows[cls]
+    rates = {
+        cls: min(1.0, budget_tokens * (pows[cls] / norm) / totals[cls])
+        for cls in sorted(pows)
+    }
+    return stratified_sample(df, class_col, id_col, rates)
+
+
+# C4 cleaning (Raffel et al. 2020, "Exploring the Limits of Transfer
+# Learning...", section 2.2): the line/page heuristics behind the C4
+# corpus. Line kept iff it ends in terminal punctuation, has >=
+# min_words_per_line words, and does not mention "javascript"; page
+# dropped iff it contains "lorem ipsum" or "{", or fewer than
+# min_sentences sentences survive cleaning. (The paper's cross-page
+# three-sentence dedup is the separate exact-substring operator,
+# substring_dedup.py.)
+_C4_TERMINAL_RE = r'[.!?…"]$'
+
+
+def c4_line_clean(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    min_words_per_line: int = 5, min_sentences: int = 3,
+) -> DataFrame:
+    """(doc_id, n_lines, n_kept, n_sentences, has_lorem, has_brace,
+    keep_doc, clean_md5): the C4 cleaning battery as pure per-row
+    array algebra — zero shuffle, zero Python, whole-stage codegen;
+    the cleaned text itself never leaves the row (only its md5 does),
+    so nothing wide survives past the scan at 100 TB."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(
+        F.split(text, "\n"), lambda l: F.trim(l)
+    )
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+            >= F.lit(min_words_per_line)
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+    staged = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(lines).cast("int").alias("n_lines"),
+        kept.alias("_kept"),
+        F.lower(text).contains("lorem ipsum").cast("int").alias("has_lorem"),
+        text.contains("{").cast("int").alias("has_brace"),
+    )
+    clean = F.array_join(F.col("_kept"), "\n")
+    n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    return staged.select(
+        "doc_id",
+        "n_lines",
+        F.size("_kept").cast("int").alias("n_kept"),
+        n_sent.cast("int").alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        (
+            (F.col("has_lorem") == 0)
+            & (F.col("has_brace") == 0)
+            & (n_sent >= F.lit(min_sentences))
+        ).cast("int").alias("keep_doc"),
+        F.md5(clean).alias("clean_md5"),
+    )
+
+
+def blocklist_hits(
+    df: DataFrame, terms, text_col: str = "text", id_col: str = "doc_id",
+) -> DataFrame:
+    """(doc_id, n_hits, hit_terms, keep_doc): word-boundary blocklist
+    page filter — the C4 "bad words" rule (pages containing any term
+    from a blocklist are dropped). Words are lowercased
+    whitespace tokens with surrounding non-alphanumerics stripped, so
+    'term.' and '(term)' hit but 'terminal' does not. The term list is
+    a broadcast-free LITERAL array folded into the scan predicate —
+    zero shuffle, zero Python; real deployments swap in the LDNOOBW
+    list verbatim."""
+    terms = sorted(set(terms))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.transform(
+        F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != ""),
+        lambda w: F.regexp_replace(w, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+    hits = F.filter(words, lambda w: w.isin(*terms))
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.size(hits).cast("int").alias("n_hits"),
+        F.array_join(
+            F.array_sort(F.array_distinct(hits)), ","
+        ).alias("hit_terms"),
+        (F.size(hits) == 0).cast("int").alias("keep_doc"),
+    )

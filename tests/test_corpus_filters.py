@@ -1,0 +1,145 @@
+"""C4-style cleaning, blocklist filtering, temperature mixing.
+
+Unit pins for the three round-4 corpus-filter operators
+(operators/corpus.py::c4_line_clean / blocklist_hits /
+temperature_mix). Each has an exact Python replication of the rule it
+implements, the repo's standard for born-oracled operators."""
+
+import hashlib
+import math
+
+from pyspark.sql import functions as F
+
+
+def _rows(df):
+    return {r["doc_id"]: r.asDict() for r in df.collect()}
+
+
+def test_c4_line_clean_rules(spark):
+    from gruut_spark.operators.corpus import c4_line_clean
+
+    docs = [
+        # 3 kept lines (., !, .), one too-short line, one unterminated
+        (0, "this is a good sentence with words.\nshort one.\n"
+            "no terminal punct line here at all\n"
+            "another long valid sentence right here!\n"
+            "third full sentence for the count ok."),
+        # lorem ipsum page flag
+        (1, "a full sentence one two three four.\nb full sentence one "
+            "two three four.\nc full sentence one two three four.\n"
+            "some lorem ipsum filler text."),
+        # curly-brace page flag
+        (2, "a full sentence one two three four.\nb full sentence one "
+            "two three four.\nc full sentence one two three four.\n"
+            "code := { nope }"),
+        # javascript line dropped -> only 2 sentences survive -> drop
+        (3, "a full sentence one two three four.\nplease enable "
+            "javascript to continue reading this.\nb full sentence one "
+            "two three four."),
+        (4, None),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = _rows(c4_line_clean(df, "text", "doc_id"))
+
+    r0 = out[0]
+    assert (r0["n_lines"], r0["n_kept"], r0["n_sentences"]) == (5, 3, 3)
+    assert (r0["has_lorem"], r0["has_brace"], r0["keep_doc"]) == (0, 0, 1)
+    expected_clean = (
+        "this is a good sentence with words.\n"
+        "another long valid sentence right here!\n"
+        "third full sentence for the count ok."
+    )
+    assert r0["clean_md5"] == hashlib.md5(expected_clean.encode()).hexdigest()
+
+    assert out[1]["has_lorem"] == 1 and out[1]["keep_doc"] == 0
+    # lorem line itself still passes the LINE rules (page rule drops it)
+    assert out[1]["n_kept"] == 4
+
+    assert out[2]["has_brace"] == 1 and out[2]["keep_doc"] == 0
+    # the brace line has no terminal punct -> not kept
+    assert out[2]["n_kept"] == 3
+
+    assert out[3]["n_kept"] == 2  # javascript line removed
+    assert out[3]["keep_doc"] == 0  # fewer than 3 sentences survive
+
+    r4 = out[4]  # NULL text: one empty line, nothing kept, dropped
+    assert (r4["n_lines"], r4["n_kept"], r4["keep_doc"]) == (1, 0, 0)
+    assert r4["clean_md5"] == hashlib.md5(b"").hexdigest()
+
+
+def test_blocklist_word_boundaries(spark):
+    from gruut_spark.operators.corpus import blocklist_hits
+
+    docs = [
+        (0, "clean text with nothing flagged here"),
+        (1, "the word bad appears once"),
+        (2, "(bad) punctuation-wrapped and BAD uppercased both hit"),
+        (3, "badge and sinbad do not hit, bad. does"),
+        (4, "bad and worse together, worse twice: worse"),
+        (5, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = _rows(blocklist_hits(df, ["bad", "worse"], "text", "doc_id"))
+
+    assert out[0] == dict(doc_id=0, n_hits=0, hit_terms="", keep_doc=1)
+    assert (out[1]["n_hits"], out[1]["hit_terms"]) == (1, "bad")
+    assert (out[2]["n_hits"], out[2]["hit_terms"]) == (2, "bad")
+    # substrings never hit; punctuation-stripped token does
+    assert (out[3]["n_hits"], out[3]["hit_terms"]) == (1, "bad")
+    assert (out[4]["n_hits"], out[4]["hit_terms"]) == (4, "bad,worse")
+    assert out[4]["keep_doc"] == 0
+    assert out[5] == dict(doc_id=5, n_hits=0, hit_terms="", keep_doc=1)
+
+
+def _expected_temperature_keep(rows, temperature, budget):
+    """Exact replication of temperature_mix's math + threshold filter."""
+    from gruut_spark.operators.corpus import rate_threshold_hex
+
+    totals = {}
+    for doc_id, lang, n in rows:
+        totals[lang] = totals.get(lang, 0) + n
+    pows = {
+        c: (math.sqrt(float(t)) if temperature == 2.0
+            else math.pow(float(t), 1.0 / temperature))
+        for c, t in totals.items() if t
+    }
+    norm = 0.0
+    for c in sorted(pows):
+        norm += pows[c]
+    keep = set()
+    for doc_id, lang, n in rows:
+        if lang not in pows:
+            continue
+        rate = min(1.0, budget * (pows[lang] / norm) / totals[lang])
+        thr = rate_threshold_hex(rate)
+        if hashlib.md5(str(doc_id).encode()).hexdigest()[:8] < thr:
+            keep.add(doc_id)
+    return keep
+
+
+def test_temperature_mix_exact(spark):
+    from gruut_spark.operators.corpus import temperature_mix
+
+    rows = [
+        (i, "en" if i % 5 else "code", 100 if i % 5 else 25)
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = temperature_mix(df, "lang", "n_tokens", "doc_id", 2.0, 12_000)
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == _expected_temperature_keep(rows, 2.0, 12_000)
+    assert got  # non-vacuous
+
+    # T > 1 upsamples the low-resource class relative to natural share
+    nat = temperature_mix(df, "lang", "n_tokens", "doc_id", 1.0, 12_000)
+    def share(frame, lang):
+        counts = {r["lang"]: r["c"] for r in
+                  frame.groupBy("lang").agg(F.count("*").alias("c")).collect()}
+        return counts.get(lang, 0) / max(1, sum(counts.values()))
+    assert share(out, "code") > share(nat, "code")
+
+    # zero-token classes are dropped, not kept-all
+    rows2 = rows + [(1000 + i, "empty", 0) for i in range(5)]
+    df2 = spark.createDataFrame(rows2, "doc_id long, lang string, n_tokens long")
+    out2 = temperature_mix(df2, "lang", "n_tokens", "doc_id", 2.0, 12_000)
+    assert out2.filter(F.col("lang") == "empty").count() == 0
