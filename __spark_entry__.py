@@ -1558,6 +1558,43 @@ def _dedup_clusters_relational(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(edges, max_iterations=20).orderBy("member_id")
 
 
+def _dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection after connected components:
+    per duplicate cluster keep the LONGEST member (n_chars score, min-id
+    tiebreak) instead of the arbitrary min-id copy — one
+    map-side-combined max_by groupBy, no window
+    (operators/dedup.py::cluster_representatives). Runs over the same
+    SQL-expressible edge set as dedup_clusters_relational so the whole
+    chain (edges -> CC -> representative) sits under the value gate."""
+    _configure(spark)
+    from gruut_spark.operators.dedup import cluster_representatives
+
+    clusters = _dedup_clusters_relational(spark, sf_dir)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return cluster_representatives(
+        clusters, docs, "doc_id", "n_chars"
+    ).orderBy("cluster_id")
+
+
+def _corpus_cross_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-snapshot near-dedup: odd doc_ids play the NEW batch,
+    even doc_ids the accepted OLD snapshot; a new doc survives iff it
+    shares no LSH band bucket with any old doc
+    (operators/dedup.py::cross_snapshot_near_dedup). Runs at the
+    relational MinHash parameters (FNV-1a + 31-bit universal hashing)
+    so the DuckDB oracle recomputes the identical band keys."""
+    _configure(spark)
+    from gruut_spark.operators.dedup import cross_snapshot_near_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    out = cross_snapshot_near_dedup(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        "text", "doc_id", hash_name="fnv1a", **_MH_REL,
+    )
+    return out.select("doc_id", "lang").orderBy("doc_id")
+
+
 def _ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.similarity import lsh_ann_topk
 
@@ -2172,6 +2209,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": _dedup_simhash,
         "dedup_clusters": _dedup_clusters,
         "dedup_clusters_relational": _dedup_clusters_relational,
+        "dedup_keep_best": _dedup_keep_best,
+        "corpus_cross_dedup": _corpus_cross_dedup,
         "dedup_minhash_relational": _dedup_minhash_relational,
         "dedup_simhash_relational": _dedup_simhash_relational,
         "doc_repeated_spans": _doc_repeated_spans,
@@ -2296,14 +2335,14 @@ def _fnv1a_sql(var: str) -> str:
     )
 
 
-def _minhash_relational_oracle_sql() -> str:
-    """DuckDB replication of the ENTIRE MinHash-LSH pipeline at the
-    _dedup_minhash_relational parameters: whitespace shingling,
-    distinct k-shingles, FNV-1a shingle hashes, (a*h+b) mod 2^64 mod
-    Mersenne-61 universal min-hashing (numpy's implicit uint64 wrap
-    made explicit), per-band FNV xor-multiply key folds, bucket
-    self-join, per-pair matched-band counts. Verified row-identical to
-    the numpy path before wiring (25 pairs at sf0.01)."""
+def _minhash_bandkeys_ctes() -> str:
+    """The shared CTE chain computing per-document LSH band keys at the
+    _MH_REL parameters: whitespace shingling, distinct k-shingles,
+    FNV-1a shingle hashes, (a*h+b) mod 2^64 mod Mersenne-61 universal
+    min-hashing (numpy's implicit uint64 wrap made explicit), per-band
+    FNV xor-multiply key folds. Ends at ``bandkeys(_id, band, key)`` —
+    consumed by the within-corpus pair oracle AND the cross-snapshot
+    anti-join oracle."""
     from gruut_spark.operators.dedup import _minhash_params
 
     k = _MH_REL["shingle_k"]
@@ -2315,7 +2354,7 @@ def _minhash_relational_oracle_sql() -> str:
         for p in range(num_perm)
     )
     return f"""
-        WITH params(p, band, slot, a, b) AS (VALUES {params_rows}),
+        params(p, band, slot, a, b) AS (VALUES {params_rows}),
         docs AS (
           SELECT doc_id::BIGINT AS _id, text FROM documents
           WHERE regexp_matches(text, '\\S')
@@ -2347,11 +2386,93 @@ def _minhash_relational_oracle_sql() -> str:
               (acc, x) -> (xor(acc, x) * 1099511628211::HUGEINT)
                 % 18446744073709551616::HUGEINT) AS key
           FROM mh GROUP BY _id, band
-        )
+        )"""
+
+
+def _minhash_relational_oracle_sql() -> str:
+    """DuckDB replication of the ENTIRE MinHash-LSH pipeline at the
+    _dedup_minhash_relational parameters: the shared band-key CTEs,
+    then bucket self-join and per-pair matched-band counts. Verified
+    row-identical to the numpy path before wiring (25 pairs at
+    sf0.01)."""
+    return f"""
+        WITH {_minhash_bandkeys_ctes()}
         SELECT x._id AS id_a, y._id AS id_b, count(*)::BIGINT AS n_bands
         FROM bandkeys x
         JOIN bandkeys y ON x.band = y.band AND x.key = y.key AND x._id < y._id
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+# The SQL-expressible duplicate-graph CTEs shared by the
+# dedup_clusters_relational and dedup_keep_best oracles: exact-dup star
+# edges (content-hash groups) + adjacent-id token-Jaccard >= 0.5 edges,
+# undirected closure via a recursive reachability CTE. Ends at
+# ``reach(node, r)``; callers aggregate min(r) per node for cluster ids.
+_CC_RELATIONAL_CTES = r"""
+            hashed AS (
+                SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
+                       doc_id
+                FROM documents
+            ),
+            star AS (
+                SELECT mn AS id_a, doc_id AS id_b FROM (
+                    SELECT doc_id,
+                           min(doc_id) OVER (PARTITION BY content_hash) AS mn,
+                           count(*) OVER (PARTITION BY content_hash) AS cnt
+                    FROM hashed
+                ) WHERE cnt > 1 AND doc_id <> mn
+            ),
+            toks AS (
+                SELECT DISTINCT doc_id AS _id, tok
+                FROM documents,
+                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
+                WHERE tok <> ''
+            ),
+            sizes AS (SELECT _id, count(*) AS n_tok FROM toks GROUP BY _id),
+            inter AS (
+                SELECT a._id, count(*) AS n_inter
+                FROM toks a JOIN toks b ON b._id = a._id + 1 AND b.tok = a.tok
+                GROUP BY a._id
+            ),
+            jac AS (
+                SELECT s._id AS id_a, s._id + 1 AS id_b
+                FROM sizes s
+                JOIN sizes s2 ON s2._id = s._id + 1
+                LEFT JOIN inter i ON i._id = s._id
+                WHERE coalesce(i.n_inter, 0)
+                      / (s.n_tok + s2.n_tok - coalesce(i.n_inter, 0)) >= 0.5
+            ),
+            edges AS (SELECT id_a, id_b FROM star UNION SELECT id_a, id_b FROM jac),
+            und AS (SELECT id_a AS s, id_b AS d FROM edges
+                    UNION SELECT id_b, id_a FROM edges),
+            nodes AS (SELECT DISTINCT s AS node FROM und),
+            reach(node, r) AS (
+                SELECT node, node FROM nodes
+                UNION
+                SELECT reach.node, und.d FROM reach JOIN und ON und.s = reach.r
+            )"""
+
+
+def _cross_dedup_oracle_sql() -> str:
+    """Cross-snapshot near-dedup oracle: the same band-key CTEs over
+    the WHOLE table, parity deciding which snapshot a doc belongs to
+    (odd = new, even = old); a new doc survives iff no band key of an
+    old doc equals one of its own. Docs that never sign (no \\S
+    content) are absent from bandkeys and survive by the NOT EXISTS —
+    exactly the operator's has_content routing."""
+    return f"""
+        WITH {_minhash_bandkeys_ctes()}
+        SELECT d.doc_id, d.lang
+        FROM documents d
+        WHERE d.doc_id % 2 = 1
+          AND NOT EXISTS (
+            SELECT 1 FROM bandkeys n
+            JOIN bandkeys o
+              ON o.band = n.band AND o.key = n.key AND o._id % 2 = 0
+            WHERE n._id = d.doc_id
+          )
+        ORDER BY d.doc_id
     """
 
 
@@ -5064,6 +5185,7 @@ def oracle_sql() -> dict[str, str]:
             FROM phon GROUP BY doc_id ORDER BY doc_id
         """,
         "dedup_minhash_relational": _minhash_relational_oracle_sql(),
+        "corpus_cross_dedup": _cross_dedup_oracle_sql(),
         "dedup_simhash_relational": _simhash_relational_oracle_sql(),
         "doc_repeated_spans": r"""
             WITH toks AS (
@@ -5386,52 +5508,25 @@ def oracle_sql() -> dict[str, str]:
             FROM h ORDER BY doc_id
         """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
-        "dedup_clusters_relational": r"""
-            WITH RECURSIVE
-            hashed AS (
-                SELECT md5(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS content_hash,
-                       doc_id
-                FROM documents
-            ),
-            star AS (
-                SELECT mn AS id_a, doc_id AS id_b FROM (
-                    SELECT doc_id,
-                           min(doc_id) OVER (PARTITION BY content_hash) AS mn,
-                           count(*) OVER (PARTITION BY content_hash) AS cnt
-                    FROM hashed
-                ) WHERE cnt > 1 AND doc_id <> mn
-            ),
-            toks AS (
-                SELECT DISTINCT doc_id AS _id, tok
-                FROM documents,
-                     unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t(tok)
-                WHERE tok <> ''
-            ),
-            sizes AS (SELECT _id, count(*) AS n_tok FROM toks GROUP BY _id),
-            inter AS (
-                SELECT a._id, count(*) AS n_inter
-                FROM toks a JOIN toks b ON b._id = a._id + 1 AND b.tok = a.tok
-                GROUP BY a._id
-            ),
-            jac AS (
-                SELECT s._id AS id_a, s._id + 1 AS id_b
-                FROM sizes s
-                JOIN sizes s2 ON s2._id = s._id + 1
-                LEFT JOIN inter i ON i._id = s._id
-                WHERE coalesce(i.n_inter, 0)
-                      / (s.n_tok + s2.n_tok - coalesce(i.n_inter, 0)) >= 0.5
-            ),
-            edges AS (SELECT id_a, id_b FROM star UNION SELECT id_a, id_b FROM jac),
-            und AS (SELECT id_a AS s, id_b AS d FROM edges
-                    UNION SELECT id_b, id_a FROM edges),
-            nodes AS (SELECT DISTINCT s AS node FROM und),
-            reach(node, r) AS (
-                SELECT node, node FROM nodes
-                UNION
-                SELECT reach.node, und.d FROM reach JOIN und ON und.s = reach.r
-            )
+        "dedup_clusters_relational": "WITH RECURSIVE " + _CC_RELATIONAL_CTES + """
             SELECT node AS member_id, min(r) AS cluster_id
             FROM reach GROUP BY node ORDER BY member_id
+        """,
+        "dedup_keep_best": "WITH RECURSIVE " + _CC_RELATIONAL_CTES + """,
+            clusters AS (
+                SELECT node AS member_id, min(r) AS cluster_id
+                FROM reach GROUP BY node
+            ),
+            scored AS (
+                SELECT c.cluster_id, c.member_id, d.n_chars::BIGINT AS s,
+                       row_number() OVER (PARTITION BY c.cluster_id
+                           ORDER BY d.n_chars DESC, c.member_id ASC) AS rk,
+                       count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+                FROM clusters c JOIN documents d ON d.doc_id = c.member_id
+            )
+            SELECT cluster_id, member_id AS rep_id, s AS rep_score,
+                   n_members::BIGINT AS n_members
+            FROM scored WHERE rk = 1 ORDER BY cluster_id
         """,
         # doc_langid, doc_gruut_tokens, quality_verdict, dedup_minhash_lsh,
         # dedup_simhash, ann_lsh_topk, multimodal_features: rows-only

@@ -549,3 +549,83 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
     )
+
+
+def cluster_representatives(
+    clusters: DataFrame, docs: DataFrame,
+    id_col: str = "doc_id", score_col: str = "n_chars",
+) -> DataFrame:
+    """(cluster_id, rep_id, rep_score, n_members): pick ONE canonical
+    document per duplicate cluster — highest ``score_col`` wins, lowest
+    id breaks ties (the "keep the longest/best member" policy real
+    dedup pipelines apply after connected components; min-id-wins keeps
+    an arbitrary copy, this keeps the most complete one).
+
+    Scale shape: a broadcast-or-shuffle join carrying only (id, score)
+    longs, then ONE map-side-combined groupBy — rep selection is a
+    ``max_by`` over the orderable struct (score, -id), so a hot cluster
+    (a million-copy boilerplate family) collapses in partial aggregates
+    instead of funneling through a single window task."""
+    scored = clusters.join(
+        docs.select(
+            F.col(id_col).alias("member_id"),
+            F.col(score_col).cast("long").alias("_score"),
+        ),
+        "member_id",
+    )
+    return (
+        scored.groupBy("cluster_id")
+        .agg(
+            F.expr("max_by(member_id, struct(_score, -member_id))").alias(
+                "rep_id"
+            ),
+            F.max("_score").alias("rep_score"),
+            F.count("*").alias("n_members"),
+        )
+        .select("cluster_id", "rep_id", "rep_score", "n_members")
+    )
+
+
+def cross_snapshot_near_dedup(
+    new_df: DataFrame, old_df: DataFrame, text_col: str, id_col: str,
+    num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
+    hash_name: str = "blake2b", param_high: int = _MERSENNE,
+) -> DataFrame:
+    """Incremental-ingestion near-dedup: return the NEW-snapshot rows
+    that do NOT near-duplicate anything in the accepted OLD snapshot —
+    a new doc is dropped iff it shares >= 1 LSH band bucket with any
+    old doc (same collision rule as minhash_lsh_pairs, applied across
+    snapshots instead of within one).
+
+    Scale shape: both sides reduce to (band, band_hash) longs before
+    anything crosses the cluster — text never shuffles; the old side
+    projects DISTINCT band keys (<= bands * |old| rows of 16 bytes),
+    the new side left-semi joins to find hit ids and the survivors
+    come back via a left-anti join on the id alone. No pair list is
+    ever materialized, so a new doc colliding with a million old
+    copies costs the same as colliding with one. Empty/whitespace docs
+    never sign (the all-zero-signature megabucket defense) and always
+    survive — they are exact-dedup territory, not MinHash territory."""
+    kwargs = dict(
+        num_perm=num_perm, bands=bands, shingle_k=shingle_k, seed=seed,
+        hash_name=hash_name, param_high=param_high,
+    )
+
+    def band_keys(frame: DataFrame) -> DataFrame:
+        sigs = minhash_band_hashes(
+            frame.filter(has_content(F.col(text_col))), text_col, id_col,
+            **kwargs,
+        )
+        return sigs.select(
+            F.posexplode_outer("band_hashes").alias("band", "band_hash"),
+            F.col("_id"),
+        )
+
+    old_keys = band_keys(old_df).select("band", "band_hash").distinct()
+    hit_ids = (
+        band_keys(new_df)
+        .join(old_keys, ["band", "band_hash"], "left_semi")
+        .select(F.col("_id").alias(id_col))
+        .distinct()
+    )
+    return new_df.join(hit_ids, id_col, "left_anti")

@@ -1,0 +1,61 @@
+"""cluster_representatives + cross_snapshot_near_dedup unit pins."""
+
+from pyspark.sql import functions as F
+
+
+def test_cluster_representatives(spark):
+    from gruut_spark.operators.dedup import cluster_representatives
+
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)],
+        "member_id long, cluster_id long",
+    )
+    docs = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)],
+        "doc_id long, n_chars long",
+    )
+    out = {
+        r["cluster_id"]: r.asDict()
+        for r in cluster_representatives(clusters, docs).collect()
+    }
+    # highest score wins; ties break to the LOWEST member id
+    assert out[1]["rep_id"] == 2 and out[1]["rep_score"] == 9
+    assert out[1]["n_members"] == 3
+    assert out[10]["rep_id"] == 10 and out[10]["n_members"] == 2
+
+
+def test_cross_snapshot_near_dedup(spark):
+    from gruut_spark.operators.dedup import cross_snapshot_near_dedup
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    old = spark.createDataFrame(
+        [(0, base), (2, "completely unrelated archival content about "
+                        "database engines and storage formats")],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            (1, base),                      # exact copy of old 0 -> drop
+            (3, "entirely novel text mentioning satellites orbits and "
+                "telescopes pointing at distant quiet galaxies"),  # keep
+            (5, ""),                        # empty: never signs -> keep
+            (7, "twin of another NEW doc about satellites orbits and "
+                "telescopes pointing at distant quiet galaxies"),  # keep
+        ],
+        "doc_id long, text string",
+    )
+    out = cross_snapshot_near_dedup(
+        new, old, "text", "doc_id", num_perm=16, bands=4, shingle_k=3,
+        seed=1,
+    )
+    got = sorted(r["doc_id"] for r in out.collect())
+    # only cross-snapshot duplicates drop; new-vs-new twins are the
+    # within-batch operator's job and must survive here
+    assert got == [3, 5, 7]
+
+    again = cross_snapshot_near_dedup(
+        new, old, "text", "doc_id", num_perm=16, bands=4, shingle_k=3,
+        seed=1,
+    )
+    assert sorted(r["doc_id"] for r in again.collect()) == got
