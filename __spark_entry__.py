@@ -1229,6 +1229,28 @@ def _doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic epoch-keyed shuffle/shard assignment
+    (operators/corpus.py::epoch_shards): two epochs side by side, each
+    collapsed to per-shard (count, first/last sort key) so the value
+    gate pins both the balance and the exact key derivation."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import epoch_shards
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id")
+    frames = [
+        epoch_shards(docs, "doc_id", ep, 8)
+        .groupBy(F.lit(ep).alias("epoch"), "shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("sort_key").alias("first_key"),
+            F.max("sort_key").alias("last_key"),
+        )
+        for ep in (0, 1)
+    ]
+    return frames[0].unionByName(frames[1]).orderBy("epoch", "shard")
+
+
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import minhash_lsh_pairs
 
@@ -2221,6 +2243,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": _doc_temperature_mix,
         "doc_c4_clean": _doc_c4_clean,
         "doc_blocklist": _doc_blocklist,
+        "doc_epoch_shards": _doc_epoch_shards,
         "doc_phonemize_lexicon": _doc_phonemize_lexicon,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
@@ -5506,6 +5529,21 @@ def oracle_sql() -> dict[str, str]:
                        '') AS hit_terms,
               CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS keep_doc
             FROM h ORDER BY doc_id
+        """,
+        "doc_epoch_shards": """
+            WITH eps(epoch) AS (VALUES (0), (1)),
+            keyed AS (
+              SELECT e.epoch,
+                     md5(e.epoch::VARCHAR || ':shard:' || d.doc_id::VARCHAR)
+                       AS k
+              FROM documents d CROSS JOIN eps e
+            )
+            SELECT epoch,
+              (CAST(('0x' || substring(k, 1, 8)) AS BIGINT) % 8)::INT
+                AS shard,
+              count(*)::BIGINT AS n_docs,
+              min(k) AS first_key, max(k) AS last_key
+            FROM keyed GROUP BY 1, 2 ORDER BY epoch, shard
         """,
         "embedding_near_dups": _embedding_near_dups_oracle_sql(),
         "dedup_clusters_relational": "WITH RECURSIVE " + _CC_RELATIONAL_CTES + """

@@ -656,6 +656,58 @@ def temperature_mix(
 _C4_TERMINAL_RE = r'[.!?…"]$'
 
 
+def _c4_kept_lines(text_col: str, min_words_per_line: int) -> "F.Column":
+    """Array column of the lines surviving C4's LINE rules (trimmed;
+    terminal punct + >= min words + no 'javascript'). Shared by the
+    reporting operator and the composed keep predicate."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    return F.filter(
+        lines,
+        lambda l: l.rlike(_C4_TERMINAL_RE)
+        & (
+            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
+            >= F.lit(min_words_per_line)
+        )
+        & ~F.lower(l).contains("javascript"),
+    )
+
+
+def c4_keep_col(
+    text_col: str = "text",
+    min_words_per_line: int = 5, min_sentences: int = 3,
+) -> "F.Column":
+    """C4's PAGE verdict as a boolean scan predicate (no lorem ipsum,
+    no brace, >= min_sentences sentences in the line-cleaned text) —
+    usable directly in ``df.filter`` and by compose_corpus_stages."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    clean = F.array_join(_c4_kept_lines(text_col, min_words_per_line), "\n")
+    n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
+    return (
+        ~F.lower(text).contains("lorem ipsum")
+        & ~text.contains("{")
+        & (n_sent >= F.lit(min_sentences))
+    )
+
+
+def _blocklist_hit_words(terms, text_col: str) -> "F.Column":
+    """Array of blocklist occurrences among the lowercased,
+    punctuation-stripped whitespace tokens of ``text_col``."""
+    terms = sorted(set(terms))
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.transform(
+        F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != ""),
+        lambda w: F.regexp_replace(w, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+    )
+    return F.filter(words, lambda w: w.isin(*terms))
+
+
+def blocklist_keep_col(terms, text_col: str = "text") -> "F.Column":
+    """Boolean scan predicate: True iff no word-boundary blocklist hit
+    (shared by blocklist_hits and compose_corpus_stages)."""
+    return F.size(_blocklist_hit_words(terms, text_col)) == 0
+
+
 def c4_line_clean(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     min_words_per_line: int = 5, min_sentences: int = 3,
@@ -669,15 +721,7 @@ def c4_line_clean(
     lines = F.transform(
         F.split(text, "\n"), lambda l: F.trim(l)
     )
-    kept = F.filter(
-        lines,
-        lambda l: l.rlike(_C4_TERMINAL_RE)
-        & (
-            F.size(F.filter(F.split(l, r"\s+"), lambda w: w != ""))
-            >= F.lit(min_words_per_line)
-        )
-        & ~F.lower(l).contains("javascript"),
-    )
+    kept = _c4_kept_lines(text_col, min_words_per_line)
     staged = df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(lines).cast("int").alias("n_lines"),
@@ -714,13 +758,7 @@ def blocklist_hits(
     a broadcast-free LITERAL array folded into the scan predicate —
     zero shuffle, zero Python; real deployments swap in the LDNOOBW
     list verbatim."""
-    terms = sorted(set(terms))
-    text = F.coalesce(F.col(text_col), F.lit(""))
-    words = F.transform(
-        F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != ""),
-        lambda w: F.regexp_replace(w, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
-    )
-    hits = F.filter(words, lambda w: w.isin(*terms))
+    hits = _blocklist_hit_words(terms, text_col)
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
         F.size(hits).cast("int").alias("n_hits"),
@@ -729,3 +767,34 @@ def blocklist_hits(
         ).alias("hit_terms"),
         (F.size(hits) == 0).cast("int").alias("keep_doc"),
     )
+
+
+def epoch_shards(
+    df: DataFrame, id_col: str, epoch: int, n_shards: int,
+    salt: str = "shard",
+) -> DataFrame:
+    """Deterministic training-epoch shuffle + shard assignment: adds
+    ``sort_key`` (md5 of "epoch:salt:id") and ``shard`` (its top 32
+    bits mod n_shards). Every epoch induces a fresh pseudo-random total
+    order and balanced shard split that is reproducible across runs,
+    task retries, and cluster sizes — the property training pipelines
+    need so a resumed job reads the same shard contents in the same
+    order (a Fisher-Yates or rand() shuffle is neither).
+
+    Scale shape: a pure projection — NO shuffle here. The writer is the
+    one exchange: ``partitionBy(shard)`` +
+    ``sortWithinPartitions(sort_key)`` gives globally-reshuffled,
+    per-shard-ordered training files without ever globally sorting the
+    corpus (a global contiguous rank would need a single-task window;
+    shard+key is the distributed equivalent consumers actually use)."""
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(epoch)), F.lit(salt),
+            F.col(id_col).cast("string"),
+        )
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long")
+        % F.lit(n_shards)
+    ).cast("int")
+    return df.withColumn("sort_key", key).withColumn("shard", shard)

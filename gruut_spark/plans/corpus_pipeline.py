@@ -43,6 +43,8 @@ def compose_corpus_stages(
     benchmark: Optional[DataFrame] = None,
     cc_max_iterations: int = 10,
     strip_boilerplate_min_docs: Optional[int] = None,
+    c4_page_rules: bool = False,
+    blocklist_terms: Optional[list] = None,
 ) -> DataFrame:
     """The post-filter composition shared by the model-backed
     ``assemble_corpus`` and the SQL-oracle-checkable relational variant:
@@ -80,6 +82,20 @@ def compose_corpus_stages(
     of any single collision at 1e9 docs); use a 128-bit id (md5 of the
     natural key) where that matters."""
     from pyspark.sql.window import Window
+
+    # opt-in page-level drops FIRST: both are pure scan predicates
+    # (zero shuffle, zero Python), the cheapest stages in the whole
+    # composition — running them before dedup shrinks every later
+    # shuffle, and page drops commute with dedup (they never rewrite
+    # text, so digests are unaffected)
+    if blocklist_terms is not None:
+        from ..operators.corpus import blocklist_keep_col
+
+        df = df.filter(blocklist_keep_col(blocklist_terms, text_col))
+    if c4_page_rules:
+        from ..operators.corpus import c4_keep_col
+
+        df = df.filter(c4_keep_col(text_col))
 
     w = Window.partitionBy(digest_col).orderBy(id_col)
     exact_losers = (

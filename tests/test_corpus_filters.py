@@ -143,3 +143,105 @@ def test_temperature_mix_exact(spark):
     df2 = spark.createDataFrame(rows2, "doc_id long, lang string, n_tokens long")
     out2 = temperature_mix(df2, "lang", "n_tokens", "doc_id", 2.0, 12_000)
     assert out2.filter(F.col("lang") == "empty").count() == 0
+
+
+def test_c4_and_blocklist_plans_scan_only(spark):
+    """Both filters must stay inside whole-stage codegen: per-row array
+    algebra, no Exchange, no Python worker."""
+    from gruut_spark.operators.corpus import blocklist_hits, c4_line_clean
+
+    df = spark.createDataFrame(
+        [(0, "a sentence that is long enough here.")],
+        "doc_id long, text string",
+    )
+    for out in (
+        c4_line_clean(df),
+        blocklist_hits(df, ["bad"]),
+    ):
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_temperature_mix_plan_zero_shuffle_filter(spark):
+    """After the bounded per-class totals agg, the applied sample is a
+    pure scan predicate — no Exchange, no Python in the output plan."""
+    from gruut_spark.operators.corpus import temperature_mix
+
+    df = spark.createDataFrame(
+        [(i, "en" if i % 2 else "de", 10) for i in range(40)],
+        "doc_id long, lang string, n_tokens long",
+    )
+    out = temperature_mix(df, "lang", "n_tokens", "doc_id", 2.0, 100)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_epoch_shards_determinism_and_balance(spark):
+    from gruut_spark.operators.corpus import epoch_shards
+
+    df = spark.createDataFrame(
+        [(i,) for i in range(800)], "doc_id long"
+    )
+    e0 = epoch_shards(df, "doc_id", 0, 8)
+    rows0 = {r["doc_id"]: (r["shard"], r["sort_key"]) for r in e0.collect()}
+
+    # exact Python replication of the key/shard derivation
+    for doc_id in (0, 17, 799):
+        k = hashlib.md5(f"0:shard:{doc_id}".encode()).hexdigest()
+        assert rows0[doc_id] == (int(k[:8], 16) % 8, k)
+
+    # retry-safe: a second evaluation is identical
+    again = {r["doc_id"]: (r["shard"], r["sort_key"])
+             for r in epoch_shards(df, "doc_id", 0, 8).collect()}
+    assert again == rows0
+
+    # balanced: every shard within 2x sqrt deviation of the mean
+    counts = {}
+    for shard, _ in rows0.values():
+        counts[shard] = counts.get(shard, 0) + 1
+    assert len(counts) == 8
+    assert all(60 <= c <= 140 for c in counts.values()), counts
+
+    # a different epoch induces a genuinely different order
+    e1 = {r["doc_id"]: r["sort_key"]
+          for r in epoch_shards(df, "doc_id", 1, 8).collect()}
+    assert sum(e1[i] != rows0[i][1] for i in range(800)) == 800
+
+    # pure projection: no Exchange, no Python
+    plan = e0._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan, plan
+
+
+def test_compose_stages_page_drops(spark):
+    """blocklist + C4 page rules as opt-in head stages of
+    compose_corpus_stages: planted pages drop, clean pages flow into
+    the unchanged dedup/sample tail; defaults-off leaves behavior
+    untouched."""
+    from gruut_spark.plans.corpus_pipeline import compose_corpus_stages
+
+    good = ("a fine sentence one two three.\nb fine sentence one two "
+            "three.\nc fine sentence one two three.")
+    rows = [
+        (1, "d1", "en", good),
+        (2, "d2", "en", good + "\nextra fine sentence one two three."),
+        (3, "d3", "en", good + "\nthis mentions a banned word here."),
+        (4, "d4", "en", "too short. page."),          # < 3 sentences
+        (5, "d5", "en", good + "\ncode { brace }"),   # brace page
+        (6, "d1", "en", good),                        # exact dup of 1
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, digest string, lang string, text string"
+    )
+    out = compose_corpus_stages(
+        df, id_col="doc_id", digest_col="digest", lang_col="lang",
+        text_col="text", c4_page_rules=True, blocklist_terms=["banned"],
+    )
+    kept = sorted(r["doc_id"] for r in out.collect())
+    assert kept == [1, 2]  # 3 blocklisted, 4/5 C4-dropped, 6 exact dup
+
+    # defaults off: only the exact dup drops
+    out2 = compose_corpus_stages(
+        df, id_col="doc_id", digest_col="digest", lang_col="lang",
+        text_col="text",
+    )
+    assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 3, 4, 5]
