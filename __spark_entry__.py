@@ -1229,6 +1229,21 @@ def _doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference selection (Moore & Lewis
+    2010): two add-alpha bigram LMs trained IN-QUERY (target = the
+    declared-'en' slice, general = whole corpus), per-doc normalized
+    log-ratio score. The DuckDB oracle replays BOTH trainings and the
+    fixed-point score sum (operators/corpus.py::moore_lewis_scores)."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import moore_lewis_scores
+
+    return moore_lewis_scores(
+        _read(spark, sf_dir, "documents"), F.col("lang") == "en",
+        "text", "doc_id",
+    ).orderBy("doc_id")
+
+
 def _doc_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-keyed shuffle/shard assignment
     (operators/corpus.py::epoch_shards): two epochs side by side, each
@@ -2244,6 +2259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_c4_clean": _doc_c4_clean,
         "doc_blocklist": _doc_blocklist,
         "doc_epoch_shards": _doc_epoch_shards,
+        "doc_moore_lewis": _doc_moore_lewis,
         "doc_phonemize_lexicon": _doc_phonemize_lexicon,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
@@ -5529,6 +5545,72 @@ def oracle_sql() -> dict[str, str]:
                        '') AS hit_terms,
               CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS keep_doc
             FROM h ORDER BY doc_id
+        """,
+        "doc_moore_lewis": r"""
+            WITH toks AS (
+              SELECT doc_id, lang,
+                string_split_regex(
+                  lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                  '\s+') AS t
+              FROM documents
+            ),
+            -- add-alpha bigram LM TRAINING, twice (target slice = 'en',
+            -- general = all) — the same word_ngrams semantics as the
+            -- trigram-counts oracle
+            ut AS MATERIALIZED (
+              SELECT g AS gram, count(*) AS cnt FROM (
+                SELECT unnest(t) AS g FROM toks WHERE lang = 'en'
+              ) WHERE g <> '' GROUP BY g
+            ),
+            ug AS MATERIALIZED (
+              SELECT g AS gram, count(*) AS cnt FROM (
+                SELECT unnest(t) AS g FROM toks
+              ) WHERE g <> '' GROUP BY g
+            ),
+            bt AS MATERIALIZED (
+              SELECT array_to_string(t[i:i+1], ' ') AS gram, count(*) AS cnt
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+              WHERE lang = 'en' GROUP BY 1
+            ),
+            bg AS MATERIALIZED (
+              SELECT array_to_string(t[i:i+1], ' ') AS gram, count(*) AS cnt
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+              GROUP BY 1
+            ),
+            v AS (SELECT (SELECT count(*) FROM ut) AS vt,
+                         (SELECT count(*) FROM ug) AS vg),
+            pos AS (
+              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram,
+                     t[i] AS prev
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+            ),
+            terms AS (
+              SELECT p.doc_id,
+                log10((coalesce(bt.cnt, 0)::DOUBLE + 0.5)
+                      / (coalesce(utj.cnt, 0)::DOUBLE + 0.5 * v.vt))
+                - log10((coalesce(bg.cnt, 0)::DOUBLE + 0.5)
+                        / (coalesce(ugj.cnt, 0)::DOUBLE + 0.5 * v.vg))
+                  AS term
+              FROM pos p CROSS JOIN v
+              LEFT JOIN bt ON bt.gram = p.gram
+              LEFT JOIN bg ON bg.gram = p.gram
+              LEFT JOIN ut utj ON utj.gram = p.prev
+              LEFT JOIN ug ugj ON ugj.gram = p.prev
+            ),
+            agg AS (
+              SELECT doc_id, count(*) AS n,
+                CAST(sum(CAST(round(term * 1000000000.0) AS HUGEINT))
+                     AS DOUBLE) AS s
+              FROM terms GROUP BY doc_id
+            )
+            SELECT d.doc_id,
+              coalesce(a.n, 0)::INT AS n_bigrams,
+              coalesce(round((a.s / 1000000000.0) / a.n, 6), 0.0) AS ml_score
+            FROM documents d LEFT JOIN agg a USING (doc_id)
+            ORDER BY d.doc_id
         """,
         "doc_epoch_shards": """
             WITH eps(epoch) AS (VALUES (0), (1)),

@@ -798,3 +798,84 @@ def epoch_shards(
         % F.lit(n_shards)
     ).cast("int")
     return df.withColumn("sort_key", key).withColumn("shard", shard)
+
+
+def moore_lewis_scores(
+    df: DataFrame, target_filter, text_col: str = "text",
+    id_col: str = "doc_id", alpha: float = 0.5,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, the classic two-LM contrastive filter): per document,
+    score = (1/n_bigrams) * sum_i [ log10 p_tgt(w_i | w_{i-1})
+    - log10 p_gen(w_i | w_{i-1}) ] under two add-alpha bigram LMs —
+    one trained on the in-domain slice (rows matching
+    ``target_filter``), one on the whole corpus. Higher = reads more
+    like the target domain; select by threshold or top-k. Distinct
+    from DSIR (dsir_importance): real n-grams with add-alpha smoothing
+    and per-token normalization, not hashed-bucket ratios.
+
+    Scale shape: training is two ngram_count_text passes per model —
+    ONE corpus-scale shuffle each, collapsing to the Heaps'-law-small
+    distinct-gram histograms; the two vocab sizes are bounded driver
+    scalars (counts, not documents). Scoring explodes doc bigrams and
+    broadcast-joins the count tables (AQE broadcasts the
+    Heaps'-bounded sides on its own), then ONE map-side-combined
+    groupBy(doc) — the BM25 join shape. Per-doc sums use the
+    classifier's EXACT fixed-point trick (round(term*1e9) summed as
+    decimal(38,0)), so the score is independent of partition combine
+    order and the DuckDB oracle reproduces it bit-for-bit.
+
+    Returns (id_col, n_bigrams, ml_score); docs with < 2 tokens score
+    0.0 with n_bigrams = 0."""
+    from .lm_train import ngram_count_text
+    from .textstats import word_ngrams
+
+    def counts(frame: DataFrame, n: int) -> DataFrame:
+        out = ngram_count_text(frame, text_col, n)
+        # word_ngrams emits [''] for empty/whitespace docs at n=1; an
+        # empty-string "word" must not enter the vocab
+        return out.filter(F.col("gram") != "") if n == 1 else out
+
+    tgt = df.filter(target_filter)
+    ut, bt = counts(tgt, 1), counts(tgt, 2)
+    ug, bg = counts(df, 1), counts(df, 2)
+    # vocab sizes: bounded driver-side scalars (distinct types, not docs)
+    a_vt = alpha * float(ut.count())
+    a_vg = alpha * float(ug.count())
+
+    base, bigrams = word_ngrams(df, text_col, 2, keep_cols=(F.col(id_col),))
+    pos = base.select(id_col, F.explode_outer(bigrams).alias("gram"))
+    joined = (
+        pos.join(bt.withColumnRenamed("cnt", "_bt"), "gram", "left")
+        .join(bg.withColumnRenamed("cnt", "_bg"), "gram", "left")
+        .withColumn("_prev", F.substring_index(F.col("gram"), " ", 1))
+        .join(
+            ut.select(F.col("gram").alias("_prev"), F.col("cnt").alias("_ut")),
+            "_prev", "left",
+        )
+        .join(
+            ug.select(F.col("gram").alias("_prev"), F.col("cnt").alias("_ug")),
+            "_prev", "left",
+        )
+    )
+    c = lambda name: F.coalesce(F.col(name).cast("double"), F.lit(0.0))
+    term = F.log10(
+        (c("_bt") + F.lit(alpha)) / (c("_ut") + F.lit(a_vt))
+    ) - F.log10((c("_bg") + F.lit(alpha)) / (c("_ug") + F.lit(a_vg)))
+    fp = F.when(
+        F.col("gram").isNotNull(),
+        F.round(term * F.lit(1e9), 0).cast("decimal(38,0)"),
+    )
+    agg = joined.groupBy(id_col).agg(
+        F.sum(fp).alias("_s"), F.count("gram").alias("_n")
+    )
+    return agg.select(
+        id_col,
+        F.col("_n").cast("int").alias("n_bigrams"),
+        F.when(
+            F.col("_n") > 0,
+            F.round(
+                (F.col("_s").cast("double") / F.lit(1e9)) / F.col("_n"), 6
+            ),
+        ).otherwise(F.lit(0.0)).alias("ml_score"),
+    )

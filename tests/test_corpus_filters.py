@@ -245,3 +245,74 @@ def test_compose_stages_page_drops(spark):
         text_col="text",
     )
     assert sorted(r["doc_id"] for r in out2.collect()) == [1, 2, 3, 4, 5]
+
+
+def _expected_moore_lewis(rows, target_langs, alpha=0.5):
+    """Exact replication of moore_lewis_scores (counts, smoothing,
+    fixed-point sum)."""
+    import re
+    from decimal import Decimal, ROUND_HALF_UP
+
+    def toks(t):
+        return re.split(r"\s+", re.sub(r"^\s+|\s+$", "", t.lower()))
+
+    ut, bt, ug, bg = {}, {}, {}, {}
+    for _, lang, text in rows:
+        ts = toks(text)
+        tgt = lang in target_langs
+        for w in ts:
+            if w:
+                ug[w] = ug.get(w, 0) + 1
+                if tgt:
+                    ut[w] = ut.get(w, 0) + 1
+        if len(ts) >= 2:
+            for a, b in zip(ts, ts[1:]):
+                g = f"{a} {b}"
+                bg[g] = bg.get(g, 0) + 1
+                if tgt:
+                    bt[g] = bt.get(g, 0) + 1
+    a_vt, a_vg = alpha * float(len(ut)), alpha * float(len(ug))
+    out = {}
+    for doc_id, _, text in rows:
+        ts = toks(text)
+        if len(ts) < 2:
+            out[doc_id] = (0, 0.0)
+            continue
+        s = 0
+        for a, b in zip(ts, ts[1:]):
+            g = f"{a} {b}"
+            term = (
+                math.log10((bt.get(g, 0) + alpha) / (ut.get(a, 0) + a_vt))
+                - math.log10((bg.get(g, 0) + alpha) / (ug.get(a, 0) + a_vg))
+            )
+            s += int(Decimal(term * 1e9).quantize(0, ROUND_HALF_UP))
+        n = len(ts) - 1
+        out[doc_id] = (n, round((s / 1e9) / n, 6))
+    return out
+
+
+def test_moore_lewis_exact_and_separating(spark):
+    from gruut_spark.operators.corpus import moore_lewis_scores
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the cat ran to the mat"),
+        (2, "en", "the dog sat on the cat"),
+        (3, "de", "der hund sitzt auf der matte"),
+        (4, "de", "der hund rennt zu der matte"),
+        (5, "de", "die katze sitzt auf der matte"),
+        (6, "en", "single"),
+        (7, "en", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["ml_score"])
+        for r in moore_lewis_scores(df, F.col("lang") == "en").collect()
+    }
+    assert got == _expected_moore_lewis(rows, {"en"})
+    # the contrastive property: every in-domain doc outranks every
+    # out-of-domain doc
+    assert min(got[i][1] for i in (0, 1, 2)) > max(
+        got[i][1] for i in (3, 4, 5)
+    )
+    assert got[6] == (0, 0.0) and got[7] == (0, 0.0)
