@@ -5531,7 +5531,9 @@ def oracle_sql() -> dict[str, str]:
                 list_transform(
                   list_filter(string_split_regex(lower(text), '\\s+'),
                               x -> x <> ''),
-                  x -> regexp_replace(x, '^[^a-z0-9]+|[^a-z0-9]+$', '', 'g')
+                  x -> regexp_replace(x,
+                         '^[^\\p{{L}}\\p{{N}}]+|[^\\p{{L}}\\p{{N}}]+$',
+                         '', 'g')
                 ) AS words
               FROM docs
             ), h AS (

@@ -89,6 +89,28 @@ def quota_cap_per_source(
     )
 
 
+def _class_token_totals(
+    df: DataFrame, class_col: str, token_col: str
+) -> Dict[str, int]:
+    """Bounded driver-side per-class token totals (one row per class);
+    NULL classes and zero/NULL totals excluded — shared by
+    mix_to_target and temperature_mix."""
+    return {
+        r[0]: r[1]
+        for r in df.groupBy(class_col)
+        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
+        .collect()
+        if r[0] is not None and r[1]
+    }
+
+
+def _capped_rate(share: float, budget_tokens: int, total: int) -> float:
+    """min(1, share*budget / available) — the availability-capped
+    mixture rate, ONE expression shared by both mixers so the float op
+    order their DuckDB oracles replicate lives in one place."""
+    return min(1.0, budget_tokens * share / total)
+
+
 def mix_to_target(
     df: DataFrame, class_col: str, token_col: str, id_col: str,
     target_shares: Dict[str, float], budget_tokens: int,
@@ -103,14 +125,9 @@ def mix_to_target(
     The per-class token totals are a bounded driver-side aggregate
     (one row per class); the filter itself is the same zero-shuffle
     retry-safe scan predicate as stratified_sample."""
-    totals = {
-        r[0]: r[1]
-        for r in df.groupBy(class_col)
-        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
-        .collect()
-    }
+    totals = _class_token_totals(df, class_col, token_col)
     rates = {
-        cls: min(1.0, budget_tokens * share / totals[cls])
+        cls: _capped_rate(share, budget_tokens, totals[cls])
         for cls, share in target_shares.items()
         if totals.get(cls)
     }
@@ -619,16 +636,14 @@ def temperature_mix(
     not guaranteed correctly rounded, sqrt is), and the normalizer is
     a LEFT FOLD over classes in sorted order, which the oracle mirrors
     with list_reduce over list(... ORDER BY class) — same adds, same
-    order, same doubles, same 8-hex thresholds."""
+    order, same doubles, same 8-hex thresholds.
+
+    NULL-class rows are excluded from the totals (review: a None dict
+    key breaks the sorted() fold) — and they are dropped by the filter
+    regardless, exactly as under mix_to_target's default-0 rate."""
     import math
 
-    totals = {
-        r[0]: r[1]
-        for r in df.groupBy(class_col)
-        .agg(F.sum(F.col(token_col).cast("long")).alias("t"))
-        .collect()
-        if r[1]
-    }
+    totals = _class_token_totals(df, class_col, token_col)
     exp = 1.0 / temperature
     pows = {
         cls: (math.sqrt(float(t)) if temperature == 2.0
@@ -639,7 +654,7 @@ def temperature_mix(
     for cls in sorted(pows):
         norm += pows[cls]
     rates = {
-        cls: min(1.0, budget_tokens * (pows[cls] / norm) / totals[cls])
+        cls: _capped_rate(pows[cls] / norm, budget_tokens, totals[cls])
         for cls in sorted(pows)
     }
     return stratified_sample(df, class_col, id_col, rates)
@@ -690,14 +705,33 @@ def c4_keep_col(
     )
 
 
+def _normalize_blocklist(terms) -> list:
+    """Lowercase + dedupe the term list; REJECT terms this matcher
+    cannot honor (empty or multi-word phrases) instead of silently
+    never hitting them (review): the matcher compares single
+    whitespace tokens, so 'blue waffle' would be a permanent no-op."""
+    out = sorted({str(t).lower() for t in terms})
+    bad = [t for t in out if not t or any(ch.isspace() for ch in t)]
+    if bad:
+        raise ValueError(
+            f"blocklist terms must be single non-empty words, got {bad!r}"
+            " — match phrases with decontaminate()/substring tools instead"
+        )
+    return out
+
+
 def _blocklist_hit_words(terms, text_col: str) -> "F.Column":
-    """Array of blocklist occurrences among the lowercased,
-    punctuation-stripped whitespace tokens of ``text_col``."""
-    terms = sorted(set(terms))
+    """Array of blocklist occurrences among the lowercased whitespace
+    tokens of ``text_col``, with surrounding non-letter/digit chars
+    stripped (\\p{L}\\p{N}, so accented terms survive the strip —
+    review: the ASCII-only class chopped 'salopé' to 'salop')."""
+    terms = _normalize_blocklist(terms)
     text = F.coalesce(F.col(text_col), F.lit(""))
     words = F.transform(
         F.filter(F.split(F.lower(text), r"\s+"), lambda w: w != ""),
-        lambda w: F.regexp_replace(w, r"^[^a-z0-9]+|[^a-z0-9]+$", ""),
+        lambda w: F.regexp_replace(
+            w, r"^[^\p{L}\p{N}]+|[^\p{L}\p{N}]+$", ""
+        ),
     )
     return F.filter(words, lambda w: w.isin(*terms))
 
@@ -753,11 +787,12 @@ def blocklist_hits(
     """(doc_id, n_hits, hit_terms, keep_doc): word-boundary blocklist
     page filter — the C4 "bad words" rule (pages containing any term
     from a blocklist are dropped). Words are lowercased
-    whitespace tokens with surrounding non-alphanumerics stripped, so
-    'term.' and '(term)' hit but 'terminal' does not. The term list is
-    a broadcast-free LITERAL array folded into the scan predicate —
-    zero shuffle, zero Python; real deployments swap in the LDNOOBW
-    list verbatim."""
+    whitespace tokens with surrounding non-letter/digit characters
+    stripped, so 'term.' and '(term)' hit but 'terminal' does not.
+    Terms are case-folded; multi-word phrases are REJECTED loudly (see
+    _normalize_blocklist) — single-word LDNOOBW-style lists drop in
+    directly. The term list is a broadcast-free LITERAL array folded
+    into the scan predicate — zero shuffle, zero Python."""
     hits = _blocklist_hit_words(terms, text_col)
     return df.select(
         F.col(id_col).cast("long").alias("doc_id"),
@@ -787,10 +822,13 @@ def epoch_shards(
     per-shard-ordered training files without ever globally sorting the
     corpus (a global contiguous rank would need a single-task window;
     shard+key is the distributed equivalent consumers actually use)."""
+    # concat (NOT concat_ws): concat_ws SKIPS a NULL id, silently piling
+    # every null-id row onto the one md5('epoch:salt:') key (review);
+    # concat propagates NULL -> NULL key/shard, matching the oracle's
+    # `||` semantics and making the bad input visible
     key = F.md5(
-        F.concat_ws(
-            ":", F.lit(str(epoch)), F.lit(salt),
-            F.col(id_col).cast("string"),
+        F.concat(
+            F.lit(f"{epoch}:{salt}:"), F.col(id_col).cast("string")
         )
     )
     shard = (
@@ -837,11 +875,25 @@ def moore_lewis_scores(
         return out.filter(F.col("gram") != "") if n == 1 else out
 
     tgt = df.filter(target_filter)
-    ut, bt = counts(tgt, 1), counts(tgt, 2)
-    ug, bg = counts(df, 1), counts(df, 2)
+    # materialize each Heaps'-bounded histogram ONCE (localCheckpoint):
+    # the vocab counts below and the scoring joins then reuse it, so
+    # the corpus is tokenized once per table, not once per consumer
+    # (review). Training is eager here — like mix_to_target's totals,
+    # the model must exist before the scoring plan can be built.
+    ut = counts(tgt, 1).localCheckpoint()
+    bt = counts(tgt, 2).localCheckpoint()
+    ug = counts(df, 1).localCheckpoint()
+    bg = counts(df, 2).localCheckpoint()
     # vocab sizes: bounded driver-side scalars (distinct types, not docs)
-    a_vt = alpha * float(ut.count())
-    a_vg = alpha * float(ug.count())
+    vt, vg = ut.count(), ug.count()
+    if vt == 0:
+        # an empty target LM would make every target term log10(x/0.0)
+        # = +-Inf -> NULL scores everywhere; fail loudly instead (review)
+        raise ValueError(
+            "moore_lewis_scores: target_filter matched no rows with "
+            "tokens — the target LM is undefined"
+        )
+    a_vt, a_vg = alpha * float(vt), alpha * float(vg)
 
     base, bigrams = word_ngrams(df, text_col, 2, keep_cols=(F.col(id_col),))
     pos = base.select(id_col, F.explode_outer(bigrams).alias("gram"))

@@ -316,3 +316,48 @@ def test_moore_lewis_exact_and_separating(spark):
         got[i][1] for i in (3, 4, 5)
     )
     assert got[6] == (0, 0.0) and got[7] == (0, 0.0)
+
+
+def test_blocklist_term_normalization(spark):
+    """Review fixes: case-folded terms, unicode-safe edge strip, loud
+    rejection of phrase terms the token matcher cannot honor."""
+    import pytest
+
+    from gruut_spark.operators.corpus import blocklist_hits
+
+    df = spark.createDataFrame(
+        [(0, "they said BAD things"), (1, "(salopé) appeared here")],
+        "doc_id long, text string",
+    )
+    out = _rows(blocklist_hits(df, ["Bad", "SALOPÉ"], "text", "doc_id"))
+    assert out[0]["hit_terms"] == "bad"
+    assert out[1]["hit_terms"] == "salopé"
+
+    with pytest.raises(ValueError, match="single non-empty words"):
+        blocklist_hits(df, ["blue waffle"], "text", "doc_id")
+    with pytest.raises(ValueError):
+        blocklist_hits(df, [""], "text", "doc_id")
+
+
+def test_temperature_mix_null_class(spark):
+    """A NULL class must neither crash the sorted() fold nor survive
+    the filter (review)."""
+    from gruut_spark.operators.corpus import temperature_mix
+
+    rows = [(i, "en" if i % 2 else None, 10) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, n_tokens long")
+    out = temperature_mix(df, "lang", "n_tokens", "doc_id", 2.0, 100)
+    assert out.filter(F.col("lang").isNull()).count() == 0
+    assert out.count() > 0
+
+
+def test_moore_lewis_empty_target_raises(spark):
+    import pytest
+
+    from gruut_spark.operators.corpus import moore_lewis_scores
+
+    df = spark.createDataFrame(
+        [(0, "en", "some text here")], "doc_id long, lang string, text string"
+    )
+    with pytest.raises(ValueError, match="target_filter matched no rows"):
+        moore_lewis_scores(df, F.col("lang") == "xx")
