@@ -14,6 +14,15 @@ near-dup services hold exactly this index).
 Batch analogue: ``operators/dedup.py::minhash_lsh_pairs`` — feeding the
 same rows in any batch split yields the same candidate pair set (up to
 the per-bucket representative, which is arrival-order min).
+
+Snapshot bootstrap (the streaming complement of
+``operators/dedup.py::cross_snapshot_near_dedup``): PySpark's
+applyInPandasWithState has no initial-state parameter, so seeding the
+index from an accepted corpus snapshot is done by feeding the snapshot
+AS micro-batch 0 — its band buckets install as state, and every later
+batch's pairs against snapshot-side anchors are exactly the
+cross-snapshot drop set (test_streaming_snapshot_bootstrap_cross_dedup
+pins this end to end).
 """
 
 from __future__ import annotations

@@ -361,3 +361,95 @@ def test_moore_lewis_empty_target_raises(spark):
     )
     with pytest.raises(ValueError, match="target_filter matched no rows"):
         moore_lewis_scores(df, F.col("lang") == "xx")
+
+
+def _py_c4(text, min_words=5, min_sents=3):
+    """Pure-Python replication of c4_line_clean for differential tests."""
+    import re
+
+    text = text or ""
+    lines = [l.strip(" ") for l in text.split("\n")]
+    kept = [
+        l for l in lines
+        if re.search(r'[.!?…"]$', l)
+        and len([w for w in re.split(r"\s+", l) if w]) >= min_words
+        and "javascript" not in l.lower()
+    ]
+    clean = "\n".join(kept)
+    n_sent = len(re.sub(r"[^.!?]", "", clean))
+    has_lorem = int("lorem ipsum" in text.lower())
+    has_brace = int("{" in text)
+    keep = int(not has_lorem and not has_brace and n_sent >= min_sents)
+    return (
+        len(lines), len(kept), n_sent, has_lorem, has_brace, keep,
+        hashlib.md5(clean.encode()).hexdigest(),
+    )
+
+
+def _py_blocklist(text, terms):
+    """Pure-Python replication of blocklist_hits. Python's [\\W_]
+    complement is letters+digits, mirroring Java's [^\\p{L}\\p{N}]
+    edge-strip for the alphabets exercised here."""
+    import re
+
+    words = [
+        re.sub(r"^[\W_]+|[\W_]+$", "", w)
+        for w in re.split(r"\s+", (text or "").lower())
+        if w
+    ]
+    hits = [w for w in words if w in terms]
+    return (len(hits), ",".join(sorted(set(hits))), int(not hits))
+
+
+def test_blocklist_differential_random(spark):
+    import random
+
+    from gruut_spark.operators.corpus import blocklist_hits
+
+    rng = random.Random(7)
+    vocab = ["bad", "BAD.", "(bad)", "badge", "salopé", "'salopé'",
+             "fine", "ok!", "__bad__", "b-a-d", "bad,", "…bad…", ""]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(0, 12))))
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_hits"], r["hit_terms"], r["keep_doc"])
+        for r in blocklist_hits(df, ["bad", "salopé"], "text", "doc_id").collect()
+    }
+    for i, text in docs:
+        exp = _py_blocklist(text, {"bad", "salopé"})
+        assert got[i] == exp, (i, text, got[i], exp)
+
+
+def test_c4_differential_random(spark):
+    """200 adversarial random docs through Spark vs the pure-Python
+    replication — whitespace edges, unicode punct, embedded flags."""
+    import random
+
+    from gruut_spark.operators.corpus import c4_line_clean
+
+    rng = random.Random(42)
+    pieces = [
+        "good solid sentence with enough words.", "short.",
+        "no punct line", "ends with bang and has words too!",
+        "\ttab lead sentence with words here.", "lorem ipsum",
+        "code { x }", "javascript heavy line with many words.",
+        "trailing spaces sentence with words.   ", "…", 'quoted words "',
+        "ends with ellipsis and several more words…", "",
+    ]
+    docs = []
+    for i in range(200):
+        n = rng.randint(0, 8)
+        docs.append((i, "\n".join(rng.choice(pieces) for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (
+            r["n_lines"], r["n_kept"], r["n_sentences"], r["has_lorem"],
+            r["has_brace"], r["keep_doc"], r["clean_md5"],
+        )
+        for r in c4_line_clean(df).collect()
+    }
+    for i, text in docs:
+        assert got[i] == _py_c4(text), (i, text, got[i], _py_c4(text))

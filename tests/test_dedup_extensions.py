@@ -59,3 +59,56 @@ def test_cross_snapshot_near_dedup(spark):
         seed=1,
     )
     assert sorted(r["doc_id"] for r in again.collect()) == got
+
+
+def test_streaming_snapshot_bootstrap_cross_dedup(spark, tmp_path):
+    """The streaming complement of cross_snapshot_near_dedup: feed the
+    ACCEPTED snapshot as micro-batch 0 (the production bootstrap run),
+    then new batches pair against its band-bucket state — the pair's
+    new-side ids are exactly the cross-snapshot drop set."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.streaming.stateful_near_dedup import (
+        streaming_near_dedup_pairs,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    base = " ".join(f"alpha{i} beta{i}" for i in range(20))
+    snapshot = spark.createDataFrame(
+        [(0, base), (1, "archival snapshot content that is unrelated")],
+        "doc_id long, text string",
+    )
+    newbatch = spark.createDataFrame(
+        [(10, base.replace("alpha3", "edited")),   # near-dup of snapshot 0
+         (11, "genuinely novel incoming document body")],
+        "doc_id long, text string",
+    )
+    snapshot.coalesce(1).write.parquet(in_dir + "/b0")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(in_dir + "/*")
+    )
+
+    def run():
+        q = (
+            streaming_near_dedup_pairs(stream, shingle_k=2)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()  # bootstrap: installs the snapshot's band-bucket state
+    newbatch.coalesce(1).write.parquet(in_dir + "/b1")
+    run()
+    pairs = spark.read.parquet(out_dir)
+    new_ids = {10, 11}
+    dropped = {
+        r["id_b"] for r in pairs.collect() if r["id_b"] in new_ids
+    } | {r["id_a"] for r in pairs.collect() if r["id_a"] in new_ids}
+    survivors = new_ids - dropped
+    assert dropped == {10} and survivors == {11}
