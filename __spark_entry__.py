@@ -920,6 +920,38 @@ def _doc_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by smooth tf-idf (sklearn convention)
+    — keyword extraction / doc signatures
+    (operators/search.py::tfidf_topk_terms). Rank orders by the
+    ROUNDED score so a 1-ulp ln() divergence cannot flip cross-engine
+    rank order; restricted to doc_id < 100 to keep the gate row count
+    proportionate."""
+    _configure(spark)
+    from gruut_spark.operators.search import tfidf_topk_terms
+
+    docs = _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    return tfidf_topk_terms(docs, "text", "doc_id", k=5).orderBy(
+        "doc_id", "rank"
+    )
+
+
+def _doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topic-style doc clustering for balanced mixing: feature-hashed
+    term-frequency vectors (Weinberger et al. 2009) through the
+    deterministic k-means chain
+    (operators/similarity.py::topic_clusters). The oracle re-derives
+    the hashed vectors in SQL and replays TRAINING via the shared
+    _kmeans_assign_ctes chain."""
+    _configure(spark)
+    from gruut_spark.operators.similarity import topic_clusters
+
+    return topic_clusters(
+        _read(spark, sf_dir, "documents"), "text", "doc_id",
+        n_clusters=8, dim=16, train_sample=256,
+    ).orderBy("doc_id")
+
+
 def _doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed quality-classifier distillation (GPT-3 App. A /
     DataComp-style): full-batch logistic regression on five surface
@@ -2302,6 +2334,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_dsir_select": _doc_dsir_select,
         "doc_gumbel_stratified": _doc_gumbel_stratified,
         "doc_bm25_topk": _doc_bm25_topk,
+        "doc_tfidf_topk": _doc_tfidf_topk,
+        "doc_topic_clusters": _doc_topic_clusters,
         "doc_quality_logreg": _doc_quality_logreg,
         "doc_bpe_merges": _doc_bpe_merges,
         "doc_bpe_encode": _doc_bpe_encode,
@@ -4544,6 +4578,67 @@ def oracle_sql() -> dict[str, str]:
         # BM25: same tokenization as every text oracle, same Lucene +1
         # idf, k1=1.2 / b=0.75 folded as literals; absent query terms
         # contribute nothing on both sides (no df row to join)
+        "doc_topic_clusters": "WITH " + _kmeans_assign_ctes(
+            source_sql=r"""
+              SELECT vec_id, embedding FROM (
+                SELECT doc_id AS vec_id,
+                  [ len(list_filter(bs, x -> x = b))::DOUBLE / n
+                    FOR b IN range(0, 16) ] AS embedding
+                FROM (
+                  SELECT doc_id, len(tf)::DOUBLE AS n,
+                    list_transform(tf, tk ->
+                      CAST(('0x' || substring(md5(tk), 1, 4)) AS BIGINT)
+                        % 16) AS bs
+                  FROM (
+                    SELECT doc_id,
+                      list_filter(
+                        string_split_regex(
+                          lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                          '\s+'),
+                        t -> t <> '') AS tf
+                    FROM documents
+                  ) WHERE len(tf) > 0
+                )
+              )
+            """,
+            n_lists=8, iters=10, seed=11, dim=16, n_pop=256,
+            train_sample=256,
+        ) + """
+            SELECT vec_id::BIGINT AS doc_id, cl::INT AS cluster_id
+            FROM allassign ORDER BY doc_id
+        """,
+        "doc_tfidf_topk": r"""
+            WITH docs AS (
+              SELECT doc_id FROM documents WHERE doc_id < 100
+            ),
+            toks AS (
+              SELECT doc_id, g AS term FROM (
+                SELECT doc_id,
+                  unnest(string_split_regex(
+                    lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                    '\s+')) AS g
+                FROM documents WHERE doc_id < 100
+              ) WHERE g <> ''
+            ),
+            tf AS (
+              SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+            ),
+            dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+            n AS (SELECT count(*)::DOUBLE AS nd FROM docs),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf,
+                round(t.tf * (ln((n.nd + 1.0) / (d.df + 1.0)) + 1.0), 6)
+                  AS score
+              FROM tf t JOIN dfreq d USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, tf, score, rank::INT AS rank
+            FROM (
+              SELECT *, row_number() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term ASC) AS rank
+              FROM scored
+            ) WHERE rank <= 5
+            ORDER BY doc_id, rank
+        """,
         "doc_bm25_topk": f"""
             WITH toks AS (
                 SELECT doc_id,

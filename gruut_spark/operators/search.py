@@ -93,3 +93,48 @@ def bm25_topk(
             F.round("_score", 6).alias("score"),
         )
     )
+
+
+def tfidf_topk_terms(
+    df: DataFrame, text_col: str, id_col: str, k: int = 5,
+) -> DataFrame:
+    """(doc_id, term, tf, score, rank): each document's top-k terms by
+    smooth tf-idf (the sklearn convention: idf = ln((N+1)/(df_t+1)) + 1,
+    score = tf * idf) — the classic keyword-extraction / doc-signature
+    primitive.
+
+    Scale shape: ONE (doc, term) count shuffle (map-side combined), a
+    document-frequency aggregate over the same frame (distinct docs per
+    term — bounded by the Heaps'-law vocab), a broadcast-able join of
+    the df table back, and a per-document window whose partitions are
+    each bounded by one document's own vocabulary — never a skew risk.
+    N (corpus size) is one bounded driver scalar.
+
+    Engine-exactness: the rank orders by the ROUNDED score (6 dp), term
+    ascending, so a 1-ulp ln() divergence between engines cannot flip
+    rank order; the rounded score is also the emitted value."""
+    from pyspark.sql.window import Window
+
+    from .textstats import word_ngrams
+
+    n_docs = float(df.count())
+    base, grams = word_ngrams(df, text_col, 1, keep_cols=(F.col(id_col),))
+    tokens = base.select(
+        id_col, F.explode(grams).alias("term")
+    ).filter(F.col("term") != "")
+    tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
+    idf = F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))) \
+        + F.lit(1.0)
+    scored = tf.join(dfreq, "term").select(
+        id_col, "term", "tf",
+        F.round(F.col("tf") * idf, 6).alias("score"),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.desc("score"), F.asc("term")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "term", "tf", "score", "rank")
+    )

@@ -867,3 +867,83 @@ def pq_ann_topk_multi(
         )
         .orderBy("q_id", "rank")
     )
+
+
+def hashed_term_vectors(
+    df: DataFrame, text_col: str, id_col: str, dim: int = 16,
+) -> DataFrame:
+    """(vec_id, embedding): feature-hashing document vectors
+    (the hashing trick, Weinberger et al. 2009) — component b is the
+    RELATIVE frequency of tokens whose md5 bucket is b. Pure Catalyst
+    per-row array algebra: tokens -> md5 bucket ids (materialized as
+    their own projection column first — the captured-expression
+    re-evaluation trap) -> one counting pass per component -> divide by
+    the token count. Token-less documents are routed out (their vector
+    is undefined), mirroring the has_content convention. Engine-exact:
+    bucket ids are integer md5 slices and the single division is the
+    same IEEE op in both engines, so the DuckDB k-means oracle trains
+    on bit-identical vectors."""
+    from .textstats import word_ngrams
+
+    base, _ = word_ngrams(
+        df, text_col, 1, keep_cols=(F.col(id_col).alias("vec_id"),)
+    )
+    toks = F.filter(F.col("_t"), lambda t: t != "")
+    staged = base.select(
+        "vec_id", toks.alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    buckets = F.transform(
+        F.col("_toks"),
+        lambda t: F.conv(F.substring(F.md5(t), 1, 4), 16, 10)
+        .cast("long") % F.lit(dim),
+    )
+    staged2 = staged.select(
+        "vec_id",
+        F.size("_toks").cast("double").alias("_n"),
+        buckets.alias("_bs"),
+    )
+    vec = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(
+            F.filter(F.col("_bs"), lambda x: x == b.cast("long"))
+        ).cast("double") / F.col("_n"),
+    )
+    return staged2.select("vec_id", vec.alias("embedding"))
+
+
+def topic_clusters(
+    df: DataFrame, text_col: str, id_col: str, n_clusters: int = 8,
+    dim: int = 16, train_sample: int = 256, iters: int = 10,
+    seed: int = 11,
+) -> DataFrame:
+    """(doc_id, cluster_id): topic-style document clustering for
+    balanced corpus mixing — hashed term-frequency vectors through the
+    repo's deterministic k-means (the IVF trainer verbatim), one
+    narrow assignment pass. The standard recipe when no embedding
+    model is in the loop (DataComp/Dolma-style topic balancing over
+    bag-of-words sketches); compose with quota_cap_per_source or
+    mix_to_target on the cluster id to rebalance.
+
+    Scale shape: the vectorizer is a zero-shuffle projection; training
+    collects a bounded TakeOrdered sample; assignment broadcasts
+    n_clusters×dim doubles inside one pandas UDF pass. Nothing wider
+    than (id, dim doubles) ever moves."""
+    # Materialize the vector frame: CollapseProject otherwise inlines
+    # the higher-order-function vector expression INTO the assignment
+    # pandas UDF's argument (`_assign(transform(...))`), which Spark can
+    # neither codegen nor interpret (INTERNAL_ERROR Cannot generate
+    # code); the checkpoint also means train-sample and assignment
+    # share one computation of the vectors.
+    vecs = hashed_term_vectors(df, text_col, id_col, dim=dim).localCheckpoint(
+        eager=False
+    )
+    sample_rows = ivf_train_sample(
+        vecs, "embedding", "vec_id", train_sample
+    ).collect()
+    sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
+    centroids = _ivf_centroids(sample, n_clusters, iters=iters, seed=seed)
+    assigned = ivf_assign(vecs, "embedding", "vec_id", centroids)
+    return assigned.select(
+        F.col("_id").alias("doc_id"),
+        F.col("list_id").alias("cluster_id"),
+    )

@@ -453,3 +453,80 @@ def test_c4_differential_random(spark):
     }
     for i, text in docs:
         assert got[i] == _py_c4(text), (i, text, got[i], _py_c4(text))
+
+
+def test_tfidf_topk_terms(spark):
+    """Exact replication of the smooth tf-idf ranking on a hand corpus:
+    a corpus-wide stopword ranks below a rare term with equal tf."""
+    from gruut_spark.operators.search import tfidf_topk_terms
+
+    docs = [
+        (0, "the the the zebra zebra walks"),
+        (1, "the lion sleeps"),
+        (2, "the zebra runs fast"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = tfidf_topk_terms(df, "text", "doc_id", k=2).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["score"])
+        )
+    N = 4.0
+    idf = lambda d: math.log((N + 1.0) / (d + 1.0)) + 1.0
+    # doc 0: 'the' tf=3 df=3, 'zebra' tf=2 df=2, 'walks' tf=1 df=1
+    exp0 = sorted(
+        [("the", 3, round(3 * idf(3), 6)),
+         ("zebra", 2, round(2 * idf(2), 6)),
+         ("walks", 1, round(1 * idf(1), 6))],
+        key=lambda t: (-t[2], t[0]),
+    )[:2]
+    assert [(t, tf, s) for _, t, tf, s in sorted(by_doc[0])] == exp0
+    # empty doc emits no rows
+    assert 3 not in by_doc
+    # ranks are 1..k dense per doc
+    assert [r for r, *_ in sorted(by_doc[2])] == [1, 2]
+
+
+def test_topic_clusters_vocab_separation(spark):
+    """Feature-hashed k-means: documents drawn from two disjoint
+    vocabularies must co-cluster with their own kind; empty docs are
+    routed out; assignment is deterministic."""
+    import random
+
+    from gruut_spark.operators.similarity import topic_clusters
+
+    rng = random.Random(3)
+    va = [f"alpha{i}" for i in range(30)]
+    vb = [f"omega{i}" for i in range(30)]
+    docs = []
+    for i in range(60):
+        vocab = va if i % 2 == 0 else vb
+        docs.append((i, " ".join(rng.choice(vocab) for _ in range(40))))
+    docs.append((100, ""))
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: r["cluster_id"]
+        for r in topic_clusters(
+            df, "text", "doc_id", n_clusters=4, dim=16, train_sample=60
+        ).collect()
+    }
+    assert 100 not in out  # token-less doc has no vector
+    # hashed buckets overlap between vocabularies, so demand cluster
+    # PURITY, not perfect separation: >= 85% of docs sit in a cluster
+    # whose majority shares their vocabulary
+    members = {}
+    for i in range(60):
+        members.setdefault(out[i], []).append(i % 2)
+    majority = {c: (sum(v) * 2 > len(v)) for c, v in members.items()}
+    pure = sum(1 for i in range(60) if majority[out[i]] == (i % 2 == 1))
+    assert pure >= 51, (pure, members)
+
+    again = {
+        r["doc_id"]: r["cluster_id"]
+        for r in topic_clusters(
+            df, "text", "doc_id", n_clusters=4, dim=16, train_sample=60
+        ).collect()
+    }
+    assert again == out
