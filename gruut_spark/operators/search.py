@@ -126,7 +126,12 @@ def tfidf_topk_terms(
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
     idf = F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))) \
         + F.lit(1.0)
-    scored = tf.join(dfreq, "term").select(
+    # explicit broadcast (review): without the hint a shuffle join keyed
+    # by term puts every (doc, stopword) row in one partition — Zipf
+    # skew makes that the straggler. The vocab is Heaps'-bounded; a
+    # corpus whose pruned vocab exceeds the broadcast ceiling should
+    # min_df-prune dfreq first.
+    scored = tf.join(F.broadcast(dfreq), "term").select(
         id_col, "term", "tf",
         F.round(F.col("tf") * idf, 6).alias("score"),
     )

@@ -916,7 +916,7 @@ def topic_clusters(
     dim: int = 16, train_sample: int = 256, iters: int = 10,
     seed: int = 11,
 ) -> DataFrame:
-    """(doc_id, cluster_id): topic-style document clustering for
+    """(id_col, cluster_id): topic-style document clustering for
     balanced corpus mixing — hashed term-frequency vectors through the
     repo's deterministic k-means (the IVF trainer verbatim), one
     narrow assignment pass. The standard recipe when no embedding
@@ -940,10 +940,18 @@ def topic_clusters(
     sample_rows = ivf_train_sample(
         vecs, "embedding", "vec_id", train_sample
     ).collect()
+    if not sample_rows:
+        # an all-empty corpus would reach _ivf_centroids as a shape-(0,)
+        # array and die in an opaque IndexError; fail loudly instead
+        # (the moore_lewis_scores precedent, review)
+        raise ValueError(
+            "topic_clusters: no document has any token — there is "
+            "nothing to cluster"
+        )
     sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     centroids = _ivf_centroids(sample, n_clusters, iters=iters, seed=seed)
     assigned = ivf_assign(vecs, "embedding", "vec_id", centroids)
     return assigned.select(
-        F.col("_id").alias("doc_id"),
+        F.col("_id").alias(id_col),
         F.col("list_id").alias("cluster_id"),
     )

@@ -18,7 +18,10 @@ TOKEN_SPLIT = r"\s+"
 
 def word_ngrams(frame: DataFrame, text_col: str, n: int, keep_cols=()):
     """(base_frame, grams_array_column): lowercased whitespace word
-    n-grams. The token array is materialized as the column ``_t`` FIRST:
+    n-grams. The base frame's ``_t`` column (the materialized token
+    array) is PART OF THE CONTRACT — callers that need raw tokens
+    rather than joined grams (hashed_term_vectors) read it directly.
+    The token array is materialized as the column ``_t`` FIRST:
     referencing the split() expression inside the transform lambda makes
     Catalyst re-evaluate it per produced element (CollapseProject only
     inlines cheap or singly-referenced aliases — the measured 5x plan

@@ -485,8 +485,13 @@ def test_tfidf_topk_terms(spark):
     assert [(t, tf, s) for _, t, tf, s in sorted(by_doc[0])] == exp0
     # empty doc emits no rows
     assert 3 not in by_doc
-    # ranks are 1..k dense per doc
-    assert [r for r, *_ in sorted(by_doc[2])] == [1, 2]
+    # equal-tf ordering (the docstring's claim, now actually asserted):
+    # doc 2 has zebra/runs/fast all at tf=1, but zebra appears in 2 docs
+    # (lower idf) — the RARE terms must outrank it, alphabetical among
+    # themselves
+    assert [(r, t) for r, t, *_ in sorted(by_doc[2])] == [
+        (1, "fast"), (2, "runs")
+    ]
 
 
 def test_topic_clusters_vocab_separation(spark):
@@ -530,3 +535,15 @@ def test_topic_clusters_vocab_separation(spark):
         ).collect()
     }
     assert again == out
+
+
+def test_topic_clusters_all_empty_raises(spark):
+    import pytest
+
+    from gruut_spark.operators.similarity import topic_clusters
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "   "), (2, None)], "doc_id long, text string"
+    )
+    with pytest.raises(ValueError, match="nothing to cluster"):
+        topic_clusters(df, "text", "doc_id", n_clusters=2, train_sample=4)
