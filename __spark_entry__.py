@@ -952,6 +952,107 @@ def _doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+_WP = dict(max_piece_len=4, top_k=200, min_count=2)
+
+
+def _doc_wordpiece_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece vocabulary training (Wu et al. 2016): weighted
+    substring counts over the word histogram, deterministic top-K +
+    single-char fallback set; top 30 rows under the value gate
+    (operators/wordpiece.py::wordpiece_vocab)."""
+    _configure(spark)
+    from gruut_spark.operators.wordpiece import wordpiece_vocab
+
+    return (
+        wordpiece_vocab(_read(spark, sf_dir, "documents"), "text", **_WP)
+        .select("piece", F.col("cnt").cast("long").alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(30)
+    )
+
+
+def _doc_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL WordPiece lifecycle under the value gate: train the
+    vocab on the whole corpus, then greedy longest-match-first encode
+    every distinct word of docs < 50 — a pure integer/string Catalyst
+    fold, so the oracle replays train+encode with no float contract
+    at all (operators/wordpiece.py::wordpiece_encode_words)."""
+    _configure(spark)
+    from gruut_spark.operators.wordpiece import (
+        _word_histogram,
+        wordpiece_encode_words,
+        wordpiece_vocab,
+    )
+
+    docs = _read(spark, sf_dir, "documents")
+    vocab = wordpiece_vocab(docs, "text", **_WP)
+    words = (
+        _word_histogram(docs.filter(F.col("doc_id") < 50), "text")
+        .select("word")
+    )
+    enc = wordpiece_encode_words(
+        words, vocab, max_piece_len=_WP["max_piece_len"], max_word_len=16
+    )
+    return enc.select(
+        "word",
+        "pieces",
+        F.size(F.split(F.col("pieces"), " ")).cast("int").alias("n_pieces"),
+        (F.col("pieces") == "[UNK]").cast("int").alias("is_unk"),
+    ).orderBy("word")
+
+
+_UNI = dict(n_iters=3, max_piece_len=4, max_word_len=16, top_k=200,
+            min_count=2)
+
+
+def _unigram_counts(spark: SparkSession, sf_dir: str):
+    from gruut_spark.operators.unigram_lm import unigram_train
+
+    return unigram_train(
+        _read(spark, sf_dir, "documents"), "text", **_UNI
+    )
+
+
+def _doc_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SentencePiece-style unigram-LM tokenizer TRAINING (Kudo 2018,
+    hard-EM/Viterbi variant, operators/unigram_lm.py): three EM rounds
+    of exact-integer-cost Viterbi segmentation counts; top 30 final
+    pieces under the value gate — the oracle replays ALL THREE
+    iterations (fixed-point costs + forward fold + backtrack + counts)
+    in SQL."""
+    _configure(spark)
+    counts, _ = _unigram_counts(spark, sf_dir)
+    rows = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:30]
+    return spark.createDataFrame(rows, "piece string, cnt long")
+
+
+def _doc_unigram_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viterbi segmentation of the docs<50 word set under the final
+    trained unigram costs: (word, pieces, n_pieces, seg_cost) with the
+    EXACT integer total cost — no float crosses the gate."""
+    _configure(spark)
+    from gruut_spark.operators.unigram_lm import (
+        piece_costs,
+        unigram_segment_words,
+    )
+    from gruut_spark.operators.wordpiece import _word_histogram
+
+    counts, _ = _unigram_counts(spark, sf_dir)
+    words = _word_histogram(
+        _read(spark, sf_dir, "documents").filter(F.col("doc_id") < 50),
+        "text",
+    ).select("word")
+    seg = unigram_segment_words(
+        words, piece_costs(counts), spark, "word",
+        _UNI["max_piece_len"], _UNI["max_word_len"],
+    )
+    return seg.select(
+        "word", "pieces",
+        F.size(F.split(F.col("pieces"), " ")).cast("int").alias("n_pieces"),
+        F.col("seg_cost").cast("long").alias("seg_cost"),
+    ).orderBy("word")
+
+
 def _doc_quality_logreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed quality-classifier distillation (GPT-3 App. A /
     DataComp-style): full-batch logistic regression on five surface
@@ -2336,6 +2437,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_bm25_topk": _doc_bm25_topk,
         "doc_tfidf_topk": _doc_tfidf_topk,
         "doc_topic_clusters": _doc_topic_clusters,
+        "doc_wordpiece_vocab": _doc_wordpiece_vocab,
+        "doc_wordpiece_encode": _doc_wordpiece_encode,
+        "doc_unigram_vocab": _doc_unigram_vocab,
+        "doc_unigram_segment": _doc_unigram_segment,
         "doc_quality_logreg": _doc_quality_logreg,
         "doc_bpe_merges": _doc_bpe_merges,
         "doc_bpe_encode": _doc_bpe_encode,
@@ -2525,6 +2630,277 @@ _CC_RELATIONAL_CTES = r"""
                 UNION
                 SELECT reach.node, und.d FROM reach JOIN und ON und.s = reach.r
             )"""
+
+
+def _wordpiece_vocab_ctes(where: str = "") -> str:
+    """Shared CTEs replaying WordPiece vocabulary training (weighted
+    substring counts -> deterministic top-K multi-char pieces + all
+    single-char pieces). ``where`` optionally restricts the word
+    histogram's source docs (the encode query trains on ALL docs but
+    encodes a subset, so it passes no filter here)."""
+    k, topk, minc = _WP["max_piece_len"], _WP["top_k"], _WP["min_count"]
+    return f"""
+        words AS (
+          SELECT g AS word, count(*) AS wcnt FROM (
+            SELECT unnest(string_split_regex(
+              lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+              '\\s+')) AS g
+            FROM documents {where}
+          ) WHERE g <> '' GROUP BY g
+        ),
+        pcs AS (
+          SELECT CASE WHEN i > 1 THEN '##' || substr(word, i, l)
+                      ELSE substr(word, i, l) END AS piece,
+                 sum(wcnt) AS cnt
+          FROM words,
+               unnest(generate_series(1, length(word))) s(i),
+               unnest(generate_series(1, {k})) t(l)
+          WHERE i + l - 1 <= length(word)
+          GROUP BY 1
+        ),
+        multi AS (
+          SELECT piece, cnt FROM pcs
+          WHERE length(regexp_replace(piece, '^##', '')) > 1
+            AND cnt >= {minc}
+          ORDER BY cnt DESC, piece ASC LIMIT {topk}
+        ),
+        vocab AS (
+          SELECT piece, cnt FROM multi
+          UNION ALL
+          SELECT piece, cnt FROM pcs
+          WHERE length(regexp_replace(piece, '^##', '')) = 1
+        )"""
+
+
+def _wordpiece_encode_oracle_sql(max_word_len: int = 16) -> str:
+    """Full train+encode replay: the vocab CTEs, then the greedy
+    longest-match-first fold as list_reduce over ``max_word_len``
+    steps with the longest-first candidate CASE chain — pure
+    integer/string SQL, no float contract."""
+    kmax = _WP["max_piece_len"]
+
+    def key(l: int) -> str:
+        return (
+            f"(CASE WHEN acc.pos > 1 THEN '##' || substr(word, acc.pos, {l})"
+            f" ELSE substr(word, acc.pos, {l}) END)"
+        )
+
+    # field ORDER is load-bearing: DuckDB 1.0 evaluates struct-literal
+    # fields sequentially and REBINDS acc's recomputed fields as it
+    # goes ({'pos': acc.pos+1, 'out': f(acc.pos)} gives f the NEW pos —
+    # verified minimal repro). 'out' must therefore consume acc.pos
+    # BEFORE the 'pos' field overwrites it.
+    branches = ""
+    for l in range(kmax, 0, -1):
+        branches += f"""
+            WHEN acc.pos + {l} - 1 <= length(word)
+                 AND list_contains(vl.vs, {key(l)})
+            THEN {{'out': acc.out || ' ' || {key(l)},
+                  'pos': acc.pos + {l},
+                  'failed': false}}"""
+    return f"""
+        WITH {_wordpiece_vocab_ctes()},
+        vl AS MATERIALIZED (SELECT list(piece) AS vs FROM vocab),
+        enc_words AS (
+          SELECT DISTINCT g AS word FROM (
+            SELECT unnest(string_split_regex(
+              lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+              '\\s+')) AS g
+            FROM documents WHERE doc_id < 50
+          ) WHERE g <> ''
+        ),
+        folded AS (
+          SELECT word,
+            list_reduce(
+              list_prepend(
+                {{'out': '', 'pos': 1,
+                  'failed': length(word) > {max_word_len}}},
+                [ {{'out': '', 'pos': 0, 'failed': false}}
+                  FOR _ IN range(1, {max_word_len + 1}) ]),
+              (acc, x) -> CASE
+                WHEN acc.failed OR acc.pos > length(word) THEN acc
+                {branches}
+                ELSE {{'out': acc.out, 'pos': acc.pos, 'failed': true}}
+              END
+            ) AS st
+          FROM enc_words CROSS JOIN vl
+        )
+        SELECT word,
+          CASE WHEN st.failed OR st.pos <= length(word)
+               THEN '[UNK]' ELSE trim(st.out) END AS pieces,
+          len(string_split(
+            CASE WHEN st.failed OR st.pos <= length(word)
+                 THEN '[UNK]' ELSE trim(st.out) END, ' '))::INT
+            AS n_pieces,
+          CASE WHEN st.failed OR st.pos <= length(word)
+               THEN 1 ELSE 0 END AS is_unk
+        FROM folded ORDER BY word
+    """
+
+
+def _unigram_forward_sql(mref: str, word: str = "word") -> str:
+    """The Viterbi forward pass as a DuckDB fold: best-cost BIGINT
+    array with B[1]=0, exact integer candidates (j = len(acc))."""
+    k, inf = _UNI["max_piece_len"], 10 ** 15
+    cands = []
+    for l in range(1, k + 1):
+        prev = f"acc[len(acc) - {l} + 1]"
+        cost = (
+            f"coalesce({mref}[substr({word}, len(acc) - {l} + 1, {l})][1],"
+            f" {inf}::BIGINT)"
+        )
+        cands.append(
+            f"CASE WHEN len(acc) >= {l} AND {prev} < {inf}"
+            f" THEN {prev} + {cost} ELSE {inf}::BIGINT END"
+        )
+    return f"""list_reduce(
+        list_prepend([0::BIGINT],
+          [ [x::BIGINT] FOR x IN range(1, length({word}) + 1) ]),
+        (acc, x) -> list_append(acc, least({", ".join(cands)})))"""
+
+
+def _unigram_backtrack_sql(mref: str, word: str = "word") -> str:
+    """Backtrack fold recovering the segmentation (smallest l wins a
+    cost tie — the operator's pinned rule). Struct field order obeys
+    the DuckDB rebinding rule ('out' consumes acc.j before 'j'
+    overwrites it)."""
+    k, inf, maxw = _UNI["max_piece_len"], 10 ** 15, _UNI["max_word_len"]
+    branches = ""
+    for l in range(1, k + 1):
+        piece = f"substr({word}, acc.j - {l} + 1, {l})"
+        cost = f"coalesce({mref}[{piece}][1], {inf}::BIGINT)"
+        branches += f"""
+            WHEN acc.j >= {l}
+                 AND best[acc.j - {l} + 1] + {cost} = best[acc.j + 1]
+            THEN {{'out': {piece} ||
+                    (CASE WHEN acc.out = '' THEN ''
+                          ELSE ' ' || acc.out END),
+                  'j': acc.j - {l}}}"""
+    return f"""list_reduce(
+        list_prepend({{'out': '', 'j': length({word})::BIGINT}},
+          [ {{'out': '', 'j': 0::BIGINT}}
+            FOR _ IN range(1, {maxw + 1}) ]),
+        (acc, x) -> CASE WHEN acc.j <= 0 THEN acc {branches}
+          ELSE {{'out': acc.out, 'j': (-1)::BIGINT}} END).out"""
+
+
+def _unigram_train_ctes() -> str:
+    """CTE chain replaying the ENTIRE unigram hard-EM training
+    (operators/unigram_lm.py::unigram_train): seed substring counts,
+    then per iteration the fixed-point cost map, the exact-integer
+    Viterbi forward+backtrack folds, piece counting, and the
+    single-char count-1 floor. Ends at ``v{n_iters}(piece, cnt)``."""
+    k, topk, minc = (
+        _UNI["max_piece_len"], _UNI["top_k"], _UNI["min_count"],
+    )
+    maxw, iters, inf = _UNI["max_word_len"], _UNI["n_iters"], 10 ** 15
+    ctes = f"""
+        words AS MATERIALIZED (
+          SELECT g AS word, count(*) AS wcnt FROM (
+            SELECT unnest(string_split_regex(
+              lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+              '\\s+')) AS g
+            FROM documents
+          ) WHERE g <> '' AND length(g) <= {maxw} GROUP BY g
+        ),
+        sub AS (
+          SELECT substr(word, i, l) AS piece, sum(wcnt) AS cnt
+          FROM words,
+               unnest(generate_series(1, length(word))) s(i),
+               unnest(generate_series(1, {k})) t(l)
+          WHERE i + l - 1 <= length(word)
+          GROUP BY 1
+        ),
+        umulti AS (
+          SELECT piece, cnt FROM sub
+          WHERE length(piece) > 1 AND cnt >= {minc}
+          ORDER BY cnt DESC, piece ASC LIMIT {topk}
+        ),
+        s0 AS (SELECT piece FROM sub WHERE length(piece) = 1),
+        v0 AS (SELECT piece, cnt FROM umulti
+               UNION ALL
+               SELECT piece, cnt FROM sub WHERE length(piece) = 1)"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += f""",
+        c{i} AS MATERIALIZED (
+          SELECT map(list(piece), list(cost)) AS m FROM (
+            SELECT piece,
+              CAST(floor(-ln(cnt::DOUBLE /
+                (SELECT sum(cnt)::DOUBLE FROM v{p})) * 1000000.0 + 0.5)
+                AS BIGINT) AS cost
+            FROM v{p})
+        ),
+        seg{i} AS MATERIALIZED (
+          SELECT w.word, w.wcnt,
+            {_unigram_forward_sql(f"c{i}.m")} AS best
+          FROM words w CROSS JOIN c{i}
+        ),
+        bk{i} AS MATERIALIZED (
+          SELECT word, wcnt,
+            CASE WHEN best[length(word) + 1] >= {inf} THEN '[UNK]'
+                 ELSE {_unigram_backtrack_sql(f"c{i}.m")} END AS pieces
+          FROM seg{i} CROSS JOIN c{i}
+        ),
+        n{i} AS (
+          SELECT piece, sum(wcnt) AS cnt FROM (
+            SELECT wcnt, unnest(string_split(pieces, ' ')) AS piece
+            FROM bk{i} WHERE pieces <> '[UNK]')
+          GROUP BY piece
+        ),
+        v{i} AS (
+          SELECT piece, cnt FROM n{i}
+          UNION ALL
+          SELECT s.piece, 1::HUGEINT AS cnt FROM s0 s
+          WHERE s.piece NOT IN (SELECT piece FROM n{i})
+        )"""
+    return ctes
+
+
+def _unigram_segment_oracle_sql() -> str:
+    """Segment the docs<50 word set under the FINAL trained costs:
+    the training CTEs, one more cost map, forward+backtrack, long
+    words -> [UNK]/-1 — all integer-exact."""
+    iters, inf, maxw = _UNI["n_iters"], 10 ** 15, _UNI["max_word_len"]
+    return f"""
+        WITH {_unigram_train_ctes()},
+        cf AS MATERIALIZED (
+          SELECT map(list(piece), list(cost)) AS m FROM (
+            SELECT piece,
+              CAST(floor(-ln(cnt::DOUBLE /
+                (SELECT sum(cnt)::DOUBLE FROM v{iters})) * 1000000.0
+                + 0.5) AS BIGINT) AS cost
+            FROM v{iters})
+        ),
+        ew AS (
+          SELECT DISTINCT g AS word FROM (
+            SELECT unnest(string_split_regex(
+              lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
+              '\\s+')) AS g
+            FROM documents WHERE doc_id < 50
+          ) WHERE g <> ''
+        ),
+        short AS (
+          SELECT word, {_unigram_forward_sql("cf.m")} AS best
+          FROM ew CROSS JOIN cf
+          WHERE length(word) <= {maxw}
+        ),
+        segged AS (
+          SELECT word,
+            CASE WHEN best[length(word) + 1] >= {inf} THEN '[UNK]'
+                 ELSE {_unigram_backtrack_sql("cf.m")} END AS pieces,
+            CASE WHEN best[length(word) + 1] >= {inf} THEN -1
+                 ELSE best[length(word) + 1] END AS seg_cost
+          FROM short CROSS JOIN cf
+          UNION ALL
+          SELECT word, '[UNK]' AS pieces, -1 AS seg_cost
+          FROM ew WHERE length(word) > {maxw}
+        )
+        SELECT word, pieces,
+          len(string_split(pieces, ' '))::INT AS n_pieces,
+          seg_cost::BIGINT AS seg_cost
+        FROM segged ORDER BY word
+    """
 
 
 def _cross_dedup_oracle_sql() -> str:
@@ -4607,6 +4983,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT vec_id::BIGINT AS doc_id, cl::INT AS cluster_id
             FROM allassign ORDER BY doc_id
         """,
+        "doc_wordpiece_vocab": f"""
+            WITH {_wordpiece_vocab_ctes()}
+            SELECT piece, cnt::BIGINT AS cnt FROM vocab
+            ORDER BY cnt DESC, piece ASC LIMIT 30
+        """,
+        "doc_wordpiece_encode": _wordpiece_encode_oracle_sql(),
+        "doc_unigram_vocab": f"""
+            WITH {_unigram_train_ctes()}
+            SELECT piece, cnt::BIGINT AS cnt FROM v{_UNI["n_iters"]}
+            ORDER BY cnt DESC, piece ASC LIMIT 30
+        """,
+        "doc_unigram_segment": _unigram_segment_oracle_sql(),
         "doc_tfidf_topk": r"""
             WITH docs AS (
               SELECT doc_id FROM documents WHERE doc_id < 100

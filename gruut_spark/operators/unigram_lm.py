@@ -1,0 +1,269 @@
+"""SentencePiece-style unigram-LM tokenizer training (Kudo 2018),
+hard-EM (Viterbi) variant — the third member of the tokenizer-training
+family next to BPE (bpe_train.py) and WordPiece (wordpiece.py).
+
+Algorithm (the paper's EM specialized to Viterbi counts):
+
+  seed   : position-independent substring counts over the word
+           histogram — deterministic top-K multi-char pieces + ALL
+           single characters (the segmentability floor).
+  E-step : per distinct word, the min-cost segmentation under integer
+           piece costs (cost = round(-ln(p) * 1e6) — FIXED-POINT, so
+           every Viterbi comparison is exact int64 arithmetic and the
+           DuckDB oracle replays it bit-for-bit; the only float op per
+           iteration is the driver-side ln when building the cost
+           table). Piece counts = segmentation occurrences weighted by
+           word frequency.
+  M-step : probabilities from the new counts; pieces no segmentation
+           uses drop out, single characters are floored at count 1 so
+           the vocabulary can never lose segmentability.
+
+Scale shape mirrors bpe_train: ONE corpus-scale word-count shuffle,
+then every EM iteration runs over the Heaps'-law-small distinct-word
+table (a few narrow jobs); the per-iteration counts collect to the
+driver (counts, not documents — the lm_train contract). The Viterbi
+forward pass and backtrack are pure Catalyst folds (no Python, no
+float): the cost table rides along as ONE map column via a broadcast
+1-row cross join.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+INF = 10 ** 15  # unreachable-cost sentinel; <= 16 adds stay < int64 max
+UNK = "[UNK]"
+_SCALE = 1_000_000.0
+
+
+def piece_costs(counts: Dict[str, int]) -> Dict[str, int]:
+    """Fixed-point unigram costs: round(-ln(cnt/total) * 1e6), with
+    floor(x + 0.5) rounding so the oracle's SQL twin matches exactly.
+    The single ln per piece happens HERE (driver side, bounded vocab);
+    everything downstream is exact integer arithmetic."""
+    total = float(sum(counts.values()))
+    return {
+        p: int(math.floor(-math.log(c / total) * _SCALE + 0.5))
+        for p, c in counts.items()
+    }
+
+
+def _substring_counts(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(piece, cnt): position-independent substring counts weighted by
+    word frequency (the unigram seed — no ## continuation marking,
+    unlike wordpiece_vocab)."""
+    w = F.col("word")
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_piece_len)),
+                    lambda l: F.when(
+                        i + l - 1 <= F.length(w), w.substr(i, l)
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    return (
+        words.select(F.col("wcnt"), F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+
+
+def _with_cost_map(frame: DataFrame, costs: Dict[str, int], spark) -> DataFrame:
+    """Cross-join the cost table as ONE map column (no float ops in
+    either engine; a literal-per-lookup would repeat the whole table
+    inside every fold step)."""
+    items = sorted(costs.items())
+    cdf = spark.createDataFrame(items, "piece string, cost long").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("piece", "cost"))
+        ).alias("_costs")
+    )
+    return frame.crossJoin(F.broadcast(cdf))
+
+
+def _forward_best(word_col: str, max_piece_len: int) -> "F.Column":
+    """The Viterbi forward pass as a Catalyst fold: returns the best
+    (min-cost) integer cost array B with B[1] = 0 and B[j+1] = cost of
+    the cheapest segmentation of the first j characters (INF-padded
+    where unreachable)."""
+    w = F.col(word_col)
+
+    def step(acc, j):
+        cands = []
+        for l in range(1, max_piece_len + 1):
+            cost = F.coalesce(
+                F.element_at(
+                    F.col("_costs"), w.substr(j - l + 1, F.lit(l))
+                ),
+                F.lit(INF),
+            )
+            # greatest(..., 1): when j < l the branch is dead, but the
+            # index expression must still be legal — element_at(arr, 0)
+            # is a hard error and a NEGATIVE index silently reads from
+            # the END; don't lean on And-short-circuit to dodge either
+            prev = F.element_at(acc, F.greatest(j - l + 1, F.lit(1)))
+            cands.append(
+                F.when(
+                    (j >= l) & (prev < F.lit(INF)),
+                    prev + cost,
+                ).otherwise(F.lit(INF))
+            )
+        return F.concat(acc, F.array(F.least(*cands)))
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.length(w)),
+        F.array(F.lit(0).cast("long")),
+        step,
+    )
+
+
+def _backtrack_pieces(
+    word_col: str, best_col: str, max_piece_len: int, max_word_len: int
+) -> "F.Column":
+    """Recover the segmentation from the best array: scan from the end;
+    at position j the SMALLEST l whose (prev + cost == best) holds is
+    taken (the pinned tie rule, mirrored l-ascending in the oracle).
+    Unsegmentable words (best end >= INF) become [UNK]."""
+    w = F.col(word_col)
+    best = F.col(best_col)
+
+    def step(acc, _i):
+        j = acc["j"]
+        take = None
+        for l in range(1, max_piece_len + 1):
+            piece = w.substr(j - l + 1, F.lit(l))
+            cost = F.coalesce(
+                F.element_at(F.col("_costs"), piece), F.lit(INF)
+            )
+            ok = (
+                (j >= l)
+                & (
+                    F.element_at(best, F.greatest(j - l + 1, F.lit(1)))
+                    + cost
+                    == F.element_at(best, F.greatest(j + 1, F.lit(1)))
+                )
+            )
+            branch = F.struct(
+                F.concat(
+                    piece,
+                    F.when(acc["out"] == "", F.lit("")).otherwise(
+                        F.concat(F.lit(" "), acc["out"])
+                    ),
+                ).alias("out"),
+                (j - l).alias("j"),
+            )
+            take = (
+                F.when(ok, branch) if take is None else take.when(ok, branch)
+            )
+        return F.when(j <= 0, acc).otherwise(
+            take.otherwise(
+                F.struct(acc["out"].alias("out"), F.lit(-1).alias("j"))
+            )
+        )
+
+    zero = F.struct(F.lit("").alias("out"), F.length(w).alias("j"))
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)), zero, step,
+        lambda acc: acc["out"],
+    )
+    return F.when(
+        F.element_at(best, F.length(w) + 1) >= F.lit(INF), F.lit(UNK)
+    ).otherwise(fold)
+
+
+def unigram_segment_words(
+    words: DataFrame, costs: Dict[str, int], spark,
+    word_col: str = "word", max_piece_len: int = 4, max_word_len: int = 16,
+) -> DataFrame:
+    """Adds ``pieces`` (space-joined min-cost segmentation) and
+    ``seg_cost`` (the exact integer total) to ``words``. Words longer
+    than ``max_word_len`` or containing vocab-absent characters become
+    [UNK] with seg_cost = -1."""
+    frame = _with_cost_map(
+        words.filter(F.length(F.col(word_col)) <= max_word_len),
+        costs, spark,
+    )
+    staged = frame.withColumn(
+        "_best", _forward_best(word_col, max_piece_len)
+    )
+    long_words = words.filter(
+        F.length(F.col(word_col)) > max_word_len
+    ).select(
+        word_col,
+        F.lit(UNK).alias("pieces"),
+        F.lit(-1).cast("long").alias("seg_cost"),
+    )
+    out = staged.select(
+        word_col,
+        _backtrack_pieces(word_col, "_best", max_piece_len, max_word_len)
+        .alias("pieces"),
+        F.when(
+            F.element_at(F.col("_best"), F.length(F.col(word_col)) + 1)
+            >= F.lit(INF),
+            F.lit(-1),
+        )
+        .otherwise(
+            F.element_at(F.col("_best"), F.length(F.col(word_col)) + 1)
+        )
+        .cast("long")
+        .alias("seg_cost"),
+    )
+    return out.unionByName(long_words)
+
+
+def unigram_train(
+    df: DataFrame, text_col: str = "text", n_iters: int = 3,
+    max_piece_len: int = 4, max_word_len: int = 16,
+    top_k: int = 200, min_count: int = 2,
+) -> "tuple[Dict[str, int], DataFrame]":
+    """Returns (final_counts, word_histogram_frame). final_counts maps
+    piece -> exact integer Viterbi count after ``n_iters`` hard-EM
+    rounds (single characters floored at 1 so segmentability never
+    degrades); the word frame is returned for reuse by callers that
+    go on to segment the same corpus."""
+    from .wordpiece import _word_histogram
+
+    spark = df.sparkSession
+    words = (
+        _word_histogram(df, text_col)
+        .filter(F.length("word") <= max_word_len)
+        .localCheckpoint(eager=False)
+    )
+    seed = _substring_counts(words, max_piece_len)
+    is_single = F.length("piece") == 1
+    multi = (
+        seed.filter(~is_single & (F.col("cnt") >= min_count))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(top_k)
+    )
+    vocab = multi.unionByName(seed.filter(is_single))
+    counts = {r["piece"]: int(r["cnt"]) for r in vocab.collect()}
+    singles = {p for p in counts if len(p) == 1}
+    if not counts:
+        raise ValueError("unigram_train: no tokens to train on")
+
+    for _ in range(n_iters):
+        costs = piece_costs(counts)
+        seg = unigram_segment_words(
+            words, costs, spark, "word", max_piece_len, max_word_len
+        ).filter(F.col("pieces") != UNK)
+        new_counts_df = (
+            seg.join(words, "word")
+            .select("wcnt", F.explode(F.split("pieces", " ")).alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("wcnt").alias("cnt"))
+        )
+        counts = {r["piece"]: int(r["cnt"]) for r in new_counts_df.collect()}
+        for c in singles:  # segmentability floor
+            counts.setdefault(c, 1)
+    return counts, words

@@ -1,0 +1,148 @@
+"""WordPiece tokenization (Wu et al. 2016; the BERT tokenizer's
+greedy longest-match-first encode) — train AND encode as pure
+integer/string relational algebra, zero floats anywhere, so the DuckDB
+oracle replays the entire lifecycle bit-for-bit with no rounding
+contract needed (unlike the k-means/logreg families).
+
+Scale shape mirrors bpe_train: the only corpus-scale pass is the
+word-histogram shuffle; vocabulary learning runs over the
+Heaps'-law-small distinct-word table (substring explode -> one count
+shuffle -> TakeOrderedAndProject top-K). Encoding is a bounded
+UNROLLED fold (max_word_len steps of longest-first CASE) against the
+vocab carried as ONE array column (a 1-row broadcast cross join) —
+referencing a collected literal array per lookup would repeat ~200
+string literals tens of times per row and blow up the expression tree;
+a column reference is bound once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+UNK = "[UNK]"
+
+
+def _word_histogram(df: DataFrame, text_col: str) -> DataFrame:
+    """(word, wcnt): the corpus's lowercased whitespace word counts —
+    the single corpus-scale shuffle (the bpe_train stage-A shape)."""
+    from .textstats import word_ngrams
+
+    base, _ = word_ngrams(df, text_col, 1)
+    return (
+        base.select(F.explode(F.col("_t")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count("*").alias("wcnt"))
+    )
+
+
+def wordpiece_vocab(
+    df: DataFrame, text_col: str = "text",
+    max_piece_len: int = 4, top_k: int = 200, min_count: int = 2,
+) -> DataFrame:
+    """(piece, cnt): WordPiece vocabulary — every substring of every
+    corpus word, weighted by word frequency, continuation pieces (not
+    word-initial) carrying the ``##`` prefix. The vocabulary is the
+    deterministic top-K multi-char pieces by (cnt DESC, piece ASC)
+    UNION ALL single-character pieces observed (never pruned — they
+    are the encoder's fallback, so any training word always encodes
+    without [UNK])."""
+    words = _word_histogram(df, text_col).localCheckpoint(eager=False)
+    w, wc = F.col("word"), F.col("wcnt")
+    # all (start, len) substrings as one per-row array, then one explode
+    pieces = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length(w)),
+            lambda i: F.filter(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(max_piece_len)),
+                    lambda l: F.when(
+                        i + l - 1 <= F.length(w),
+                        F.concat(
+                            F.when(i > 1, F.lit("##")).otherwise(F.lit("")),
+                            w.substr(i, l),
+                        ),
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            ),
+        )
+    )
+    counts = (
+        words.select(wc, F.explode(pieces).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("wcnt").alias("cnt"))
+    )
+    is_single = F.length(F.regexp_replace(F.col("piece"), r"^##", "")) == 1
+    multi = (
+        counts.filter(~is_single & (F.col("cnt") >= min_count))
+        .orderBy(F.desc("cnt"), F.asc("piece"))
+        .limit(top_k)
+    )
+    return multi.unionByName(counts.filter(is_single))
+
+
+def wordpiece_encode_words(
+    words: DataFrame, vocab: DataFrame, word_col: str = "word",
+    max_piece_len: int = 4, max_word_len: int = 16,
+) -> DataFrame:
+    """Adds ``pieces`` (space-joined WordPiece tokens) to ``words``:
+    greedy longest-match-first from each position, ``##`` continuation
+    form past position 1; a word longer than ``max_word_len`` or with
+    no matching piece at some position becomes the single token
+    ``[UNK]`` (the BERT rule). Pure Catalyst: one unrolled
+    ``aggregate`` fold of ``max_word_len`` steps, each trying piece
+    lengths longest-first via nested WHEN, against the vocab array
+    column; no Python, no shuffle beyond the 1-row vocab cross join."""
+    vlist = vocab.agg(
+        F.array_sort(F.collect_list("piece")).alias("_vocab")
+    )
+    frame = words.crossJoin(F.broadcast(vlist))
+    w = F.col(word_col)
+
+    def step(acc, _i):
+        # candidate keys, longest first; positions are 1-based
+        def key(l):
+            return F.concat(
+                F.when(acc["pos"] > 1, F.lit("##")).otherwise(F.lit("")),
+                w.substr(acc["pos"], F.lit(l)),
+            )
+
+        def fits(l):
+            return (acc["pos"] + l - 1 <= F.length(w)) & F.array_contains(
+                F.col("_vocab"), key(l)
+            )
+
+        take = None
+        for l in range(max_piece_len, 0, -1):
+            branch = F.struct(
+                (acc["pos"] + l).alias("pos"),
+                F.concat(acc["out"], F.lit(" "), key(l)).alias("out"),
+                F.lit(False).alias("failed"),
+            )
+            take = (
+                F.when(fits(l), branch)
+                if take is None
+                else take.when(fits(l), branch)
+            )
+        fail = F.struct(
+            acc["pos"].alias("pos"),
+            acc["out"].alias("out"),
+            F.lit(True).alias("failed"),
+        )
+        return F.when(
+            acc["failed"] | (acc["pos"] > F.length(w)), acc
+        ).otherwise(take.otherwise(fail))
+
+    zero = F.struct(
+        F.lit(1).alias("pos"), F.lit("").alias("out"),
+        (F.length(w) > F.lit(max_word_len)).alias("failed"),
+    )
+    fold = F.aggregate(
+        F.sequence(F.lit(1), F.lit(max_word_len)), zero, step,
+        lambda acc: F.when(
+            acc["failed"] | (acc["pos"] <= F.length(w)), F.lit(UNK)
+        ).otherwise(F.trim(acc["out"])),
+    )
+    return frame.withColumn("pieces", fold).drop("_vocab")

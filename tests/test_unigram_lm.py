@@ -1,0 +1,136 @@
+"""Unigram-LM (SentencePiece-style) hard-EM trainer unit pins."""
+
+import math
+
+
+def _py_unigram_train(texts, n_iters=3, k=4, maxw=16, top_k=12, minc=2):
+    """Pure-Python replication of unigram_train (histogram, seed,
+    fixed-point costs, Viterbi with the smallest-l tie rule, counts,
+    single-char floor)."""
+    import re
+
+    words = {}
+    for t in texts:
+        for w in re.split(r"\s+", re.sub(r"^\s+|\s+$", "", t.lower())):
+            if w and len(w) <= maxw:
+                words[w] = words.get(w, 0) + 1
+    sub = {}
+    for w, wc in words.items():
+        for i in range(len(w)):
+            for l in range(1, k + 1):
+                if i + l <= len(w):
+                    p = w[i:i + l]
+                    sub[p] = sub.get(p, 0) + wc
+    multi = sorted(
+        ((p, c) for p, c in sub.items() if len(p) > 1 and c >= minc),
+        key=lambda kv: (-kv[1], kv[0]),
+    )[:top_k]
+    counts = dict(multi)
+    singles = {p for p in sub if len(p) == 1}
+    for p in singles:
+        counts[p] = sub[p]
+
+    INF = 10 ** 15
+
+    def viterbi(w, costs):
+        best = [0] + [INF] * len(w)
+        for j in range(1, len(w) + 1):
+            for l in range(1, min(k, j) + 1):
+                c = costs.get(w[j - l:j], INF)
+                if best[j - l] < INF and best[j - l] + c < best[j]:
+                    best[j] = best[j - l] + c
+        if best[len(w)] >= INF:
+            return None, -1
+        out, j = [], len(w)
+        while j > 0:
+            for l in range(1, min(k, j) + 1):
+                c = costs.get(w[j - l:j], INF)
+                if best[j - l] + c == best[j]:
+                    out.insert(0, w[j - l:j])
+                    j -= l
+                    break
+        return out, best[len(w)]
+
+    for _ in range(n_iters):
+        total = float(sum(counts.values()))
+        costs = {
+            p: int(math.floor(-math.log(c / total) * 1e6 + 0.5))
+            for p, c in counts.items()
+        }
+        new = {}
+        for w, wc in words.items():
+            pieces, _ = viterbi(w, costs)
+            if pieces is None:
+                continue
+            for p in pieces:
+                new[p] = new.get(p, 0) + wc
+        counts = new
+        for p in singles:
+            counts.setdefault(p, 1)
+    return counts, words
+
+
+def test_unigram_train_matches_python(spark):
+    from gruut_spark.operators.unigram_lm import unigram_train
+
+    texts = [
+        "tokenize tokenize token token token table table able",
+        "token table ize able tokens",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got, _ = unigram_train(docs, n_iters=3, top_k=12, min_count=2)
+    exp, _ = _py_unigram_train(texts)
+    assert got == exp, (got, exp)
+
+
+def test_unigram_segment_optimal_and_unk(spark):
+    """seg_cost equals the brute-force minimum over ALL segmentations;
+    unknown chars and over-long words are [UNK]/-1."""
+    from itertools import product
+
+    from gruut_spark.operators.unigram_lm import (
+        piece_costs,
+        unigram_segment_words,
+        unigram_train,
+    )
+
+    texts = ["banana bandana ban and an a nab"]
+    docs = spark.createDataFrame([(0, texts[0])], "doc_id long, text string")
+    counts, _ = unigram_train(docs, n_iters=2, top_k=10, min_count=2)
+    costs = piece_costs(counts)
+
+    words = spark.createDataFrame(
+        [("banana",), ("bandana",), ("xyzzy",),
+         ("a" * 20,)],
+        "word string",
+    )
+    out = {
+        r["word"]: (r["pieces"], r["seg_cost"])
+        for r in unigram_segment_words(words, costs, spark).collect()
+    }
+
+    def brute_min(w):
+        best = None
+        # enumerate all segmentations via cut-point bitmasks
+        n = len(w)
+        for mask in range(1 << (n - 1)):
+            cuts = [0] + [i + 1 for i in range(n - 1) if mask >> i & 1] + [n]
+            tot = 0
+            ok = True
+            for a, b in zip(cuts, cuts[1:]):
+                if b - a > 4 or w[a:b] not in costs:
+                    ok = False
+                    break
+                tot += costs[w[a:b]]
+            if ok and (best is None or tot < best):
+                best = tot
+        return best
+
+    for w in ("banana", "bandana"):
+        assert out[w][1] == brute_min(w), (w, out[w])
+        # the pieces really sum to the reported cost
+        assert sum(costs[p] for p in out[w][0].split(" ")) == out[w][1]
+    assert out["xyzzy"] == ("[UNK]", -1)       # chars absent from vocab
+    assert out["a" * 20] == ("[UNK]", -1)      # length cap

@@ -1,0 +1,93 @@
+"""WordPiece train + greedy longest-match encode unit pins."""
+
+
+def _py_wordpiece(word, vocab, max_piece_len=4, max_word_len=16):
+    """Pure-Python replication of wordpiece_encode_words' fold."""
+    if len(word) > max_word_len:
+        return "[UNK]"
+    pos, out = 0, []
+    while pos < len(word):
+        for l in range(min(max_piece_len, len(word) - pos), 0, -1):
+            piece = word[pos:pos + l]
+            key = piece if pos == 0 else "##" + piece
+            if key in vocab:
+                out.append(key)
+                pos += l
+                break
+        else:
+            return "[UNK]"
+    return " ".join(out)
+
+
+def test_wordpiece_vocab_and_encode(spark):
+    from pyspark.sql import functions as F
+
+    from gruut_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "table table table tab bat bat"), (1, "tab le table bat")],
+        "doc_id long, text string",
+    )
+    vocab_df = wordpiece_vocab(docs, top_k=6, min_count=2)
+    vocab = {r["piece"] for r in vocab_df.collect()}
+    # single chars always survive in both forms observed
+    assert {"t", "b", "##a", "##b", "##e", "##l"} <= vocab
+    # weighted counts: 'tabl' appears in 4x 'table' -> eligible
+    counts = {r["piece"]: r["cnt"] for r in vocab_df.collect()}
+    assert counts.get("tabl", 0) == 4 or "tabl" not in counts  # top_k cut ok
+
+    words = spark.createDataFrame(
+        [("table",), ("bat",), ("tab",), ("batz",),
+         ("averyveryverylongword",)],
+        "word string",
+    )
+    got = {
+        r["word"]: r["pieces"]
+        for r in wordpiece_encode_words(words, vocab_df).collect()
+    }
+    for w in got:
+        assert got[w] == _py_wordpiece(w, vocab), (w, got[w])
+    # the greedy property: the longest matching prefix piece wins
+    assert not got["table"].startswith("t ##a")
+    # unseen char at encode time -> [UNK]
+    assert got["batz"] == "[UNK]"
+    # length cap -> [UNK]
+    assert got["averyveryverylongword"] == "[UNK]"
+
+    # determinism
+    again = {
+        r["word"]: r["pieces"]
+        for r in wordpiece_encode_words(words, vocab_df).collect()
+    }
+    assert again == got
+
+    # no Python anywhere in the encode plan
+    enc = wordpiece_encode_words(words, vocab_df)
+    plan = enc._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan, plan
+
+
+def test_wordpiece_training_corpus_never_unk(spark):
+    """Every word of the training corpus must encode without [UNK]:
+    the single-char fallback pieces cover every (char, position-class)
+    observed at train time."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.operators.wordpiece import (
+        _word_histogram,
+        wordpiece_encode_words,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha{i % 7} beta{i % 5} gamma delta word{i % 11}")
+         for i in range(40)],
+        "doc_id long, text string",
+    )
+    vocab = wordpiece_vocab(docs, top_k=20, min_count=2)
+    words = _word_histogram(docs, "text").select("word")
+    enc = wordpiece_encode_words(words, vocab)
+    assert enc.filter(F.col("pieces") == "[UNK]").count() == 0
