@@ -2632,12 +2632,11 @@ _CC_RELATIONAL_CTES = r"""
             )"""
 
 
-def _wordpiece_vocab_ctes(where: str = "") -> str:
+def _wordpiece_vocab_ctes() -> str:
     """Shared CTEs replaying WordPiece vocabulary training (weighted
     substring counts -> deterministic top-K multi-char pieces + all
-    single-char pieces). ``where`` optionally restricts the word
-    histogram's source docs (the encode query trains on ALL docs but
-    encodes a subset, so it passes no filter here)."""
+    single-char pieces) over the whole corpus — both the vocab and
+    encode queries train on ALL docs."""
     k, topk, minc = _WP["max_piece_len"], _WP["top_k"], _WP["min_count"]
     return f"""
         words AS (
@@ -2645,7 +2644,7 @@ def _wordpiece_vocab_ctes(where: str = "") -> str:
             SELECT unnest(string_split_regex(
               lower(regexp_replace(text, '^\\s+|\\s+$', '', 'g')),
               '\\s+')) AS g
-            FROM documents {where}
+            FROM documents
           ) WHERE g <> '' GROUP BY g
         ),
         pcs AS (

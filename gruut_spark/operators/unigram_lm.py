@@ -184,11 +184,14 @@ def _backtrack_pieces(
 def unigram_segment_words(
     words: DataFrame, costs: Dict[str, int], spark,
     word_col: str = "word", max_piece_len: int = 4, max_word_len: int = 16,
+    keep_cols: tuple = (),
 ) -> DataFrame:
     """Adds ``pieces`` (space-joined min-cost segmentation) and
     ``seg_cost`` (the exact integer total) to ``words``. Words longer
     than ``max_word_len`` or containing vocab-absent characters become
-    [UNK] with seg_cost = -1."""
+    [UNK] with seg_cost = -1. ``keep_cols`` names input columns to
+    carry through (the EM loop keeps ``wcnt`` this way instead of
+    paying a re-join per iteration — review)."""
     frame = _with_cost_map(
         words.filter(F.length(F.col(word_col)) <= max_word_len),
         costs, spark,
@@ -200,11 +203,13 @@ def unigram_segment_words(
         F.length(F.col(word_col)) > max_word_len
     ).select(
         word_col,
+        *keep_cols,
         F.lit(UNK).alias("pieces"),
         F.lit(-1).cast("long").alias("seg_cost"),
     )
     out = staged.select(
         word_col,
+        *keep_cols,
         _backtrack_pieces(word_col, "_best", max_piece_len, max_word_len)
         .alias("pieces"),
         F.when(
@@ -255,11 +260,13 @@ def unigram_train(
     for _ in range(n_iters):
         costs = piece_costs(counts)
         seg = unigram_segment_words(
-            words, costs, spark, "word", max_piece_len, max_word_len
+            words, costs, spark, "word", max_piece_len, max_word_len,
+            keep_cols=("wcnt",),
         ).filter(F.col("pieces") != UNK)
         new_counts_df = (
-            seg.join(words, "word")
-            .select("wcnt", F.explode(F.split("pieces", " ")).alias("piece"))
+            seg.select(
+                "wcnt", F.explode(F.split("pieces", " ")).alias("piece")
+            )
             .groupBy("piece")
             .agg(F.sum("wcnt").alias("cnt"))
         )

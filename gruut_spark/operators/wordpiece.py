@@ -74,13 +74,17 @@ def wordpiece_vocab(
         .groupBy("piece")
         .agg(F.sum("wcnt").alias("cnt"))
     )
-    is_single = F.length(F.regexp_replace(F.col("piece"), r"^##", "")) == 1
+    # stripped length, with EXPLICIT >1 / ==1 branches: `~(len == 1)`
+    # would admit the degenerate piece '##' (a word-initial substring
+    # of a '##'-initial word, stripped length 0) that the oracle's
+    # `> 1` predicate excludes — a latent vocab divergence (review)
+    stripped = F.length(F.regexp_replace(F.col("piece"), r"^##", ""))
     multi = (
-        counts.filter(~is_single & (F.col("cnt") >= min_count))
+        counts.filter((stripped > 1) & (F.col("cnt") >= min_count))
         .orderBy(F.desc("cnt"), F.asc("piece"))
         .limit(top_k)
     )
-    return multi.unionByName(counts.filter(is_single))
+    return multi.unionByName(counts.filter(stripped == 1))
 
 
 def wordpiece_encode_words(

@@ -91,3 +91,27 @@ def test_wordpiece_training_corpus_never_unk(spark):
     words = _word_histogram(docs, "text").select("word")
     enc = wordpiece_encode_words(words, vocab)
     assert enc.filter(F.col("pieces") == "[UNK]").count() == 0
+
+
+def test_wordpiece_degenerate_hash_word(spark):
+    """A '##'-initial word must not mint the degenerate piece '##'
+    (review: the oracle's >1 stripped-length predicate excludes it);
+    the word still encodes via '#' + continuation '###'."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+        wordpiece_vocab,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "## ## heading heading")], "doc_id long, text string"
+    )
+    vocab = wordpiece_vocab(docs, top_k=10, min_count=2)
+    pieces = {r["piece"] for r in vocab.collect()}
+    assert "##" not in pieces
+    assert {"#", "###"} <= pieces
+    enc = wordpiece_encode_words(
+        spark.createDataFrame([("##",)], "word string"), vocab
+    )
+    assert enc.collect()[0]["pieces"] == "# ###"
