@@ -115,3 +115,38 @@ def test_wordpiece_degenerate_hash_word(spark):
         spark.createDataFrame([("##",)], "word string"), vocab
     )
     assert enc.collect()[0]["pieces"] == "# ###"
+
+
+def test_wordpiece_random_differential(spark):
+    """300 random words through the Catalyst fold vs the pure-Python
+    greedy replication — every (vocab, word) disagreement is a bug."""
+    import random
+
+    from gruut_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+        wordpiece_vocab,
+    )
+
+    rng = random.Random(11)
+    alphabet = "abcd"
+    train_words = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8)))
+        for _ in range(80)
+    ]
+    docs = spark.createDataFrame(
+        [(0, " ".join(train_words))], "doc_id long, text string"
+    )
+    vocab_df = wordpiece_vocab(docs, top_k=25, min_count=2)
+    vocab = {r["piece"] for r in vocab_df.collect()}
+
+    probe = list({
+        "".join(rng.choice(alphabet + "x") for _ in range(rng.randint(1, 20)))
+        for _ in range(300)
+    })
+    words = spark.createDataFrame([(w,) for w in probe], "word string")
+    got = {
+        r["word"]: r["pieces"]
+        for r in wordpiece_encode_words(words, vocab_df).collect()
+    }
+    for w in probe:
+        assert got[w] == _py_wordpiece(w, vocab), (w, got[w])
