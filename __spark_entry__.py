@@ -1377,6 +1377,27 @@ def _doc_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain mixture weights (Xie et al. 2023's
+    excess-loss reweighting, the Moore-Lewis two-LM excess standing in
+    for the proxy/reference pair): per-language mean per-bigram excess
+    log-likelihood vs the 'en' target slice, softmaxed into weights
+    (operators/corpus.py::doremi_domain_weights). The oracle reuses
+    the shared Moore-Lewis term CTEs and replays the fixed-point
+    domain sums + order-pinned softmax."""
+    _configure(spark)
+    from gruut_spark.operators.corpus import doremi_domain_weights
+
+    rows = doremi_domain_weights(
+        _read(spark, sf_dir, "documents"), "lang", F.col("lang") == "en",
+        "text", "doc_id",
+    )
+    return spark.createDataFrame(
+        rows,
+        "domain string, n_bigrams long, mean_excess double, weight double",
+    ).orderBy("domain")
+
+
 def _doc_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic epoch-keyed shuffle/shard assignment
     (operators/corpus.py::epoch_shards): two epochs side by side, each
@@ -2393,6 +2414,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_blocklist": _doc_blocklist,
         "doc_epoch_shards": _doc_epoch_shards,
         "doc_moore_lewis": _doc_moore_lewis,
+        "doc_doremi_weights": _doc_doremi_weights,
         "doc_phonemize_lexicon": _doc_phonemize_lexicon,
         "doc_stratified_sample": _doc_stratified_sample,
         "doc_quota_per_source": _doc_quota_per_source,
@@ -2900,6 +2922,65 @@ def _unigram_segment_oracle_sql() -> str:
           seg_cost::BIGINT AS seg_cost
         FROM segged ORDER BY word
     """
+
+
+# Shared Moore-Lewis term CTEs (two add-alpha bigram LM trainings +
+# per-position excess-likelihood terms, lang carried through for
+# domain-level consumers). Ends at ``terms(doc_id, lang, term)``.
+_ML_TERMS_CTES = r"""
+            toks AS (
+              SELECT doc_id, lang,
+                string_split_regex(
+                  lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
+                  '\s+') AS t
+              FROM documents
+            ),
+            -- add-alpha bigram LM TRAINING, twice (target slice = 'en',
+            -- general = all) — the same word_ngrams semantics as the
+            -- trigram-counts oracle
+            ut AS MATERIALIZED (
+              SELECT g AS gram, count(*) AS cnt FROM (
+                SELECT unnest(t) AS g FROM toks WHERE lang = 'en'
+              ) WHERE g <> '' GROUP BY g
+            ),
+            ug AS MATERIALIZED (
+              SELECT g AS gram, count(*) AS cnt FROM (
+                SELECT unnest(t) AS g FROM toks
+              ) WHERE g <> '' GROUP BY g
+            ),
+            bt AS MATERIALIZED (
+              SELECT array_to_string(t[i:i+1], ' ') AS gram, count(*) AS cnt
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+              WHERE lang = 'en' GROUP BY 1
+            ),
+            bg AS MATERIALIZED (
+              SELECT array_to_string(t[i:i+1], ' ') AS gram, count(*) AS cnt
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+              GROUP BY 1
+            ),
+            v AS (SELECT (SELECT count(*) FROM ut) AS vt,
+                         (SELECT count(*) FROM ug) AS vg),
+            pos AS (
+              SELECT doc_id, lang, array_to_string(t[i:i+1], ' ') AS gram,
+                     t[i] AS prev
+              FROM toks,
+                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
+            ),
+            terms AS (
+              SELECT p.doc_id, p.lang,
+                log10((coalesce(bt.cnt, 0)::DOUBLE + 0.5)
+                      / (coalesce(utj.cnt, 0)::DOUBLE + 0.5 * v.vt))
+                - log10((coalesce(bg.cnt, 0)::DOUBLE + 0.5)
+                        / (coalesce(ugj.cnt, 0)::DOUBLE + 0.5 * v.vg))
+                  AS term
+              FROM pos p CROSS JOIN v
+              LEFT JOIN bt ON bt.gram = p.gram
+              LEFT JOIN bg ON bg.gram = p.gram
+              LEFT JOIN ut utj ON utj.gram = p.prev
+              LEFT JOIN ug ugj ON ugj.gram = p.prev
+            )"""
 
 
 def _cross_dedup_oracle_sql() -> str:
@@ -6030,61 +6111,8 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS keep_doc
             FROM h ORDER BY doc_id
         """,
-        "doc_moore_lewis": r"""
-            WITH toks AS (
-              SELECT doc_id, lang,
-                string_split_regex(
-                  lower(regexp_replace(text, '^\s+|\s+$', '', 'g')),
-                  '\s+') AS t
-              FROM documents
-            ),
-            -- add-alpha bigram LM TRAINING, twice (target slice = 'en',
-            -- general = all) — the same word_ngrams semantics as the
-            -- trigram-counts oracle
-            ut AS MATERIALIZED (
-              SELECT g AS gram, count(*) AS cnt FROM (
-                SELECT unnest(t) AS g FROM toks WHERE lang = 'en'
-              ) WHERE g <> '' GROUP BY g
-            ),
-            ug AS MATERIALIZED (
-              SELECT g AS gram, count(*) AS cnt FROM (
-                SELECT unnest(t) AS g FROM toks
-              ) WHERE g <> '' GROUP BY g
-            ),
-            bt AS MATERIALIZED (
-              SELECT array_to_string(t[i:i+1], ' ') AS gram, count(*) AS cnt
-              FROM toks,
-                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
-              WHERE lang = 'en' GROUP BY 1
-            ),
-            bg AS MATERIALIZED (
-              SELECT array_to_string(t[i:i+1], ' ') AS gram, count(*) AS cnt
-              FROM toks,
-                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
-              GROUP BY 1
-            ),
-            v AS (SELECT (SELECT count(*) FROM ut) AS vt,
-                         (SELECT count(*) FROM ug) AS vg),
-            pos AS (
-              SELECT doc_id, array_to_string(t[i:i+1], ' ') AS gram,
-                     t[i] AS prev
-              FROM toks,
-                   unnest(generate_series(1, greatest(len(t) - 1, 0))) s(i)
-            ),
-            terms AS (
-              SELECT p.doc_id,
-                log10((coalesce(bt.cnt, 0)::DOUBLE + 0.5)
-                      / (coalesce(utj.cnt, 0)::DOUBLE + 0.5 * v.vt))
-                - log10((coalesce(bg.cnt, 0)::DOUBLE + 0.5)
-                        / (coalesce(ugj.cnt, 0)::DOUBLE + 0.5 * v.vg))
-                  AS term
-              FROM pos p CROSS JOIN v
-              LEFT JOIN bt ON bt.gram = p.gram
-              LEFT JOIN bg ON bg.gram = p.gram
-              LEFT JOIN ut utj ON utj.gram = p.prev
-              LEFT JOIN ug ugj ON ugj.gram = p.prev
-            ),
-            agg AS (
+        "doc_moore_lewis": "WITH " + _ML_TERMS_CTES + """
+            , agg AS (
               SELECT doc_id, count(*) AS n,
                 CAST(sum(CAST(round(term * 1000000000.0) AS HUGEINT))
                      AS DOUBLE) AS s
@@ -6095,6 +6123,30 @@ def oracle_sql() -> dict[str, str]:
               coalesce(round((a.s / 1000000000.0) / a.n, 6), 0.0) AS ml_score
             FROM documents d LEFT JOIN agg a USING (doc_id)
             ORDER BY d.doc_id
+        """,
+        "doc_doremi_weights": "WITH " + _ML_TERMS_CTES + """
+            , agg AS (
+              SELECT lang, count(*) AS n,
+                CAST(sum(CAST(round(term * 1000000000.0) AS HUGEINT))
+                     AS DOUBLE) AS s
+              FROM terms GROUP BY lang
+            ),
+            m AS (
+              SELECT lang, n, round((s / 1000000000.0) / n, 6) AS mean_excess
+              FROM agg WHERE n > 0
+            ),
+            nrm AS (
+              -- order-pinned softmax normalizer (the temperature_mix
+              -- left-fold contract)
+              SELECT list_reduce(
+                list_prepend(0.0::DOUBLE,
+                             list(exp(mean_excess / 1.0) ORDER BY lang)),
+                (a, x) -> a + x) AS z
+              FROM m
+            )
+            SELECT lang AS domain, n::BIGINT AS n_bigrams, mean_excess,
+              round(exp(mean_excess / 1.0) / nrm.z, 6) AS weight
+            FROM m CROSS JOIN nrm ORDER BY domain
         """,
         "doc_epoch_shards": """
             WITH eps(epoch) AS (VALUES (0), (1)),

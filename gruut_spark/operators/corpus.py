@@ -838,33 +838,17 @@ def epoch_shards(
     return df.withColumn("sort_key", key).withColumn("shard", shard)
 
 
-def moore_lewis_scores(
-    df: DataFrame, target_filter, text_col: str = "text",
-    id_col: str = "doc_id", alpha: float = 0.5,
-) -> DataFrame:
-    """Moore-Lewis cross-entropy-difference data selection (Moore &
-    Lewis 2010, the classic two-LM contrastive filter): per document,
-    score = (1/n_bigrams) * sum_i [ log10 p_tgt(w_i | w_{i-1})
-    - log10 p_gen(w_i | w_{i-1}) ] under two add-alpha bigram LMs —
-    one trained on the in-domain slice (rows matching
-    ``target_filter``), one on the whole corpus. Higher = reads more
-    like the target domain; select by threshold or top-k. Distinct
-    from DSIR (dsir_importance): real n-grams with add-alpha smoothing
-    and per-token normalization, not hashed-bucket ratios.
-
-    Scale shape: training is two ngram_count_text passes per model —
-    ONE corpus-scale shuffle each, collapsing to the Heaps'-law-small
-    distinct-gram histograms; the two vocab sizes are bounded driver
-    scalars (counts, not documents). Scoring explodes doc bigrams and
-    broadcast-joins the count tables (AQE broadcasts the
-    Heaps'-bounded sides on its own), then ONE map-side-combined
-    groupBy(doc) — the BM25 join shape. Per-doc sums use the
-    classifier's EXACT fixed-point trick (round(term*1e9) summed as
-    decimal(38,0)), so the score is independent of partition combine
-    order and the DuckDB oracle reproduces it bit-for-bit.
-
-    Returns (id_col, n_bigrams, ml_score); docs with < 2 tokens score
-    0.0 with n_bigrams = 0."""
+def _ml_scored_positions(
+    df: DataFrame, target_filter, text_col: str, id_col: str,
+    alpha: float, keep_cols: tuple = (),
+):
+    """The shared Moore-Lewis scoring frame: per doc-bigram position,
+    the fixed-point excess-likelihood term ``_fp`` (decimal(38,0),
+    NULL for the explode_outer placeholder of bigram-less docs) plus
+    ``gram`` and any ``keep_cols`` carried from the input (DoReMi
+    aggregates by domain this way). Trains both add-alpha bigram LMs
+    (target slice vs whole corpus) exactly as documented on
+    moore_lewis_scores."""
     from .lm_train import ngram_count_text
     from .textstats import word_ngrams
 
@@ -895,8 +879,13 @@ def moore_lewis_scores(
         )
     a_vt, a_vg = alpha * float(vt), alpha * float(vg)
 
-    base, bigrams = word_ngrams(df, text_col, 2, keep_cols=(F.col(id_col),))
-    pos = base.select(id_col, F.explode_outer(bigrams).alias("gram"))
+    base, bigrams = word_ngrams(
+        df, text_col, 2,
+        keep_cols=(F.col(id_col), *[F.col(k) for k in keep_cols]),
+    )
+    pos = base.select(
+        id_col, *keep_cols, F.explode_outer(bigrams).alias("gram")
+    )
     joined = (
         pos.join(bt.withColumnRenamed("cnt", "_bt"), "gram", "left")
         .join(bg.withColumnRenamed("cnt", "_bg"), "gram", "left")
@@ -918,8 +907,40 @@ def moore_lewis_scores(
         F.col("gram").isNotNull(),
         F.round(term * F.lit(1e9), 0).cast("decimal(38,0)"),
     )
-    agg = joined.groupBy(id_col).agg(
-        F.sum(fp).alias("_s"), F.count("gram").alias("_n")
+    return joined.select(id_col, *keep_cols, "gram", fp.alias("_fp"))
+
+
+def moore_lewis_scores(
+    df: DataFrame, target_filter, text_col: str = "text",
+    id_col: str = "doc_id", alpha: float = 0.5,
+) -> DataFrame:
+    """Moore-Lewis cross-entropy-difference data selection (Moore &
+    Lewis 2010, the classic two-LM contrastive filter): per document,
+    score = (1/n_bigrams) * sum_i [ log10 p_tgt(w_i | w_{i-1})
+    - log10 p_gen(w_i | w_{i-1}) ] under two add-alpha bigram LMs —
+    one trained on the in-domain slice (rows matching
+    ``target_filter``), one on the whole corpus. Higher = reads more
+    like the target domain; select by threshold or top-k. Distinct
+    from DSIR (dsir_importance): real n-grams with add-alpha smoothing
+    and per-token normalization, not hashed-bucket ratios.
+
+    Scale shape: training is two ngram_count_text passes per model —
+    ONE corpus-scale shuffle each, collapsing to the Heaps'-law-small
+    distinct-gram histograms; the two vocab sizes are bounded driver
+    scalars (counts, not documents). Scoring explodes doc bigrams and
+    broadcast-joins the count tables (AQE broadcasts the
+    Heaps'-bounded sides on its own), then ONE map-side-combined
+    groupBy(doc) — the BM25 join shape. Per-doc sums use the
+    classifier's EXACT fixed-point trick (round(term*1e9) summed as
+    decimal(38,0)), so the score is independent of partition combine
+    order and the DuckDB oracle reproduces it bit-for-bit.
+
+    Returns (id_col, n_bigrams, ml_score); docs with < 2 tokens score
+    0.0 with n_bigrams = 0."""
+    agg = _ml_scored_positions(
+        df, target_filter, text_col, id_col, alpha
+    ).groupBy(id_col).agg(
+        F.sum("_fp").alias("_s"), F.count("gram").alias("_n")
     )
     return agg.select(
         id_col,
@@ -931,3 +952,54 @@ def moore_lewis_scores(
             ),
         ).otherwise(F.lit(0.0)).alias("ml_score"),
     )
+
+
+def doremi_domain_weights(
+    df: DataFrame, domain_col: str, target_filter, text_col: str = "text",
+    id_col: str = "doc_id", alpha: float = 0.5, temperature: float = 1.0,
+) -> list:
+    """DoReMi-style domain reweighting (Xie et al. 2023's
+    excess-loss-driven mixture weights, with the Moore-Lewis two-LM
+    excess log-likelihood standing in for the proxy/reference model
+    pair): per domain, the mean per-bigram excess (target-vs-general
+    log-likelihood difference), softmaxed into mixture weights —
+    domains that read MORE like the target corpus get MORE weight.
+    Feed the weights to mix_to_target / temperature sampling.
+
+    Returns a sorted list of (domain, n_bigrams, mean_excess, weight)
+    tuples — a bounded driver-side result (one row per domain), like
+    mix_to_target's rate fit.
+
+    Engine-exactness: the per-domain sums reuse the Moore-Lewis
+    fixed-point terms (exact decimal ints, combine-order-free); the
+    mean is rounded to 6 BEFORE the softmax so both engines
+    exponentiate identical doubles, and the softmax normalizer is an
+    order-pinned left fold over sorted domains (the temperature_mix
+    contract)."""
+    import math
+
+    rows = (
+        _ml_scored_positions(
+            df, target_filter, text_col, id_col, alpha,
+            keep_cols=(domain_col,),
+        )
+        .groupBy(domain_col)
+        .agg(F.sum("_fp").alias("_s"), F.count("gram").alias("_n"))
+        .collect()
+    )
+    stats = {
+        r[domain_col]: (int(r["_n"]), float(r["_s"]))
+        for r in rows
+        if r[domain_col] is not None and r["_n"]
+    }
+    means = {
+        d: round((s / 1e9) / n, 6) for d, (n, s) in stats.items()
+    }
+    z = 0.0
+    for d in sorted(means):
+        z += math.exp(means[d] / temperature)
+    return [
+        (d, stats[d][0], means[d],
+         round(math.exp(means[d] / temperature) / z, 6))
+        for d in sorted(means)
+    ]

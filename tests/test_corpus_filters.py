@@ -547,3 +547,31 @@ def test_topic_clusters_all_empty_raises(spark):
     )
     with pytest.raises(ValueError, match="nothing to cluster"):
         topic_clusters(df, "text", "doc_id", n_clusters=2, train_sample=4)
+
+
+def test_doremi_domain_weights(spark):
+    """Target-domain docs earn the highest weight; weights sum to ~1;
+    exact Python replication of the fold."""
+    import math
+
+    from gruut_spark.operators.corpus import doremi_domain_weights
+
+    rows = [
+        (0, "en", "the cat sat on the mat"),
+        (1, "en", "the cat ran to the mat"),
+        (2, "de", "der hund sitzt auf der matte"),
+        (3, "de", "der hund rennt zu der matte"),
+        (4, "fr", "le chat dort sur le tapis"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = doremi_domain_weights(df, "lang", F.col("lang") == "en")
+    weights = {d: w for d, n, m, w in out}
+    assert max(weights, key=weights.get) == "en"
+    assert abs(sum(weights.values()) - 1.0) < 1e-5
+    # softmax replication from the reported means
+    means = {d: m for d, n, m, w in out}
+    z = 0.0
+    for d in sorted(means):
+        z += math.exp(means[d] / 1.0)
+    for d in means:
+        assert weights[d] == round(math.exp(means[d] / 1.0) / z, 6)
