@@ -6132,8 +6132,11 @@ def oracle_sql() -> dict[str, str]:
               FROM terms GROUP BY lang
             ),
             m AS (
+              -- lang IS NOT NULL mirrors the operator's NULL-domain
+              -- exclusion (review: a NULL-lang doc would otherwise add
+              -- an extra row AND shift every weight via the normalizer)
               SELECT lang, n, round((s / 1000000000.0) / n, 6) AS mean_excess
-              FROM agg WHERE n > 0
+              FROM agg WHERE n > 0 AND lang IS NOT NULL
             ),
             nrm AS (
               -- order-pinned softmax normalizer (the temperature_mix

@@ -874,8 +874,8 @@ def _ml_scored_positions(
         # an empty target LM would make every target term log10(x/0.0)
         # = +-Inf -> NULL scores everywhere; fail loudly instead (review)
         raise ValueError(
-            "moore_lewis_scores: target_filter matched no rows with "
-            "tokens — the target LM is undefined"
+            "Moore-Lewis machinery (_ml_scored_positions): target_filter "
+            "matched no rows with tokens — the target LM is undefined"
         )
     a_vt, a_vg = alpha * float(vt), alpha * float(vg)
 
@@ -954,6 +954,19 @@ def moore_lewis_scores(
     )
 
 
+def _round_half_up(x: float, digits: int) -> float:
+    """Round like Spark's F.round / DuckDB's round (HALF_UP over the
+    double's shortest decimal repr) — Python's builtin round() is
+    half-EVEN over the binary value and diverges on decimal-half
+    boundaries (review: round(0.1234565, 6) is 0.123456 in Python but
+    0.123457 in both engines), which would break the hash gate the
+    first time a mean lands on a boundary."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
 def doremi_domain_weights(
     df: DataFrame, domain_col: str, target_filter, text_col: str = "text",
     id_col: str = "doc_id", alpha: float = 0.5, temperature: float = 1.0,
@@ -993,13 +1006,13 @@ def doremi_domain_weights(
         if r[domain_col] is not None and r["_n"]
     }
     means = {
-        d: round((s / 1e9) / n, 6) for d, (n, s) in stats.items()
+        d: _round_half_up((s / 1e9) / n, 6) for d, (n, s) in stats.items()
     }
     z = 0.0
     for d in sorted(means):
         z += math.exp(means[d] / temperature)
     return [
         (d, stats[d][0], means[d],
-         round(math.exp(means[d] / temperature) / z, 6))
+         _round_half_up(math.exp(means[d] / temperature) / z, 6))
         for d in sorted(means)
     ]

@@ -556,16 +556,20 @@ def test_doremi_domain_weights(spark):
 
     from gruut_spark.operators.corpus import doremi_domain_weights
 
+    from gruut_spark.operators.corpus import _round_half_up
+
     rows = [
         (0, "en", "the cat sat on the mat"),
         (1, "en", "the cat ran to the mat"),
         (2, "de", "der hund sitzt auf der matte"),
         (3, "de", "der hund rennt zu der matte"),
         (4, "fr", "le chat dort sur le tapis"),
+        (5, None, "rows with a NULL domain are excluded entirely"),
     ]
     df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
     out = doremi_domain_weights(df, "lang", F.col("lang") == "en")
     weights = {d: w for d, n, m, w in out}
+    assert set(weights) == {"en", "de", "fr"}  # NULL domain dropped
     assert max(weights, key=weights.get) == "en"
     assert abs(sum(weights.values()) - 1.0) < 1e-5
     # softmax replication from the reported means
@@ -574,4 +578,8 @@ def test_doremi_domain_weights(spark):
     for d in sorted(means):
         z += math.exp(means[d] / 1.0)
     for d in means:
-        assert weights[d] == round(math.exp(means[d] / 1.0) / z, 6)
+        assert weights[d] == _round_half_up(math.exp(means[d] / 1.0) / z, 6)
+    # the engine-parity rounding (review): half-up over the decimal
+    # repr, where Python's builtin round() is half-even
+    assert _round_half_up(0.1234565, 6) == 0.123457
+    assert round(0.1234565, 6) == 0.123456
