@@ -33,6 +33,8 @@ from typing import List, Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .corpus import _round_half_up
+
 QUALITY_STOPWORDS = ["a", "and", "in", "is", "of", "the", "to"]
 
 
@@ -120,7 +122,11 @@ def logreg_train(
         ).collect()[0]
         n = float(row["n"])
         w = [
-            round(w[j] - lr * (float(row[j]) / (n * 1e9)), 12)
+            # HALF_UP like F.round / DuckDB round — builtin round() is
+            # half-even and diverges on decimal-half boundaries
+            # (corpus.py::_round_half_up; the oracle replays the weight
+            # update with DuckDB round(..., 12))
+            _round_half_up(w[j] - lr * (float(row[j]) / (n * 1e9)), 12)
             for j in range(dim)
         ]
     return w

@@ -124,7 +124,11 @@ def hll_estimate_from_registers(regs) -> tuple:
         est = float(HLL_M) * math.log(float(HLL_M) / n_zero)
     else:
         est = raw
-    return n_zero, round(est, 6)
+    # HALF_UP to match the batch operator's F.round (builtin round
+    # is half-even; corpus.py::_round_half_up documents the trap)
+    from .corpus import _round_half_up
+
+    return n_zero, _round_half_up(est, 6)
 
 
 def hll_distinct_tokens(
