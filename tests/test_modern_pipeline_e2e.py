@@ -1,0 +1,84 @@
+"""End-to-end showcase: the full modern training-data pipeline chained
+from this repo's operators — quality filter + page rules -> dedup ->
+temperature mixing -> deterministic epoch sharding -> WordPiece
+tokenization — asserting the cross-stage invariants a production run
+relies on (determinism, no duplicate survivors, balanced shards,
+UNK-free tokenization of surviving text)."""
+
+from pyspark.sql import functions as F
+
+
+def test_full_modern_pipeline(spark):
+    from gruut_spark.operators.corpus import epoch_shards, temperature_mix
+    from gruut_spark.operators.wordpiece import (
+        wordpiece_encode_words,
+        wordpiece_vocab,
+    )
+    from gruut_spark.plans.corpus_pipeline import compose_corpus_stages
+
+    base = ("solid sentence alpha beta gamma delta.\n"
+            "second solid sentence epsilon zeta eta.\n"
+            "third full sentence theta iota kappa.")
+    rows = []
+    for i in range(120):
+        lang = "en" if i % 3 else "de"
+        rows.append((i, f"d{i}", lang, base + f"\nunique closing line {i} marker."))
+    rows += [
+        (200, "d0", "en", base + "\nunique closing line 0 marker."),  # exact dup
+        (201, "dx", "en", base + "\nhas the banned term inside."),    # blocklist
+        (202, "dy", "en", "too short."),                              # C4 drop
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, digest string, lang string, text string"
+    )
+
+    survivors = compose_corpus_stages(
+        df, id_col="doc_id", digest_col="digest", lang_col="lang",
+        text_col="text", c4_page_rules=True, blocklist_terms=["banned"],
+    )
+    ids = {r["doc_id"] for r in survivors.collect()}
+    assert 201 not in ids and 202 not in ids
+    assert len({200, 0} & ids) == 1          # one copy of the exact pair
+    assert len(ids) >= 100
+
+    # token counts for the mixer
+    with_tokens = survivors.withColumn(
+        "n_tokens",
+        F.size(F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")),
+    )
+    mixed = temperature_mix(
+        with_tokens, "lang", "n_tokens", "doc_id", 2.0, 1200
+    )
+    mixed_ids = {r["doc_id"] for r in mixed.collect()}
+    assert mixed_ids and mixed_ids < ids      # a strict, deterministic subset
+    again = {
+        r["doc_id"]
+        for r in temperature_mix(
+            with_tokens, "lang", "n_tokens", "doc_id", 2.0, 1200
+        ).collect()
+    }
+    assert again == mixed_ids
+
+    sharded = epoch_shards(mixed, "doc_id", epoch=1, n_shards=4)
+    shards = {}
+    for r in sharded.select("doc_id", "shard").collect():
+        shards.setdefault(r["shard"], set()).add(r["doc_id"])
+    assert set().union(*shards.values()) == mixed_ids  # partition, no loss
+    assert len(shards) >= 2
+
+    vocab = wordpiece_vocab(mixed, "text", top_k=60, min_count=2)
+    words = (
+        mixed.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.trim("text")), r"\s+"),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .distinct()
+        .filter(F.length("word") <= 16)
+    )
+    enc = wordpiece_encode_words(words, vocab)
+    # training-corpus words tokenize without [UNK]
+    assert enc.filter(F.col("pieces") == "[UNK]").count() == 0
