@@ -6007,7 +6007,11 @@ def oracle_sql() -> dict[str, str]:
                                 t -> t <> '')) AS n
               FROM documents
             ), tot AS (
+              -- lang IS NOT NULL mirrors _class_token_totals' NULL-class
+              -- exclusion: a NULL-lang row's sqrt must not enter the
+              -- normalizer fold (review)
               SELECT lang, sum(n)::BIGINT AS t FROM tok
+              WHERE lang IS NOT NULL
               GROUP BY lang HAVING sum(n) > 0
             ), pows AS (
               SELECT lang, t, sqrt(t::DOUBLE) AS sq FROM tot
@@ -6053,7 +6057,7 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
             ), feat AS (
               SELECT doc_id, text,
-                list_transform(string_split(text, chr(10)),
+                list_transform(string_split_regex(text, '\r?\n'),
                                l -> trim(l)) AS lines
               FROM docs
             ), kept AS (

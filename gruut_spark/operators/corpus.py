@@ -676,7 +676,10 @@ def _c4_kept_lines(text_col: str, min_words_per_line: int) -> "F.Column":
     terminal punct + >= min words + no 'javascript'). Shared by the
     reporting operator and the composed keep predicate."""
     text = F.coalesce(F.col(text_col), F.lit(""))
-    lines = F.transform(F.split(text, "\n"), lambda l: F.trim(l))
+    # \r?\n: Java's `$` matches BEFORE a trailing \r, RE2's does not —
+    # splitting CRLF here keeps both engines' terminal-punct rule
+    # identical on Windows-style text (review)
+    lines = F.transform(F.split(text, "\r?\n"), lambda l: F.trim(l))
     return F.filter(
         lines,
         lambda l: l.rlike(_C4_TERMINAL_RE)
@@ -710,12 +713,21 @@ def _normalize_blocklist(terms) -> list:
     cannot honor (empty or multi-word phrases) instead of silently
     never hitting them (review): the matcher compares single
     whitespace tokens, so 'blue waffle' would be a permanent no-op."""
+    import re
+
     out = sorted({str(t).lower() for t in terms})
     bad = [t for t in out if not t or any(ch.isspace() for ch in t)]
+    # a term the edge-strip would mutate ('c++', 'a$$') can never equal
+    # a stripped token — reject it as loudly as a phrase (review)
+    bad += [
+        t for t in out
+        if t and re.sub(r"^[\W_]+|[\W_]+$", "", t) != t
+    ]
     if bad:
         raise ValueError(
-            f"blocklist terms must be single non-empty words, got {bad!r}"
-            " — match phrases with decontaminate()/substring tools instead"
+            f"blocklist terms must be single words with letter/digit "
+            f"edges, got {sorted(set(bad))!r} — match phrases/symbols "
+            "with decontaminate()/substring tools instead"
         )
     return out
 
@@ -753,7 +765,7 @@ def c4_line_clean(
     so nothing wide survives past the scan at 100 TB."""
     text = F.coalesce(F.col(text_col), F.lit(""))
     lines = F.transform(
-        F.split(text, "\n"), lambda l: F.trim(l)
+        F.split(text, "\r?\n"), lambda l: F.trim(l)
     )
     kept = _c4_kept_lines(text_col, min_words_per_line)
     staged = df.select(

@@ -902,12 +902,20 @@ def hashed_term_vectors(
         F.size("_toks").cast("double").alias("_n"),
         buckets.alias("_bs"),
     )
-    vec = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.size(
-            F.filter(F.col("_bs"), lambda x: x == b.cast("long"))
-        ).cast("double") / F.col("_n"),
+    # ONE aggregate fold over the bucket array (review): the previous
+    # per-component filter() referenced '_bs' inside dim separate
+    # lambdas, and CollapseProject inlined the singly-referenced alias
+    # — every token was md5-hashed dim times. As the fold's INPUT the
+    # bucket array is evaluated once per row regardless of inlining.
+    counts = F.aggregate(
+        F.col("_bs"),
+        F.array_repeat(F.lit(0), dim),
+        lambda acc, b: F.transform(
+            acc,
+            lambda v, i: F.when(i == b.cast("int"), v + 1).otherwise(v),
+        ),
     )
+    vec = F.transform(counts, lambda c: c.cast("double") / F.col("_n"))
     return staged2.select("vec_id", vec.alias("embedding"))
 
 

@@ -86,8 +86,12 @@ def compose_corpus_stages(
     # opt-in page-level drops FIRST: both are pure scan predicates
     # (zero shuffle, zero Python), the cheapest stages in the whole
     # composition — running them before dedup shrinks every later
-    # shuffle, and page drops commute with dedup (they never rewrite
-    # text, so digests are unaffected)
+    # shuffle. SEMANTICS NOTE (review): digests are whitespace-
+    # normalized, so two same-digest docs can carry DIFFERENT line
+    # structure and thus different C4 verdicts; filter-first means the
+    # surviving representative is the min-id among FILTER SURVIVORS
+    # (dedup-first could instead elect a copy the filter then kills).
+    # Filter-first is the documented, deliberate order.
     if blocklist_terms is not None:
         from ..operators.corpus import blocklist_keep_col
 

@@ -37,9 +37,22 @@ def test_c4_line_clean_rules(spark):
             "javascript to continue reading this.\nb full sentence one "
             "two three four."),
         (4, None),
+        # CRLF document: Java's $ matches before a trailing \r while
+        # RE2's does not — the \r?\n split keeps both engines identical
+        (5, "a crlf sentence one two three four.\r\n"
+            "b crlf sentence one two three four.\r\n"
+            "c crlf sentence one two three four."),
     ]
     df = spark.createDataFrame(docs, "doc_id long, text string")
     out = _rows(c4_line_clean(df, "text", "doc_id"))
+
+    r5 = out[5]
+    assert (r5["n_lines"], r5["n_kept"], r5["keep_doc"]) == (3, 3, 1)
+    assert r5["clean_md5"] == hashlib.md5(
+        ("a crlf sentence one two three four.\n"
+         "b crlf sentence one two three four.\n"
+         "c crlf sentence one two three four.").encode()
+    ).hexdigest()
 
     r0 = out[0]
     assert (r0["n_lines"], r0["n_kept"], r0["n_sentences"]) == (5, 3, 3)
@@ -285,7 +298,9 @@ def _expected_moore_lewis(rows, target_langs, alpha=0.5):
                 math.log10((bt.get(g, 0) + alpha) / (ut.get(a, 0) + a_vt))
                 - math.log10((bg.get(g, 0) + alpha) / (ug.get(a, 0) + a_vg))
             )
-            s += int(Decimal(term * 1e9).quantize(0, ROUND_HALF_UP))
+            # Decimal(repr(...)): shortest-repr HALF_UP like F.round, NOT the
+            # binary value (the corpus.py::_round_half_up boundary trap)
+            s += int(Decimal(repr(term * 1e9)).quantize(0, ROUND_HALF_UP))
         n = len(ts) - 1
         out[doc_id] = (n, round((s / 1e9) / n, 6))
     return out
@@ -333,10 +348,14 @@ def test_blocklist_term_normalization(spark):
     assert out[0]["hit_terms"] == "bad"
     assert out[1]["hit_terms"] == "salopé"
 
-    with pytest.raises(ValueError, match="single non-empty words"):
+    with pytest.raises(ValueError, match="single words with letter/digit"):
         blocklist_hits(df, ["blue waffle"], "text", "doc_id")
     with pytest.raises(ValueError):
         blocklist_hits(df, [""], "text", "doc_id")
+    # symbol-edged terms are equally unmatchable (the edge strip would
+    # mutate them) and must be rejected, not silently never hit
+    with pytest.raises(ValueError, match="letter/digit"):
+        blocklist_hits(df, ["c++"], "text", "doc_id")
 
 
 def test_temperature_mix_null_class(spark):
@@ -368,7 +387,7 @@ def _py_c4(text, min_words=5, min_sents=3):
     import re
 
     text = text or ""
-    lines = [l.strip(" ") for l in text.split("\n")]
+    lines = [l.strip(" ") for l in re.split(r"\r?\n", text)]
     kept = [
         l for l in lines
         if re.search(r'[.!?…"]$', l)
