@@ -64,14 +64,70 @@ def _files_parquet(rows: int) -> str:
     return bench_files_parquet(rows, cache_root)
 
 
+def _cpu_work(_):
+    s = 0
+    for i in range(8_000_000):
+        s += i * i
+    return s
+
+
+def _steal_pct(dt: float = 0.5) -> float:
+    """Hypervisor steal %% over a dt-second /proc/stat delta."""
+    def read():
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        vals = [int(x) for x in parts[1:]]
+        return sum(vals), vals[7] if len(vals) > 7 else 0
+
+    t0, s0 = read()
+    time.sleep(dt)
+    t1, s1 = read()
+    total = t1 - t0
+    return round(100.0 * (s1 - s0) / total, 2) if total else 0.0
+
+
+def _control_single() -> float:
+    """Pure-CPython units/sec, single process (1 unit = one _cpu_work)."""
+    t0 = time.time()
+    _cpu_work(0)
+    return round(1.0 / (time.time() - t0), 2)
+
+
+def _control_pool(nproc: int) -> float:
+    """Pure-CPython units/sec at nproc processes — same shape as
+    scripts/bench_scaling.py::control (nproc*3 tasks, best of 2) so the
+    numbers are directly comparable with bench_scaling_runs.jsonl."""
+    import multiprocessing as mp
+
+    best = 0.0
+    for _ in range(2):
+        t0 = time.time()
+        with mp.Pool(nproc) as p:
+            p.map(_cpu_work, range(nproc * 3))
+        best = max(best, nproc * 3 / (time.time() - t0))
+    return round(best, 1)
+
+
 def _orchestrate(runs: int) -> None:
-    """Run the suite `runs` times, fresh JVM each, report per-query min."""
+    """Run the suite `runs` times, fresh JVM each, report per-query min.
+
+    Also measures the HOST, not just the engine: this is a shared VM
+    whose hypervisor steal swings single measurements 2-4x (BENCH.md
+    protocol), so each suite run is bracketed by a steal sample and a
+    single-process pure-CPython control, and one pool control at CPUS
+    runs at the end. A reader of the one-line JSON can normalize the
+    wall times against `host_control` without consulting side logs:
+    engine time on an idle host ~= measured * (control / reference),
+    reference values documented in BENCH.md §protocol.
+    """
     import subprocess
 
     env = dict(os.environ, BENCH_INNER="1")
-    results = []
+    results, steal, ctl_single = [], [], []
     for i in range(runs):
         print(f"[bench] suite run {i + 1}/{runs} (fresh JVM)", file=sys.stderr)
+        steal.append(_steal_pct())
+        ctl_single.append(_control_single())
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__)],
             env=env, stdout=subprocess.PIPE, text=True,
@@ -84,6 +140,8 @@ def _orchestrate(runs: int) -> None:
             print(proc.stdout[-2000:], file=sys.stderr)
             raise SystemExit(f"bench inner run {i + 1} failed rc={proc.returncode}")
         results.append(json.loads(lines[-1]))
+    steal.append(_steal_pct())
+    ctl_single.append(_control_single())
 
     merged = dict(results[0])
     merged["queries"] = {
@@ -93,15 +151,20 @@ def _orchestrate(runs: int) -> None:
     merged["files_per_sec"] = max(r["files_per_sec"] for r in results)
     merged["runs"] = runs
     merged["run_totals"] = [r["value"] for r in results]
+    merged["host_control"] = {
+        "steal_pct": steal,
+        "single_units_per_sec": ctl_single,
+        "pool_units_per_sec": {str(CPUS): _control_pool(CPUS)},
+    }
     print(json.dumps(merged))
 
 
 def main() -> None:
     if os.environ.get("BENCH_INNER") != "1":
-        runs = int(os.environ.get("BENCH_RUNS", "3"))
-        if runs > 1:
-            _orchestrate(runs)
-            return
+        # always orchestrate (even BENCH_RUNS=1) so host_control fields
+        # are present in every emitted JSON line
+        _orchestrate(int(os.environ.get("BENCH_RUNS", "3")))
+        return
 
     from pyspark.sql import SparkSession
 
