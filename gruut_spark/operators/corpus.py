@@ -880,8 +880,16 @@ def _ml_scored_positions(
     bt = counts(tgt, 2).localCheckpoint()
     ug = counts(df, 1).localCheckpoint()
     bg = counts(df, 2).localCheckpoint()
-    # vocab sizes: bounded driver-side scalars (distinct types, not docs)
-    vt, vg = ut.count(), ug.count()
+    # vocab sizes: bounded driver-side scalars (distinct types, not docs).
+    # ONE collected job for both (union of two 1-row partial-agg counts),
+    # not two sequential .count() jobs (review r4) — over the
+    # localCheckpointed histograms this is a single cached-scan pass.
+    vrow = (
+        ut.agg(F.count("*").alias("_vt"))
+        .crossJoin(ug.agg(F.count("*").alias("_vg")))
+        .collect()[0]
+    )
+    vt, vg = vrow["_vt"], vrow["_vg"]
     if vt == 0:
         # an empty target LM would make every target term log10(x/0.0)
         # = +-Inf -> NULL scores everywhere; fail loudly instead (review)

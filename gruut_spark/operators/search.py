@@ -108,7 +108,9 @@ def tfidf_topk_terms(
     term — bounded by the Heaps'-law vocab), a broadcast-able join of
     the df table back, and a per-document window whose partitions are
     each bounded by one document's own vocabulary — never a skew risk.
-    N (corpus size) is one bounded driver scalar.
+    N (corpus size) is a 1-row broadcast aggregate folded into the same
+    job — no separate full-corpus count scan (at 100 TB a bare
+    df.count() for one scalar is a whole extra pass; review r4).
 
     Engine-exactness: the rank orders by the ROUNDED score (6 dp), term
     ascending, so a 1-ulp ln() divergence between engines cannot flip
@@ -117,23 +119,30 @@ def tfidf_topk_terms(
 
     from .textstats import word_ngrams
 
-    n_docs = float(df.count())
     base, grams = word_ngrams(df, text_col, 1, keep_cols=(F.col(id_col),))
+    # N counts ALL documents (empty/whitespace docs included — word_ngrams
+    # keeps one base row per input row), matching the old df.count()
+    stats = base.agg(F.count("*").alias("_N"))
     tokens = base.select(
         id_col, F.explode(grams).alias("term")
     ).filter(F.col("term") != "")
     tf = tokens.groupBy(id_col, "term").agg(F.count("*").alias("tf"))
     dfreq = tf.groupBy("term").agg(F.count("*").alias("_df"))
-    idf = F.log((F.lit(n_docs) + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))) \
-        + F.lit(1.0)
+    idf = F.log(
+        (F.col("_N").cast("double") + F.lit(1.0)) / (F.col("_df") + F.lit(1.0))
+    ) + F.lit(1.0)
     # explicit broadcast (review): without the hint a shuffle join keyed
     # by term puts every (doc, stopword) row in one partition — Zipf
     # skew makes that the straggler. The vocab is Heaps'-bounded; a
     # corpus whose pruned vocab exceeds the broadcast ceiling should
     # min_df-prune dfreq first.
-    scored = tf.join(F.broadcast(dfreq), "term").select(
-        id_col, "term", "tf",
-        F.round(F.col("tf") * idf, 6).alias("score"),
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            id_col, "term", "tf",
+            F.round(F.col("tf") * idf, 6).alias("score"),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.desc("score"), F.asc("term")
