@@ -1932,15 +1932,19 @@ def _embedding_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multimodal feature extraction with REAL header decoding: the
-    synthetic payloads carry genuine PNG/WAV headers and the operator's
-    pure-Python parsers (operators/multimodal.py parse_png_header /
-    parse_wav_header) recover width/height and sample-rate/duration;
-    the oracle embeds the GENERATION-time values as literals, so the
-    gate checks parser-vs-generator round-trip. Only the compressed
-    payload decode stays stubbed. The operator's array<float> feature
-    column is reduced to driver-hashable scalars (rounded mean + md5
-    over rounded components)."""
+    """Multimodal feature extraction with REAL decoding: the synthetic
+    payloads are genuine (fully decodable) PNG/WAV files; the operator's
+    pure-stdlib parsers recover width/height and sample-rate/duration
+    from the headers, AND the pixel/PCM decoders (operators/multimodal.py
+    decode_png: zlib-inflated IDAT + all five spec unfilters;
+    decode_wav_pcm) recover the payload bodies, surfaced as pixel stats
+    (mean/extrema/channels) and PCM stats (RMS/peak/frame-derived
+    duration). The oracle embeds the GENERATION-time values — computed
+    on the raw arrays BEFORE encoding — as literals, so the gate checks
+    decoder-vs-generator round-trip through real binary payloads. The
+    operator's array<float> digest pseudo-embedding is reduced to
+    driver-hashable scalars (rounded mean + md5 over rounded
+    components)."""
     from gruut_spark.operators.multimodal import extract_features, synthetic_multimodal
 
     feats = extract_features(synthetic_multimodal(spark, n=48))
@@ -1955,6 +1959,8 @@ def _multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "sample_id", "modality", "n_bytes", "payload_sha256", "frames_sampled",
         "hdr_width", "hdr_height", "hdr_sample_rate", "hdr_duration_ms",
+        "px_mean", "px_min", "px_max", "px_channels",
+        "pcm_rms", "pcm_peak", "pcm_n_samples", "pcm_duration_ms",
         F.round(fmean, 6).alias("feature_mean"),
         fmd5.alias("feature_md5"),
     ).orderBy("sample_id")
@@ -3664,7 +3670,9 @@ def _multimodal_oracle_sql(n: int = 48, seed: int = 42) -> str:
     from gruut_spark.operators.multimodal import synthetic_rows_with_truth
 
     def lit(v):
-        return "NULL" if v is None else str(v)
+        # repr() for floats: shortest round-trip decimal, which DuckDB's
+        # correctly-rounded parser maps back to the identical double
+        return "NULL" if v is None else repr(v) if isinstance(v, float) else str(v)
 
     rows = []
     for (i, modality, payload, meta), truth in synthetic_rows_with_truth(n, seed):
@@ -3673,12 +3681,18 @@ def _multimodal_oracle_sql(n: int = 48, seed: int = 42) -> str:
         rows.append(
             f"({i},'{modality}',{len(payload)},'{sha}',{dur},"
             f"{lit(truth['hdr_width'])},{lit(truth['hdr_height'])},"
-            f"{lit(truth['hdr_sample_rate'])},{lit(truth['hdr_duration_ms'])})"
+            f"{lit(truth['hdr_sample_rate'])},{lit(truth['hdr_duration_ms'])},"
+            f"{lit(truth['px_mean'])},{lit(truth['px_min'])},"
+            f"{lit(truth['px_max'])},{lit(truth['px_channels'])},"
+            f"{lit(truth['pcm_rms'])},{lit(truth['pcm_peak'])},"
+            f"{lit(truth['pcm_n_samples'])},{lit(truth['pcm_duration_ms'])})"
         )
     values = ",".join(rows)
     return f"""
         WITH samples(sample_id, modality, n_bytes, sha, duration_ms,
-                     hdr_width, hdr_height, hdr_sample_rate, hdr_duration_ms)
+                     hdr_width, hdr_height, hdr_sample_rate, hdr_duration_ms,
+                     px_mean, px_min, px_max, px_channels,
+                     pcm_rms, pcm_peak, pcm_n_samples, pcm_duration_ms)
           AS (VALUES {values}),
         db AS (
           SELECT *,
@@ -3699,6 +3713,11 @@ def _multimodal_oracle_sql(n: int = 48, seed: int = 42) -> str:
                hdr_width::INT AS hdr_width, hdr_height::INT AS hdr_height,
                hdr_sample_rate::INT AS hdr_sample_rate,
                hdr_duration_ms::INT AS hdr_duration_ms,
+               px_mean::DOUBLE AS px_mean, px_min::INT AS px_min,
+               px_max::INT AS px_max, px_channels::INT AS px_channels,
+               pcm_rms::DOUBLE AS pcm_rms, pcm_peak::INT AS pcm_peak,
+               pcm_n_samples::BIGINT AS pcm_n_samples,
+               pcm_duration_ms::INT AS pcm_duration_ms,
                round(list_sum(fv) / 16, 6) AS feature_mean,
                md5(array_to_string(list_transform(fv, v -> printf('%.4f', v)), ','))
                  AS feature_md5
@@ -6192,7 +6211,8 @@ def oracle_sql() -> dict[str, str]:
             FROM scored WHERE rk = 1 ORDER BY cluster_id
         """,
         # doc_langid, doc_gruut_tokens, quality_verdict, dedup_minhash_lsh,
-        # dedup_simhash, ann_lsh_topk, multimodal_features: rows-only
-        # (model inference / LSH bucketing / gruut fixpoint are not
-        # SQL-expressible).
+        # dedup_simhash, ann_lsh_topk: rows-only (model inference / LSH
+        # bucketing / gruut fixpoint are not SQL-expressible).
+        # multimodal_features IS value-oracled (registered above via
+        # _multimodal_oracle_sql, incl. the r5 pixel/PCM decode columns).
     }

@@ -80,13 +80,9 @@ def test_brute_force_topk_and_lsh(spark):
 
 def test_multimodal_plumbing(spark):
     from gruut_spark.operators.multimodal import (
-        decode_stub,
         extract_features,
         synthetic_multimodal,
     )
-
-    with pytest.raises(NotImplementedError):
-        decode_stub(b"abc", "image/png")  # real codec is stubbed
 
     mm = synthetic_multimodal(spark, n=24)
     out = extract_features(mm).collect()
@@ -1704,26 +1700,26 @@ def test_wav_png_header_parsers():
 
     rng = np.random.default_rng(7)
     for _ in range(20):
-        payload, w, h = _synthetic_png(rng)
+        payload, w, h, _px = _synthetic_png(rng)
         got = parse_png_header(payload)
-        assert got == {"width": w, "height": h, "bit_depth": 8,
-                       "color_type": 6}
+        assert got["width"] == w and got["height"] == h
+        assert got["bit_depth"] == 8 and got["color_type"] in (0, 2, 6)
         assert parse_wav_header(payload) is None
 
-        payload, rate, dur = _synthetic_wav(rng)
+        payload, rate, dur, _pcm = _synthetic_wav(rng)
         got = parse_wav_header(payload)
         assert got["sample_rate"] == rate and got["duration_ms"] == dur
         assert got["channels"] == 1 and got["bits_per_sample"] == 16
         assert parse_png_header(payload) is None
 
     # corruption: flipped IHDR byte fails CRC -> None
-    payload, w, h = _synthetic_png(rng)
+    payload, w, h, _px = _synthetic_png(rng)
     bad = bytearray(payload)
     bad[17] ^= 0xFF
     assert parse_png_header(bytes(bad)) is None
     # truncated WAV header -> None; data size still honored when the
     # stream body is truncated but chunks are complete
-    payload, rate, dur = _synthetic_wav(rng)
+    payload, rate, dur, _pcm = _synthetic_wav(rng)
     assert parse_wav_header(payload[:20]) is None
     assert parse_wav_header(b"") is None and parse_png_header(b"") is None
     # odd-sized chunk word alignment: insert a 3-byte LIST chunk between
@@ -1755,6 +1751,160 @@ def test_multimodal_header_columns(spark):
         assert r["hdr_duration_ms"] == t["hdr_duration_ms"]
         if r["modality"] == "video":
             assert r["hdr_width"] is None and r["hdr_sample_rate"] is None
+
+
+def test_png_unfilter_differential():
+    """decode_png's vectorized unfilter vs an independent naive per-byte
+    reference written straight from the PNG spec §9 text — encoder and
+    decoder are each other's inverse, so a shared misunderstanding would
+    cancel in round-trip tests; this differential breaks that symmetry."""
+    import zlib
+
+    import numpy as np
+
+    from gruut_spark.operators.multimodal import decode_png, encode_png
+
+    def naive_decode(payload, w, h, ch):
+        # find IDAT chunks naively, inflate, unfilter per spec text
+        import struct as st
+        pos, idat = 33, b""
+        while pos + 12 <= len(payload):
+            (ln,) = st.unpack(">I", payload[pos:pos + 4])
+            if payload[pos + 4:pos + 8] == b"IDAT":
+                idat += payload[pos + 8:pos + 8 + ln]
+            pos += 12 + ln
+        raw = zlib.decompress(idat)
+        stride, bpp = w * ch, ch
+        prev = [0] * stride
+        out = []
+        for y in range(h):
+            off = y * (1 + stride)
+            ft = raw[off]
+            line = list(raw[off + 1:off + 1 + stride])
+            recon = [0] * stride
+            for x in range(stride):
+                a = recon[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if ft == 0:
+                    v = line[x]
+                elif ft == 1:
+                    v = line[x] + a
+                elif ft == 2:
+                    v = line[x] + b
+                elif ft == 3:
+                    v = line[x] + (a + b) // 2
+                else:  # paeth
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pr = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                    v = line[x] + pr
+                recon[x] = v % 256
+            out.append(recon)
+            prev = recon
+        return np.array(out, dtype=np.uint8).reshape(h, w, ch)
+
+    rng = np.random.default_rng(11)
+    for ch in (1, 3, 4):
+        px = rng.integers(0, 256, (9, 7, ch), dtype=np.uint8)
+        payload = encode_png(px)  # cycles all five filter types
+        got = decode_png(payload)
+        ref = naive_decode(payload, 7, 9, ch)
+        assert (got == ref).all() and (got == px).all()
+
+
+def test_multimodal_payload_decode():
+    """REAL payload decode: PNG pixels and WAV PCM frames recovered
+    exactly; corruption rejected as None, never garbage."""
+    import struct
+
+    import numpy as np
+
+    from gruut_spark.operators.multimodal import (
+        decode_png,
+        decode_wav_pcm,
+        encode_png,
+        pcm_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    # every channel count x every single filter type round-trips
+    for ch in (1, 2, 3, 4):
+        for ft in range(5):
+            px = rng.integers(0, 256, (12, 10, ch), dtype=np.uint8)
+            out = decode_png(encode_png(px, filters=[ft]))
+            assert out is not None and (out == px).all(), (ch, ft)
+    px = rng.integers(0, 256, (33, 21, 3), dtype=np.uint8)
+    good = encode_png(px)
+    # corrupt IDAT byte -> chunk CRC fails -> None
+    bad = bytearray(good)
+    bad[60] ^= 0xFF
+    assert decode_png(bytes(bad)) is None
+    # truncated payload -> None
+    assert decode_png(good[:-15]) is None
+    # unknown filter byte inside the inflated stream -> None
+    raw = bytearray(b"\x05" + px[0].tobytes())
+    for y in range(1, 33):
+        raw += b"\x00" + px[y].tobytes()
+    import zlib as _z
+    bad_idat = _z.compress(bytes(raw))
+
+    def chunk(t, d):
+        return (struct.pack(">I", len(d)) + t + d
+                + struct.pack(">I", _z.crc32(t + d) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", 21, 33, 8, 2, 0, 0, 0)
+    evil = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", bad_idat) + chunk(b"IEND", b""))
+    assert decode_png(evil) is None
+
+    # WAV: stereo 16-bit and mono 8-bit PCM round-trip
+    frames = rng.integers(-32768, 32768, (500, 2), dtype=np.int16)
+    data = frames.astype("<i2").tobytes()
+    hdr = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000,
+                                   16000 * 4, 4, 16)
+           + b"data" + struct.pack("<I", len(data)))
+    samples, rate = decode_wav_pcm(hdr + data)
+    assert rate == 16000 and samples.shape == (500, 2)
+    assert (samples == frames.astype(np.int32)).all()
+    st = pcm_stats(samples, rate)
+    assert st["pcm_n_samples"] == 500 and st["pcm_duration_ms"] == 31
+    assert st["pcm_peak"] == int(np.abs(frames.astype(np.int64)).max())
+
+    data8 = bytes(rng.integers(0, 256, 300, dtype=np.uint8))
+    hdr8 = (b"RIFF" + struct.pack("<I", 36 + len(data8)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000,
+                                    8000, 1, 8)
+            + b"data" + struct.pack("<I", len(data8)))
+    samples8, rate8 = decode_wav_pcm(hdr8 + data8)
+    assert rate8 == 8000 and samples8.shape == (300, 1)
+    assert (samples8[:, 0] == np.frombuffer(data8, np.uint8).astype(np.int32) - 128).all()
+    # truncated data chunk (declared size > bytes present) -> None
+    assert decode_wav_pcm((hdr + data)[:-10]) is None
+
+
+def test_multimodal_decode_columns(spark):
+    """extract_features' payload-derived columns match the
+    GENERATION-time stats (computed on the raw arrays before encoding):
+    the distributed decode recovers the generator's data exactly. Video
+    rows carry the NULL leg."""
+    from gruut_spark.operators.multimodal import (
+        extract_features,
+        synthetic_multimodal,
+        synthetic_rows_with_truth,
+    )
+
+    truth = {row[0]: t for row, t in synthetic_rows_with_truth(24)}
+    out = extract_features(synthetic_multimodal(spark, n=24)).collect()
+    keys = ("px_mean", "px_min", "px_max", "px_channels",
+            "pcm_rms", "pcm_peak", "pcm_n_samples", "pcm_duration_ms")
+    for r in out:
+        t = truth[r["sample_id"]]
+        for k in keys:
+            assert r[k] == t[k], (r["sample_id"], k, r[k], t[k])
+        if r["modality"] == "video":
+            assert all(r[k] is None for k in keys)
 
 
 def test_repetition_ngram_stats(spark):
