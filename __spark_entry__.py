@@ -675,6 +675,81 @@ def _doc_gruut_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gruut_token_stats(_read(spark, sf_dir, "documents")).orderBy("doc_id")
 
 
+# Restriction applied identically on both engines before the tokenizer
+# slice: strip to ASCII letters + the slice punctuation set FIRST (so
+# lower() only ever sees ASCII — engine lowercase tables diverge on
+# exotica like U+0130), lowercase (kills initialism splitting), squash
+# space runs, trim, cap at 400 chars. On the surviving alphabet the
+# gruut fixpoint exercises exactly the whitespace/punctuation/break/
+# abbreviation machinery: number/date/time/currency transforms (digits,
+# symbols), word-breaks (-/_), replacements (’), initialisms (caps) and
+# protected words (.) are all unreachable, and the one reachable
+# abbreviation is "vs" (optional '.' in the reference pattern,
+# core/settings.py _EN_ABBREVIATIONS).
+_TOK_SLICE_RESTRICT_DUCK = (
+    "substr(trim(regexp_replace(lower("
+    "regexp_replace(text, '[^a-zA-Z,!?()\" ]+', '', 'g')), "
+    "' {2,}', ' ', 'g')), 1, 400)"
+)
+
+
+def _doc_tokenizer_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VALUE-gated slice of the gruut tokenizer fixpoint (round-5 ask):
+    documents.text restricted to the slice alphabet runs through the
+    REAL core pipeline (core/tokenizer.py process_tokens + flatten — the
+    production fixpoint, all stages enabled), emitting one row per final
+    token with its sentence/word position, kind, and spokenness. The
+    DuckDB oracle replays the reachable stages — punct peel, minor/major
+    break split, the 'vs' abbreviation, non-word IGNORE, the 5-pass cap,
+    and flatten's group-aware sentence breaking — as 25 unrolled
+    list-rewrite CTEs plus a sentence fold, so the fixpoint loop
+    machinery itself sits under the driver's hash gate (not just its
+    relational consumers). The full-language query (doc_gruut_tokens)
+    stays rows-only as documented; its 33 ported fixtures pin the
+    unreachable stages."""
+    _configure(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    restricted = F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(F.col("text"), '[^a-zA-Z,!?()" ]+', "")),
+                " {2,}", " ",
+            )
+        ),
+        1, 400,
+    )
+
+    @pandas_udf(
+        "array<struct<sent_idx:int,word_idx:int,token:string,"
+        "kind:string,is_spoken:boolean>>"
+    )
+    def _slice_toks(texts: pd.Series) -> pd.Series:
+        from gruut_spark.core.tokenizer import sentences as core_sentences
+
+        out = []
+        for t in texts.fillna(""):
+            rows = []
+            for s in core_sentences(t, "en_US"):
+                for w in s.words:
+                    kind = (
+                        "major" if w.is_major_break
+                        else "minor" if w.is_minor_break
+                        else "punct" if w.is_punctuation
+                        else "word"
+                    )
+                    rows.append((s.idx, w.idx, w.text, kind, w.is_spoken))
+            out.append(rows)
+        return pd.Series(out)
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", F.explode(_slice_toks(restricted)).alias("_w"))
+        .select("doc_id", "_w.*")
+        .orderBy("doc_id", "sent_idx", "word_idx")
+    )
+
+
 def _quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     _configure(spark)
     from gruut_spark.plans.quality_pipeline import build_pipeline
@@ -2400,6 +2475,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl_adaptive": _doc_ppl_adaptive,
         "doc_rolling_fingerprints": _doc_rolling_fingerprints,
         "doc_gruut_tokens": _doc_gruut_tokens,
+        "doc_tokenizer_slice": _doc_tokenizer_slice,
         "quality_verdict": _quality_verdict,
         "quality_verdict_relational": _quality_verdict_relational,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -3652,6 +3728,172 @@ def _semdedup_oracle_sql(
                round(coalesce(l.max_sim, 0.0), 6) AS max_sim
         FROM allassign s LEFT JOIN losers l ON l.vec_id = s.vec_id
         ORDER BY s.vec_id
+    """
+
+
+def _tok_slice_chars(s: str) -> str:
+    """list<struct(t,k=PUNCT)> of s's characters (peeled punctuation)."""
+    return (f"[struct_pack(t := substr({s}, i, 1), k := 1) "
+            f"for i in range(1, length({s})+1)]")
+
+
+def _tok_slice_punct(col: str) -> str:
+    """_split_punctuations (core/tokenizer.py:98) on the slice alphabet:
+    peel leading begin-punct run (but the word can never be emptied from
+    the front — the reference's while-loop stops when the split leaves a
+    single part) then trailing end-punct run (same floor). Nested
+    single-element list_transforms emulate let-bindings."""
+    b_full = "regexp_extract(x.t, '^[\"(]+')"
+    b = (f"CASE WHEN length({b_full}) = length(x.t) "
+         f"THEN substr({b_full}, 1, length(x.t)-1) ELSE {b_full} END")
+    e_full = "regexp_extract(rest, '[\")]+$')"
+    e = (f"CASE WHEN length({e_full}) = length(rest) "
+         f"THEN substr({e_full}, 2) ELSE {e_full} END")
+    out = (f"list_concat(list_concat({_tok_slice_chars('b')}, "
+           f"[struct_pack(t := substr(rest, 1, length(rest)-length(e)),"
+           f" k := 0)]), {_tok_slice_chars('e')})")
+    peel = (f"flatten(list_transform([{b}], b -> "
+            f"flatten(list_transform([substr(x.t, length(b)+1)], rest -> "
+            f"flatten(list_transform([{e}], e -> {out}))))))")
+    return (f"flatten(list_transform({col}, x -> "
+            f"CASE WHEN x.k <> 0 THEN [x] ELSE {peel} END))")
+
+
+def _tok_slice_minor(col: str) -> str:
+    """_split_break minor (tokenizer.py:159): ',' qualifies only before
+    whitespace/end — with no intra-token whitespace that means a single
+    trailing ','; a bare ',' token becomes the break alone."""
+    return (
+        f"flatten(list_transform({col}, x -> CASE "
+        f"WHEN x.k = 0 AND x.t LIKE '%,' THEN "
+        f"CASE WHEN length(x.t) > 1 THEN "
+        f"[struct_pack(t := substr(x.t, 1, length(x.t)-1), k := 0), "
+        f"struct_pack(t := ',', k := 2)] "
+        f"ELSE [struct_pack(t := ',', k := 2)] END "
+        f"ELSE [x] END))"
+    )
+
+
+def _tok_slice_abbrev(col: str) -> str:
+    """_split_abbreviations (tokenizer.py:243): the ONE en abbreviation
+    reachable without '.' is vs->versus (optional dot in the reference
+    pattern, settings _EN_ABBREVIATIONS), with the auto-appended
+    optional single major break carried through the template."""
+    return (
+        f"list_transform({col}, x -> CASE "
+        f"WHEN x.k = 0 AND regexp_matches(x.t, '^vs[!?]?$') THEN "
+        f"struct_pack(t := 'versus' || substr(x.t, 3), k := 0) ELSE x END)"
+    )
+
+
+def _tok_slice_major(col: str) -> str:
+    """_split_break major (tokenizer.py:159): trailing [!?]+ run splits
+    off as ONE break token; a pure-break token becomes the break alone
+    (word_part empty keeps leading ws on the break)."""
+    split = (
+        "flatten(list_transform([regexp_replace(x.t, '[!?]+$', '')], p -> "
+        "CASE WHEN p = '' THEN [struct_pack(t := x.t, k := 3)] "
+        "ELSE [struct_pack(t := p, k := 0), "
+        "struct_pack(t := substr(x.t, length(p)+1), k := 3)] END))"
+    )
+    return (f"flatten(list_transform({col}, x -> "
+            f"CASE WHEN x.k = 0 AND regexp_matches(x.t, '[!?]$') "
+            f"THEN {split} ELSE [x] END))")
+
+
+def _tok_slice_ignore(col: str) -> str:
+    """_split_ignore_non_words (tokenizer.py:369): a WORD of pure
+    non-word chars becomes IGNORE; flatten skips IGNOREs before its
+    pending-break check, so dropping here is exactly equivalent."""
+    return (f"list_filter({col}, x -> NOT (x.k = 0 "
+            f"AND regexp_matches(x.t, '^[,!?()\"]+$')))")
+
+
+def _tokenizer_slice_oracle_sql() -> str:
+    """DuckDB twin of doc_tokenizer_slice: the reachable fixpoint stages
+    unrolled as 5 passes x 5 stages = 25 list-rewrite CTEs (stage order
+    within a pass mirrors run_token_passes: punct -> minor -> abbrev ->
+    major -> ignore; the inert stages in between are guards that cannot
+    fire on the slice alphabet), then flatten's sentence assembly as a
+    list_reduce fold. Exactness notes: per-token replay with a fixed 5
+    passes equals the reference's global was_changed loop because stages
+    are per-token pure functions on this slice (settled tokens no-op;
+    >5-pass residue is cut identically). The fold accumulates sentence
+    ids as a ','-joined STRING (DuckDB 1.0 list_reduce drops LIST-typed
+    struct-accumulator fields — verified minimal repro) and recomputes
+    the boundary increment in every struct field so the result is
+    correct whether or not DuckDB's sequential struct-literal rebinding
+    fires (it proved chunk-dependent here)."""
+    stages = [_tok_slice_punct, _tok_slice_minor, _tok_slice_abbrev,
+              _tok_slice_major, _tok_slice_ignore]
+    ctes = []
+    prev = "toks0"
+    n = 0
+    for _ in range(5):
+        for st in stages:
+            n += 1
+            ctes.append(f"ts{n} AS (SELECT doc_id, g, {st('lst')} AS lst "
+                        f"FROM {prev})")
+            prev = f"ts{n}"
+    ctes_sql = ",\n        ".join(ctes)
+    return f"""
+        WITH docs_r AS (
+          SELECT doc_id, {_TOK_SLICE_RESTRICT_DUCK} AS rt FROM documents
+        ),
+        toks0 AS (
+          SELECT doc_id, g, [struct_pack(t := w, k := 0)] AS lst FROM (
+            SELECT doc_id, unnest(string_split(rt, ' ')) AS w,
+                   unnest(range(1, len(string_split(rt, ' '))+1)) AS g
+            FROM docs_r
+          ) WHERE w <> ''
+        ),
+        {ctes_sql},
+        stream AS (
+          SELECT doc_id,
+                 list(struct_pack(t := tok.t, k := tok.k, g := g)
+                      ORDER BY g, i) AS toks
+          FROM (
+            SELECT doc_id, g, unnest(lst) AS tok,
+                   unnest(range(1, len(lst)+1)) AS i
+            FROM {prev}
+          ) GROUP BY doc_id
+        ),
+        folded AS (
+          SELECT doc_id, toks,
+            list_reduce(
+              list_prepend(
+                {{'out': '', 'sidx': 0, 'pending': -1, 'k': 0, 'g': -9}},
+                list_transform(toks, t -> {{'out': '', 'sidx': 0,
+                  'pending': 0, 'k': t.k, 'g': t.g}})),
+              (acc, x) -> {{
+                'out': acc.out || ',' || CAST(acc.sidx
+                       + CASE WHEN acc.pending <> -1 AND x.g <> acc.pending
+                              THEN 1 ELSE 0 END AS VARCHAR),
+                'sidx': acc.sidx + CASE WHEN acc.pending <> -1
+                        AND x.g <> acc.pending THEN 1 ELSE 0 END,
+                'pending': CASE WHEN x.k = 3 THEN x.g
+                           WHEN acc.pending <> -1 AND x.g <> acc.pending
+                           THEN -1 ELSE acc.pending END,
+                'k': x.k, 'g': x.g}}
+            ) AS st
+          FROM stream
+        ),
+        tok_rows AS (
+          SELECT doc_id, unnest(toks) AS tok,
+                 unnest(string_split(substr(st.out, 2), ','))::INT
+                   AS sent_idx,
+                 unnest(range(1, len(toks)+1)) AS ord
+          FROM folded
+        )
+        SELECT doc_id, sent_idx::INT AS sent_idx,
+               (row_number() OVER (PARTITION BY doc_id, sent_idx
+                                   ORDER BY ord) - 1)::INT AS word_idx,
+               tok.t AS token,
+               CASE tok.k WHEN 0 THEN 'word' WHEN 1 THEN 'punct'
+                    WHEN 2 THEN 'minor' ELSE 'major' END AS kind,
+               (tok.k = 0) AS is_spoken
+        FROM tok_rows
+        ORDER BY doc_id, sent_idx, word_idx
     """
 
 
@@ -5907,6 +6149,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE rn <= 16 ORDER BY vec_id
         """,
         "multimodal_features": _multimodal_oracle_sql(),
+        "doc_tokenizer_slice": _tokenizer_slice_oracle_sql(),
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
         "doc_langid": lang_sql,
         "doc_ppl_relational": ppl_sql,

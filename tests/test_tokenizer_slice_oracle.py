@@ -1,0 +1,119 @@
+"""doc_tokenizer_slice oracle vs the REAL core tokenizer, Spark-free.
+
+The driver gate runs the DuckDB replay against the Spark UDF on sf0.01
+documents; this suite is the adversarial complement — crafted inputs
+that hit every edge of the replayed stages (nested punct past the
+5-pass cap, the optional-dot 'vs' abbreviation, bare breaks, pure-punct
+groups, group-aware sentence breaking with trailing quotes) checked
+against core/tokenizer.py directly. Both sides apply the identical
+alphabet restriction first.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+import pytest
+
+from __spark_entry__ import _tokenizer_slice_oracle_sql
+
+ADVERSARIAL = [
+    "hello world",
+    '"hello," she said! (really?) yes',
+    "cats vs dogs",
+    "vs",
+    "vs!",
+    "vs?",
+    "vs!?",
+    "vs,",
+    '"vs"',
+    "((((deep)))) nesting",
+    "(((((((toodeep))))))) residue",
+    '"()" "" ( ) , ! ?',
+    "a!b c,d e?f",
+    "foo!? bar",
+    "end! ! ! new",
+    'quote "inside! here" after',
+    "trail,, x",
+    ",,",
+    "!leading",
+    '"("',
+    'mixed"(punct)"stays',
+    'a"! b"? c,"',
+    "",
+    "   ",
+    "word",
+    "(a) (b) (c)!",
+    'he said "stop!" and left',
+    "wow!!! many??! breaks",
+    '"((nested! bang))" tail',
+    'comma, "quoted," (paren,) mix!',
+    "Mixed CASE Vs VS vS input",  # lowercased -> all become versus
+    "digits 123 and symbols $%& vanish, words stay!",
+    "unicode café stripped caf",
+]
+
+
+def _restrict(text: str) -> str:
+    t = re.sub(r'[^a-zA-Z,!?()" ]+', "", text).lower()
+    t = re.sub(r" {2,}", " ", t).strip()
+    return t[:400]
+
+
+def _expected(restricted: str):
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    rows = []
+    for s in core_sentences(restricted, "en_US"):
+        for w in s.words:
+            kind = (
+                "major" if w.is_major_break
+                else "minor" if w.is_minor_break
+                else "punct" if w.is_punctuation
+                else "word"
+            )
+            rows.append((s.idx, w.idx, w.text, kind, w.is_spoken))
+    return rows
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    c.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(ADVERSARIAL):
+        c.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    return c
+
+
+def test_slice_oracle_matches_core_tokenizer(con):
+    got = {}
+    for r in con.sql(_tokenizer_slice_oracle_sql()).fetchall():
+        got.setdefault(r[0], []).append(tuple(r[1:]))
+    for i, t in enumerate(ADVERSARIAL):
+        exp = _expected(_restrict(t))
+        assert got.get(i, []) == exp, (i, t, _restrict(t))
+
+
+def test_slice_oracle_matches_core_on_fuzz(con):
+    """Random strings over the slice alphabet (plus noise chars the
+    restriction strips): the SQL replay must equal the fixpoint on all
+    of them — this is the differential that pins the 25-CTE rewrite."""
+    import numpy as np
+
+    rng = np.random.default_rng(99)
+    alphabet = list('ab c,!?()" ') + ["vs ", "word ", '"(', ')!', "!? "]
+    c2 = duckdb.connect()
+    c2.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    docs = []
+    for i in range(120):
+        n = int(rng.integers(0, 18))
+        s = "".join(rng.choice(alphabet) for _ in range(n))
+        docs.append(s)
+        c2.execute("INSERT INTO documents VALUES (?, ?)", [i, s])
+    got = {}
+    for r in c2.sql(_tokenizer_slice_oracle_sql()).fetchall():
+        got.setdefault(r[0], []).append(tuple(r[1:]))
+    for i, t in enumerate(docs):
+        exp = _expected(_restrict(t))
+        assert got.get(i, []) == exp, (i, t)
