@@ -108,8 +108,14 @@ def _inner(names: list, sf_dir: str, files_rows: int) -> None:
     spark.sparkContext.setLogLevel("ERROR")
     app_id = spark.sparkContext.applicationId
     qs = entrymod.queries()
-    for tbl in ("documents", "lineitem"):
-        spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet")).count()
+    # Warm pass must read actual column BYTES: a bare count() on parquet
+    # is answered from footer row-count metadata, so the first timed
+    # query would eat the cold OS-page-cache read of the biggest table
+    # (at sf10: 1.7 GB of lineitem → tens of seconds + straggler skew
+    # charged to q1). xxhash64 over all columns forces a full scan.
+    for tbl in ("documents", "lineitem", "orders", "customer"):
+        df = spark.read.parquet(os.path.join(sf_dir, f"{tbl}.parquet"))
+        df.agg(F.max(F.xxhash64(*[F.col(c) for c in df.columns]))).collect()
 
     def next_stage_floor() -> int:
         done = _api(f"applications/{app_id}/stages")
@@ -151,6 +157,28 @@ def _inner(names: list, sf_dir: str, files_rows: int) -> None:
         sec = round(time.time() - t0, 3)
         m = _stage_metrics(app_id, floor)
         m["sec"] = sec
+        if name != "quality_pipeline":
+            # Steady-state: the SAME query again in the same JVM. The
+            # first execution pays whole-stage-codegen compile plus
+            # interpreted execution until C2 kicks in — a per-JVM cost
+            # that is per-ROW while interpreted, so at sf10 it dwarfs
+            # the query (measured q1: 45.7 s first, 3.3 s thereafter,
+            # scan page-hot both times). A long-lived executor at
+            # 100 TB amortizes this to zero; scale exponents are
+            # computed on sec_steady, first-exec kept for continuity.
+            # Three reps, min: a single steady exec is still exposed to
+            # a hypervisor-steal burst landing inside it; the in-JVM
+            # minimum of 3 is robust to bursts shorter than the query.
+            reps = []
+            for _ in range(3):
+                df2 = qs[name](spark, sf_dir)
+                t0 = time.time()
+                df2.agg(
+                    F.max(F.xxhash64(*[F.col(c) for c in df2.columns]))
+                ).collect()
+                reps.append(round(time.time() - t0, 3))
+            m["sec_steady"] = min(reps)
+            m["steady_reps"] = reps
         out[name] = m
     spark.stop()
     print("RESULT " + json.dumps(out))

@@ -75,9 +75,20 @@ def main() -> None:
                 f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'"
             )
         union = " UNION ALL ".join(selects)
-        con.sql(f"COPY ({union}) TO '{DST}/{t}.parquet' (FORMAT parquet)")
-        n = con.sql(f"SELECT count(*) FROM '{DST}/{t}.parquet'").fetchone()[0]
-        print(t, n)
+        # Replicated tables are written as a DIRECTORY of parquet files
+        # (PER_THREAD_OUTPUT), not one monolith: a single file caps Spark
+        # scan parallelism at the file's byte-split count, and replicated
+        # text compresses so well (10x duplicates) that 500k documents
+        # land in one 6 MB file = 1-2 tasks no matter maxPartitionBytes
+        # (measured: doc_langid 40 s starved vs ~3 s laid out). A real
+        # lake has many files per table; the bench input should too.
+        con.sql(f"COPY ({union}) TO '{DST}/{t}.parquet' "
+                f"(FORMAT parquet, PER_THREAD_OUTPUT true)")
+        n = con.sql(
+            f"SELECT count(*) FROM '{DST}/{t}.parquet/*.parquet'"
+        ).fetchone()[0]
+        print(t, n, "files:",
+              len(os.listdir(f"{DST}/{t}.parquet")))
 
 
 if __name__ == "__main__":
