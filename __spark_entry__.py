@@ -693,6 +693,20 @@ _TOK_SLICE_RESTRICT_DUCK = (
 )
 
 
+def _tok_slice_restrict_col() -> F.Column:
+    """Spark twin of _TOK_SLICE_RESTRICT_DUCK (shared by
+    doc_tokenizer_slice and doc_ppl_slice)."""
+    return F.substring(
+        F.trim(
+            F.regexp_replace(
+                F.lower(F.regexp_replace(F.col("text"), '[^a-zA-Z,!?()" ]+', "")),
+                " {2,}", " ",
+            )
+        ),
+        1, 400,
+    )
+
+
 def _doc_tokenizer_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     """VALUE-gated slice of the gruut tokenizer fixpoint (round-5 ask):
     documents.text restricted to the slice alphabet runs through the
@@ -710,15 +724,7 @@ def _doc_tokenizer_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     _configure(spark)
     from pyspark.sql.functions import pandas_udf
 
-    restricted = F.substring(
-        F.trim(
-            F.regexp_replace(
-                F.lower(F.regexp_replace(F.col("text"), '[^a-zA-Z,!?()" ]+', "")),
-                " {2,}", " ",
-            )
-        ),
-        1, 400,
-    )
+    restricted = _tok_slice_restrict_col()
 
     @pandas_udf(
         "array<struct<sent_idx:int,word_idx:int,token:string,"
@@ -747,6 +753,98 @@ def _doc_tokenizer_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", F.explode(_slice_toks(restricted)).alias("_w"))
         .select("doc_id", "_w.*")
         .orderBy("doc_id", "sent_idx", "word_idx")
+    )
+
+
+def _doc_ppl_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity over the REAL gruut-fixpoint token stream, value-gated
+    (round-5 follow-on to doc_tokenizer_slice): doc_ppl's only un-hashed
+    input was the tokenizer — on the slice alphabet the fixpoint IS
+    SQL-expressible, so this query runs the production tokenizer
+    (core/tokenizer.py sentences, spoken words) into the production
+    NGramLM scorer, and the oracle composes the 25-CTE slice replay with
+    the full Stupid-Backoff SQL — the tokenize→score path hash-checked
+    end to end through ONE value gate. doc_ppl itself stays rows-only
+    for the unrestricted alphabet, as documented in COVERAGE.md."""
+    _configure(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    from gruut_spark.functions.runtime import get_models
+
+    @pandas_udf("double")
+    def _ppl_slice(texts: pd.Series) -> pd.Series:
+        from gruut_spark.core.pipeline import PPL_MAX_TOKENS
+        from gruut_spark.core.tokenizer import sentences as core_sentences
+
+        lm = get_models().lms["en_US"]
+        out = []
+        for t in texts.fillna(""):
+            tokens = [
+                w.text
+                for s in core_sentences(t, "en_US")
+                for w in s.words
+                if w.is_spoken
+            ][:PPL_MAX_TOKENS]
+            out.append(round(lm.perplexity(tokens), 4) if tokens else -1.0)
+        return pd.Series(out)
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id", _ppl_slice(_tok_slice_restrict_col()).alias("ppl")
+    ).orderBy("doc_id")
+
+
+def _doc_sentence_stats_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer→features edge of the production pipeline,
+    value-gated on the slice alphabet: the REAL normalize_document
+    (core/pipeline.py — process_tokens + flatten, text_spoken assembly)
+    feeding the REAL quality_features (core/rules.py — n_tokens,
+    sentence count, top-sentence repetition over normalized sentence
+    texts). With doc_ppl_slice covering tokenize→score, every consumer
+    edge of the fixpoint tokenizer inside process_document is now
+    hash-checked on the slice domain (langid and scrub read raw
+    content, not tokens — already oracled). The oracle rebuilds
+    text_spoken as the space-join of spoken slice tokens per sentence
+    (join_str=' ' for en, tokens carry no whitespace, so
+    normalize_whitespace is the identity) and recomputes the Counter
+    stats relationally; top-sentence TIES are hash-safe because only
+    the max count and its fraction are emitted, never the sentence."""
+    _configure(spark)
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(
+        "struct<n_tokens:long,n_sentences:long,"
+        "top_sentence_count:long,top_sentence_frac:double>"
+    )
+    def _stats(texts: pd.Series) -> pd.DataFrame:
+        from gruut_spark.core.pipeline import normalize_document
+        from gruut_spark.core.rules import quality_features
+
+        rows = []
+        for t in texts.fillna(""):
+            tokens, sent_texts = normalize_document(t, "en")
+            f = quality_features(t, sent_texts, n_tokens=len(tokens))
+            rows.append(
+                (
+                    f.n_tokens,
+                    f.n_sentences,
+                    f.top_sentence_count,
+                    float(f.top_sentence_frac),
+                )
+            )
+        return pd.DataFrame(
+            rows,
+            columns=[
+                "n_tokens", "n_sentences",
+                "top_sentence_count", "top_sentence_frac",
+            ],
+        )
+
+    docs = _read(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", _stats(_tok_slice_restrict_col()).alias("s"))
+        .select("doc_id", "s.*")
+        .orderBy("doc_id")
     )
 
 
@@ -2476,6 +2574,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_rolling_fingerprints": _doc_rolling_fingerprints,
         "doc_gruut_tokens": _doc_gruut_tokens,
         "doc_tokenizer_slice": _doc_tokenizer_slice,
+        "doc_ppl_slice": _doc_ppl_slice,
+        "doc_sentence_stats_slice": _doc_sentence_stats_slice,
         "quality_verdict": _quality_verdict,
         "quality_verdict_relational": _quality_verdict_relational,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -4191,7 +4291,7 @@ def _langid_oracle_sql() -> str:
     """
 
 
-def _ppl_oracle_sql() -> str:
+def _ppl_oracle_sql(toks_sql: str | None = None) -> str:
     """DuckDB replication of the ENTIRE Stupid Backoff scorer
     (core/ngram_lm.py) for doc_ppl_relational: FNV-1a token ids folded
     byte-by-byte over UTF-8 (hex trick, HUGEINT xor/mul mod 2^64),
@@ -4201,7 +4301,10 @@ def _ppl_oracle_sql() -> str:
     sequence order, ppl = 10^(-sum/n) rounded to 4 on both sides.
     Count tables inline as VALUES (200 + 8.2k + 27.3k rows ≈ 1 MB of
     SQL); DuckDB runs it in ~3 s at sf0.01. Verified 500/500 exact
-    before wiring (proto: mismatches=0)."""
+    before wiring (proto: mismatches=0). `toks_sql` overrides the
+    token-source CTEs — it must define toks(doc_id, ts VARCHAR[]) with
+    one row per documents row (used by doc_ppl_slice to pipe the
+    tokenizer-slice stream into the same scorer)."""
     from gruut_spark.core.ngram_lm import BOS, EOS, NGramLM, _tok_id
     from gruut_spark.functions.runtime import artifact_dir
 
@@ -4237,6 +4340,15 @@ def _ppl_oracle_sql() -> str:
         ELSE log10((0.4 * 0.4 * 0.4) / ({total} + {vocab}))
       END"""
 
+    if toks_sql is None:
+        toks_sql = """
+        docs AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
+        toks AS (
+          SELECT doc_id,
+            regexp_extract_all(s, '[^ \\t\\n\\r\\x0b\\x0c]+')[1:2000] AS ts
+          FROM docs
+        )"""
+
     return f"""
         WITH u(k, v) AS (VALUES {values_rows(lm.counts[0])}),
         b(k, v) AS (VALUES {values_rows(lm.counts[1])}),
@@ -4244,12 +4356,7 @@ def _ppl_oracle_sql() -> str:
         m1 AS MATERIALIZED (SELECT map(list(k::HUGEINT), list(v)) AS m FROM u),
         m2 AS MATERIALIZED (SELECT map(list(k::HUGEINT), list(v)) AS m FROM b),
         m3 AS MATERIALIZED (SELECT map(list(k::HUGEINT), list(v)) AS m FROM t),
-        docs AS (SELECT doc_id, coalesce(text, '') AS s FROM documents),
-        toks AS (
-          SELECT doc_id,
-            regexp_extract_all(s, '[^ \\t\\n\\r\\x0b\\x0c]+')[1:2000] AS ts
-          FROM docs
-        ),
+        {toks_sql},
         ids AS MATERIALIZED (
           SELECT doc_id, len(hxs) AS nt,
             [{bos_id}::HUGEINT, {bos_id}::HUGEINT] ||
@@ -4275,6 +4382,63 @@ def _ppl_oracle_sql() -> str:
           END AS ppl
         FROM ids i2, m1, m2, m3
         ORDER BY doc_id
+    """
+
+
+def _ppl_slice_oracle_sql() -> str:
+    """doc_ppl_slice twin: the tokenizer-slice oracle's token stream
+    (spoken words of the production-fixpoint replay, in sentence/word
+    order) piped into the full Stupid-Backoff scorer SQL via
+    _ppl_oracle_sql(toks_sql=...) — tokenizer AND LM composed under one
+    hash. LEFT JOIN keeps documents whose restricted text tokenizes to
+    nothing (they must score -1.0 like the Spark side)."""
+    toks_sql = f"""
+        slice_rows AS MATERIALIZED ({_tokenizer_slice_oracle_sql()}),
+        toks AS (
+          SELECT d.doc_id, coalesce(s.ts, CAST([] AS VARCHAR[]))[1:2000] AS ts
+          FROM documents d LEFT JOIN (
+            SELECT doc_id, list(token ORDER BY sent_idx, word_idx) AS ts
+            FROM slice_rows WHERE is_spoken GROUP BY doc_id
+          ) s USING (doc_id)
+        )"""
+    return _ppl_oracle_sql(toks_sql=toks_sql)
+
+
+def _sentence_stats_slice_oracle_sql() -> str:
+    """doc_sentence_stats_slice twin: sentence text_spoken = space-join
+    of spoken tokens per (doc, sent) from the slice replay; repetition
+    stats via count/max instead of Counter.most_common (tie-safe: only
+    the max count is emitted). Empty docs keep their row via LEFT JOIN
+    from documents (quality_features zero-fills them)."""
+    return f"""
+        WITH slice_rows AS MATERIALIZED ({_tokenizer_slice_oracle_sql()}),
+        sent_texts AS (
+          SELECT doc_id, sent_idx,
+                 string_agg(token, ' ' ORDER BY word_idx) AS st
+          FROM slice_rows WHERE is_spoken GROUP BY doc_id, sent_idx
+        ),
+        sent_counts AS (
+          SELECT doc_id, st, count(*) AS c
+          FROM sent_texts GROUP BY doc_id, st
+        ),
+        sagg AS (
+          SELECT doc_id, sum(c) AS n_sent, max(c) AS top_c
+          FROM sent_counts GROUP BY doc_id
+        ),
+        tokc AS (
+          SELECT doc_id, count(*) AS n_tok
+          FROM slice_rows WHERE is_spoken GROUP BY doc_id
+        )
+        SELECT d.doc_id,
+          coalesce(t.n_tok, 0)::BIGINT AS n_tokens,
+          coalesce(a.n_sent, 0)::BIGINT AS n_sentences,
+          coalesce(a.top_c, 0)::BIGINT AS top_sentence_count,
+          CASE WHEN a.n_sent IS NULL THEN 0.0
+               ELSE (1.0 * a.top_c) / a.n_sent END AS top_sentence_frac
+        FROM documents d
+        LEFT JOIN sagg a USING (doc_id)
+        LEFT JOIN tokc t USING (doc_id)
+        ORDER BY d.doc_id
     """
 
 
@@ -6150,6 +6314,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_features": _multimodal_oracle_sql(),
         "doc_tokenizer_slice": _tokenizer_slice_oracle_sql(),
+        "doc_ppl_slice": _ppl_slice_oracle_sql(),
+        "doc_sentence_stats_slice": _sentence_stats_slice_oracle_sql(),
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
         "doc_langid": lang_sql,
         "doc_ppl_relational": ppl_sql,

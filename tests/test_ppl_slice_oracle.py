@@ -1,0 +1,79 @@
+"""doc_ppl_slice oracle vs the REAL core tokenizer + NGramLM, Spark-free.
+
+doc_ppl_slice composes the tokenizer-slice replay with the full Stupid
+Backoff scorer SQL (one hash gate over tokenize→score). This suite is
+the adversarial complement of the driver gate: the same crafted inputs
+that pin the 25-CTE tokenizer rewrite, plus alphabet fuzz, scored end
+to end — DuckDB's composed SQL must equal core_sentences (spoken
+words) piped into NGramLM.perplexity, including the -1.0 empty-token
+contract and the round-to-4 on both sides.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+
+import duckdb
+import pytest
+
+from __spark_entry__ import _ppl_slice_oracle_sql
+from tests.test_tokenizer_slice_oracle import ADVERSARIAL
+
+
+def _restrict(text: str) -> str:
+    t = re.sub(r'[^a-zA-Z,!?()" ]+', "", text).lower()
+    t = re.sub(r" {2,}", " ", t).strip()
+    return t[:400]
+
+
+@pytest.fixture(scope="module")
+def lm():
+    from gruut_spark.core.ngram_lm import NGramLM
+    from gruut_spark.functions.runtime import artifact_dir
+
+    return NGramLM.load(os.path.join(artifact_dir(), "lm_en.npz"))
+
+
+def _expected_ppl(restricted: str, lm) -> float:
+    from gruut_spark.core.pipeline import PPL_MAX_TOKENS
+    from gruut_spark.core.tokenizer import sentences as core_sentences
+
+    tokens = [
+        w.text
+        for s in core_sentences(restricted, "en_US")
+        for w in s.words
+        if w.is_spoken
+    ][:PPL_MAX_TOKENS]
+    return round(lm.perplexity(tokens), 4) if tokens else -1.0
+
+
+def _oracle_ppls(docs: list) -> dict:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(docs):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    return dict(con.sql(_ppl_slice_oracle_sql()).fetchall())
+
+
+def test_ppl_slice_oracle_matches_core_on_adversarial(lm):
+    got = _oracle_ppls(list(ADVERSARIAL))
+    assert len(got) == len(ADVERSARIAL)  # LEFT JOIN keeps empty docs
+    for i, t in enumerate(ADVERSARIAL):
+        exp = _expected_ppl(_restrict(t), lm)
+        assert got[i] == exp, (i, t, _restrict(t), got[i], exp)
+
+
+def test_ppl_slice_oracle_matches_core_on_fuzz(lm):
+    import numpy as np
+
+    rng = np.random.default_rng(77)
+    alphabet = list('ab c,!?()" ') + ["vs ", "the ", "word ", '"(', ")! "]
+    docs = []
+    for _ in range(100):
+        n = int(rng.integers(0, 20))
+        docs.append("".join(rng.choice(alphabet) for _ in range(n)))
+    got = _oracle_ppls(docs)
+    for i, t in enumerate(docs):
+        exp = _expected_ppl(_restrict(t), lm)
+        assert got[i] == exp, (i, t, got[i], exp)

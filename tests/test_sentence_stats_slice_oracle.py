@@ -1,0 +1,81 @@
+"""doc_sentence_stats_slice oracle vs the REAL pipeline core, Spark-free.
+
+The query runs production normalize_document + quality_features on
+slice-restricted text; the oracle rebuilds text_spoken as the
+space-join of spoken slice tokens and recomputes the Counter stats
+relationally. This differential pins that composition on adversarial
+inputs (repeated sentences for the top-sentence path, empty docs,
+pure-punct sentences that must vanish from the sentence list) and on
+alphabet fuzz.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+
+from __spark_entry__ import _sentence_stats_slice_oracle_sql
+from tests.test_tokenizer_slice_oracle import ADVERSARIAL
+
+REPETITION = [
+    "stop here! stop here! stop here! go on",
+    "one, two! one, two! three?",
+    "same same same",
+    "a! a! a! a! a! b!",
+    '"!" "!" "!"',  # pure-punct sentences: no spoken words, excluded
+    "tail only",
+]
+
+
+def _restrict(text: str) -> str:
+    t = re.sub(r'[^a-zA-Z,!?()" ]+', "", text).lower()
+    t = re.sub(r" {2,}", " ", t).strip()
+    return t[:400]
+
+
+def _expected(restricted: str):
+    from gruut_spark.core.pipeline import normalize_document
+    from gruut_spark.core.rules import quality_features
+
+    tokens, sent_texts = normalize_document(restricted, "en")
+    f = quality_features(restricted, sent_texts, n_tokens=len(tokens))
+    return (
+        f.n_tokens,
+        f.n_sentences,
+        f.top_sentence_count,
+        float(f.top_sentence_frac),
+    )
+
+
+def _oracle(docs: list) -> dict:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(docs):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    return {
+        r[0]: tuple(r[1:])
+        for r in con.sql(_sentence_stats_slice_oracle_sql()).fetchall()
+    }
+
+
+def test_sentence_stats_slice_matches_core():
+    docs = list(ADVERSARIAL) + REPETITION
+    got = _oracle(docs)
+    assert len(got) == len(docs)
+    for i, t in enumerate(docs):
+        assert got[i] == _expected(_restrict(t)), (i, t, _restrict(t))
+
+
+def test_sentence_stats_slice_matches_core_on_fuzz():
+    import numpy as np
+
+    rng = np.random.default_rng(55)
+    alphabet = list('ab c,!?()" ') + ["vs ", "go on! ", "same same! ", '"(']
+    docs = []
+    for _ in range(100):
+        n = int(rng.integers(0, 16))
+        docs.append("".join(rng.choice(alphabet) for _ in range(n)))
+    got = _oracle(docs)
+    for i, t in enumerate(docs):
+        assert got[i] == _expected(_restrict(t)), (i, t)
