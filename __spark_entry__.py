@@ -848,6 +848,44 @@ def _doc_sentence_stats_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_ssml_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SSML ingest value-gated on the slice alphabet (r5): the slice
+    alphabet contains no '&<>', so the <speak>/<voice> envelope needs
+    no escaping, and xml:lang pins en-US — making the REAL SSML source
+    (operators/ssml_source.py: XML parse → per-segment tokenization →
+    implicit-flow sentence assembly, reference
+    gruut/text_processor.py:760-1000) SQL-expressible. The token stream
+    equals the tokenizer-slice replay (verified differential: token
+    sequence/kind identical on the slice alphabet); SSML's
+    implicit-flow boundary is 'new sentence after every MAJOR token'
+    (core/ssml.py pending_break — group-AGNOSTIC, unlike flatten's
+    group-aware deferral, so trailing same-group punctuation moves to
+    the next sentence), which the oracle recomputes as the running
+    major count. doc_ssml_words (arbitrary text, per-document language)
+    stays rows-only as documented."""
+    _configure(spark)
+    from gruut_spark.operators.ssml_source import ssml_words_table
+
+    docs = _read(spark, sf_dir, "documents")
+    voice = F.when(F.col("doc_id") % 2 == 0, F.lit("narrator_a")).otherwise(
+        F.lit("narrator_b")
+    )
+    ssml = F.concat(
+        F.lit('<speak xml:lang="en-US"><voice name="'), voice, F.lit('">'),
+        _tok_slice_restrict_col(), F.lit("</voice></speak>"),
+    )
+    words = ssml_words_table(
+        docs.select("doc_id", ssml.alias("ssml")), "ssml", "doc_id"
+    )
+    return (
+        words.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "par_idx", "sent_idx", "word_idx", "word", "voice", "is_spoken",
+        )
+        .orderBy("doc_id", "sent_idx", "word_idx")
+    )
+
+
 def _quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     _configure(spark)
     from gruut_spark.plans.quality_pipeline import build_pipeline
@@ -2576,6 +2614,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_tokenizer_slice": _doc_tokenizer_slice,
         "doc_ppl_slice": _doc_ppl_slice,
         "doc_sentence_stats_slice": _doc_sentence_stats_slice,
+        "doc_ssml_slice": _doc_ssml_slice,
         "quality_verdict": _quality_verdict,
         "quality_verdict_relational": _quality_verdict_relational,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -4439,6 +4478,35 @@ def _sentence_stats_slice_oracle_sql() -> str:
         LEFT JOIN sagg a USING (doc_id)
         LEFT JOIN tokc t USING (doc_id)
         ORDER BY d.doc_id
+    """
+
+
+def _ssml_slice_oracle_sql() -> str:
+    """doc_ssml_slice twin: the slice token stream re-segmented by the
+    SSML implicit-flow rule — sent_idx = majors strictly before the
+    token, word_idx = position within that sentence. Docs whose
+    restricted text tokenizes to nothing yield no rows (the operator's
+    per-row no-fail policy emits none either)."""
+    return f"""
+        WITH slice_rows AS MATERIALIZED ({_tokenizer_slice_oracle_sql()}),
+        ordered AS (
+          SELECT doc_id, token, is_spoken,
+            coalesce(sum(CASE WHEN kind = 'major' THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id ORDER BY sent_idx, word_idx
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+              0) AS ssent,
+            sent_idx AS o1, word_idx AS o2
+          FROM slice_rows
+        )
+        SELECT doc_id, 0::INT AS par_idx, ssent::INT AS sent_idx,
+          (row_number() OVER (PARTITION BY doc_id, ssent
+                              ORDER BY o1, o2) - 1)::INT AS word_idx,
+          token AS word,
+          CASE WHEN doc_id % 2 = 0 THEN 'narrator_a'
+               ELSE 'narrator_b' END AS voice,
+          is_spoken
+        FROM ordered
+        ORDER BY doc_id, sent_idx, word_idx
     """
 
 
@@ -6316,6 +6384,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_tokenizer_slice": _tokenizer_slice_oracle_sql(),
         "doc_ppl_slice": _ppl_slice_oracle_sql(),
         "doc_sentence_stats_slice": _sentence_stats_slice_oracle_sql(),
+        "doc_ssml_slice": _ssml_slice_oracle_sql(),
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
         "doc_langid": lang_sql,
         "doc_ppl_relational": ppl_sql,

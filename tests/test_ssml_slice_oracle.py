@@ -1,0 +1,83 @@
+"""doc_ssml_slice oracle vs the REAL SSML source core, Spark-free.
+
+The query wraps slice-restricted text in an unescaped <speak>/<voice>
+envelope (the slice alphabet has no '&<>') and parses it with the REAL
+core/ssml.py path; the oracle re-segments the tokenizer-slice stream by
+the SSML implicit-flow rule (new sentence after every MAJOR token —
+group-agnostic, unlike flatten). This differential pins exactly that
+divergence: inputs where trailing same-group punctuation moves to the
+next sentence ('(really?)', quoted majors) plus the shared corpus and
+alphabet fuzz.
+"""
+
+from __future__ import annotations
+
+import re
+
+import duckdb
+
+from __spark_entry__ import _ssml_slice_oracle_sql
+from tests.test_tokenizer_slice_oracle import ADVERSARIAL
+
+BOUNDARY_CASES = [
+    '"hello," she said! (really?) yes',   # ')' after '?' -> next sentence
+    'he said "stop!" and left',           # '"' after '!' -> next sentence
+    "end! ! ! new",                       # bare majors: one sentence each
+    "wow!!! many??! breaks",              # '!!!' is ONE major token
+    "(a!) (b?) c",
+    'tail major!',
+    '!leading',
+]
+
+
+def _restrict(text: str) -> str:
+    t = re.sub(r'[^a-zA-Z,!?()" ]+', "", text).lower()
+    t = re.sub(r" {2,}", " ", t).strip()
+    return t[:400]
+
+
+def _expected(doc_id: int, restricted: str):
+    from gruut_spark.core.ssml import ssml_sentences
+
+    voice = "narrator_a" if doc_id % 2 == 0 else "narrator_b"
+    ssml = (
+        f'<speak xml:lang="en-US"><voice name="{voice}">'
+        f"{restricted}</voice></speak>"
+    )
+    rows = []
+    for s in ssml_sentences(ssml, lang="en_US"):
+        for w in s.words:
+            rows.append((s.par_idx, s.idx, w.idx, w.text, w.voice, w.is_spoken))
+    return rows
+
+
+def _oracle(docs: list) -> dict:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    for i, t in enumerate(docs):
+        con.execute("INSERT INTO documents VALUES (?, ?)", [i, t])
+    got = {}
+    for r in con.sql(_ssml_slice_oracle_sql()).fetchall():
+        got.setdefault(r[0], []).append(tuple(r[1:]))
+    return got
+
+
+def test_ssml_slice_oracle_matches_core():
+    docs = list(ADVERSARIAL) + BOUNDARY_CASES
+    got = _oracle(docs)
+    for i, t in enumerate(docs):
+        assert got.get(i, []) == _expected(i, _restrict(t)), (i, t, _restrict(t))
+
+
+def test_ssml_slice_oracle_matches_core_on_fuzz():
+    import numpy as np
+
+    rng = np.random.default_rng(33)
+    alphabet = list('ab c,!?()" ') + ["vs ", "go! ", '(x?) ', '"!" ']
+    docs = []
+    for _ in range(100):
+        n = int(rng.integers(0, 16))
+        docs.append("".join(rng.choice(alphabet) for _ in range(n)))
+    got = _oracle(docs)
+    for i, t in enumerate(docs):
+        assert got.get(i, []) == _expected(i, _restrict(t)), (i, t)
