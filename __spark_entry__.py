@@ -886,6 +886,60 @@ def _doc_ssml_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ca_slice_restrict_col() -> F.Column:
+    """Catalan-slice alphabet: lowercase a–z minus {h,i,u}, plus
+    ' ,.!?'. Excluding i/u/ü kills every glide / diphthong / [gq]u
+    digraph / argü-hiatus branch of nucleus finding (nuclei collapse to
+    exactly the a/e/o positions) and the falling-diphthong arms of the
+    twelve-terminations rule; excluding h kills the intercalated-h and
+    hi-/hu- branches; ASCII-only strips accented vowels (no
+    graphic-accent short-circuit) and hyphens (no hyphen cut
+    adjustments). What remains of the engine on this domain — a/e/o
+    nuclei, the 5-tier inter-nucleus cut table, -ment adverb double
+    stress, function-word atonicity, accent exceptions, the
+    termination rule, è/ò-vs-ó accent application, and the
+    unsyllabifiable-cluster error policy — is list-fold SQL."""
+    return F.trim(
+        F.regexp_replace(
+            F.regexp_replace(
+                F.lower(F.coalesce(F.col("text"), F.lit(""))),
+                "[^a-gj-tv-z ,.!?]+", "",
+            ),
+            " {2,}", " ",
+        )
+    )
+
+
+def _doc_ca_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalan stress engine value-gated on the slice domain (r5): the
+    REAL production operator (operators/ca_transcribe.py::
+    ca_stress_table — mapInPandas over core/ca_stress.py::stress_word,
+    reference Transcripcio, gruut/lang.py:1702-2149) run over
+    slice-restricted words, hash-checked against a DuckDB replay of the
+    reachable rule system (see _ca_slice_restrict_col for exactly which
+    branches the alphabet keeps live). Same output contract as
+    doc_ca_transcribe, which stays rows-only for the unrestricted
+    alphabet as documented."""
+    _configure(spark)
+    from gruut_spark.operators.ca_transcribe import ca_stress_table
+
+    docs = _read(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("doc_id"),
+        F.slice(F.split(_ca_slice_restrict_col(), " "), 1, 30).alias(
+            "words"
+        ),
+    )
+    return (
+        ca_stress_table(docs)
+        .select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            "n_words", "n_marked",
+            F.md5("stressed").alias("stressed_md5"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _quality_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     _configure(spark)
     from gruut_spark.plans.quality_pipeline import build_pipeline
@@ -2615,6 +2669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_ppl_slice": _doc_ppl_slice,
         "doc_sentence_stats_slice": _doc_sentence_stats_slice,
         "doc_ssml_slice": _doc_ssml_slice,
+        "doc_ca_slice": _doc_ca_slice,
         "quality_verdict": _quality_verdict,
         "quality_verdict_relational": _quality_verdict_relational,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
@@ -4510,6 +4565,187 @@ def _ssml_slice_oracle_sql() -> str:
     """
 
 
+def _ca_slice_paro_sql(idx: str) -> str:
+    """Twelve-terminations test of syllable ``syls[idx]``, reduced to
+    the slice domain (core/ca_stress.py::_is_paroxytone; reference
+    dotze_term, gruut/lang.py:1885-1944). The falling-diphthong arms
+    need i/u and are unreachable; the remaining membership sets are
+    intersected with the slice alphabet (equal membership — domain
+    strings cannot spell the dropped entries): bare final vowels
+    {a,e,o}, vowel+s {as,es,os}, -en."""
+    d = f"syls[{idx}].t"
+    return f"""CASE WHEN len({d}) >= 2 THEN CASE
+            WHEN right({d}, 1) IN ('a', 'e', 'o') THEN TRUE
+            WHEN right({d}, 1) = 's'
+                 AND right({d}, 2) IN ('as', 'es', 'os') THEN TRUE
+            WHEN right({d}, 2) = 'en' THEN TRUE
+            ELSE FALSE END
+          ELSE {d} IN ('a', 'e', 'o') END"""
+
+
+def _ca_slice_oracle_sql() -> str:
+    """doc_ca_slice twin: the Catalan stress engine replayed as DuckDB
+    list folds on the slice domain (see _ca_slice_restrict_col for the
+    domain argument). 1-based translation of core/ca_stress.py:
+
+    * nuclei = a/e/o positions of the stem (+ the e of -ment for
+      adverbs) — every i/u/ü/h branch of nucleus_positions is dead;
+    * cuts: the 5-tier inter-nucleus consonant-cluster table of
+      syllable_bounds (gap<=1 / onset-or-h at gap 2 / gap 3 / first-s
+      at gap 4 / gap 5; gap>=6 -> NULL = the ValueError the operator's
+      per-token try/except turns into "unchanged"). The intercalated-h
+      and hyphen adjustments are dead (no h/-), and onset membership is
+      checked against the domain-spellable subset (equal membership);
+    * stress precedence exactly as _mark_stress: accent-exception
+      words short-circuit (the graphic-accent branch — the replaced
+      part carries the accent); else n==1 function-word atonicity;
+      else the -ment adverb branch (stem stress by termination on
+      syls[1..n-1], double stress with the last syllable's nucleus
+      overridden to its e) — gated on the LAST SYLLABLE being exactly
+      'ment', which faithfully excludes adverbs whose gap-4 cut glued
+      a stem consonant onto it; else the termination rule;
+    * accent application: stressed e -> è always, o -> ó word-finally
+      else ò, a -> à (_apply_accent; i/u/ü targets unreachable).
+
+    Model tables are inlined from core.ca_stress filtered to the
+    domain-spellable subset, so the oracle cannot drift from the code
+    it checks. Pinned Spark-free by tests/test_ca_slice_oracle.py
+    (adversarial + fuzz differentials against stress_word itself)."""
+    from gruut_spark.core.ca_stress import (
+        ACCENT_EXCEPTIONS, FUNCTION_WORDS, INSEPARABLE_ONSETS,
+    )
+
+    dom = set("abcdefgjklmnopqrstvwxyz")
+    ons_sql = ", ".join(
+        f"'{o}'" for o in sorted(o for o in INSEPARABLE_ONSETS
+                                 if set(o) <= dom)
+    )
+    fn_sql = ", ".join(
+        f"'{w}'" for w in sorted(w for w in FUNCTION_WORDS
+                                 if set(w) <= dom)
+    )
+    exc_sql = ", ".join(
+        f"('{k}', '{v}')"
+        for k, v in sorted(ACCENT_EXCEPTIONS.items())
+        if set(k) <= dom
+    )
+    paro_last = _ca_slice_paro_sql("n")
+    paro_pen = _ca_slice_paro_sql("n - 1")
+    return f"""
+        WITH docs AS (
+          SELECT doc_id,
+            trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
+              '[^a-gj-tv-z ,.!?]+', '', 'g'), ' {{2,}}', ' ', 'g')) AS rt
+          FROM documents
+        ), words AS (
+          SELECT doc_id, i AS wi, ws[i] AS w
+          FROM (SELECT doc_id, (string_split(rt, ' '))[1:30] AS ws
+                FROM docs),
+               unnest(generate_series(1, len(ws))) u(i)
+        ), exc(k, v) AS (VALUES {exc_sql}),
+        w1 AS (
+          SELECT doc_id, wi, w, right(w, 4) = 'ment' AS adv,
+            CASE WHEN right(w, 4) = 'ment'
+                 THEN w[1:len(w) - 4] ELSE w END AS stem
+          FROM words
+        ), w2 AS (
+          SELECT *, list_concat(
+            list_filter(generate_series(1, len(stem)),
+                        p -> substr(w, p, 1) IN ('a', 'e', 'o')),
+            CASE WHEN adv THEN [len(w) - 2] ELSE []::BIGINT[] END
+          ) AS nucs
+          FROM w1
+        ), w3 AS (
+          SELECT w2.*, e.v AS exc_v, len(nucs) AS n
+          FROM w2 LEFT JOIN exc e ON e.k = w2.w
+        ), w4 AS (
+          SELECT *, list_transform(
+            generate_series(1, greatest(n - 1, 0)), j -> CASE
+              WHEN nucs[j + 1] - nucs[j] <= 2 THEN nucs[j]
+              WHEN nucs[j + 1] - nucs[j] = 3 THEN
+                CASE WHEN substr(w, nucs[j] + 1, 2) IN ({ons_sql})
+                     THEN nucs[j] ELSE nucs[j] + 1 END
+              WHEN nucs[j + 1] - nucs[j] = 4 THEN
+                CASE WHEN substr(w, nucs[j] + 2, 2) IN ({ons_sql})
+                     THEN nucs[j] + 1 ELSE nucs[j] + 2 END
+              WHEN nucs[j + 1] - nucs[j] = 5 THEN
+                CASE WHEN strpos(substr(w, nucs[j] + 1, 4), 's') > 0
+                     THEN nucs[j] + strpos(substr(w, nucs[j] + 1, 4), 's')
+                     ELSE nucs[j] + 2 END
+              WHEN nucs[j + 1] - nucs[j] = 6 THEN nucs[j] + 3
+              ELSE NULL END) AS cuts
+          FROM w3
+        ), w5 AS (
+          SELECT *, list_transform(generate_series(1, n), k -> struct_pack(
+            t := substr(w,
+              CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END,
+              (CASE WHEN k = n THEN len(w) ELSE cuts[k] END)
+                - (CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END) + 1),
+            nr := nucs[k]
+              - (CASE WHEN k = 1 THEN 1 ELSE cuts[k - 1] + 1 END) + 1
+          )) AS syls
+          FROM w4
+        ), w6 AS (
+          SELECT *,
+            len(list_filter(cuts, c -> c IS NULL)) > 0 AS err,
+            CASE WHEN n > 0 THEN syls[n].t ELSE '' END AS last_t
+          FROM w5
+        ), w7 AS (
+          SELECT *, CASE
+              WHEN n = 1 THEN
+                CASE WHEN w IN ({fn_sql}) THEN []::BIGINT[]
+                     ELSE [1]::BIGINT[] END
+              WHEN last_t = 'ment' THEN
+                CASE WHEN n > 2 THEN
+                  [CASE WHEN {paro_pen} THEN n - 2 ELSE n - 1 END, n]
+                ELSE [1, n] END
+              ELSE [CASE WHEN {paro_last} THEN n - 1 ELSE n END]
+            END AS tonics,
+            (last_t = 'ment' AND n >= 2) AS ment_adv
+          FROM w6
+        ), w8 AS (
+          SELECT *, CASE
+              WHEN exc_v IS NOT NULL THEN exc_v
+              WHEN n = 0 OR err THEN w
+              ELSE array_to_string(list_transform(
+                generate_series(1, n), k ->
+                  CASE WHEN NOT list_contains(tonics, k) THEN syls[k].t
+                  ELSE CASE substr(syls[k].t,
+                         CASE WHEN ment_adv AND k = n THEN 2
+                              ELSE syls[k].nr END, 1)
+                    WHEN 'e' THEN
+                      substr(syls[k].t, 1, (CASE WHEN ment_adv AND k = n
+                          THEN 2 ELSE syls[k].nr END) - 1)
+                      || 'è' || substr(syls[k].t,
+                          (CASE WHEN ment_adv AND k = n THEN 2
+                                ELSE syls[k].nr END) + 1)
+                    WHEN 'o' THEN
+                      substr(syls[k].t, 1, (CASE WHEN ment_adv AND k = n
+                          THEN 2 ELSE syls[k].nr END) - 1)
+                      || (CASE WHEN k = n THEN 'ó' ELSE 'ò' END)
+                      || substr(syls[k].t,
+                          (CASE WHEN ment_adv AND k = n THEN 2
+                                ELSE syls[k].nr END) + 1)
+                    WHEN 'a' THEN
+                      substr(syls[k].t, 1, (CASE WHEN ment_adv AND k = n
+                          THEN 2 ELSE syls[k].nr END) - 1)
+                      || 'à' || substr(syls[k].t,
+                          (CASE WHEN ment_adv AND k = n THEN 2
+                                ELSE syls[k].nr END) + 1)
+                    ELSE syls[k].t END
+                  END), '')
+            END AS sw
+          FROM w7
+        )
+        SELECT doc_id, count(*)::INT AS n_words,
+          sum(CASE WHEN sw <> w THEN 1 ELSE 0 END)::INT AS n_marked,
+          md5(string_agg(sw, ' ' ORDER BY wi)) AS stressed_md5
+        FROM w8
+        GROUP BY doc_id
+        ORDER BY doc_id
+    """
+
+
 def _quality_verdict_oracle_sql(
     lang_sql: str | None = None, ppl_sql: str | None = None
 ) -> str:
@@ -6385,6 +6621,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_ppl_slice": _ppl_slice_oracle_sql(),
         "doc_sentence_stats_slice": _sentence_stats_slice_oracle_sql(),
         "doc_ssml_slice": _ssml_slice_oracle_sql(),
+        "doc_ca_slice": _ca_slice_oracle_sql(),
         "doc_pos_tags": _pos_viterbi_oracle_sql(),
         "doc_langid": lang_sql,
         "doc_ppl_relational": ppl_sql,

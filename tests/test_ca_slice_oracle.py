@@ -1,0 +1,136 @@
+"""doc_ca_slice oracle vs the REAL Catalan stress engine, Spark-free.
+
+The query restricts text to the slice alphabet (a–z minus {h,i,u} plus
+' ,.!?') and runs the production stress path (stress_word under the
+ca_stress_table per-token try/except contract); the oracle replays the
+reachable rule system as DuckDB list folds. These differentials pin the
+oracle to the engine itself on adversarial inputs chosen to hit every
+live branch — the 5-tier cut table (incl. the gap-4 first-s cut and the
+gap>=6 error policy), -ment adverb double stress and its gap-4
+"tment"-glue escape, function-word atonicity, accent exceptions, the
+termination rule arms (bare vowel / vowel+s / -en / oxytone), and
+ó-vs-ò positional accenting — plus alphabet fuzz and the shared corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+
+import duckdb
+
+from __spark_entry__ import _ca_slice_oracle_sql
+from gruut_spark.core.ca_stress import stress_word
+
+ADVERSARIAL = [
+    # termination rule arms + function words + single vowels
+    "a e o es en atlas total seven moment la les el de per amb que",
+    # -ment adverbs: n==1 ('ment'), n==2, n>2, punctuated
+    "ment coment government exactment clarament, pigment!",
+    # gap-4 cut glues a consonant onto 'ment' -> NOT the adverb branch
+    "verstment farstment",
+    # accent exceptions (the domain-spellable ones)
+    "edgar and jonatan were democrata petroleo",
+    # onset clusters at gap 2/3, >=6-consonant error tokens
+    "poble crackle abcdfgjkle strengths wordsxzt",
+    # punctuation-only and punctuation-attached tokens
+    "!!! ... ?,. word, end! (nope",
+    # vowel runs (gap 0) and bare repetition
+    "aeoaeo aaa ooo eee",
+    "",
+]
+
+
+def _restrict(text: str) -> str:
+    t = re.sub(r"[^a-gj-tv-z ,.!?]+", "", (text or "").lower())
+    t = re.sub(r" {2,}", " ", t).strip()
+    return t
+
+
+def _expected(restricted: str):
+    """ca_stress_table's per-document contract over stress_word."""
+    ws = restricted.split(" ")[:30]
+    out, marked = [], 0
+    for w in ws:
+        try:
+            sw = stress_word(w)
+        except Exception:
+            sw = w
+        if sw != w.lower():
+            marked += 1
+        out.append(sw)
+    return (
+        len(ws), marked,
+        hashlib.md5(" ".join(out).encode()).hexdigest(),
+    )
+
+
+def _oracle(docs: list) -> dict:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", list(enumerate(docs))
+    )
+    return {
+        r[0]: r[1:] for r in con.sql(_ca_slice_oracle_sql()).fetchall()
+    }
+
+
+def _check(docs: list) -> None:
+    got = _oracle(docs)
+    for i, t in enumerate(docs):
+        assert got[i] == _expected(_restrict(t)), (i, _restrict(t), got[i])
+
+
+def test_adversarial_cases():
+    _check(ADVERSARIAL)
+    # non-vacuity: the adversarial set must actually mark words, leave
+    # function words unmarked, and traverse the error policy
+    restricted = [_restrict(t) for t in ADVERSARIAL]
+    assert any(_expected(r)[1] > 0 for r in restricted)
+    assert stress_word("government") != "government"   # adverb marked
+    assert stress_word("la") == "la"                   # atonic
+    assert stress_word("edgar") == "èdgar"             # exception
+
+
+def test_alphabet_fuzz():
+    rng = random.Random(20260818)
+    cons, vow = "bcdfgjklmnpqrstvwxyz", "aeo"
+    alpha = cons + vow + ",.!?"
+    docs = []
+    for _ in range(200):
+        docs.append(
+            "".join(rng.choice(alpha + "    ")
+                    for _ in range(rng.randint(0, 120)))
+        )
+    for _ in range(400):
+        words = []
+        for _ in range(rng.randint(1, 12)):
+            w = ""
+            for _ in range(rng.randint(1, 6)):
+                w += "".join(rng.choice(cons)
+                             for _ in range(rng.randint(0, 7)))
+                w += rng.choice(vow)
+            if rng.random() < 0.3:
+                w += "".join(rng.choice(cons)
+                             for _ in range(rng.randint(0, 7)))
+            if rng.random() < 0.25:
+                w += "ment"
+            if rng.random() < 0.2:
+                w += rng.choice(",.!?")
+            if rng.random() < 0.1:
+                w = rng.choice(
+                    ["a", "al", "la", "de", "es", "en",
+                     "edgar", "democrata", "ment", "es,"]
+                )
+            words.append(w)
+        docs.append(" ".join(words))
+    _check(docs)
+
+
+def test_shared_corpus():
+    from gruut_spark.sources.testgen import generate_files
+
+    docs = list(generate_files(150, seed=11)["content"])
+    _check(docs)
