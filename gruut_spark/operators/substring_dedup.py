@@ -20,11 +20,22 @@ Everything is Catalyst expressions — no Python, no UDFs — so the whole
 operator is DuckDB-replicable and value-checked by the driver gate
 (doc_repeated_spans / doc_substring_dedup).
 
-Scale notes: the only wide rows are (doc_id, pos, 32-byte md5) gram
-rows; text never enters a shuffle. The per-document window is bounded
-by document length, not corpus size. min_count=2 means "occurs anywhere
-else, including the same document" (self-repetition is duplication too
-— Lee et al. §3 make the same choice).
+Scale notes: the only wide rows are (doc_id, pos, 16-byte md5) gram
+rows; tokens/text never enter a shuffle — the scrub half joins the
+MERGED span intervals (an array per document, tiny) back to the intact
+token array and strips covered positions with higher-order functions,
+rather than exploding/anti-joining/re-collecting every token. The
+count table is filtered to repeated grams BEFORE the join-back, so the
+probe side meets a min_count-pruned (usually broadcast-able) build
+side. The per-document window is bounded by document length, not
+corpus size. min_count=2 means "occurs anywhere else, including the
+same document" (self-repetition is duplication too — Lee et al. §3
+make the same choice).
+
+Measured (bench_sf10_runs.jsonl, sf1.0→sf10 decade): the previous
+explode/anti-join/collect_list formulation shuffled 101→3,057 MB
+(steady 4.5→55.6 s, exponent 1.09 — the only headline query above the
+0.9 watch line); this shape cuts the token-level shuffles entirely.
 """
 
 from __future__ import annotations
@@ -67,14 +78,24 @@ def repeated_gram_positions(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, min_count: int = 2,
 ) -> DataFrame:
     """(doc_id, pos, n_occurrences) for every gram whose hash occurs
-    >= min_count times corpus-wide."""
-    grams = _gram_rows(df, text_col, id_col, k)
-    counts = grams.groupBy("g").agg(F.count("*").alias("n_occ"))
-    return (
-        grams.join(counts, "g")
-        .filter(F.col("n_occ") >= min_count)
-        .select("doc_id", "pos", "n_occ")
+    >= min_count times corpus-wide.
+
+    The hex md5 from ``_gram_rows`` (kept as string there for the
+    streaming twin's state key) is unhexed to 16-byte binary before the
+    wide stages, halving shuffled key bytes; the min_count filter is
+    applied to the count table BEFORE the join-back (same result — the
+    predicate only reads count columns), so the probe meets a pruned
+    build side AQE can often broadcast instead of shuffling every gram
+    row a second time."""
+    grams = _gram_rows(df, text_col, id_col, k).withColumn(
+        "g", F.unhex("g")
     )
+    counts = (
+        grams.groupBy("g")
+        .agg(F.count("*").alias("n_occ"))
+        .filter(F.col("n_occ") >= min_count)
+    )
+    return grams.join(counts, "g").select("doc_id", "pos", "n_occ")
 
 
 def repeated_kgram_spans(
@@ -118,41 +139,42 @@ def substring_dedup_text(
     """Remove every repeated span's tokens: (doc_id, n_tokens,
     n_removed, clean_text). Token-level reconstruction (single-space
     joined) — the operator's contract is token streams, matching the
-    corpus tokenization; exact whitespace is not preserved."""
-    rep = repeated_gram_positions(df, text_col, id_col, k, min_count)
-    covered = rep.select(
-        "doc_id",
-        F.explode(F.sequence("pos", F.col("pos") + (k - 1))).alias("tpos"),
-    ).distinct()
+    corpus tokenization; exact whitespace is not preserved.
+
+    Shape: the maximal merged spans (disjoint intervals whose union is
+    exactly the covered-position set, so n_removed = Σ span_tokens) are
+    collected into ONE array column per document and joined back to the
+    intact token array; covered tokens are stripped by a higher-order
+    filter (order-preserving by construction — no collect_list +
+    array_sort). Tokens never cross a shuffle: the only wide rows after
+    the gram count are merged-interval structs."""
+    spans = repeated_kgram_spans(df, text_col, id_col, k, min_count)
+    span_sets = spans.groupBy("doc_id").agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
+        F.sum("span_tokens").alias("_n_removed"),
+    )
     toks = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.posexplode_outer(_tokens(text_col)).alias("tpos", "tok"),
+        F.col(id_col).alias("doc_id"), _tokens(text_col).alias("_ts")
     )
-    kept = toks.filter(F.col("tok").isNotNull()).join(
-        covered, ["doc_id", "tpos"], "left_anti"
+    kept = F.filter(
+        F.transform(
+            "_ts", lambda t, i: F.struct(t.alias("tok"), i.alias("tpos"))
+        ),
+        lambda s: ~F.exists(
+            "_spans",
+            lambda sp: (s["tpos"] >= sp["span_start"])
+            & (s["tpos"] < sp["span_end"]),
+        ),
     )
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.count("*").alias("n_kept"),
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("tpos", "tok"))),
-                lambda s: s["tok"],
-            ),
-            " ",
-        ).alias("clean_text"),
-    )
-    totals = df.select(
-        F.col(id_col).alias("doc_id"),
-        F.size(_tokens(text_col)).alias("n_tokens"),
-    )
+    clean = F.when(
+        F.col("_spans").isNull(), F.array_join("_ts", " ")
+    ).otherwise(F.array_join(F.transform(kept, lambda s: s["tok"]), " "))
     return (
-        totals.join(rebuilt, "doc_id", "left")
+        toks.join(span_sets, "doc_id", "left")
         .select(
             "doc_id",
-            "n_tokens",
-            (F.col("n_tokens") - F.coalesce("n_kept", F.lit(0))).alias(
-                "n_removed"
-            ),
-            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.size("_ts").alias("n_tokens"),
+            F.coalesce("_n_removed", F.lit(0)).alias("n_removed"),
+            F.coalesce(clean, F.lit("")).alias("clean_text"),
         )
     )

@@ -43,6 +43,13 @@ PARENT_KEY = {"customer": "c_custkey", "orders": "o_orderkey",
               "part": "p_partkey", "supplier": "s_suppkey"}
 
 
+def _src(t: str) -> str:
+    """Source pattern for table t: single file or a directory of parts
+    (make_sf's own PER_THREAD_OUTPUT layout, so sf-chaining works)."""
+    p = f"{SRC}/{t}.parquet"
+    return f"{p}/*.parquet" if os.path.isdir(p) else p
+
+
 def main() -> None:
     os.makedirs(DST, exist_ok=True)
     con = duckdb.connect()
@@ -51,13 +58,13 @@ def main() -> None:
         if own:
             stride[t] = int(
                 con.sql(f"SELECT max({own[0]}) + 1 FROM "
-                        f"'{SRC}/{t}.parquet'").fetchone()[0]
+                        f"'{_src(t)}'").fetchone()[0]
             )
     for t, (own, fks) in KEYS.items():
         cols = [r[0] for r in con.sql(
-            f"DESCRIBE SELECT * FROM '{SRC}/{t}.parquet'").fetchall()]
+            f"DESCRIBE SELECT * FROM '{_src(t)}'").fetchall()]
         if not own and not fks:
-            con.sql(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') TO "
+            con.sql(f"COPY (SELECT * FROM '{_src(t)}') TO "
                     f"'{DST}/{t}.parquet' (FORMAT parquet)")
             print(t, "copied")
             continue
@@ -72,18 +79,41 @@ def main() -> None:
                 else:
                     exprs.append(c)
             selects.append(
-                f"SELECT {', '.join(exprs)} FROM '{SRC}/{t}.parquet'"
+                f"SELECT {', '.join(exprs)} FROM '{_src(t)}'"
             )
         union = " UNION ALL ".join(selects)
-        # Replicated tables are written as a DIRECTORY of parquet files
-        # (PER_THREAD_OUTPUT), not one monolith: a single file caps Spark
-        # scan parallelism at the file's byte-split count, and replicated
-        # text compresses so well (10x duplicates) that 500k documents
-        # land in one 6 MB file = 1-2 tasks no matter maxPartitionBytes
-        # (measured: doc_langid 40 s starved vs ~3 s laid out). A real
-        # lake has many files per table; the bench input should too.
+        # Replicated tables are written as a DIRECTORY of parquet files,
+        # not one monolith: a single file caps Spark scan parallelism at
+        # the file's byte-split count, and replicated text compresses so
+        # well (10x duplicates) that 500k documents land in one 6 MB
+        # file = 1-2 tasks no matter maxPartitionBytes (measured:
+        # doc_langid 40 s starved vs ~3 s laid out). A real lake has
+        # many files per table; the bench input should too. FILE_SIZE_
+        # BYTES (not PER_THREAD_OUTPUT) keeps the files EVEN: per-thread
+        # output left ~220 of 320 files empty at sf10, which poisons any
+        # max/median task-skew reading of scan stages (the median task
+        # is an empty file). Small row groups keep big files splittable
+        # by maxPartitionBytes. File size is per-table: the text/vector
+        # tables compress ~100x under replication and their queries are
+        # compute-per-row heavy, so bytes-based splitting starves them —
+        # ~1 MB files stay UNDER spark.sql.files.openCostInBytes (4 MB),
+        # which stops partition packing from merging them and yields
+        # one-file-per-task even scans; the big relational tables get
+        # ~16 MB files that maxPartitionBytes splits evenly.
+        # DuckDB rolls a file only after completing a row group, so the
+        # effective file granularity is max(FILE_SIZE_BYTES, one row
+        # group); the text tables need small groups (1.5k rows ~ 50 KB
+        # compressed under replication) to actually land near the
+        # target size. ~100 KB text files sit far under Spark's 4 MB
+        # openCostInBytes, so partition packing keeps them ~one file
+        # per task: even scans with >= 30 tasks already at sf1.0, where
+        # the per-row compute (not bytes) is the cost.
+        text = t in ("documents", "embeddings")
+        fsz = 100_000 if text else 16_000_000
+        rgs = 1_500 if text else 20_000
         con.sql(f"COPY ({union}) TO '{DST}/{t}.parquet' "
-                f"(FORMAT parquet, PER_THREAD_OUTPUT true)")
+                f"(FORMAT parquet, FILE_SIZE_BYTES {fsz}, "
+                f"ROW_GROUP_SIZE {rgs})")
         n = con.sql(
             f"SELECT count(*) FROM '{DST}/{t}.parquet/*.parquet'"
         ).fetchone()[0]
