@@ -1483,6 +1483,29 @@ def _doc_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+def _doc_substring_keepfirst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with Lee et al.'s retain-one semantics
+    (operators/substring_dedup.py::substring_dedup_keep_first): every
+    repeated span is removed EXCEPT the corpus-globally first
+    occurrence of each gram, so duplicated content survives exactly
+    once. The canonical copy rides the gram-count aggregate as a
+    min(struct) — same single gram shuffle as the scrub-all variant."""
+    _configure(spark)
+    from gruut_spark.operators.substring_dedup import (
+        substring_dedup_keep_first,
+    )
+
+    out = substring_dedup_keep_first(
+        _read(spark, sf_dir, "documents"), "text", "doc_id", k=6
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_removed").cast("int").alias("n_removed"),
+        F.md5("clean_text").alias("clean_md5"),
+    ).orderBy("doc_id")
+
+
 def _doc_tokens_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a whitespace token count (shared by the packing /
     mixture queries; the corpus-ops token convention)."""
@@ -2682,6 +2705,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash_relational": _dedup_simhash_relational,
         "doc_repeated_spans": _doc_repeated_spans,
         "doc_substring_dedup": _doc_substring_dedup,
+        "doc_substring_keepfirst": _doc_substring_keepfirst,
         "doc_pack_offset": _doc_pack_offset,
         "doc_pack_greedy": _doc_pack_greedy,
         "doc_mix_to_target": _doc_mix_to_target,
@@ -6568,6 +6592,47 @@ def oracle_sql() -> dict[str, str]:
               SELECT g, count(*) AS n_occ FROM grams GROUP BY g
             ), rep AS (
               SELECT doc_id, pos FROM grams JOIN c USING (g) WHERE n_occ >= 2
+            ), covered AS (
+              SELECT DISTINCT doc_id, pos + j AS tpos
+              FROM rep, unnest(generate_series(0, 5)) v(j)
+            ), tokpos AS (
+              SELECT t.doc_id, i - 1 AS tpos, ts[i] AS tok
+              FROM toks t, unnest(generate_series(1, len(ts))) u(i)
+            ), kept AS (
+              SELECT tp.doc_id, tp.tpos, tp.tok
+              FROM tokpos tp ANTI JOIN covered cv
+                ON tp.doc_id = cv.doc_id AND tp.tpos = cv.tpos
+            ), rebuilt AS (
+              SELECT doc_id, count(*) AS n_kept,
+                     string_agg(tok, ' ' ORDER BY tpos) AS clean_text
+              FROM kept GROUP BY doc_id
+            )
+            SELECT t.doc_id, len(t.ts)::INT AS n_tokens,
+                   (len(t.ts) - coalesce(r.n_kept, 0))::INT AS n_removed,
+                   md5(coalesce(r.clean_text, '')) AS clean_md5
+            FROM toks t LEFT JOIN rebuilt r ON r.doc_id = t.doc_id
+            ORDER BY t.doc_id
+        """,
+        "doc_substring_keepfirst": r"""
+            WITH toks AS (
+              SELECT doc_id,
+                list_filter(string_split_regex(lower(trim(text)), '\s+'),
+                            t -> t <> '') AS ts
+              FROM documents
+            ), grams AS (
+              SELECT doc_id, i - 1 AS pos,
+                     md5(array_to_string(ts[i:i+5], ' ')) AS g
+              FROM toks, unnest(generate_series(1, greatest(0, len(ts)-5))) u(i)
+            ), rk AS (
+              -- rn = 1 is the corpus-globally first occurrence of the
+              -- gram (the canonical copy the operator retains)
+              SELECT doc_id, pos,
+                     row_number() OVER (PARTITION BY g
+                                        ORDER BY doc_id, pos) AS rn,
+                     count(*) OVER (PARTITION BY g) AS n_occ
+              FROM grams
+            ), rep AS (
+              SELECT doc_id, pos FROM rk WHERE n_occ >= 2 AND rn > 1
             ), covered AS (
               SELECT DISTINCT doc_id, pos + j AS tpos
               FROM rep, unnest(generate_series(0, 5)) v(j)

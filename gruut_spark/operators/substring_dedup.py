@@ -98,13 +98,41 @@ def repeated_gram_positions(
     return grams.join(counts, "g").select("doc_id", "pos", "n_occ")
 
 
-def repeated_kgram_spans(
+def noncanonical_gram_positions(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, min_count: int = 2,
 ) -> DataFrame:
-    """Maximal repeated spans per document: (doc_id, span_start,
-    span_end, span_tokens, n_grams), token offsets half-open
-    [span_start, span_end)."""
-    rep = repeated_gram_positions(df, text_col, id_col, k, min_count)
+    """(doc_id, pos, n_occurrences) for every occurrence of a repeated
+    gram EXCEPT its globally first one (min (doc_id, pos) — the
+    canonical copy Lee et al.'s ExactSubstr retains). Same one-shuffle
+    shape as repeated_gram_positions: the canonical occurrence rides
+    the count aggregate as a min(struct) — no extra pass, no extra
+    shuffle — and the pruned (g, first, n_occ) table joins back
+    broadcast-style."""
+    grams = _gram_rows(df, text_col, id_col, k).withColumn(
+        "g", F.unhex("g")
+    )
+    agg = (
+        grams.groupBy("g")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+    )
+    return (
+        grams.join(agg, "g")
+        .filter(
+            (F.col("doc_id") != F.col("first.doc_id"))
+            | (F.col("pos") != F.col("first.pos"))
+        )
+        .select("doc_id", "pos", "n_occ")
+    )
+
+
+def _merge_spans(rep: DataFrame, k: int) -> DataFrame:
+    """Merge (doc_id, pos) gram positions into maximal disjoint spans
+    (interval union via the running-max-end trick): (doc_id,
+    span_start, span_end, span_tokens, n_grams), offsets half-open."""
     w = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + k).over(
         w.rowsBetween(Window.unboundedPreceding, -1)
@@ -133,6 +161,17 @@ def repeated_kgram_spans(
     )
 
 
+def repeated_kgram_spans(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, min_count: int = 2,
+) -> DataFrame:
+    """Maximal repeated spans per document: (doc_id, span_start,
+    span_end, span_tokens, n_grams), token offsets half-open
+    [span_start, span_end)."""
+    return _merge_spans(
+        repeated_gram_positions(df, text_col, id_col, k, min_count), k
+    )
+
+
 def substring_dedup_text(
     df: DataFrame, text_col: str, id_col: str, k: int = 8, min_count: int = 2,
 ) -> DataFrame:
@@ -148,7 +187,30 @@ def substring_dedup_text(
     filter (order-preserving by construction — no collect_list +
     array_sort). Tokens never cross a shuffle: the only wide rows after
     the gram count are merged-interval structs."""
-    spans = repeated_kgram_spans(df, text_col, id_col, k, min_count)
+    return _scrub_spans(
+        df, text_col, id_col,
+        repeated_kgram_spans(df, text_col, id_col, k, min_count),
+    )
+
+
+def substring_dedup_keep_first(
+    df: DataFrame, text_col: str, id_col: str, k: int = 8, min_count: int = 2,
+) -> DataFrame:
+    """Lee et al.'s actual ExactSubstr semantics: remove every repeated
+    span but RETAIN the corpus-globally first occurrence of each gram
+    (canonical copy = min (doc_id, pos)), so duplicated content
+    survives exactly once instead of vanishing everywhere. Output
+    contract matches substring_dedup_text. A canonical occurrence's
+    tokens can still fall if an overlapping NON-canonical occurrence of
+    another gram covers them — positionwise semantics, same as the
+    scrub-all variant."""
+    rep = noncanonical_gram_positions(df, text_col, id_col, k, min_count)
+    return _scrub_spans(df, text_col, id_col, _merge_spans(rep, k))
+
+
+def _scrub_spans(
+    df: DataFrame, text_col: str, id_col: str, spans: DataFrame
+) -> DataFrame:
     span_sets = spans.groupBy("doc_id").agg(
         F.collect_list(F.struct("span_start", "span_end")).alias("_spans"),
         F.sum("span_tokens").alias("_n_removed"),

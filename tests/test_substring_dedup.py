@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from gruut_spark.operators.substring_dedup import (
     repeated_kgram_spans,
+    substring_dedup_keep_first,
     substring_dedup_text,
 )
 
@@ -52,6 +53,42 @@ def test_scrubbed_text(spark, docs):
     assert out[3] == (12, 10, "u v")
     assert out[4] == (6, 0, "one two three four five six")
     assert out[5] == (0, 0, "")
+
+
+def test_keep_first_retains_canonical_copy(spark, docs):
+    """Lee et al. retain-one semantics: the globally first occurrence
+    of each repeated gram (min (doc_id, pos)) survives; later copies
+    are scrubbed — including self-repetition within one document."""
+    out = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in substring_dedup_keep_first(
+            docs, "text", "doc_id", k=4
+        ).collect()
+    }
+    # doc1 is the canonical holder of the shared a..f span: untouched
+    assert out[1] == (10, 0, "a b c d e f g h i j")
+    # doc2's copy is non-canonical: scrubbed
+    assert out[2] == (10, 6, "x y z w")
+    # doc3 self-repetition: first 'p q r s t' kept, second removed
+    assert out[3] == (12, 5, "p q r s t u v")
+    assert out[4] == (6, 0, "one two three four five six")
+    assert out[5] == (0, 0, "")
+
+
+def test_keep_first_removes_subset_of_scrub_all(spark, docs):
+    ka = {
+        r["doc_id"]: r["n_removed"]
+        for r in substring_dedup_keep_first(
+            docs, "text", "doc_id", k=4
+        ).collect()
+    }
+    sa = {
+        r["doc_id"]: r["n_removed"]
+        for r in substring_dedup_text(docs, "text", "doc_id", k=4).collect()
+    }
+    assert set(ka) == set(sa)
+    assert all(ka[d] <= sa[d] for d in ka)
+    assert sum(ka.values()) < sum(sa.values())  # something was retained
 
 
 def test_min_count_threshold(spark, docs):
