@@ -93,12 +93,14 @@ def _inner(names: list, sf_dir: str, files_rows: int) -> None:
         SparkSession.builder.master(f"local[{CPUS}]")
         .config("spark.sql.shuffle.partitions", str(CPUS))
         .config("spark.driver.memory", "48g")
-        # make_sf.py writes ONE parquet file per table; at default
-        # 128 MB maxPartitionBytes the 500k-row documents table scans as
-        # 2 tasks and every doc_* query is parallelism-starved by input
-        # LAYOUT, not engine shape (real 100-TB inputs are thousands of
-        # files). 8 MB restores the file-count parallelism a real lake
-        # layout would have.
+        # make_sf.py now writes size-targeted multi-file tables (~100 KB
+        # text files under openCostInBytes -> one-file-per-task even
+        # scans; 16 MB relational files). 8 MB maxPartitionBytes keeps
+        # the big tables byte-split evenly; the replicated text tables
+        # compress ~100x, so byte-based splitting alone (128 MB default)
+        # would starve exactly the compute-heavy doc_* stages (real
+        # 100-TB inputs are thousands of files; the bench input must
+        # emulate that deliberately).
         .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
