@@ -1,0 +1,89 @@
+"""Brute-force differential for the exact-substring dedup oracles.
+
+Third leg of the triangle: the driver gate pins Spark == oracle SQL;
+these fuzz tests pin oracle SQL == an independent brute-force Python
+model of the semantics (gram occurrence lists, covered-position union,
+retain-one canonical selection), so a shared misreading of the rules
+can't hide inside matching implementations. Small vocab + short docs
+force dense collisions: overlap, self-repetition, cross-doc ties, and
+canonical-vs-covered interactions all occur by volume.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+import re
+from collections import defaultdict
+
+import duckdb
+
+from __spark_entry__ import oracle_sql
+
+K = 6  # the registered oracles use k=6
+
+
+def _toks(text: str) -> list:
+    return [t for t in re.split(r"\s+", text.lower().strip()) if t != ""]
+
+
+def _brute(docs: dict, keep_first: bool) -> dict:
+    occ = defaultdict(list)
+    toks = {d: _toks(t) for d, t in docs.items()}
+    for d in sorted(toks):
+        ts = toks[d]
+        for p in range(len(ts) - K + 1):
+            occ[tuple(ts[p:p + K])].append((d, p))
+    covered = defaultdict(set)
+    for g, os_ in occ.items():
+        if len(os_) >= 2:
+            drop = sorted(os_)[1:] if keep_first else os_
+            for d, p in drop:
+                covered[d].update(range(p, p + K))
+    out = {}
+    for d, ts in toks.items():
+        cov = covered.get(d, set())
+        clean = " ".join(t for i, t in enumerate(ts) if i not in cov)
+        out[d] = (
+            len(ts), len(cov),
+            hashlib.md5(clean.encode()).hexdigest(),
+        )
+    return out
+
+
+def _oracle(docs: dict, name: str) -> dict:
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany(
+        "INSERT INTO documents VALUES (?, ?)", sorted(docs.items())
+    )
+    return {r[0]: r[1:] for r in con.sql(oracle_sql()[name]).fetchall()}
+
+
+def _run_case(rng: random.Random, n_docs: int) -> dict:
+    vocab = list("abcde")
+    docs = {}
+    for d in range(n_docs):
+        n = rng.randint(0, 15)
+        docs[d] = " ".join(rng.choice(vocab) for _ in range(n))
+    return docs
+
+
+def test_scrub_all_fuzz():
+    rng = random.Random(515)
+    for _ in range(25):
+        docs = _run_case(rng, 30)
+        assert _oracle(docs, "doc_substring_dedup") == _brute(docs, False)
+
+
+def test_keep_first_fuzz():
+    rng = random.Random(616)
+    any_retained = False
+    for _ in range(25):
+        docs = _run_case(rng, 30)
+        ka = _oracle(docs, "doc_substring_keepfirst")
+        assert ka == _brute(docs, True)
+        sa = _brute(docs, False)
+        assert all(ka[d][1] <= sa[d][1] for d in ka)
+        any_retained |= any(ka[d][1] < sa[d][1] for d in ka)
+    assert any_retained  # the fuzz actually exercised canonical retention
