@@ -49,6 +49,7 @@ def _output_schema(id_type: str) -> str:
 
 def _make_repeated_gram_fn(
     min_count: int = 2, ttl_minutes: Optional[float] = None,
+    emit_anchor: bool = True,
 ) -> Callable[..., Iterator[pd.DataFrame]]:
     ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
 
@@ -82,7 +83,7 @@ def _make_repeated_gram_fn(
                 n_seen = 1
                 continue
             n_seen += 1
-            if n_seen == min_count:
+            if n_seen == min_count and emit_anchor:
                 # detection moment: flag the retained anchor retroactively
                 out.append((first_doc, first_pos, key[0], n_seen))
             if n_seen >= min_count:
@@ -102,17 +103,22 @@ def streaming_repeated_grams(
     stream: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     k: int = 8, min_count: int = 2,
     state_ttl_minutes: Optional[float] = None,
+    emit_anchor: bool = True,
 ) -> DataFrame:
     """stream (id, text) -> flagged repeated k-gram occurrences across
     ALL micro-batches seen so far. Gram construction is the batch
     operator's (shared ``_gram_rows``), so streaming and batch agree on
-    gram identity."""
+    gram identity. ``emit_anchor=False`` gives the retain-one face
+    (batch analogue ``substring_dedup_keep_first``): the retained first
+    occurrence is never flagged, so downstream scrubbing keeps exactly
+    one copy — canonical here means first ARRIVAL (stream order), where
+    the batch operator's canonical is the global min (doc_id, pos)."""
     from ..operators.substring_dedup import _gram_rows
 
     id_type = stream.schema[id_col].dataType.simpleString()
     grams = _gram_rows(stream, text_col, id_col, k)
     return grams.groupBy("g").applyInPandasWithState(
-        _make_repeated_gram_fn(min_count, state_ttl_minutes),
+        _make_repeated_gram_fn(min_count, state_ttl_minutes, emit_anchor),
         outputStructType=_output_schema(id_type),
         stateStructType=_state_schema(id_type),
         outputMode="append",

@@ -153,6 +153,39 @@ def test_streaming_repeated_grams_cross_batch(spark, tmp_path):
     assert got == {(1, 1), (3, 2)}, got
 
 
+def test_streaming_keep_first_never_flags_anchor(spark, tmp_path):
+    """emit_anchor=False (the substring_dedup_keep_first streaming
+    face): only the later arrivals of a repeated gram are flagged; the
+    retained first arrival never emits."""
+    from gruut_spark.streaming.stateful_substring import (
+        streaming_repeated_grams,
+    )
+
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ck"))
+    shared = "alpha beta gamma delta"
+    spark.createDataFrame(
+        [(1, f"start {shared} end"), (3, f"prefix tokens {shared} suffix")],
+        "doc_id long, text string",
+    ).coalesce(1).write.parquet(in_dir + "/b1")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(in_dir + "/*")
+    )
+    q = (
+        streaming_repeated_grams(stream, k=4, emit_anchor=False)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r["doc_id"], r["pos"]) for r in spark.read.parquet(out_dir).collect()}
+    # doc1 pos 1 is the retained anchor: NOT flagged; doc3 pos 2 is
+    assert got == {(3, 2)}, got
+
+
 def test_streaming_repeated_grams_string_ids(spark, tmp_path):
     """String doc ids flow through the stateful operator (review: the
     kernel used to coerce ids with int())."""
