@@ -887,23 +887,25 @@ def _doc_ssml_slice(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _ca_slice_restrict_col() -> F.Column:
-    """Catalan-slice alphabet: lowercase a–z minus {h,i,u}, plus
+    """Catalan-slice alphabet: lowercase a–z minus {i,u}, plus
     ' ,.!?'. Excluding i/u/ü kills every glide / diphthong / [gq]u
     digraph / argü-hiatus branch of nucleus finding (nuclei collapse to
     exactly the a/e/o positions) and the falling-diphthong arms of the
-    twelve-terminations rule; excluding h kills the intercalated-h and
-    hi-/hu- branches; ASCII-only strips accented vowels (no
-    graphic-accent short-circuit) and hyphens (no hyphen cut
-    adjustments). What remains of the engine on this domain — a/e/o
-    nuclei, the 5-tier inter-nucleus cut table, -ment adverb double
-    stress, function-word atonicity, accent exceptions, the
-    termination rule, è/ò-vs-ó accent application, and the
-    unsyllabifiable-cluster error policy — is list-fold SQL."""
+    twelve-terminations rule; h STAYS in the alphabet (its hi-/hu-
+    branches are i/u-gated, so the only live h rules — the
+    intercalated-h cut and the *h inseparable onsets ch/th/sh/ph/... —
+    are themselves SQL-expressible and gated); ASCII-only strips
+    accented vowels (no graphic-accent short-circuit) and hyphens (no
+    hyphen cut adjustments). What remains of the engine on this domain
+    — a/e/o nuclei, the 5-tier inter-nucleus cut table incl. the h
+    rules, -ment adverb double stress, function-word atonicity, accent
+    exceptions, the termination rule, è/ò-vs-ó accent application, and
+    the unsyllabifiable-cluster error policy — is list-fold SQL."""
     return F.trim(
         F.regexp_replace(
             F.regexp_replace(
                 F.lower(F.coalesce(F.col("text"), F.lit(""))),
-                "[^a-gj-tv-z ,.!?]+", "",
+                "[^a-hj-tv-z ,.!?]+", "",
             ),
             " {2,}", " ",
         )
@@ -4615,11 +4617,12 @@ def _ca_slice_oracle_sql() -> str:
     * nuclei = a/e/o positions of the stem (+ the e of -ment for
       adverbs) — every i/u/ü/h branch of nucleus_positions is dead;
     * cuts: the 5-tier inter-nucleus consonant-cluster table of
-      syllable_bounds (gap<=1 / onset-or-h at gap 2 / gap 3 / first-s
-      at gap 4 / gap 5; gap>=6 -> NULL = the ValueError the operator's
-      per-token try/except turns into "unchanged"). The intercalated-h
-      and hyphen adjustments are dead (no h/-), and onset membership is
-      checked against the domain-spellable subset (equal membership);
+      syllable_bounds (gap<=1 / onset-or-intercalated-h at gap 2 /
+      gap 3 / first-s at gap 4 / gap 5; gap>=6 -> NULL = the ValueError
+      the operator's per-token try/except turns into "unchanged"). The
+      hyphen adjustments are dead (no '-'), and onset membership —
+      including the *h onsets, since h is in the alphabet — is checked
+      against the domain-spellable subset (equal membership);
     * stress precedence exactly as _mark_stress: accent-exception
       words short-circuit (the graphic-accent branch — the replaced
       part carries the accent); else n==1 function-word atonicity;
@@ -4639,7 +4642,7 @@ def _ca_slice_oracle_sql() -> str:
         ACCENT_EXCEPTIONS, FUNCTION_WORDS, INSEPARABLE_ONSETS,
     )
 
-    dom = set("abcdefgjklmnopqrstvwxyz")
+    dom = set("abcdefghjklmnopqrstvwxyz")
     ons_sql = ", ".join(
         f"'{o}'" for o in sorted(o for o in INSEPARABLE_ONSETS
                                  if set(o) <= dom)
@@ -4659,7 +4662,7 @@ def _ca_slice_oracle_sql() -> str:
         WITH docs AS (
           SELECT doc_id,
             trim(regexp_replace(regexp_replace(lower(coalesce(text, '')),
-              '[^a-gj-tv-z ,.!?]+', '', 'g'), ' {{2,}}', ' ', 'g')) AS rt
+              '[^a-hj-tv-z ,.!?]+', '', 'g'), ' {{2,}}', ' ', 'g')) AS rt
           FROM documents
         ), words AS (
           SELECT doc_id, i AS wi, ws[i] AS w
@@ -4688,6 +4691,7 @@ def _ca_slice_oracle_sql() -> str:
               WHEN nucs[j + 1] - nucs[j] <= 2 THEN nucs[j]
               WHEN nucs[j + 1] - nucs[j] = 3 THEN
                 CASE WHEN substr(w, nucs[j] + 1, 2) IN ({ons_sql})
+                          OR substr(w, nucs[j] + 2, 1) = 'h'
                      THEN nucs[j] ELSE nucs[j] + 1 END
               WHEN nucs[j + 1] - nucs[j] = 4 THEN
                 CASE WHEN substr(w, nucs[j] + 2, 2) IN ({ons_sql})

@@ -1,6 +1,6 @@
 """doc_ca_slice oracle vs the REAL Catalan stress engine, Spark-free.
 
-The query restricts text to the slice alphabet (a–z minus {h,i,u} plus
+The query restricts text to the slice alphabet (a–z minus {i,u} plus
 ' ,.!?') and runs the production stress path (stress_word under the
 ca_stress_table per-token try/except contract); the oracle replays the
 reachable rule system as DuckDB list folds. These differentials pin the
@@ -34,6 +34,9 @@ ADVERSARIAL = [
     "edgar and jonatan were democrata petroleo",
     # onset clusters at gap 2/3, >=6-consonant error tokens
     "poble crackle abcdfgjkle strengths wordsxzt",
+    # h rules: intercalated h at gap 2 (e.g. anhel -> cut after the a),
+    # *h onsets (ch/th/sh/ph), h-final and h-cluster words
+    "anhel chest the shop phase hmm ash chchch",
     # punctuation-only and punctuation-attached tokens
     "!!! ... ?,. word, end! (nope",
     # vowel runs (gap 0) and bare repetition
@@ -43,7 +46,7 @@ ADVERSARIAL = [
 
 
 def _restrict(text: str) -> str:
-    t = re.sub(r"[^a-gj-tv-z ,.!?]+", "", (text or "").lower())
+    t = re.sub(r"[^a-hj-tv-z ,.!?]+", "", (text or "").lower())
     t = re.sub(r" {2,}", " ", t).strip()
     return t
 
@@ -96,7 +99,7 @@ def test_adversarial_cases():
 
 def test_alphabet_fuzz():
     rng = random.Random(20260818)
-    cons, vow = "bcdfgjklmnpqrstvwxyz", "aeo"
+    cons, vow = "bcdfghjklmnpqrstvwxyz", "aeo"
     alpha = cons + vow + ",.!?"
     docs = []
     for _ in range(200):
