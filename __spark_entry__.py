@@ -1652,6 +1652,158 @@ def _doc_blocklist(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+# license bodies planted into the code-files fixture (classification
+# phrases per SPDX family; shared verbatim with the DuckDB oracle CTE)
+_CODE_MIT = (
+    "Permission is hereby granted, free of charge, to any person "
+    "obtaining a copy of this software."
+)
+_CODE_APACHE = 'Licensed under the Apache License, Version 2.0 (the "License");'
+_CODE_GPL = (
+    "This program is free software: you can redistribute it under the "
+    "GNU General Public License, either version 3 of the License."
+)
+_CODE_BSD = (
+    "Redistribution and use in source and binary forms, with or without "
+    "modification, are permitted."
+)
+
+
+def _code_files_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule files table (repo, path, commit, lang, content) derived
+    deterministically from `documents` with planted curation cases so
+    every code_filters predicate fires non-vacuously (the c4/multimodal
+    build-time-fixture precedent; same derivation in the oracle CTE):
+    id%53 license files (body by id%4), id%47 vendored paths, id%43
+    generated headers, id%41 SPDX headers (MIT/GPL by id%2), id%31
+    comment-heavy headers, id%37 raw single-line (minified-prone);
+    otherwise ' value '->newline multi-line code-ish text."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    sid = d.cast("string")
+    lic_body = (
+        F.when(d % 4 == 0, F.lit(_CODE_MIT))
+        .when(d % 4 == 1, F.lit(_CODE_APACHE))
+        .when(d % 4 == 2, F.lit(_CODE_GPL))
+        .otherwise(F.lit(_CODE_BSD))
+    )
+    path = (
+        F.when(d % 53 == 0, F.concat(F.lit("d"), sid, F.lit("/LICENSE")))
+        .when(d % 47 == 0, F.concat(F.lit("node_modules/pkg/f"), sid, F.lit(".js")))
+        .otherwise(F.concat(F.lit("src/f"), sid, F.lit(".py")))
+    )
+    spdx = F.when(d % 2 == 0, F.lit("MIT")).otherwise(F.lit("GPL-3.0-only"))
+    content = (
+        F.when(d % 53 == 0, lic_body)
+        .when(
+            d % 43 == 0,
+            F.concat(F.lit("# Code generated by testgen. DO NOT EDIT.\n"), base),
+        )
+        .when(
+            d % 41 == 0,
+            F.concat(F.lit("// SPDX-License-Identifier: "), spdx, F.lit("\n"), base),
+        )
+        .when(
+            d % 31 == 0,
+            F.concat(
+                F.lit("# header comment\n# more comment\n# and more\n# and more\n"),
+                base,
+            ),
+        )
+        .when(d % 37 == 0, raw)
+        .otherwise(base)
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_file_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack / StarCoder per-file curation battery (Kocetkov et al.
+    2022 sec. 3, Li et al. 2023): SPDX header gate, generated/vendored/
+    minified flags, comment-density ratio, keep verdict — one
+    zero-shuffle zero-Python Catalyst projection
+    (operators/code_filters.py::code_file_flags). The DuckDB oracle
+    replays every feature and threshold on the same planted fixture."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_file_flags
+
+    return code_file_flags(_code_files_fixture(spark, sf_dir)).orderBy("path")
+
+
+def _code_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level license rollup + broadcast attach (The Stack's license
+    gate at repo granularity): LICENSE/COPYING bodies classified by
+    phrase, most restrictive file wins per repo (min rank), rolled onto
+    every file of the repo via a broadcast join
+    (operators/code_filters.py::repo_license_rollup/attach_repo_license).
+    The oracle replays classification, rank aggregation and the join."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import attach_repo_license
+
+    return (
+        attach_repo_license(_code_files_fixture(spark, sf_dir))
+        .select("repo", "path", "repo_license", "repo_license_ok")
+        .orderBy("path")
+    )
+
+
+def _code_data_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-blob strata for code_data_flags, deterministic from
+    `documents` (independent mod classes from _code_files_fixture so the
+    two fixtures stay decoupled): id%29 hex dumps, id%23 embedded base64
+    blobs, id%19 numeric CSV; otherwise multi-line code-ish text."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    sid = d.cast("string")
+    path = (
+        F.when(d % 29 == 0, F.concat(F.lit("data/h"), sid, F.lit(".hex")))
+        .when(d % 23 == 0, F.concat(F.lit("src/b"), sid, F.lit(".py")))
+        .when(d % 19 == 0, F.concat(F.lit("data/c"), sid, F.lit(".csv")))
+        .otherwise(F.concat(F.lit("src/f"), sid, F.lit(".py")))
+    )
+    content = (
+        F.when(d % 29 == 0, F.repeat(F.lit("deadbeef"), 64))
+        .when(
+            d % 23 == 0,
+            F.concat(
+                F.lit('payload = "'),
+                F.repeat(F.lit("QUJDREVGR0g="), 100),
+                F.lit('"'),
+            ),
+        )
+        .when(d % 19 == 0, F.repeat(F.concat(F.lit("1,2,3"), F.lit("\n")), 40))
+        .otherwise(base)
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_data_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack's data-not-code battery (Kocetkov et al. 2022: drop
+    files under 25% alphabetic characters; long hex / base64 runs mark
+    digests and binary payloads): char-class fractions via the
+    length-difference trick, run lengths via regexp_extract_all →
+    array_max/aggregate — one zero-shuffle zero-Python Catalyst
+    projection (operators/code_filters.py::code_data_flags). The DuckDB
+    oracle mirrors every expression (with the 'g' replace flag)."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_data_flags
+
+    return code_data_flags(_code_data_fixture(spark, sf_dir)).orderBy("path")
+
+
 def _doc_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moore-Lewis cross-entropy-difference selection (Moore & Lewis
     2010): two add-alpha bigram LMs trained IN-QUERY (target = the
@@ -2714,6 +2866,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_temperature_mix": _doc_temperature_mix,
         "doc_c4_clean": _doc_c4_clean,
         "doc_blocklist": _doc_blocklist,
+        "code_file_flags": _code_file_flags,
+        "code_repo_license": _code_repo_license,
+        "code_data_flags": _code_data_flags,
         "doc_epoch_shards": _doc_epoch_shards,
         "doc_moore_lewis": _doc_moore_lewis,
         "doc_doremi_weights": _doc_doremi_weights,
@@ -5345,6 +5500,210 @@ _COUNTMIN_ORACLE_SQL = r"""
     """
 
 
+def _code_files_cte_sql() -> str:
+    """The _code_files_fixture derivation as a DuckDB CTE body (same
+    CASE order, same planted strata)."""
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 coalesce(text, '') AS raw,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 53 = 0 THEN 'd' || d::VARCHAR || '/LICENSE'
+                 WHEN d % 47 = 0
+                   THEN 'node_modules/pkg/f' || d::VARCHAR || '.js'
+                 ELSE 'src/f' || d::VARCHAR || '.py' END AS path,
+            CASE WHEN d % 53 = 0 THEN
+                   CASE WHEN d % 4 = 0 THEN '{_CODE_MIT}'
+                        WHEN d % 4 = 1 THEN '{_CODE_APACHE}'
+                        WHEN d % 4 = 2 THEN '{_CODE_GPL}'
+                        ELSE '{_CODE_BSD}' END
+                 WHEN d % 43 = 0 THEN
+                   '# Code generated by testgen. DO NOT EDIT.'
+                   || chr(10) || base
+                 WHEN d % 41 = 0 THEN
+                   '// SPDX-License-Identifier: '
+                   || CASE WHEN d % 2 = 0 THEN 'MIT'
+                           ELSE 'GPL-3.0-only' END
+                   || chr(10) || base
+                 WHEN d % 31 = 0 THEN
+                   '# header comment' || chr(10) || '# more comment'
+                   || chr(10) || '# and more' || chr(10) || '# and more'
+                   || chr(10) || base
+                 WHEN d % 37 = 0 THEN raw
+                 ELSE base END AS content
+          FROM docs
+        )"""
+
+
+def _code_file_flags_oracle_sql() -> str:
+    """DuckDB twin of operators/code_filters.py::code_file_flags: every
+    regex/threshold interpolated from the SAME module constants."""
+    from gruut_spark.operators.code_filters import (
+        COMMENT_LINE_RE,
+        GENERATED_RE,
+        LICENSE_ALLOWLIST,
+        VENDORED_RE,
+    )
+
+    allow = ", ".join(f"'{x}'" for x in LICENSE_ALLOWLIST)
+    return f"""
+        WITH {_code_files_cte_sql()}, feat AS (
+          SELECT repo, path,
+            lower(substring(content, 1, 2048)) AS header,
+            substring(content, 1, 2048) AS header_cs,
+            string_split_regex(content, '\\r?\\n') AS lines
+          FROM files
+        ), m AS (
+          SELECT repo, path,
+            coalesce(regexp_extract(header_cs,
+              'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '')
+              AS spdx_id,
+            regexp_matches(header, '{GENERATED_RE}') AS is_generated,
+            regexp_matches(path, '{VENDORED_RE}') AS is_vendored,
+            len(lines)::INT AS n_lines,
+            list_max(list_transform(lines, x -> length(x)))::INT
+              AS max_line_len,
+            round(list_sum(list_transform(lines, x -> length(x)))
+                  / len(lines), 6) AS mean_line_len,
+            len(list_filter(lines, l -> trim(l) <> ''))::INT AS n_nonempty,
+            len(list_filter(lines,
+                l -> regexp_matches(l, '{COMMENT_LINE_RE}')))::INT
+              AS n_comment
+          FROM feat
+        ), v AS (
+          SELECT repo, path, spdx_id, is_generated, is_vendored,
+            (max_line_len > 1000 OR mean_line_len > 100.0) AS is_minified,
+            n_lines, max_line_len, mean_line_len,
+            round(n_comment / greatest(n_nonempty, 1), 6)
+              AS comment_line_ratio
+          FROM m
+        )
+        SELECT repo, path, spdx_id, is_generated, is_vendored, is_minified,
+          n_lines, max_line_len, mean_line_len, comment_line_ratio,
+          (NOT is_generated AND NOT is_vendored AND NOT is_minified
+           AND NOT comment_line_ratio > 0.8
+           AND (spdx_id = '' OR spdx_id IN ({allow}))) AS keep_code
+        FROM v ORDER BY path
+    """
+
+
+def _code_data_flags_oracle_sql() -> str:
+    """DuckDB twin of operators/code_filters.py::code_data_flags: the
+    fixture strata, char-class length-difference fractions, and
+    regexp_extract_all run lengths, thresholds interpolated from the
+    SAME module constants."""
+    from gruut_spark.operators.code_filters import (
+        B64_RUN_RE,
+        EXT_RE,
+        HEX_RUN_RE,
+    )
+
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 coalesce(text, '') AS raw,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 29 = 0 THEN 'data/h' || d::VARCHAR || '.hex'
+                 WHEN d % 23 = 0 THEN 'src/b' || d::VARCHAR || '.py'
+                 WHEN d % 19 = 0 THEN 'data/c' || d::VARCHAR || '.csv'
+                 ELSE 'src/f' || d::VARCHAR || '.py' END AS path,
+            CASE WHEN d % 29 = 0 THEN repeat('deadbeef', 64)
+                 WHEN d % 23 = 0 THEN
+                   'payload = "' || repeat('QUJDREVGR0g=', 100) || '"'
+                 WHEN d % 19 = 0 THEN repeat('1,2,3' || chr(10), 40)
+                 ELSE base END AS content
+          FROM docs
+        ), feat AS (
+          SELECT repo, path, content,
+            length(content) AS n_chars,
+            greatest(length(content), 1) AS denom,
+            length(content)
+              - length(regexp_replace(content, '[A-Za-z]', '', 'g'))
+              AS n_alpha,
+            length(content)
+              - length(regexp_replace(content, '[0-9]', '', 'g'))
+              AS n_digit,
+            list_transform(regexp_extract_all(content, '{HEX_RUN_RE}'),
+                           x -> length(x)) AS hex_lens,
+            list_transform(regexp_extract_all(content, '{B64_RUN_RE}'),
+                           x -> length(x)) AS b64_lens
+          FROM files
+        ), m AS (
+          SELECT repo, path,
+            coalesce(regexp_extract(path, '{EXT_RE}', 1), '') AS ext,
+            n_chars::INT AS n_chars,
+            round(n_alpha / denom, 6) AS alpha_frac,
+            round(n_digit / denom, 6) AS digit_frac,
+            coalesce(list_max(hex_lens), 0)::INT AS max_hex_run,
+            round(coalesce(list_sum(hex_lens), 0) / denom, 6) AS hex_frac,
+            coalesce(list_max(b64_lens), 0)::INT AS max_b64_run,
+            starts_with(content, '<?xml') AS is_xml
+          FROM feat
+        )
+        SELECT repo, path, ext, n_chars, alpha_frac, digit_frac,
+          max_hex_run, hex_frac, max_b64_run, is_xml,
+          (alpha_frac >= 0.25 AND hex_frac <= 0.5
+           AND max_b64_run <= 1024) AS keep_data
+        FROM m ORDER BY path
+    """
+
+
+def _code_repo_license_oracle_sql() -> str:
+    """DuckDB twin of repo_license_rollup + attach_repo_license: phrase
+    CASE, rank CASE and label CASE are GENERATED from the module's
+    _LICENSE_PHRASES / LICENSE_RANK so the contract cannot drift."""
+    from gruut_spark.operators.code_filters import (
+        _LICENSE_PHRASES,
+        LICENSE_ALLOWLIST,
+        LICENSE_PATH_RE,
+        LICENSE_RANK,
+    )
+
+    whens = []
+    for spdx, phrases in _LICENSE_PHRASES:
+        cond = " AND ".join(
+            f"contains(lower(content), '{p}')" for p in phrases
+        )
+        whens.append(f"WHEN {cond} THEN '{spdx}'")
+    phrase_case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    rank_case = (
+        "CASE license "
+        + " ".join(f"WHEN '{n}' THEN {i}" for i, n in enumerate(LICENSE_RANK))
+        + " END"
+    )
+    label_case = (
+        "CASE r "
+        + " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(LICENSE_RANK))
+        + " END"
+    )
+    allow = ", ".join(f"'{x}'" for x in LICENSE_ALLOWLIST)
+    return f"""
+        WITH {_code_files_cte_sql()}, lic AS (
+          SELECT repo, {phrase_case} AS license
+          FROM files
+          WHERE regexp_matches(path, '{LICENSE_PATH_RE}')
+        ), ranked AS (
+          SELECT repo, min({rank_case}) AS r FROM lic GROUP BY repo
+        ), lab AS (
+          SELECT repo, {label_case} AS repo_license FROM ranked
+        )
+        SELECT f.repo, f.path,
+          coalesce(l.repo_license, 'none') AS repo_license,
+          (coalesce(l.repo_license, 'none') IN ({allow})
+           OR coalesce(l.repo_license, 'none') = 'none') AS repo_license_ok
+        FROM files f LEFT JOIN lab l ON l.repo = f.repo
+        ORDER BY path
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     # the langid/ppl model oracles are ~MB-scale generated SQL (npz load
     # + string build); build each once and reuse in the verdict twin
@@ -6918,6 +7277,9 @@ def oracle_sql() -> dict[str, str]:
               CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS keep_doc
             FROM h ORDER BY doc_id
         """,
+        "code_file_flags": _code_file_flags_oracle_sql(),
+        "code_repo_license": _code_repo_license_oracle_sql(),
+        "code_data_flags": _code_data_flags_oracle_sql(),
         "doc_moore_lewis": "WITH " + _ML_TERMS_CTES + """
             , agg AS (
               SELECT doc_id, count(*) AS n,
