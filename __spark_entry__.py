@@ -1674,7 +1674,8 @@ def _code_files_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     deterministically from `documents` with planted curation cases so
     every code_filters predicate fires non-vacuously (the c4/multimodal
     build-time-fixture precedent; same derivation in the oracle CTE):
-    id%53 license files (body by id%4), id%47 vendored paths, id%43
+    id%53 license files (body by id%4), id%59 hex dumps (the keep_data
+    leg of the composed verdict), id%47 vendored paths, id%43
     generated headers, id%41 SPDX headers (MIT/GPL by id%2), id%31
     comment-heavy headers, id%37 raw single-line (minified-prone);
     otherwise ' value '->newline multi-line code-ish text."""
@@ -1696,6 +1697,7 @@ def _code_files_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     spdx = F.when(d % 2 == 0, F.lit("MIT")).otherwise(F.lit("GPL-3.0-only"))
     content = (
         F.when(d % 53 == 0, lic_body)
+        .when(d % 59 == 0, F.repeat(F.lit("deadbeef"), 64))
         .when(
             d % 43 == 0,
             F.concat(F.lit("# Code generated by testgen. DO NOT EDIT.\n"), base),
@@ -1751,6 +1753,31 @@ def _code_repo_license(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("repo", "path", "repo_license", "repo_license_ok")
         .orderBy("path")
     )
+
+
+def _code_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SantaCoder near-exact dedup (Allal et al. 2023): duplicate groups
+    keyed by md5 of the lowercased alphanumeric-only content, canonical
+    copy = lexicographically first (path, repo). Content is dropped
+    before the digest groupBy/join-back — only 16-byte keys + ids
+    shuffle (operators/code_filters.py::code_near_exact_dedup)."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_near_exact_dedup
+
+    return code_near_exact_dedup(_code_files_fixture(spark, sf_dir)).orderBy("path")
+
+
+def _code_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed Stack-recipe keep verdict: per-file flags ∧
+    data-not-code ∧ repo license ∧ near-exact canonical — ONE content
+    scan with collapsed flag projections plus exactly two bounded
+    exchanges (license rollup: one int per repo; dedup: digest keys)
+    (operators/code_filters.py::code_curation_pipeline). The oracle
+    replays all four batteries and the conjunction."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_curation_pipeline
+
+    return code_curation_pipeline(_code_files_fixture(spark, sf_dir)).orderBy("path")
 
 
 def _code_data_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2869,6 +2896,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_file_flags": _code_file_flags,
         "code_repo_license": _code_repo_license,
         "code_data_flags": _code_data_flags,
+        "code_norm_dedup": _code_norm_dedup,
+        "code_curation_verdict": _code_curation_verdict,
         "doc_epoch_shards": _doc_epoch_shards,
         "doc_moore_lewis": _doc_moore_lewis,
         "doc_doremi_weights": _doc_doremi_weights,
@@ -5521,6 +5550,7 @@ def _code_files_cte_sql() -> str:
                         WHEN d % 4 = 1 THEN '{_CODE_APACHE}'
                         WHEN d % 4 = 2 THEN '{_CODE_GPL}'
                         ELSE '{_CODE_BSD}' END
+                 WHEN d % 59 = 0 THEN repeat('deadbeef', 64)
                  WHEN d % 43 = 0 THEN
                    '# Code generated by testgen. DO NOT EDIT.'
                    || chr(10) || base
@@ -5653,6 +5683,137 @@ def _code_data_flags_oracle_sql() -> str:
           (alpha_frac >= 0.25 AND hex_frac <= 0.5
            AND max_b64_run <= 1024) AS keep_data
         FROM m ORDER BY path
+    """
+
+
+def _code_norm_dedup_oracle_sql() -> str:
+    """DuckDB twin of code_near_exact_dedup: the normalization digest,
+    group size, and the min-(path, repo) canonical rule as windows."""
+    return f"""
+        WITH {_code_files_cte_sql()}, normd AS (
+          SELECT repo, path,
+            md5(regexp_replace(lower(content), '[^a-z0-9]', '', 'g'))
+              AS norm_md5
+          FROM files
+        ), grp AS (
+          SELECT repo, path, norm_md5,
+            count(*) OVER (PARTITION BY norm_md5) AS n_copies,
+            row_number() OVER (PARTITION BY norm_md5
+                               ORDER BY path, repo) AS rn
+          FROM normd
+        )
+        SELECT repo, path, norm_md5, n_copies, (rn = 1) AS is_canonical
+        FROM grp ORDER BY path
+    """
+
+
+def _code_curation_verdict_oracle_sql() -> str:
+    """DuckDB twin of code_curation_pipeline — all four batteries
+    (flags, data, license, dedup) + the conjunction, every regex /
+    threshold / CASE ladder interpolated from the SAME module constants
+    as the per-battery oracles."""
+    from gruut_spark.operators.code_filters import (
+        _LICENSE_PHRASES,
+        B64_RUN_RE,
+        COMMENT_LINE_RE,
+        GENERATED_RE,
+        HEX_RUN_RE,
+        LICENSE_ALLOWLIST,
+        LICENSE_PATH_RE,
+        LICENSE_RANK,
+        VENDORED_RE,
+    )
+
+    allow = ", ".join(f"'{x}'" for x in LICENSE_ALLOWLIST)
+    whens = []
+    for spdx, phrases in _LICENSE_PHRASES:
+        cond = " AND ".join(f"contains(lower(content), '{p}')" for p in phrases)
+        whens.append(f"WHEN {cond} THEN '{spdx}'")
+    phrase_case = "CASE " + " ".join(whens) + " ELSE 'unknown' END"
+    rank_case = (
+        "CASE license "
+        + " ".join(f"WHEN '{n}' THEN {i}" for i, n in enumerate(LICENSE_RANK))
+        + " END"
+    )
+    label_case = (
+        "CASE r "
+        + " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(LICENSE_RANK))
+        + " END"
+    )
+    return f"""
+        WITH {_code_files_cte_sql()}, feat AS (
+          SELECT repo, path, content,
+            lower(substring(content, 1, 2048)) AS header,
+            substring(content, 1, 2048) AS header_cs,
+            string_split_regex(content, '\\r?\\n') AS lines,
+            greatest(length(content), 1) AS denom
+          FROM files
+        ), flags AS (
+          SELECT repo, path,
+            (NOT regexp_matches(header, '{GENERATED_RE}')
+             AND NOT regexp_matches(path, '{VENDORED_RE}')
+             AND NOT (list_max(list_transform(lines, x -> length(x))) > 1000
+                      OR round(list_sum(list_transform(lines, x -> length(x)))
+                               / len(lines), 6) > 100.0)
+             AND NOT round(
+                   len(list_filter(lines,
+                       l -> regexp_matches(l, '{COMMENT_LINE_RE}')))
+                   / greatest(len(list_filter(lines, l -> trim(l) <> '')), 1),
+                   6) > 0.8
+             AND (coalesce(regexp_extract(header_cs,
+                    'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '')
+                    = ''
+                  OR coalesce(regexp_extract(header_cs,
+                       'SPDX-License-Identifier:\\s*([A-Za-z0-9.+-]+)', 1), '')
+                       IN ({allow}))) AS keep_code
+          FROM feat
+        ), datf AS (
+          SELECT repo, path,
+            (round((length(content)
+                    - length(regexp_replace(content, '[A-Za-z]', '', 'g')))
+                   / denom, 6) >= 0.25
+             AND round(coalesce(list_sum(list_transform(
+                   regexp_extract_all(content, '{HEX_RUN_RE}'),
+                   x -> length(x))), 0) / denom, 6) <= 0.5
+             AND coalesce(list_max(list_transform(
+                   regexp_extract_all(content, '{B64_RUN_RE}'),
+                   x -> length(x))), 0) <= 1024) AS keep_data
+          FROM feat
+        ), lic AS (
+          SELECT repo, {phrase_case} AS license
+          FROM files
+          WHERE regexp_matches(path, '{LICENSE_PATH_RE}')
+        ), ranked AS (
+          SELECT repo, min({rank_case}) AS r FROM lic GROUP BY repo
+        ), lab AS (
+          SELECT repo, {label_case} AS repo_license FROM ranked
+        ), grp AS (
+          SELECT repo, path,
+            count(*) OVER (PARTITION BY norm_md5) AS n_copies,
+            row_number() OVER (PARTITION BY norm_md5
+                               ORDER BY path, repo) AS rn
+          FROM (
+            SELECT repo, path,
+              md5(regexp_replace(lower(content), '[^a-z0-9]', '', 'g'))
+                AS norm_md5
+            FROM files
+          )
+        )
+        SELECT f.repo, f.path, fl.keep_code, d.keep_data,
+          coalesce(l.repo_license, 'none') AS repo_license,
+          (coalesce(l.repo_license, 'none') IN ({allow})
+           OR coalesce(l.repo_license, 'none') = 'none') AS repo_license_ok,
+          g.n_copies, (g.rn = 1) AS is_canonical,
+          (fl.keep_code AND d.keep_data
+           AND (coalesce(l.repo_license, 'none') IN ({allow})
+                OR coalesce(l.repo_license, 'none') = 'none')
+           AND g.rn = 1) AS keep_file
+        FROM files f
+        JOIN flags fl USING (repo, path)
+        JOIN datf d USING (repo, path)
+        LEFT JOIN lab l ON l.repo = f.repo
+        JOIN grp g ON g.repo = f.repo AND g.path = f.path
+        ORDER BY f.path
     """
 
 
@@ -7280,6 +7441,8 @@ def oracle_sql() -> dict[str, str]:
         "code_file_flags": _code_file_flags_oracle_sql(),
         "code_repo_license": _code_repo_license_oracle_sql(),
         "code_data_flags": _code_data_flags_oracle_sql(),
+        "code_norm_dedup": _code_norm_dedup_oracle_sql(),
+        "code_curation_verdict": _code_curation_verdict_oracle_sql(),
         "doc_moore_lewis": "WITH " + _ML_TERMS_CTES + """
             , agg AS (
               SELECT doc_id, count(*) AS n,
