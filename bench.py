@@ -49,6 +49,9 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "ann_brute_topk",
     "doc_langid",
+    # r5c: the composed code-corpus curation verdict (the north rule's
+    # own table shape) — totals before r5c exclude this entry
+    "code_curation_verdict",
 ]
 
 
