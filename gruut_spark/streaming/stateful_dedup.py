@@ -65,3 +65,60 @@ def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Code-corpus face: near-exact dedup over the normalized-content digest
+# ---------------------------------------------------------------------------
+
+CODE_OUTPUT_SCHEMA = "norm_md5 string, repo string, path string"
+
+
+def _code_dedup_fn(
+    key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """First-ever file per normalized digest; within the arriving data
+    the lexicographically first (path, repo) wins — the batch operator's
+    canonical rule applied per arrival."""
+    if state.exists:
+        return
+    best = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        cand = pdf.sort_values(["path", "repo"]).iloc[0]
+        if best is None or (cand.path, cand.repo) < (best.path, best.repo):
+            best = cand
+    if best is None:
+        return
+    state.update((True,))
+    yield pd.DataFrame(
+        {"norm_md5": [key[0]], "repo": [best.repo], "path": [best.path]}
+    )
+
+
+def streaming_code_near_dedup(stream: DataFrame) -> DataFrame:
+    """stream: (repo, path, content) -> first canonical file per
+    SantaCoder normalized-content digest across all micro-batches.
+
+    The key is the SAME expression as the batch operator
+    (operators/code_filters.py::_norm_md5), so a batch bootstrap and the
+    stream agree on group identity. Semantics divergence (documented,
+    inherent to append-mode streams): the stream keeps the first
+    ARRIVAL's canonical; the batch operator keeps the global
+    lexicographic minimum — they coincide whenever the canonical copy
+    arrives no later than its duplicates. State per digest is one
+    boolean; output rows carry ids only, never content.
+    """
+    from ..operators.code_filters import _norm_md5
+
+    keyed = stream.select(
+        _norm_md5(F.col("content")).alias("norm_md5"), "repo", "path"
+    )
+    return keyed.groupBy("norm_md5").applyInPandasWithState(
+        _code_dedup_fn,
+        outputStructType=CODE_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
