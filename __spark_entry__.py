@@ -5569,9 +5569,10 @@ def _code_files_cte_sql() -> str:
         )"""
 
 
-def _code_file_flags_oracle_sql() -> str:
-    """DuckDB twin of operators/code_filters.py::code_file_flags: every
-    regex/threshold interpolated from the SAME module constants."""
+def _code_file_flags_body_sql() -> str:
+    """code_file_flags feature SQL as a WITH-chain continuation over an
+    open CTE named `files` (repo, path, content) — shared by the fixture
+    oracle and the adversarial cross-engine differential test."""
     from gruut_spark.operators.code_filters import (
         COMMENT_LINE_RE,
         GENERATED_RE,
@@ -5580,8 +5581,7 @@ def _code_file_flags_oracle_sql() -> str:
     )
 
     allow = ", ".join(f"'{x}'" for x in LICENSE_ALLOWLIST)
-    return f"""
-        WITH {_code_files_cte_sql()}, feat AS (
+    return f""", feat AS (
           SELECT repo, path,
             lower(substring(content, 1, 2048)) AS header,
             substring(content, 1, 2048) AS header_cs,
@@ -5621,37 +5621,23 @@ def _code_file_flags_oracle_sql() -> str:
     """
 
 
-def _code_data_flags_oracle_sql() -> str:
-    """DuckDB twin of operators/code_filters.py::code_data_flags: the
-    fixture strata, char-class length-difference fractions, and
-    regexp_extract_all run lengths, thresholds interpolated from the
-    SAME module constants."""
+def _code_file_flags_oracle_sql() -> str:
+    """DuckDB twin of operators/code_filters.py::code_file_flags: every
+    regex/threshold interpolated from the SAME module constants."""
+    return "WITH " + _code_files_cte_sql() + _code_file_flags_body_sql()
+
+
+def _code_data_flags_body_sql() -> str:
+    """code_data_flags feature SQL as a WITH-chain continuation over an
+    open CTE named `files` (repo, path, content) — shared by the fixture
+    oracle and the adversarial cross-engine differential test."""
     from gruut_spark.operators.code_filters import (
         B64_RUN_RE,
         EXT_RE,
         HEX_RUN_RE,
     )
 
-    return f"""
-        WITH docs AS (
-          SELECT doc_id::BIGINT AS d,
-                 'r' || (doc_id % 7)::VARCHAR AS repo,
-                 coalesce(text, '') AS raw,
-                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
-          FROM documents
-        ), files AS (
-          SELECT repo,
-            CASE WHEN d % 29 = 0 THEN 'data/h' || d::VARCHAR || '.hex'
-                 WHEN d % 23 = 0 THEN 'src/b' || d::VARCHAR || '.py'
-                 WHEN d % 19 = 0 THEN 'data/c' || d::VARCHAR || '.csv'
-                 ELSE 'src/f' || d::VARCHAR || '.py' END AS path,
-            CASE WHEN d % 29 = 0 THEN repeat('deadbeef', 64)
-                 WHEN d % 23 = 0 THEN
-                   'payload = "' || repeat('QUJDREVGR0g=', 100) || '"'
-                 WHEN d % 19 = 0 THEN repeat('1,2,3' || chr(10), 40)
-                 ELSE base END AS content
-          FROM docs
-        ), feat AS (
+    return f""", feat AS (
           SELECT repo, path, content,
             length(content) AS n_chars,
             greatest(length(content), 1) AS denom,
@@ -5684,6 +5670,39 @@ def _code_data_flags_oracle_sql() -> str:
            AND max_b64_run <= 1024) AS keep_data
         FROM m ORDER BY path
     """
+
+
+def _code_data_fixture_cte_sql() -> str:
+    """The _code_data_fixture derivation as a DuckDB CTE body (same CASE
+    order, same planted strata)."""
+    return """
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 coalesce(text, '') AS raw,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 29 = 0 THEN 'data/h' || d::VARCHAR || '.hex'
+                 WHEN d % 23 = 0 THEN 'src/b' || d::VARCHAR || '.py'
+                 WHEN d % 19 = 0 THEN 'data/c' || d::VARCHAR || '.csv'
+                 ELSE 'src/f' || d::VARCHAR || '.py' END AS path,
+            CASE WHEN d % 29 = 0 THEN repeat('deadbeef', 64)
+                 WHEN d % 23 = 0 THEN
+                   'payload = "' || repeat('QUJDREVGR0g=', 100) || '"'
+                 WHEN d % 19 = 0 THEN repeat('1,2,3' || chr(10), 40)
+                 ELSE base END AS content
+          FROM docs
+        )"""
+
+
+def _code_data_flags_oracle_sql() -> str:
+    """DuckDB twin of operators/code_filters.py::code_data_flags: the
+    fixture strata, char-class length-difference fractions, and
+    regexp_extract_all run lengths, thresholds interpolated from the
+    SAME module constants."""
+    return "WITH " + _code_data_fixture_cte_sql() + _code_data_flags_body_sql()
 
 
 def _code_norm_dedup_oracle_sql() -> str:
