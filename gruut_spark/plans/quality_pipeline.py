@@ -220,11 +220,27 @@ def build_pipeline(
     cfg: Optional[RuleConfig] = None,
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     num_partitions: Optional[int] = None,
+    code_prefilter: bool = False,
 ) -> DataFrame:
-    """Full staged plan (no action triggered)."""
+    """Full staged plan (no action triggered).
+
+    ``code_prefilter=True`` applies the code-corpus keep predicate
+    (operators/code_filters.py::code_keep_predicate — The Stack's
+    generated/vendored/minified/comment-density/data-blob battery as one
+    Catalyst boolean) in the SCAN stage, before the salt shuffle and the
+    Python model stage. At 100 TB this is the dominant saving: a large
+    fraction of a raw code snapshot is vendored/generated/data content
+    that would otherwise burn Arrow-worker time only to be dropped by
+    the verdict anyway. Off by default so text-corpus inputs (and the
+    established bench/oracle baselines) are unchanged.
+    """
     # lineage must be captured at scan time: input_file_name() is empty
     # once rows have crossed the salt shuffle
     files = files.withColumn("_source_file", F.input_file_name())
+    if code_prefilter:
+        from ..operators.code_filters import code_keep_predicate
+
+        files = files.filter(code_keep_predicate())
     df = salt_repartition(files, num_partitions, salt_buckets)
     df = with_model_stages(df)
     df = with_verdict(df, cfg)
