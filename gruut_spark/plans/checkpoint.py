@@ -67,6 +67,7 @@ def run_with_checkpoints(
     cfg: Optional[RuleConfig] = None,
     salt_buckets: int = 32,
     num_partitions: Optional[int] = None,
+    code_prefilter: bool = False,
 ) -> Dict[str, dict]:
     """Process all incomplete buckets; returns the final manifest."""
     manifest = read_manifest(out_dir)
@@ -81,7 +82,7 @@ def run_with_checkpoints(
         batch = bucketed.filter(F.col(BUCKET_COL).isin(group))
         out = build_pipeline(
             batch, cfg=cfg, salt_buckets=salt_buckets,
-            num_partitions=num_partitions,
+            num_partitions=num_partitions, code_prefilter=code_prefilter,
         )
         # the fused stage passes through only the input_hint columns;
         # the bucket is deterministic from (repo, path), so recompute it

@@ -35,6 +35,10 @@ def main() -> None:
     ap.add_argument("--salt-buckets", type=int, default=32)
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore an existing checkpoint manifest")
+    ap.add_argument("--code-prefilter", action="store_true",
+                    help="apply the Stack curation keep predicate "
+                         "(generated/vendored/minified/data files) in the "
+                         "scan stage, before the model stage")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("gruut-spark-quality-filter").getOrCreate()
@@ -55,6 +59,7 @@ def main() -> None:
         spark, files, args.output,
         n_buckets=args.buckets, group_size=args.group_size,
         salt_buckets=args.salt_buckets, num_partitions=args.partitions,
+        code_prefilter=args.code_prefilter,
     )
     total = sum(m["rows"] for m in manifest.values())
     print(f"done: {len(manifest)} buckets, {total} rows -> {args.output}")
