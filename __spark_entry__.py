@@ -1780,6 +1780,53 @@ def _code_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_curation_pipeline(_code_files_fixture(spark, sf_dir)).orderBy("path")
 
 
+# One decoy header shared by EVERY comment-stats fixture row: each
+# comment family's marker appears once, so the ext-selected regex must
+# count exactly its own line(s) and ignore the other families' decoys.
+_COMMENT_HDR = (
+    "# hash comment\n// slash comment\n-- dash comment\n; semi comment\n"
+    "x = 1\n"
+)
+_COMMENT_EXTS = ("py", "js", "sql", "lisp", "xyz")
+
+
+def _code_comment_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Comment-stats fixture: extension rotates through one member of
+    each family plus an unknown ext (generic fallback) by id%5; every
+    file starts with the 4-family decoy header."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    ext = _COMMENT_EXTS[0]
+    ext_col = F.lit(_COMMENT_EXTS[0])
+    for i, e in enumerate(_COMMENT_EXTS[1:], 1):
+        ext_col = F.when(d % 5 == i, F.lit(e)).otherwise(ext_col)
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/f"), d.cast("string"), F.lit("."), ext_col
+        ).alias("path"),
+        F.col("lang"),
+        F.concat(F.lit(_COMMENT_HDR), base).alias("content"),
+    )
+
+
+def _code_comment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style language-aware comment density (Li et al. 2023
+    app. A): the comment-line regex is selected BY file extension
+    (operators/code_filters.py::code_comment_stats, lazy when-chain —
+    one filter pass per row), with the lang-agnostic union regex as the
+    unknown-extension fallback. The decoy header in every fixture row
+    proves each family counts only its own syntax. The DuckDB oracle
+    replays the CASE ladder from the SAME COMMENT_FAMILIES table."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_comment_stats
+
+    return code_comment_stats(_code_comment_fixture(spark, sf_dir)).orderBy(
+        "path"
+    )
+
+
 # Planted secret material (every pattern family in core/scrub.py's key
 # category), shared verbatim with the oracle CTE. The negative line is
 # appended to EVERY file: too-short AKIA, lowercase ghp, 2-segment JWT.
@@ -2984,6 +3031,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_norm_dedup": _code_norm_dedup,
         "code_curation_verdict": _code_curation_verdict,
         "code_secrets_scrub": _code_secrets_scrub,
+        "code_comment_stats": _code_comment_stats,
         "doc_epoch_shards": _doc_epoch_shards,
         "doc_moore_lewis": _doc_moore_lewis,
         "doc_doremi_weights": _doc_doremi_weights,
@@ -5922,6 +5970,69 @@ def _code_curation_verdict_oracle_sql() -> str:
     """
 
 
+def _code_comment_stats_oracle_sql() -> str:
+    """DuckDB twin of code_comment_stats: the fixture's rotating-ext
+    derivation + the family/ratio CASE ladders generated from the SAME
+    COMMENT_FAMILIES table and union regex."""
+    from gruut_spark.operators.code_filters import (
+        COMMENT_FAMILIES,
+        COMMENT_LINE_RE,
+    )
+
+    def _ratio(regex: str) -> str:
+        return (
+            f"round(len(list_filter(lines, l -> regexp_matches(l, "
+            f"'{regex}'))) / n_nonempty, 6)"
+        )
+
+    fam_whens, ratio_whens = [], []
+    for name, exts, regex in COMMENT_FAMILIES:
+        in_list = ", ".join(f"'{e}'" for e in exts)
+        fam_whens.append(f"WHEN ext IN ({in_list}) THEN '{name}'")
+        ratio_whens.append(f"WHEN ext IN ({in_list}) THEN {_ratio(regex)}")
+    fam_case = "CASE " + " ".join(fam_whens) + " ELSE 'generic' END"
+    ratio_case = (
+        "CASE " + " ".join(ratio_whens) + f" ELSE {_ratio(COMMENT_LINE_RE)} END"
+    )
+    exts_case = " ".join(
+        f"WHEN d % 5 = {i} THEN '{e}'"
+        for i, e in enumerate(_COMMENT_EXTS)
+        if i > 0
+    )
+    hdr = _COMMENT_HDR.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE {exts_case} ELSE '{_COMMENT_EXTS[0]}' END AS ext,
+            '{hdr}' || base AS content, d
+          FROM docs
+        ), feat AS (
+          SELECT repo,
+            'src/f' || d::VARCHAR || '.' || ext AS path, ext,
+            string_split_regex(content, '\\r?\\n') AS lines
+          FROM files
+        ), m AS (
+          SELECT repo, path, ext, lines,
+            greatest(len(list_filter(lines, l -> trim(l) <> '')), 1)
+              AS n_nonempty
+          FROM feat
+        ), v AS (
+          SELECT repo, path, ext,
+            {fam_case} AS comment_family,
+            {ratio_case} AS comment_line_ratio
+          FROM m
+        )
+        SELECT repo, path, ext, comment_family, comment_line_ratio,
+          (comment_line_ratio > 0.8) AS too_commented
+        FROM v ORDER BY path
+    """
+
+
 def _code_secrets_scrub_oracle_sql() -> str:
     """DuckDB twin of _code_secrets_scrub: the fixture's additive
     planted-secret strata, then the SAME production pattern strings
@@ -7605,6 +7716,7 @@ def oracle_sql() -> dict[str, str]:
         "code_norm_dedup": _code_norm_dedup_oracle_sql(),
         "code_curation_verdict": _code_curation_verdict_oracle_sql(),
         "code_secrets_scrub": _code_secrets_scrub_oracle_sql(),
+        "code_comment_stats": _code_comment_stats_oracle_sql(),
         "doc_moore_lewis": "WITH " + _ML_TERMS_CTES + """
             , agg AS (
               SELECT doc_id, count(*) AS n,
