@@ -1780,6 +1780,34 @@ def _code_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_curation_pipeline(_code_files_fixture(spark, sf_dir)).orderBy("path")
 
 
+def _code_repo_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo curation report over the composed verdict: file counts,
+    keep counts, per-flag drop attribution, duplicate-family size — the
+    summary table a corpus owner reads after a snapshot run. One extra
+    map-side-combined groupBy over the verdict's (already shuffled)
+    output; state = a handful of longs per repo. The oracle aggregates
+    over the SAME composed-verdict SQL."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_curation_pipeline
+
+    v = code_curation_pipeline(_code_files_fixture(spark, sf_dir))
+    return (
+        v.groupBy("repo")
+        .agg(
+            F.count("*").alias("n_files"),
+            F.sum(F.col("keep_file").cast("long")).alias("n_kept"),
+            F.sum((~F.col("keep_code")).cast("long")).alias("n_flagged"),
+            F.sum((~F.col("keep_data")).cast("long")).alias("n_data"),
+            F.sum((~F.col("repo_license_ok")).cast("long")).alias(
+                "n_license_blocked"
+            ),
+            F.sum((~F.col("is_canonical")).cast("long")).alias("n_dups"),
+            F.max("n_copies").alias("max_family"),
+        )
+        .orderBy("repo")
+    )
+
+
 # One decoy header shared by EVERY comment-stats fixture row: each
 # comment family's marker appears once, so the ext-selected regex must
 # count exactly its own line(s) and ignore the other families' decoys.
@@ -3032,6 +3060,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_curation_verdict": _code_curation_verdict,
         "code_secrets_scrub": _code_secrets_scrub,
         "code_comment_stats": _code_comment_stats,
+        "code_repo_stats": _code_repo_stats,
         "doc_epoch_shards": _doc_epoch_shards,
         "doc_moore_lewis": _doc_moore_lewis,
         "doc_doremi_weights": _doc_doremi_weights,
@@ -7717,6 +7746,18 @@ def oracle_sql() -> dict[str, str]:
         "code_curation_verdict": _code_curation_verdict_oracle_sql(),
         "code_secrets_scrub": _code_secrets_scrub_oracle_sql(),
         "code_comment_stats": _code_comment_stats_oracle_sql(),
+        "code_repo_stats": f"""
+            SELECT repo,
+              count(*) AS n_files,
+              sum(keep_file::INT)::BIGINT AS n_kept,
+              sum((NOT keep_code)::INT)::BIGINT AS n_flagged,
+              sum((NOT keep_data)::INT)::BIGINT AS n_data,
+              sum((NOT repo_license_ok)::INT)::BIGINT AS n_license_blocked,
+              sum((NOT is_canonical)::INT)::BIGINT AS n_dups,
+              max(n_copies) AS max_family
+            FROM ({_code_curation_verdict_oracle_sql()})
+            GROUP BY repo ORDER BY repo
+        """,
         "doc_moore_lewis": "WITH " + _ML_TERMS_CTES + """
             , agg AS (
               SELECT doc_id, count(*) AS n,
