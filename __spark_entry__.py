@@ -5999,13 +5999,16 @@ def _code_curation_verdict_oracle_sql() -> str:
     """
 
 
-def _code_comment_stats_oracle_sql() -> str:
-    """DuckDB twin of code_comment_stats: the fixture's rotating-ext
-    derivation + the family/ratio CASE ladders generated from the SAME
-    COMMENT_FAMILIES table and union regex."""
+def _code_comment_stats_body_sql() -> str:
+    """code_comment_stats feature SQL as a WITH-chain continuation over
+    an open CTE named `files` (repo, path, content): the family/ratio
+    CASE ladders generated from the SAME COMMENT_FAMILIES table and
+    union regex. Shared by the fixture oracle and the adversarial
+    cross-engine differential test."""
     from gruut_spark.operators.code_filters import (
         COMMENT_FAMILIES,
         COMMENT_LINE_RE,
+        EXT_RE,
     )
 
     def _ratio(regex: str) -> str:
@@ -6023,26 +6026,9 @@ def _code_comment_stats_oracle_sql() -> str:
     ratio_case = (
         "CASE " + " ".join(ratio_whens) + f" ELSE {_ratio(COMMENT_LINE_RE)} END"
     )
-    exts_case = " ".join(
-        f"WHEN d % 5 = {i} THEN '{e}'"
-        for i, e in enumerate(_COMMENT_EXTS)
-        if i > 0
-    )
-    hdr = _COMMENT_HDR.replace("'", "''").replace("\n", "' || chr(10) || '")
-    return f"""
-        WITH docs AS (
-          SELECT doc_id::BIGINT AS d,
-                 'r' || (doc_id % 7)::VARCHAR AS repo,
-                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
-          FROM documents
-        ), files AS (
-          SELECT repo,
-            CASE {exts_case} ELSE '{_COMMENT_EXTS[0]}' END AS ext,
-            '{hdr}' || base AS content, d
-          FROM docs
-        ), feat AS (
-          SELECT repo,
-            'src/f' || d::VARCHAR || '.' || ext AS path, ext,
+    return f""", feat AS (
+          SELECT repo, path,
+            lower(coalesce(regexp_extract(path, '{EXT_RE}', 1), '')) AS ext,
             string_split_regex(content, '\\r?\\n') AS lines
           FROM files
         ), m AS (
@@ -6060,6 +6046,29 @@ def _code_comment_stats_oracle_sql() -> str:
           (comment_line_ratio > 0.8) AS too_commented
         FROM v ORDER BY path
     """
+
+
+def _code_comment_stats_oracle_sql() -> str:
+    """DuckDB twin of code_comment_stats over the rotating-ext fixture."""
+    exts_case = " ".join(
+        f"WHEN d % 5 = {i} THEN '{e}'"
+        for i, e in enumerate(_COMMENT_EXTS)
+        if i > 0
+    )
+    hdr = _COMMENT_HDR.replace("'", "''").replace("\n", "' || chr(10) || '")
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            'src/f' || d::VARCHAR || '.'
+              || CASE {exts_case} ELSE '{_COMMENT_EXTS[0]}' END AS path,
+            '{hdr}' || base AS content
+          FROM docs
+        ){_code_comment_stats_body_sql()}"""
 
 
 def _code_secrets_scrub_oracle_sql() -> str:
