@@ -1991,6 +1991,261 @@ def _code_data_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_data_flags(_code_data_fixture(spark, sf_dir)).orderBy("path")
 
 
+def _code_lang_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-inference strata (independent mod classes): id%13
+    extensionless python-shebang scripts, id%17 .js paths declared
+    python (extension mismatch), id%11 bash scripts, id%19 .rb paths
+    with a node shebang (shebang-wins mismatch), else plain .py."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    sid = d.cast("string")
+    path = (
+        F.when(d % 13 == 0, F.concat(F.lit("bin/t"), sid))
+        .when(d % 17 == 0, F.concat(F.lit("src/f"), sid, F.lit(".js")))
+        .when(d % 11 == 0, F.concat(F.lit("scripts/s"), sid, F.lit(".sh")))
+        .when(d % 19 == 0, F.concat(F.lit("src/m"), sid, F.lit(".rb")))
+        .otherwise(F.concat(F.lit("src/f"), sid, F.lit(".py")))
+    )
+    content = (
+        F.when(d % 13 == 0, F.concat(F.lit("#!/usr/bin/env python\n"), base))
+        .when(d % 17 == 0, base)
+        .when(d % 11 == 0, F.concat(F.lit("#!/bin/bash\n"), base))
+        .when(d % 19 == 0, F.concat(F.lit("#!/usr/bin/env node\n"), base))
+        .otherwise(base)
+    )
+    declared = (
+        F.when(d % 13 == 0, F.lit("python"))
+        .when(d % 17 == 0, F.lit("python"))
+        .when(d % 11 == 0, F.lit("shell"))
+        .when(d % 19 == 0, F.lit("ruby"))
+        .otherwise(F.lit("python"))
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        declared.alias("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_lang_infer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declared-vs-inferred language (crawler `lang` metadata lies at
+    scale): shebang interpreter regex chain > path-extension map >
+    'unknown', mismatch flagged only on confident inference — one
+    zero-shuffle Catalyst projection
+    (operators/code_analysis.py::infer_code_lang). The DuckDB oracle
+    replays the same CASE chains from the same module constants."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import infer_code_lang
+
+    return infer_code_lang(_code_lang_fixture(spark, sf_dir)).orderBy("path")
+
+
+_NB_JSON_HEAD = '{"cells":[{"cell_type":"code","source":["import os\\n","'
+_NB_JSON_MD = ',{"cell_type":"markdown","source":["notes"]}'
+_NB_JSON_CODE2 = ',{"cell_type":"code","source":["print(1)"]}'
+_NB_JSON_META = '],"metadata":{"kernelspec":{"language":"'
+_NB_JSON_TAIL = '"}},"nbformat":4}'
+_NB_PKG_JSON = '{"name":"pkg","version":"1.0"}'
+
+
+def _code_nb_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Notebook strata: id%5 plain source text (malformed JSON), id%7
+    valid JSON that is not a notebook envelope, else an nbformat-4
+    notebook whose first code cell embeds a sanitized slice of the
+    document text, with optional markdown (id%4) and second code cell
+    (id%3) and a python/r kernel by id%2."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    sid = d.cast("string")
+    clean = F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", "")
+    nb = F.concat(
+        F.lit(_NB_JSON_HEAD),
+        F.substring(clean, 1, 40),
+        F.lit('"]}'),
+        F.when(d % 4 == 0, F.lit(_NB_JSON_MD)).otherwise(F.lit("")),
+        F.when(d % 3 == 0, F.lit(_NB_JSON_CODE2)).otherwise(F.lit("")),
+        F.lit(_NB_JSON_META),
+        F.when(d % 2 == 0, F.lit("python")).otherwise(F.lit("r")),
+        F.lit(_NB_JSON_TAIL),
+    )
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("src/f"), sid, F.lit(".py")))
+        .when(d % 7 == 0, F.concat(F.lit("cfg/p"), sid, F.lit(".json")))
+        .otherwise(F.concat(F.lit("nb/n"), sid, F.lit(".ipynb")))
+    )
+    content = (
+        F.when(d % 5 == 0, base)
+        .when(d % 7 == 0, F.lit(_NB_PKG_JSON))
+        .otherwise(nb)
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_notebook_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jupyter-notebook code-cell extraction (The Stack's nb→script
+    conversion): typed from_json parse of the nbformat envelope, code
+    cells concatenated into one script + cell counts + kernel language;
+    malformed JSON and non-notebook JSON emit is_notebook=false — one
+    zero-shuffle projection, the JSON parse JVM-side
+    (operators/code_analysis.py::notebook_cells). The oracle replays
+    the parse with json_valid-guarded json_transform."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import notebook_cells
+
+    return notebook_cells(_code_nb_fixture(spark, sf_dir)).orderBy("path")
+
+
+_ID_SNAKE_SUFFIX = "\ndef parse_config_file(input_path):\n    max_retry_count = 3"
+_ID_CAMEL_SUFFIX = "\nfunction getUserName(userId) { let isValidToken = true; }"
+_ID_CONST_SUFFIX = "\n#define MAX_BUFFER_SIZE 1024\nstatic int DEFAULT_TIMEOUT_MS = 5;"
+
+
+def _code_id_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier strata: document text (plain lowercase words) plus a
+    planted suffix rotating by id%4: snake_case defs, camelCase JS,
+    SCREAMING_CASE defines, or nothing."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    suffix = (
+        F.when(d % 4 == 0, F.lit(_ID_SNAKE_SUFFIX))
+        .when(d % 4 == 1, F.lit(_ID_CAMEL_SUFFIX))
+        .when(d % 4 == 2, F.lit(_ID_CONST_SUFFIX))
+        .otherwise(F.lit(""))
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        F.concat(base, suffix).alias("content"),
+    )
+
+
+def _code_identifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Identifier extraction + naming-convention stats (StarCoder-style
+    token-shape quality prior): maximal identifier matches, anchored
+    snake/camel/SCREAMING classification, mean identifier length,
+    arg-max dominant style — one zero-shuffle projection
+    (operators/code_analysis.py::identifier_stats). The oracle replays
+    the same regexes over regexp_extract_all + list folds."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import identifier_stats
+
+    return identifier_stats(_code_id_fixture(spark, sf_dir)).orderBy("path")
+
+
+_LOG_JAVA_HEAD = 'Exception in thread "main" java.lang.NullPointerException\n'
+_LOG_JAVA_FRAME = "\tat com.example.Foo.bar(Foo.java:42)\n"
+_LOG_PY_HEAD = "Traceback (most recent call last):\n"
+_LOG_PY_FRAME = '  File "app.py", line 10, in main\n    run()\n'
+_LOG_TS_LINE = "2024-01-02 03:04:05 INFO worker heartbeat\n"
+
+
+def _code_log_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Log-detection strata: id%26 Java stack traces, id%22 Python
+    tracebacks, id%34 timestamped logs, else document text."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    sid = d.cast("string")
+    path = (
+        F.when(d % 26 == 0, F.concat(F.lit("logs/j"), sid, F.lit(".txt")))
+        .when(d % 22 == 0, F.concat(F.lit("logs/p"), sid, F.lit(".txt")))
+        .when(d % 34 == 0, F.concat(F.lit("logs/a"), sid, F.lit(".log")))
+        .otherwise(F.concat(F.lit("src/f"), sid, F.lit(".py")))
+    )
+    content = (
+        F.when(
+            d % 26 == 0,
+            F.concat(F.lit(_LOG_JAVA_HEAD), F.repeat(F.lit(_LOG_JAVA_FRAME), 12)),
+        )
+        .when(
+            d % 22 == 0,
+            F.concat(F.lit(_LOG_PY_HEAD), F.repeat(F.lit(_LOG_PY_FRAME), 8)),
+        )
+        .when(d % 34 == 0, F.repeat(F.lit(_LOG_TS_LINE), 30))
+        .otherwise(base)
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_logfile_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Committed-log / pasted-traceback detection: Java-frame, Python-
+    traceback and timestamped-log line counts over the \\r?\\n split,
+    ratio over non-empty lines, is_log at ratio>0.4 with ≥5 lines —
+    one zero-shuffle projection
+    (operators/code_analysis.py::logfile_flags). The oracle replays the
+    same line regexes from the same module constants."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import logfile_flags
+
+    return logfile_flags(_code_log_fixture(spark, sf_dir)).orderBy("path")
+
+
+def _code_fork_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fork-detection strata: nine base repos r0..r8 by id%9 with one
+    ubiquitous boilerplate digest planted in every repo (id%50 rows all
+    share '__COMMON_HEADER__' — exercises the hot-digest cap), plus two
+    planted forks: r2f carries r2's files with id%5!=0 (~80% overlap,
+    above the 0.5 threshold) and r5f carries r5's files with id%4==0
+    (~25%, below it; id%9==5 pins id%3==2, so a mod-3 stratum would be
+    empty — mod 4 intersects mod 9)."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    content = F.when(d % 50 == 0, F.lit("__COMMON_HEADER__")).otherwise(base)
+    docs = _read(spark, sf_dir, "documents").select(
+        d.alias("d"), content.alias("content")
+    )
+    main = docs.select(
+        F.concat(F.lit("r"), (F.col("d") % 9).cast("string")).alias("repo"),
+        F.col("content"),
+    )
+    fork_hi = docs.where((F.col("d") % 9 == 2) & (F.col("d") % 5 != 0)).select(
+        F.lit("r2f").alias("repo"), F.col("content")
+    )
+    fork_lo = docs.where((F.col("d") % 9 == 5) & (F.col("d") % 4 == 0)).select(
+        F.lit("r5f").alias("repo"), F.col("content")
+    )
+    return main.unionAll(fork_hi).unionAll(fork_lo)
+
+
+def _code_repo_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork detection (whole-repo near-duplicates survive
+    per-file dedup): Jaccard over per-repo content-digest sets via a
+    digest self-join, with digests in >8 repos dropped before the join
+    (ubiquitous boilerplate carries no fork signal and would emit
+    quadratic pairs) and sizes computed over the same capped universe
+    (operators/code_analysis.py::repo_fork_pairs). Content reduces to
+    DISTINCT (repo, digest) in the scan stage — nothing wider shuffles.
+    The oracle replays digesting, cap, self-join and Jaccard."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import repo_fork_pairs
+
+    return repo_fork_pairs(
+        _code_fork_fixture(spark, sf_dir),
+        threshold=0.5,
+        max_repos_per_digest=8,
+    ).orderBy("repo_a", "repo_b")
+
+
 def _doc_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moore-Lewis cross-entropy-difference selection (Moore & Lewis
     2010): two add-alpha bigram LMs trained IN-QUERY (target = the
@@ -3061,6 +3316,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_secrets_scrub": _code_secrets_scrub,
         "code_comment_stats": _code_comment_stats,
         "code_repo_stats": _code_repo_stats,
+        "code_lang_infer": _code_lang_infer,
+        "code_notebook_cells": _code_notebook_cells,
+        "code_identifier_stats": _code_identifier_stats,
+        "code_logfile_flags": _code_logfile_flags,
+        "code_repo_forks": _code_repo_forks,
         "doc_epoch_shards": _doc_epoch_shards,
         "doc_moore_lewis": _doc_moore_lewis,
         "doc_doremi_weights": _doc_doremi_weights,
@@ -6071,6 +6331,357 @@ def _code_comment_stats_oracle_sql() -> str:
         ){_code_comment_stats_body_sql()}"""
 
 
+def _code_lang_body_sql() -> str:
+    """infer_code_lang feature SQL as a WITH-chain continuation over an
+    open CTE named `files` (repo, path, lang, content): the extension
+    map and shebang regex chain generated from the SAME module
+    constants, same CASE order. Shared by the fixture oracle and the
+    adversarial cross-engine differential test."""
+    from gruut_spark.operators.code_analysis import (
+        EXT_LANG_MAP,
+        EXT_RE,
+        SHEBANG_LANG_MAP,
+        SHEBANG_LINE_RE,
+    )
+
+    ext_case = (
+        "CASE ext "
+        + " ".join(f"WHEN '{k}' THEN '{v}'" for k, v in EXT_LANG_MAP)
+        + " ELSE '' END"
+    )
+    sb_whens = " ".join(
+        f"WHEN regexp_matches(shebang, '{pat}') THEN '{v}'"
+        for pat, v in SHEBANG_LANG_MAP
+    )
+    return f""", feat AS (
+          SELECT repo, path, lang,
+            coalesce(regexp_extract(coalesce(content, ''),
+              '{SHEBANG_LINE_RE}', 1), '') AS shebang,
+            lower(coalesce(regexp_extract(path, '{EXT_RE}', 1), '')) AS ext
+          FROM files
+        ), m AS (
+          SELECT repo, path, lang,
+            {ext_case} AS ext_lang,
+            CASE WHEN shebang = '' THEN '' {sb_whens} ELSE '' END
+              AS shebang_lang
+          FROM feat
+        ), v AS (
+          SELECT repo, path, lang, ext_lang, shebang_lang,
+            coalesce(nullif(shebang_lang, ''), nullif(ext_lang, ''),
+                     'unknown') AS inferred_lang
+          FROM m
+        )
+        SELECT repo, path, lang, ext_lang, shebang_lang, inferred_lang,
+          (inferred_lang <> 'unknown' AND coalesce(lang, '') <> ''
+           AND coalesce(lang, '') <> inferred_lang) AS is_mismatch
+        FROM v ORDER BY path
+    """
+
+
+def _code_lang_fixture_cte_sql() -> str:
+    """The _code_lang_fixture derivation as a DuckDB CTE body."""
+    return """
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 13 = 0 THEN 'bin/t' || d::VARCHAR
+                 WHEN d % 17 = 0 THEN 'src/f' || d::VARCHAR || '.js'
+                 WHEN d % 11 = 0 THEN 'scripts/s' || d::VARCHAR || '.sh'
+                 WHEN d % 19 = 0 THEN 'src/m' || d::VARCHAR || '.rb'
+                 ELSE 'src/f' || d::VARCHAR || '.py' END AS path,
+            CASE WHEN d % 13 = 0 THEN 'python'
+                 WHEN d % 17 = 0 THEN 'python'
+                 WHEN d % 11 = 0 THEN 'shell'
+                 WHEN d % 19 = 0 THEN 'ruby'
+                 ELSE 'python' END AS lang,
+            CASE WHEN d % 13 = 0
+                   THEN '#!/usr/bin/env python' || chr(10) || base
+                 WHEN d % 17 = 0 THEN base
+                 WHEN d % 11 = 0 THEN '#!/bin/bash' || chr(10) || base
+                 WHEN d % 19 = 0
+                   THEN '#!/usr/bin/env node' || chr(10) || base
+                 ELSE base END AS content
+          FROM docs
+        )"""
+
+
+def _code_lang_infer_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::infer_code_lang."""
+    return "WITH " + _code_lang_fixture_cte_sql() + _code_lang_body_sql()
+
+
+# Typed structure string for DuckDB's json_transform — the SQL twin of
+# code_analysis.NB_SCHEMA.
+_NB_TRANSFORM_STRUCT = (
+    '{"cells":[{"cell_type":"VARCHAR","source":["VARCHAR"]}],'
+    '"metadata":{"kernelspec":{"language":"VARCHAR"}},'
+    '"nbformat":"INTEGER"}'
+)
+_NB_JSON_CLOSE = '"]}'
+
+
+def _code_nb_body_sql() -> str:
+    """notebook_cells feature SQL as a WITH-chain continuation over an
+    open CTE named `files` (repo, path, content): json_valid-guarded
+    json_transform against the typed structure, the same notebook
+    predicate (nbformat AND cells present), and the same code-cell
+    script join. Shared by the fixture oracle and the adversarial
+    differential test."""
+    return f""", parsed AS (
+          SELECT repo, path,
+            CASE WHEN json_valid(coalesce(content, ''))
+                 THEN json_transform(coalesce(content, ''),
+                                     '{_NB_TRANSFORM_STRUCT}')
+                 ELSE NULL END AS p
+          FROM files
+        ), m AS (
+          SELECT repo, path, p,
+            (p.nbformat IS NOT NULL AND p.cells IS NOT NULL)
+              AS is_notebook
+          FROM parsed
+        )
+        SELECT repo, path, is_notebook,
+          CASE WHEN is_notebook THEN len(p.cells)::INT ELSE 0 END
+            AS n_cells,
+          CASE WHEN is_notebook THEN len(list_filter(p.cells,
+                 c -> c.cell_type = 'code'))::INT ELSE 0 END
+            AS n_code_cells,
+          CASE WHEN is_notebook
+               THEN coalesce(p.metadata.kernelspec.language, '')
+               ELSE '' END AS kernel_lang,
+          CASE WHEN is_notebook
+               THEN coalesce(array_to_string(list_transform(
+                      list_filter(p.cells, c -> c.cell_type = 'code'),
+                      c -> coalesce(array_to_string(c.source, ''), '')),
+                      chr(10) || chr(10)), '')
+               ELSE '' END AS script
+        FROM m ORDER BY path
+    """
+
+
+def _code_nb_fixture_cte_sql() -> str:
+    """The _code_nb_fixture derivation as a DuckDB CTE body (same JSON
+    pieces interpolated from the same module constants)."""
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 coalesce(text, '') AS raw,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 5 = 0 THEN 'src/f' || d::VARCHAR || '.py'
+                 WHEN d % 7 = 0 THEN 'cfg/p' || d::VARCHAR || '.json'
+                 ELSE 'nb/n' || d::VARCHAR || '.ipynb' END AS path,
+            CASE WHEN d % 5 = 0 THEN base
+                 WHEN d % 7 = 0 THEN '{_NB_PKG_JSON}'
+                 ELSE '{_NB_JSON_HEAD}'
+                   || substring(regexp_replace(lower(raw),
+                        '[^a-z0-9 ]', '', 'g'), 1, 40)
+                   || '{_NB_JSON_CLOSE}'
+                   || CASE WHEN d % 4 = 0 THEN '{_NB_JSON_MD}' ELSE '' END
+                   || CASE WHEN d % 3 = 0 THEN '{_NB_JSON_CODE2}' ELSE '' END
+                   || '{_NB_JSON_META}'
+                   || CASE WHEN d % 2 = 0 THEN 'python' ELSE 'r' END
+                   || '{_NB_JSON_TAIL}'
+            END AS content
+          FROM docs
+        )"""
+
+
+def _code_notebook_cells_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::notebook_cells."""
+    return "WITH " + _code_nb_fixture_cte_sql() + _code_nb_body_sql()
+
+
+def _code_id_body_sql() -> str:
+    """identifier_stats feature SQL as a WITH-chain continuation over
+    an open CTE named `files` (repo, path, content), regexes from the
+    SAME module constants. Shared by the fixture oracle and the
+    adversarial differential test."""
+    from gruut_spark.operators.code_analysis import (
+        CAMEL_RE,
+        CONST_RE,
+        IDENT_RE,
+        SNAKE_RE,
+    )
+
+    return f""", feat AS (
+          SELECT repo, path,
+            regexp_extract_all(coalesce(content, ''), '{IDENT_RE}') AS ids
+          FROM files
+        ), m AS (
+          SELECT repo, path,
+            len(ids)::INT AS n_ids,
+            len(list_distinct(ids))::INT AS n_unique_ids,
+            len(list_filter(ids,
+                x -> regexp_matches(x, '{SNAKE_RE}')))::INT AS n_snake,
+            len(list_filter(ids,
+                x -> regexp_matches(x, '{CAMEL_RE}')))::INT AS n_camel,
+            len(list_filter(ids,
+                x -> regexp_matches(x, '{CONST_RE}')))::INT AS n_const,
+            coalesce(list_sum(list_transform(ids, x -> length(x))), 0)
+              AS len_sum
+          FROM feat
+        )
+        SELECT repo, path, n_ids, n_unique_ids, n_snake, n_camel, n_const,
+          round(len_sum / greatest(n_ids, 1), 6) AS avg_id_len,
+          CASE WHEN n_snake > 0 AND n_snake >= n_camel
+                    AND n_snake >= n_const THEN 'snake'
+               WHEN n_camel > 0 AND n_camel >= n_const THEN 'camel'
+               WHEN n_const > 0 THEN 'const'
+               ELSE 'none' END AS dominant_style
+        FROM m ORDER BY path
+    """
+
+
+def _code_id_fixture_cte_sql() -> str:
+    """The _code_id_fixture derivation as a DuckDB CTE body (suffix
+    literals interpolated from the same module constants — embedded
+    real newlines are legal inside SQL string literals)."""
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            'src/f' || d::VARCHAR || '.py' AS path,
+            base || CASE WHEN d % 4 = 0 THEN '{_ID_SNAKE_SUFFIX}'
+                         WHEN d % 4 = 1 THEN '{_ID_CAMEL_SUFFIX}'
+                         WHEN d % 4 = 2 THEN '{_ID_CONST_SUFFIX}'
+                         ELSE '' END AS content
+          FROM docs
+        )"""
+
+
+def _code_identifier_stats_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::identifier_stats."""
+    return "WITH " + _code_id_fixture_cte_sql() + _code_id_body_sql()
+
+
+def _code_log_body_sql() -> str:
+    """logfile_flags feature SQL as a WITH-chain continuation over an
+    open CTE named `files` (repo, path, content), line regexes and
+    thresholds from the SAME module constants. Shared by the fixture
+    oracle and the adversarial differential test."""
+    from gruut_spark.operators.code_analysis import (
+        JAVA_FRAME_RE,
+        LOG_MIN_LINES,
+        LOG_RATIO_THRESHOLD,
+        PY_TB_RE,
+        TS_LOG_RE,
+    )
+
+    return f""", feat AS (
+          SELECT repo, path,
+            string_split_regex(coalesce(content, ''), '\\r?\\n') AS lines
+          FROM files
+        ), m AS (
+          SELECT repo, path,
+            len(list_filter(lines, x -> trim(x) <> ''))::INT AS n_nonempty,
+            len(list_filter(lines,
+                x -> regexp_matches(x, '{JAVA_FRAME_RE}')))::INT
+              AS n_java_frames,
+            len(list_filter(lines,
+                x -> regexp_matches(x, '{PY_TB_RE}')))::INT AS n_py_tb,
+            len(list_filter(lines,
+                x -> regexp_matches(x, '{TS_LOG_RE}')))::INT AS n_ts_lines
+          FROM feat
+        ), v AS (
+          SELECT repo, path, n_nonempty, n_java_frames, n_py_tb, n_ts_lines,
+            round((n_java_frames + n_py_tb + n_ts_lines)
+                  / greatest(n_nonempty, 1), 6) AS log_line_ratio
+          FROM m
+        )
+        SELECT repo, path, n_nonempty, n_java_frames, n_py_tb, n_ts_lines,
+          log_line_ratio,
+          (log_line_ratio > {LOG_RATIO_THRESHOLD}
+           AND n_nonempty >= {LOG_MIN_LINES}) AS is_log
+        FROM v ORDER BY path
+    """
+
+
+def _code_log_fixture_cte_sql() -> str:
+    """The _code_log_fixture derivation as a DuckDB CTE body (planted
+    trace/log literals interpolated from the same module constants;
+    embedded real tab/newline chars are legal in SQL literals)."""
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 26 = 0 THEN 'logs/j' || d::VARCHAR || '.txt'
+                 WHEN d % 22 = 0 THEN 'logs/p' || d::VARCHAR || '.txt'
+                 WHEN d % 34 = 0 THEN 'logs/a' || d::VARCHAR || '.log'
+                 ELSE 'src/f' || d::VARCHAR || '.py' END AS path,
+            CASE WHEN d % 26 = 0
+                   THEN '{_LOG_JAVA_HEAD}' || repeat('{_LOG_JAVA_FRAME}', 12)
+                 WHEN d % 22 = 0
+                   THEN '{_LOG_PY_HEAD}' || repeat('{_LOG_PY_FRAME}', 8)
+                 WHEN d % 34 = 0 THEN repeat('{_LOG_TS_LINE}', 30)
+                 ELSE base END AS content
+          FROM docs
+        )"""
+
+
+def _code_logfile_flags_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::logfile_flags."""
+    return "WITH " + _code_log_fixture_cte_sql() + _code_log_body_sql()
+
+
+def _code_repo_forks_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::repo_fork_pairs over
+    the fork fixture: same digesting, the >8-repos hot-digest cap,
+    capped sizes, the a.repo < b.repo self-join and rounded Jaccard."""
+    return """
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 CASE WHEN doc_id % 50 = 0 THEN '__COMMON_HEADER__'
+                      ELSE replace(coalesce(text, ''), ' value ', chr(10))
+                      END AS content
+          FROM documents
+        ), files AS (
+          SELECT 'r' || (d % 9)::VARCHAR AS repo, content FROM docs
+          UNION ALL
+          SELECT 'r2f', content FROM docs WHERE d % 9 = 2 AND d % 5 <> 0
+          UNION ALL
+          SELECT 'r5f', content FROM docs WHERE d % 9 = 5 AND d % 4 = 0
+        ), dg AS (
+          SELECT DISTINCT repo, md5(coalesce(content, '')) AS digest
+          FROM files
+        ), keepd AS (
+          SELECT digest FROM dg GROUP BY digest HAVING count(*) <= 8
+        ), narrow AS (
+          SELECT dg.repo, dg.digest FROM dg JOIN keepd USING (digest)
+        ), sizes AS (
+          SELECT repo, count(*) AS n_files FROM narrow GROUP BY repo
+        ), pairs AS (
+          SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared
+          FROM narrow a
+          JOIN narrow b ON a.digest = b.digest AND a.repo < b.repo
+          GROUP BY 1, 2
+        )
+        SELECT repo_a, repo_b, sa.n_files AS n_a, sb.n_files AS n_b, shared,
+          round(shared / (sa.n_files + sb.n_files - shared), 6) AS jaccard,
+          (round(shared / (sa.n_files + sb.n_files - shared), 6) >= 0.5)
+            AS is_fork
+        FROM pairs
+        JOIN sizes sa ON sa.repo = pairs.repo_a
+        JOIN sizes sb ON sb.repo = pairs.repo_b
+        ORDER BY repo_a, repo_b
+    """
+
+
 def _code_secrets_scrub_oracle_sql() -> str:
     """DuckDB twin of _code_secrets_scrub: the fixture's additive
     planted-secret strata, then the SAME production pattern strings
@@ -7755,6 +8366,11 @@ def oracle_sql() -> dict[str, str]:
         "code_curation_verdict": _code_curation_verdict_oracle_sql(),
         "code_secrets_scrub": _code_secrets_scrub_oracle_sql(),
         "code_comment_stats": _code_comment_stats_oracle_sql(),
+        "code_lang_infer": _code_lang_infer_oracle_sql(),
+        "code_notebook_cells": _code_notebook_cells_oracle_sql(),
+        "code_identifier_stats": _code_identifier_stats_oracle_sql(),
+        "code_logfile_flags": _code_logfile_flags_oracle_sql(),
+        "code_repo_forks": _code_repo_forks_oracle_sql(),
         "code_repo_stats": f"""
             SELECT repo,
               count(*) AS n_files,

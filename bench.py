@@ -52,6 +52,10 @@ HEADLINE = [
     # r5c: the composed code-corpus curation verdict (the north rule's
     # own table shape) — totals before r5c exclude this entry
     "code_curation_verdict",
+    # r5d: repo-level fork detection (the one shuffling code-analysis
+    # operator: digest self-join under the hot-digest cap) — totals
+    # before r5d exclude this entry
+    "code_repo_forks",
 ]
 
 

@@ -1,0 +1,405 @@
+"""Code-corpus analysis operators: language inference, notebook
+extraction, identifier stats, log detection, repo-level fork dedup.
+
+Companions to ``code_filters.py``'s Stack/StarCoder battery — the next
+layer of curation signals a 10^12-file source-code corpus needs before
+training (all shapes published in The Stack (Kocetkov et al. 2022),
+StarCoder (Li et al. 2023) and The Stack v2 (Lozhkov et al. 2024)
+data pipelines):
+
+* **declared-vs-inferred language** (``infer_code_lang``): the `lang`
+  column of the input-hint table is crawler metadata and lies at scale;
+  re-derive the language from the path extension and the shebang line
+  (shebang wins — extensionless ``bin/`` scripts are common) and flag
+  disagreements for re-routing.
+* **Jupyter-notebook code-cell extraction** (``notebook_cells``):
+  The Stack converts ``.ipynb`` JSON into scripts before filtering;
+  parse the notebook envelope with a typed JSON schema, keep the code
+  cells, and emit the concatenated script plus cell counts and the
+  kernel language.
+* **identifier / naming-convention stats** (``identifier_stats``):
+  identifier shape is a cheap code-quality prior (StarCoder's
+  near-dedup + quality inspection uses token-shape features);
+  extract identifiers and count snake_case / camelCase /
+  SCREAMING_CASE conventions plus mean identifier length.
+* **stack-trace / log detection** (``logfile_flags``): crawled repos
+  are full of committed log files and pasted tracebacks that look like
+  text but are noise; count Java-frame / Python-traceback /
+  timestamped-log lines and flag files those dominate.
+* **repo-level fork detection** (``repo_fork_pairs``): whole-repo
+  near-duplicates (forks, vendored mirrors) survive per-file dedup
+  because each file keeps exactly one canonical copy *somewhere* —
+  the repo-granularity pass computes Jaccard similarity between repos
+  over their per-file content-digest sets and flags pairs above a
+  threshold so one side can be dropped wholesale.
+
+Scale notes (the 100-TB contract): the four per-file operators are
+single zero-shuffle Catalyst projections over the scan, exactly like
+``code_file_flags`` — no Python, no Exchange; every expression has a
+DuckDB twin (the ``*_body_sql`` builders in ``__spark_entry__``).
+``repo_fork_pairs`` is the one shuffling operator and is bounded the
+same way the LSH megabucket emitters are: the self-join key is a
+16-byte digest, content never shuffles (it is reduced to
+``(repo, digest)`` DISTINCT pairs in the scan stage), and digests
+shared by more than ``max_repos_per_digest`` repos are dropped before
+the join — a boilerplate file present in a million repos (LICENSE,
+empty __init__.py) would otherwise emit 10^12 pairs; dropping it costs
+nothing because ubiquitous files carry no fork signal. Post-cap the
+pair emission per digest is at most cap², and the aggregate state is
+one row per (repo_a, repo_b) pair that actually shares a file.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# declared-vs-inferred language
+
+# Path-extension → language (lowercased extension; the common Stack
+# languages — production swaps in go-enry's full map).
+EXT_LANG_MAP: Tuple[Tuple[str, str], ...] = (
+    ("py", "python"),
+    ("js", "javascript"),
+    ("ts", "typescript"),
+    ("java", "java"),
+    ("c", "c"),
+    ("h", "c"),
+    ("cc", "cpp"),
+    ("cpp", "cpp"),
+    ("hpp", "cpp"),
+    ("go", "go"),
+    ("rs", "rust"),
+    ("rb", "ruby"),
+    ("sh", "shell"),
+    ("pl", "perl"),
+    ("ipynb", "notebook"),
+)
+
+# Shebang-interpreter regexes, tested IN ORDER against the text after
+# '#!' on the first line (first match wins — order is part of the
+# contract and the oracle replays the same CASE chain).
+SHEBANG_LANG_MAP: Tuple[Tuple[str, str], ...] = (
+    ("python", "python"),
+    ("node", "javascript"),
+    ("ruby", "ruby"),
+    ("perl", "perl"),
+    ("(^|/| )(ba|da|z|k)?sh([ \t]|$)", "shell"),
+)
+
+EXT_RE = r"\.([A-Za-z0-9]+)$"
+# \r is excluded from the capture (not just the line split) so a CRLF
+# file's shebang carries no trailing terminator: Java's `$` matches
+# before a final \r, RE2's does not — keeping terminators out of the
+# matched text is what makes the interpreter regexes engine-portable.
+SHEBANG_LINE_RE = r"^#!([^\r\n]*)"
+
+
+def _ext_lang(path_col: Column) -> Column:
+    ext = F.lower(F.regexp_extract(path_col, EXT_RE, 1))
+    expr: Column = F.lit("")
+    for k, v in reversed(EXT_LANG_MAP):
+        expr = F.when(ext == k, F.lit(v)).otherwise(expr)
+    return expr
+
+
+def _shebang_lang(shebang_col: Column) -> Column:
+    expr: Column = F.lit("")
+    for pat, v in reversed(SHEBANG_LANG_MAP):
+        expr = F.when(shebang_col.rlike(pat), F.lit(v)).otherwise(expr)
+    return F.when(shebang_col == "", F.lit("")).otherwise(expr)
+
+
+def infer_code_lang(
+    files: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    lang_col: str = "lang",
+    keep_cols: Sequence[str] = ("repo", "path", "lang"),
+) -> DataFrame:
+    """Re-derive each file's language from its path extension and
+    shebang line and flag disagreement with the declared ``lang``.
+
+    ``inferred_lang`` = the shebang language if the first line is a
+    recognized ``#!`` interpreter, else the extension language, else
+    ``'unknown'`` (shebang wins: extensionless scripts carry no other
+    signal, and a ``.js`` file with a python shebang is a shebang
+    file). ``is_mismatch`` fires only when the inference is confident
+    (not 'unknown') and the declared lang is non-empty. One
+    zero-shuffle Catalyst projection; the DuckDB oracle replays the
+    same regex chain and CASE order.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    declared = F.coalesce(F.col(lang_col), F.lit(""))
+    shebang = F.regexp_extract(content, SHEBANG_LINE_RE, 1)
+    ext_lang = _ext_lang(F.col(path_col))
+    sb_lang = _shebang_lang(shebang)
+    inferred = F.coalesce(
+        F.nullif(sb_lang, F.lit("")),
+        F.nullif(ext_lang, F.lit("")),
+        F.lit("unknown"),
+    )
+    return files.select(
+        *[F.col(c) for c in keep_cols],
+        ext_lang.alias("ext_lang"),
+        sb_lang.alias("shebang_lang"),
+        inferred.alias("inferred_lang"),
+        (
+            (inferred != "unknown") & (declared != "") & (declared != inferred)
+        ).alias("is_mismatch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Jupyter notebook extraction
+
+# Typed view of the nbformat-4 envelope — only the fields the
+# extraction needs; everything else is ignored by the parse.
+NB_SCHEMA = (
+    "STRUCT<cells: ARRAY<STRUCT<cell_type: STRING, source: ARRAY<STRING>>>, "
+    "metadata: STRUCT<kernelspec: STRUCT<language: STRING>>, nbformat: INT>"
+)
+
+
+def notebook_cells(
+    files: DataFrame,
+    content_col: str = "content",
+    keep_cols: Sequence[str] = ("repo", "path"),
+) -> DataFrame:
+    """Parse ``.ipynb`` JSON and extract the code cells as one script.
+
+    ``is_notebook`` requires the content to parse as JSON AND carry
+    both ``nbformat`` and ``cells`` (a malformed file, or valid JSON
+    that isn't a notebook envelope, is not a notebook — Spark's
+    ``from_json`` yields NULL fields in both cases, and the oracle's
+    ``json_valid``-guarded ``json_transform`` agrees). For notebooks:
+    ``script`` joins each code cell's ``source`` lines with '' and the
+    cells with a blank line (The Stack's nb→script conversion);
+    ``n_cells``/``n_code_cells``/``kernel_lang`` come from the same
+    parse. Non-notebooks emit 0/0/''/''. Zero-shuffle projection; the
+    JSON parse is a JVM-side Jackson parse inside codegen, not Python.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    parsed = F.from_json(content, NB_SCHEMA)
+    cells = parsed["cells"]
+    is_nb = parsed["nbformat"].isNotNull() & cells.isNotNull()
+    code_cells = F.filter(cells, lambda c: c["cell_type"] == F.lit("code"))
+    script = F.array_join(
+        F.transform(
+            code_cells,
+            lambda c: F.coalesce(F.array_join(c["source"], ""), F.lit("")),
+        ),
+        "\n\n",
+    )
+    return files.select(
+        *[F.col(c) for c in keep_cols],
+        is_nb.alias("is_notebook"),
+        F.when(is_nb, F.size(cells)).otherwise(F.lit(0)).alias("n_cells"),
+        F.when(is_nb, F.size(code_cells)).otherwise(F.lit(0)).alias(
+            "n_code_cells"
+        ),
+        F.when(
+            is_nb,
+            F.coalesce(parsed["metadata"]["kernelspec"]["language"], F.lit("")),
+        )
+        .otherwise(F.lit(""))
+        .alias("kernel_lang"),
+        F.when(is_nb, script).otherwise(F.lit("")).alias("script"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# identifier / naming-convention stats
+
+IDENT_RE = r"[A-Za-z_][A-Za-z0-9_]{2,}"
+SNAKE_RE = r"^[a-z][a-z0-9]*(_[a-z0-9]+)+$"
+CAMEL_RE = r"^[a-z][a-z0-9]*([A-Z][a-z0-9]*)+$"
+CONST_RE = r"^[A-Z][A-Z0-9]*(_[A-Z0-9]+)+$"
+
+
+def identifier_stats(
+    files: DataFrame,
+    content_col: str = "content",
+    keep_cols: Sequence[str] = ("repo", "path"),
+) -> DataFrame:
+    """Identifier extraction + naming-convention counts.
+
+    Identifiers are maximal ``[A-Za-z_][A-Za-z0-9_]{2,}`` matches
+    (length ≥ 3 — ``regexp_extract_all`` is maximal-munch in both
+    engines). Convention classes are anchored full-match regexes over
+    each identifier (``snake_case``/``camelCase``/``SCREAMING_CASE``,
+    each requiring ≥ 2 segments so single words count for none);
+    ``dominant_style`` is the arg-max with the tie order
+    snake > camel > const > none (CASE order is the contract).
+    ``avg_id_len`` is an integer length sum over IEEE double division,
+    rounded half-up to 6 on both engines. Zero-shuffle projection —
+    array ops run inside codegen.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    ids = F.regexp_extract_all(content, F.lit(IDENT_RE), 0)
+    n_ids = F.size(ids)
+    n_snake = F.size(F.filter(ids, lambda x: x.rlike(SNAKE_RE)))
+    n_camel = F.size(F.filter(ids, lambda x: x.rlike(CAMEL_RE)))
+    n_const = F.size(F.filter(ids, lambda x: x.rlike(CONST_RE)))
+    len_sum = F.aggregate(
+        F.transform(ids, F.length),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    dominant = (
+        F.when(
+            (n_snake > 0) & (n_snake >= n_camel) & (n_snake >= n_const),
+            F.lit("snake"),
+        )
+        .when((n_camel > 0) & (n_camel >= n_const), F.lit("camel"))
+        .when(n_const > 0, F.lit("const"))
+        .otherwise(F.lit("none"))
+    )
+    return files.select(
+        *[F.col(c) for c in keep_cols],
+        n_ids.alias("n_ids"),
+        F.size(F.array_distinct(ids)).alias("n_unique_ids"),
+        n_snake.alias("n_snake"),
+        n_camel.alias("n_camel"),
+        n_const.alias("n_const"),
+        F.round(len_sum / F.greatest(n_ids, F.lit(1)), 6).alias("avg_id_len"),
+        dominant.alias("dominant_style"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# stack-trace / log detection
+
+JAVA_FRAME_RE = r"^[ \t]*at [A-Za-z_$][A-Za-z0-9_$.]*\("
+PY_TB_RE = r'^Traceback \(most recent call last\):|^[ \t]*File "[^"]*", line [0-9]+'
+TS_LOG_RE = r"^[0-9]{4}-[0-9]{2}-[0-9]{2}[ T][0-9]{2}:[0-9]{2}:[0-9]{2}"
+LOG_RATIO_THRESHOLD = 0.4
+LOG_MIN_LINES = 5
+
+
+def logfile_flags(
+    files: DataFrame,
+    content_col: str = "content",
+    keep_cols: Sequence[str] = ("repo", "path"),
+) -> DataFrame:
+    """Committed-log / pasted-traceback detection.
+
+    Counts lines that are Java stack frames (``at pkg.Cls(...``),
+    Python traceback members (the ``Traceback`` header or ``File "...",
+    line N`` frames), or timestamped log records (ISO date+time
+    prefix); ``log_line_ratio`` is over non-empty lines and ``is_log``
+    fires at ratio > 0.4 with ≥ 5 non-empty lines (a source file that
+    *constructs* log strings has the markers on a small fraction of
+    its lines; a committed log has them on most). Zero-shuffle
+    projection; line split is ``\\r?\\n`` in both engines.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    lines = F.split(content, r"\r?\n")
+    nonempty = F.filter(lines, lambda x: F.trim(x) != "")
+    n_nonempty = F.size(nonempty)
+    n_java = F.size(F.filter(lines, lambda x: x.rlike(JAVA_FRAME_RE)))
+    n_pytb = F.size(F.filter(lines, lambda x: x.rlike(PY_TB_RE)))
+    n_ts = F.size(F.filter(lines, lambda x: x.rlike(TS_LOG_RE)))
+    ratio = F.round(
+        (n_java + n_pytb + n_ts) / F.greatest(n_nonempty, F.lit(1)), 6
+    )
+    return files.select(
+        *[F.col(c) for c in keep_cols],
+        n_nonempty.alias("n_nonempty"),
+        n_java.alias("n_java_frames"),
+        n_pytb.alias("n_py_tb"),
+        n_ts.alias("n_ts_lines"),
+        ratio.alias("log_line_ratio"),
+        (
+            (ratio > F.lit(LOG_RATIO_THRESHOLD))
+            & (n_nonempty >= F.lit(LOG_MIN_LINES))
+        ).alias("is_log"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# repo-level fork detection
+
+FORK_JACCARD_THRESHOLD = 0.5
+MAX_REPOS_PER_DIGEST = 64
+
+
+def repo_fork_pairs(
+    files: DataFrame,
+    content_col: str = "content",
+    repo_col: str = "repo",
+    threshold: float = FORK_JACCARD_THRESHOLD,
+    max_repos_per_digest: int = MAX_REPOS_PER_DIGEST,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Repo-pair Jaccard similarity over per-file content-digest sets.
+
+    Plan (the 100-TB shape): content reduces to DISTINCT
+    ``(repo, digest)`` in the scan stage — nothing wider ever shuffles.
+    Digests present in more than ``max_repos_per_digest`` repos are
+    dropped BEFORE the self-join (ubiquitous boilerplate — LICENSE
+    files, empty ``__init__.py`` — carries no fork signal and would
+    emit quadratic pairs); post-cap each digest emits at most cap²
+    pairs. Repo sizes are computed over the same capped universe so
+    Jaccard is exact for the de-boilerplated sets, and the size table
+    (one row per repo) broadcast-joins onto the pair aggregate.
+    Emits one row per repo pair sharing ≥ 1 capped digest:
+    ``jaccard = shared / (n_a + n_b - shared)``, ``is_fork`` at the
+    threshold; downstream drops ``repo_b`` of flagged pairs (the
+    lexicographically larger side — deterministic across runs).
+    """
+    digests = files.select(
+        F.col(repo_col).alias("repo"),
+        F.md5(F.coalesce(F.col(content_col), F.lit(""))).alias("digest"),
+    ).distinct()
+    if checkpoint:
+        # Barrier at the content-reduction point (the curation-pipeline
+        # pattern): without it every consumer of `digests`/`narrow`
+        # re-derives the content scan — 4 full reads of the corpus at
+        # 100 TB. Checkpointed, content is read and digested ONCE; all
+        # downstream traffic is 16-byte digests + repo keys.
+        digests = digests.localCheckpoint(eager=False)
+    width = digests.groupBy("digest").agg(F.count("*").alias("n_repos"))
+    narrow = digests.join(
+        width.where(F.col("n_repos") <= max_repos_per_digest).select("digest"),
+        "digest",
+    )
+    if checkpoint:
+        # Second barrier: `narrow` feeds three consumers (sizes + both
+        # self-join sides); one materialization instead of three
+        # re-joins.
+        narrow = narrow.localCheckpoint(eager=False)
+    sizes = narrow.groupBy("repo").agg(F.count("*").alias("n_files"))
+    pairs = (
+        narrow.alias("a")
+        .join(narrow.alias("b"), "digest")
+        .where(F.col("a.repo") < F.col("b.repo"))
+        .groupBy(
+            F.col("a.repo").alias("repo_a"), F.col("b.repo").alias("repo_b")
+        )
+        .agg(F.count("*").alias("shared"))
+    )
+    sa = sizes.select(
+        F.col("repo").alias("repo_a"), F.col("n_files").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("repo").alias("repo_b"), F.col("n_files").alias("n_b")
+    )
+    out = pairs.join(F.broadcast(sa), "repo_a").join(F.broadcast(sb), "repo_b")
+    jaccard = F.round(
+        F.col("shared")
+        / (F.col("n_a") + F.col("n_b") - F.col("shared")),
+        6,
+    )
+    return out.select(
+        "repo_a",
+        "repo_b",
+        "n_a",
+        "n_b",
+        "shared",
+        jaccard.alias("jaccard"),
+        (jaccard >= F.lit(threshold)).alias("is_fork"),
+    )

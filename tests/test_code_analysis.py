@@ -1,0 +1,434 @@
+"""Code-analysis operators (operators/code_analysis.py): language
+inference, notebook extraction, identifier stats, log detection, and
+repo-level fork pairs — against hand-built planted cases, plus the
+Spark-vs-DuckDB adversarial differential over the shared body SQL."""
+
+import pytest
+
+from gruut_spark.operators.code_analysis import (
+    identifier_stats,
+    infer_code_lang,
+    logfile_flags,
+    notebook_cells,
+    repo_fork_pairs,
+)
+
+
+def _files(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "repo string, path string, commit string, lang string, content string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# language inference
+
+
+@pytest.fixture(scope="module")
+def langs(spark):
+    rows = [
+        # extension only
+        ("r0", "src/a.py", "c", "python", "x = 1\n"),
+        ("r0", "src/b.js", "c", "python", "var a = 1;\n"),
+        ("r0", "src/c.RS", "c", "rust", "fn main() {}\n"),
+        # shebang wins over extension
+        ("r0", "src/d.js", "c", "javascript", "#!/usr/bin/env python3\nx=1\n"),
+        # shebang on an extensionless path
+        ("r0", "bin/tool", "c", "shell", "#!/bin/bash\necho hi\n"),
+        ("r0", "bin/zsh-tool", "c", "shell", "#!/usr/bin/env zsh\necho\n"),
+        ("r0", "bin/nodey", "c", "javascript", "#!/usr/bin/env node\n1\n"),
+        # unrecognized shebang falls back to extension
+        ("r0", "src/e.rb", "c", "ruby", "#!/opt/weird/interp\nputs 1\n"),
+        # shebang NOT on the first line is not a shebang
+        ("r0", "src/f", "c", "python", "\n#!/usr/bin/env python\n"),
+        # nothing known
+        ("r0", "README", "c", "", "hello\n"),
+        # .sharp edge: 'fish' must not match the sh shebang rule
+        ("r0", "bin/fishy", "c", "shell", "#!/usr/bin/fish\necho\n"),
+    ]
+    out = infer_code_lang(_files(spark, rows))
+    return {r["path"]: r.asDict() for r in out.collect()}
+
+
+def test_extension_inference(langs):
+    assert langs["src/a.py"]["inferred_lang"] == "python"
+    assert not langs["src/a.py"]["is_mismatch"]
+    assert langs["src/b.js"]["inferred_lang"] == "javascript"
+    assert langs["src/b.js"]["is_mismatch"]
+    # extension lookup is case-insensitive
+    assert langs["src/c.RS"]["inferred_lang"] == "rust"
+
+
+def test_shebang_wins(langs):
+    assert langs["src/d.js"]["shebang_lang"] == "python"
+    assert langs["src/d.js"]["inferred_lang"] == "python"
+    assert langs["src/d.js"]["is_mismatch"]
+    assert langs["bin/tool"]["inferred_lang"] == "shell"
+    assert langs["bin/zsh-tool"]["inferred_lang"] == "shell"
+    assert langs["bin/nodey"]["inferred_lang"] == "javascript"
+
+
+def test_shebang_fallbacks(langs):
+    # unrecognized interpreter -> extension
+    assert langs["src/e.rb"]["shebang_lang"] == ""
+    assert langs["src/e.rb"]["inferred_lang"] == "ruby"
+    # '#!' later in the file is not a shebang
+    assert langs["src/f"]["shebang_lang"] == ""
+    assert langs["src/f"]["inferred_lang"] == "unknown"
+    # fish is not sh
+    assert langs["bin/fishy"]["shebang_lang"] == ""
+
+
+def test_unknown_never_mismatches(langs):
+    assert langs["README"]["inferred_lang"] == "unknown"
+    assert not langs["README"]["is_mismatch"]
+    # low-confidence inference keeps is_mismatch False even vs declared
+    assert not langs["src/f"]["is_mismatch"]
+
+
+# ---------------------------------------------------------------------------
+# notebook extraction
+
+NB_OK = (
+    '{"cells":[{"cell_type":"code","source":["import os\\n","x = 1"]},'
+    '{"cell_type":"markdown","source":["# title"]},'
+    '{"cell_type":"code","source":["print(x)"]}],'
+    '"metadata":{"kernelspec":{"language":"python"}},"nbformat":4}'
+)
+NB_NO_CODE = (
+    '{"cells":[{"cell_type":"markdown","source":["just text"]}],'
+    '"metadata":{"kernelspec":{"language":"r"}},"nbformat":4}'
+)
+
+
+@pytest.fixture(scope="module")
+def notebooks(spark):
+    rows = [
+        ("r0", "nb/ok.ipynb", "c", "nb", NB_OK),
+        ("r0", "nb/nocode.ipynb", "c", "nb", NB_NO_CODE),
+        # malformed JSON
+        ("r0", "nb/bad.ipynb", "c", "nb", "{not json"),
+        # plain source text
+        ("r0", "src/a.py", "c", "py", "x = 1\n"),
+        # valid JSON that is not a notebook envelope
+        ("r0", "cfg/pkg.json", "c", "js", '{"name":"p","version":"1.0"}'),
+        # JSON scalar
+        ("r0", "cfg/n.json", "c", "js", "123"),
+    ]
+    out = notebook_cells(_files(spark, rows))
+    return {r["path"]: r.asDict() for r in out.collect()}
+
+
+def test_notebook_extraction(notebooks):
+    ok = notebooks["nb/ok.ipynb"]
+    assert ok["is_notebook"]
+    assert ok["n_cells"] == 3
+    assert ok["n_code_cells"] == 2
+    assert ok["kernel_lang"] == "python"
+    assert ok["script"] == "import os\nx = 1\n\nprint(x)"
+
+
+def test_notebook_without_code_cells(notebooks):
+    r = notebooks["nb/nocode.ipynb"]
+    assert r["is_notebook"]
+    assert r["n_code_cells"] == 0
+    assert r["script"] == ""
+    assert r["kernel_lang"] == "r"
+
+
+def test_non_notebooks(notebooks):
+    for p in ("nb/bad.ipynb", "src/a.py", "cfg/pkg.json", "cfg/n.json"):
+        r = notebooks[p]
+        assert not r["is_notebook"], p
+        assert r["n_cells"] == 0 and r["n_code_cells"] == 0
+        assert r["script"] == "" and r["kernel_lang"] == ""
+
+
+# ---------------------------------------------------------------------------
+# identifier stats
+
+
+@pytest.fixture(scope="module")
+def idstats(spark):
+    rows = [
+        (
+            "r0",
+            "src/snake.py",
+            "c",
+            "py",
+            "def parse_config_file(input_path):\n    max_retry_count = 3\n",
+        ),
+        (
+            "r0",
+            "src/camel.js",
+            "c",
+            "js",
+            "function getUserName(userId) { let isValid = true; }\n",
+        ),
+        ("r0", "src/const.c", "c", "c", "#define MAX_BUFFER_SIZE 1024\n"),
+        # ties resolve snake > camel > const
+        ("r0", "src/tie.py", "c", "py", "a_b2 = fooBar\n"),
+        # repeated identifiers: n_ids counts occurrences, n_unique dedups
+        ("r0", "src/rep.py", "c", "py", "foo foo foo bar\n"),
+        # sub-3-char identifiers are ignored
+        ("r0", "src/tiny.py", "c", "py", "a = b + c1\n"),
+        ("r0", "src/empty.py", "c", "py", ""),
+    ]
+    out = identifier_stats(_files(spark, rows))
+    return {r["path"]: r.asDict() for r in out.collect()}
+
+
+def test_naming_conventions(idstats):
+    s = idstats["src/snake.py"]
+    # def, parse_config_file, input_path, max_retry_count
+    assert s["n_snake"] == 3 and s["dominant_style"] == "snake"
+    c = idstats["src/camel.js"]
+    # getUserName, userId, isValid
+    assert c["n_camel"] == 3 and c["dominant_style"] == "camel"
+    k = idstats["src/const.c"]
+    assert k["n_const"] == 1 and k["dominant_style"] == "const"
+
+
+def test_tie_order_and_counts(idstats):
+    t = idstats["src/tie.py"]
+    assert t["n_snake"] == 1 and t["n_camel"] == 1
+    assert t["dominant_style"] == "snake"
+    r = idstats["src/rep.py"]
+    assert r["n_ids"] == 4 and r["n_unique_ids"] == 2
+    assert r["avg_id_len"] == 3.0
+
+
+def test_short_and_empty(idstats):
+    assert idstats["src/tiny.py"]["n_ids"] == 0
+    e = idstats["src/empty.py"]
+    assert e["n_ids"] == 0 and e["avg_id_len"] == 0.0
+    assert e["dominant_style"] == "none"
+
+
+# ---------------------------------------------------------------------------
+# log detection
+
+
+@pytest.fixture(scope="module")
+def logs(spark):
+    java = (
+        'Exception in thread "main" java.lang.NullPointerException\n'
+        + "\tat com.example.Foo.bar(Foo.java:42)\n" * 12
+    )
+    pytb = (
+        "Traceback (most recent call last):\n"
+        + '  File "app.py", line 10, in main\n    run()\n' * 8
+    )
+    tslog = "2024-01-02 03:04:05 INFO worker heartbeat\n" * 30
+    code = "import logging\nlogging.info('at start')\nx = 1\ny = 2\nz = 3\n"
+    short_log = "2024-01-02T03:04:05 boot\n2024-01-02T03:04:06 done\n"
+    rows = [
+        ("r0", "logs/java.txt", "c", "txt", java),
+        ("r0", "logs/py.txt", "c", "txt", pytb),
+        ("r0", "logs/app.log", "c", "txt", tslog),
+        ("r0", "src/a.py", "c", "py", code),
+        ("r0", "logs/short.log", "c", "txt", short_log),
+    ]
+    out = logfile_flags(_files(spark, rows))
+    return {r["path"]: r.asDict() for r in out.collect()}
+
+
+def test_log_detection(logs):
+    j = logs["logs/java.txt"]
+    assert j["n_java_frames"] == 12 and j["is_log"]
+    p = logs["logs/py.txt"]
+    assert p["n_py_tb"] == 9 and p["is_log"]
+    t = logs["logs/app.log"]
+    assert t["n_ts_lines"] == 30 and t["log_line_ratio"] == 1.0 and t["is_log"]
+
+
+def test_log_guards(logs):
+    # source that merely mentions 'at ' or logs strings is not a log
+    assert not logs["src/a.py"]["is_log"]
+    assert logs["src/a.py"]["n_java_frames"] == 0
+    # ratio over threshold but under the min-lines guard
+    s = logs["logs/short.log"]
+    assert s["log_line_ratio"] == 1.0 and not s["is_log"]
+
+
+# ---------------------------------------------------------------------------
+# fork pairs
+
+
+def test_repo_fork_pairs(spark):
+    # rA: files 1..5; rB: fork of rA missing file 5 (4/5 shared);
+    # rC: shares only file 1 with rA/rB (content-1 sits in exactly 3
+    # repos = the cap, so it survives); LICENSE boilerplate in four
+    # repos (> cap) is dropped, leaving license-only rD with no pairs.
+    def f(repo, i):
+        return (repo, f"f{i}", "c", "py", f"content-{i}\n")
+
+    lic = [(f"r{r}", "LICENSE", "c", "", "MIT boilerplate") for r in "ABCD"]
+    rows = (
+        [f("rA", i) for i in range(1, 6)]
+        + [f("rB", i) for i in range(1, 5)]
+        + [f("rC", 1), ("rC", "x", "c", "py", "unique\n")]
+        + lic
+    )
+    out = repo_fork_pairs(
+        _files(spark, rows), threshold=0.5, max_repos_per_digest=3
+    ).orderBy("repo_a", "repo_b")
+    got = {(r["repo_a"], r["repo_b"]): r.asDict() for r in out.collect()}
+    # the LICENSE digest (4 repos > cap 3) never creates pairs on its
+    # own and is excluded from sizes: rC keeps 2 capped files, rA 5,
+    # rB 4, rD 0 (absent from the output entirely).
+    ab = got[("rA", "rB")]
+    assert ab["n_a"] == 5 and ab["n_b"] == 4 and ab["shared"] == 4
+    assert ab["jaccard"] == 0.8 and ab["is_fork"]
+    ac = got[("rA", "rC")]
+    assert ac["shared"] == 1 and ac["jaccard"] == round(1 / 6, 6)
+    assert not ac["is_fork"]
+    bc = got[("rB", "rC")]
+    assert bc["shared"] == 1 and not bc["is_fork"]
+    assert set(got) == {("rA", "rB"), ("rA", "rC"), ("rB", "rC")}
+
+
+def test_fork_cap_disabled_includes_boilerplate(spark):
+    rows = [
+        ("rA", "LICENSE", "c", "", "MIT"),
+        ("rB", "LICENSE", "c", "", "MIT"),
+        ("rA", "f1", "c", "py", "a\n"),
+        ("rB", "f2", "c", "py", "b\n"),
+    ]
+    out = repo_fork_pairs(
+        _files(spark, rows), threshold=0.5, max_repos_per_digest=64
+    )
+    row = out.collect()[0].asDict()
+    assert row["shared"] == 1 and row["n_a"] == 2 and row["n_b"] == 2
+    assert row["jaccard"] == round(1 / 3, 6)
+
+
+# ---------------------------------------------------------------------------
+# plan shape: the per-file operators are zero-Exchange zero-Python
+
+
+def test_analysis_plans_are_scan_shaped(spark):
+    df = _files(spark, [("r0", "src/a.py", "c", "py", "x = 1\n")])
+    for op in (infer_code_lang, notebook_cells, identifier_stats, logfile_flags):
+        plan = op(df)._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, op.__name__
+        assert "Python" not in plan, op.__name__
+
+
+# ---------------------------------------------------------------------------
+# adversarial Spark-vs-DuckDB differential over the shared body SQL
+# (the test_code_filters.py pattern): content classes the driver fixture
+# (pure-ASCII documents) can never produce — unicode, surrogate pairs,
+# CRLF / lone-CR, NBSP, JSON edge shapes. Excluded by documented
+# contract: nbformat type coercion (a JSON float/string nbformat parses
+# as NULL in Spark but coerces in DuckDB; real notebooks always carry an
+# integer literal).
+
+ADV_LANG_FILES = [
+    ("src/café.PY", "python", "x = 'é'\n"),
+    ("src/a.js", "javascript", "#!/usr/bin/env python\r\nx=1\r\n"),
+    ("bin/run", "shell", "#! /usr/bin/python\nprint(1)\n"),
+    ("bin/crlf", "shell", "#!/bin/bash\r\necho hi\r\n"),
+    ("src/emoji.rb", "ruby", "#!/opt/😀/thing\nputs 1\n"),
+    ("src/x.tar.gz", "", "binary-ish é\n"),
+    ("src/enddot.", "python", "x = 1\n"),
+    ("src/Upper.Rb", "ruby", "puts 'Αθήνα'\n"),
+    ("noext", "", "\n#!/usr/bin/env node\n"),
+    ("src/zsh1", "shell", "#!/usr/bin/env zsh\necho\n"),
+    ("src/fish1", "shell", "#!/usr/bin/fish\necho\n"),
+]
+
+ADV_NB_FILES = [
+    ("nb/u.ipynb", '{"cells":[{"cell_type":"code","source":["é😀\\n","x"]}],'
+     '"metadata":{"kernelspec":{"language":"中文"}},"nbformat":4}'),
+    ("nb/nosrc.ipynb", '{"cells":[{"cell_type":"code"}],"nbformat":4}'),
+    ("nb/nullcell.ipynb",
+     '{"cells":[null,{"cell_type":"code","source":["x"]}],"nbformat":4}'),
+    ("nb/ws.ipynb", '{ "cells" : [] ,\r\n "nbformat" : 4 }'),
+    ("nb/scalar.json", "123"),
+    ("nb/arr.json", "[1,2]"),
+    ("nb/str.json", '"str"'),
+    ("nb/nullroot.json", "null"),
+    ("nb/empty.txt", ""),
+    ("nb/obj.json", "{}"),
+    ("nb/cellsobj.json", '{"cells":{},"nbformat":4}'),
+    ("nb/badsrc.ipynb",
+     '{"cells":[{"cell_type":"code","source":"abc"}],"nbformat":4}'),
+    ("nb/crlf.py", "x = 1\r\ny = 2\r\n"),
+]
+
+ADV_ID_FILES = [
+    ("src/u.py", "café_name = 1\nnaïve_var = 2\n"),
+    ("src/nbsp.py", "foo_bar baz_qux\n"),
+    ("src/emoji.py", "my_func(😀) + getThing()\n"),
+    ("src/lead9.py", "9abc = _x\n"),
+    ("src/dunder.py", "__init__ = XMLHttpRequest\n"),
+    ("src/crlf.py", "snake_one = 1\r\ncamelTwo = 2\r\n"),
+    ("src/cjk.py", "变量 = some_value\n"),
+    ("src/empty.py", ""),
+    ("src/only punct.py", "+-*/ ()\n"),
+]
+
+ADV_LOG_FILES = [
+    ("l/u.log", "2024-01-02 03:04:05 café démarré\n" * 6),
+    ("l/crlf.txt",
+     "Traceback (most recent call last):\r\n"
+     '  File "é.py", line 1, in main\r\n    x()\r\n'),
+    ("l/tabat.txt", "\tat com.é.Foo(Bar.java:1)\n\tat com.a.B$c.d(E.java:2)\n"
+     "\tat x.y(Z.java:3)\n\tat q.w(R.java:4)\n\tat t.u(V.java:5)\n"),
+    ("l/nbspat.txt", " at com.a.B(C.java:1)\n" * 6),
+    ("l/midts.txt", "start 2024-01-02 03:04:05 end\n" * 6),
+    ("l/lowerat.txt", "at foo.bar(Baz.java:7)\n" * 6),
+    ("l/lonecr.txt", "2024-01-02T03:04:05 a\r2024-01-02T03:04:06 b\r\r\r\r"),
+]
+
+
+@pytest.mark.parametrize("which", ["lang", "nb", "ids", "log"])
+def test_analysis_adversarial_cross_engine_differential(spark, which):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    from gruut_spark.operators.code_analysis import (
+        identifier_stats as _ids_op,
+        infer_code_lang as _lang_op,
+        logfile_flags as _log_op,
+        notebook_cells as _nb_op,
+    )
+
+    if which == "lang":
+        rows = [("rA", p, "c", l, c) for p, l, c in ADV_LANG_FILES]
+        pdf = pd.DataFrame(
+            [("rA", p, l, c) for p, l, c in ADV_LANG_FILES],
+            columns=["repo", "path", "lang", "content"],
+        )
+        op, body = _lang_op, entrymod._code_lang_body_sql()
+        cte = "SELECT repo, path, lang, content FROM adv"
+    else:
+        src = {"nb": ADV_NB_FILES, "ids": ADV_ID_FILES, "log": ADV_LOG_FILES}[
+            which
+        ]
+        rows = [("rA", p, "c", "py", c) for p, c in src]
+        pdf = pd.DataFrame(
+            [("rA", p, c) for p, c in src],
+            columns=["repo", "path", "content"],
+        )
+        op, body = {
+            "nb": (_nb_op, entrymod._code_nb_body_sql()),
+            "ids": (_ids_op, entrymod._code_id_body_sql()),
+            "log": (_log_op, entrymod._code_log_body_sql()),
+        }[which]
+        cte = "SELECT repo, path, content FROM adv"
+
+    got = (
+        op(_files(spark, rows)).orderBy("path").toPandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("adv", pdf)
+    want = con.sql(f"WITH files AS ({cte})" + body).df().reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        a, b = got[col].tolist(), want[col].tolist()
+        assert a == b, f"{col}: spark={a} duckdb={b}"
