@@ -2199,6 +2199,68 @@ def _code_logfile_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logfile_flags(_code_log_fixture(spark, sf_dir)).orderBy("path")
 
 
+_NBMIX_GEN_CELL = "generated by nbconvert do not edit"
+_NBMIX_DUP_CELL = "import os"
+
+
+def _code_nbmix_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mixed notebook/source strata for the convert-then-filter
+    composition: id%5 plain .py files; otherwise single-code-cell
+    notebooks whose cell rotates through a hex dump (id%11 — the data
+    battery must fire on the CONVERTED text), a generated-by marker
+    (id%13 — flags battery), a constant cell (id%17 — dedup battery:
+    identical scripts after conversion), else a sanitized slice of the
+    document text (unique, kept)."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    sid = d.cast("string")
+    clean = F.regexp_replace(F.lower(raw), "[^a-z0-9 ]", "")
+    cell = (
+        F.when(d % 11 == 0, F.repeat(F.lit("deadbeef"), 64))
+        .when(d % 13 == 0, F.lit(_NBMIX_GEN_CELL))
+        .when(d % 17 == 0, F.lit(_NBMIX_DUP_CELL))
+        .otherwise(F.substring(clean, 1, 40))
+    )
+    nb = F.concat(
+        F.lit(_NB_JSON_HEAD),
+        cell,
+        F.lit(_NB_JSON_CLOSE),
+        F.lit(_NB_JSON_META),
+        F.lit("python"),
+        F.lit(_NB_JSON_TAIL),
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.when(d % 5 == 0, F.concat(F.lit("src/f"), sid, F.lit(".py")))
+        .otherwise(F.concat(F.lit("nb/n"), sid, F.lit(".ipynb")))
+        .alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        F.when(d % 5 == 0, base).otherwise(nb).alias("content"),
+    )
+
+
+def _code_curation_nbaware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Convert-then-filter (The Stack's preprocessing order): notebooks
+    become scripts (operators/code_analysis.py::notebook_to_script)
+    BEFORE the composed curation battery
+    (code_filters.py::code_curation_pipeline), so digests, line stats
+    and char-class fractions see code, not single-line JSON envelopes —
+    un-converted, EVERY notebook is a >1000-char line the minified rule
+    would wrongly drop; converted, junk cells (hex dumps, generated
+    markers, duplicate scripts) are dropped by the right battery leg
+    and clean notebooks survive. The oracle replays conversion then the
+    full shared curation body."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import notebook_to_script
+    from gruut_spark.operators.code_filters import code_curation_pipeline
+
+    return code_curation_pipeline(
+        notebook_to_script(_code_nbmix_fixture(spark, sf_dir))
+    ).orderBy("path")
+
+
 def _code_fork_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fork-detection strata: nine base repos r0..r8 by id%9 with one
     ubiquitous boilerplate digest planted in every repo (id%50 rows all
@@ -3321,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_identifier_stats": _code_identifier_stats,
         "code_logfile_flags": _code_logfile_flags,
         "code_repo_forks": _code_repo_forks,
+        "code_curation_nbaware": _code_curation_nbaware,
         "doc_epoch_shards": _doc_epoch_shards,
         "doc_moore_lewis": _doc_moore_lewis,
         "doc_doremi_weights": _doc_doremi_weights,
@@ -6149,11 +6212,13 @@ def _code_norm_dedup_oracle_sql() -> str:
     """
 
 
-def _code_curation_verdict_oracle_sql() -> str:
-    """DuckDB twin of code_curation_pipeline — all four batteries
+def _code_curation_body_sql() -> str:
+    """code_curation_pipeline as a WITH-chain continuation over an open
+    CTE named `files` (repo, path, content) — all four batteries
     (flags, data, license, dedup) + the conjunction, every regex /
     threshold / CASE ladder interpolated from the SAME module constants
-    as the per-battery oracles."""
+    as the per-battery oracles. Shared by the fixture oracle and the
+    notebook-aware convert-then-filter oracle."""
     from gruut_spark.operators.code_filters import (
         _LICENSE_PHRASES,
         B64_RUN_RE,
@@ -6182,8 +6247,7 @@ def _code_curation_verdict_oracle_sql() -> str:
         + " ".join(f"WHEN {i} THEN '{n}'" for i, n in enumerate(LICENSE_RANK))
         + " END"
     )
-    return f"""
-        WITH {_code_files_cte_sql()}, feat AS (
+    return f""", feat AS (
           SELECT repo, path, content,
             lower(substring(content, 1, 2048)) AS header,
             substring(content, 1, 2048) AS header_cs,
@@ -6257,6 +6321,12 @@ def _code_curation_verdict_oracle_sql() -> str:
         JOIN grp g ON g.repo = f.repo AND g.path = f.path
         ORDER BY f.path
     """
+
+
+def _code_curation_verdict_oracle_sql() -> str:
+    """DuckDB twin of code_curation_pipeline over the planted files
+    fixture (body shared with the notebook-aware oracle)."""
+    return "WITH " + _code_files_cte_sql() + _code_curation_body_sql()
 
 
 def _code_comment_stats_body_sql() -> str:
@@ -6680,6 +6750,61 @@ def _code_repo_forks_oracle_sql() -> str:
         JOIN sizes sb ON sb.repo = pairs.repo_b
         ORDER BY repo_a, repo_b
     """
+
+
+def _code_nbmix_cte_sql() -> str:
+    """The _code_nbmix_fixture derivation + the notebook_to_script
+    conversion as a DuckDB CTE chain ending in an open `files` CTE
+    (repo, path, content) — the convert-then-filter front half; the
+    shared curation body completes the oracle."""
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 coalesce(text, '') AS raw,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files0 AS (
+          SELECT repo,
+            CASE WHEN d % 5 = 0 THEN 'src/f' || d::VARCHAR || '.py'
+                 ELSE 'nb/n' || d::VARCHAR || '.ipynb' END AS path,
+            CASE WHEN d % 5 = 0 THEN base
+                 ELSE '{_NB_JSON_HEAD}'
+                   || CASE WHEN d % 11 = 0 THEN repeat('deadbeef', 64)
+                           WHEN d % 13 = 0 THEN '{_NBMIX_GEN_CELL}'
+                           WHEN d % 17 = 0 THEN '{_NBMIX_DUP_CELL}'
+                           ELSE substring(regexp_replace(lower(raw),
+                                  '[^a-z0-9 ]', '', 'g'), 1, 40) END
+                   || '{_NB_JSON_CLOSE}' || '{_NB_JSON_META}' || 'python'
+                   || '{_NB_JSON_TAIL}'
+            END AS content
+          FROM docs
+        ), parsed0 AS (
+          SELECT repo, path, content,
+            CASE WHEN json_valid(content)
+                 THEN json_transform(content, '{_NB_TRANSFORM_STRUCT}')
+                 ELSE NULL END AS p
+          FROM files0
+        ), files AS (
+          SELECT repo,
+            CASE WHEN p.nbformat IS NOT NULL AND p.cells IS NOT NULL
+                 THEN regexp_replace(path, '\\.ipynb$', '.py')
+                 ELSE path END AS path,
+            CASE WHEN p.nbformat IS NOT NULL AND p.cells IS NOT NULL
+                 THEN coalesce(array_to_string(list_transform(
+                        list_filter(p.cells, c -> c.cell_type = 'code'),
+                        c -> coalesce(array_to_string(c.source, ''), '')),
+                        chr(10) || chr(10)), '')
+                 ELSE content END AS content
+          FROM parsed0
+        )"""
+
+
+def _code_curation_nbaware_oracle_sql() -> str:
+    """DuckDB twin of the convert-then-filter composition:
+    notebook_to_script replayed as json_transform CTEs, then the SAME
+    shared curation body as code_curation_verdict."""
+    return "WITH " + _code_nbmix_cte_sql() + _code_curation_body_sql()
 
 
 def _code_secrets_scrub_oracle_sql() -> str:
@@ -8371,6 +8496,7 @@ def oracle_sql() -> dict[str, str]:
         "code_identifier_stats": _code_identifier_stats_oracle_sql(),
         "code_logfile_flags": _code_logfile_flags_oracle_sql(),
         "code_repo_forks": _code_repo_forks_oracle_sql(),
+        "code_curation_nbaware": _code_curation_nbaware_oracle_sql(),
         "code_repo_stats": f"""
             SELECT repo,
               count(*) AS n_files,

@@ -211,6 +211,46 @@ def notebook_cells(
     )
 
 
+def notebook_to_script(
+    files: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Convert notebook rows to script rows in place (The Stack's
+    preprocessing order: ipynb → script BEFORE the filter battery, so
+    quality predicates see code, not JSON envelopes).
+
+    For rows whose content parses as a notebook (same predicate as
+    ``notebook_cells``): ``content`` becomes the concatenated code-cell
+    script, ``path`` swaps a trailing ``.ipynb`` for ``.py``; all other
+    rows pass through byte-identical. ``was_notebook`` records the
+    conversion. Zero-shuffle projection — composes with
+    ``code_filters.code_curation_pipeline`` so the downstream digests,
+    line stats and char-class fractions are computed on the converted
+    text (a hex-dump *cell* is caught by the data battery only after
+    conversion).
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    parsed = F.from_json(content, NB_SCHEMA)
+    is_nb = parsed["nbformat"].isNotNull() & parsed["cells"].isNotNull()
+    script = F.array_join(
+        F.transform(
+            F.filter(parsed["cells"], lambda c: c["cell_type"] == F.lit("code")),
+            lambda c: F.coalesce(F.array_join(c["source"], ""), F.lit("")),
+        ),
+        "\n\n",
+    )
+    others = [c for c in files.columns if c not in (content_col, path_col)]
+    return files.select(
+        *[F.col(c) for c in others],
+        F.when(is_nb, F.regexp_replace(F.col(path_col), r"\.ipynb$", ".py"))
+        .otherwise(F.col(path_col))
+        .alias(path_col),
+        F.when(is_nb, script).otherwise(F.col(content_col)).alias(content_col),
+        is_nb.alias("was_notebook"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # identifier / naming-convention stats
 

@@ -68,6 +68,7 @@ def run_with_checkpoints(
     salt_buckets: int = 32,
     num_partitions: Optional[int] = None,
     code_prefilter: bool = False,
+    notebook_convert: bool = False,
 ) -> Dict[str, dict]:
     """Process all incomplete buckets; returns the final manifest."""
     manifest = read_manifest(out_dir)
@@ -83,6 +84,7 @@ def run_with_checkpoints(
         out = build_pipeline(
             batch, cfg=cfg, salt_buckets=salt_buckets,
             num_partitions=num_partitions, code_prefilter=code_prefilter,
+            notebook_convert=notebook_convert,
         )
         # the fused stage passes through only the input_hint columns;
         # the bucket is deterministic from (repo, path), so recompute it

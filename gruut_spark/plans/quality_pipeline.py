@@ -221,6 +221,7 @@ def build_pipeline(
     salt_buckets: int = DEFAULT_SALT_BUCKETS,
     num_partitions: Optional[int] = None,
     code_prefilter: bool = False,
+    notebook_convert: bool = False,
 ) -> DataFrame:
     """Full staged plan (no action triggered).
 
@@ -233,10 +234,23 @@ def build_pipeline(
     that would otherwise burn Arrow-worker time only to be dropped by
     the verdict anyway. Off by default so text-corpus inputs (and the
     established bench/oracle baselines) are unchanged.
+
+    ``notebook_convert=True`` rewrites notebook rows to script rows
+    (operators/code_analysis.py::notebook_to_script — The Stack's
+    preprocessing order: ipynb → concatenated code cells BEFORE any
+    filtering) in the same scan stage, ahead of the prefilter, so the
+    battery and the model stages judge code rather than single-line
+    JSON envelopes (which the minified rule would otherwise drop
+    wholesale). Also opt-in and scan-stage: one more codegen projection
+    with zero extra exchanges.
     """
     # lineage must be captured at scan time: input_file_name() is empty
     # once rows have crossed the salt shuffle
     files = files.withColumn("_source_file", F.input_file_name())
+    if notebook_convert:
+        from ..operators.code_analysis import notebook_to_script
+
+        files = notebook_to_script(files).drop("was_notebook")
     if code_prefilter:
         from ..operators.code_filters import code_keep_predicate
 

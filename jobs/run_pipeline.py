@@ -39,6 +39,10 @@ def main() -> None:
                     help="apply the Stack curation keep predicate "
                          "(generated/vendored/minified/data files) in the "
                          "scan stage, before the model stage")
+    ap.add_argument("--notebook-convert", action="store_true",
+                    help="rewrite .ipynb rows to scripts (concatenated "
+                         "code cells) in the scan stage, before any "
+                         "filtering — The Stack's preprocessing order")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("gruut-spark-quality-filter").getOrCreate()
@@ -60,6 +64,7 @@ def main() -> None:
         n_buckets=args.buckets, group_size=args.group_size,
         salt_buckets=args.salt_buckets, num_partitions=args.partitions,
         code_prefilter=args.code_prefilter,
+        notebook_convert=args.notebook_convert,
     )
     total = sum(m["rows"] for m in manifest.values())
     print(f"done: {len(manifest)} buckets, {total} rows -> {args.output}")

@@ -432,3 +432,98 @@ def test_analysis_adversarial_cross_engine_differential(spark, which):
     for col in got.columns:
         a, b = got[col].tolist(), want[col].tolist()
         assert a == b, f"{col}: spark={a} duckdb={b}"
+
+
+# ---------------------------------------------------------------------------
+# notebook_to_script + convert-then-filter composition
+
+
+def test_notebook_to_script_conversion(spark):
+    from gruut_spark.operators.code_analysis import notebook_to_script
+
+    rows = [
+        ("r0", "nb/ok.ipynb", "c", "nb", NB_OK),
+        ("r0", "src/a.py", "c", "py", "x = 1\n"),
+        ("r0", "nb/bad.ipynb", "c", "nb", "{not json"),
+    ]
+    out = {r["path"]: r.asDict()
+           for r in notebook_to_script(_files(spark, rows)).collect()}
+    # converted: path renamed, content is the script, flag set
+    ok = out["nb/ok.py"]
+    assert ok["was_notebook"]
+    assert ok["content"] == "import os\nx = 1\n\nprint(x)"
+    # non-notebooks pass through byte-identical (malformed keeps .ipynb)
+    assert out["src/a.py"]["content"] == "x = 1\n"
+    assert not out["src/a.py"]["was_notebook"]
+    assert out["nb/bad.ipynb"]["content"] == "{not json"
+    assert not out["nb/bad.ipynb"]["was_notebook"]
+
+
+def test_convert_then_filter_rescues_and_drops(spark):
+    """The Stack's preprocessing order matters in both directions: a
+    clean notebook is a single >1000-char JSON line the minified rule
+    would wrongly drop un-converted, and a hex-dump CELL must be caught
+    by the data battery on the converted text."""
+    from gruut_spark.operators.code_analysis import notebook_to_script
+    from gruut_spark.operators.code_filters import code_curation_pipeline
+
+    # JSON-escaped newlines; alpha-rich lines so the data battery's
+    # alphabetic-fraction rule is satisfied post-conversion
+    clean_cell = "\\n".join(
+        f"result_value = compute_thing(input_data, step{i})" for i in range(40)
+    )
+    clean_nb = (
+        '{"cells":[{"cell_type":"code","source":["' + clean_cell + '"]}],'
+        '"nbformat":4}'
+    )
+    assert len(clean_nb) > 1000  # one line: minified un-converted
+    hex_nb = (
+        '{"cells":[{"cell_type":"code","source":["' + "deadbeef" * 64 + '"]}],'
+        '"nbformat":4}'
+    )
+    rows = [
+        ("r0", "nb/clean.ipynb", "c", "nb", clean_nb),
+        ("r0", "nb/hex.ipynb", "c", "nb", hex_nb),
+    ]
+    files = _files(spark, rows)
+    raw = {r["path"]: r.asDict()
+           for r in code_curation_pipeline(files).collect()}
+    conv = {r["path"]: r.asDict()
+            for r in code_curation_pipeline(notebook_to_script(files)).collect()}
+    # un-converted: the clean notebook is wrongly dropped as minified
+    assert not raw["nb/clean.ipynb"]["keep_file"]
+    # converted: rescued (80 short lines of real code)
+    assert conv["nb/clean.py"]["keep_file"]
+    # the hex CELL is dropped by the data battery on the converted text
+    assert not conv["nb/hex.py"]["keep_data"]
+    assert not conv["nb/hex.py"]["keep_file"]
+
+
+def test_pipeline_notebook_convert(spark):
+    """--notebook-convert: ipynb rows are rewritten to scripts in the
+    scan stage — the model/verdict stages see code, paths swap to .py,
+    non-notebook rows are byte-identical to an unconverted run, and the
+    conversion adds no exchange."""
+    from gruut_spark.plans.quality_pipeline import build_pipeline
+
+    rows = [
+        ("r0", "nb/ok.ipynb", "c", "en", NB_OK),
+        ("r0", "src/plain.py", "c", "en", "the quick brown fox\njumps over\n"),
+    ]
+    files = _files(spark, rows)
+    conv = build_pipeline(files, num_partitions=4, notebook_convert=True)
+    got = {r["path"]: r.asDict() for r in conv.collect()}
+    assert set(got) == {"nb/ok.py", "src/plain.py"}
+    # the verdict stage saw the SCRIPT, not the JSON envelope
+    assert got["nb/ok.py"]["scrubbed_content"].startswith("import os")
+    assert "cell_type" not in got["nb/ok.py"]["scrubbed_content"]
+    # non-notebook rows unchanged vs the unconverted pipeline
+    plain = build_pipeline(files, num_partitions=4)
+    want = {r["path"]: r.asDict() for r in plain.collect()}
+    a = {k: v for k, v in got["src/plain.py"].items() if k != "_source_file"}
+    b = {k: v for k, v in want["src/plain.py"].items() if k != "_source_file"}
+    assert a == b
+    # scan-stage: no extra exchange
+    p1 = conv._jdf.queryExecution().executedPlan().toString()
+    p2 = plain._jdf.queryExecution().executedPlan().toString()
+    assert p1.count("Exchange") == p2.count("Exchange")
