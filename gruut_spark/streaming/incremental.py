@@ -42,6 +42,8 @@ def start_pipeline_stream(
     output_dir: str,
     checkpoint_dir: str,
     cfg: Optional[RuleConfig] = None,
+    code_prefilter: bool = False,
+    notebook_convert: bool = False,
 ):
     """readStream -> (same batch pipeline via foreachBatch) -> parquet.
 
@@ -53,11 +55,17 @@ def start_pipeline_stream(
     own ``_batch=<id>`` partition with dynamic partition overwrite — a
     replayed batch REPLACES its partition instead of appending a second
     copy (same discipline as the batch job's bucket commits,
-    plans/checkpoint.py)."""
+    plans/checkpoint.py). ``code_prefilter``/``notebook_convert`` are
+    the batch job's scan-stage options (The Stack battery prune and
+    ipynb→script conversion) passed through verbatim — streaming and
+    batch stay identical by construction for code corpora too."""
     stream = read_files_stream(spark, input_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
-        out = build_pipeline(batch_df, cfg=cfg).withColumn(
+        out = build_pipeline(
+            batch_df, cfg=cfg, code_prefilter=code_prefilter,
+            notebook_convert=notebook_convert,
+        ).withColumn(
             "_batch", F.lit(int(batch_id))
         )
         (

@@ -527,3 +527,38 @@ def test_pipeline_notebook_convert(spark):
     p1 = conv._jdf.queryExecution().executedPlan().toString()
     p2 = plain._jdf.queryExecution().executedPlan().toString()
     assert p1.count("Exchange") == p2.count("Exchange")
+
+
+def test_streaming_notebook_convert(spark, tmp_path):
+    """The streaming ingest passes the scan-stage code options through
+    to the SAME build_pipeline — a notebook micro-batch lands converted,
+    identical to the batch run with the flag."""
+    import pandas as pd
+
+    from gruut_spark.plans.quality_pipeline import build_pipeline
+    from gruut_spark.streaming.incremental import start_pipeline_stream
+
+    pdf = pd.DataFrame(
+        [
+            ("r0", "nb/ok.ipynb", "c1", "en", NB_OK),
+            ("r0", "src/plain.py", "c2", "en", "plain text words here\n"),
+        ],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    in_dir, out_dir, ckpt = (str(tmp_path / d) for d in ("in", "out", "ckpt"))
+    spark.createDataFrame(pdf).write.parquet(in_dir)
+
+    q = start_pipeline_stream(
+        spark, in_dir, out_dir, ckpt, notebook_convert=True
+    )
+    q.awaitTermination(120)
+
+    streamed = spark.read.parquet(out_dir).toPandas()
+    assert set(streamed.path) == {"nb/ok.py", "src/plain.py"}
+    batch = build_pipeline(
+        spark.createDataFrame(pdf), notebook_convert=True
+    ).toPandas()
+    m = streamed.merge(batch, on=["repo", "path"], suffixes=("_s", "_b"))
+    assert len(m) == 2
+    assert (m.scrubbed_sha256_s == m.scrubbed_sha256_b).all()
+    assert (m.keep_s == m.keep_b).all()
