@@ -2199,6 +2199,63 @@ def _code_logfile_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return logfile_flags(_code_log_fixture(spark, sf_dir)).orderBy("path")
 
 
+def _code_repo_langs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo language report (mixture design needs per-source
+    language profiles): file count, distinct languages, dominant
+    language + share — two map-side-combined aggregations, nothing but
+    keys and counts shuffled; the min(struct(-count, lang)) tie rule is
+    deterministic across cluster sizes
+    (operators/code_analysis.py::repo_language_stats). The oracle's
+    window twin orders cnt DESC, lang."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import repo_language_stats
+
+    return repo_language_stats(_code_files_fixture(spark, sf_dir)).orderBy(
+        "repo"
+    )
+
+
+_IND_MIXED = "\n\tdef a():\n    return 1"
+_IND_TABS = "\n\tif x:\n\t\ty = 1"
+_IND_FOUR = "\n    if x:\n        y = 1"
+_IND_TWO = "\n  if x:\n    y = 1"
+
+
+def _code_indent_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Indentation strata: id%7 mixed (one tab + one 4-space line),
+    id%3 rotates tab-indented / 4-space / 2-space suffixes over the
+    (unindented) document text."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    suffix = (
+        F.when(d % 7 == 0, F.lit(_IND_MIXED))
+        .when(d % 3 == 0, F.lit(_IND_TABS))
+        .when(d % 3 == 1, F.lit(_IND_FOUR))
+        .otherwise(F.lit(_IND_TWO))
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("src/f"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        F.concat(base, suffix).alias("content"),
+    )
+
+
+def _code_indent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tabs-vs-spaces indentation profile: tab/space-indented line
+    counts over the \\r?\\n split, exact-2/4 space-run widths via the
+    ltrim length difference, majority style with a pinned tie rule —
+    one zero-shuffle projection
+    (operators/code_analysis.py::indent_stats). The oracle replays the
+    same regexes and the spaces-only ltrim contract."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import indent_stats
+
+    return indent_stats(_code_indent_fixture(spark, sf_dir)).orderBy("path")
+
+
 _NBMIX_GEN_CELL = "generated by nbconvert do not edit"
 _NBMIX_DUP_CELL = "import os"
 
@@ -3384,6 +3441,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_logfile_flags": _code_logfile_flags,
         "code_repo_forks": _code_repo_forks,
         "code_curation_nbaware": _code_curation_nbaware,
+        "code_repo_langs": _code_repo_langs,
+        "code_indent_stats": _code_indent_stats,
         "doc_epoch_shards": _doc_epoch_shards,
         "doc_moore_lewis": _doc_moore_lewis,
         "doc_doremi_weights": _doc_doremi_weights,
@@ -6022,11 +6081,12 @@ def _code_files_cte_sql() -> str:
         docs AS (
           SELECT doc_id::BIGINT AS d,
                  'r' || (doc_id % 7)::VARCHAR AS repo,
+                 lang,
                  coalesce(text, '') AS raw,
                  replace(coalesce(text, ''), ' value ', chr(10)) AS base
           FROM documents
         ), files AS (
-          SELECT repo,
+          SELECT repo, lang,
             CASE WHEN d % 53 = 0 THEN 'd' || d::VARCHAR || '/LICENSE'
                  WHEN d % 47 = 0
                    THEN 'node_modules/pkg/f' || d::VARCHAR || '.js'
@@ -6750,6 +6810,101 @@ def _code_repo_forks_oracle_sql() -> str:
         JOIN sizes sb ON sb.repo = pairs.repo_b
         ORDER BY repo_a, repo_b
     """
+
+
+def _code_repo_langs_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::repo_language_stats
+    over the shared files fixture: two-level aggregation, the dominant
+    language selected by a cnt DESC, lang window — the same total order
+    the Spark min(struct(-cnt, lang)) encodes."""
+    return f"""
+        WITH {_code_files_cte_sql()}, per AS (
+          SELECT repo, coalesce(lang, '') AS lang, count(*) AS cnt
+          FROM files GROUP BY 1, 2
+        ), agg AS (
+          SELECT repo, sum(cnt)::BIGINT AS n_files, count(*) AS n_langs
+          FROM per GROUP BY repo
+        ), ranked AS (
+          SELECT repo, lang, cnt,
+            row_number() OVER (PARTITION BY repo
+                               ORDER BY cnt DESC, lang) AS rn
+          FROM per
+        )
+        SELECT a.repo, a.n_files, a.n_langs, r.lang AS top_lang,
+          r.cnt::BIGINT AS top_n, round(r.cnt / a.n_files, 6) AS top_lang_frac
+        FROM agg a JOIN ranked r ON r.repo = a.repo AND r.rn = 1
+        ORDER BY a.repo
+    """
+
+
+def _code_indent_body_sql() -> str:
+    """indent_stats feature SQL as a WITH-chain continuation over an
+    open CTE named `files` (repo, path, content), regexes from the SAME
+    module constants; ltrim strips spaces only in both engines (the
+    documented tab-then-space contract). Shared by the fixture oracle
+    and the adversarial differential test."""
+    from gruut_spark.operators.code_analysis import (
+        SPACE_INDENT_RE,
+        TAB_INDENT_RE,
+    )
+
+    return f""", feat AS (
+          SELECT repo, path,
+            string_split_regex(coalesce(content, ''), '\\r?\\n') AS lines
+          FROM files
+        ), m AS (
+          SELECT repo, path,
+            len(list_filter(lines,
+                x -> regexp_matches(x, '{TAB_INDENT_RE}')))::INT
+              AS n_tab_indent,
+            list_filter(lines,
+                x -> regexp_matches(x, '{SPACE_INDENT_RE}')) AS spaced
+          FROM feat
+        ), v AS (
+          SELECT repo, path, n_tab_indent,
+            len(spaced)::INT AS n_space_indent,
+            len(list_filter(spaced,
+                x -> length(x) - length(ltrim(x)) = 2))::INT AS n_indent2,
+            len(list_filter(spaced,
+                x -> length(x) - length(ltrim(x)) = 4))::INT AS n_indent4
+          FROM m
+        )
+        SELECT repo, path, n_tab_indent, n_space_indent, n_indent2,
+          n_indent4,
+          round(n_tab_indent / greatest(n_tab_indent + n_space_indent, 1), 6)
+            AS tabs_frac,
+          CASE WHEN n_tab_indent > n_space_indent THEN 'tabs'
+               WHEN n_space_indent > n_tab_indent THEN 'spaces'
+               WHEN n_tab_indent > 0 THEN 'mixed'
+               ELSE 'none' END AS indent_style
+        FROM v ORDER BY path
+    """
+
+
+def _code_indent_fixture_cte_sql() -> str:
+    """The _code_indent_fixture derivation as a DuckDB CTE body
+    (suffix literals with real tab/newline chars interpolated from the
+    same module constants)."""
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            'src/f' || d::VARCHAR || '.py' AS path,
+            base || CASE WHEN d % 7 = 0 THEN '{_IND_MIXED}'
+                         WHEN d % 3 = 0 THEN '{_IND_TABS}'
+                         WHEN d % 3 = 1 THEN '{_IND_FOUR}'
+                         ELSE '{_IND_TWO}' END AS content
+          FROM docs
+        )"""
+
+
+def _code_indent_stats_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::indent_stats."""
+    return "WITH " + _code_indent_fixture_cte_sql() + _code_indent_body_sql()
 
 
 def _code_nbmix_cte_sql() -> str:
@@ -8497,6 +8652,8 @@ def oracle_sql() -> dict[str, str]:
         "code_logfile_flags": _code_logfile_flags_oracle_sql(),
         "code_repo_forks": _code_repo_forks_oracle_sql(),
         "code_curation_nbaware": _code_curation_nbaware_oracle_sql(),
+        "code_repo_langs": _code_repo_langs_oracle_sql(),
+        "code_indent_stats": _code_indent_stats_oracle_sql(),
         "code_repo_stats": f"""
             SELECT repo,
               count(*) AS n_files,

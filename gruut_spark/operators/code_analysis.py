@@ -361,6 +361,103 @@ def logfile_flags(
 
 
 # ---------------------------------------------------------------------------
+# per-repo language report
+
+
+def repo_language_stats(
+    files: DataFrame,
+    repo_col: str = "repo",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-repo language distribution report (mixture design needs
+    per-source language profiles; mega-monorepos show up as high
+    ``n_langs``): file count, distinct languages, and the dominant
+    language with its share.
+
+    Two-level aggregation — state is one row per (repo, lang) then one
+    per repo, both map-side combined; nothing but keys and counts
+    shuffles. ``top_lang`` ties break to the lexicographically smallest
+    language via a single ``min(struct(-count, lang))`` (deterministic
+    across runs and cluster sizes; the oracle's window twin orders
+    ``cnt DESC, lang``).
+    """
+    per = (
+        files.select(
+            F.col(repo_col).alias("repo"),
+            F.coalesce(F.col(lang_col), F.lit("")).alias("lang"),
+        )
+        .groupBy("repo", "lang")
+        .agg(F.count("*").alias("cnt"))
+    )
+    agg = per.groupBy("repo").agg(
+        F.sum("cnt").cast("long").alias("n_files"),
+        F.count("*").alias("n_langs"),
+        F.min(
+            F.struct((-F.col("cnt")).alias("neg"), F.col("lang").alias("lang"))
+        ).alias("_top"),
+    )
+    top_n = (-F.col("_top.neg")).cast("long")
+    return agg.select(
+        "repo",
+        "n_files",
+        "n_langs",
+        F.col("_top.lang").alias("top_lang"),
+        top_n.alias("top_n"),
+        F.round(top_n / F.col("n_files"), 6).alias("top_lang_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# indentation stats
+
+TAB_INDENT_RE = r"^\t"
+SPACE_INDENT_RE = r"^ "
+
+
+def indent_stats(
+    files: DataFrame,
+    content_col: str = "content",
+    keep_cols: Sequence[str] = ("repo", "path"),
+) -> DataFrame:
+    """Tabs-vs-spaces indentation profile (a cheap style/consistency
+    prior; mixed indentation correlates with pasted or generated code).
+
+    Counts tab-indented and space-indented lines; for space indentation
+    the leading run is ``length(x) - length(ltrim(x))`` (both engines'
+    ``ltrim`` strips spaces only, so a tab-then-space line counts as
+    tab-indented and its spaces are not measured), with exact-2 and
+    exact-4 leading-run counts for width inference. ``indent_style`` is
+    tabs/spaces by majority, 'mixed' on a non-zero tie, 'none' when no
+    line is indented. Zero-shuffle projection.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    lines = F.split(content, r"\r?\n")
+    n_tab = F.size(F.filter(lines, lambda x: x.rlike(TAB_INDENT_RE)))
+    spaced = F.filter(lines, lambda x: x.rlike(SPACE_INDENT_RE))
+    n_space = F.size(spaced)
+    leading = lambda x: F.length(x) - F.length(F.ltrim(x))  # noqa: E731
+    n_indent2 = F.size(F.filter(spaced, lambda x: leading(x) == 2))
+    n_indent4 = F.size(F.filter(spaced, lambda x: leading(x) == 4))
+    style = (
+        F.when(n_tab > n_space, F.lit("tabs"))
+        .when(n_space > n_tab, F.lit("spaces"))
+        .when(n_tab > 0, F.lit("mixed"))
+        .otherwise(F.lit("none"))
+    )
+    return files.select(
+        *[F.col(c) for c in keep_cols],
+        n_tab.alias("n_tab_indent"),
+        n_space.alias("n_space_indent"),
+        n_indent2.alias("n_indent2"),
+        n_indent4.alias("n_indent4"),
+        F.round(n_tab / F.greatest(n_tab + n_space, F.lit(1)), 6).alias(
+            "tabs_frac"
+        ),
+        style.alias("indent_style"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # repo-level fork detection
 
 FORK_JACCARD_THRESHOLD = 0.5

@@ -562,3 +562,101 @@ def test_streaming_notebook_convert(spark, tmp_path):
     assert len(m) == 2
     assert (m.scrubbed_sha256_s == m.scrubbed_sha256_b).all()
     assert (m.keep_s == m.keep_b).all()
+
+
+# ---------------------------------------------------------------------------
+# repo language report + indentation stats
+
+
+def test_repo_language_stats(spark):
+    from gruut_spark.operators.code_analysis import repo_language_stats
+
+    rows = [
+        ("rA", "a.py", "c", "python", "x"),
+        ("rA", "b.py", "c", "python", "y"),
+        ("rA", "c.js", "c", "javascript", "z"),
+        # rB: 1-1 tie -> lexicographically smallest language wins
+        ("rB", "d.go", "c", "go", "g"),
+        ("rB", "e.rs", "c", "rust", "r"),
+        # rC: null lang counts as ''
+        ("rC", "f", "c", None, "n"),
+    ]
+    out = {r["repo"]: r.asDict()
+           for r in repo_language_stats(_files(spark, rows)).collect()}
+    a = out["rA"]
+    assert a["n_files"] == 3 and a["n_langs"] == 2
+    assert a["top_lang"] == "python" and a["top_n"] == 2
+    assert a["top_lang_frac"] == round(2 / 3, 6)
+    b = out["rB"]
+    assert b["top_lang"] == "go" and b["top_n"] == 1  # tie -> smallest
+    assert out["rC"]["top_lang"] == "" and out["rC"]["n_langs"] == 1
+
+
+def test_indent_stats(spark):
+    from gruut_spark.operators.code_analysis import indent_stats
+
+    rows = [
+        ("r0", "tabs.py", "c", "py", "if x:\n\ta = 1\n\tb = 2\n"),
+        ("r0", "four.py", "c", "py", "if x:\n    a = 1\n        b = 2\n"),
+        ("r0", "two.py", "c", "py", "if x:\n  a = 1\n"),
+        ("r0", "mixed.py", "c", "py", "\tx = 1\n    y = 2\n"),
+        ("r0", "none.py", "c", "py", "a = 1\nb = 2\n"),
+        # tab-then-space counts as tab-indented; spaces not measured
+        ("r0", "tabsp.py", "c", "py", "\t  a = 1\n"),
+        ("r0", "empty.py", "c", "py", ""),
+    ]
+    out = {r["path"]: r.asDict()
+           for r in indent_stats(_files(spark, rows)).collect()}
+    t = out["tabs.py"]
+    assert t["n_tab_indent"] == 2 and t["indent_style"] == "tabs"
+    assert t["tabs_frac"] == 1.0
+    f = out["four.py"]
+    assert f["n_space_indent"] == 2 and f["n_indent4"] == 1
+    assert f["n_indent2"] == 0 and f["indent_style"] == "spaces"
+    assert out["two.py"]["n_indent2"] == 1
+    m = out["mixed.py"]
+    assert m["n_tab_indent"] == 1 and m["n_space_indent"] == 1
+    assert m["indent_style"] == "mixed" and m["tabs_frac"] == 0.5
+    assert out["none.py"]["indent_style"] == "none"
+    ts = out["tabsp.py"]
+    assert ts["n_tab_indent"] == 1 and ts["n_space_indent"] == 0
+    assert out["empty.py"]["indent_style"] == "none"
+
+
+ADV_INDENT_FILES = [
+    ("i/nbsp.py", "\u00a0x = 1\n\u00a0y = 2\n"),  # NBSP: not an indent
+    ("i/crlf.py", "\ta = 1\r\n    b = 2\r\n"),
+    ("i/lonecr.py", "\ta = 1\r  b = 2\r"),
+    ("i/sptab.py", " \tx = 1\n"),                # space-then-tab: space
+    ("i/onlysp.py", "    \n  \n"),               # space-only lines
+    ("i/unicode.py", "  café = 1\n\t变量 = 2\n"),
+]
+
+
+def test_indent_adversarial_cross_engine_differential(spark):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from gruut_spark.operators.code_analysis import indent_stats as op
+
+    rows = [("rA", p, "c", "py", c) for p, c in ADV_INDENT_FILES]
+    got = (
+        op(_files(spark, rows)).orderBy("path").toPandas().reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register(
+        "adv",
+        pd.DataFrame(
+            [("rA", p, c) for p, c in ADV_INDENT_FILES],
+            columns=["repo", "path", "content"],
+        ),
+    )
+    want = con.sql(
+        "WITH files AS (SELECT repo, path, content FROM adv)"
+        + entrymod._code_indent_body_sql()
+    ).df().reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        a, b = got[col].tolist(), want[col].tolist()
+        assert a == b, f"{col}: spark={a} duckdb={b}"
