@@ -2256,6 +2256,127 @@ def _code_indent_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return indent_stats(_code_indent_fixture(spark, sf_dir)).orderBy("path")
 
 
+_CODE_MH_BOILER = (
+    "def get_value():\n    return value  # auto-generated boilerplate stub v"
+)
+_CODE_MH_CAP = 8
+
+
+def _code_mh_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dedup strata over the north-rule file shape: id%7 plants the
+    SAME boilerplate stub in every language (three one-token variants by
+    id%3) — corpus-wide LSH would pair it across languages and its
+    per-language crowds exceed the bucket cap, so BOTH the
+    language-partition key and the star coarsening fire non-vacuously;
+    all other rows carry the multi-line document text whose natural word
+    overlap supplies under-cap all-pairs candidates."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    content = F.when(
+        d % 7 == 0, F.concat(F.lit(_CODE_MH_BOILER), (d % 3).cast("string"))
+    ).otherwise(F.replace(raw, F.lit(" value "), F.lit("\n")))
+    return _read(spark, sf_dir, "documents").select(
+        d.alias("file_id"), F.col("lang"), content.alias("content")
+    )
+
+
+def _code_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack's per-language MinHash near-dedup stage (Kocetkov et
+    al. 2022 sec. 3.2) on the code table — value-checked END TO END at
+    the relational parameters, INCLUDING for the first time the hot-
+    bucket star coarsening: alnum-normalize -> shingle -> minhash ->
+    band fold -> (lang, band, key) bucket -> bounded pair emission
+    (all-pairs <= cap, min-id star beyond). The DuckDB twin replays
+    the whole chain plus the cap switch per bucket; the production
+    path (operators/code_filters.py::code_minhash_pairs with BLAKE2b,
+    61-bit params, cap 64) differs only in the injected primitives."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_minhash_pairs
+
+    return (
+        code_minhash_pairs(
+            _code_mh_fixture(spark, sf_dir),
+            "content",
+            "file_id",
+            "lang",
+            max_bucket=_CODE_MH_CAP,
+            hash_name="fnv1a",
+            **_MH_REL,
+        )
+        .select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.col("n_bands").cast("long").alias("n_bands"),
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+_IMP_PY = "import os\nfrom collections import deque\nimport os\n"
+_IMP_JS = "const a = require('lodash');\nimport foo from 'react';\n"
+_IMP_JAVA = (
+    "import java.util.List;\nimport static org.junit.Assert.assertEquals;\n"
+)
+
+
+def _code_import_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Import-extraction strata: three extension families rotate by
+    id%3, each planting fixed imports plus one id-varying module so per-
+    repo counts are non-trivial; the Python block repeats `import os`
+    (pins distinct-per-file counting); id%11 plants the SAME Python
+    import block in a .txt file — the extension gate must yield zero
+    modules for it."""
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    path = (
+        F.when(d % 11 == 0, F.concat(F.lit("notes/n"), sid, F.lit(".txt")))
+        .when(d % 3 == 0, F.concat(F.lit("src/f"), sid, F.lit(".py")))
+        .when(d % 3 == 1, F.concat(F.lit("web/f"), sid, F.lit(".ts")))
+        .otherwise(F.concat(F.lit("app/F"), sid, F.lit(".java")))
+    )
+    imports = (
+        F.when(d % 11 == 0, F.lit(_IMP_PY))
+        .when(
+            d % 3 == 0,
+            F.concat(F.lit(_IMP_PY), F.lit("import mod"), (d % 5).cast("string"), F.lit("\n")),
+        )
+        .when(
+            d % 3 == 1,
+            F.concat(
+                F.lit(_IMP_JS),
+                F.lit("const b = require('pkg"), (d % 4).cast("string"), F.lit("');\n"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit(_IMP_JAVA),
+                F.lit("import com.example.m"), (d % 3).cast("string"), F.lit(";\n"),
+            )
+        )
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        F.concat(imports, base).alias("content"),
+    )
+
+
+def _code_repo_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-repo dependency profile (import/require extraction by
+    extension family, distinct per file, two map-side-combined
+    aggregations — operators/code_analysis.py::repo_import_profile).
+    The oracle replays the same capture regexes per family plus the
+    window twin of the min-struct top-module rule."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import repo_import_profile
+
+    return repo_import_profile(_code_import_fixture(spark, sf_dir)).orderBy("repo")
+
+
 _NBMIX_GEN_CELL = "generated by nbconvert do not edit"
 _NBMIX_DUP_CELL = "import os"
 
@@ -3431,6 +3552,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_repo_license": _code_repo_license,
         "code_data_flags": _code_data_flags,
         "code_norm_dedup": _code_norm_dedup,
+        "code_minhash_dedup": _code_minhash_dedup,
+        "code_repo_imports": _code_repo_imports,
         "code_curation_verdict": _code_curation_verdict,
         "code_secrets_scrub": _code_secrets_scrub,
         "code_comment_stats": _code_comment_stats,
@@ -3566,14 +3689,16 @@ def _fnv1a_sql(var: str) -> str:
     )
 
 
-def _minhash_bandkeys_ctes() -> str:
+def _minhash_bandkeys_ctes(docs_cte: Optional[str] = None) -> str:
     """The shared CTE chain computing per-document LSH band keys at the
     _MH_REL parameters: whitespace shingling, distinct k-shingles,
     FNV-1a shingle hashes, (a*h+b) mod 2^64 mod Mersenne-61 universal
     min-hashing (numpy's implicit uint64 wrap made explicit), per-band
     FNV xor-multiply key folds. Ends at ``bandkeys(_id, band, key)`` —
-    consumed by the within-corpus pair oracle AND the cross-snapshot
-    anti-join oracle."""
+    consumed by the within-corpus pair oracle, the cross-snapshot
+    anti-join oracle, and (via ``docs_cte``, which must end in a CTE
+    named ``docs(_id, text)``) the per-language code near-dedup
+    oracle."""
     from gruut_spark.operators.dedup import _minhash_params
 
     k = _MH_REL["shingle_k"]
@@ -3584,12 +3709,14 @@ def _minhash_bandkeys_ctes() -> str:
         f"({p},{p // rpb},{p % rpb},{int(a[p])},{int(b[p])})"
         for p in range(num_perm)
     )
-    return f"""
-        params(p, band, slot, a, b) AS (VALUES {params_rows}),
-        docs AS (
+    if docs_cte is None:
+        docs_cte = """docs AS (
           SELECT doc_id::BIGINT AS _id, text FROM documents
           WHERE regexp_matches(text, '\\S')
-        ), toks AS (
+        )"""
+    return f"""
+        params(p, band, slot, a, b) AS (VALUES {params_rows}),
+        {docs_cte}, toks AS (
           SELECT _id,
             list_filter(string_split_regex(lower(text), '\\s+'), t -> t <> '') AS ts
           FROM docs
@@ -3632,6 +3759,55 @@ def _minhash_relational_oracle_sql() -> str:
         FROM bandkeys x
         JOIN bandkeys y ON x.band = y.band AND x.key = y.key AND x._id < y._id
         GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _code_minhash_oracle_sql() -> str:
+    """DuckDB replication of the per-language code near-dedup pipeline
+    (code_minhash_dedup): the fixture CTE, The Stack alnum
+    normalization, the shared band-key chain, then per-(lang, band,
+    key) buckets with the EXACT over-cap semantics of
+    ``sorted_bucket_pairs`` — buckets of size <= cap expand to all
+    (a<b) pairs, larger buckets emit only (min id, member) star pairs
+    (connectivity preserved, quadratic emission bounded). This is the
+    first oracle to value-gate the cap switch itself."""
+    docs_cte = """fl AS (
+          SELECT doc_id::BIGINT AS _id, lang,
+                 CASE WHEN doc_id % 7 = 0
+                      THEN 'def get_value():' || chr(10)
+                           || '    return value  # auto-generated boilerplate stub v'
+                           || (doc_id % 3)::VARCHAR
+                      ELSE replace(coalesce(text, ''), ' value ', chr(10))
+                 END AS content
+          FROM documents
+        ), docs AS (
+          SELECT _id,
+                 regexp_replace(lower(content), '[^a-z0-9_]+', ' ', 'g') AS text
+          FROM fl
+          WHERE regexp_matches(
+                    regexp_replace(lower(content), '[^a-z0-9_]+', ' ', 'g'),
+                    '\\S')
+        )"""
+    return f"""
+        WITH {_minhash_bandkeys_ctes(docs_cte)},
+        bk AS (
+          SELECT f.lang, b.band, b.key, b._id,
+                 min(b._id) OVER w AS mn, count(*) OVER w AS cnt
+          FROM bandkeys b JOIN fl f USING (_id)
+          WINDOW w AS (PARTITION BY f.lang, b.band, b.key)
+        ),
+        pairs AS (
+          SELECT x._id AS id_a, y._id AS id_b
+          FROM bk x JOIN bk y
+            ON x.lang = y.lang AND x.band = y.band AND x.key = y.key
+           AND x._id < y._id
+          WHERE x.cnt <= {_CODE_MH_CAP}
+          UNION ALL
+          SELECT mn AS id_a, _id AS id_b
+          FROM bk WHERE cnt > {_CODE_MH_CAP} AND _id <> mn
+        )
+        SELECT id_a, id_b, count(*)::BIGINT AS n_bands
+        FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
     """
 
 
@@ -6837,6 +7013,97 @@ def _code_repo_langs_oracle_sql() -> str:
     """
 
 
+def _code_imports_body_sql() -> str:
+    """repo_import_profile as a WITH-chain continuation over an open
+    CTE named ``files`` (repo, path, content): module extraction with
+    the SAME capture regexes selected by the SAME extension gate,
+    list_distinct per file (array_union's set semantics), then the
+    two-level aggregation with the cnt DESC, module window twin of
+    min(struct(-n, module)). Shared by the fixture oracle and the
+    adversarial differential test."""
+    from gruut_spark.operators.code_analysis import (
+        EXT_RE,
+        IMPORT_JAVA_RE,
+        IMPORT_JS_FROM_RE,
+        IMPORT_JS_REQUIRE_RE,
+        IMPORT_PY_FROM_RE,
+        IMPORT_PY_RE,
+        JS_EXTS,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    js_list = ", ".join(f"'{e}'" for e in JS_EXTS)
+    return f""", mods AS (
+          SELECT repo,
+            CASE lower(regexp_extract(path, '{q(EXT_RE)}', 1))
+              WHEN 'py' THEN list_distinct(list_concat(
+                  regexp_extract_all(content, '{q(IMPORT_PY_RE)}', 1),
+                  regexp_extract_all(content, '{q(IMPORT_PY_FROM_RE)}', 1)))
+              WHEN 'java' THEN list_distinct(
+                  regexp_extract_all(content, '{q(IMPORT_JAVA_RE)}', 1))
+              ELSE CASE
+                WHEN lower(regexp_extract(path, '{q(EXT_RE)}', 1))
+                     IN ({js_list})
+                THEN list_distinct(list_concat(
+                    regexp_extract_all(content, '{q(IMPORT_JS_REQUIRE_RE)}', 1),
+                    regexp_extract_all(content, '{q(IMPORT_JS_FROM_RE)}', 1)))
+                ELSE []::VARCHAR[] END
+            END AS ms
+          FROM files
+        ), per AS (
+          SELECT repo, m AS module, count(*) AS n_files
+          FROM mods, unnest(ms) AS t(m) GROUP BY 1, 2
+        ), agg AS (
+          SELECT repo, count(*)::BIGINT AS n_modules,
+                 sum(n_files)::BIGINT AS n_import_refs
+          FROM per GROUP BY repo
+        ), ranked AS (
+          SELECT repo, module, n_files,
+            row_number() OVER (PARTITION BY repo
+                               ORDER BY n_files DESC, module) AS rn
+          FROM per
+        )
+        SELECT a.repo, a.n_modules, a.n_import_refs,
+               r.module AS top_module, r.n_files::BIGINT AS top_module_files
+        FROM agg a JOIN ranked r ON r.repo = a.repo AND r.rn = 1
+        ORDER BY a.repo
+    """
+
+
+def _code_repo_imports_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::repo_import_profile
+    over the import fixture: the SAME capture regexes (module
+    constants interpolated — they cannot drift) selected by the SAME
+    extension gate, list_distinct per file (array_union's set
+    semantics), then the two-level aggregation with the cnt DESC,
+    module window twin of min(struct(-n, module))."""
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    return f"""
+        WITH files AS (
+          SELECT 'r' || (doc_id % 7)::VARCHAR AS repo,
+            CASE WHEN doc_id % 11 = 0 THEN 'notes/n' || doc_id::VARCHAR || '.txt'
+                 WHEN doc_id % 3 = 0 THEN 'src/f' || doc_id::VARCHAR || '.py'
+                 WHEN doc_id % 3 = 1 THEN 'web/f' || doc_id::VARCHAR || '.ts'
+                 ELSE 'app/F' || doc_id::VARCHAR || '.java' END AS path,
+            CASE WHEN doc_id % 11 = 0 THEN '{q(_IMP_PY)}'
+                 WHEN doc_id % 3 = 0 THEN '{q(_IMP_PY)}'
+                      || 'import mod' || (doc_id % 5)::VARCHAR || chr(10)
+                 WHEN doc_id % 3 = 1 THEN '{q(_IMP_JS)}'
+                      || 'const b = require(''pkg' || (doc_id % 4)::VARCHAR
+                      || ''');' || chr(10)
+                 ELSE '{q(_IMP_JAVA)}'
+                      || 'import com.example.m' || (doc_id % 3)::VARCHAR
+                      || ';' || chr(10)
+            END || replace(coalesce(text, ''), ' value ', chr(10)) AS content
+          FROM documents
+        ){_code_imports_body_sql()}"""
+
+
 def _code_indent_body_sql() -> str:
     """indent_stats feature SQL as a WITH-chain continuation over an
     open CTE named `files` (repo, path, content), regexes from the SAME
@@ -8643,6 +8910,8 @@ def oracle_sql() -> dict[str, str]:
         "code_repo_license": _code_repo_license_oracle_sql(),
         "code_data_flags": _code_data_flags_oracle_sql(),
         "code_norm_dedup": _code_norm_dedup_oracle_sql(),
+        "code_minhash_dedup": _code_minhash_oracle_sql(),
+        "code_repo_imports": _code_repo_imports_oracle_sql(),
         "code_curation_verdict": _code_curation_verdict_oracle_sql(),
         "code_secrets_scrub": _code_secrets_scrub_oracle_sql(),
         "code_comment_stats": _code_comment_stats_oracle_sql(),

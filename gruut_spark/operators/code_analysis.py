@@ -540,3 +540,94 @@ def repo_fork_pairs(
         jaccard.alias("jaccard"),
         (jaccard >= F.lit(threshold)).alias("is_fork"),
     )
+
+
+# ---------------------------------------------------------------------------
+# import / dependency extraction
+
+# Capture-group regexes per extension family. Engine-portability notes:
+# `(?m)` is an inline flag in both Java regex (Spark) and RE2 (DuckDB);
+# `$` is avoided entirely (Java matches it before a trailing \r, RE2
+# does not — the shebang lesson); the JS `[^\n]*?` lazy run cannot cross
+# a line. Multi-target lines (`import a, b`) capture only the first
+# module — documented, identical in both engines.
+IMPORT_PY_RE = r"(?m)^[ \t]*import[ \t]+([A-Za-z_][A-Za-z0-9_.]*)"
+IMPORT_PY_FROM_RE = r"(?m)^[ \t]*from[ \t]+([A-Za-z_][A-Za-z0-9_.]*)[ \t]+import\b"
+IMPORT_JS_REQUIRE_RE = "require\\([ \\t]*['\"]([^'\"\\n]+)['\"][ \\t]*\\)"
+IMPORT_JS_FROM_RE = "(?m)^[ \\t]*import\\b[^\\n]*?[ \\t]from[ \\t]+['\"]([^'\"\\n]+)['\"]"
+IMPORT_JAVA_RE = (
+    r"(?m)^[ \t]*import[ \t]+(?:static[ \t]+)?([A-Za-z_][A-Za-z0-9_.]*)[ \t]*;"
+)
+JS_EXTS = ("js", "jsx", "ts", "tsx", "mjs", "cjs")
+
+
+def _import_modules(path_col: Column, content: Column) -> Column:
+    """Distinct imported-module names for the file's extension family
+    (py / js-family / java; every other extension yields the empty
+    array — an import-looking line in a .txt file is prose). Distinct
+    per FILE: the repo profile counts files-importing-a-module, not
+    raw statement repetitions."""
+    ext = F.lower(F.regexp_extract(path_col, EXT_RE, 1))
+    py = F.array_union(
+        F.regexp_extract_all(content, F.lit(IMPORT_PY_RE), 1),
+        F.regexp_extract_all(content, F.lit(IMPORT_PY_FROM_RE), 1),
+    )
+    js = F.array_union(
+        F.regexp_extract_all(content, F.lit(IMPORT_JS_REQUIRE_RE), 1),
+        F.regexp_extract_all(content, F.lit(IMPORT_JS_FROM_RE), 1),
+    )
+    java = F.array_distinct(F.regexp_extract_all(content, F.lit(IMPORT_JAVA_RE), 1))
+    return (
+        F.when(ext == "py", py)
+        .when(ext.isin(*JS_EXTS), js)
+        .when(ext == "java", java)
+        .otherwise(F.array().cast("array<string>"))
+    )
+
+
+def repo_import_profile(
+    files: DataFrame,
+    content_col: str = "content",
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """Per-repo dependency profile — the mixture-design face of import
+    extraction (which repos lean on which ecosystems; vendored-copy
+    suspects show as repos whose top module IS the repo).
+
+    Plan: module extraction is a zero-Python scan projection (the
+    regex battery rides WholeStageCodegen); explode emits one row per
+    distinct (file, module); two map-side-combined aggregations follow
+    — state one row per (repo, module), then one per repo. Nothing but
+    repo/module strings and counts ever shuffles; at 10^12 files the
+    (repo, module) state is bounded by actual dependency vocabulary,
+    not file count. ``top_module`` ties break to the lexicographically
+    smallest module via one ``min(struct(-count, module))`` (the
+    repo_language_stats rule — no window over the corpus). Repos with
+    zero recognized imports are absent (their explode emits nothing).
+    """
+    mods = files.select(
+        F.col(repo_col).alias("repo"),
+        _import_modules(
+            F.col(path_col), F.coalesce(F.col(content_col), F.lit(""))
+        ).alias("_mods"),
+    )
+    per = (
+        mods.select("repo", F.explode("_mods").alias("module"))
+        .groupBy("repo", "module")
+        .agg(F.count("*").alias("n_files"))
+    )
+    agg = per.groupBy("repo").agg(
+        F.count("*").alias("n_modules"),
+        F.sum("n_files").cast("long").alias("n_import_refs"),
+        F.min(
+            F.struct((-F.col("n_files")).alias("neg"), F.col("module").alias("module"))
+        ).alias("_top"),
+    )
+    return agg.select(
+        "repo",
+        "n_modules",
+        "n_import_refs",
+        F.col("_top.module").alias("top_module"),
+        (-F.col("_top.neg")).cast("long").alias("top_module_files"),
+    )

@@ -264,10 +264,14 @@ def minhash_band_hashes(
     df: DataFrame, text_col: str, id_col: str,
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
     hash_name: str = "blake2b", param_high: int = _MERSENNE,
+    partition_col: Optional[str] = None,
 ) -> DataFrame:
     """(id, band_hashes:array<long>) — signature computed AND banded inside
     one UDF (hashing each band slice to a 64-bit key), so the plan carries
-    `bands` longs per doc instead of a 64-column md5 expression tree."""
+    `bands` longs per doc instead of a 64-column md5 expression tree.
+    ``partition_col`` (if given) rides along unchanged so the LSH bucket
+    key can include it (within-partition dedup, The Stack's per-language
+    near-dedup shape)."""
     assert num_perm % bands == 0
     rows_per_band = num_perm // bands
     a, b = _minhash_params(num_perm, seed, param_high)
@@ -292,7 +296,10 @@ def minhash_band_hashes(
             out.append(keys.astype(np.int64).tolist())
         return pd.Series(out)
 
-    return df.select(F.col(id_col).alias("_id"), _bands(F.col(text_col)).alias("band_hashes"))
+    cols = [F.col(id_col).alias("_id"), _bands(F.col(text_col)).alias("band_hashes")]
+    if partition_col is not None:
+        cols.insert(0, F.col(partition_col))
+    return df.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -300,8 +307,15 @@ def minhash_lsh_pairs(
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
     max_bucket: int = 64,
     hash_name: str = "blake2b", param_high: int = _MERSENNE,
+    partition_col: Optional[str] = None,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b, n_bands matched).
+
+    ``partition_col`` (optional) joins the bucket key, confining pairs to
+    within-partition candidates — The Stack / StarCoder near-dedup runs
+    per file-language partition exactly this way. Cost note: the column
+    rides the same single shuffle (one extra key field); no extra
+    exchange, and hot buckets split by partition value become SMALLER.
 
     Plan shape: signature UDF -> posexplode bands -> one shuffle on
     (band, band_hash) -> sorted streaming pair emission
@@ -325,17 +339,21 @@ def minhash_lsh_pairs(
     eligible = df.filter(has_content(F.col(text_col)))
     sigs = minhash_band_hashes(
         eligible, text_col, id_col, num_perm, bands, shingle_k, seed,
-        hash_name, param_high,
+        hash_name, param_high, partition_col,
     )
+    key_cols = ([partition_col] if partition_col is not None else []) + [
+        "band", "band_hash",
+    ]
     banded = sigs.select(
         # _outer: the arrays are fixed-length (bands), so semantics are
         # identical — but plain posexplode lets InferFiltersFromGenerate
         # push a size()>0 filter that re-evaluates the signature UDF
         # (measured: 2x shingle hashing); outer generates infer no filter
+        *([F.col(partition_col)] if partition_col is not None else []),
         F.posexplode_outer(F.col("band_hashes")).alias("band", "band_hash"),
         F.col("_id"),
-    ).select("band", "band_hash", "_id")
-    pairs = sorted_bucket_pairs(banded, ["band", "band_hash"], [], max_bucket)
+    ).select(*key_cols, "_id")
+    pairs = sorted_bucket_pairs(banded, key_cols, [], max_bucket)
     return pairs.groupBy("id_a", "id_b").agg(F.count("*").alias("n_bands"))
 
 

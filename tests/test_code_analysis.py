@@ -660,3 +660,128 @@ def test_indent_adversarial_cross_engine_differential(spark):
     for col in got.columns:
         a, b = got[col].tolist(), want[col].tolist()
         assert a == b, f"{col}: spark={a} duckdb={b}"
+
+
+# ---------------------------------------------------------------------------
+# import / dependency extraction (repo_import_profile)
+
+
+def _profiles(spark, rows):
+    from gruut_spark.operators.code_analysis import repo_import_profile
+
+    return {
+        r["repo"]: r.asDict()
+        for r in repo_import_profile(_files(spark, rows)).collect()
+    }
+
+
+def test_imports_extension_gate(spark):
+    """Import-looking lines in a .txt file are prose: the repo emits no
+    profile row at all."""
+    rows = [("r0", "notes/a.txt", "c", "", "import os\nfrom x import y\n")]
+    assert _profiles(spark, rows) == {}
+
+
+def test_imports_distinct_per_file_and_counts(spark):
+    """`import os` twice in one file counts once; two files importing
+    the same module count as two files."""
+    rows = [
+        ("r0", "a.py", "c", "py", "import os\nimport os\nfrom sys import path\n"),
+        ("r0", "b.py", "c", "py", "import os\n"),
+    ]
+    got = _profiles(spark, rows)["r0"]
+    assert got["n_modules"] == 2          # os, sys
+    assert got["n_import_refs"] == 3      # os x2 files, sys x1
+    assert got["top_module"] == "os" and got["top_module_files"] == 2
+
+
+def test_imports_js_family(spark):
+    """require('x') and `import ... from 'x'` both capture; a bare
+    `import 'x'` side-effect import does not (documented)."""
+    content = (
+        "const _ = require('lodash');\n"
+        "import React from 'react';\n"
+        "import './styles.css';\n"
+    )
+    got = _profiles(spark, [("r0", "app/i.ts", "c", "ts", content)])["r0"]
+    assert got["n_modules"] == 2
+    assert got["top_module"] == "lodash"  # tie of 1s -> lexicographic
+
+
+def test_imports_java_semicolon_required(spark):
+    """Java imports need the trailing `;`; static imports capture the
+    full class path."""
+    content = (
+        "import java.util.List;\n"
+        "import static org.junit.Assert.assertEquals;\n"
+        "import not.terminated\n"
+    )
+    got = _profiles(spark, [("r0", "A.java", "c", "java", content)])["r0"]
+    assert got["n_modules"] == 2
+    assert got["top_module"] == "java.util.List"
+
+
+def test_imports_multi_target_first_module_only(spark):
+    """`import a, b` captures only the first module — identical in both
+    engines, documented."""
+    got = _profiles(spark, [("r0", "m.py", "c", "py", "import alpha, beta\n")])["r0"]
+    assert got["n_modules"] == 1 and got["top_module"] == "alpha"
+
+
+ADV_IMP_FILES = [
+    # CRLF: module chars stop before \r in both engines
+    ("src/crlf.py", "import os\r\nfrom sys import path\r\n"),
+    # NBSP indentation (U+00A0 is not [ \t]): line must NOT match
+    ("src/nbsp.py", " import hidden\nimport visible\n"),
+    # unicode module name: the match stops at the first non-ASCII char,
+    # capturing the ASCII prefix ('caf') — identical in both engines
+    ("src/uni.py", "import café\nimport ok_name\n"),
+    # uppercase extension is lowered by the gate
+    ("src/UP.PY", "import upper_mod\n"),
+    # tab-indented import, multi-space separator
+    ("src/tabs.py", "\timport   tabbed\n"),
+    # js: unicode inside the quoted specifier is allowed ([^'"\n])
+    ("web/u.ts", "import x from './ファイル'\nconst y = require('@scope/pkg')\n"),
+    # js: require split across lines must NOT match (the [^\n] fence)
+    ("web/split.ts", "require(\n'broken')\nimport z from 'ok'\n"),
+    # java: space before the semicolon; static import
+    ("app/A.java", "import a.b.C ;\nimport static d.e.F.g;\nimport no.semi\n"),
+    # import-looking prose in an unrecognized extension
+    ("doc/readme.md", "import markdown\n"),
+    ("src/empty.py", ""),
+]
+
+
+def test_imports_adversarial_cross_engine_differential(spark):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+
+    from gruut_spark.operators.code_analysis import repo_import_profile
+
+    rows = [("rA", p, "c", "py", c) for p, c in ADV_IMP_FILES]
+    got = (
+        repo_import_profile(_files(spark, rows))
+        .orderBy("repo")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(
+        [("rA", p, c) for p, c in ADV_IMP_FILES],
+        columns=["repo", "path", "content"],
+    )
+    con = duckdb.connect()
+    con.register("adv", pdf)
+    want = con.sql(
+        "WITH files AS (SELECT repo, path, content FROM adv)"
+        + entrymod._code_imports_body_sql()
+    ).df().reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        a, b = got[col].tolist(), want[col].tolist()
+        assert a == b, f"{col}: spark={a} duckdb={b}"
+    # and the strata actually fired the way the comments claim:
+    # os+sys, visible, caf+ok_name, upper_mod, tabbed,
+    # ./ファイル+@scope/pkg, ok, a.b.C+d.e.F.g
+    assert got.loc[0, "n_modules"] == 12
