@@ -2377,6 +2377,38 @@ def _code_repo_imports(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repo_import_profile(_code_import_fixture(spark, sf_dir)).orderBy("repo")
 
 
+def _code_minhash_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed keep/drop verdict from per-language near-dedup
+    (operators/code_filters.py::code_minhash_dedup_verdict): candidate
+    pairs thresholded at n_bands >= 2, connected components (min-label
+    propagation + pointer doubling), keep = min-id cluster
+    representative. The oracle replays pairs + cap + a recursive
+    reachability closure — the full LSH -> CC -> verdict lifecycle
+    under the hash gate."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_minhash_dedup_verdict
+
+    return (
+        code_minhash_dedup_verdict(
+            _code_mh_fixture(spark, sf_dir),
+            "content",
+            "file_id",
+            "lang",
+            min_bands=2,
+            max_bucket=_CODE_MH_CAP,
+            hash_name="fnv1a",
+            **_MH_REL,
+        )
+        .select(
+            F.col("file_id").cast("long").alias("file_id"),
+            F.col("lang"),
+            F.col("cluster_rep").cast("long").alias("cluster_rep"),
+            F.col("is_kept"),
+        )
+        .orderBy("file_id")
+    )
+
+
 _NBMIX_GEN_CELL = "generated by nbconvert do not edit"
 _NBMIX_DUP_CELL = "import os"
 
@@ -3554,6 +3586,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_norm_dedup": _code_norm_dedup,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
+        "code_minhash_drop": _code_minhash_drop,
         "code_curation_verdict": _code_curation_verdict,
         "code_secrets_scrub": _code_secrets_scrub,
         "code_comment_stats": _code_comment_stats,
@@ -3762,15 +3795,15 @@ def _minhash_relational_oracle_sql() -> str:
     """
 
 
-def _code_minhash_oracle_sql() -> str:
-    """DuckDB replication of the per-language code near-dedup pipeline
-    (code_minhash_dedup): the fixture CTE, The Stack alnum
-    normalization, the shared band-key chain, then per-(lang, band,
-    key) buckets with the EXACT over-cap semantics of
-    ``sorted_bucket_pairs`` — buckets of size <= cap expand to all
-    (a<b) pairs, larger buckets emit only (min id, member) star pairs
-    (connectivity preserved, quadratic emission bounded). This is the
-    first oracle to value-gate the cap switch itself."""
+def _code_mh_ctes() -> str:
+    """Shared CTE chain for the per-language code near-dedup oracles:
+    the fixture, The Stack alnum normalization, the band-key chain,
+    then per-(lang, band, key) buckets with the EXACT over-cap
+    semantics of ``sorted_bucket_pairs`` — buckets of size <= cap
+    expand to all (a<b) pairs, larger buckets emit only (min id,
+    member) star pairs (connectivity preserved, quadratic emission
+    bounded). Ends at ``pairs(id_a, id_b)`` (one row per matched
+    band). First oracle family to value-gate the cap switch itself."""
     docs_cte = """fl AS (
           SELECT doc_id::BIGINT AS _id, lang,
                  CASE WHEN doc_id % 7 = 0
@@ -3788,8 +3821,7 @@ def _code_minhash_oracle_sql() -> str:
                     regexp_replace(lower(content), '[^a-z0-9_]+', ' ', 'g'),
                     '\\S')
         )"""
-    return f"""
-        WITH {_minhash_bandkeys_ctes(docs_cte)},
+    return f"""{_minhash_bandkeys_ctes(docs_cte)},
         bk AS (
           SELECT f.lang, b.band, b.key, b._id,
                  min(b._id) OVER w AS mn, count(*) OVER w AS cnt
@@ -3805,9 +3837,46 @@ def _code_minhash_oracle_sql() -> str:
           UNION ALL
           SELECT mn AS id_a, _id AS id_b
           FROM bk WHERE cnt > {_CODE_MH_CAP} AND _id <> mn
-        )
+        )"""
+
+
+def _code_minhash_oracle_sql() -> str:
+    """Pair face of the per-language code near-dedup replication
+    (see ``_code_mh_ctes``)."""
+    return f"""
+        WITH {_code_mh_ctes()}
         SELECT id_a, id_b, count(*)::BIGINT AS n_bands
         FROM pairs GROUP BY 1, 2 ORDER BY 1, 2
+    """
+
+
+def _code_minhash_drop_oracle_sql() -> str:
+    """Verdict face: the same pair chain, edges thresholded at
+    n_bands >= 2, undirected transitive closure via a recursive
+    reachability CTE (the dedup_clusters_relational pattern), cluster
+    id = min reachable node — the exact value min-label propagation +
+    pointer doubling converges to — then keep = cluster representative
+    (or untouched file)."""
+    return f"""
+        WITH RECURSIVE {_code_mh_ctes()},
+        cand AS (
+          SELECT id_a, id_b FROM pairs
+          GROUP BY id_a, id_b HAVING count(*) >= 2
+        ),
+        und AS (SELECT id_a AS s, id_b AS d FROM cand
+                UNION SELECT id_b, id_a FROM cand),
+        nodes AS (SELECT DISTINCT s AS node FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, und.d FROM reach JOIN und ON und.s = reach.r
+        ),
+        clus AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)
+        SELECT f._id AS file_id, f.lang,
+               coalesce(c.cluster_id, f._id)::BIGINT AS cluster_rep,
+               (c.cluster_id IS NULL OR c.cluster_id = f._id) AS is_kept
+        FROM fl f LEFT JOIN clus c ON c.node = f._id
+        ORDER BY f._id
     """
 
 
@@ -8912,6 +8981,7 @@ def oracle_sql() -> dict[str, str]:
         "code_norm_dedup": _code_norm_dedup_oracle_sql(),
         "code_minhash_dedup": _code_minhash_oracle_sql(),
         "code_repo_imports": _code_repo_imports_oracle_sql(),
+        "code_minhash_drop": _code_minhash_drop_oracle_sql(),
         "code_curation_verdict": _code_curation_verdict_oracle_sql(),
         "code_secrets_scrub": _code_secrets_scrub_oracle_sql(),
         "code_comment_stats": _code_comment_stats_oracle_sql(),
