@@ -69,11 +69,33 @@ def run_with_checkpoints(
     num_partitions: Optional[int] = None,
     code_prefilter: bool = False,
     notebook_convert: bool = False,
+    near_dedup: bool = False,
 ) -> Dict[str, dict]:
-    """Process all incomplete buckets; returns the final manifest."""
+    """Process all incomplete buckets; returns the final manifest.
+
+    ``near_dedup=True`` drops per-language MinHash near-duplicates
+    (The Stack stage 3) CORPUS-WIDE before bucketing — dedup inside
+    the per-group loop would miss cross-group twins. The drop set
+    (ids only, the small side) is computed once and localCheckpointed;
+    on crash-resume it is recomputed deterministically (xxhash64 keys,
+    min-id representatives), so completed buckets stay valid. Note the
+    documented ordering deviation: near-dedup sees RAW content (the
+    scan-stage notebook_convert/prefilter run later, per group), which
+    keeps the digest universe consistent corpus-wide.
+    """
     manifest = read_manifest(out_dir)
     done = {int(k) for k in manifest}
     todo = [b for b in range(n_buckets) if b not in done]
+
+    if near_dedup:
+        from ..operators.code_filters import code_near_dup_ids
+
+        drops = code_near_dup_ids(files).localCheckpoint()
+        files = (
+            files.withColumn("_fid", F.xxhash64(F.col("repo"), F.col("path")))
+            .join(drops, "_fid", "left_anti")
+            .drop("_fid")
+        )
 
     bucketed = with_bucket(files, n_buckets)
 

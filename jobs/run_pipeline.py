@@ -43,6 +43,11 @@ def main() -> None:
                     help="rewrite .ipynb rows to scripts (concatenated "
                          "code cells) in the scan stage, before any "
                          "filtering — The Stack's preprocessing order")
+    ap.add_argument("--near-dedup", action="store_true",
+                    help="drop per-language MinHash near-duplicates "
+                         "(The Stack stage 3) corpus-wide before "
+                         "bucketing; keeps the min-id representative "
+                         "of each duplicate cluster")
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("gruut-spark-quality-filter").getOrCreate()
@@ -65,6 +70,7 @@ def main() -> None:
         salt_buckets=args.salt_buckets, num_partitions=args.partitions,
         code_prefilter=args.code_prefilter,
         notebook_convert=args.notebook_convert,
+        near_dedup=args.near_dedup,
     )
     total = sum(m["rows"] for m in manifest.values())
     print(f"done: {len(manifest)} buckets, {total} rows -> {args.output}")

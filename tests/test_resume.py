@@ -143,3 +143,65 @@ def test_rerun_clears_stale_partition_even_if_new_run_is_empty(
     buckets_on_disk = {r["_bucket"] for r in got.select("_bucket").distinct().collect()}
     assert buckets_on_disk <= {0, 1}          # stale 2,3 partitions cleared
     assert m["2"]["rows"] == 0 and m["3"]["rows"] == 0
+
+
+def test_near_dedup_drops_cross_group_twins(spark, tmp_path):
+    """--near-dedup semantics: corpus-WIDE per-language near-dedup ahead
+    of bucketing — a near-identical twin must be dropped even when the
+    two copies land in different bucket groups; the min-xxhash64(repo,
+    path) representative survives; a same-content file in another
+    language is untouched; all other rows are byte-identical to a
+    no-flag run."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    base = generate_files(40, seed=7)[["repo", "path", "commit", "lang", "content"]]
+    dup_text = (
+        "def handler(event):\n    return process(event, retries=3)"
+        "  # shared vendored helper\n" * 3
+    )
+    extra = pd.DataFrame(
+        [
+            ("rX", "a/dup1.py", "c1", "en", dup_text),
+            ("rY", "z/dup2.py", "c2", "en", dup_text + "# trailing tweak\n"),
+            ("rZ", "m/other.java", "c3", "de", dup_text),
+        ],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    files = spark.createDataFrame(pd.concat([base, extra], ignore_index=True))
+
+    out_plain = str(tmp_path / "plain")
+    run_with_checkpoints(spark, files, out_plain, n_buckets=4, group_size=1)
+    plain = spark.read.parquet(os.path.join(out_plain, "verdicts"))
+
+    out_dd = str(tmp_path / "dd")
+    run_with_checkpoints(
+        spark, files, out_dd, n_buckets=4, group_size=1, near_dedup=True
+    )
+    dedup = spark.read.parquet(os.path.join(out_dd, "verdicts"))
+
+    paths_plain = {r["path"] for r in plain.select("path").collect()}
+    paths_dd = {r["path"] for r in dedup.select("path").collect()}
+    dropped = paths_plain - paths_dd
+    # exactly one of the two en twins dropped (the non-representative);
+    # the de same-content file survives (language partition). The
+    # generated corpus may contribute its own genuine near-dups (e.g.
+    # templated docs), so assert on the planted trio, not the set size.
+    assert len(dropped & {"a/dup1.py", "z/dup2.py"}) == 1
+    assert "m/other.java" in paths_dd
+    # the representative is the min xxhash64(repo, path) of the pair
+    ids = {
+        r["path"]: r["h"]
+        for r in spark.createDataFrame(extra)
+        .select("path", F.xxhash64("repo", "path").alias("h"))
+        .collect()
+    }
+    keeper = min(["a/dup1.py", "z/dup2.py"], key=lambda p: ids[p])
+    assert keeper in paths_dd
+    # surviving rows byte-identical to the no-flag run
+    cols = ["repo", "path", "keep", "scrubbed_content"]
+    a = {tuple(r) for r in plain.filter(F.col("path").isin(list(paths_dd)))
+         .select(*cols).collect()}
+    b = {tuple(r) for r in dedup.select(*cols).collect()}
+    assert a == b
