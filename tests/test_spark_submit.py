@@ -1,0 +1,121 @@
+"""North-rule ship criterion: the production job runs under
+``spark-submit --py-files gruut_spark.zip`` (BASELINE.json north_rule;
+reference CLI shape gruut/__main__.py:1-60 shipped as a package).
+
+The test is deliberately hostile to accidental repo coupling: the job
+script is copied into an empty ship directory, PYTHONPATH is scrubbed,
+and the subprocess cwd contains only the zip + the script — so the ONLY
+way ``gruut_spark`` can be imported (driver or executor side) is the
+``--py-files`` archive, exactly as on a real multi-executor cluster.
+Model artifacts ride the documented ``SPARK_GRAFT_ARTIFACTS`` channel
+(functions/runtime.py::artifact_dir) because numpy cannot np.load from
+inside a zip; on a cluster that var points at a distributed cache path
+(``--files``/NFS) and is forwarded via ``spark.executorEnv.*`` the same
+way this test forwards it.
+
+Output contract: verdicts from the shipped run are row-identical
+(every deterministic column, including scrubbed_sha256 and keep) to an
+in-process run of the same input.
+"""
+
+import os
+import shutil
+import subprocess
+import zipfile
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_DETERMINISTIC_EXCLUDED = {"_source_file", "_partition_id"}
+
+
+def _build_pyfiles_zip(dst_dir: str) -> str:
+    zpath = os.path.join(dst_dir, "gruut_spark.zip")
+    pkg = os.path.join(REPO, "gruut_spark")
+    with zipfile.ZipFile(zpath, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, dirs, files in os.walk(pkg):
+            dirs[:] = [d for d in dirs if d != "__pycache__"]
+            for f in files:
+                if f.endswith((".pyc", ".pyo")):
+                    continue
+                p = os.path.join(root, f)
+                z.write(p, os.path.relpath(p, REPO))
+    return zpath
+
+
+def _canon_rows(df):
+    cols = sorted(c for c in df.columns if c not in _DETERMINISTIC_EXCLUDED)
+    rows = df.select(*cols).collect()
+    return sorted(tuple(r) for r in rows)
+
+
+def test_spark_submit_pyfiles_matches_inprocess(spark, tmp_path):
+    from gruut_spark.plans.checkpoint import run_with_checkpoints
+    from gruut_spark.sources.testgen import generate_files
+
+    spark_submit = shutil.which("spark-submit")
+    if spark_submit is None:
+        pytest.skip("spark-submit not on PATH")
+
+    pdf = generate_files(60, seed=7)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    inp = str(tmp_path / "input")
+    spark.createDataFrame(pdf).coalesce(2).write.parquet(inp)
+
+    # expected: in-process run through the same entry path
+    exp_out = str(tmp_path / "expected")
+    run_with_checkpoints(
+        spark, spark.read.parquet(inp), exp_out, n_buckets=2, group_size=2
+    )
+
+    # ship dir: zip + job script ONLY — no gruut_spark/ on disk there
+    ship = tmp_path / "ship"
+    (ship / "jobs").mkdir(parents=True)
+    zpath = _build_pyfiles_zip(str(ship))
+    shutil.copy(
+        os.path.join(REPO, "jobs", "run_pipeline.py"),
+        str(ship / "jobs" / "run_pipeline.py"),
+    )
+
+    artifacts = os.path.join(REPO, "artifacts")
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["SPARK_GRAFT_ARTIFACTS"] = artifacts
+    env.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+    got_out = str(tmp_path / "shipped")
+    cmd = [
+        spark_submit,
+        "--master", "local[4]",
+        "--conf", "spark.sql.shuffle.partitions=4",
+        "--conf", "spark.ui.enabled=false",
+        "--conf", f"spark.executorEnv.SPARK_GRAFT_ARTIFACTS={artifacts}",
+        "--py-files", zpath,
+        str(ship / "jobs" / "run_pipeline.py"),
+        "--input", inp,
+        "--output", got_out,
+        "--buckets", "2",
+        "--group-size", "2",
+    ]
+    proc = subprocess.run(
+        cmd, cwd=str(ship), env=env, capture_output=True, text=True,
+        timeout=540,
+    )
+    assert proc.returncode == 0, (
+        f"spark-submit failed\nstdout tail:\n{proc.stdout[-3000:]}\n"
+        f"stderr tail:\n{proc.stderr[-3000:]}"
+    )
+    assert "done: 2 buckets, 60 rows" in proc.stdout
+
+    got = spark.read.parquet(os.path.join(got_out, "verdicts"))
+    exp = spark.read.parquet(os.path.join(exp_out, "verdicts"))
+    assert sorted(got.columns) == sorted(exp.columns)
+    assert _canon_rows(got) == _canon_rows(exp)
+
+    # manifest + metrics (lineage) shipped too — the resume/metrics
+    # contract holds under spark-submit, not only in-process
+    manifest = os.path.join(got_out, "_manifest", "completed.json")
+    assert os.path.exists(manifest)
+    metrics = spark.read.parquet(os.path.join(got_out, "metrics"))
+    assert metrics.count() > 0 and "_partition_id" in metrics.columns
