@@ -205,3 +205,48 @@ def test_near_dedup_drops_cross_group_twins(spark, tmp_path):
          .select(*cols).collect()}
     b = {tuple(r) for r in dedup.select(*cols).collect()}
     assert a == b
+
+
+def test_near_dedup_resume_recomputes_drop_set_deterministically(spark, tmp_path):
+    """Kill-and-resume with --near-dedup on: the drop set is recomputed
+    from the (deterministic) input on resume, so already-committed
+    buckets stay valid and the finished output is row-identical to an
+    uninterrupted near-dedup run — no twin resurrected, no survivor
+    double-dropped."""
+    import json as _json
+    import shutil
+
+    files_pdf = generate_files(80, seed=11)[
+        ["repo", "path", "commit", "lang", "content"]
+    ]
+    files = spark.createDataFrame(files_pdf)
+
+    out_full = str(tmp_path / "full")
+    run_with_checkpoints(
+        spark, files, out_full, n_buckets=4, group_size=1, near_dedup=True
+    )
+    full = spark.read.parquet(os.path.join(out_full, "verdicts"))
+    cols = ["repo", "path", "keep", "scrubbed_sha256"]
+    expect = sorted(tuple(r) for r in full.select(*cols).collect())
+
+    # second output: complete it, then fake a kill after buckets {0,1}
+    out_res = str(tmp_path / "resumed")
+    run_with_checkpoints(
+        spark, files, out_res, n_buckets=4, group_size=1, near_dedup=True
+    )
+    manifest_file = os.path.join(out_res, "_manifest", "completed.json")
+    manifest = _json.load(open(manifest_file))
+    for b in ("2", "3"):
+        manifest.pop(b)
+        shutil.rmtree(os.path.join(out_res, "verdicts", f"_bucket={b}"))
+    _json.dump(manifest, open(manifest_file, "w"))
+    before = {k: v["committed_at"] for k, v in manifest.items()}
+
+    m = run_with_checkpoints(
+        spark, files, out_res, n_buckets=4, group_size=1, near_dedup=True
+    )
+    # completed buckets untouched, missing ones redone under the SAME
+    # recomputed drop set
+    assert {k: m[k]["committed_at"] for k in before} == before
+    got = spark.read.parquet(os.path.join(out_res, "verdicts"))
+    assert sorted(tuple(r) for r in got.select(*cols).collect()) == expect
