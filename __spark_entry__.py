@@ -2145,6 +2145,108 @@ def _code_identifier_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return identifier_stats(_code_id_fixture(spark, sf_dir)).orderBy("path")
 
 
+# The 16 operator families for the type-2 clone fixture: same function
+# template, identifiers unique per file, operator chosen by id%16 — so
+# files collide on the type-2 key iff they share the operator.
+_T2_FIXTURE_OPS: "tuple[str, ...]" = (
+    "+", "-", "*", "/", "%", "<", ">", "&",
+    "|", "^", "==", "!=", "<=", ">=", "and", "or",
+)
+_T2_DUP_BODY = (
+    "def fn_dup(a_dup, b_dup):\n"
+    "    r_dup = (a_dup + b_dup) * 42\n"
+    "    s_dup = 'lit_dup'\n"
+    "    return r_dup\n"
+)
+
+
+def _code_clone_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 clone strata: id%19 plain document text (non-clone
+    controls), id%13 a byte-identical function (near-exact AND type-2
+    duplicates), else a function template whose identifiers and string/
+    numeric literals vary per id but whose STRUCTURE is keyed by id%16
+    (the operator) — type-2 clones that near-exact dedup cannot group."""
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    op = F.element_at(
+        F.array(*[F.lit(o) for o in _T2_FIXTURE_OPS]), (d % 16).cast("int") + 1
+    )
+    tmpl = F.concat(
+        F.lit("def fn_"), sid, F.lit("(a_"), sid, F.lit(", b_"), sid,
+        F.lit("):\n    r_"), sid, F.lit(" = (a_"), sid, F.lit(" "), op,
+        F.lit(" b_"), sid, F.lit(") * 42\n    s_"), sid,
+        F.lit(" = 'lit_"), sid, F.lit("'\n    return r_"), sid, F.lit("\n"),
+    )
+    content = (
+        F.when(d % 19 == 0, base)
+        .when(d % 13 == 0, F.lit(_T2_DUP_BODY))
+        .otherwise(tmpl)
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("src/c"), sid, F.lit(".py")).alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_clone_type2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 clone families (SourcererCC / NiCad identifier-blind keys,
+    Sajnani et al. 2016): string literals→S, numbers→N, non-keyword
+    identifiers→I, formatting collapsed — groups renamed-variable copies
+    that the near-exact digest (code_norm_dedup) cannot see, without
+    MinHash's probabilistic recall. Same 100-TB shape as near-exact:
+    content dropped in the key projection, 16-byte keys + ids shuffle
+    (operators/code_filters.py::code_clone_type2). The oracle replays
+    masking, tokenization, the keyword CASE and the min-(path, repo)
+    canonical rule."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_clone_type2
+
+    return code_clone_type2(_code_clone_fixture(spark, sf_dir)).orderBy("path")
+
+
+def _code_enc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding strata: id%23 a NUL byte planted in otherwise-fine text,
+    id%29 control-char heavy (1-in-9 chars → ratio ≈0.111 > 0.05),
+    id%31 mojibake-heavy (1-in-11 U+FFFD → ratio ≈0.091 > 0.01),
+    id%37 ONE U+FFFD on full-length text (sub-threshold boundary
+    control: counted but not flagged), else plain document text."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    content = (
+        F.when(d % 23 == 0, F.concat(F.lit("BIN\x00"), base))
+        .when(d % 29 == 0, F.repeat(F.lit("\x01abcdefgh"), 40))
+        .when(d % 31 == 0, F.repeat(F.lit("�abcdefghij"), 30))
+        .when(d % 37 == 0, F.concat(base, F.lit("�")))
+        .otherwise(base)
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("src/e"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_encoding_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding / binary-content screen (CCNet / RedPajama-v2 sanity
+    class): NUL bytes, C0-control ratio, U+FFFD mojibake ratio, each by
+    the length-difference trick — one zero-shuffle zero-Python Catalyst
+    projection (operators/code_filters.py::code_encoding_flags). The
+    oracle replays counts, ratios and thresholds with chr()-built
+    literals from the SAME module constants."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_encoding_flags
+
+    return code_encoding_flags(_code_enc_fixture(spark, sf_dir)).orderBy("path")
+
+
 _LOG_JAVA_HEAD = 'Exception in thread "main" java.lang.NullPointerException\n'
 _LOG_JAVA_FRAME = "\tat com.example.Foo.bar(Foo.java:42)\n"
 _LOG_PY_HEAD = "Traceback (most recent call last):\n"
@@ -3594,6 +3696,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_lang_infer": _code_lang_infer,
         "code_notebook_cells": _code_notebook_cells,
         "code_identifier_stats": _code_identifier_stats,
+        "code_clone_type2": _code_clone_type2,
+        "code_encoding_flags": _code_encoding_flags,
         "code_logfile_flags": _code_logfile_flags,
         "code_repo_forks": _code_repo_forks,
         "code_curation_nbaware": _code_curation_nbaware,
@@ -6517,6 +6621,124 @@ def _code_norm_dedup_oracle_sql() -> str:
     """
 
 
+def _code_clone_fixture_cte_sql() -> str:
+    """The _code_clone_fixture derivation as a DuckDB CTE body: the same
+    id%19 / id%13 / operator-template strata, operator list indexed
+    1-based, interpolated from the SAME module constants."""
+    ops_sql = "[" + ", ".join(f"'{o}'" for o in _T2_FIXTURE_OPS) + "]"
+    dup_sql = _T2_DUP_BODY.replace("'", "''")
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo, 'src/c' || d::VARCHAR || '.py' AS path,
+            CASE WHEN d % 19 = 0 THEN base
+                 WHEN d % 13 = 0 THEN '{dup_sql}'
+                 ELSE 'def fn_' || d || '(a_' || d || ', b_' || d
+                   || '):' || chr(10) || '    r_' || d || ' = (a_' || d
+                   || ' ' || {ops_sql}[(d % 16)::INT + 1] || ' b_' || d
+                   || ') * 42' || chr(10) || '    s_' || d
+                   || ' = ''lit_' || d || '''' || chr(10)
+                   || '    return r_' || d || chr(10)
+            END AS content
+          FROM docs
+        )"""
+
+
+def _code_clone_type2_oracle_sql() -> str:
+    """DuckDB twin of operators/code_filters.py::code_clone_type2: the
+    S/N masking regexes, tokenization, keyword-protected identifier
+    renaming, md5 key, group size and min-(path, repo) canonical rule —
+    every regex and the keyword list interpolated from the SAME module
+    constants as the Spark side."""
+    from gruut_spark.operators.code_filters import (
+        T2_IDENT_ANCHOR_RE,
+        T2_NUMBER_RE,
+        T2_STRING_RE,
+        T2_TOKEN_RE,
+        TYPE2_KEYWORDS,
+    )
+
+    kw_sql = "[" + ", ".join(f"'{k}'" for k in TYPE2_KEYWORDS) + "]"
+    str_re = T2_STRING_RE.replace("'", "''")
+    return f"""
+        WITH {_code_clone_fixture_cte_sql()}, t2 AS (
+          SELECT repo, path,
+            md5(coalesce(array_to_string(
+              list_transform(
+                regexp_extract_all(
+                  regexp_replace(
+                    regexp_replace(coalesce(content, ''),
+                                   '{str_re}', 'S', 'g'),
+                    '{T2_NUMBER_RE}', 'N', 'g'),
+                  '{T2_TOKEN_RE}'),
+                t -> CASE WHEN regexp_matches(t, '{T2_IDENT_ANCHOR_RE}')
+                           AND NOT list_contains({kw_sql}, t)
+                      THEN 'I' ELSE t END),
+              ' '), '')) AS type2_md5
+          FROM files
+        ), grp AS (
+          SELECT repo, path, type2_md5,
+            count(*) OVER (PARTITION BY type2_md5) AS n_clones,
+            row_number() OVER (PARTITION BY type2_md5
+                               ORDER BY path, repo) AS rn
+          FROM t2
+        )
+        SELECT repo, path, type2_md5, n_clones, (rn = 1) AS is_canonical
+        FROM grp ORDER BY path
+    """
+
+
+def _code_encoding_flags_oracle_sql() -> str:
+    """DuckDB twin of operators/code_filters.py::code_encoding_flags:
+    the NUL / control / U+FFFD length-difference counts, HALF_UP ratios
+    and thresholds, over the chr()-built encoding fixture strata."""
+    from gruut_spark.operators.code_filters import (
+        CTRL_CHAR_RE,
+        CTRL_RATIO_MAX,
+        FFFD_RATIO_MAX,
+    )
+
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo, 'src/e' || d::VARCHAR || '.py' AS path,
+            CASE WHEN d % 23 = 0 THEN 'BIN' || chr(0) || base
+                 WHEN d % 29 = 0 THEN repeat(chr(1) || 'abcdefgh', 40)
+                 WHEN d % 31 = 0 THEN repeat(chr(65533) || 'abcdefghij', 30)
+                 WHEN d % 37 = 0 THEN base || chr(65533)
+                 ELSE base END AS content
+          FROM docs
+        ), m AS (
+          SELECT repo, path, length(content) AS ln,
+            (length(content)
+             - length(replace(content, chr(0), '')))::INT AS n_nul,
+            (length(content)
+             - length(regexp_replace(content, '{CTRL_CHAR_RE}', '', 'g')))::INT
+              AS n_ctrl,
+            (length(content)
+             - length(replace(content, chr(65533), '')))::INT AS n_fffd
+          FROM files
+        ), v AS (
+          SELECT repo, path, n_nul, n_ctrl, n_fffd,
+            round(n_ctrl / greatest(ln, 1), 6) AS ctrl_ratio,
+            round(n_fffd / greatest(ln, 1), 6) AS fffd_ratio
+          FROM m
+        )
+        SELECT repo, path, n_nul, n_ctrl, n_fffd, ctrl_ratio, fffd_ratio,
+          (n_nul > 0 OR ctrl_ratio > {CTRL_RATIO_MAX}
+           OR fffd_ratio > {FFFD_RATIO_MAX}) AS is_binaryish
+        FROM v ORDER BY path
+    """
+
+
 def _code_curation_body_sql() -> str:
     """code_curation_pipeline as a WITH-chain continuation over an open
     CTE named `files` (repo, path, content) — all four batteries
@@ -8988,6 +9210,8 @@ def oracle_sql() -> dict[str, str]:
         "code_lang_infer": _code_lang_infer_oracle_sql(),
         "code_notebook_cells": _code_notebook_cells_oracle_sql(),
         "code_identifier_stats": _code_identifier_stats_oracle_sql(),
+        "code_clone_type2": _code_clone_type2_oracle_sql(),
+        "code_encoding_flags": _code_encoding_flags_oracle_sql(),
         "code_logfile_flags": _code_logfile_flags_oracle_sql(),
         "code_repo_forks": _code_repo_forks_oracle_sql(),
         "code_curation_nbaware": _code_curation_nbaware_oracle_sql(),
