@@ -72,29 +72,40 @@ def streaming_exact_dedup(stream: DataFrame) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 CODE_OUTPUT_SCHEMA = "norm_md5 string, repo string, path string"
+CLONE_OUTPUT_SCHEMA = "type2_md5 string, repo string, path string"
 
 
-def _code_dedup_fn(
-    key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
-) -> Iterator[pd.DataFrame]:
-    """First-ever file per normalized digest; within the arriving data
-    the lexicographically first (path, repo) wins — the batch operator's
-    canonical rule applied per arrival."""
-    if state.exists:
-        return
-    best = None
-    for pdf in batches:
-        if pdf.empty:
-            continue
-        cand = pdf.sort_values(["path", "repo"]).iloc[0]
-        if best is None or (cand.path, cand.repo) < (best.path, best.repo):
-            best = cand
-    if best is None:
-        return
-    state.update((True,))
-    yield pd.DataFrame(
-        {"norm_md5": [key[0]], "repo": [best.repo], "path": [best.path]}
-    )
+def _make_first_canonical_fn(key_col: str):
+    """First-ever file per key; within the arriving data the
+    lexicographically first (path, repo) wins — the batch operators'
+    canonical rule applied per arrival. Shared by the near-exact and
+    type-2 streaming faces (they differ only in the key expression and
+    its output column name)."""
+
+    def _fn(
+        key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        best = None
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cand = pdf.sort_values(["path", "repo"]).iloc[0]
+            if best is None or (cand.path, cand.repo) < (best.path, best.repo):
+                best = cand
+        if best is None:
+            return
+        state.update((True,))
+        yield pd.DataFrame(
+            {key_col: [key[0]], "repo": [best.repo], "path": [best.path]}
+        )
+
+    return _fn
+
+
+_code_dedup_fn = _make_first_canonical_fn("norm_md5")
+_clone_dedup_fn = _make_first_canonical_fn("type2_md5")
 
 
 def streaming_code_near_dedup(stream: DataFrame) -> DataFrame:
@@ -118,6 +129,34 @@ def streaming_code_near_dedup(stream: DataFrame) -> DataFrame:
     return keyed.groupBy("norm_md5").applyInPandasWithState(
         _code_dedup_fn,
         outputStructType=CODE_OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def streaming_code_clone_dedup(stream: DataFrame) -> DataFrame:
+    """stream: (repo, path, content) -> first canonical file per TYPE-2
+    clone key (identifier-blind, operators/code_filters.py::_type2_key)
+    across all micro-batches — the streaming face of
+    ``code_clone_type2``, for incremental ingest where a renamed copy of
+    an already-seen file must not re-enter the corpus.
+
+    Same contract as ``streaming_code_near_dedup``: the key is the SAME
+    Catalyst expression as the batch operator so batch bootstrap and
+    stream agree on group identity; state per key is one boolean; output
+    carries ids only, never content. Same documented divergence: the
+    stream keeps the first ARRIVAL's canonical, the batch operator the
+    global lexicographic minimum.
+    """
+    from ..operators.code_filters import _type2_key
+
+    keyed = stream.select(
+        _type2_key(F.col("content")).alias("type2_md5"), "repo", "path"
+    )
+    return keyed.groupBy("type2_md5").applyInPandasWithState(
+        _clone_dedup_fn,
+        outputStructType=CLONE_OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
