@@ -70,6 +70,7 @@ def run_with_checkpoints(
     code_prefilter: bool = False,
     notebook_convert: bool = False,
     near_dedup: bool = False,
+    encoding_filter: bool = False,
 ) -> Dict[str, dict]:
     """Process all incomplete buckets; returns the final manifest.
 
@@ -107,6 +108,7 @@ def run_with_checkpoints(
             batch, cfg=cfg, salt_buckets=salt_buckets,
             num_partitions=num_partitions, code_prefilter=code_prefilter,
             notebook_convert=notebook_convert,
+            encoding_filter=encoding_filter,
         )
         # the fused stage passes through only the input_hint columns;
         # the bucket is deterministic from (repo, path), so recompute it

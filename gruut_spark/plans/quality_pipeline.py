@@ -222,8 +222,16 @@ def build_pipeline(
     num_partitions: Optional[int] = None,
     code_prefilter: bool = False,
     notebook_convert: bool = False,
+    encoding_filter: bool = False,
 ) -> DataFrame:
     """Full staged plan (no action triggered).
+
+    ``encoding_filter=True`` drops binary-ish rows (NUL bytes, C0
+    control-char ratio, U+FFFD mojibake ratio — operators/
+    code_filters.py::code_encoding_keep_predicate) in the SCAN stage:
+    the cheapest, most certain gate runs first, so blobs that slipped
+    past upstream text extraction never reach the salt shuffle or an
+    Arrow worker. Opt-in like the other scan-stage options.
 
     ``code_prefilter=True`` applies the code-corpus keep predicate
     (operators/code_filters.py::code_keep_predicate — The Stack's
@@ -247,6 +255,10 @@ def build_pipeline(
     # lineage must be captured at scan time: input_file_name() is empty
     # once rows have crossed the salt shuffle
     files = files.withColumn("_source_file", F.input_file_name())
+    if encoding_filter:
+        from ..operators.code_filters import code_encoding_keep_predicate
+
+        files = files.filter(code_encoding_keep_predicate())
     if notebook_convert:
         from ..operators.code_analysis import notebook_to_script
 

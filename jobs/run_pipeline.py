@@ -43,6 +43,10 @@ def main() -> None:
                     help="rewrite .ipynb rows to scripts (concatenated "
                          "code cells) in the scan stage, before any "
                          "filtering — The Stack's preprocessing order")
+    ap.add_argument("--encoding-filter", action="store_true",
+                    help="drop binary-ish rows (NUL bytes, control-char "
+                         "or U+FFFD ratio) in the scan stage, before "
+                         "anything else")
     ap.add_argument("--near-dedup", action="store_true",
                     help="drop per-language MinHash near-duplicates "
                          "(The Stack stage 3) corpus-wide before "
@@ -71,6 +75,7 @@ def main() -> None:
         code_prefilter=args.code_prefilter,
         notebook_convert=args.notebook_convert,
         near_dedup=args.near_dedup,
+        encoding_filter=args.encoding_filter,
     )
     total = sum(m["rows"] for m in manifest.values())
     print(f"done: {len(manifest)} buckets, {total} rows -> {args.output}")
