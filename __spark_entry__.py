@@ -2247,6 +2247,56 @@ def _code_encoding_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_encoding_flags(_code_enc_fixture(spark, sf_dir)).orderBy("path")
 
 
+def _code_path_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-class strata: id%11 test paths (dir / _test suffix / .spec
+    rotating by id%3), id%17 examples/, id%23 docs (dir + .md ext),
+    id%29 build manifests (package.json / setup.py by id%2), id%31
+    'contest/' and id%37 'protest' adversarial negatives (substring
+    'test' must NOT fire the anchored segment regexes), else src/."""
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    test_path = (
+        F.when(d % 3 == 0, F.concat(F.lit("tests/t"), sid, F.lit(".py")))
+        .when(d % 3 == 1, F.concat(F.lit("src/m"), sid, F.lit("_test.go")))
+        .otherwise(F.concat(F.lit("src/app"), sid, F.lit(".spec.js")))
+    )
+    build_path = (
+        F.when(d % 2 == 0, F.concat(F.lit("p"), sid, F.lit("/package.json")))
+        .otherwise(F.concat(F.lit("p"), sid, F.lit("/setup.py")))
+    )
+    path = (
+        F.when(d % 11 == 0, test_path)
+        .when(d % 17 == 0, F.concat(F.lit("examples/ex"), sid, F.lit(".py")))
+        .when(d % 23 == 0, F.concat(F.lit("docs/readme"), sid, F.lit(".md")))
+        .when(d % 29 == 0, build_path)
+        .when(d % 31 == 0, F.concat(F.lit("contest/c"), sid, F.lit(".py")))
+        .when(d % 37 == 0, F.concat(F.lit("src/protest"), sid, F.lit(".py")))
+        .otherwise(F.concat(F.lit("src/f"), sid, F.lit(".py")))
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        raw.alias("content"),
+    )
+
+
+def _code_path_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Path-class tagging (test / example / docs / build / source) —
+    the report axis corpus mixture weights need before any content is
+    read; first-match-wins ladder of '/'-anchored segment regexes on the
+    lowercased path, zero-shuffle zero-Python
+    (operators/code_analysis.py::code_path_class). The oracle replays
+    the same ladder from the SAME module constants; 'contest/' and
+    'protest' strata pin the segment anchoring."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import code_path_class
+
+    return code_path_class(_code_path_fixture(spark, sf_dir)).orderBy("path")
+
+
 _LOG_JAVA_HEAD = 'Exception in thread "main" java.lang.NullPointerException\n'
 _LOG_JAVA_FRAME = "\tat com.example.Foo.bar(Foo.java:42)\n"
 _LOG_PY_HEAD = "Traceback (most recent call last):\n"
@@ -3698,6 +3748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_identifier_stats": _code_identifier_stats,
         "code_clone_type2": _code_clone_type2,
         "code_encoding_flags": _code_encoding_flags,
+        "code_path_class": _code_path_class,
         "code_logfile_flags": _code_logfile_flags,
         "code_repo_forks": _code_repo_forks,
         "code_curation_nbaware": _code_curation_nbaware,
@@ -6739,6 +6790,47 @@ def _code_encoding_flags_oracle_sql() -> str:
     """
 
 
+def _code_path_class_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::code_path_class: the
+    same fixture path strata and the same first-match-wins regex ladder,
+    both interpolated from the SAME module constants."""
+    from gruut_spark.operators.code_analysis import PATH_CLASS_RES
+
+    ladder = "\n".join(
+        f"            WHEN regexp_matches(lp, '{pat}') THEN '{name}'"
+        for name, pat in PATH_CLASS_RES
+    )
+    return f"""
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 11 = 0 THEN
+                   CASE WHEN d % 3 = 0 THEN 'tests/t' || d || '.py'
+                        WHEN d % 3 = 1 THEN 'src/m' || d || '_test.go'
+                        ELSE 'src/app' || d || '.spec.js' END
+                 WHEN d % 17 = 0 THEN 'examples/ex' || d || '.py'
+                 WHEN d % 23 = 0 THEN 'docs/readme' || d || '.md'
+                 WHEN d % 29 = 0 THEN
+                   CASE WHEN d % 2 = 0 THEN 'p' || d || '/package.json'
+                        ELSE 'p' || d || '/setup.py' END
+                 WHEN d % 31 = 0 THEN 'contest/c' || d || '.py'
+                 WHEN d % 37 = 0 THEN 'src/protest' || d || '.py'
+                 ELSE 'src/f' || d || '.py' END AS path
+          FROM docs
+        ), lowered AS (
+          SELECT repo, path, lower(path) AS lp FROM files
+        )
+        SELECT repo, path,
+          CASE
+{ladder}
+            ELSE 'source' END AS path_class
+        FROM lowered ORDER BY path
+    """
+
+
 def _code_curation_body_sql() -> str:
     """code_curation_pipeline as a WITH-chain continuation over an open
     CTE named `files` (repo, path, content) — all four batteries
@@ -9212,6 +9304,7 @@ def oracle_sql() -> dict[str, str]:
         "code_identifier_stats": _code_identifier_stats_oracle_sql(),
         "code_clone_type2": _code_clone_type2_oracle_sql(),
         "code_encoding_flags": _code_encoding_flags_oracle_sql(),
+        "code_path_class": _code_path_class_oracle_sql(),
         "code_logfile_flags": _code_logfile_flags_oracle_sql(),
         "code_repo_forks": _code_repo_forks_oracle_sql(),
         "code_curation_nbaware": _code_curation_nbaware_oracle_sql(),

@@ -631,3 +631,44 @@ def repo_import_profile(
         F.col("_top.module").alias("top_module"),
         (-F.col("_top.neg")).cast("long").alias("top_module_files"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Path-class tagging (test / example / docs / build vs source)
+# ---------------------------------------------------------------------------
+
+# Evaluated in THIS order; first hit wins (a file under tests/examples/
+# is a test). All matches on the lowercased path. Segment patterns are
+# anchored on '/' boundaries so "contest/" or "protest.py" never match.
+PATH_CLASS_RES: "Tuple[Tuple[str, str], ...]" = (
+    ("test", r"(^|/)(tests?|__tests__|spec)(/|$)"
+             r"|(^|/)test_[^/]*\.py$"
+             r"|_test\.[a-z0-9]+$"
+             r"|\.(test|spec)\.[a-z0-9]+$"
+             r"|[a-z0-9_]test\.java$"),
+    ("example", r"(^|/)(examples?|demos?|samples?|tutorials?)(/|$)"),
+    ("docs", r"(^|/)docs?(/|$)|\.(md|rst|adoc)$"),
+    ("build", r"(^|/)(makefile|cmakelists\.txt|pom\.xml|package\.json|"
+              r"setup\.py|setup\.cfg|pyproject\.toml|build\.gradle[^/]*|"
+              r"configure\.ac|meson\.build)$"),
+)
+
+
+def code_path_class(files: DataFrame) -> DataFrame:
+    """Tag every file test / example / docs / build / source from its
+    path alone — the tagging axis StarCoder-style corpus reports (and
+    downstream mixture weights: test and doc files are commonly
+    down-sampled, never silently dropped) need before any content is
+    read. First-match-wins CASE over anchored segment regexes on the
+    lowercased path; a pure zero-shuffle zero-Python projection that
+    fuses into the scan. The oracle replays the same ladder from the
+    SAME module constants."""
+    p = F.lower(F.col("path"))
+    expr = F.lit("source")
+    for name, pat in reversed(PATH_CLASS_RES):
+        expr = F.when(p.rlike(pat), F.lit(name)).otherwise(expr)
+    return files.select(
+        F.col("repo"),
+        F.col("path"),
+        expr.alias("path_class"),
+    )

@@ -785,3 +785,57 @@ def test_imports_adversarial_cross_engine_differential(spark):
     # os+sys, visible, caf+ok_name, upper_mod, tabbed,
     # ./ファイル+@scope/pkg, ok, a.b.C+d.e.F.g
     assert got.loc[0, "n_modules"] == 12
+
+
+# ---------------------------------------------------------------------------
+# Path-class tagging
+# ---------------------------------------------------------------------------
+
+def test_code_path_class_ladder(spark):
+    from gruut_spark.operators.code_analysis import code_path_class
+
+    rows = [
+        ("r", "tests/t1.py"), ("r", "src/util_test.go"),
+        ("r", "src/App.spec.js"), ("r", "lib/FooTest.java"),
+        ("r", "examples/demo.py"), ("r", "docs/guide.md"),
+        ("r", "README.md"), ("r", "package.json"),
+        ("r", "sub/Makefile"), ("r", "build.gradle.kts"),
+        # precedence: a test under examples/ is a test (first match wins)
+        ("r", "examples/test_x.py"),
+        # anchoring negatives: substring 'test'/'doc' must not fire
+        ("r", "contest/winner.py"), ("r", "src/protest.py"),
+        ("r", "doctor/x.py"), ("r", "src/main.py"),
+    ]
+    df = spark.createDataFrame(
+        [(r, p, "c", "py", "x\n") for r, p in rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    got = {r["path"]: r["path_class"] for r in code_path_class(df).collect()}
+    assert got["tests/t1.py"] == "test"
+    assert got["src/util_test.go"] == "test"
+    assert got["src/App.spec.js"] == "test"
+    assert got["lib/FooTest.java"] == "test"
+    assert got["examples/demo.py"] == "example"
+    assert got["docs/guide.md"] == "docs"
+    assert got["README.md"] == "docs"
+    assert got["package.json"] == "build"
+    assert got["sub/Makefile"] == "build"
+    assert got["build.gradle.kts"] == "build"
+    assert got["examples/test_x.py"] == "test"
+    assert got["contest/winner.py"] == "source"
+    assert got["src/protest.py"] == "source"
+    assert got["doctor/x.py"] == "source"
+    assert got["src/main.py"] == "source"
+
+
+def test_code_path_class_plan_shape(spark):
+    from gruut_spark.operators.code_analysis import code_path_class
+
+    df = code_path_class(
+        spark.createDataFrame(
+            [("r", "a.py", "c", "py", "x\n")],
+            "repo string, path string, commit string, lang string, content string",
+        )
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
