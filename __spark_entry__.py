@@ -1767,6 +1767,47 @@ def _code_norm_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return code_near_exact_dedup(_code_files_fixture(spark, sf_dir)).orderBy("path")
 
 
+def _code_history_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-commit file-history fixture: (repo, path) keys collide by
+    (id%7, id%97) so each file carries many commits (~9 at sf0.01);
+    commit = md5('c'||id) (opaque hash, distinct per row), commit_ts =
+    id (the ordering column an Iceberg snapshot table would carry),
+    content differs per commit via a 'rev <id>' header line. Same
+    derivation in the oracle CTE."""
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    base = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" value "), F.lit("\n")
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(
+            F.lit("src/h"), (d % 97).cast("string"), F.lit(".py")
+        ).alias("path"),
+        F.md5(F.concat(F.lit("c"), sid)).alias("commit"),
+        d.cast("long").alias("commit_ts"),
+        F.col("lang"),
+        F.concat(F.lit("rev "), sid, F.lit("\n"), base).alias("content"),
+    )
+
+
+def _code_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """History→HEAD collapse (The Stack v2's latest-revision rule): one
+    row per (repo, path), the commit sorting last under (commit_ts,
+    commit), plus n_commits — ONE map-side-combined max_by groupBy,
+    deliberately not a window and not a groupBy→join-back, so the
+    shuffle carries at most one content payload per live file per map
+    partition (operators/code_filters.py::code_latest_snapshot). The
+    oracle replays the selection as a row_number window over the same
+    fixture CTE."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_latest_snapshot
+
+    return code_latest_snapshot(
+        _code_history_fixture(spark, sf_dir), order_col="commit_ts"
+    ).orderBy("repo", "path")
+
+
 def _code_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed Stack-recipe keep verdict: per-file flags ∧
     data-not-code ∧ repo license ∧ near-exact canonical — ONE content
@@ -3736,6 +3777,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_repo_license": _code_repo_license,
         "code_data_flags": _code_data_flags,
         "code_norm_dedup": _code_norm_dedup,
+        "code_latest_snapshot": _code_latest_snapshot,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
         "code_minhash_drop": _code_minhash_drop,
@@ -6651,6 +6693,35 @@ def _code_data_flags_oracle_sql() -> str:
     return "WITH " + _code_data_fixture_cte_sql() + _code_data_flags_body_sql()
 
 
+def _code_latest_snapshot_oracle_sql() -> str:
+    """DuckDB twin of code_latest_snapshot over the history fixture:
+    same (id%7, id%97) family derivation, HEAD = row_number()=1 under
+    ORDER BY (commit_ts, commit) DESC, n_commits as a count window."""
+    return """
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d, lang,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), hist AS (
+          SELECT 'r' || (d % 7)::VARCHAR AS repo,
+                 'src/h' || (d % 97)::VARCHAR || '.py' AS path,
+                 md5('c' || d::VARCHAR) AS "commit",
+                 d AS commit_ts, lang,
+                 'rev ' || d::VARCHAR || chr(10) || base AS content
+          FROM docs
+        ), ranked AS (
+          SELECT *,
+            row_number() OVER (PARTITION BY repo, path
+                               ORDER BY commit_ts DESC, "commit" DESC)
+              AS rn,
+            count(*) OVER (PARTITION BY repo, path) AS n_commits
+          FROM hist
+        )
+        SELECT repo, path, "commit", commit_ts, lang, content, n_commits
+        FROM ranked WHERE rn = 1 ORDER BY repo, path
+    """
+
+
 def _code_norm_dedup_oracle_sql() -> str:
     """DuckDB twin of code_near_exact_dedup: the normalization digest,
     group size, and the min-(path, repo) canonical rule as windows."""
@@ -9293,6 +9364,7 @@ def oracle_sql() -> dict[str, str]:
         "code_repo_license": _code_repo_license_oracle_sql(),
         "code_data_flags": _code_data_flags_oracle_sql(),
         "code_norm_dedup": _code_norm_dedup_oracle_sql(),
+        "code_latest_snapshot": _code_latest_snapshot_oracle_sql(),
         "code_minhash_dedup": _code_minhash_oracle_sql(),
         "code_repo_imports": _code_repo_imports_oracle_sql(),
         "code_minhash_drop": _code_minhash_drop_oracle_sql(),

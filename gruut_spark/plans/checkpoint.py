@@ -71,6 +71,7 @@ def run_with_checkpoints(
     notebook_convert: bool = False,
     near_dedup: bool = False,
     encoding_filter: bool = False,
+    latest_snapshot: bool = False,
 ) -> Dict[str, dict]:
     """Process all incomplete buckets; returns the final manifest.
 
@@ -82,7 +83,11 @@ def run_with_checkpoints(
     min-id representatives), so completed buckets stay valid. Note the
     documented ordering deviation: near-dedup sees RAW content (the
     scan-stage notebook_convert/prefilter run later, per group), which
-    keeps the digest universe consistent corpus-wide.
+    keeps the digest universe consistent corpus-wide. The same note
+    applies to ``latest_snapshot``: near-dedup sees the FULL history
+    (drop set keyed on (repo, path), so a dropped near-duplicate file
+    is dropped at every commit, consistently with the group-local
+    HEAD collapse that follows).
     """
     manifest = read_manifest(out_dir)
     done = {int(k) for k in manifest}
@@ -109,6 +114,7 @@ def run_with_checkpoints(
             num_partitions=num_partitions, code_prefilter=code_prefilter,
             notebook_convert=notebook_convert,
             encoding_filter=encoding_filter,
+            latest_snapshot=latest_snapshot,
         )
         # the fused stage passes through only the input_hint columns;
         # the bucket is deterministic from (repo, path), so recompute it

@@ -223,8 +223,19 @@ def build_pipeline(
     code_prefilter: bool = False,
     notebook_convert: bool = False,
     encoding_filter: bool = False,
+    latest_snapshot: bool = False,
 ) -> DataFrame:
     """Full staged plan (no action triggered).
+
+    ``latest_snapshot=True`` collapses a multi-commit history to one
+    row per (repo, path) — the HEAD commit — before any other stage
+    (operators/code_filters.py::code_latest_snapshot): filtering or
+    scoring stale revisions wastes everything downstream. Runs first
+    because it defines WHICH bytes the snapshot contains; the other
+    scan-stage gates then judge only surviving rows. Group-local is
+    corpus-correct under the resume bucketing (see the operator
+    docstring). One bounded exchange: at most one payload per live
+    file per map partition (map-side max_by combine).
 
     ``encoding_filter=True`` drops binary-ish rows (NUL bytes, C0
     control-char ratio, U+FFFD mojibake ratio — operators/
@@ -255,6 +266,10 @@ def build_pipeline(
     # lineage must be captured at scan time: input_file_name() is empty
     # once rows have crossed the salt shuffle
     files = files.withColumn("_source_file", F.input_file_name())
+    if latest_snapshot:
+        from ..operators.code_filters import code_latest_snapshot
+
+        files = code_latest_snapshot(files, with_count=False)
     if encoding_filter:
         from ..operators.code_filters import code_encoding_keep_predicate
 

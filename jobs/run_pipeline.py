@@ -47,6 +47,13 @@ def main() -> None:
                     help="drop binary-ish rows (NUL bytes, control-char "
                          "or U+FFFD ratio) in the scan stage, before "
                          "anything else")
+    ap.add_argument("--latest-snapshot", action="store_true",
+                    help="collapse multi-commit histories to one row "
+                         "per (repo, path) — the HEAD commit — before "
+                         "any filtering (The Stack v2's latest-revision "
+                         "rule); group-local per resume bucket, which "
+                         "is corpus-correct since buckets key on "
+                         "(repo, path)")
     ap.add_argument("--near-dedup", action="store_true",
                     help="drop per-language MinHash near-duplicates "
                          "(The Stack stage 3) corpus-wide before "
@@ -76,6 +83,7 @@ def main() -> None:
         notebook_convert=args.notebook_convert,
         near_dedup=args.near_dedup,
         encoding_filter=args.encoding_filter,
+        latest_snapshot=args.latest_snapshot,
     )
     total = sum(m["rows"] for m in manifest.values())
     print(f"done: {len(manifest)} buckets, {total} rows -> {args.output}")
