@@ -1,0 +1,82 @@
+"""Cross-batch latest-snapshot maintenance (streaming face of
+``operators/code_filters.py::code_latest_snapshot``).
+
+Incremental ingest of a commit-history table: each arriving row is a
+(file, commit) version, and the corpus wants only the HEAD per
+(repo, path). With ``applyInPandasWithState`` keyed by (repo, path) the
+state per key is just the best (order, commit) seen so far — ~50 bytes,
+the minimum any keep-latest can hold — and the output is an UPSERT
+CHANGELOG: a row is emitted whenever a key's HEAD advances, so the last
+emitted row per key IS the batch operator's answer (a downstream sink
+applies it as a MERGE/upsert; append-mode streams cannot retract the
+superseded row — documented, inherent divergence from the batch
+collapse, same class as the first-arrival note on
+``streaming_code_near_dedup``).
+
+Ordering contract matches the batch operator exactly: a candidate wins
+iff its (order, commit) tuple is strictly greater than the state's, with
+the commit string as the tie-break — so feeding the same rows in ANY
+batch split yields the same final HEAD per key
+(tests/test_code_filters.py::test_streaming_latest_snapshot).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+LATEST_STATE_SCHEMA = "best_ts long, best_commit string"
+LATEST_OUTPUT_SCHEMA = (
+    "repo string, path string, commit string, commit_ts long, "
+    "lang string, content string"
+)
+
+
+def _latest_fn(
+    key: Tuple[str, str], batches: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    """Emit the new HEAD row iff this batch's best (commit_ts, commit)
+    beats the stored one; update state either way it advances."""
+    best = None
+    for pdf in batches:
+        if pdf.empty:
+            continue
+        cand = pdf.sort_values(["commit_ts", "commit"]).iloc[-1]
+        if best is None or (cand.commit_ts, cand.commit) > (
+            best.commit_ts,
+            best.commit,
+        ):
+            best = cand
+    if best is None:
+        return
+    if state.exists:
+        ts, commit = state.get
+        if (best.commit_ts, best.commit) <= (ts, commit):
+            return
+    state.update((int(best.commit_ts), str(best.commit)))
+    yield pd.DataFrame(
+        {
+            "repo": [key[0]],
+            "path": [key[1]],
+            "commit": [str(best.commit)],
+            "commit_ts": [int(best.commit_ts)],
+            "lang": [str(best.lang)],
+            "content": [str(best.content)],
+        }
+    )
+
+
+def streaming_latest_snapshot(stream: DataFrame) -> DataFrame:
+    """stream: (repo, path, commit, commit_ts, lang, content) -> upsert
+    changelog of HEAD rows per (repo, path) across all micro-batches."""
+    return stream.groupBy("repo", "path").applyInPandasWithState(
+        _latest_fn,
+        outputStructType=LATEST_OUTPUT_SCHEMA,
+        stateStructType=LATEST_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
