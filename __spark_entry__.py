@@ -1808,6 +1808,35 @@ def _code_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo", "path")
 
 
+def _code_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Code-aware benchmark decontamination (The Stack / StarCoder ship
+    step): both sides normalized with the near-dedup family's
+    lowercase/alnum-collapse BEFORE 10-gram shingling, so a benchmark
+    solution that leaked into the corpus with different punctuation
+    spacing still collides (operators/code_filters.py::
+    code_decontaminate; shingle machinery = corpus.decontaminate with
+    its broadcast md5-key join). Fixture: the benchmark side is the
+    same text with ', ' injected after every planted token — a plain
+    word-shingle decontaminator sees disjoint tokens; the normalized
+    one matches. The oracle replays normalization, shingling, the
+    broadcast join and the left join-back."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import code_decontaminate
+
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    docs = _read(spark, sf_dir, "documents")
+    files = docs.select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("src/q"), d.cast("string"), F.lit(".py")).alias("path"),
+        F.replace(raw, F.lit(" value "), F.lit("\n")).alias("content"),
+    )
+    bench = docs.filter(d % 97 == 0).select(
+        F.replace(raw, F.lit(" value "), F.lit(" value, ")).alias("content")
+    )
+    return code_decontaminate(files, bench).orderBy("path")
+
+
 def _code_curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed Stack-recipe keep verdict: per-file flags ∧
     data-not-code ∧ repo license ∧ near-exact canonical — ONE content
@@ -3778,6 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_data_flags": _code_data_flags,
         "code_norm_dedup": _code_norm_dedup,
         "code_latest_snapshot": _code_latest_snapshot,
+        "code_decontaminate": _code_decontaminate,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
         "code_minhash_drop": _code_minhash_drop,
@@ -6722,6 +6752,60 @@ def _code_latest_snapshot_oracle_sql() -> str:
     """
 
 
+def _code_decontaminate_oracle_sql() -> str:
+    """DuckDB twin of code_decontaminate: the lowercase/alnum-collapse
+    normalization, distinct 10-gram md5 shingles on both sides, the
+    bench join and the zero-filled left join-back. Same list-
+    comprehension shingle pattern as the doc_decontaminate oracle."""
+    return r"""
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d, coalesce(text, '') AS raw
+          FROM documents
+        ), files AS (
+          SELECT 'r' || (d % 7)::VARCHAR AS repo,
+                 'src/q' || d::VARCHAR || '.py' AS path,
+                 trim(regexp_replace(
+                   lower(replace(raw, ' value ', chr(10))),
+                   '[^a-z0-9_]+', ' ', 'g')) AS norm
+          FROM docs
+        ), bench AS (
+          SELECT trim(regexp_replace(
+                   lower(replace(raw, ' value ', ' value, ')),
+                   '[^a-z0-9_]+', ' ', 'g')) AS norm
+          FROM docs WHERE d % 97 = 0
+        ), ftoks AS (
+          SELECT repo, path, regexp_split_to_array(norm, '\s+') AS t
+          FROM files
+        ), btoks AS (
+          SELECT regexp_split_to_array(norm, '\s+') AS t FROM bench
+        ), fgrams AS (
+          SELECT repo, path,
+                 unnest(list_distinct([
+                     md5(array_to_string(t[i:i+9], ' '))
+                     FOR i IN range(1, greatest(len(t) - 8, 1))
+                 ])) AS gram_key
+          FROM ftoks
+        ), bgrams AS (
+          SELECT DISTINCT
+                 unnest(list_distinct([
+                     md5(array_to_string(t[i:i+9], ' '))
+                     FOR i IN range(1, greatest(len(t) - 8, 1))
+                 ])) AS gram_key
+          FROM btoks
+        ), hits AS (
+          SELECT repo, path, count(*) AS n
+          FROM fgrams JOIN bgrams USING (gram_key)
+          GROUP BY repo, path
+        )
+        SELECT f.repo, f.path,
+               coalesce(h.n, 0)::BIGINT AS n_contaminated_shingles,
+               (coalesce(h.n, 0) >= 1) AS is_contaminated
+        FROM files f LEFT JOIN hits h
+          ON h.repo = f.repo AND h.path = f.path
+        ORDER BY f.path
+    """
+
+
 def _code_norm_dedup_oracle_sql() -> str:
     """DuckDB twin of code_near_exact_dedup: the normalization digest,
     group size, and the min-(path, repo) canonical rule as windows."""
@@ -9365,6 +9449,7 @@ def oracle_sql() -> dict[str, str]:
         "code_data_flags": _code_data_flags_oracle_sql(),
         "code_norm_dedup": _code_norm_dedup_oracle_sql(),
         "code_latest_snapshot": _code_latest_snapshot_oracle_sql(),
+        "code_decontaminate": _code_decontaminate_oracle_sql(),
         "code_minhash_dedup": _code_minhash_oracle_sql(),
         "code_repo_imports": _code_repo_imports_oracle_sql(),
         "code_minhash_drop": _code_minhash_drop_oracle_sql(),
