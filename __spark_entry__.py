@@ -2740,6 +2740,25 @@ def _code_repo_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+def _code_fork_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level fork-dedup verdict: fork families = connected
+    components over the is_fork pair graph (same fixture and pair chain
+    as code_repo_forks), keep = the family member with the most files,
+    ties to the lexicographically first repo
+    (operators/code_analysis.py::repo_fork_dedup — min-label
+    propagation + pointer doubling over repo-name labels; every frame
+    after the pair stage is repo-granularity). The oracle replays the
+    pair chain, a recursive reachability closure, and the rep window."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import repo_fork_dedup
+
+    return repo_fork_dedup(
+        _code_fork_fixture(spark, sf_dir),
+        threshold=0.5,
+        max_repos_per_digest=8,
+    ).orderBy("repo")
+
+
 def _doc_moore_lewis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Moore-Lewis cross-entropy-difference selection (Moore & Lewis
     2010): two add-alpha bigram LMs trained IN-QUERY (target = the
@@ -3808,6 +3827,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_norm_dedup": _code_norm_dedup,
         "code_latest_snapshot": _code_latest_snapshot,
         "code_decontaminate": _code_decontaminate,
+        "code_fork_dedup": _code_fork_dedup,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
         "code_minhash_drop": _code_minhash_drop,
@@ -7526,6 +7546,79 @@ def _code_repo_forks_oracle_sql() -> str:
     """
 
 
+def _code_fork_dedup_oracle_sql() -> str:
+    """DuckDB twin of repo_fork_dedup over the fork fixture: the
+    code_repo_forks pair chain thresholded at is_fork, undirected
+    transitive closure via a recursive reachability CTE (the
+    code_minhash_drop pattern), representative = max total files /
+    lexicographic tie-break as a window, untouched repos keep
+    trivially via the left join."""
+    return """
+        WITH RECURSIVE docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 CASE WHEN doc_id % 50 = 0 THEN '__COMMON_HEADER__'
+                      ELSE replace(coalesce(text, ''), ' value ', chr(10))
+                      END AS content
+          FROM documents
+        ), files AS (
+          SELECT 'r' || (d % 9)::VARCHAR AS repo, content FROM docs
+          UNION ALL
+          SELECT 'r2f', content FROM docs WHERE d % 9 = 2 AND d % 5 <> 0
+          UNION ALL
+          SELECT 'r5f', content FROM docs WHERE d % 9 = 5 AND d % 4 = 0
+        ), dg AS (
+          SELECT DISTINCT repo, md5(coalesce(content, '')) AS digest
+          FROM files
+        ), keepd AS (
+          SELECT digest FROM dg GROUP BY digest HAVING count(*) <= 8
+        ), narrow AS (
+          SELECT dg.repo, dg.digest FROM dg JOIN keepd USING (digest)
+        ), capped AS (
+          SELECT repo, count(*) AS n_capped FROM narrow GROUP BY repo
+        ), pairs AS (
+          SELECT a.repo AS repo_a, b.repo AS repo_b, count(*) AS shared
+          FROM narrow a
+          JOIN narrow b ON a.digest = b.digest AND a.repo < b.repo
+          GROUP BY 1, 2
+        ), cand AS (
+          SELECT repo_a, repo_b
+          FROM pairs
+          JOIN capped sa ON sa.repo = pairs.repo_a
+          JOIN capped sb ON sb.repo = pairs.repo_b
+          WHERE round(shared / (sa.n_capped + sb.n_capped - shared), 6)
+                >= 0.5
+        ), und AS (
+          SELECT repo_a AS s, repo_b AS d FROM cand
+          UNION SELECT repo_b, repo_a FROM cand
+        ), nodes AS (SELECT DISTINCT s AS node FROM und),
+        reach(node, r) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT reach.node, und.d FROM reach JOIN und ON und.s = reach.r
+        ),
+        clus AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+        total AS (SELECT repo, count(*) AS n_files FROM files GROUP BY repo),
+        mem AS (
+          SELECT c.node AS repo, c.cluster_id, t.n_files
+          FROM clus c JOIN total t ON t.repo = c.node
+        ), reps AS (
+          SELECT cluster_id, repo AS rep FROM (
+            SELECT cluster_id, repo,
+              row_number() OVER (PARTITION BY cluster_id
+                                 ORDER BY n_files DESC, repo) AS rn
+            FROM mem
+          ) WHERE rn = 1
+        )
+        SELECT t.repo, t.n_files::BIGINT AS n_files,
+               coalesce(r.rep, t.repo) AS family_rep,
+               (coalesce(r.rep, t.repo) = t.repo) AS is_kept
+        FROM total t
+        LEFT JOIN mem m ON m.repo = t.repo
+        LEFT JOIN reps r ON r.cluster_id = m.cluster_id
+        ORDER BY t.repo
+    """
+
+
 def _code_repo_langs_oracle_sql() -> str:
     """DuckDB twin of operators/code_analysis.py::repo_language_stats
     over the shared files fixture: two-level aggregation, the dominant
@@ -9450,6 +9543,7 @@ def oracle_sql() -> dict[str, str]:
         "code_norm_dedup": _code_norm_dedup_oracle_sql(),
         "code_latest_snapshot": _code_latest_snapshot_oracle_sql(),
         "code_decontaminate": _code_decontaminate_oracle_sql(),
+        "code_fork_dedup": _code_fork_dedup_oracle_sql(),
         "code_minhash_dedup": _code_minhash_oracle_sql(),
         "code_repo_imports": _code_repo_imports_oracle_sql(),
         "code_minhash_drop": _code_minhash_drop_oracle_sql(),

@@ -672,3 +672,70 @@ def code_path_class(files: DataFrame) -> DataFrame:
         F.col("path"),
         expr.alias("path_class"),
     )
+
+
+def repo_fork_dedup(
+    files: DataFrame,
+    content_col: str = "content",
+    repo_col: str = "repo",
+    threshold: float = FORK_JACCARD_THRESHOLD,
+    max_repos_per_digest: int = MAX_REPOS_PER_DIGEST,
+) -> DataFrame:
+    """Repo-level fork dedup verdict — the face a curation job consumes
+    on top of ``repo_fork_pairs``: fork families are connected
+    components over the is_fork pair graph, and exactly ONE repo per
+    family is kept — the one with the most files, ties to the
+    lexicographically first name (the "keep the canonical upstream"
+    policy: forks are usually strict subsets, so largest ≈ the
+    original; deterministic across runs and cluster sizes).
+
+    Output: one row per input repo — (repo, n_files, family_rep,
+    is_kept); repos in no fork family keep trivially (family_rep =
+    themselves). ``n_files`` is the repo's TOTAL row count, not the
+    boilerplate-capped digest count pairs are scored on.
+
+    Scale shape: everything after ``repo_fork_pairs`` operates on
+    repo-granularity frames — at 10^12 files the repo table is ~10^8
+    rows and the fork-edge graph far smaller, so the CC iteration
+    (min-label propagation + pointer doubling over repo-name labels)
+    and every join here are dwarfed by the one content scan the pair
+    stage already owns; the verdict join back to ``sizes`` is
+    broadcast-sized.
+    """
+    from .dedup import dedup_clusters
+
+    pairs = repo_fork_pairs(
+        files,
+        content_col=content_col,
+        repo_col=repo_col,
+        threshold=threshold,
+        max_repos_per_digest=max_repos_per_digest,
+    )
+    edges = pairs.where(F.col("is_fork")).select(
+        F.col("repo_a").alias("id_a"), F.col("repo_b").alias("id_b")
+    )
+    clusters = dedup_clusters(edges).select(
+        F.col("member_id").alias("repo"), F.col("cluster_id")
+    )
+    sizes = files.groupBy(F.col(repo_col).alias("repo")).agg(
+        F.count("*").alias("n_files")
+    )
+    reps = (
+        clusters.join(sizes, "repo")
+        .groupBy("cluster_id")
+        .agg(
+            F.expr("min_by(repo, struct(-n_files, repo))").alias("_rep")
+        )
+    )
+    return (
+        sizes.join(clusters, "repo", "left")
+        .join(reps, "cluster_id", "left")
+        .select(
+            "repo",
+            "n_files",
+            F.coalesce(F.col("_rep"), F.col("repo")).alias("family_rep"),
+            (
+                F.coalesce(F.col("_rep"), F.col("repo")) == F.col("repo")
+            ).alias("is_kept"),
+        )
+    )

@@ -839,3 +839,54 @@ def test_code_path_class_plan_shape(spark):
     )
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_repo_fork_dedup_keeps_largest(spark):
+    """Fork family {rA, rB} keeps rA (more files); rC (below threshold)
+    and license-only rD keep trivially as their own representatives;
+    every input repo appears exactly once in the verdict."""
+    from gruut_spark.operators.code_analysis import repo_fork_dedup
+
+    def f(repo, i):
+        return (repo, f"f{i}", "c", "py", f"content-{i}\n")
+
+    lic = [(f"r{r}", "LICENSE", "c", "", "MIT boilerplate") for r in "ABCD"]
+    rows = (
+        [f("rA", i) for i in range(1, 6)]
+        + [f("rB", i) for i in range(1, 5)]
+        + [f("rC", 1), ("rC", "x", "c", "py", "unique\n")]
+        + lic
+    )
+    out = {
+        r["repo"]: r.asDict()
+        for r in repo_fork_dedup(
+            _files(spark, rows), threshold=0.5, max_repos_per_digest=3
+        ).collect()
+    }
+    assert set(out) == {"rA", "rB", "rC", "rD"}
+    # n_files is the TOTAL row count (LICENSE included), not the capped
+    # digest count the Jaccard is scored on
+    assert out["rA"]["n_files"] == 6 and out["rB"]["n_files"] == 5
+    assert out["rA"]["is_kept"] and out["rA"]["family_rep"] == "rA"
+    assert not out["rB"]["is_kept"] and out["rB"]["family_rep"] == "rA"
+    assert out["rC"]["is_kept"] and out["rC"]["family_rep"] == "rC"
+    assert out["rD"]["is_kept"] and out["rD"]["family_rep"] == "rD"
+
+
+def test_repo_fork_dedup_tie_breaks_lexicographic(spark):
+    """Equal-size family members: the lexicographically first repo is
+    the representative."""
+    from gruut_spark.operators.code_analysis import repo_fork_dedup
+
+    rows = [
+        ("rZ", "f1", "c", "py", "same-1\n"),
+        ("rZ", "f2", "c", "py", "same-2\n"),
+        ("rM", "f1", "c", "py", "same-1\n"),
+        ("rM", "f2", "c", "py", "same-2\n"),
+    ]
+    out = {
+        r["repo"]: r.asDict()
+        for r in repo_fork_dedup(_files(spark, rows)).collect()
+    }
+    assert out["rM"]["is_kept"] and out["rZ"]["family_rep"] == "rM"
+    assert not out["rZ"]["is_kept"]
