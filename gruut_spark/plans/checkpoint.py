@@ -72,6 +72,7 @@ def run_with_checkpoints(
     near_dedup: bool = False,
     encoding_filter: bool = False,
     latest_snapshot: bool = False,
+    decontaminate_df: Optional[DataFrame] = None,
 ) -> Dict[str, dict]:
     """Process all incomplete buckets; returns the final manifest.
 
@@ -100,6 +101,27 @@ def run_with_checkpoints(
         files = (
             files.withColumn("_fid", F.xxhash64(F.col("repo"), F.col("path")))
             .join(drops, "_fid", "left_anti")
+            .drop("_fid")
+        )
+
+    if decontaminate_df is not None:
+        # The Stack's ship step, corpus-wide for the same reason as
+        # near-dedup (a benchmark solution's copies can sit in any
+        # bucket). The drop set is ids-only (contaminated (repo, path)
+        # keys — a ~0 fraction of the corpus) and recomputed
+        # deterministically on resume: normalization, shingling and the
+        # broadcast benchmark join are all pure functions of the data.
+        from ..operators.code_filters import code_decontaminate
+
+        flagged = (
+            code_decontaminate(files, decontaminate_df)
+            .where(F.col("is_contaminated"))
+            .select(F.xxhash64(F.col("repo"), F.col("path")).alias("_fid"))
+            .localCheckpoint()
+        )
+        files = (
+            files.withColumn("_fid", F.xxhash64(F.col("repo"), F.col("path")))
+            .join(flagged, "_fid", "left_anti")
             .drop("_fid")
         )
 

@@ -47,6 +47,13 @@ def main() -> None:
                     help="drop binary-ish rows (NUL bytes, control-char "
                          "or U+FFFD ratio) in the scan stage, before "
                          "anything else")
+    ap.add_argument("--decontaminate", metavar="BENCH_PARQUET",
+                    help="drop files contaminated by an eval suite "
+                         "(parquet with a `content` column) before "
+                         "bucketing — normalized 10-gram shingle "
+                         "overlap, The Stack's ship step; corpus-wide "
+                         "like --near-dedup, drop set recomputed "
+                         "deterministically on resume")
     ap.add_argument("--latest-snapshot", action="store_true",
                     help="collapse multi-commit histories to one row "
                          "per (repo, path) — the HEAD commit — before "
@@ -84,6 +91,11 @@ def main() -> None:
         near_dedup=args.near_dedup,
         encoding_filter=args.encoding_filter,
         latest_snapshot=args.latest_snapshot,
+        decontaminate_df=(
+            spark.read.parquet(args.decontaminate).select("content")
+            if args.decontaminate
+            else None
+        ),
     )
     total = sum(m["rows"] for m in manifest.values())
     print(f"done: {len(manifest)} buckets, {total} rows -> {args.output}")

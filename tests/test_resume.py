@@ -250,3 +250,45 @@ def test_near_dedup_resume_recomputes_drop_set_deterministically(spark, tmp_path
     assert {k: m[k]["committed_at"] for k in before} == before
     got = spark.read.parquet(os.path.join(out_res, "verdicts"))
     assert sorted(tuple(r) for r in got.select(*cols).collect()) == expect
+
+
+def test_decontaminate_drops_leaked_benchmark_files(spark, tmp_path):
+    """--decontaminate semantics: a file containing a benchmark solution
+    with different punctuation spacing is dropped corpus-wide before
+    bucketing; clean rows are byte-identical to a no-flag run."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    base = generate_files(40, seed=11)[["repo", "path", "commit", "lang", "content"]]
+    sol_tokens = [f"bench{i}" for i in range(15)]
+    leaked = "def solve():\n    " + " ".join(sol_tokens) + "\n"
+    bench_form = "def solve( ):  " + ", ".join(sol_tokens)
+    extra = pd.DataFrame(
+        [("rL", "x/leak.py", "c9", "en", leaked)],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    files = spark.createDataFrame(pd.concat([base, extra], ignore_index=True))
+    bench = spark.createDataFrame([(bench_form,)], "content string")
+
+    out_plain = str(tmp_path / "plain")
+    run_with_checkpoints(spark, files, out_plain, n_buckets=4, group_size=1)
+    plain = spark.read.parquet(os.path.join(out_plain, "verdicts"))
+
+    out_dc = str(tmp_path / "dc")
+    run_with_checkpoints(
+        spark, files, out_dc, n_buckets=4, group_size=1,
+        decontaminate_df=bench,
+    )
+    decon = spark.read.parquet(os.path.join(out_dc, "verdicts"))
+
+    paths_plain = {r["path"] for r in plain.select("path").collect()}
+    paths_dc = {r["path"] for r in decon.select("path").collect()}
+    assert "x/leak.py" in paths_plain
+    assert "x/leak.py" not in paths_dc
+    assert paths_plain - paths_dc == {"x/leak.py"}
+    cols = ["repo", "path", "keep", "scrubbed_content"]
+    a = {tuple(r) for r in plain.filter(F.col("path") != "x/leak.py")
+         .select(*cols).collect()}
+    b = {tuple(r) for r in decon.select(*cols).collect()}
+    assert a == b
