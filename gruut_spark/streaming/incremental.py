@@ -58,7 +58,12 @@ def start_pipeline_stream(
     plans/checkpoint.py). ``code_prefilter``/``notebook_convert`` are
     the batch job's scan-stage options (The Stack battery prune and
     ipynb→script conversion) passed through verbatim — streaming and
-    batch stay identical by construction for code corpora too."""
+    batch stay identical by construction for code corpora too. The
+    batch job's cross-document options are deliberately NOT exposed
+    here: a per-micro-batch latest-snapshot or near-dedup would be
+    batch-LOCAL and silently diverge from the corpus-wide semantics;
+    their correct streaming faces are the stateful operators
+    (streaming/stateful_latest.py, stateful_near_dedup.py)."""
     stream = read_files_stream(spark, input_dir)
 
     def _process(batch_df: DataFrame, batch_id: int) -> None:
