@@ -2740,6 +2740,34 @@ def _code_repo_forks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo_a", "repo_b")
 
 
+def _code_chunk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-aligned overlapping windows (context-window prep for long
+    files, chunked at line boundaries so no statement splits
+    mid-token): max_lines=8 / overlap=2 so multi-chunk files are common
+    at sf0.01 (operators/code_analysis.py::code_chunk_lines — split →
+    sequence → posexplode → slice, zero Python, zero Exchange). The
+    oracle replays the integer chunk-count formula, the per-chunk list
+    slices and the newline re-join."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import code_chunk_lines
+
+    d = F.col("doc_id")
+    base = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" value "), F.lit("\n")
+    )
+    # base is 1-8 lines at sf0.01; tripling it (up to 26 lines) makes
+    # multi-chunk files common so the stride/overlap logic fires
+    long = F.concat(base, F.lit("\n"), base, F.lit("\n"), base)
+    files = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("src/k"), d.cast("string"), F.lit(".py")).alias("path"),
+        long.alias("content"),
+    )
+    return code_chunk_lines(files, max_lines=8, overlap=2).orderBy(
+        "path", "chunk_id"
+    )
+
+
 def _code_fork_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-level fork-dedup verdict: fork families = connected
     components over the is_fork pair graph (same fixture and pair chain
@@ -3828,6 +3856,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_latest_snapshot": _code_latest_snapshot,
         "code_decontaminate": _code_decontaminate,
         "code_fork_dedup": _code_fork_dedup,
+        "code_chunk_lines": _code_chunk_lines,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
         "code_minhash_drop": _code_minhash_drop,
@@ -7619,6 +7648,41 @@ def _code_fork_dedup_oracle_sql() -> str:
     """
 
 
+def _code_chunk_lines_oracle_sql() -> str:
+    """DuckDB twin of code_chunk_lines (max_lines=8, overlap=2, step=6):
+    same integer chunk-count formula, 1-based inclusive list slices
+    (clamped at the end exactly like Spark's length-capped slice), and
+    the newline re-join."""
+    return """
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS content
+          FROM documents
+        ), files AS (
+          SELECT 'r' || (d % 7)::VARCHAR AS repo,
+                 'src/k' || d::VARCHAR || '.py' AS path,
+                 string_split(
+                   content || chr(10) || content || chr(10) || content,
+                   chr(10)) AS t
+          FROM docs
+        ), sized AS (
+          SELECT repo, path, t,
+                 1 + CAST(ceil(greatest(len(t) - 8, 0) / 6.0) AS INT) AS k
+          FROM files
+        ), chunks AS (
+          SELECT repo, path, t, unnest(range(k))::INT AS chunk_id
+          FROM sized
+        )
+        SELECT repo, path, chunk_id,
+               (chunk_id * 6 + 1)::INT AS first_line,
+               len(t[chunk_id*6 + 1 : chunk_id*6 + 8])::INT
+                 AS n_chunk_lines,
+               array_to_string(t[chunk_id*6 + 1 : chunk_id*6 + 8], chr(10))
+                 AS chunk
+        FROM chunks ORDER BY path, chunk_id
+    """
+
+
 def _code_repo_langs_oracle_sql() -> str:
     """DuckDB twin of operators/code_analysis.py::repo_language_stats
     over the shared files fixture: two-level aggregation, the dominant
@@ -9544,6 +9608,7 @@ def oracle_sql() -> dict[str, str]:
         "code_latest_snapshot": _code_latest_snapshot_oracle_sql(),
         "code_decontaminate": _code_decontaminate_oracle_sql(),
         "code_fork_dedup": _code_fork_dedup_oracle_sql(),
+        "code_chunk_lines": _code_chunk_lines_oracle_sql(),
         "code_minhash_dedup": _code_minhash_oracle_sql(),
         "code_repo_imports": _code_repo_imports_oracle_sql(),
         "code_minhash_drop": _code_minhash_drop_oracle_sql(),

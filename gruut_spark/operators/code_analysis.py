@@ -739,3 +739,56 @@ def repo_fork_dedup(
             ).alias("is_kept"),
         )
     )
+
+
+def code_chunk_lines(
+    files: DataFrame,
+    max_lines: int = 64,
+    overlap: int = 16,
+    content_col: str = "content",
+) -> DataFrame:
+    """Line-aligned overlapping windows over long files — the
+    context-window preprocessing code-LLM pipelines apply when a file
+    exceeds the training sequence budget (chunk at LINE boundaries so
+    no statement is split mid-token; overlap preserves cross-boundary
+    context). Complements ``operators/packing.py``'s character-offset
+    chunking with the code-native axis.
+
+    Contract (integer arithmetic, mirrored exactly in the oracle):
+    ``step = max_lines - overlap``; a file of n lines emits
+    ``k = 1 + ceil(max(n - max_lines, 0) / step)`` chunks starting at
+    0, step, 2*step, … — the last chunk always reaches line n, and no
+    degenerate trailing window fully contained in its predecessor is
+    emitted. Trailing-newline files carry their final empty split
+    element, identically in both engines.
+
+    Scale shape: split → sequence → posexplode → slice/array_join is
+    pure Catalyst — zero Python, zero Exchange (explode is
+    in-partition); the operator fuses into the content scan and output
+    volume is bounded by total_lines/step ≈ corpus lines over the
+    stride.
+    """
+    if overlap >= max_lines:
+        raise ValueError("overlap must be < max_lines")
+    step = max_lines - overlap
+    lines = F.split(F.coalesce(F.col(content_col), F.lit("")), "\n")
+    n = F.size(lines)
+    k = F.lit(1) + F.ceil(
+        F.greatest(n - F.lit(max_lines), F.lit(0)) / F.lit(step)
+    ).cast("int")
+    starts = F.sequence(F.lit(0), (k - F.lit(1)) * F.lit(step), F.lit(step))
+    exploded = files.select(
+        F.col("repo"),
+        F.col("path"),
+        lines.alias("_lines"),
+        F.posexplode(starts).alias("chunk_id", "_start"),
+    )
+    piece = F.slice(F.col("_lines"), F.col("_start") + 1, max_lines)
+    return exploded.select(
+        "repo",
+        "path",
+        "chunk_id",
+        (F.col("_start") + 1).alias("first_line"),
+        F.size(piece).alias("n_chunk_lines"),
+        F.array_join(piece, "\n").alias("chunk"),
+    )

@@ -890,3 +890,51 @@ def test_repo_fork_dedup_tie_breaks_lexicographic(spark):
     }
     assert out["rM"]["is_kept"] and out["rZ"]["family_rep"] == "rM"
     assert not out["rZ"]["is_kept"]
+
+
+def test_code_chunk_lines_windows_and_overlap(spark):
+    """20 lines at max_lines=8/overlap=2 (step 6): chunks start at lines
+    1/7/13, the last reaches line 20, adjacent chunks share exactly the
+    2-line overlap, and re-joining strides reconstructs the file."""
+    from gruut_spark.operators.code_analysis import code_chunk_lines
+
+    lines = [f"L{i}" for i in range(1, 21)]
+    files = _files(spark, [("r0", "a.py", "c", "py", "\n".join(lines))])
+    out = sorted(
+        code_chunk_lines(files, max_lines=8, overlap=2).collect(),
+        key=lambda r: r["chunk_id"],
+    )
+    assert [(r["first_line"], r["n_chunk_lines"]) for r in out] == [
+        (1, 8), (7, 8), (13, 8),
+    ]
+    c0, c1 = out[0]["chunk"].split("\n"), out[1]["chunk"].split("\n")
+    assert c0[-2:] == c1[:2]  # the 2-line overlap
+    recon = c0 + c1[2:] + out[2]["chunk"].split("\n")[2:]
+    assert recon == lines
+
+
+def test_code_chunk_lines_short_file_single_chunk(spark):
+    from gruut_spark.operators.code_analysis import code_chunk_lines
+
+    files = _files(spark, [("r0", "s.py", "c", "py", "a\nb\nc")])
+    out = code_chunk_lines(files, max_lines=8, overlap=2).collect()
+    assert len(out) == 1
+    assert out[0]["chunk"] == "a\nb\nc" and out[0]["n_chunk_lines"] == 3
+
+
+def test_code_chunk_lines_trailing_newline_and_plan(spark):
+    """A trailing newline contributes its empty split element (line
+    count parity with the oracle); the plan has no Exchange and no
+    Python eval node."""
+    from gruut_spark.operators.code_analysis import code_chunk_lines
+
+    files = _files(spark, [("r0", "t.py", "c", "py", "a\nb\n")])
+    df = code_chunk_lines(files, max_lines=8, overlap=2)
+    out = df.collect()
+    assert out[0]["n_chunk_lines"] == 3 and out[0]["chunk"] == "a\nb\n"
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Python" not in plan
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        code_chunk_lines(files, max_lines=4, overlap=4)
