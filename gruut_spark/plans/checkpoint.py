@@ -73,6 +73,7 @@ def run_with_checkpoints(
     encoding_filter: bool = False,
     latest_snapshot: bool = False,
     decontaminate_df: Optional[DataFrame] = None,
+    fork_dedup: bool = False,
 ) -> Dict[str, dict]:
     """Process all incomplete buckets; returns the final manifest.
 
@@ -124,6 +125,22 @@ def run_with_checkpoints(
             .join(flagged, "_fid", "left_anti")
             .drop("_fid")
         )
+
+    if fork_dedup:
+        # Corpus-wide for the strongest reason of all: fork families are
+        # REPO-level structure, invisible inside any single bucket. The
+        # drop side is one repo name per non-kept repo (tiny, broadcast
+        # anti-join) and deterministic on resume (digest Jaccard + CC +
+        # keep-largest are pure functions of the data).
+        from ..operators.code_analysis import repo_fork_dedup
+
+        dropped_repos = (
+            repo_fork_dedup(files)
+            .where(~F.col("is_kept"))
+            .select("repo")
+            .localCheckpoint()
+        )
+        files = files.join(F.broadcast(dropped_repos), "repo", "left_anti")
 
     bucketed = with_bucket(files, n_buckets)
 

@@ -54,6 +54,12 @@ def main() -> None:
                          "overlap, The Stack's ship step; corpus-wide "
                          "like --near-dedup, drop set recomputed "
                          "deterministically on resume")
+    ap.add_argument("--fork-dedup", action="store_true",
+                    help="drop every file of non-kept fork-family repos "
+                         "(repo-level digest-set Jaccard -> connected "
+                         "components -> keep the largest member) before "
+                         "bucketing; corpus-wide because fork structure "
+                         "is invisible inside a bucket")
     ap.add_argument("--latest-snapshot", action="store_true",
                     help="collapse multi-commit histories to one row "
                          "per (repo, path) — the HEAD commit — before "
@@ -91,6 +97,7 @@ def main() -> None:
         near_dedup=args.near_dedup,
         encoding_filter=args.encoding_filter,
         latest_snapshot=args.latest_snapshot,
+        fork_dedup=args.fork_dedup,
         decontaminate_df=(
             spark.read.parquet(args.decontaminate).select("content")
             if args.decontaminate

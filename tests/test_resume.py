@@ -292,3 +292,41 @@ def test_decontaminate_drops_leaked_benchmark_files(spark, tmp_path):
          .select(*cols).collect()}
     b = {tuple(r) for r in decon.select(*cols).collect()}
     assert a == b
+
+
+def test_fork_dedup_drops_forked_repo_wholesale(spark, tmp_path):
+    """--fork-dedup semantics: every file of the smaller fork-family
+    member disappears; the kept repo and unrelated repos are
+    byte-identical to a no-flag run."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    base = generate_files(40, seed=13)[["repo", "path", "commit", "lang", "content"]]
+    shared = [f"shared content {i}\n" * 2 for i in range(6)]
+    fork_rows = (
+        [("rBig", f"f{i}.py", "c", "en", shared[i]) for i in range(6)]
+        + [("rFork", f"f{i}.py", "c", "en", shared[i]) for i in range(5)]
+    )
+    extra = pd.DataFrame(
+        fork_rows, columns=["repo", "path", "commit", "lang", "content"]
+    )
+    files = spark.createDataFrame(pd.concat([base, extra], ignore_index=True))
+
+    out_plain = str(tmp_path / "plain")
+    run_with_checkpoints(spark, files, out_plain, n_buckets=4, group_size=1)
+    plain = spark.read.parquet(os.path.join(out_plain, "verdicts"))
+
+    out_fd = str(tmp_path / "fd")
+    run_with_checkpoints(
+        spark, files, out_fd, n_buckets=4, group_size=1, fork_dedup=True
+    )
+    fd = spark.read.parquet(os.path.join(out_fd, "verdicts"))
+
+    repos_fd = {r["repo"] for r in fd.select("repo").distinct().collect()}
+    assert "rFork" not in repos_fd and "rBig" in repos_fd
+    cols = ["repo", "path", "keep", "scrubbed_content"]
+    a = {tuple(r) for r in plain.filter(F.col("repo") != "rFork")
+         .select(*cols).collect()}
+    b = {tuple(r) for r in fd.select(*cols).collect()}
+    assert a == b
