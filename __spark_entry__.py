@@ -1808,6 +1808,57 @@ def _code_latest_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("repo", "path")
 
 
+def _code_manifest_license(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-declared licenses (the license gate's second evidence
+    channel): package.json / pyproject.toml / Cargo.toml / setup.py
+    declarations extracted by basename-selected regexes, rolled up per
+    repo with every-declaration-allowlisted semantics and a
+    deterministic worst-first witness (operators/code_filters.py::
+    manifest_license). Fixture plants all four manifest classes (MIT /
+    GPL / WTFPL by id%3 in package.json, Apache in pyproject, BSD in
+    single-quoted setup.py, ISC in Cargo) plus a license-less
+    package.json that must extract nothing. The oracle replays the
+    basename CASE, the extraction regexes, and the rollup."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import manifest_license
+
+    d = F.col("doc_id")
+    sid = d.cast("string")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    # keyed on the REPO residue so both rollup legs fire: r0 blocked by
+    # copyleft, r1 by an unknown id, r2-r6 all-permissive -> ok=true
+    lic3 = (
+        F.when(d % 7 == 0, F.lit("GPL-3.0-only"))
+        .when(d % 7 == 1, F.lit("WTFPL"))
+        .otherwise(F.lit("MIT"))
+    )
+    path = (
+        F.when(d % 11 == 0, F.concat(F.lit("m"), sid, F.lit("/package.json")))
+        .when(d % 13 == 0, F.concat(F.lit("m"), sid, F.lit("/pyproject.toml")))
+        .when(d % 17 == 0, F.concat(F.lit("m"), sid, F.lit("/setup.py")))
+        .when(d % 19 == 0, F.concat(F.lit("m"), sid, F.lit("/Cargo.toml")))
+        .when(d % 23 == 0, F.concat(F.lit("m"), sid, F.lit("/package.json")))
+        .otherwise(F.concat(F.lit("src/f"), sid, F.lit(".py")))
+    )
+    content = (
+        F.when(
+            d % 11 == 0,
+            F.concat(F.lit('{"name": "p", "license": "'), lic3, F.lit('"}')),
+        )
+        .when(d % 13 == 0, F.lit('[project]\nlicense = "Apache-2.0"\n'))
+        .when(d % 17 == 0, F.lit("setup(\n    license='BSD-3-Clause',\n)\n"))
+        .when(d % 19 == 0, F.lit('[package]\nlicense = "ISC"\n'))
+        .when(d % 23 == 0, F.lit('{"name": "nolicense"}'))
+        .otherwise(raw)
+    )
+    files = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        content.alias("content"),
+    )
+    return manifest_license(files).orderBy("repo")
+
+
 def _code_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Code-aware benchmark decontamination (The Stack / StarCoder ship
     step): both sides normalized with the near-dedup family's
@@ -3857,6 +3908,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_decontaminate": _code_decontaminate,
         "code_fork_dedup": _code_fork_dedup,
         "code_chunk_lines": _code_chunk_lines,
+        "code_manifest_license": _code_manifest_license,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
         "code_minhash_drop": _code_minhash_drop,
@@ -7648,6 +7700,69 @@ def _code_fork_dedup_oracle_sql() -> str:
     """
 
 
+def _code_manifest_license_oracle_sql() -> str:
+    """DuckDB twin of manifest_license over the manifest fixture: same
+    strata CASE order, the SAME basename-selected extraction regexes,
+    and the worst-first / every-allowlisted rollup; the allowlist is
+    interpolated from the SAME module constant."""
+    from gruut_spark.operators.code_filters import LICENSE_ALLOWLIST
+
+    allow = ", ".join(f"'{x}'" for x in LICENSE_ALLOWLIST)
+    return rf"""
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d, coalesce(text, '') AS raw
+          FROM documents
+        ), f AS (
+          SELECT 'r' || (d % 7)::VARCHAR AS repo,
+            CASE WHEN d % 11 = 0 THEN 'm' || d || '/package.json'
+                 WHEN d % 13 = 0 THEN 'm' || d || '/pyproject.toml'
+                 WHEN d % 17 = 0 THEN 'm' || d || '/setup.py'
+                 WHEN d % 19 = 0 THEN 'm' || d || '/Cargo.toml'
+                 WHEN d % 23 = 0 THEN 'm' || d || '/package.json'
+                 ELSE 'src/f' || d || '.py' END AS path,
+            CASE WHEN d % 11 = 0 THEN '{{"name": "p", "license": "' ||
+                   (CASE WHEN d % 7 = 0 THEN 'GPL-3.0-only'
+                         WHEN d % 7 = 1 THEN 'WTFPL'
+                         ELSE 'MIT' END) || '"}}'
+                 WHEN d % 13 = 0 THEN '[project]' || chr(10) ||
+                   'license = "Apache-2.0"' || chr(10)
+                 WHEN d % 17 = 0 THEN 'setup(' || chr(10) ||
+                   '    license=''BSD-3-Clause'',' || chr(10) || ')'
+                   || chr(10)
+                 WHEN d % 19 = 0 THEN '[package]' || chr(10) ||
+                   'license = "ISC"' || chr(10)
+                 WHEN d % 23 = 0 THEN '{{"name": "nolicense"}}'
+                 ELSE raw END AS content
+          FROM docs
+        ), ext AS (
+          SELECT repo,
+            CASE regexp_extract(path, '([^/]+)$', 1)
+              WHEN 'package.json' THEN
+                regexp_extract(content, '"license"\s*:\s*"([^"]+)"', 1)
+              WHEN 'pyproject.toml' THEN
+                regexp_extract(content, 'license\s*=\s*"([^"]+)"', 1)
+              WHEN 'Cargo.toml' THEN
+                regexp_extract(content, 'license\s*=\s*"([^"]+)"', 1)
+              WHEN 'setup.py' THEN
+                regexp_extract(content,
+                  'license\s*=\s*["'']([^"'']+)["'']', 1)
+              ELSE '' END AS lic
+          FROM f
+        ), hits AS (SELECT repo, lic FROM ext WHERE lic <> ''),
+        agg AS (
+          SELECT repo, count(*) AS n_manifests,
+            min(CASE WHEN lic NOT IN ({allow}) THEN lic END) AS worst,
+            min(lic) AS first,
+            min(CASE WHEN lic IN ({allow}) THEN 1 ELSE 0 END) AS all_ok
+          FROM hits GROUP BY repo
+        )
+        SELECT repo, n_manifests,
+               coalesce(worst, first) AS manifest_license,
+               (all_ok = 1) AS manifest_license_ok
+        FROM agg ORDER BY repo
+    """
+
+
 def _code_chunk_lines_oracle_sql() -> str:
     """DuckDB twin of code_chunk_lines (max_lines=8, overlap=2, step=6):
     same integer chunk-count formula, 1-based inclusive list slices
@@ -9609,6 +9724,7 @@ def oracle_sql() -> dict[str, str]:
         "code_decontaminate": _code_decontaminate_oracle_sql(),
         "code_fork_dedup": _code_fork_dedup_oracle_sql(),
         "code_chunk_lines": _code_chunk_lines_oracle_sql(),
+        "code_manifest_license": _code_manifest_license_oracle_sql(),
         "code_minhash_dedup": _code_minhash_oracle_sql(),
         "code_repo_imports": _code_repo_imports_oracle_sql(),
         "code_minhash_drop": _code_minhash_drop_oracle_sql(),
