@@ -2819,6 +2819,92 @@ def _code_chunk_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_fim_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fill-in-the-middle training transform (Bavarian et al. 2022;
+    StarCoder sec. 5 applies it to 50% of samples): a deterministic
+    md5-derived 50% of files are rewritten into
+    <fim_prefix>P<fim_suffix>S<fim_middle>M (PSM) or the joined SPM
+    variant, cut points md5-derived per file
+    (operators/code_training.py::fim_transform — one zero-shuffle
+    zero-Python Catalyst projection). The oracle replays the hash
+    decisions, both cut points and both layouts character-exactly."""
+    _configure(spark)
+    from gruut_spark.operators.code_training import fim_transform
+
+    return fim_transform(
+        _code_files_fixture(spark, sf_dir), rate_pct=50, psm_pct=50
+    ).orderBy("path")
+
+
+def _code_repo_context(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-level context concatenation (StarCoder2 sec. 4: train on
+    whole-repo context, not isolated files): files sorted by path,
+    rendered as <file_sep>{path}\\n{content[:400]}, first 16 per repo
+    concatenated after <repo_name>{repo}
+    (operators/code_training.py::repo_context_concat — pieces truncated
+    map-side so only capped text crosses the ONE repo-keyed Exchange;
+    the max_files slice bounds reducer output regardless of repo
+    size). Oracle: row_number cap + string_agg ORDER BY path."""
+    _configure(spark)
+    from gruut_spark.operators.code_training import repo_context_concat
+
+    return repo_context_concat(
+        _code_files_fixture(spark, sf_dir), max_file_chars=400, max_files=16
+    ).orderBy("repo")
+
+
+def _code_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-file repetition gate restated for code:
+    duplicate-line fraction and dominant-line share over non-empty
+    trimmed lines (operators/code_training.py::repetition_flags — pure
+    Catalyst array ops, zero Exchange, zero Python). Relational twin of
+    the zlib compression gate (code_compression_flags); the oracle
+    replays the line pipeline with list_transform/list_filter/
+    list_distinct and the same rounded thresholds."""
+    _configure(spark)
+    from gruut_spark.operators.code_training import repetition_flags
+
+    d = F.col("doc_id")
+    base = F.replace(
+        F.coalesce(F.col("text"), F.lit("")), F.lit(" value "), F.lit("\n")
+    )
+    # plant repeated-line pathology on id%23 (repeat the first line 6x)
+    # so both thresholds fire non-vacuously at sf0.01
+    first_line = F.split(base, "\n").getItem(0)
+    content = F.when(
+        d % 23 == 0,
+        F.concat(
+            F.array_join(
+                F.array_repeat(first_line, 6), "\n"
+            ),
+            F.lit("\n"),
+            base,
+        ),
+    ).otherwise(base)
+    files = _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        F.concat(F.lit("src/q"), d.cast("string"), F.lit(".py")).alias("path"),
+        content.alias("content"),
+    )
+    return repetition_flags(files).orderBy("path")
+
+
+def _code_compression_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CodeParrot/BigCode zlib compressibility gate: zlib(9) size over
+    raw UTF-8 size, drop below min_ratio
+    (operators/code_training.py::compression_flags — ONE mapInPandas
+    stage emitting scalars only; content never leaves the stage).
+    Rows-only: zlib has no SQL twin (the compressed length depends on
+    the linked zlib build); exact-ratio literals are unit-pinned
+    (tests/test_code_training.py::test_compression_flags_exact) and
+    code_repetition_flags is the value-oracled relational twin catching
+    the same repetition pathology."""
+    _configure(spark)
+    from gruut_spark.operators.code_training import compression_flags
+
+    return compression_flags(_code_files_fixture(spark, sf_dir)).orderBy("path")
+
+
 def _code_fork_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-level fork-dedup verdict: fork families = connected
     components over the is_fork pair graph (same fixture and pair chain
@@ -3908,6 +3994,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_decontaminate": _code_decontaminate,
         "code_fork_dedup": _code_fork_dedup,
         "code_chunk_lines": _code_chunk_lines,
+        "code_fim_split": _code_fim_split,
+        "code_repo_context": _code_repo_context,
+        "code_repetition_flags": _code_repetition_flags,
+        "code_compression_flags": _code_compression_flags,
         "code_manifest_license": _code_manifest_license,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
@@ -7798,6 +7888,129 @@ def _code_chunk_lines_oracle_sql() -> str:
     """
 
 
+def _code_fim_split_oracle_sql() -> str:
+    """DuckDB twin of code_fim_split (rate 50 / psm 50): same md5-hex
+    uniforms for the apply/mode decisions and both cut points, same
+    character-indexed substrings, both PSM and joined-SPM layouts."""
+
+    def h(tag: str) -> str:
+        return (
+            "('0x' || substr(md5(repo || chr(31) || path || chr(31) || "
+            f"'{tag}'), 1, 8))::BIGINT"
+        )
+
+    return f"""
+        WITH {_code_files_cte_sql()}, fim AS (
+          SELECT repo, path, content, length(content)::INT AS n,
+            {h('fim?')} % 100 < 50 AS app,
+            {h('fimm')} % 100 < 50 AS psm,
+            {h('fima')} % (length(content) + 1) AS a,
+            {h('fimb')} % (length(content) + 1) AS b
+          FROM files
+        ), cuts AS (
+          SELECT repo, path, content, n, app, psm,
+                 least(a, b)::INT AS lo, greatest(a, b)::INT AS hi
+          FROM fim
+        )
+        SELECT repo, path,
+          CASE WHEN app THEN CASE WHEN psm THEN 'psm' ELSE 'spm' END
+               ELSE 'none' END AS fim_mode,
+          CASE WHEN app THEN lo END AS split_lo,
+          CASE WHEN app THEN hi END AS split_hi,
+          CASE WHEN NOT app THEN content
+               WHEN psm THEN
+                 '<fim_prefix>' || substr(content, 1, lo)
+                 || '<fim_suffix>' || substr(content, hi + 1)
+                 || '<fim_middle>' || substr(content, lo + 1, hi - lo)
+               ELSE
+                 '<fim_prefix><fim_suffix>' || substr(content, hi + 1)
+                 || '<fim_middle>' || substr(content, 1, lo)
+                 || substr(content, lo + 1, hi - lo)
+          END AS sample
+        FROM cuts ORDER BY path
+    """
+
+
+def _code_repo_context_oracle_sql() -> str:
+    """DuckDB twin of code_repo_context (max_file_chars=400,
+    max_files=16): per-file sentinel piece with the same substr cap,
+    row_number-over-path cap, string_agg ORDER BY path — the same
+    binary path order Spark's sort_array(struct(path, piece)) uses."""
+    return f"""
+        WITH {_code_files_cte_sql()}, per AS (
+          SELECT repo, path,
+            '<file_sep>' || path || chr(10) || substr(content, 1, 400)
+              AS piece
+          FROM files
+        ), ranked AS (
+          SELECT repo, path, piece,
+            row_number() OVER (PARTITION BY repo ORDER BY path) AS rn,
+            count(*) OVER (PARTITION BY repo) AS nf
+          FROM per
+        )
+        SELECT repo,
+          max(nf)::BIGINT AS n_files,
+          count(*)::INT AS n_ctx_files,
+          length('<repo_name>' || repo
+                 || string_agg(piece, '' ORDER BY path))::INT AS ctx_chars,
+          '<repo_name>' || repo
+            || string_agg(piece, '' ORDER BY path) AS context
+        FROM ranked WHERE rn <= 16 GROUP BY repo ORDER BY repo
+    """
+
+
+def _code_repetition_flags_oracle_sql() -> str:
+    """DuckDB twin of code_repetition_flags: the planted id%23
+    repeated-first-line fixture ((first||chr(10)) × 6 || base == the
+    Spark array_repeat/array_join concat), then the trimmed non-empty
+    line pipeline, duplicate-line and dominant-line fractions rounded
+    to 6 before thresholding (0.30 / 0.20), exactly like the Spark
+    side."""
+    return """
+        WITH docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files2 AS (
+          SELECT 'r' || (d % 7)::VARCHAR AS repo,
+                 'src/q' || d::VARCHAR || '.py' AS path,
+                 CASE WHEN d % 23 = 0 THEN
+                   repeat(split_part(base, chr(10), 1) || chr(10), 6)
+                   || base
+                 ELSE base END AS content
+          FROM docs
+        ), rep AS (
+          SELECT repo, path,
+            list_filter(
+              list_transform(string_split(content, chr(10)),
+                             s -> trim(s)),
+              s -> s <> '') AS lines
+          FROM files2
+        ), st AS (
+          SELECT repo, path,
+            len(lines)::INT AS n,
+            len(list_distinct(lines))::INT AS nd,
+            CASE WHEN len(lines) > 0 THEN
+              list_max(list_transform(list_distinct(lines),
+                u -> len(list_filter(lines, s -> s = u))))
+            END AS top
+          FROM rep
+        ), fr AS (
+          SELECT repo, path, n, nd,
+            CASE WHEN n > 0 THEN round((n - nd) / n, 6)
+                 ELSE 0.0 END AS dup_line_frac,
+            CASE WHEN n > 0 THEN round(top / n, 6)
+                 ELSE 0.0 END AS top_line_frac
+          FROM st
+        )
+        SELECT repo, path, n AS n_lines, nd AS n_distinct_lines,
+               dup_line_frac, top_line_frac,
+               dup_line_frac <= 0.30 AND top_line_frac <= 0.20
+                 AS keep_repetition
+        FROM fr ORDER BY path
+    """
+
+
 def _code_repo_langs_oracle_sql() -> str:
     """DuckDB twin of operators/code_analysis.py::repo_language_stats
     over the shared files fixture: two-level aggregation, the dominant
@@ -9724,6 +9937,13 @@ def oracle_sql() -> dict[str, str]:
         "code_decontaminate": _code_decontaminate_oracle_sql(),
         "code_fork_dedup": _code_fork_dedup_oracle_sql(),
         "code_chunk_lines": _code_chunk_lines_oracle_sql(),
+        "code_fim_split": _code_fim_split_oracle_sql(),
+        "code_repo_context": _code_repo_context_oracle_sql(),
+        "code_repetition_flags": _code_repetition_flags_oracle_sql(),
+        # code_compression_flags is rows-only: zlib has no SQL twin
+        # (compressed length depends on the linked zlib build); exact
+        # ratios are unit-pinned and code_repetition_flags is the
+        # value-oracled relational twin.
         "code_manifest_license": _code_manifest_license_oracle_sql(),
         "code_minhash_dedup": _code_minhash_oracle_sql(),
         "code_repo_imports": _code_repo_imports_oracle_sql(),

@@ -1,0 +1,284 @@
+"""Training-sample shaping for the code corpus: fill-in-the-middle
+(FIM), repo-level context concatenation, and compression/repetition
+gates.
+
+The last mile between a curated file table and what a code-LLM trainer
+actually consumes — all three shapes are published pipeline stages:
+
+* **fill-in-the-middle transform** (``fim_transform``): Bavarian et
+  al. 2022 ("Efficient Training of Language Models to Fill in the
+  Middle") re-orders a fraction of documents into
+  ``<fim_prefix>P<fim_suffix>S<fim_middle>M`` (PSM) or the joined SPM
+  variant so the model learns infilling; StarCoder (Li et al. 2023
+  sec. 5) applies it to 50% of samples. Here the apply/cut/mode
+  decisions are derived from md5 of (repo, path) — deterministic
+  across engines and cluster sizes, so the transform is value-checked
+  against a DuckDB SQL replay rather than trusted as "random".
+* **repo-context concatenation** (``repo_context_concat``): StarCoder2
+  (Lozhkov et al. 2024 sec. 4) trains on repository-level context —
+  files of one repo concatenated in a deterministic order with
+  ``<repo_name>`` / ``<file_sep>`` sentinels — instead of isolated
+  files.
+* **compression-ratio + repetition gates** (``compression_flags``,
+  ``repetition_flags``): the CodeParrot / BigCode preprocessing drops
+  files whose zlib compression ratio marks them as
+  templated/auto-repetitive, and Gopher-style repetition rules
+  (duplicate-line fraction, dominant-line share) catch the same
+  pathology relationally. zlib lives Python-side (no SQL twin exists),
+  so ``compression_flags`` is a rows-only query whose thresholds are
+  unit-pinned, while ``repetition_flags`` — the relational twin — is
+  value-oracled end to end.
+
+Scale shapes (the 100-TB contract):
+
+* ``fim_transform`` is a single zero-shuffle zero-Python Catalyst
+  projection — md5, modulo, three substrings, one concat; it fuses
+  into whatever scan or stage precedes it.
+* ``repo_context_concat`` is ONE Exchange keyed by repo. Everything
+  droppable is dropped before the shuffle: per-file pieces are
+  truncated to ``max_file_chars`` in the map-side projection, so a
+  mega-repo costs (files × cap) bytes, never its raw content; the
+  post-sort ``max_files`` slice bounds the emitted context. A repo
+  with millions of files still collects onto one reducer — the
+  production answer at 10^12 files is the same two-level trick the
+  dedup family uses (pre-group by hash(repo, path//K) then re-reduce),
+  noted here and deliberately not taken: training context windows cap
+  out at thousands of files, and ``max_files`` makes the reducer state
+  bounded regardless of repo size.
+* ``compression_flags`` is ONE ``mapInPandas`` stage (single Python
+  eval node, the repo's measured rule) emitting only scalars — content
+  never leaves the stage. ``repetition_flags`` is pure Catalyst.
+"""
+
+from __future__ import annotations
+
+import zlib
+from typing import Iterator
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+FIM_PREFIX = "<fim_prefix>"
+FIM_SUFFIX = "<fim_suffix>"
+FIM_MIDDLE = "<fim_middle>"
+REPO_SENT = "<repo_name>"
+FILE_SEP = "<file_sep>"
+
+
+def _h32(*cols: Column) -> Column:
+    """First 8 md5 hex digits of the chr(31)-joined key as a
+    non-negative BIGINT — the repo's cross-engine uniform (DuckDB twin:
+    ``('0x' || substr(md5(k), 1, 8))::BIGINT``)."""
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("\x1f", *cols)), 1, 8), 16, 10
+    ).cast("long")
+
+
+def fim_transform(
+    files: DataFrame,
+    rate_pct: int = 50,
+    psm_pct: int = 50,
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, fim_mode, split_lo, split_hi, sample): rewrite a
+    deterministic ``rate_pct``% of files into a FIM training sample.
+
+    Contract (mirrored exactly in the DuckDB oracle): with
+    ``h(tag) = first-8-hex-digits-of-md5(repo␟path␟tag)`` and
+    ``n = char-length(content)``, a file is transformed iff
+    ``h('fim?') % 100 < rate_pct``; the two cut points are
+    ``sort(h('fima') % (n+1), h('fimb') % (n+1))`` giving
+    prefix = content[1..lo], middle = content[lo+1..hi],
+    suffix = content[hi+1..n] (so prefix+middle+suffix == content
+    always); mode is PSM iff ``h('fimm') % 100 < psm_pct``:
+
+    * PSM: ``<fim_prefix>P<fim_suffix>S<fim_middle>M``
+    * SPM (the joined variant, Bavarian et al. appendix D):
+      ``<fim_prefix><fim_suffix>S<fim_middle>PM``
+
+    Untransformed rows pass through with mode 'none' and NULL cuts.
+    Character (not byte) offsets: Spark ``substr`` and DuckDB array
+    slicing both count codepoints, so multibyte content cuts
+    identically.
+    """
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    n = F.length(c)
+    apply_ = _h32(F.col("repo"), F.col("path"), F.lit("fim?")) % 100 < rate_pct
+    a = _h32(F.col("repo"), F.col("path"), F.lit("fima")) % (n + 1)
+    b = _h32(F.col("repo"), F.col("path"), F.lit("fimb")) % (n + 1)
+    lo = F.least(a, b).cast("int")
+    hi = F.greatest(a, b).cast("int")
+    psm = _h32(F.col("repo"), F.col("path"), F.lit("fimm")) % 100 < psm_pct
+    prefix = c.substr(F.lit(1), lo)
+    middle = c.substr(lo + 1, hi - lo)
+    suffix = c.substr(hi + 1, n)
+    sample = F.when(
+        psm,
+        F.concat(
+            F.lit(FIM_PREFIX), prefix,
+            F.lit(FIM_SUFFIX), suffix,
+            F.lit(FIM_MIDDLE), middle,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(FIM_PREFIX), F.lit(FIM_SUFFIX), suffix,
+            F.lit(FIM_MIDDLE), prefix, middle,
+        )
+    )
+    return files.select(
+        "repo",
+        "path",
+        F.when(apply_, F.when(psm, F.lit("psm")).otherwise(F.lit("spm")))
+        .otherwise(F.lit("none"))
+        .alias("fim_mode"),
+        F.when(apply_, lo).alias("split_lo"),
+        F.when(apply_, hi).alias("split_hi"),
+        F.when(apply_, sample).otherwise(c).alias("sample"),
+    )
+
+
+def repo_context_concat(
+    files: DataFrame,
+    max_file_chars: int = 4000,
+    max_files: int = 64,
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, n_files, n_ctx_files, ctx_chars, context): one training
+    context per repo — files sorted by path (binary order, identical in
+    Spark and DuckDB for these ASCII paths), each rendered as
+    ``<file_sep>{path}\\n{content[:max_file_chars]}``, the first
+    ``max_files`` concatenated after ``<repo_name>{repo}``.
+
+    The per-file piece is built (and truncated) in the map-side
+    projection, so only capped pieces cross the one Exchange; the
+    ``max_files`` slice happens after the in-reducer sort, bounding the
+    output row at sentinel-overhead + max_files × max_file_chars chars
+    no matter the repo.
+    """
+    piece = F.concat(
+        F.lit(FILE_SEP),
+        F.col("path"),
+        F.lit("\n"),
+        F.coalesce(F.col(content_col), F.lit("")).substr(1, max_file_chars),
+    )
+    per = files.select("repo", F.struct(F.col("path"), piece.alias("piece")).alias("fp"))
+    agg = per.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sort_array(F.collect_list("fp")).alias("fps"),
+    )
+    kept = F.slice(F.col("fps"), 1, max_files)
+    context = F.concat(
+        F.lit(REPO_SENT),
+        F.col("repo"),
+        F.array_join(F.transform(kept, lambda x: x["piece"]), ""),
+    )
+    return agg.select(
+        "repo",
+        "n_files",
+        F.size(kept).alias("n_ctx_files"),
+        F.length(context).alias("ctx_chars"),
+        context.alias("context"),
+    )
+
+
+COMPRESSION_SCHEMA = (
+    "repo string, path string, raw_len int, zlib_len int, "
+    "zlib_ratio double, keep_compression boolean"
+)
+
+
+def compression_flags(
+    files: DataFrame,
+    min_ratio: float = 0.30,
+    min_len: int = 64,
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, raw_len, zlib_len, zlib_ratio, keep_compression):
+    the CodeParrot/BigCode compressibility gate — zlib(level 9) size
+    over raw UTF-8 size; heavily templated / repeated / machine-dumped
+    files compress far below human-written code and are dropped when
+    ``ratio < min_ratio`` (files shorter than ``min_len`` bytes always
+    keep: the ratio is meaningless on tiny inputs and zlib's ~11-byte
+    header dominates).
+
+    ONE mapInPandas stage emitting scalars only; zlib output depends on
+    the linked zlib build, so thresholds are pinned by unit tests and
+    the driver query is rows-only — ``repetition_flags`` is the
+    value-oracled relational twin catching the same pathology.
+    """
+    import pandas as pd
+
+    def run(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        for pdf in batches:
+            raw_l, comp_l, ratio, keep = [], [], [], []
+            for s in pdf["content"]:
+                b = (s or "").encode("utf-8")
+                z = len(zlib.compress(b, 9))
+                r = round(z / len(b), 6) if b else 1.0
+                raw_l.append(len(b))
+                comp_l.append(z)
+                ratio.append(r)
+                keep.append(len(b) < min_len or r >= min_ratio)
+            yield pd.DataFrame(
+                {
+                    "repo": pdf["repo"].astype("string"),
+                    "path": pdf["path"].astype("string"),
+                    "raw_len": pd.array(raw_l, dtype="int32"),
+                    "zlib_len": pd.array(comp_l, dtype="int32"),
+                    "zlib_ratio": pd.array(ratio, dtype="float64"),
+                    "keep_compression": pd.array(keep, dtype="boolean"),
+                }
+            )
+
+    return files.select(
+        "repo", "path", F.coalesce(F.col(content_col), F.lit("")).alias("content")
+    ).mapInPandas(run, schema=COMPRESSION_SCHEMA)
+
+
+def repetition_flags(
+    files: DataFrame,
+    max_dup_line_frac: float = 0.30,
+    max_top_line_frac: float = 0.20,
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, n_lines, n_distinct_lines, dup_line_frac,
+    top_line_frac, keep_repetition): Gopher-style within-file
+    repetition rules restated for code — over non-empty trimmed lines,
+    the duplicate-line fraction (1 − distinct/total) and the dominant
+    line's share; a file fails when either exceeds its threshold.
+    Relational twin of ``compression_flags`` (same pathology, pure
+    Catalyst, exact SQL replay). Zero Exchange, zero Python: split /
+    filter / array_distinct / explode-free — the dominant-line share
+    uses aggregate over the distinct-line array, counting matches in
+    the original array, O(distinct × total) per file on arrays that
+    never leave the row.
+    """
+    lines = F.filter(
+        F.transform(
+            F.split(F.coalesce(F.col(content_col), F.lit("")), "\n"),
+            lambda s: F.trim(s),
+        ),
+        lambda s: s != "",
+    )
+    distinct = F.array_distinct(lines)
+    n = F.size(lines)
+    nd = F.size(distinct)
+    top = F.array_max(
+        F.transform(
+            distinct,
+            lambda d: F.size(F.filter(lines, lambda s: s == d)),
+        )
+    )
+    dup_frac = F.when(n > 0, F.round((n - nd) / n, 6)).otherwise(F.lit(0.0))
+    top_frac = F.when(n > 0, F.round(top / n, 6)).otherwise(F.lit(0.0))
+    return files.select(
+        "repo",
+        "path",
+        n.alias("n_lines"),
+        nd.alias("n_distinct_lines"),
+        dup_frac.alias("dup_line_frac"),
+        top_frac.alias("top_line_frac"),
+        (
+            (dup_frac <= max_dup_line_frac) & (top_frac <= max_top_line_frac)
+        ).alias("keep_repetition"),
+    )

@@ -1,0 +1,147 @@
+"""Training-sample shaping operators (operators/code_training.py):
+FIM transform, repo-context concatenation, compression + repetition
+gates. Property pins (reconstruction, determinism, caps) plus exact
+literals for the zlib ratio on constructed strings."""
+
+import zlib
+
+import pytest
+
+from gruut_spark.operators.code_training import (
+    FILE_SEP,
+    FIM_MIDDLE,
+    FIM_PREFIX,
+    FIM_SUFFIX,
+    REPO_SENT,
+    compression_flags,
+    fim_transform,
+    repetition_flags,
+    repo_context_concat,
+)
+
+
+@pytest.fixture(scope="module")
+def files(spark):
+    rows = [
+        ("r0", "src/a.py", "c0", "py", "def f(x):\n    return x + 1\n"),
+        ("r0", "src/b.py", "c1", "py", "import os\nprint(os.name)\n"),
+        ("r0", "src/empty.py", "c2", "py", ""),
+        ("r1", "main.js", "c3", "js", "const x = 1;\n" * 10),
+        ("r1", "data.txt", "c4", "txt", "deadbeef" * 80),
+        ("r1", "uni.py", "c5", "py", "s = 'ééé café 中文'\n" * 3),
+        ("r2", "only.go", "c6", "go", "package main\nfunc main() {}\n"),
+    ]
+    return spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+
+def test_fim_reconstruction_and_rate(spark, files):
+    out = fim_transform(files, rate_pct=100).collect()
+    assert len(out) == 7
+    by_path = {(r["repo"], r["path"]): r for r in out}
+    src = {(r["repo"], r["path"]): r["content"] for r in files.collect()}
+    for key, r in by_path.items():
+        assert r["fim_mode"] in ("psm", "spm")
+        c = src[key]
+        assert 0 <= r["split_lo"] <= r["split_hi"] <= len(c)
+        s = r["sample"]
+        if r["fim_mode"] == "psm":
+            assert s.startswith(FIM_PREFIX)
+            body = s[len(FIM_PREFIX):]
+            prefix, rest = body.split(FIM_SUFFIX, 1)
+            suffix, middle = rest.split(FIM_MIDDLE, 1)
+            assert prefix + middle + suffix == c
+            assert len(prefix) == r["split_lo"]
+            assert len(prefix) + len(middle) == r["split_hi"]
+        else:
+            assert s.startswith(FIM_PREFIX + FIM_SUFFIX)
+            rest = s[len(FIM_PREFIX) + len(FIM_SUFFIX):]
+            suffix, pm = rest.split(FIM_MIDDLE, 1)
+            assert pm + suffix == c
+
+
+def test_fim_rate_zero_passthrough(spark, files):
+    out = fim_transform(files, rate_pct=0).orderBy("repo", "path").collect()
+    src = files.orderBy("repo", "path").collect()
+    for r, s in zip(out, src):
+        assert r["fim_mode"] == "none"
+        assert r["split_lo"] is None and r["split_hi"] is None
+        assert r["sample"] == s["content"]
+
+
+def test_fim_deterministic_and_char_safe(spark, files):
+    a = fim_transform(files, rate_pct=100).orderBy("repo", "path").collect()
+    b = fim_transform(files, rate_pct=100).orderBy("repo", "path").collect()
+    assert a == b
+    uni = [r for r in a if r["path"] == "uni.py"][0]
+    # character offsets, never bytes: the reassembled text is intact
+    assert "café" in uni["sample"] or "caf" in uni["sample"]
+
+
+def test_fim_psm_pct_extremes(spark, files):
+    modes = {r["fim_mode"] for r in fim_transform(files, 100, psm_pct=100).collect()}
+    assert modes == {"psm"}
+    modes = {r["fim_mode"] for r in fim_transform(files, 100, psm_pct=0).collect()}
+    assert modes == {"spm"}
+
+
+def test_repo_context_shape_and_caps(spark, files):
+    out = {r["repo"]: r for r in repo_context_concat(files, max_file_chars=10).collect()}
+    assert set(out) == {"r0", "r1", "r2"}
+    r0 = out["r0"]
+    assert r0["n_files"] == 3 and r0["n_ctx_files"] == 3
+    # sorted by path, each piece truncated to 10 chars of content
+    expect = (
+        REPO_SENT + "r0"
+        + FILE_SEP + "src/a.py\n" + "def f(x):\n"[:10]
+        + FILE_SEP + "src/b.py\n" + "import os\n"[:10]
+        + FILE_SEP + "src/empty.py\n"
+    )
+    assert r0["context"] == expect
+    assert r0["ctx_chars"] == len(expect)
+
+
+def test_repo_context_max_files(spark, files):
+    out = {r["repo"]: r for r in repo_context_concat(files, max_files=2).collect()}
+    r1 = out["r1"]
+    assert r1["n_files"] == 3 and r1["n_ctx_files"] == 2
+    # binary path order: data.txt, main.js kept; uni.py dropped
+    assert "uni.py" not in r1["context"]
+    assert r1["context"].index("data.txt") < r1["context"].index("main.js")
+
+
+def test_compression_flags_exact(spark, files):
+    out = {r["path"]: r for r in compression_flags(files).collect()}
+    # exact zlib literals recomputed here with the same level
+    for path, content in [("data.txt", "deadbeef" * 80), ("main.js", "const x = 1;\n" * 10)]:
+        b = content.encode("utf-8")
+        r = out[path]
+        assert r["raw_len"] == len(b)
+        assert r["zlib_len"] == len(zlib.compress(b, 9))
+        assert r["zlib_ratio"] == round(r["zlib_len"] / len(b), 6)
+    assert not out["data.txt"]["keep_compression"]  # 640B of 'deadbeef' repeats
+    assert out["src/a.py"]["keep_compression"]  # short file always keeps
+    assert out["src/empty.py"]["zlib_ratio"] == 1.0
+    assert out["src/empty.py"]["keep_compression"]
+
+
+def test_repetition_flags(spark):
+    rows = [
+        ("r0", "dup.py", "a = 1\na = 1\na = 1\na = 1\nb = 2\n"),
+        ("r0", "ok.py", "a = 1\nb = 2\nc = 3\nd = 4\ne = 5\n"),
+        ("r0", "blank.py", "\n\n\n"),
+    ]
+    df = spark.createDataFrame(
+        [(r, p, "c", "py", c) for r, p, c in rows],
+        "repo string, path string, commit string, lang string, content string",
+    )
+    out = {r["path"]: r for r in repetition_flags(df).collect()}
+    dup = out["dup.py"]
+    assert dup["n_lines"] == 5 and dup["n_distinct_lines"] == 2
+    assert dup["dup_line_frac"] == 0.6 and dup["top_line_frac"] == 0.8
+    assert not dup["keep_repetition"]
+    ok = out["ok.py"]
+    assert ok["dup_line_frac"] == 0.0 and ok["keep_repetition"]
+    blank = out["blank.py"]
+    assert blank["n_lines"] == 0 and blank["keep_repetition"]
