@@ -137,6 +137,56 @@ def fim_transform(
     )
 
 
+def fim_augment(
+    df: DataFrame,
+    content_col: str = "scrubbed_content",
+    rate_pct: int = 50,
+    psm_pct: int = 50,
+    gate: Column | None = None,
+) -> DataFrame:
+    """Production-job form of ``fim_transform``: keep EVERY existing
+    column, rewrite ``content_col`` in place for the deterministic
+    ``rate_pct``% of rows (AND-ed with ``gate`` when given — the ship
+    step gates on ``keep`` so dropped rows are never rewritten), and
+    append a ``fim_mode`` column ('psm'/'spm'/'none'). Same md5-derived
+    decisions/cuts as ``fim_transform`` — deterministic on resume, so a
+    re-run bucket re-produces byte-identical samples. Pure Catalyst
+    projection: fuses into the verdict stage, zero extra Exchange."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    n = F.length(c)
+    apply_ = _h32(F.col("repo"), F.col("path"), F.lit("fim?")) % 100 < rate_pct
+    if gate is not None:
+        apply_ = apply_ & gate
+    a = _h32(F.col("repo"), F.col("path"), F.lit("fima")) % (n + 1)
+    b = _h32(F.col("repo"), F.col("path"), F.lit("fimb")) % (n + 1)
+    lo = F.least(a, b).cast("int")
+    hi = F.greatest(a, b).cast("int")
+    psm = _h32(F.col("repo"), F.col("path"), F.lit("fimm")) % 100 < psm_pct
+    prefix = c.substr(F.lit(1), lo)
+    middle = c.substr(lo + 1, hi - lo)
+    suffix = c.substr(hi + 1, n)
+    sample = F.when(
+        psm,
+        F.concat(
+            F.lit(FIM_PREFIX), prefix,
+            F.lit(FIM_SUFFIX), suffix,
+            F.lit(FIM_MIDDLE), middle,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(FIM_PREFIX), F.lit(FIM_SUFFIX), suffix,
+            F.lit(FIM_MIDDLE), prefix, middle,
+        )
+    )
+    return df.withColumn(
+        content_col, F.when(apply_, sample).otherwise(F.col(content_col))
+    ).withColumn(
+        "fim_mode",
+        F.when(apply_, F.when(psm, F.lit("psm")).otherwise(F.lit("spm")))
+        .otherwise(F.lit("none")),
+    )
+
+
 def repo_context_concat(
     files: DataFrame,
     max_file_chars: int = 4000,

@@ -74,6 +74,7 @@ def run_with_checkpoints(
     latest_snapshot: bool = False,
     decontaminate_df: Optional[DataFrame] = None,
     fork_dedup: bool = False,
+    fim_rate: int = 0,
 ) -> Dict[str, dict]:
     """Process all incomplete buckets; returns the final manifest.
 
@@ -155,6 +156,18 @@ def run_with_checkpoints(
             encoding_filter=encoding_filter,
             latest_snapshot=latest_snapshot,
         )
+        if fim_rate:
+            # Ship-step FIM (Bavarian et al. 2022; StarCoder applies it
+            # to 50% of samples): rewrite scrubbed_content of kept rows
+            # only — md5-deterministic, so a resumed bucket re-produces
+            # byte-identical samples; pure projection, fuses into the
+            # verdict stage.
+            from ..operators.code_training import fim_augment
+
+            out = fim_augment(
+                out, "scrubbed_content", rate_pct=fim_rate,
+                gate=F.col("keep"),
+            )
         # the fused stage passes through only the input_hint columns;
         # the bucket is deterministic from (repo, path), so recompute it
         out = with_bucket(out, n_buckets)

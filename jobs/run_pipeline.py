@@ -67,6 +67,14 @@ def main() -> None:
                          "rule); group-local per resume bucket, which "
                          "is corpus-correct since buckets key on "
                          "(repo, path)")
+    ap.add_argument("--fim-rate", type=int, default=0, metavar="PCT",
+                    help="rewrite PCT%% of KEPT rows' scrubbed_content "
+                         "into a fill-in-the-middle training sample "
+                         "(<fim_prefix>/<fim_suffix>/<fim_middle>, "
+                         "PSM/SPM half-half) in the ship step — "
+                         "md5-deterministic per (repo, path), so resume "
+                         "re-produces identical samples; adds a "
+                         "fim_mode column")
     ap.add_argument("--near-dedup", action="store_true",
                     help="drop per-language MinHash near-duplicates "
                          "(The Stack stage 3) corpus-wide before "
@@ -98,6 +106,7 @@ def main() -> None:
         encoding_filter=args.encoding_filter,
         latest_snapshot=args.latest_snapshot,
         fork_dedup=args.fork_dedup,
+        fim_rate=args.fim_rate,
         decontaminate_df=(
             spark.read.parquet(args.decontaminate).select("content")
             if args.decontaminate

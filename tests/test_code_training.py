@@ -126,6 +126,64 @@ def test_compression_flags_exact(spark, files):
     assert out["src/empty.py"]["keep_compression"]
 
 
+def test_plan_shapes(spark, files):
+    """100-TB shape pins: FIM and the repetition gate are zero-Exchange
+    zero-Python scan projections; repo-context is exactly ONE Exchange
+    (repo-keyed) with no Python eval node anywhere."""
+    for df in (fim_transform(files), repetition_flags(files)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "EvalPython" not in plan
+    plan = (
+        repo_context_concat(files)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+    assert "EvalPython" not in plan
+
+
+def test_pipeline_fim_rate(spark, tmp_path):
+    """--fim-rate ship step: kept rows' scrubbed_content is rewritten
+    (at rate 100, every kept row), dropped rows never are, the samples
+    reconstruct, and resume re-produces byte-identical output."""
+    import os
+
+    from gruut_spark.plans.checkpoint import run_with_checkpoints
+    from gruut_spark.sources.testgen import generate_files
+
+    pdf = generate_files(120, seed=42)[["repo", "path", "commit", "lang", "content"]]
+    sdf = spark.createDataFrame(pdf)
+    out = str(tmp_path / "out")
+    run_with_checkpoints(
+        spark, sdf, out, n_buckets=2, group_size=2, fim_rate=100
+    )
+    rows = spark.read.parquet(os.path.join(out, "verdicts")).collect()
+    assert len(rows) == 120
+    kept = [r for r in rows if r["keep"]]
+    assert kept
+    for r in rows:
+        if r["keep"]:
+            assert r["fim_mode"] in ("psm", "spm")
+            assert r["scrubbed_content"].startswith(FIM_PREFIX)
+            assert FIM_MIDDLE in r["scrubbed_content"]
+        else:
+            assert r["fim_mode"] == "none"
+            assert FIM_PREFIX not in (r["scrubbed_content"] or "")
+    # determinism across a fresh run (what resume relies on)
+    out2 = str(tmp_path / "out2")
+    run_with_checkpoints(
+        spark, sdf, out2, n_buckets=2, group_size=2, fim_rate=100
+    )
+    a = sorted(
+        (r["repo"], r["path"], r["fim_mode"], r["scrubbed_content"])
+        for r in rows
+    )
+    b = sorted(
+        (r["repo"], r["path"], r["fim_mode"], r["scrubbed_content"])
+        for r in spark.read.parquet(os.path.join(out2, "verdicts")).collect()
+    )
+    assert a == b
+
+
 def test_repetition_flags(spark):
     rows = [
         ("r0", "dup.py", "a = 1\na = 1\na = 1\na = 1\nb = 2\n"),
