@@ -2889,6 +2889,43 @@ def _code_repetition_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_flags(files).orderBy("path")
 
 
+def _code_metadata_prepend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder data-formatting stage (Li et al. 2023 sec. 5;
+    SantaCoder sec. 4.3): prepend <reponame>{repo} / <filename>{path}
+    headers, each included independently for an md5-deterministic 50%
+    of files so unconditioned samples survive
+    (operators/code_training.py::metadata_prepend — one zero-shuffle
+    zero-Python Catalyst projection; <gh_stars> is documented out of
+    scope, the input shape carries no stars column). The oracle replays
+    the hash decisions and the header concat character-exactly."""
+    _configure(spark)
+    from gruut_spark.operators.code_training import metadata_prepend
+
+    return metadata_prepend(
+        _code_files_fixture(spark, sf_dir), repo_pct=50, file_pct=50
+    ).orderBy("path")
+
+
+def _code_opt_out(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Stack's governance opt-out (Kocetkov et al. 2022 sec. 5;
+    the "Am I in The Stack?" process): every file of a repo on the
+    opt-out list is flagged — the production job applies the LEFT ANTI
+    face FIRST so removed code never enters the pipeline
+    (operators/code_filters.py::opt_out_flags — the list broadcasts,
+    one LEFT join, zero shuffle of the corpus side). Fixture list =
+    repos r1, r4 of the seven fixture repos; the oracle replays the
+    join against the same VALUES list."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import opt_out_flags
+
+    opt = spark.createDataFrame([("r1",), ("r4",)], "repo string")
+    return (
+        opt_out_flags(_code_files_fixture(spark, sf_dir), opt)
+        .select("repo", "path", "is_opted_out")
+        .orderBy("path")
+    )
+
+
 def _code_compression_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CodeParrot/BigCode zlib compressibility gate: zlib(9) size over
     raw UTF-8 size, drop below min_ratio
@@ -3997,6 +4034,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_fim_split": _code_fim_split,
         "code_repo_context": _code_repo_context,
         "code_repetition_flags": _code_repetition_flags,
+        "code_metadata_prepend": _code_metadata_prepend,
+        "code_opt_out": _code_opt_out,
         "code_compression_flags": _code_compression_flags,
         "code_manifest_license": _code_manifest_license,
         "code_minhash_dedup": _code_minhash_dedup,
@@ -7931,6 +7970,51 @@ def _code_fim_split_oracle_sql() -> str:
     """
 
 
+def _code_metadata_prepend_oracle_sql() -> str:
+    """DuckDB twin of code_metadata_prepend (repo_pct=file_pct=50):
+    same md5-hex uniforms ('metar'/'metaf' tags), same header concat —
+    headers + newline + content when at least one fires, content
+    unchanged otherwise."""
+
+    def h(tag: str) -> str:
+        return (
+            "('0x' || substr(md5(repo || chr(31) || path || chr(31) || "
+            f"'{tag}'), 1, 8))::BIGINT"
+        )
+
+    return f"""
+        WITH {_code_files_cte_sql()}, dec AS (
+          SELECT repo, path, content,
+            {h('metar')} % 100 < 50 AS has_r,
+            {h('metaf')} % 100 < 50 AS has_f
+          FROM files
+        )
+        SELECT repo, path,
+          has_r AS has_reponame,
+          has_f AS has_filename,
+          CASE WHEN has_r OR has_f THEN
+            (CASE WHEN has_r THEN '<reponame>' || repo ELSE '' END)
+            || (CASE WHEN has_f THEN '<filename>' || path ELSE '' END)
+            || chr(10) || content
+          ELSE content END AS sample
+        FROM dec ORDER BY path
+    """
+
+
+def _code_opt_out_oracle_sql() -> str:
+    """DuckDB twin of code_opt_out: LEFT JOIN against the same two-repo
+    VALUES list, COALESCE(flag, false)."""
+    return f"""
+        WITH {_code_files_cte_sql()}, opt AS (
+          SELECT * FROM (VALUES ('r1'), ('r4')) AS t(repo)
+        )
+        SELECT f.repo, f.path,
+          COALESCE(o.repo IS NOT NULL, FALSE) AS is_opted_out
+        FROM files f LEFT JOIN opt o ON f.repo = o.repo
+        ORDER BY f.path
+    """
+
+
 def _code_repo_context_oracle_sql() -> str:
     """DuckDB twin of code_repo_context (max_file_chars=400,
     max_files=16): per-file sentinel piece with the same substr cap,
@@ -9940,6 +10024,8 @@ def oracle_sql() -> dict[str, str]:
         "code_fim_split": _code_fim_split_oracle_sql(),
         "code_repo_context": _code_repo_context_oracle_sql(),
         "code_repetition_flags": _code_repetition_flags_oracle_sql(),
+        "code_metadata_prepend": _code_metadata_prepend_oracle_sql(),
+        "code_opt_out": _code_opt_out_oracle_sql(),
         # code_compression_flags is rows-only: zlib has no SQL twin
         # (compressed length depends on the linked zlib build); exact
         # ratios are unit-pinned and code_repetition_flags is the

@@ -14,6 +14,12 @@ actually consumes — all three shapes are published pipeline stages:
   decisions are derived from md5 of (repo, path) — deterministic
   across engines and cluster sizes, so the transform is value-checked
   against a DuckDB SQL replay rather than trusted as "random".
+* **metadata-header prepending** (``metadata_prepend``): StarCoder's
+  data-formatting stage (Li et al. 2023 sec. 5; SantaCoder sec. 4.3)
+  prepends ``<reponame>`` / ``<filename>`` headers to a fraction of
+  samples so the model can condition on repository metadata while
+  unconditioned samples survive; decisions are md5-deterministic like
+  FIM's.
 * **repo-context concatenation** (``repo_context_concat``): StarCoder2
   (Lozhkov et al. 2024 sec. 4) trains on repository-level context —
   files of one repo concatenated in a deterministic order with
@@ -63,6 +69,8 @@ FIM_SUFFIX = "<fim_suffix>"
 FIM_MIDDLE = "<fim_middle>"
 REPO_SENT = "<repo_name>"
 FILE_SEP = "<file_sep>"
+REPONAME_SENT = "<reponame>"
+FILENAME_SENT = "<filename>"
 
 
 def _h32(*cols: Column) -> Column:
@@ -183,6 +191,96 @@ def fim_augment(
     ).withColumn(
         "fim_mode",
         F.when(apply_, F.when(psm, F.lit("psm")).otherwise(F.lit("spm")))
+        .otherwise(F.lit("none")),
+    )
+
+
+def metadata_prepend(
+    files: DataFrame,
+    repo_pct: int = 50,
+    file_pct: int = 50,
+    content_col: str = "content",
+) -> DataFrame:
+    """(repo, path, has_reponame, has_filename, sample): StarCoder's
+    data-formatting stage (Li et al. 2023 sec. 5; SantaCoder, Allal et
+    al. 2023 sec. 4.3): prepend ``<reponame>{repo}`` and
+    ``<filename>{path}`` headers so the model learns to condition on
+    repository metadata — each header included INDEPENDENTLY with
+    probability ``repo_pct`` / ``file_pct`` so unconditioned samples
+    survive for inference-time parity (the papers' stated reason for
+    not always attaching metadata). StarCoder's third header,
+    ``<gh_stars>``, needs a stars column the input shape
+    (repo, path, commit, lang, content) does not carry — documented
+    out of scope rather than faked.
+
+    Decisions are md5-derived per (repo, path) with distinct tags
+    ('metar'/'metaf') — the same determinism contract as
+    ``fim_transform``: value-checkable in SQL, byte-stable on resume,
+    reproducible across cluster sizes. When at least one header fires
+    the sample is ``headers + '\\n' + content``; otherwise content
+    passes through unchanged (no stray newline). One zero-shuffle
+    zero-Python Catalyst projection.
+    """
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    has_r = _h32(F.col("repo"), F.col("path"), F.lit("metar")) % 100 < repo_pct
+    has_f = _h32(F.col("repo"), F.col("path"), F.lit("metaf")) % 100 < file_pct
+    header = F.concat(
+        F.when(has_r, F.concat(F.lit(REPONAME_SENT), F.col("repo"))).otherwise(
+            F.lit("")
+        ),
+        F.when(has_f, F.concat(F.lit(FILENAME_SENT), F.col("path"))).otherwise(
+            F.lit("")
+        ),
+    )
+    sample = F.when(has_r | has_f, F.concat(header, F.lit("\n"), c)).otherwise(c)
+    return files.select(
+        "repo",
+        "path",
+        has_r.alias("has_reponame"),
+        has_f.alias("has_filename"),
+        sample.alias("sample"),
+    )
+
+
+def metadata_augment(
+    df: DataFrame,
+    content_col: str = "scrubbed_content",
+    rate_pct: int = 50,
+    gate: Column | None = None,
+) -> DataFrame:
+    """Production-job form of ``metadata_prepend`` (the ``fim_augment``
+    pattern): keep every column, rewrite ``content_col`` in place, and
+    append a ``meta_mode`` column ('repo+file'/'repo'/'file'/'none').
+    Both headers fire independently at ``rate_pct`` each, AND-ed with
+    ``gate`` (the ship step gates on ``keep``). Same md5 decisions as
+    ``metadata_prepend``, so resume re-produces byte-identical samples.
+    Pure Catalyst projection — fuses into the verdict stage. When
+    composed with ``fim_augment``, apply metadata FIRST so headers land
+    in the FIM prefix region (the StarCoder composition order)."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    has_r = _h32(F.col("repo"), F.col("path"), F.lit("metar")) % 100 < rate_pct
+    has_f = _h32(F.col("repo"), F.col("path"), F.lit("metaf")) % 100 < rate_pct
+    if gate is not None:
+        has_r = has_r & gate
+        has_f = has_f & gate
+    header = F.concat(
+        F.when(has_r, F.concat(F.lit(REPONAME_SENT), F.col("repo"))).otherwise(
+            F.lit("")
+        ),
+        F.when(has_f, F.concat(F.lit(FILENAME_SENT), F.col("path"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return df.withColumn(
+        content_col,
+        F.when(has_r | has_f, F.concat(header, F.lit("\n"), c)).otherwise(
+            F.col(content_col)
+        ),
+    ).withColumn(
+        "meta_mode",
+        F.when(has_r & has_f, F.lit("repo+file"))
+        .when(has_r, F.lit("repo"))
+        .when(has_f, F.lit("file"))
         .otherwise(F.lit("none")),
     )
 

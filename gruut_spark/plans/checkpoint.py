@@ -75,6 +75,8 @@ def run_with_checkpoints(
     decontaminate_df: Optional[DataFrame] = None,
     fork_dedup: bool = False,
     fim_rate: int = 0,
+    metadata_rate: int = 0,
+    opt_out_df: Optional[DataFrame] = None,
 ) -> Dict[str, dict]:
     """Process all incomplete buckets; returns the final manifest.
 
@@ -95,6 +97,22 @@ def run_with_checkpoints(
     manifest = read_manifest(out_dir)
     done = {int(k) for k in manifest}
     todo = [b for b in range(n_buckets) if b not in done]
+
+    if opt_out_df is not None:
+        # The Stack's governance stage, FIRST of all (sec. 5: opted-out
+        # repos are removed before any processing so their code never
+        # enters the pipeline — not even as dedup/decontamination
+        # evidence). Broadcast anti-join on repo; the drop set IS the
+        # input list, so resume is trivially deterministic. The tiny
+        # list side is localCheckpointed like every other corpus-wide
+        # drop set: the scan-stage lineage column (input_file_name())
+        # only supports ONE file source per plan, so a parquet-read
+        # list must stop being a file source before the join.
+        from ..operators.code_filters import opt_out_filter
+
+        files = opt_out_filter(
+            files, opt_out_df.select("repo").distinct().localCheckpoint()
+        )
 
     if near_dedup:
         from ..operators.code_filters import code_near_dup_ids
@@ -156,6 +174,17 @@ def run_with_checkpoints(
             encoding_filter=encoding_filter,
             latest_snapshot=latest_snapshot,
         )
+        if metadata_rate:
+            # StarCoder data formatting (Li et al. 2023 sec. 5):
+            # <reponame>/<filename> headers on kept rows, BEFORE FIM so
+            # headers land in the FIM prefix region (the paper's
+            # composition order). md5-deterministic → resume-stable.
+            from ..operators.code_training import metadata_augment
+
+            out = metadata_augment(
+                out, "scrubbed_content", rate_pct=metadata_rate,
+                gate=F.col("keep"),
+            )
         if fim_rate:
             # Ship-step FIM (Bavarian et al. 2022; StarCoder applies it
             # to 50% of samples): rewrite scrubbed_content of kept rows

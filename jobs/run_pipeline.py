@@ -75,6 +75,22 @@ def main() -> None:
                          "md5-deterministic per (repo, path), so resume "
                          "re-produces identical samples; adds a "
                          "fim_mode column")
+    ap.add_argument("--metadata-rate", type=int, default=0, metavar="PCT",
+                    help="prepend <reponame>/<filename> headers (each "
+                         "independently at PCT%%) to kept rows' "
+                         "scrubbed_content in the ship step, BEFORE any "
+                         "--fim-rate rewrite (StarCoder's data "
+                         "formatting + composition order) — "
+                         "md5-deterministic per (repo, path); adds a "
+                         "meta_mode column")
+    ap.add_argument("--opt-out", metavar="REPOS_PARQUET",
+                    help="drop every file of the repos listed in this "
+                         "parquet's `repo` column FIRST, before any "
+                         "other processing (The Stack's governance "
+                         "opt-out: removed code never enters the "
+                         "pipeline, not even as dedup evidence); "
+                         "broadcast anti-join, trivially deterministic "
+                         "on resume")
     ap.add_argument("--near-dedup", action="store_true",
                     help="drop per-language MinHash near-duplicates "
                          "(The Stack stage 3) corpus-wide before "
@@ -107,6 +123,12 @@ def main() -> None:
         latest_snapshot=args.latest_snapshot,
         fork_dedup=args.fork_dedup,
         fim_rate=args.fim_rate,
+        metadata_rate=args.metadata_rate,
+        opt_out_df=(
+            spark.read.parquet(args.opt_out).select("repo")
+            if args.opt_out
+            else None
+        ),
         decontaminate_df=(
             spark.read.parquet(args.decontaminate).select("content")
             if args.decontaminate

@@ -9,12 +9,15 @@ import pytest
 
 from gruut_spark.operators.code_training import (
     FILE_SEP,
+    FILENAME_SENT,
     FIM_MIDDLE,
     FIM_PREFIX,
     FIM_SUFFIX,
     REPO_SENT,
+    REPONAME_SENT,
     compression_flags,
     fim_transform,
+    metadata_prepend,
     repetition_flags,
     repo_context_concat,
 )
@@ -130,7 +133,11 @@ def test_plan_shapes(spark, files):
     """100-TB shape pins: FIM and the repetition gate are zero-Exchange
     zero-Python scan projections; repo-context is exactly ONE Exchange
     (repo-keyed) with no Python eval node anywhere."""
-    for df in (fim_transform(files), repetition_flags(files)):
+    for df in (
+        fim_transform(files),
+        repetition_flags(files),
+        metadata_prepend(files),
+    ):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "EvalPython" not in plan
@@ -203,3 +210,63 @@ def test_repetition_flags(spark):
     assert ok["dup_line_frac"] == 0.0 and ok["keep_repetition"]
     blank = out["blank.py"]
     assert blank["n_lines"] == 0 and blank["keep_repetition"]
+
+
+def test_metadata_prepend_layout_and_extremes(spark, files):
+    """Header layout is exactly <reponame>R<filename>P\\ncontent when
+    both fire, the single-header forms otherwise; rate extremes pin the
+    both/neither legs; content always survives as a suffix."""
+    rows = {r["path"]: r for r in metadata_prepend(files, 100, 100).collect()}
+    contents = {r["path"]: r["content"] for r in files.collect()}
+    for p, r in rows.items():
+        assert r["has_reponame"] and r["has_filename"]
+        assert r["sample"] == (
+            REPONAME_SENT + r["repo"] + FILENAME_SENT + p + "\n" + contents[p]
+        )
+    none = {r["path"]: r for r in metadata_prepend(files, 0, 0).collect()}
+    for p, r in none.items():
+        assert not r["has_reponame"] and not r["has_filename"]
+        assert r["sample"] == contents[p]  # unchanged, no stray newline
+    # single-header forms at the extremes
+    only_f = {r["path"]: r for r in metadata_prepend(files, 0, 100).collect()}
+    for p, r in only_f.items():
+        assert r["sample"] == FILENAME_SENT + p + "\n" + contents[p]
+    only_r = {r["path"]: r for r in metadata_prepend(files, 100, 0).collect()}
+    for p, r in only_r.items():
+        assert r["sample"] == REPONAME_SENT + r["repo"] + "\n" + contents[p]
+    # determinism: the 50/50 draw is a pure function of (repo, path)
+    a = sorted(map(tuple, metadata_prepend(files).collect()))
+    b = sorted(map(tuple, metadata_prepend(files).collect()))
+    assert a == b
+    # both legs fire non-vacuously at 50/50 on this 7-file fixture
+    flags = {(t[2], t[3]) for t in a}  # (has_reponame, has_filename)
+    assert len(flags) >= 2
+
+
+def test_pipeline_metadata_rate(spark, tmp_path):
+    """--metadata-rate ship step at 100: every KEPT row's
+    scrubbed_content gains both headers (meta_mode 'repo+file'),
+    dropped rows are untouched with meta_mode 'none'."""
+    import os
+
+    from gruut_spark.plans.checkpoint import run_with_checkpoints
+    from gruut_spark.sources.testgen import generate_files
+
+    pdf = generate_files(120, seed=42)[["repo", "path", "commit", "lang", "content"]]
+    sdf = spark.createDataFrame(pdf)
+    out = str(tmp_path / "out")
+    run_with_checkpoints(
+        spark, sdf, out, n_buckets=2, group_size=2, metadata_rate=100
+    )
+    rows = spark.read.parquet(os.path.join(out, "verdicts")).collect()
+    assert len(rows) == 120
+    assert any(r["keep"] for r in rows)
+    for r in rows:
+        if r["keep"]:
+            assert r["meta_mode"] == "repo+file"
+            assert r["scrubbed_content"].startswith(
+                REPONAME_SENT + r["repo"] + FILENAME_SENT + r["path"] + "\n"
+            )
+        else:
+            assert r["meta_mode"] == "none"
+            assert REPONAME_SENT not in (r["scrubbed_content"] or "")

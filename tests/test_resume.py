@@ -330,3 +330,44 @@ def test_fork_dedup_drops_forked_repo_wholesale(spark, tmp_path):
          .select(*cols).collect()}
     b = {tuple(r) for r in fd.select(*cols).collect()}
     assert a == b
+
+
+def test_opt_out_removes_repo_before_everything(spark, tmp_path):
+    """--opt-out semantics (The Stack's governance stage): every file of
+    a listed repo disappears wholesale; unlisted rows are byte-identical
+    to a no-flag run."""
+    from pyspark.sql import functions as F
+
+    base = generate_files(40, seed=17)[["repo", "path", "commit", "lang", "content"]]
+    # BOTH sides must be real parquet file sources: the CLI job reads
+    # the corpus and the opt-out list from parquet, and the scan-stage
+    # lineage column (input_file_name()) only supports one file source
+    # per plan — a createDataFrame list would hide the multi-source
+    # regression this test pins.
+    files_pq = str(tmp_path / "files.parquet")
+    base.to_parquet(files_pq, index=False)
+    files = spark.read.parquet(files_pq)
+    victim = base["repo"].iloc[0]
+    opt_pq = str(tmp_path / "opt.parquet")
+    import pandas as pd
+
+    pd.DataFrame({"repo": [victim]}).to_parquet(opt_pq, index=False)
+    opt = spark.read.parquet(opt_pq)
+
+    out_plain = str(tmp_path / "plain")
+    run_with_checkpoints(spark, files, out_plain, n_buckets=4, group_size=1)
+    plain = spark.read.parquet(os.path.join(out_plain, "verdicts"))
+
+    out_oo = str(tmp_path / "oo")
+    run_with_checkpoints(
+        spark, files, out_oo, n_buckets=4, group_size=1, opt_out_df=opt
+    )
+    oo = spark.read.parquet(os.path.join(out_oo, "verdicts"))
+
+    repos_oo = {r["repo"] for r in oo.select("repo").distinct().collect()}
+    assert victim not in repos_oo
+    cols = ["repo", "path", "keep", "scrubbed_content"]
+    a = {tuple(r) for r in plain.filter(F.col("repo") != victim)
+         .select(*cols).collect()}
+    b = {tuple(r) for r in oo.select(*cols).collect()}
+    assert a == b
