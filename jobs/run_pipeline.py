@@ -98,7 +98,24 @@ def main() -> None:
                          "of each duplicate cluster")
     args = ap.parse_args()
 
-    spark = SparkSession.builder.appName("gruut-spark-quality-filter").getOrCreate()
+    # UDF-heavy stages peg every core for minutes; on contended hosts
+    # the single-JVM heartbeat thread can starve past the 120 s default
+    # and take the whole context down mid-job (observed twice at ~137 s
+    # ≈ JVM startup + the default timeout, during the corpus-wide
+    # MinHash signature pass of 500k-row pricing runs — no output
+    # written, secondary error "SparkContext has been shutdown").
+    # Standard production settings for Python-stage-heavy jobs; applied
+    # as DEFAULTS only (an explicit spark-submit --conf / spark-defaults
+    # value wins, since builder.config would otherwise override it).
+    from pyspark import SparkConf
+
+    _base = SparkConf()
+    builder = SparkSession.builder.appName("gruut-spark-quality-filter")
+    for _k, _v in (("spark.network.timeout", "600s"),
+                   ("spark.executor.heartbeatInterval", "60s")):
+        if not _base.contains(_k):
+            builder = builder.config(_k, _v)
+    spark = builder.getOrCreate()
     configure_session(spark)
 
     if args.no_resume:
