@@ -2942,6 +2942,40 @@ def _code_compression_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_flags(_code_files_fixture(spark, sf_dir)).orderBy("path")
 
 
+def _code_lang_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """StarCoder-style per-language threshold gate (Li et al. 2023
+    appendix A tunes filters per language): line-length extrema +
+    latin-alpha fraction judged against a broadcast per-language rules
+    table, unlisted languages falling back to the default row
+    (operators/code_filters.py::lang_rule_flags — features are a
+    zero-Python scan projection; the config-sized rules table
+    broadcasts, zero corpus shuffle). The fixture's `fr` stratum is
+    deliberately absent from the table so the coalesce-default leg is
+    value-gated too. The oracle joins the same VALUES table,
+    interpolated from the module constants."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import lang_rule_flags
+
+    return lang_rule_flags(_code_files_fixture(spark, sf_dir)).orderBy("path")
+
+
+def _code_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language tokenizer-fertility report (the StarCoder tokenizer
+    analysis: tokens per byte by language, the input to mixture-weight
+    and context-budget decisions): codegen BPE-ish token counts vs
+    UTF-8 bytes, ONE map-side-combined groupBy with four longs of state
+    per language
+    (operators/code_analysis.py::token_fertility_by_lang). Ratios are
+    single IEEE divisions over exact integer sums, rounded to 6 — the
+    one-shot-arithmetic cross-engine contract."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import token_fertility_by_lang
+
+    return token_fertility_by_lang(_code_files_fixture(spark, sf_dir)).orderBy(
+        "lang"
+    )
+
+
 def _code_fork_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-level fork-dedup verdict: fork families = connected
     components over the is_fork pair graph (same fixture and pair chain
@@ -4037,6 +4071,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_metadata_prepend": _code_metadata_prepend,
         "code_opt_out": _code_opt_out,
         "code_compression_flags": _code_compression_flags,
+        "code_lang_rules": _code_lang_rules,
+        "code_token_fertility": _code_token_fertility,
         "code_manifest_license": _code_manifest_license,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
@@ -8095,6 +8131,84 @@ def _code_repetition_flags_oracle_sql() -> str:
     """
 
 
+def _code_lang_rules_oracle_sql() -> str:
+    """DuckDB twin of code_lang_rules: the rules VALUES list and the
+    default row interpolated from the SAME module constants
+    (code_filters.LANG_RULES / DEFAULT_LANG_RULE); features replay the
+    line-split/alpha expressions; the LEFT join + coalesce reproduces
+    the broadcast-with-default semantics."""
+    from gruut_spark.operators.code_filters import (
+        DEFAULT_LANG_RULE,
+        LANG_RULES,
+    )
+
+    values = ", ".join(
+        f"('{lang}', {ml}, {mm}, {ma})" for lang, ml, mm, ma in LANG_RULES
+    )
+    d_line, d_mean, d_alpha = DEFAULT_LANG_RULE
+    return (
+        "WITH "
+        + _code_files_cte_sql()
+        + f""", feat AS (
+          SELECT lang, repo, path,
+            list_max(list_transform(string_split_regex(content, '\\r?\\n'),
+                                    x -> length(x)))::INT AS max_line_len,
+            round(list_sum(list_transform(
+                    string_split_regex(content, '\\r?\\n'),
+                    x -> length(x)))
+                  / len(string_split_regex(content, '\\r?\\n')), 6)
+              AS mean_line_len,
+            round((length(content)
+                   - length(regexp_replace(content, '[A-Za-z]', '', 'g')))
+                  / greatest(length(content), 1), 6) AS alpha_frac
+          FROM files
+        ), rules(lang, rule_max_line, rule_max_mean, rule_min_alpha) AS (
+          VALUES {values}
+        ), j AS (
+          SELECT f.lang, repo, path, max_line_len, mean_line_len,
+            alpha_frac,
+            coalesce(r.rule_max_line, {d_line})::INT AS rule_max_line,
+            coalesce(r.rule_max_mean, {d_mean})::DOUBLE AS rule_max_mean,
+            coalesce(r.rule_min_alpha, {d_alpha})::DOUBLE AS rule_min_alpha
+          FROM feat f LEFT JOIN rules r USING (lang)
+        )
+        SELECT lang, repo, path, max_line_len, mean_line_len, alpha_frac,
+          rule_max_line, rule_max_mean, rule_min_alpha,
+          (max_line_len <= rule_max_line
+           AND mean_line_len <= rule_max_mean
+           AND alpha_frac >= rule_min_alpha) AS keep_lang
+        FROM j ORDER BY path
+    """
+    )
+
+
+def _code_token_fertility_oracle_sql() -> str:
+    """DuckDB twin of code_token_fertility: the same pretokenizer regex
+    as the doc_bpe_token_count oracle (textstats.BPE_ISH_PATTERN,
+    quote-escaped), strlen for UTF-8 bytes, exact integer sums, and
+    one-shot rounded divisions."""
+    from gruut_spark.operators.textstats import BPE_ISH_PATTERN
+
+    pat = BPE_ISH_PATTERN.replace("'", "''")
+    return (
+        "WITH "
+        + _code_files_cte_sql()
+        + f""", per AS (
+          SELECT lang,
+            len(regexp_extract_all(content, '{pat}'))::BIGINT AS toks,
+            strlen(content)::BIGINT AS bytes
+          FROM files
+        )
+        SELECT lang, count(*)::BIGINT AS n_files,
+          sum(toks)::BIGINT AS n_tokens,
+          sum(bytes)::BIGINT AS n_bytes,
+          round(sum(toks) / greatest(sum(bytes), 1), 6) AS tokens_per_byte,
+          round(sum(toks) / count(*), 6) AS mean_tokens_per_file
+        FROM per GROUP BY lang ORDER BY lang
+    """
+    )
+
+
 def _code_repo_langs_oracle_sql() -> str:
     """DuckDB twin of operators/code_analysis.py::repo_language_stats
     over the shared files fixture: two-level aggregation, the dominant
@@ -10024,6 +10138,8 @@ def oracle_sql() -> dict[str, str]:
         "code_fim_split": _code_fim_split_oracle_sql(),
         "code_repo_context": _code_repo_context_oracle_sql(),
         "code_repetition_flags": _code_repetition_flags_oracle_sql(),
+        "code_lang_rules": _code_lang_rules_oracle_sql(),
+        "code_token_fertility": _code_token_fertility_oracle_sql(),
         "code_metadata_prepend": _code_metadata_prepend_oracle_sql(),
         "code_opt_out": _code_opt_out_oracle_sql(),
         # code_compression_flags is rows-only: zlib has no SQL twin

@@ -792,3 +792,46 @@ def code_chunk_lines(
         F.size(piece).alias("n_chunk_lines"),
         F.array_join(piece, "\n").alias("chunk"),
     )
+
+
+def token_fertility_by_lang(
+    files: DataFrame,
+    content_col: str = "content",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Per-language tokenizer-fertility report (the StarCoder tokenizer
+    analysis: tokens produced per byte of source, by language — the
+    number that decides per-language mixture weights and context-window
+    budgeting): BPE-ish token count (the standard LLM pretokenizer
+    regex from ``textstats.BPE_ISH_PATTERN``, counted entirely in
+    codegen) against UTF-8 byte length, aggregated per language.
+
+    Scale shape: token and byte counts are scan-side projections
+    (zero Python); the aggregate is ONE map-side-combined groupBy whose
+    state is four longs per language — at 10^12 files the shuffle
+    carries (lang, partial) rows bounded by the language vocabulary,
+    not the corpus.
+
+    Cross-engine: fertility and mean are single IEEE divisions over
+    exact integer sums, then round(x, 6) — the one-shot-arithmetic
+    contract the oracle family relies on.
+    """
+    from .textstats import BPE_ISH_PATTERN
+
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    per_file = files.select(
+        F.col(lang_col).alias("lang"),
+        F.size(F.regexp_extract_all(content, F.lit(BPE_ISH_PATTERN), 0))
+        .cast("long")
+        .alias("_toks"),
+        F.octet_length(content).cast("long").alias("_bytes"),
+    )
+    return per_file.groupBy("lang").agg(
+        F.count("*").alias("n_files"),
+        F.sum("_toks").alias("n_tokens"),
+        F.sum("_bytes").alias("n_bytes"),
+        F.round(F.sum("_toks") / F.greatest(F.sum("_bytes"), F.lit(1)), 6).alias(
+            "tokens_per_byte"
+        ),
+        F.round(F.sum("_toks") / F.count("*"), 6).alias("mean_tokens_per_file"),
+    )

@@ -938,3 +938,42 @@ def test_code_chunk_lines_trailing_newline_and_plan(spark):
 
     with _pytest.raises(ValueError):
         code_chunk_lines(files, max_lines=4, overlap=4)
+
+
+def test_token_fertility_by_lang(spark):
+    """Hand-counted pretokenizer matches: 'x=1\\n' -> x,=,1,\\n (4);
+    'abc def' -> abc,' def' (2); 'héllo' -> one letter run, 6 UTF-8
+    bytes. HALF_UP rounding on the one-shot divisions."""
+    from gruut_spark.operators.code_analysis import token_fertility_by_lang
+
+    rows = [
+        ("r0", "a.py", "c", "py", "x=1\n"),
+        ("r0", "b.py", "c", "py", "abc def"),
+        ("r0", "c.go", "c", "go", "héllo"),
+        ("r0", "d.go", "c", "go", ""),
+    ]
+    out = {
+        r["lang"]: r.asDict()
+        for r in token_fertility_by_lang(_files(spark, rows)).collect()
+    }
+    py = out["py"]
+    assert py["n_files"] == 2 and py["n_tokens"] == 6 and py["n_bytes"] == 11
+    assert py["tokens_per_byte"] == 0.545455  # round(6/11, 6) HALF_UP
+    assert py["mean_tokens_per_file"] == 3.0
+    go = out["go"]
+    assert go["n_files"] == 2 and go["n_tokens"] == 1 and go["n_bytes"] == 6
+    assert go["tokens_per_byte"] == 0.166667
+    assert go["mean_tokens_per_file"] == 0.5
+
+
+def test_token_fertility_plan_shape(spark):
+    """One map-side-combined aggregate over scan projections: partial
+    then final HashAggregate, zero Python eval nodes."""
+    from gruut_spark.operators.code_analysis import token_fertility_by_lang
+
+    df = token_fertility_by_lang(
+        _files(spark, [("r", "p.py", "c", "py", "x = 1\n")])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    assert plan.count("HashAggregate") == 2  # partial + final
