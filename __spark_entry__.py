@@ -2942,6 +2942,39 @@ def _code_compression_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     return compression_flags(_code_files_fixture(spark, sf_dir)).orderBy("path")
 
 
+def _code_comment_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Natural-language ID over each file's COMMENTS (the
+    multilingual-corpus mixture signal: the code is Python either way,
+    its commentary is English or Chinese): per-extension comment
+    extraction (the code_comment_stats family table, (?m)-anchored so
+    no lambda HOF reaches the UDF argument — the documented Spark 4.1
+    codegen trap) scored by the engine's langid model in ONE Arrow
+    batch UDF (operators/code_analysis.py::code_comment_langid). The
+    oracle pipes the same extraction through the full langid model
+    SQL (source-parametrized doc_langid replay)."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import code_comment_langid
+
+    return code_comment_langid(_code_files_fixture(spark, sf_dir)).orderBy("path")
+
+
+def _code_license_strip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """License/copyright header removal (CodeSearchNet / AlphaCode-style
+    preprocessing: the leading comment block is boilerplate that
+    near-duplicates across millions of files): leading comment/blank
+    run located, stripped when it carries a license marker, fits the
+    header cap and code follows; shebang lines survive
+    (operators/code_filters.py::strip_license_header — one zero-shuffle
+    zero-Python scan projection, content in and out within the stage).
+    The fixture's id%41 SPDX stratum strips, id%31 comment-heavy and
+    id%43 generated headers are the no-license negatives, id%53 prose
+    LICENSE bodies the no-comment-prefix negatives."""
+    _configure(spark)
+    from gruut_spark.operators.code_filters import strip_license_header
+
+    return strip_license_header(_code_files_fixture(spark, sf_dir)).orderBy("path")
+
+
 def _code_lang_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """StarCoder-style per-language threshold gate (Li et al. 2023
     appendix A tunes filters per language): line-length extrema +
@@ -4071,6 +4104,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_metadata_prepend": _code_metadata_prepend,
         "code_opt_out": _code_opt_out,
         "code_compression_flags": _code_compression_flags,
+        "code_comment_langid": _code_comment_langid,
+        "code_license_strip": _code_license_strip,
         "code_lang_rules": _code_lang_rules,
         "code_token_fertility": _code_token_fertility,
         "code_manifest_license": _code_manifest_license,
@@ -5785,7 +5820,7 @@ def _pos_viterbi_oracle_sql(max_words: int = 30) -> str:
     """
 
 
-def _langid_oracle_sql() -> str:
+def _langid_oracle_sql(source: str = "documents") -> str:
     """DuckDB replication of the ENTIRE langid model (core/langid.py):
     the rolling polynomial char-n-gram hash over UTF-8 bytes (per-n
     power expansion mod 2^64, the winnowing oracle's trick), bucket
@@ -5840,7 +5875,7 @@ def _langid_oracle_sql() -> str:
         docs AS (
           SELECT doc_id,
             ' ' || lower(substr(coalesce(text, ''), 1, 2000)) || ' ' AS s
-          FROM documents
+          FROM {source}
         ),
         by AS MATERIALIZED (
           SELECT doc_id, length(hx) // 2 AS nb,
@@ -8131,6 +8166,132 @@ def _code_repetition_flags_oracle_sql() -> str:
     """
 
 
+def _code_comment_langid_oracle_sql() -> str:
+    """DuckDB twin of code_comment_langid: comment extraction replayed
+    with the SAME (?m) whole-line regexes and family CASE (module
+    constants), piped through the FULL langid model SQL via the
+    source-parametrized doc_langid oracle (`cmtdocs` as the document
+    table — sibling-CTE capture makes shadowing `documents` unsafe,
+    so the model SQL takes the source name instead)."""
+    from gruut_spark.operators.code_filters import (
+        COMMENT_FAMILIES,
+        COMMENT_LINE_RE,
+        EXT_RE,
+    )
+
+    def _extract(regex: str) -> str:
+        return (
+            "coalesce(array_to_string(regexp_extract_all(content, "
+            f"'(?m){regex}[^\\n]*'), chr(10)), '')"
+        )
+
+    whens = " ".join(
+        "WHEN ext IN ({}) THEN {}".format(
+            ", ".join(f"'{e}'" for e in exts), _extract(regex)
+        )
+        for _name, exts, regex in COMMENT_FAMILIES
+    )
+    ct_case = f"CASE {whens} ELSE {_extract(COMMENT_LINE_RE)} END"
+    # the files -> comment-text chain, self-contained (only the real
+    # `documents` view is referenced). DuckDB's mutual-visibility CTE
+    # scoping reports a cross-scope sibling reference from inside the
+    # model SQL's nested WITH as circular, so the chain is interpolated
+    # TWICE — once inline as the model's source subquery, once at the
+    # outer level for repo/path/char columns — instead of shared.
+    chain = (
+        "WITH "
+        + _code_files_cte_sql()
+        + f""", cmt AS (
+          SELECT repo, path,
+            lower(coalesce(regexp_extract(path, '{EXT_RE}', 1), ''))
+              AS ext,
+            content
+          FROM files
+        ), ct AS (
+          SELECT repo, path, {ct_case} AS t FROM cmt
+        )"""
+    )
+    lang_sql = _langid_oracle_sql(
+        source=f"({chain} SELECT path AS doc_id, t AS text FROM ct)"
+    )
+    return f"""
+        {chain}, lang_cte AS MATERIALIZED ({lang_sql})
+        SELECT c.repo, c.path, length(c.t)::INT AS n_comment_chars,
+          l.lang_pred AS comment_lang, l.lang_conf AS comment_lang_conf
+        FROM ct c JOIN lang_cte l ON l.doc_id = c.path
+        ORDER BY c.path
+    """
+
+
+def _code_license_strip_oracle_sql() -> str:
+    """DuckDB twin of code_license_strip: the shebang/body/first-code/
+    header walk replayed with list_slice/list_position/list_transform,
+    the comment and license regexes interpolated from the SAME module
+    constants; array_to_string([]) coalesced (the standing DuckDB NULL
+    trap)."""
+    from gruut_spark.operators.code_filters import (
+        COMMENT_LINE_RE,
+        LICENSE_HEADER_RE,
+    )
+
+    return (
+        "WITH "
+        + _code_files_cte_sql()
+        + f""", ln AS (
+          SELECT repo, path, content,
+            string_split_regex(content, '\\r?\\n') AS lines
+          FROM files
+        ), sb AS (
+          SELECT repo, path, content, lines,
+            substring(lines[1], 1, 2) = '#!' AS has_shebang,
+            CASE WHEN substring(lines[1], 1, 2) = '#!'
+                 THEN list_slice(lines, 2, len(lines))
+                 ELSE lines END AS body
+          FROM ln
+        ), fc AS (
+          SELECT repo, path, content, lines, has_shebang, body,
+            coalesce(list_position(list_transform(body,
+              l -> trim(l) != ''
+                   AND NOT regexp_matches(l, '{COMMENT_LINE_RE}')),
+              true), 0) AS first_code
+          FROM sb
+        ), hd AS (
+          SELECT repo, path, content, lines, has_shebang, body,
+            first_code,
+            CASE WHEN first_code > 0 THEN first_code - 1
+                 ELSE 0 END AS n_header
+          FROM fc
+        ), jg AS (
+          SELECT repo, path, content, lines, has_shebang, body,
+            first_code, n_header,
+            regexp_matches(
+              coalesce(array_to_string(
+                list_slice(body, 1, n_header), chr(10)), ''),
+              '{LICENSE_HEADER_RE}') AS has_license
+          FROM hd
+        ), vd AS (
+          SELECT repo, path, content, lines, has_shebang, body,
+            first_code, n_header, has_license,
+            (has_license AND first_code > 0 AND n_header > 0
+             AND n_header <= 40) AS do_strip
+          FROM jg
+        )
+        SELECT repo, path, n_header::INT AS n_header_lines,
+          has_license AS has_license_header,
+          do_strip AS header_stripped,
+          CASE WHEN NOT do_strip THEN content
+               WHEN has_shebang THEN lines[1] || chr(10) ||
+                 coalesce(array_to_string(
+                   list_slice(body, first_code, len(body)), chr(10)), '')
+               ELSE
+                 coalesce(array_to_string(
+                   list_slice(body, first_code, len(body)), chr(10)), '')
+          END AS content_out
+        FROM vd ORDER BY path
+    """
+    )
+
+
 def _code_lang_rules_oracle_sql() -> str:
     """DuckDB twin of code_lang_rules: the rules VALUES list and the
     default row interpolated from the SAME module constants
@@ -10138,6 +10299,8 @@ def oracle_sql() -> dict[str, str]:
         "code_fim_split": _code_fim_split_oracle_sql(),
         "code_repo_context": _code_repo_context_oracle_sql(),
         "code_repetition_flags": _code_repetition_flags_oracle_sql(),
+        "code_comment_langid": _code_comment_langid_oracle_sql(),
+        "code_license_strip": _code_license_strip_oracle_sql(),
         "code_lang_rules": _code_lang_rules_oracle_sql(),
         "code_token_fertility": _code_token_fertility_oracle_sql(),
         "code_metadata_prepend": _code_metadata_prepend_oracle_sql(),

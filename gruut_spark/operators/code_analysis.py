@@ -835,3 +835,76 @@ def token_fertility_by_lang(
         ),
         F.round(F.sum("_toks") / F.count("*"), 6).alias("mean_tokens_per_file"),
     )
+
+
+def comment_text_expr(
+    content_col: str = "content", path_col: str = "path"
+) -> Column:
+    """The file's comment lines as ONE newline-joined string, comment
+    syntax chosen by extension (the ``code_comment_stats`` family
+    table). Built with (?m)-anchored ``regexp_extract_all`` +
+    ``array_join`` — deliberately NO lambda higher-order functions, so
+    the expression is safe as a pandas-UDF argument (the documented
+    Spark 4.1 "Cannot generate code" trap fires on
+    ``_udf(filter(...))`` collapses; see PLANS.md / similarity.py)."""
+    from .code_filters import COMMENT_FAMILIES, COMMENT_LINE_RE, EXT_RE
+
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    ext = F.lower(F.regexp_extract(F.col(path_col), EXT_RE, 1))
+
+    def _extract(regex: str) -> Column:
+        return F.array_join(
+            F.regexp_extract_all(content, F.lit(f"(?m){regex}[^\\n]*"), 0),
+            "\n",
+        )
+
+    out = _extract(COMMENT_LINE_RE)
+    for name, exts, regex in reversed(COMMENT_FAMILIES):
+        out = F.when(ext.isin(list(exts)), _extract(regex)).otherwise(out)
+    return out
+
+
+def code_comment_langid(
+    files: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Natural-language ID over a file's COMMENTS (the signal
+    multilingual-code corpora mix on: the code is Python either way,
+    but its commentary is English or Chinese — CodeGen/StarCoder-era
+    pipelines weight or filter on the human language of the repo):
+    per-extension comment extraction (the ``code_comment_stats``
+    family table) joined to one string, scored by the engine's langid
+    model.
+
+    Scale shape: comment extraction is a codegen projection; scoring
+    is ONE vectorized Arrow batch UDF (the model loads once per
+    worker) — per the measured one-Python-eval-node-per-stage rule; in
+    the production job this would fold into the model stage's
+    mapInPandas batch instead. Only (repo, path, comment chars, pred,
+    conf) leave the stage.
+
+    Cross-engine: the DuckDB oracle replays comment extraction with
+    the same (?m) regexes and pipes it through the SAME full langid
+    model SQL (polynomial char-n-gram hashes, NB weights, softmax) as
+    doc_langid, confidence rounded to 6 on both sides."""
+    from ..functions.udfs import langid_udf
+
+    ct = comment_text_expr(content_col, path_col)
+    base = files.select(
+        F.col("repo"),
+        F.col("path"),
+        ct.alias("_ct"),
+    )
+    return base.select(
+        "repo",
+        "path",
+        F.length("_ct").alias("n_comment_chars"),
+        langid_udf(F.col("_ct")).alias("_lid"),
+    ).select(
+        "repo",
+        "path",
+        "n_comment_chars",
+        F.col("_lid.lang_pred").alias("comment_lang"),
+        F.round("_lid.lang_conf", 6).alias("comment_lang_conf"),
+    )

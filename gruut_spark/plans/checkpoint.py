@@ -72,6 +72,7 @@ def run_with_checkpoints(
     near_dedup: bool = False,
     encoding_filter: bool = False,
     latest_snapshot: bool = False,
+    license_strip: bool = False,
     decontaminate_df: Optional[DataFrame] = None,
     fork_dedup: bool = False,
     fim_rate: int = 0,
@@ -173,6 +174,7 @@ def run_with_checkpoints(
             notebook_convert=notebook_convert,
             encoding_filter=encoding_filter,
             latest_snapshot=latest_snapshot,
+            license_strip=license_strip,
         )
         if metadata_rate:
             # StarCoder data formatting (Li et al. 2023 sec. 5):

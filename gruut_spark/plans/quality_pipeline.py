@@ -224,8 +224,20 @@ def build_pipeline(
     notebook_convert: bool = False,
     encoding_filter: bool = False,
     latest_snapshot: bool = False,
+    license_strip: bool = False,
 ) -> DataFrame:
     """Full staged plan (no action triggered).
+
+    ``license_strip=True`` removes leading license/copyright comment
+    blocks (operators/code_filters.py::strip_license_augment —
+    CodeSearchNet/AlphaCode-style boilerplate removal) in the SCAN
+    stage, after notebook conversion and BEFORE the prefilter: the
+    header is boilerplate that inflates comment-density (a short file
+    under a 20-line Apache header reads as comment-heavy) and
+    near-duplicates across millions of files, so every downstream
+    judgment should see the real code. Deterministic per row —
+    resume-stable at any cluster size. Opt-in like the other
+    scan-stage options.
 
     ``latest_snapshot=True`` collapses a multi-commit history to one
     row per (repo, path) — the HEAD commit — before any other stage
@@ -278,6 +290,10 @@ def build_pipeline(
         from ..operators.code_analysis import notebook_to_script
 
         files = notebook_to_script(files).drop("was_notebook")
+    if license_strip:
+        from ..operators.code_filters import strip_license_augment
+
+        files = strip_license_augment(files)
     if code_prefilter:
         from ..operators.code_filters import code_keep_predicate
 

@@ -67,6 +67,13 @@ def main() -> None:
                          "rule); group-local per resume bucket, which "
                          "is corpus-correct since buckets key on "
                          "(repo, path)")
+    ap.add_argument("--strip-license", action="store_true",
+                    help="remove leading license/copyright comment "
+                         "blocks (CodeSearchNet/AlphaCode-style "
+                         "boilerplate removal) in the scan stage, "
+                         "before the prefilter — a leading shebang "
+                         "survives; deterministic per row, so resume "
+                         "re-produces identical bytes")
     ap.add_argument("--fim-rate", type=int, default=0, metavar="PCT",
                     help="rewrite PCT%% of KEPT rows' scrubbed_content "
                          "into a fill-in-the-middle training sample "
@@ -139,6 +146,7 @@ def main() -> None:
         encoding_filter=args.encoding_filter,
         latest_snapshot=args.latest_snapshot,
         fork_dedup=args.fork_dedup,
+        license_strip=args.strip_license,
         fim_rate=args.fim_rate,
         metadata_rate=args.metadata_rate,
         opt_out_df=(

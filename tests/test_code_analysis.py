@@ -977,3 +977,48 @@ def test_token_fertility_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Python" not in plan
     assert plan.count("HashAggregate") == 2  # partial + final
+
+
+def test_code_comment_langid(spark):
+    """Comment language detected per file with extension-correct
+    comment syntax: '#' lines in a .c file are NOT comments, so only
+    the // line is scored; empty comment text is deterministic."""
+    from gruut_spark.operators.code_analysis import code_comment_langid
+
+    en = "the quick brown fox jumps over the lazy dog and runs away"
+    de = "der schnelle braune fuchs springt ueber den faulen hund weg"
+    rows = [
+        ("r", "a.py", "c", "py", f"# {en}\nx = 1\n# {en}\n"),
+        ("r", "b.c", "c", "c", f"// {de}\nint x;\n/* {de} */\n"),
+        # '#' lines in C are preprocessor/code, not comments
+        ("r", "hash.c", "c", "c", f"# {en}\n# {en}\nint x;\n"),
+        ("r", "none.py", "c", "py", "x = 1\n"),
+    ]
+    out = {
+        r["path"]: r.asDict()
+        for r in code_comment_langid(_files(spark, rows)).collect()
+    }
+    assert out["a.py"]["comment_lang"] == "en"
+    assert out["a.py"]["n_comment_chars"] == 2 * len(en) + 5
+    assert out["b.c"]["comment_lang"] == "de"
+    assert out["hash.c"]["n_comment_chars"] == 0
+    assert out["none.py"]["n_comment_chars"] == 0
+    # empty comment text still yields a deterministic (pred, conf)
+    assert out["hash.c"]["comment_lang"] == out["none.py"]["comment_lang"]
+    assert (
+        out["hash.c"]["comment_lang_conf"]
+        == out["none.py"]["comment_lang_conf"]
+    )
+
+
+def test_code_comment_langid_plan_one_python_node(spark):
+    """Exactly ONE Python eval node (the langid Arrow batch UDF) — the
+    measured one-node-per-stage rule — and no Exchange."""
+    from gruut_spark.operators.code_analysis import code_comment_langid
+
+    df = code_comment_langid(
+        _files(spark, [("r", "p.py", "c", "py", "# hi\nx = 1\n")])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
+    assert "Exchange" not in plan

@@ -371,3 +371,50 @@ def test_opt_out_removes_repo_before_everything(spark, tmp_path):
          .select(*cols).collect()}
     b = {tuple(r) for r in oo.select(*cols).collect()}
     assert a == b
+
+
+def test_strip_license_rewrites_header_rows_only(spark, tmp_path):
+    """--strip-license semantics: a planted SPDX-headed file loses its
+    header before scoring/scrub (the scrubbed output starts at the
+    code), the shebang variant keeps its first line, and rows without a
+    license header are byte-identical to a no-flag run."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    base = generate_files(40, seed=19)[["repo", "path", "commit", "lang", "content"]]
+    planted = pd.DataFrame(
+        [
+            ("rLic", "spdx.py", "c", "en",
+             "# SPDX-License-Identifier: MIT\n"
+             "print('hello license world')\n"),
+            ("rLic", "she.py", "c", "en",
+             "#!/usr/bin/env python\n# Copyright Acme Corp\n"
+             "print('shebang stays')\n"),
+        ],
+        columns=["repo", "path", "commit", "lang", "content"],
+    )
+    files = spark.createDataFrame(pd.concat([base, planted], ignore_index=True))
+
+    out_plain = str(tmp_path / "plain")
+    run_with_checkpoints(spark, files, out_plain, n_buckets=4, group_size=1)
+    plain = spark.read.parquet(os.path.join(out_plain, "verdicts"))
+
+    out_ls = str(tmp_path / "ls")
+    run_with_checkpoints(
+        spark, files, out_ls, n_buckets=4, group_size=1, license_strip=True
+    )
+    ls = spark.read.parquet(os.path.join(out_ls, "verdicts"))
+
+    got = {
+        r["path"]: r["scrubbed_content"]
+        for r in ls.filter(F.col("repo") == "rLic").collect()
+    }
+    assert got["spdx.py"].startswith("print('hello license world')")
+    assert got["she.py"].startswith("#!/usr/bin/env python\nprint('shebang stays')")
+    cols = ["repo", "path", "keep", "scrubbed_content"]
+    a = {tuple(r) for r in plain.filter(F.col("repo") != "rLic")
+         .select(*cols).collect()}
+    b = {tuple(r) for r in ls.filter(F.col("repo") != "rLic")
+         .select(*cols).collect()}
+    assert a == b
