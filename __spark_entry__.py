@@ -8223,21 +8223,21 @@ def _code_comment_langid_oracle_sql() -> str:
     """
 
 
-def _code_license_strip_oracle_sql() -> str:
-    """DuckDB twin of code_license_strip: the shebang/body/first-code/
-    header walk replayed with list_slice/list_position/list_transform,
-    the comment and license regexes interpolated from the SAME module
-    constants; array_to_string([]) coalesced (the standing DuckDB NULL
-    trap)."""
+def _code_license_strip_body_sql() -> str:
+    """strip_license_header as a WITH-chain continuation over an open
+    CTE named `files` (repo, path, content): the shebang/body/
+    first-code/header walk replayed with list_slice/list_position/
+    list_transform, the comment and license regexes interpolated from
+    the SAME module constants; array_to_string([]) coalesced (the
+    standing DuckDB NULL trap). Shared by the fixture oracle and the
+    adversarial cross-engine differential test."""
     from gruut_spark.operators.code_filters import (
         COMMENT_LINE_RE,
         LICENSE_HEADER_RE,
     )
 
     return (
-        "WITH "
-        + _code_files_cte_sql()
-        + f""", ln AS (
+        f""", ln AS (
           SELECT repo, path, content,
             string_split_regex(content, '\\r?\\n') AS lines
           FROM files
@@ -8290,6 +8290,12 @@ def _code_license_strip_oracle_sql() -> str:
         FROM vd ORDER BY path
     """
     )
+
+
+def _code_license_strip_oracle_sql() -> str:
+    """DuckDB twin of code_license_strip over the shared files
+    fixture."""
+    return "WITH " + _code_files_cte_sql() + _code_license_strip_body_sql()
 
 
 def _code_lang_rules_oracle_sql() -> str:
