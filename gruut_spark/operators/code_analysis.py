@@ -279,15 +279,34 @@ def identifier_stats(
     array ops run inside codegen.
     """
     content = F.coalesce(F.col(content_col), F.lit(""))
-    ids = F.regexp_extract_all(content, F.lit(IDENT_RE), 0)
-    n_ids = F.size(ids)
-    n_snake = F.size(F.filter(ids, lambda x: x.rlike(SNAKE_RE)))
-    n_camel = F.size(F.filter(ids, lambda x: x.rlike(CAMEL_RE)))
-    n_const = F.size(F.filter(ids, lambda x: x.rlike(CONST_RE)))
-    len_sum = F.aggregate(
-        F.transform(ids, F.length),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
+    # Materialize the extracted array in its OWN projection, then
+    # derive every count from the column reference: each Column
+    # reference to an interpreted HOF re-evaluates its whole subtree
+    # (five references re-ran the regexp_extract_all five times —
+    # measured 182 µs/row at 500k rows, ~70 after sharing).
+    # CollapseProject deliberately keeps the two projections separate
+    # because a non-cheap expression referenced more than once is not
+    # inlined.
+    ids = F.col("_ids")
+    base = files.select(
+        *[F.col(c) for c in keep_cols],
+        F.regexp_extract_all(content, F.lit(IDENT_RE), 0).alias("_ids"),
+    )
+    cnt = base.select(
+        *[F.col(c) for c in keep_cols],
+        F.size(ids).alias("n_ids"),
+        F.size(F.array_distinct(ids)).alias("n_unique_ids"),
+        F.size(F.filter(ids, lambda x: x.rlike(SNAKE_RE))).alias("n_snake"),
+        F.size(F.filter(ids, lambda x: x.rlike(CAMEL_RE))).alias("n_camel"),
+        F.size(F.filter(ids, lambda x: x.rlike(CONST_RE))).alias("n_const"),
+        F.aggregate(
+            F.transform(ids, F.length),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        ).alias("_len_sum"),
+    )
+    n_ids, n_snake, n_camel, n_const = (
+        F.col("n_ids"), F.col("n_snake"), F.col("n_camel"), F.col("n_const")
     )
     dominant = (
         F.when(
@@ -298,14 +317,16 @@ def identifier_stats(
         .when(n_const > 0, F.lit("const"))
         .otherwise(F.lit("none"))
     )
-    return files.select(
+    return cnt.select(
         *[F.col(c) for c in keep_cols],
-        n_ids.alias("n_ids"),
-        F.size(F.array_distinct(ids)).alias("n_unique_ids"),
-        n_snake.alias("n_snake"),
-        n_camel.alias("n_camel"),
-        n_const.alias("n_const"),
-        F.round(len_sum / F.greatest(n_ids, F.lit(1)), 6).alias("avg_id_len"),
+        "n_ids",
+        "n_unique_ids",
+        "n_snake",
+        "n_camel",
+        "n_const",
+        F.round(F.col("_len_sum") / F.greatest(n_ids, F.lit(1)), 6).alias(
+            "avg_id_len"
+        ),
         dominant.alias("dominant_style"),
     )
 
@@ -337,21 +358,40 @@ def logfile_flags(
     projection; line split is ``\\r?\\n`` in both engines.
     """
     content = F.coalesce(F.col(content_col), F.lit(""))
-    lines = F.split(content, r"\r?\n")
-    nonempty = F.filter(lines, lambda x: F.trim(x) != "")
-    n_nonempty = F.size(nonempty)
-    n_java = F.size(F.filter(lines, lambda x: x.rlike(JAVA_FRAME_RE)))
-    n_pytb = F.size(F.filter(lines, lambda x: x.rlike(PY_TB_RE)))
-    n_ts = F.size(F.filter(lines, lambda x: x.rlike(TS_LOG_RE)))
-    ratio = F.round(
-        (n_java + n_pytb + n_ts) / F.greatest(n_nonempty, F.lit(1)), 6
-    )
-    return files.select(
+    # split materialized once (the identifier_stats sharing rationale:
+    # four HOF references would re-split four times)
+    lines = F.col("_lines")
+    base = files.select(
         *[F.col(c) for c in keep_cols],
-        n_nonempty.alias("n_nonempty"),
-        n_java.alias("n_java_frames"),
-        n_pytb.alias("n_py_tb"),
-        n_ts.alias("n_ts_lines"),
+        F.split(content, r"\r?\n").alias("_lines"),
+    )
+    cnt = base.select(
+        *[F.col(c) for c in keep_cols],
+        F.size(F.filter(lines, lambda x: F.trim(x) != "")).alias(
+            "n_nonempty"
+        ),
+        F.size(F.filter(lines, lambda x: x.rlike(JAVA_FRAME_RE))).alias(
+            "n_java_frames"
+        ),
+        F.size(F.filter(lines, lambda x: x.rlike(PY_TB_RE))).alias(
+            "n_py_tb"
+        ),
+        F.size(F.filter(lines, lambda x: x.rlike(TS_LOG_RE))).alias(
+            "n_ts_lines"
+        ),
+    )
+    n_nonempty = F.col("n_nonempty")
+    ratio = F.round(
+        (F.col("n_java_frames") + F.col("n_py_tb") + F.col("n_ts_lines"))
+        / F.greatest(n_nonempty, F.lit(1)),
+        6,
+    )
+    return cnt.select(
+        *[F.col(c) for c in keep_cols],
+        "n_nonempty",
+        "n_java_frames",
+        "n_py_tb",
+        "n_ts_lines",
         ratio.alias("log_line_ratio"),
         (
             (ratio > F.lit(LOG_RATIO_THRESHOLD))
@@ -431,25 +471,46 @@ def indent_stats(
     line is indented. Zero-shuffle projection.
     """
     content = F.coalesce(F.col(content_col), F.lit(""))
-    lines = F.split(content, r"\r?\n")
-    n_tab = F.size(F.filter(lines, lambda x: x.rlike(TAB_INDENT_RE)))
-    spaced = F.filter(lines, lambda x: x.rlike(SPACE_INDENT_RE))
-    n_space = F.size(spaced)
+    # split + space-indented subset each materialized once (the
+    # identifier_stats sharing rationale)
     leading = lambda x: F.length(x) - F.length(F.ltrim(x))  # noqa: E731
-    n_indent2 = F.size(F.filter(spaced, lambda x: leading(x) == 2))
-    n_indent4 = F.size(F.filter(spaced, lambda x: leading(x) == 4))
+    base = files.select(
+        *[F.col(c) for c in keep_cols],
+        F.split(content, r"\r?\n").alias("_lines"),
+    )
+    mid = base.select(
+        *[F.col(c) for c in keep_cols],
+        F.size(
+            F.filter(F.col("_lines"), lambda x: x.rlike(TAB_INDENT_RE))
+        ).alias("n_tab_indent"),
+        F.filter(F.col("_lines"), lambda x: x.rlike(SPACE_INDENT_RE)).alias(
+            "_spaced"
+        ),
+    )
+    cnt = mid.select(
+        *[F.col(c) for c in keep_cols],
+        "n_tab_indent",
+        F.size(F.col("_spaced")).alias("n_space_indent"),
+        F.size(
+            F.filter(F.col("_spaced"), lambda x: leading(x) == 2)
+        ).alias("n_indent2"),
+        F.size(
+            F.filter(F.col("_spaced"), lambda x: leading(x) == 4)
+        ).alias("n_indent4"),
+    )
+    n_tab, n_space = F.col("n_tab_indent"), F.col("n_space_indent")
     style = (
         F.when(n_tab > n_space, F.lit("tabs"))
         .when(n_space > n_tab, F.lit("spaces"))
         .when(n_tab > 0, F.lit("mixed"))
         .otherwise(F.lit("none"))
     )
-    return files.select(
+    return cnt.select(
         *[F.col(c) for c in keep_cols],
-        n_tab.alias("n_tab_indent"),
-        n_space.alias("n_space_indent"),
-        n_indent2.alias("n_indent2"),
-        n_indent4.alias("n_indent4"),
+        "n_tab_indent",
+        "n_space_indent",
+        "n_indent2",
+        "n_indent4",
         F.round(n_tab / F.greatest(n_tab + n_space, F.lit(1)), 6).alias(
             "tabs_frac"
         ),

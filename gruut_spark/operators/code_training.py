@@ -401,29 +401,51 @@ def repetition_flags(
     the original array, O(distinct × total) per file on arrays that
     never leave the row.
     """
-    lines = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(content_col), F.lit("")), "\n"),
-            lambda s: F.trim(s),
-        ),
-        lambda s: s != "",
-    )
-    distinct = F.array_distinct(lines)
-    n = F.size(lines)
-    nd = F.size(distinct)
-    top = F.array_max(
-        F.transform(
-            distinct,
-            lambda d: F.size(F.filter(lines, lambda s: s == d)),
-        )
-    )
-    dup_frac = F.when(n > 0, F.round((n - nd) / n, 6)).otherwise(F.lit(0.0))
-    top_frac = F.when(n > 0, F.round(top / n, 6)).otherwise(F.lit(0.0))
-    return files.select(
+    # line and distinct-line arrays materialized in their own
+    # projections (the identifier_stats sharing rationale — worst here:
+    # the nested count-matches lambda referenced `lines` PER DISTINCT
+    # ELEMENT, re-running the split/trim/filter chain d times per row)
+    base = files.select(
         "repo",
         "path",
-        n.alias("n_lines"),
-        nd.alias("n_distinct_lines"),
+        F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(content_col), F.lit("")), "\n"),
+                lambda s: F.trim(s),
+            ),
+            lambda s: s != "",
+        ).alias("_lines"),
+    )
+    mid = base.select(
+        "repo",
+        "path",
+        F.col("_lines"),
+        F.array_distinct(F.col("_lines")).alias("_distinct"),
+    )
+    cnt = mid.select(
+        "repo",
+        "path",
+        F.size(F.col("_lines")).alias("n_lines"),
+        F.size(F.col("_distinct")).alias("n_distinct_lines"),
+        F.array_max(
+            F.transform(
+                F.col("_distinct"),
+                lambda d: F.size(
+                    F.filter(F.col("_lines"), lambda s: s == d)
+                ),
+            )
+        ).alias("_top"),
+    )
+    n, nd = F.col("n_lines"), F.col("n_distinct_lines")
+    dup_frac = F.when(n > 0, F.round((n - nd) / n, 6)).otherwise(F.lit(0.0))
+    top_frac = F.when(n > 0, F.round(F.col("_top") / n, 6)).otherwise(
+        F.lit(0.0)
+    )
+    return cnt.select(
+        "repo",
+        "path",
+        "n_lines",
+        "n_distinct_lines",
         dup_frac.alias("dup_line_frac"),
         top_frac.alias("top_line_frac"),
         (
