@@ -3009,6 +3009,129 @@ def _code_token_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Doc-pair fixture strata literals, shared verbatim with the CTE twin
+# (runtime interpolation keeps the embedded \n / \r\n real).
+_DOCP_S0A = "def alpha_"
+_DOCP_S0B = '(a, b=2):\n    """'
+_DOCP_S0C = (
+    '\n\n    details.\n    """\n    return a\n'
+    "\n\ndef helper_fn(x):\n    return x\n"
+)
+_DOCP_S1A = "class K:\r\n    def beta(self, x):\r\n        '''\r\n        "
+_DOCP_S1B = "\r\n        '''\r\n        pass\r\n"
+_DOCP_S2A = 'def g0():\n    """'
+_DOCP_S2B = '"""\n\ndef g1(p, q, r):\n    \'\'\'second doc\'\'\'\n    pass\n'
+_DOCP_S3 = "def plain_fn(x):\n    return x\n"
+
+
+def _code_doc_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python-file strata for doc-pair mining, rotating by id%4:
+    double-quoted docstring + undocumented helper / CRLF class method
+    with a leading-newline '''-docstring / two documented functions
+    (one of each quote type) / no docstring at all; every 11th file is
+    a .txt decoy the extension filter must drop."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    clean = F.substring(
+        F.regexp_replace(F.lower(raw), r"[^a-z0-9 ]", ""), 1, 40
+    )
+    ds = d.cast("string")
+    content = (
+        F.when(
+            d % 4 == 0,
+            F.concat(
+                F.lit(_DOCP_S0A), ds, F.lit(_DOCP_S0B), clean,
+                F.lit(_DOCP_S0C),
+            ),
+        )
+        .when(d % 4 == 1, F.concat(F.lit(_DOCP_S1A), clean, F.lit(_DOCP_S1B)))
+        .when(d % 4 == 2, F.concat(F.lit(_DOCP_S2A), clean, F.lit(_DOCP_S2B)))
+        .otherwise(F.lit(_DOCP_S3))
+    )
+    path = F.when(
+        d % 11 == 0, F.concat(F.lit("notes/n"), ds, F.lit(".txt"))
+    ).otherwise(F.concat(F.lit("src/p"), ds, F.lit(".py")))
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_doc_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CodeSearchNet-style (function, docstring) pair mining (Husain et
+    al. 2019 — the extraction that turns raw code into code-to-doc
+    training pairs): one line-anchored regexp_extract_all finds every
+    def header whose body opens with a triple-quoted docstring,
+    posexplode emits a row per function, and the docstring is cut out
+    positionally (first triple-quote occurrence → last three chars), so
+    quote-type handling is branch-free
+    (operators/code_analysis.py::code_doc_pairs — zero Python, zero
+    Exchange). The oracle replays the same RE2-compatible pattern,
+    strpos arithmetic and edge-trim."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import code_doc_pairs
+
+    return code_doc_pairs(_code_doc_fixture(spark, sf_dir)).orderBy(
+        "path", "func_idx"
+    )
+
+
+# Complexity fixture strata (shared with the CTE twin): a deeply nested
+# Python cascade / a branchy C snippet / plain prose lines.
+_CX_S0 = (
+    "\nif x and y:\n    for i in range(3):\n        while True:\n"
+    "            if q or w:\n                print(i)\n"
+)
+_CX_S1 = (
+    "int main() {\n  if (a && b) { return 1; }\n"
+    "  switch (k) { case 1: break; }\n}\n"
+)
+_CX_DEEP = "\n" + " " * 32 + "deep()\n"
+
+
+def _code_cx_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complexity strata rotating by id%3 (nested Python / branchy C /
+    plain lines), every 9th file gaining a 32-space deep line."""
+    d = F.col("doc_id")
+    raw = F.coalesce(F.col("text"), F.lit(""))
+    base = F.replace(raw, F.lit(" value "), F.lit("\n"))
+    ds = d.cast("string")
+    content = F.concat(
+        F.when(d % 3 == 0, F.concat(base, F.lit(_CX_S0)))
+        .when(d % 3 == 1, F.concat(F.lit(_CX_S1), base))
+        .otherwise(base),
+        F.when(d % 9 == 0, F.lit(_CX_DEEP)).otherwise(F.lit("")),
+    )
+    path = F.when(
+        d % 3 == 1, F.concat(F.lit("src/m"), ds, F.lit(".c"))
+    ).otherwise(F.concat(F.lit("src/m"), ds, F.lit(".py")))
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(raw).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-file lexical complexity profile (McCabe-proxy over branch
+    keywords + logical connectives, function-definition count, branch
+    density, max-indent ladder — the quality-classifier feature family
+    StarCoder/Phi-style pipelines score on): every count is an
+    anchored regexp_count or rlike probe over CRLF-normalized content,
+    HOF-free, one zero-shuffle codegen projection
+    (operators/code_analysis.py::code_complexity). The oracle replays
+    the same counts and the same CASE ladder."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import code_complexity
+
+    return code_complexity(_code_cx_fixture(spark, sf_dir)).orderBy("path")
+
+
 def _code_fork_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-level fork-dedup verdict: fork families = connected
     components over the is_fork pair graph (same fixture and pair chain
@@ -4108,6 +4231,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_license_strip": _code_license_strip,
         "code_lang_rules": _code_lang_rules,
         "code_token_fertility": _code_token_fertility,
+        "code_doc_pairs": _code_doc_pairs,
+        "code_complexity": _code_complexity,
         "code_manifest_license": _code_manifest_license,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
@@ -8298,6 +8423,176 @@ def _code_license_strip_oracle_sql() -> str:
     return "WITH " + _code_files_cte_sql() + _code_license_strip_body_sql()
 
 
+def _code_doc_body_sql() -> str:
+    """code_doc_pairs feature SQL as a WITH-chain continuation over an
+    open CTE named `files` (repo, path, content): the SAME
+    RE2-compatible extraction pattern ((?m) here, (?dm) Spark-side —
+    the infer_code_lang flag contract), the same positional strpos cut
+    of the docstring body, the same [ \\t\\r\\n] edge-trim ('g' flag
+    here, replace-all there). The ''' literal is built as
+    repeat(chr(39),3) to stay out of SQL quoting. Shared by the
+    fixture oracle and the adversarial differential test."""
+    from gruut_spark.operators.code_analysis import (
+        DOC_ARGS_RE,
+        DOC_FUNC_NAME_RE,
+        DOC_PAIR_CORE_RE,
+        DOC_PAIR_EXTS,
+        DOC_TRIM_RE,
+        EXT_RE,
+    )
+
+    q = lambda s: s.replace("'", "''")  # noqa: E731
+    dq3 = "'" + '"' * 3 + "'"
+    sq3 = "repeat(chr(39),3)"
+    exts = ", ".join(f"'{e}'" for e in DOC_PAIR_EXTS)
+    return f""", pyf AS (
+          SELECT repo, path,
+            regexp_extract_all(coalesce(content, ''),
+              '(?m){q(DOC_PAIR_CORE_RE)}') AS m0
+          FROM files
+          WHERE lower(coalesce(regexp_extract(path, '{EXT_RE}', 1), ''))
+                IN ({exts})
+        ), ex AS (
+          SELECT repo, path, unnest(range(len(m0)))::INT AS func_idx, m0
+          FROM pyf
+        ), fx AS (
+          SELECT repo, path, func_idx, m0[func_idx + 1] AS m FROM ex
+        ), pd AS (
+          SELECT repo, path, func_idx, m,
+            CASE WHEN strpos(m, {dq3}) > 0 AND (strpos(m, {sq3}) = 0
+                      OR strpos(m, {dq3}) < strpos(m, {sq3}))
+                 THEN strpos(m, {dq3}) ELSE strpos(m, {sq3}) END AS pos,
+            length(m) AS L
+          FROM fx
+        ), dd AS (
+          SELECT repo, path, func_idx,
+            regexp_extract(m, '{q(DOC_FUNC_NAME_RE)}', 1) AS func_name,
+            len(list_filter(string_split(
+              regexp_extract(m, '{q(DOC_ARGS_RE)}', 1), ','),
+              x -> trim(x) <> ''))::INT AS n_args,
+            regexp_replace(substring(m, pos + 3, L - pos - 5),
+                           '{q(DOC_TRIM_RE)}', '', 'g') AS doc
+          FROM pd
+        )
+        SELECT repo, path, func_idx, func_name, n_args,
+          length(doc)::INT AS doc_len,
+          trim(replace(string_split(doc, chr(10))[1], chr(13), ''))
+            AS doc_summary,
+          doc AS docstring
+        FROM dd ORDER BY path, func_idx
+    """
+
+
+def _code_doc_fixture_cte_sql() -> str:
+    """The _code_doc_fixture derivation as a DuckDB CTE body (strata
+    literals interpolated from the same module constants — embedded
+    real \\n / \\r\\n are legal inside SQL string literals)."""
+    q = lambda s: s.replace("'", "''")  # noqa: E731
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 substring(regexp_replace(lower(coalesce(text, '')),
+                   '[^a-z0-9 ]', '', 'g'), 1, 40) AS clean
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 11 = 0 THEN 'notes/n' || d::VARCHAR || '.txt'
+                 ELSE 'src/p' || d::VARCHAR || '.py' END AS path,
+            CASE WHEN d % 4 = 0 THEN '{q(_DOCP_S0A)}' || d::VARCHAR
+                   || '{q(_DOCP_S0B)}' || clean || '{q(_DOCP_S0C)}'
+                 WHEN d % 4 = 1
+                   THEN '{q(_DOCP_S1A)}' || clean || '{q(_DOCP_S1B)}'
+                 WHEN d % 4 = 2
+                   THEN '{q(_DOCP_S2A)}' || clean || '{q(_DOCP_S2B)}'
+                 ELSE '{q(_DOCP_S3)}' END AS content
+          FROM docs
+        )"""
+
+
+def _code_doc_pairs_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::code_doc_pairs."""
+    return "WITH " + _code_doc_fixture_cte_sql() + _code_doc_body_sql()
+
+
+def _code_cx_body_sql() -> str:
+    """code_complexity feature SQL as a WITH-chain continuation over an
+    open CTE named `files` (repo, path, content): same branch/logical/
+    def counts from the SAME module regexes, the non-empty line count
+    by the comment-battery list contract (space-only trim on both
+    engines), and the same descending indent-ladder CASE. Shared by
+    the fixture oracle and the adversarial differential test."""
+    from gruut_spark.operators.code_analysis import (
+        COMPLEXITY_BRANCH_RE,
+        COMPLEXITY_DEEP_INDENT,
+        COMPLEXITY_DEF_CORE_RE,
+        COMPLEXITY_INDENT_LADDER,
+        COMPLEXITY_LOGICAL_RE,
+    )
+
+    q = lambda s: s.replace("'", "''")  # noqa: E731
+    ladder = " ".join(
+        "WHEN regexp_matches(t, '(?m)^[ \\t]{%d,}\\S') THEN %d" % (th, th)
+        for th in COMPLEXITY_INDENT_LADDER
+    )
+    return f""", nm AS (
+          SELECT repo, path,
+            replace(coalesce(content, ''), chr(13) || chr(10), chr(10)) AS t
+          FROM files
+        ), ln AS (
+          SELECT repo, path, t,
+            greatest(len(list_filter(string_split(t, chr(10)),
+              l -> trim(l) <> '')), 1) AS n_code_lines
+          FROM nm
+        ), ct AS (
+          SELECT repo, path, n_code_lines,
+            len(regexp_extract_all(t,
+              '{q(COMPLEXITY_BRANCH_RE)}'))::INT AS n_branches,
+            len(regexp_extract_all(t,
+              '{q(COMPLEXITY_LOGICAL_RE)}'))::INT AS n_logical,
+            len(regexp_extract_all(t,
+              '(?m){q(COMPLEXITY_DEF_CORE_RE)}'))::INT AS n_defs,
+            CASE {ladder} ELSE 0 END AS max_indent_bucket
+          FROM ln
+        )
+        SELECT repo, path, n_branches, n_logical, n_defs,
+          n_code_lines::INT AS n_code_lines,
+          (1 + n_branches + n_logical)::INT AS cyclomatic_proxy,
+          round(n_branches / n_code_lines, 6) AS branch_density,
+          max_indent_bucket::INT AS max_indent_bucket,
+          (max_indent_bucket >= {COMPLEXITY_DEEP_INDENT}) AS deeply_nested
+        FROM ct ORDER BY path
+    """
+
+
+def _code_cx_fixture_cte_sql() -> str:
+    """The _code_cx_fixture derivation as a DuckDB CTE body (strata
+    literals interpolated from the same module constants)."""
+    q = lambda s: s.replace("'", "''")  # noqa: E731
+    return f"""
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo,
+                 replace(coalesce(text, ''), ' value ', chr(10)) AS base
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 3 = 1 THEN 'src/m' || d::VARCHAR || '.c'
+                 ELSE 'src/m' || d::VARCHAR || '.py' END AS path,
+            CASE WHEN d % 3 = 0 THEN base || '{q(_CX_S0)}'
+                 WHEN d % 3 = 1 THEN '{q(_CX_S1)}' || base
+                 ELSE base END
+            || CASE WHEN d % 9 = 0 THEN '{q(_CX_DEEP)}' ELSE '' END
+              AS content
+          FROM docs
+        )"""
+
+
+def _code_complexity_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::code_complexity."""
+    return "WITH " + _code_cx_fixture_cte_sql() + _code_cx_body_sql()
+
+
 def _code_lang_rules_oracle_sql() -> str:
     """DuckDB twin of code_lang_rules: the rules VALUES list and the
     default row interpolated from the SAME module constants
@@ -10309,6 +10604,8 @@ def oracle_sql() -> dict[str, str]:
         "code_license_strip": _code_license_strip_oracle_sql(),
         "code_lang_rules": _code_lang_rules_oracle_sql(),
         "code_token_fertility": _code_token_fertility_oracle_sql(),
+        "code_doc_pairs": _code_doc_pairs_oracle_sql(),
+        "code_complexity": _code_complexity_oracle_sql(),
         "code_metadata_prepend": _code_metadata_prepend_oracle_sql(),
         "code_opt_out": _code_opt_out_oracle_sql(),
         # code_compression_flags is rows-only: zlib has no SQL twin

@@ -969,3 +969,189 @@ def code_comment_langid(
         F.col("_lid.lang_pred").alias("comment_lang"),
         F.round("_lid.lang_conf", 6).alias("comment_lang_conf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# function/docstring pair mining (CodeSearchNet shape)
+
+# Core pattern WITHOUT flags: a line-anchored `def name(args)...:` header
+# followed by a triple-quoted string opener on the next line, matched
+# through its FIRST closing triple-quote (non-greedy, so the body can
+# never contain its own closer). Spark prepends (?dm) — (?d) pins
+# Java's `^` to \n exactly like RE2's — and the oracle prepends (?m).
+# No backreferences / lookaheads: the same pattern must compile under
+# both Java regex and RE2. Heuristic by design (a ')' inside a default
+# argument ends the arg capture; a colon inside a return annotation
+# aborts the header) — deterministic and engine-identical either way,
+# which is the contract that matters for the oracle.
+DOC_PAIR_CORE_RE = (
+    r"^[ \t]*(?:async[ \t]+)?def[ \t]+[A-Za-z_][A-Za-z0-9_]*[ \t]*\([^)]*\)"
+    r"[^\n]*:[ \t]*\r?\n[ \t]*(?:\"\"\"(?s:.*?)\"\"\"|'''(?s:.*?)''')"
+)
+DOC_FUNC_NAME_RE = r"def[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
+DOC_ARGS_RE = r"\(([^)]*)\)"
+# Docstring edge-trim: explicit [ \t\r\n] (Java \s includes \x0B, RE2's
+# does not) anchored with \A / \z (Java's bare $ floats before a final
+# \r; \z does not) — replace-all on the Spark side, 'g' flag in the
+# oracle.
+DOC_TRIM_RE = r"\A[ \t\r\n]+|[ \t\r\n]+\z"
+DOC_PAIR_EXTS = ("py", "pyi")
+
+
+def code_doc_pairs(
+    files: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    keep_cols: Sequence[str] = ("repo", "path"),
+) -> DataFrame:
+    """(function, docstring) pair mining over Python files — the
+    CodeSearchNet (Husain et al. 2019) extraction that turns a raw code
+    corpus into code-to-doc training pairs for doc generation, code
+    search and instruction tuning.
+
+    One ``regexp_extract_all`` over the content finds every
+    ``def … :`` header whose body opens with a triple-quoted docstring
+    (``DOC_PAIR_CORE_RE``); ``posexplode`` emits one row per function.
+    The docstring body is cut out POSITIONALLY — the opener is the
+    first ``\"\"\"`` or ``'''`` occurrence in the matched span
+    (``locate``/``strpos``, identical 1-based semantics in both
+    engines), the closer is the span's last three characters — so no
+    second regex pass over the body is needed and quote-type handling
+    is branch-free. ``n_args`` is the count of non-empty comma-split
+    segments of the captured arg list (nested-paren defaults are
+    clipped by the header regex; documented heuristic).
+
+    Scale shape: materialize-the-array-then-derive (the
+    ``identifier_stats`` sharing rationale), posexplode is
+    in-partition — zero Python, zero Exchange; output volume is
+    bounded by documented-function density, and the content column is
+    dropped at the first projection so only matched spans survive.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    ext = F.lower(F.regexp_extract(F.col(path_col), EXT_RE, 1))
+    base = files.where(ext.isin(list(DOC_PAIR_EXTS))).select(
+        *[F.col(c) for c in keep_cols],
+        F.regexp_extract_all(
+            content, F.lit("(?dm)" + DOC_PAIR_CORE_RE), 0
+        ).alias("_ms"),
+    )
+    # posexplode_OUTER, then drop the null rows: plain posexplode makes
+    # InferFiltersFromGenerate push a size(regexp_extract_all(...)) > 0
+    # pre-filter below the projection, re-running the heavy regex a
+    # second time per file; the outer variant emits one null row per
+    # match-free file instead, and the func_idx null filter is free.
+    ex = base.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode_outer(F.col("_ms")).alias("func_idx", "_m"),
+    ).where(F.col("func_idx").isNotNull())
+    m = F.col("_m")
+    p3 = F.locate('"""', m)
+    p1 = F.locate("'''", m)
+    pos = F.when((p3 > 0) & ((p1 == 0) | (p3 < p1)), p3).otherwise(p1)
+    body = F.substring(m, pos + 3, F.length(m) - pos - 5)
+    args = F.regexp_extract(m, DOC_ARGS_RE, 1)
+    doc = F.regexp_replace(body, DOC_TRIM_RE, "")
+    return ex.select(
+        *[F.col(c) for c in keep_cols],
+        "func_idx",
+        F.regexp_extract(m, DOC_FUNC_NAME_RE, 1).alias("func_name"),
+        F.size(
+            F.filter(F.split(args, ","), lambda x: F.trim(x) != "")
+        ).alias("n_args"),
+        F.length(doc).alias("doc_len"),
+        F.trim(F.replace(F.element_at(F.split(doc, "\n"), 1),
+                         F.lit("\r"), F.lit(""))).alias("doc_summary"),
+        doc.alias("docstring"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# complexity profile (cyclomatic proxy + nesting ladder)
+
+# Branch keywords across the C/Python/JVM/shell families; \b is ASCII
+# word-boundary in BOTH engines (Java default \w is ASCII without (?U);
+# RE2 \b is ASCII) — the one regex feature class already proven
+# engine-portable by the identifier battery.
+COMPLEXITY_BRANCH_RE = (
+    r"\b(?:if|elif|for|while|case|when|catch|except|switch)\b"
+)
+COMPLEXITY_LOGICAL_RE = r"&&|\|\||\band\b|\bor\b"
+# Line-anchored function openers (def/fn/func/function/sub); Spark
+# prepends (?dm), the oracle (?m) — the infer_code_lang flag contract.
+COMPLEXITY_DEF_CORE_RE = r"^[ \t]*(?:def|fn|func|function|sub)\b"
+# Nesting ladder thresholds (leading [ \t] run, tab = 1 col — the
+# indent_stats tab caveat): the rlike probes are HOF-free so the whole
+# battery stays in whole-stage codegen with no per-line lambda.
+COMPLEXITY_INDENT_LADDER = (32, 24, 16, 12, 8, 4)
+COMPLEXITY_DEEP_INDENT = 24
+
+
+def code_complexity(
+    files: DataFrame,
+    content_col: str = "content",
+    keep_cols: Sequence[str] = ("repo", "path"),
+) -> DataFrame:
+    """Per-file complexity profile: a cyclomatic-complexity proxy
+    (1 + branch keywords + logical connectives, McCabe 1976 over
+    lexical evidence — the decision-point count without a parser),
+    function-definition count, branch density per non-empty line, and
+    a max-indentation ladder (deep nesting is a strong
+    machine-generated / low-quality prior; quality-classifier feature
+    sets in the StarCoder/Phi families use exactly these lexical
+    complexity signals).
+
+    Every count is an anchored ``regexp_count`` or an ``rlike`` probe
+    over the CRLF-normalized content — no split arrays, no
+    higher-order functions, so the battery compiles into the scan's
+    codegen stage like ``code_comment_stats``. ``max_indent_bucket``
+    is the largest ladder threshold (32/24/16/12/8/4/0) with a line
+    indented at least that far — a CASE chain of 6 rlike probes, each
+    a single DFA pass.
+
+    Cross-engine: counts replay verbatim in DuckDB; the non-empty line
+    count reuses the comment battery's blank-line contract (anchored
+    blank count + final-segment probe). ``branch_density`` rounds
+    half-up to 6 on both engines.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    norm = F.replace(content, F.lit("\r\n"), F.lit("\n"))
+    base = files.select(
+        *[F.col(c) for c in keep_cols], norm.alias("_t")
+    )
+    t = F.col("_t")
+    n_nl = F.length(t) - F.length(F.replace(t, F.lit("\n"), F.lit("")))
+    n_blank = F.regexp_count(t, F.lit(r"(?dm)^ *\n")) + F.when(
+        F.trim(F.substring_index(t, "\n", -1)) == "", F.lit(1)
+    ).otherwise(F.lit(0))
+    n_nonempty = F.greatest(n_nl + F.lit(1) - n_blank, F.lit(1))
+    bucket = F.lit(0)
+    for th in reversed(COMPLEXITY_INDENT_LADDER):
+        bucket = F.when(
+            t.rlike(r"(?dm)^[ \t]{%d,}\S" % th), F.lit(th)
+        ).otherwise(bucket)
+    cnt = base.select(
+        *[F.col(c) for c in keep_cols],
+        F.regexp_count(t, F.lit(COMPLEXITY_BRANCH_RE)).alias("n_branches"),
+        F.regexp_count(t, F.lit(COMPLEXITY_LOGICAL_RE)).alias("n_logical"),
+        F.regexp_count(
+            t, F.lit("(?dm)" + COMPLEXITY_DEF_CORE_RE)
+        ).alias("n_defs"),
+        n_nonempty.alias("n_code_lines"),
+        bucket.alias("max_indent_bucket"),
+    )
+    cyclo = F.lit(1) + F.col("n_branches") + F.col("n_logical")
+    return cnt.select(
+        *[F.col(c) for c in keep_cols],
+        "n_branches",
+        "n_logical",
+        "n_defs",
+        "n_code_lines",
+        cyclo.alias("cyclomatic_proxy"),
+        F.round(F.col("n_branches") / F.col("n_code_lines"), 6).alias(
+            "branch_density"
+        ),
+        "max_indent_bucket",
+        (F.col("max_indent_bucket") >= COMPLEXITY_DEEP_INDENT).alias(
+            "deeply_nested"
+        ),
+    )

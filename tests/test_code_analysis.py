@@ -1022,3 +1022,228 @@ def test_code_comment_langid_plan_one_python_node(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert plan.count("ArrowEvalPython") + plan.count("BatchEvalPython") == 1
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# code_doc_pairs (CodeSearchNet function/docstring mining)
+
+
+@pytest.fixture(scope="module")
+def doc_pairs(spark):
+    from gruut_spark.operators.code_analysis import code_doc_pairs
+
+    rows = [
+        ("r0", "src/a.py", "c", "py",
+         'def foo(a, b):\n    """Sum it.\n\n    More text.\n    """\n'
+         "    return a+b\n\ndef nodoc(x):\n    return x\n\n"
+         "def bar():\n    '''single'''\n    pass\n"),
+        ("r0", "src/b.py", "c", "py",
+         'class C:\n    def meth(self, x=3):\r\n        """CRLF doc"""\r\n'
+         "        pass\n"),
+        ("r0", "src/c.js", "c", "js", 'def notpy(a):\n    """ignored"""\n'),
+        ("r0", "src/d.py", "c", "py", ""),
+        ("r0", "src/e.py", "c", "py",
+         'def v(a):\n    """\n    leading newline summary\n    body\n'
+         '    """\n'),
+        ("r0", "src/f.py", "c", "py", 'def w():\n    """"""\n'),
+        ("r0", "src/g.py", "c", "py",
+         "def mix():\n    '''has \"\"\" inside'''\n"),
+        ("r0", "src/h.py", "c", "py",
+         'async def fetch(url, timeout=5):\n    """async doc"""\n'),
+    ]
+    out = code_doc_pairs(_files(spark, rows))
+    return {(r["path"], r["func_idx"]): r.asDict() for r in out.collect()}
+
+
+def test_doc_pairs_extraction(doc_pairs):
+    # two documented functions in a.py; the undocumented one is skipped
+    assert doc_pairs[("src/a.py", 0)]["func_name"] == "foo"
+    assert doc_pairs[("src/a.py", 0)]["n_args"] == 2
+    assert doc_pairs[("src/a.py", 0)]["doc_summary"] == "Sum it."
+    assert (
+        doc_pairs[("src/a.py", 0)]["docstring"]
+        == "Sum it.\n\n    More text."
+    )
+    assert doc_pairs[("src/a.py", 1)]["func_name"] == "bar"
+    assert doc_pairs[("src/a.py", 1)]["docstring"] == "single"
+    assert ("src/a.py", 2) not in doc_pairs
+
+
+def test_doc_pairs_edges(doc_pairs):
+    # CRLF method docstring
+    assert doc_pairs[("src/b.py", 0)]["func_name"] == "meth"
+    assert doc_pairs[("src/b.py", 0)]["docstring"] == "CRLF doc"
+    # non-.py files and empty files emit nothing
+    assert not any(p.endswith(".js") for p, _ in doc_pairs)
+    assert not any(p == "src/d.py" for p, _ in doc_pairs)
+    # leading-newline docstring: summary is the first non-empty line
+    assert (
+        doc_pairs[("src/e.py", 0)]["doc_summary"]
+        == "leading newline summary"
+    )
+    # empty docstring
+    assert doc_pairs[("src/f.py", 0)]["doc_len"] == 0
+    # a '''-quoted body may contain a double-quoted opener
+    assert doc_pairs[("src/g.py", 0)]["docstring"] == 'has """ inside'
+    # async def
+    assert doc_pairs[("src/h.py", 0)]["func_name"] == "fetch"
+    assert doc_pairs[("src/h.py", 0)]["n_args"] == 2
+
+
+def test_doc_pairs_plan_shape(spark):
+    from gruut_spark.operators.code_analysis import code_doc_pairs
+
+    df = code_doc_pairs(
+        _files(spark, [("r", "a.py", "c", "py", 'def f():\n    """d"""\n')])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+    # the posexplode_outer idiom keeps the heavy regex single-pass: no
+    # inferred size(regexp_extract_all(...)) pre-filter below the scan
+    assert plan.count("regexp_extract_all") == 1
+
+
+ADV_DOC_FILES = [
+    ("d/u.py", 'def café(a):\n    """é docstring 😀"""\n'),
+    ("d/crlf.py", 'def f(a,b,c):\r\n    """x\r\ny"""\r\n'),
+    ("d/lonecr.py", 'def g():\r    """nope"""\n'),
+    ("d/tabs.py", '\tdef h(\tx ):\t\n\t"""tab doc"""\n'),
+    ("d/ann.py", 'def k(x) -> dict:\n    """ann"""\n'),
+    ("d/anncolon.py", 'def m(x) -> Dict[str, int]:\n    """colon ann"""\n'),
+    ("d/nested.py", 'def o():\n    """outer \'\'\' inner"""\n'),
+    ("d/adjacent.py", 'def p():\n    """"""\ndef q():\n    \'\'\'\'\'\'\n'),
+    ("d/defarg.py", 'def r(s="def t():"):\n    """default trap"""\n'),
+    ("d/async.py", 'async  def aa():\n    """two spaces"""\n'),
+    ("d/empty.py", ""),
+    ("d/decoy.txt", 'def s():\n    """not python"""\n'),
+]
+
+
+def test_doc_pairs_adversarial_cross_engine_differential(spark):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from gruut_spark.operators.code_analysis import code_doc_pairs
+
+    rows = [("rA", p, "c", "py", c) for p, c in ADV_DOC_FILES]
+    got = (
+        code_doc_pairs(_files(spark, rows))
+        .orderBy("path", "func_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(
+        [("rA", p, c) for p, c in ADV_DOC_FILES],
+        columns=["repo", "path", "content"],
+    )
+    con = duckdb.connect()
+    con.register("adv", pdf)
+    want = con.sql(
+        "WITH files AS (SELECT repo, path, content FROM adv)"
+        + entrymod._code_doc_body_sql()
+    ).df().reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        a, b = got[col].tolist(), want[col].tolist()
+        assert a == b, f"{col}: spark={a} duckdb={b}"
+
+
+# ---------------------------------------------------------------------------
+# code_complexity (cyclomatic proxy + nesting ladder)
+
+
+def test_complexity_branchy_c(spark):
+    from gruut_spark.operators.code_analysis import code_complexity
+
+    rows = [
+        ("r", "x.c", "c", "c",
+         "if (a && b) { for(;;){} }\nswitch(x){case 1: break;}\n"
+         + " " * 25 + "deep_line\n"),
+    ]
+    out = code_complexity(_files(spark, rows)).collect()[0].asDict()
+    assert out["n_branches"] == 4  # if, for, switch, case
+    assert out["n_logical"] == 1
+    assert out["cyclomatic_proxy"] == 6
+    assert out["n_code_lines"] == 3
+    assert out["branch_density"] == round(4 / 3, 6)
+    assert out["max_indent_bucket"] == 24
+    assert out["deeply_nested"]
+
+
+def test_complexity_ladder_and_blanks(spark):
+    from gruut_spark.operators.code_analysis import code_complexity
+
+    rows = [
+        # 23 spaces: below the 24 rung, lands on 16
+        ("r", "a.py", "c", "py", " " * 23 + "x\n\n   \n"),
+        # tabs count one column each: 4 tabs -> bucket 4
+        ("r", "b.py", "c", "py", "\t\t\t\tx\n"),
+        # def/fn/function openers, line-anchored
+        ("r", "c.js", "c", "js",
+         "function f() {}\nconst s = 'function g'\nfn main() {}\n"),
+        ("r", "d.py", "c", "py", ""),
+    ]
+    out = {
+        r["path"]: r.asDict()
+        for r in code_complexity(_files(spark, rows)).collect()
+    }
+    assert out["a.py"]["max_indent_bucket"] == 16
+    assert not out["a.py"]["deeply_nested"]
+    assert out["a.py"]["n_code_lines"] == 1  # blank + space-only dropped
+    assert out["b.py"]["max_indent_bucket"] == 4
+    # 'function g' inside a string still counts (lexical proxy), but it
+    # is not line-anchored; only the two real openers count
+    assert out["c.js"]["n_defs"] == 2
+    assert out["d.py"]["n_code_lines"] == 1  # floor guard
+    assert out["d.py"]["cyclomatic_proxy"] == 1
+
+
+def test_complexity_plan_shape(spark):
+    from gruut_spark.operators.code_analysis import code_complexity
+
+    df = code_complexity(_files(spark, [("r", "a.py", "c", "py", "x\n")]))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+ADV_CX_FILES = [
+    ("c/u.py", "if naïfif and x:\n    é = 1\n"),
+    ("c/crlf.c", "if (a) {\r\n  while (b || c) {}\r\n}\r\n"),
+    ("c/lonecr.py", "if x:\rif y:\r    z\r"),
+    ("c/tabs.py", "\t" * 30 + "deep\n"),
+    ("c/words.txt", "sand and band or nor for while. except\n"),
+    ("c/emoji.py", "if 😀 and 🎉:\n" + " " * 40 + "party()\n"),
+    ("c/blank.py", "   \n\t\n\n x\n"),
+    ("c/empty.py", ""),
+]
+
+
+def test_complexity_adversarial_cross_engine_differential(spark):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from gruut_spark.operators.code_analysis import code_complexity
+
+    rows = [("rA", p, "c", "py", c) for p, c in ADV_CX_FILES]
+    got = (
+        code_complexity(_files(spark, rows))
+        .orderBy("path")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(
+        [("rA", p, c) for p, c in ADV_CX_FILES],
+        columns=["repo", "path", "content"],
+    )
+    con = duckdb.connect()
+    con.register("adv", pdf)
+    want = con.sql(
+        "WITH files AS (SELECT repo, path, content FROM adv)"
+        + entrymod._code_cx_body_sql()
+    ).df().reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        a, b = got[col].tolist(), want[col].tolist()
+        assert a == b, f"{col}: spark={a} duckdb={b}"
