@@ -3117,6 +3117,42 @@ def _code_cx_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_function_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-level units over Python files (the granularity modern
+    code pipelines deduplicate and mine at): def openers located on
+    the materialized line array, each span's end = the first later
+    non-blank line at indent <= the def's (Python's lexical block
+    rule; blank lines never terminate), body = def line through span
+    end — all IN-ROW, only the bounded struct array explodes
+    (operators/code_analysis.py::code_function_spans — zero Python,
+    zero Exchange). The oracle replays the index filters, the nested
+    tail filter and the 1-based inclusive list slice."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import code_function_spans
+
+    return code_function_spans(_code_doc_fixture(spark, sf_dir)).orderBy(
+        "path", "func_idx"
+    )
+
+
+def _code_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-level near-exact dedup: the SantaCoder normalization
+    (lower, strip non-alphanumeric, md5) applied to FUNCTION bodies —
+    copy-pasted utilities survive file-level dedup because every host
+    file differs; this granularity catches them
+    (operators/code_analysis.py::code_function_dedup — bodies digested
+    and dropped in the scan stage, ONE groupBy over 16-byte digests,
+    canonical = min (path, repo, func_idx) struct via a map-side
+    min aggregate, no window). The oracle replays the span chain, the
+    normalization digest and the canonical rule as windows."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import code_function_dedup
+
+    return code_function_dedup(_code_doc_fixture(spark, sf_dir)).orderBy(
+        "path", "func_idx"
+    )
+
+
 def _code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file lexical complexity profile (McCabe-proxy over branch
     keywords + logical connectives, function-definition count, branch
@@ -4233,6 +4269,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_token_fertility": _code_token_fertility,
         "code_doc_pairs": _code_doc_pairs,
         "code_complexity": _code_complexity,
+        "code_function_spans": _code_function_spans,
+        "code_function_dedup": _code_function_dedup,
         "code_manifest_license": _code_manifest_license,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
@@ -8515,6 +8553,110 @@ def _code_doc_pairs_oracle_sql() -> str:
     return "WITH " + _code_doc_fixture_cte_sql() + _code_doc_body_sql()
 
 
+def _code_span_chain_sql() -> tuple:
+    """code_function_spans feature SQL over an open CTE named `files`
+    (repo, path, content), returned as (cte_chain, final_select): the
+    same per-line def filter, the same first-dedent tail scan (DuckDB's
+    exclusive-stop range(a, b) naturally yields the empty tail Spark
+    needs try_element_at for), and the same 1-based inclusive slice.
+    Shared by the fixture oracle, the function-dedup oracle and the
+    adversarial differential test."""
+    from gruut_spark.operators.code_analysis import (
+        DOC_FUNC_NAME_RE,
+        EXT_RE,
+        FUNC_DEF_LINE_RE,
+        FUNC_LEAD_RE,
+        FUNC_SPAN_EXTS,
+    )
+
+    q = lambda s: s.replace("'", "''")  # noqa: E731
+    exts = ", ".join(f"'{e}'" for e in FUNC_SPAN_EXTS)
+    lead = (
+        "length(regexp_extract(ls[{i}], '" + q(FUNC_LEAD_RE) + "'))"
+    )
+    chain = f""", pyf AS (
+          SELECT repo, path,
+            string_split(replace(coalesce(content, ''),
+              chr(13) || chr(10), chr(10)), chr(10)) AS ls
+          FROM files
+          WHERE lower(coalesce(regexp_extract(path, '{EXT_RE}', 1), ''))
+                IN ({exts})
+        ), dl AS (
+          SELECT repo, path, ls, len(ls)::INT AS n,
+            list_filter(range(len(ls)),
+              i -> regexp_matches(ls[i+1], '{q(FUNC_DEF_LINE_RE)}')) AS defs
+          FROM pyf
+        ), exd AS (
+          SELECT repo, path, ls, n,
+            unnest(range(len(defs)))::INT AS func_idx, defs
+          FROM dl
+        ), spd AS (
+          SELECT repo, path, ls, n, func_idx,
+            defs[func_idx+1]::INT AS d
+          FROM exd
+        ), end_ AS (
+          SELECT repo, path, ls, func_idx, d,
+            coalesce(list_filter(range(d+1, n),
+              e -> trim(ls[e+1]) <> ''
+                AND {lead.format(i='e+1')} <= {lead.format(i='d+1')}
+            )[1], n)::INT AS fin
+          FROM spd
+        ), bod AS (
+          SELECT repo, path, func_idx, d, fin,
+            array_to_string(ls[d+1 : fin], chr(10)) AS body
+          FROM end_
+        )"""
+    select = f"""
+        SELECT repo, path, func_idx,
+          regexp_extract(body, '{q(DOC_FUNC_NAME_RE)}', 1) AS func_name,
+          d AS def_line, (fin - d) AS n_span_lines, body
+        FROM bod"""
+    return chain, select
+
+
+def _code_span_body_sql() -> str:
+    """The span chain + final select as one continuation (the shape the
+    adversarial differential test consumes)."""
+    chain, select = _code_span_chain_sql()
+    return chain + select + " ORDER BY path, func_idx"
+
+
+def _code_function_spans_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::code_function_spans
+    over the doc-pair fixture."""
+    return "WITH " + _code_doc_fixture_cte_sql() + _code_span_body_sql()
+
+
+def _code_function_dedup_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::code_function_dedup:
+    the span chain piped through the SantaCoder normalization digest,
+    n_copies / canonical as windows (min-(path, repo, func_idx))."""
+    chain, select = _code_span_chain_sql()
+    return (
+        "WITH "
+        + _code_doc_fixture_cte_sql()
+        + chain
+        + ", spans AS ("
+        + select
+        + f"""), normd AS (
+          SELECT repo, path, func_idx, func_name,
+            md5(regexp_replace(lower(body), '[^a-z0-9]', '', 'g'))
+              AS body_md5
+          FROM spans
+        ), grp AS (
+          SELECT repo, path, func_idx, func_name, body_md5,
+            count(*) OVER (PARTITION BY body_md5) AS n_copies,
+            row_number() OVER (PARTITION BY body_md5
+                               ORDER BY path, repo, func_idx) AS rn
+          FROM normd
+        )
+        SELECT repo, path, func_idx, func_name, body_md5,
+          n_copies, (rn = 1) AS is_canonical
+        FROM grp ORDER BY path, func_idx
+    """
+    )
+
+
 def _code_cx_body_sql() -> str:
     """code_complexity feature SQL as a WITH-chain continuation over an
     open CTE named `files` (repo, path, content): same branch/logical/
@@ -10606,6 +10748,8 @@ def oracle_sql() -> dict[str, str]:
         "code_token_fertility": _code_token_fertility_oracle_sql(),
         "code_doc_pairs": _code_doc_pairs_oracle_sql(),
         "code_complexity": _code_complexity_oracle_sql(),
+        "code_function_spans": _code_function_spans_oracle_sql(),
+        "code_function_dedup": _code_function_dedup_oracle_sql(),
         "code_metadata_prepend": _code_metadata_prepend_oracle_sql(),
         "code_opt_out": _code_opt_out_oracle_sql(),
         # code_compression_flags is rows-only: zlib has no SQL twin

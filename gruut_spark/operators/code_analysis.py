@@ -1155,3 +1155,155 @@ def code_complexity(
             "deeply_nested"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# function-span extraction + function-level dedup unit
+
+# Line-anchored def opener (async included), applied per-line so no (?m)
+# is needed; the leading-run regex measures the def's indent column.
+FUNC_DEF_LINE_RE = r"^[ \t]*(?:async[ \t]+)?def[ \t]"
+FUNC_LEAD_RE = r"^[ \t]*"
+FUNC_SPAN_EXTS = ("py", "pyi")
+
+
+def code_function_spans(
+    files: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+    keep_cols: Sequence[str] = ("repo", "path"),
+) -> DataFrame:
+    """Function-level units over Python files — the granularity modern
+    code pipelines deduplicate and mine at (function-level dedup;
+    CodeSearchNet's (code, doc) pairs carry the BODY, not just the
+    docstring).
+
+    Contract (Python's lexical block rule, order-pinned in both
+    engines): a function starts at a line matching
+    ``FUNC_DEF_LINE_RE`` with indent column k (leading ``[ \\t]`` run,
+    tab = 1 col) and ends just before the first LATER non-blank line
+    with indent <= k (blank lines never terminate a block; a dedented
+    comment does — documented lexical heuristic, no parser). The last
+    function runs to end-of-file. ``body`` is the def line through the
+    last body line, LF-joined.
+
+    Scale shape: everything happens IN-ROW on the materialized line
+    array — def positions via an index filter, each span's end via a
+    nested filter over the tail, the body via slice+array_join — and
+    only the bounded struct array explodes (the big line array never
+    crosses the Generate, so function rows carry bodies, not whole
+    files). The per-line lambdas are interpreted HOFs (the documented
+    slow path) — acceptable here because the work is inherently
+    per-line-per-def; the arrays are materialized once and the
+    operator stays zero-Python, zero-Exchange.
+    """
+    content = F.coalesce(F.col(content_col), F.lit(""))
+    ext = F.lower(F.regexp_extract(F.col(path_col), EXT_RE, 1))
+    norm = F.replace(content, F.lit("\r\n"), F.lit("\n"))
+    lines = F.col("_lines")
+
+    def lead(x: Column) -> Column:
+        return F.length(F.regexp_extract(x, FUNC_LEAD_RE, 0))
+
+    base = files.where(ext.isin(list(FUNC_SPAN_EXTS))).select(
+        *[F.col(c) for c in keep_cols],
+        F.split(norm, "\n").alias("_lines"),
+    )
+    n = F.size(lines)
+    defs = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: F.element_at(lines, i + 1).rlike(FUNC_DEF_LINE_RE),
+    )
+
+    def span(d: Column) -> Column:
+        line = F.element_at(lines, d + 1)
+        k = lead(line)
+        # sequence(a, b) counts DOWN when a > b, so pin the stop at the
+        # start and re-filter e <= n-1: a def on the last line gets an
+        # empty tail instead of a backwards range
+        tail = F.filter(
+            F.sequence(d + 1, F.greatest(n - 1, d + 1)),
+            lambda e: (e <= n - 1)
+            & (F.trim(F.element_at(lines, e + 1)) != "")
+            & (lead(F.element_at(lines, e + 1)) <= k),
+        )
+        # try_element_at: ANSI mode makes plain element_at THROW on the
+        # empty tail (last function runs to EOF); NULL → coalesce(n)
+        end = F.coalesce(F.try_element_at(tail, F.lit(1)), n)
+        return F.struct(
+            d.alias("def_line"),
+            (end - d).alias("n_span_lines"),
+            F.array_join(
+                F.slice(lines, d + 1, end - d), "\n"
+            ).alias("body"),
+        )
+
+    spans = F.transform(defs, span)
+    mid = base.select(
+        *[F.col(c) for c in keep_cols],
+        F.posexplode_outer(spans).alias("func_idx", "_s"),
+    ).where(F.col("func_idx").isNotNull())
+    return mid.select(
+        *[F.col(c) for c in keep_cols],
+        "func_idx",
+        F.regexp_extract(
+            F.col("_s.body"), DOC_FUNC_NAME_RE, 1
+        ).alias("func_name"),
+        F.col("_s.def_line").alias("def_line"),
+        F.col("_s.n_span_lines").alias("n_span_lines"),
+        F.col("_s.body").alias("body"),
+    )
+
+
+def code_function_dedup(
+    files: DataFrame,
+    content_col: str = "content",
+    path_col: str = "path",
+) -> DataFrame:
+    """Function-level near-exact dedup: the SantaCoder normalization
+    (lowercased, alphanumeric-only, md5) applied to FUNCTION bodies
+    from ``code_function_spans`` — utility functions copy-pasted
+    across repos survive file-level dedup because every host file
+    differs; the function granularity catches them.
+
+    Keep rule: the lexicographically least (path, repo, func_idx)
+    struct per digest (min_by — ONE map-side-combined aggregate, no
+    window), matching ``code_near_exact_dedup``'s canonical contract.
+    Scale shape: bodies are digested in the scan stage and dropped —
+    the single shuffle carries (16-byte digest, id) pairs only, state
+    one struct per distinct function body.
+    """
+    from .code_filters import _norm_md5
+
+    spans = code_function_spans(
+        files, content_col=content_col, path_col=path_col
+    )
+    digested = spans.select(
+        "repo",
+        "path",
+        "func_idx",
+        "func_name",
+        _norm_md5(F.col("body")).alias("body_md5"),
+    )
+    canon = digested.groupBy("body_md5").agg(
+        F.min(
+            F.struct(F.col("path"), F.col("repo"), F.col("func_idx"))
+        ).alias("_c"),
+        F.count("*").alias("n_copies"),
+    )
+    return (
+        digested.join(canon, "body_md5")
+        .select(
+            "repo",
+            "path",
+            "func_idx",
+            "func_name",
+            "body_md5",
+            "n_copies",
+            (
+                (F.col("path") == F.col("_c.path"))
+                & (F.col("repo") == F.col("_c.repo"))
+                & (F.col("func_idx") == F.col("_c.func_idx"))
+            ).alias("is_canonical"),
+        )
+    )

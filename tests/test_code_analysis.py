@@ -1247,3 +1247,127 @@ def test_complexity_adversarial_cross_engine_differential(spark):
     for col in got.columns:
         a, b = got[col].tolist(), want[col].tolist()
         assert a == b, f"{col}: spark={a} duckdb={b}"
+
+
+# ---------------------------------------------------------------------------
+# code_function_spans / code_function_dedup (function-level units)
+
+
+SPAN_FILES = [
+    ("src/a.py", "import os\n\ndef foo(a):\n    x = 1\n\n    return x\n\n"
+     "def bar():\n    pass\nTAIL = 1\n"),
+    ("src/b.py", "class C:\n    def m1(self):\n        if x:\n"
+     "            y()\n    def m2(self):\n        pass\n"),
+    ("src/c.py", "def last():\n    body()\n"),
+    ("src/d.py", "def on_last_line(x): pass"),
+    ("src/e.py", ""),
+    ("src/f.txt", "def decoy():\n    pass\n"),
+    ("src/g.py", "async def aio():\n    await x\n# dedent comment\n"
+     "def next_fn():\n    pass\n"),
+]
+
+
+@pytest.fixture(scope="module")
+def fn_spans(spark):
+    from gruut_spark.operators.code_analysis import code_function_spans
+
+    rows = [("rA", p, "c", "py", c) for p, c in SPAN_FILES]
+    out = code_function_spans(_files(spark, rows))
+    return {(r["path"], r["func_idx"]): r.asDict() for r in out.collect()}
+
+
+def test_function_spans_block_rule(fn_spans):
+    foo = fn_spans[("src/a.py", 0)]
+    # blank lines inside the body never terminate; the span ends at the
+    # next top-level def (trailing blank lines belong to the span)
+    assert foo["func_name"] == "foo"
+    assert foo["def_line"] == 2 and foo["n_span_lines"] == 5
+    assert foo["body"] == "def foo(a):\n    x = 1\n\n    return x\n"
+    bar = fn_spans[("src/a.py", 1)]
+    # a dedented non-def line (TAIL) terminates bar's span
+    assert bar["def_line"] == 7 and bar["n_span_lines"] == 2
+
+
+def test_function_spans_methods_and_edges(fn_spans):
+    # sibling methods at the same indent terminate each other
+    assert fn_spans[("src/b.py", 0)]["n_span_lines"] == 3
+    assert fn_spans[("src/b.py", 1)]["n_span_lines"] == 3
+    # last function runs to EOF; a def on the file's last line works
+    assert fn_spans[("src/c.py", 0)]["n_span_lines"] == 3
+    assert fn_spans[("src/d.py", 0)]["n_span_lines"] == 1
+    # empty files and non-.py decoys emit nothing
+    assert not any(p in ("src/e.py", "src/f.txt") for p, _ in fn_spans)
+    # a dedented COMMENT terminates (lexical heuristic); async def opens
+    assert fn_spans[("src/g.py", 0)]["func_name"] == "aio"
+    assert fn_spans[("src/g.py", 0)]["n_span_lines"] == 2
+    assert fn_spans[("src/g.py", 1)]["func_name"] == "next_fn"
+
+
+def test_function_spans_plan_shape(spark):
+    from gruut_spark.operators.code_analysis import code_function_spans
+
+    df = code_function_spans(
+        _files(spark, [("r", "a.py", "c", "py", "def f():\n    pass\n")])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan and "Exchange" not in plan
+
+
+def test_function_dedup_catches_whitespace_variants(spark):
+    from gruut_spark.operators.code_analysis import code_function_dedup
+
+    rows = [
+        ("rA", "src/h.py", "c", "py", "def  dup():\n    return 42\n"),
+        ("rB", "src/i.py", "c", "py", "def dup( ):\n\treturn  42\n"),
+        ("rA", "src/j.py", "c", "py", "def other():\n    return 43\n"),
+    ]
+    out = {r["path"]: r.asDict()
+           for r in code_function_dedup(_files(spark, rows)).collect()}
+    # whitespace/formatting variants share one digest; min-path wins
+    assert out["src/h.py"]["n_copies"] == 2
+    assert out["src/h.py"]["is_canonical"]
+    assert not out["src/i.py"]["is_canonical"]
+    assert out["src/j.py"]["n_copies"] == 1
+
+
+ADV_SPAN_FILES = [
+    ("s/u.py", "def café():\n    é = '😀'\n"),
+    ("s/crlf.py", "def f():\r\n    x = 1\r\n\r\ndef g():\r\n    pass\r\n"),
+    ("s/tabs.py", "\tdef t():\n\t\tbody()\n\tx = 1\n"),
+    ("s/mixed.py", "def a():\n  b = 1\n\t\n  c = 2\nd = 3\n"),
+    ("s/nested.py", "def outer():\n    def inner():\n        pass\n"
+     "    return inner\n"),
+    ("s/onlydef.py", "def solo():"),
+    ("s/empty.py", ""),
+    ("s/deffirst.py", "def first():\n    pass"),
+]
+
+
+def test_function_spans_adversarial_cross_engine_differential(spark):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from gruut_spark.operators.code_analysis import code_function_spans
+
+    rows = [("rA", p, "c", "py", c) for p, c in ADV_SPAN_FILES]
+    got = (
+        code_function_spans(_files(spark, rows))
+        .orderBy("path", "func_idx")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(
+        [("rA", p, c) for p, c in ADV_SPAN_FILES],
+        columns=["repo", "path", "content"],
+    )
+    con = duckdb.connect()
+    con.register("adv", pdf)
+    want = con.sql(
+        "WITH files AS (SELECT repo, path, content FROM adv)"
+        + entrymod._code_span_body_sql()
+    ).df().reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        a, b = got[col].tolist(), want[col].tolist()
+        assert a == b, f"{col}: spark={a} duckdb={b}"
