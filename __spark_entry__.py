@@ -3153,6 +3153,77 @@ def _code_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _code_edge_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-internal import strata rotating by id%5: a js require of a
+    sibling stem / a java import of a sibling class / two python
+    strata importing siblings at +7 and +14 (same repo: repos key on
+    id%7) plus an unresolvable external and an excluded self-import /
+    a .txt decoy whose import line must resolve to nothing."""
+    d = F.col("doc_id")
+    ds = d.cast("string")
+    d7 = (d + 7).cast("string")
+    d14 = (d + 14).cast("string")
+    path = (
+        F.when(d % 5 == 0, F.concat(F.lit("web/w"), ds, F.lit(".js")))
+        .when(d % 5 == 1, F.concat(F.lit("src/J"), ds, F.lit(".java")))
+        .when(d % 5 == 4, F.concat(F.lit("notes/t"), ds, F.lit(".txt")))
+        .otherwise(F.concat(F.lit("src/mod"), ds, F.lit(".py")))
+    )
+    content = (
+        F.when(
+            d % 5 == 0,
+            F.concat(
+                F.lit("const a = require('./w"), d7, F.lit("');\n")
+            ),
+        )
+        .when(
+            d % 5 == 1,
+            F.concat(
+                F.lit("import com.x.J"), d7, F.lit(";\nclass J"), ds,
+                F.lit(" {}\n"),
+            ),
+        )
+        .when(
+            d % 5 == 4,
+            F.concat(F.lit("import mod"), d7, F.lit("\n")),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("import mod"), d7,
+                F.lit("\nfrom pkg.mod"), d14,
+                F.lit(" import thing\nimport os\nimport mod"), ds,
+                F.lit("\n"),
+            )
+        )
+    )
+    return _read(spark, sf_dir, "documents").select(
+        F.concat(F.lit("r"), (d % 7).cast("string")).alias("repo"),
+        path.alias("path"),
+        F.md5(F.coalesce(F.col("text"), F.lit(""))).alias("commit"),
+        F.col("lang"),
+        content.alias("content"),
+    )
+
+
+def _code_import_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repo-internal import graph — the dependency signal repo-context
+    concatenation orders files by (definitions before uses) and the
+    vendored-copy detector's missing half: edges (repo, src_path,
+    dst_path, module) where an imported module's last segment equals a
+    same-repo same-family sibling's file stem
+    (operators/code_analysis.py::code_import_edges — both join sides
+    are id-sized scan projections, ONE shuffle on (repo, family,
+    stem), content never crosses an Exchange). The oracle replays the
+    module extraction, both stem rules and the join; unresolved
+    externals, self-imports and .txt decoys are all planted."""
+    _configure(spark)
+    from gruut_spark.operators.code_analysis import code_import_edges
+
+    return code_import_edges(_code_edge_fixture(spark, sf_dir)).orderBy(
+        "repo", "src_path", "dst_path", "module"
+    )
+
+
 def _code_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-file lexical complexity profile (McCabe-proxy over branch
     keywords + logical connectives, function-definition count, branch
@@ -4271,6 +4342,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "code_complexity": _code_complexity,
         "code_function_spans": _code_function_spans,
         "code_function_dedup": _code_function_dedup,
+        "code_import_edges": _code_import_edges,
         "code_manifest_license": _code_manifest_license,
         "code_minhash_dedup": _code_minhash_dedup,
         "code_repo_imports": _code_repo_imports,
@@ -8657,6 +8729,114 @@ def _code_function_dedup_oracle_sql() -> str:
     )
 
 
+def _code_edges_body_sql() -> str:
+    """code_import_edges feature SQL as a WITH-chain continuation over
+    an open CTE named `files` (repo, path, content): the SAME module
+    capture regexes and extension-family gate as the repo profile, the
+    same module-tail and path-stem rules, the same (repo, family,
+    stem) equi-join with self-edges excluded. Shared by the fixture
+    oracle and the adversarial differential test."""
+    from gruut_spark.operators.code_analysis import (
+        EXT_RE,
+        IMPORT_JAVA_RE,
+        IMPORT_JS_FROM_RE,
+        IMPORT_JS_REQUIRE_RE,
+        IMPORT_PY_FROM_RE,
+        IMPORT_PY_RE,
+        IMPORT_STEM_RE,
+        JS_EXTS,
+        PATH_STEM_RE,
+    )
+
+    def q(s: str) -> str:
+        return s.replace("'", "''")
+
+    js_list = ", ".join(f"'{e}'" for e in JS_EXTS)
+    fam = f"""CASE
+              WHEN lower(regexp_extract(path, '{q(EXT_RE)}', 1)) = 'py'
+                THEN 'py'
+              WHEN lower(regexp_extract(path, '{q(EXT_RE)}', 1))
+                   IN ({js_list}) THEN 'js'
+              WHEN lower(regexp_extract(path, '{q(EXT_RE)}', 1)) = 'java'
+                THEN 'java'
+              ELSE '' END"""
+    return f""", emods AS (
+          SELECT repo, path AS src_path, {fam} AS fam,
+            CASE lower(regexp_extract(path, '{q(EXT_RE)}', 1))
+              WHEN 'py' THEN list_distinct(list_concat(
+                  regexp_extract_all(content, '{q(IMPORT_PY_RE)}', 1),
+                  regexp_extract_all(content, '{q(IMPORT_PY_FROM_RE)}', 1)))
+              WHEN 'java' THEN list_distinct(
+                  regexp_extract_all(content, '{q(IMPORT_JAVA_RE)}', 1))
+              ELSE CASE
+                WHEN lower(regexp_extract(path, '{q(EXT_RE)}', 1))
+                     IN ({js_list})
+                THEN list_distinct(list_concat(
+                    regexp_extract_all(content, '{q(IMPORT_JS_REQUIRE_RE)}', 1),
+                    regexp_extract_all(content, '{q(IMPORT_JS_FROM_RE)}', 1)))
+                ELSE []::VARCHAR[] END
+            END AS mods
+          FROM files
+        ), esrc AS (
+          SELECT repo, src_path, fam, m AS module,
+            coalesce(regexp_extract(m, '{q(IMPORT_STEM_RE)}', 1), '')
+              AS stem
+          FROM emods, unnest(mods) AS t(m)
+          WHERE fam <> ''
+        ), edst AS (
+          SELECT repo, path AS dst_path, {fam} AS fam,
+            coalesce(regexp_extract(path, '{q(PATH_STEM_RE)}', 1), '')
+              AS stem
+          FROM files
+        )
+        SELECT s.repo, s.src_path, d.dst_path, s.module
+        FROM esrc s
+        JOIN edst d ON s.repo = d.repo AND s.fam = d.fam
+                   AND s.stem = d.stem
+        WHERE s.stem <> '' AND d.fam <> '' AND d.stem <> ''
+          AND s.src_path <> d.dst_path
+        ORDER BY s.repo, s.src_path, d.dst_path, s.module
+    """
+
+
+def _code_edge_fixture_cte_sql() -> str:
+    """The _code_edge_fixture derivation as a DuckDB CTE body (same
+    id%5 strata, same +7/+14 sibling offsets)."""
+    return """
+        docs AS (
+          SELECT doc_id::BIGINT AS d,
+                 'r' || (doc_id % 7)::VARCHAR AS repo
+          FROM documents
+        ), files AS (
+          SELECT repo,
+            CASE WHEN d % 5 = 0 THEN 'web/w' || d::VARCHAR || '.js'
+                 WHEN d % 5 = 1 THEN 'src/J' || d::VARCHAR || '.java'
+                 WHEN d % 5 = 4 THEN 'notes/t' || d::VARCHAR || '.txt'
+                 ELSE 'src/mod' || d::VARCHAR || '.py' END AS path,
+            CASE WHEN d % 5 = 0 THEN
+                   'const a = require(''./w' || (d+7)::VARCHAR
+                   || ''');' || chr(10)
+                 WHEN d % 5 = 1 THEN
+                   'import com.x.J' || (d+7)::VARCHAR || ';' || chr(10)
+                   || 'class J' || d::VARCHAR || ' {}' || chr(10)
+                 WHEN d % 5 = 4 THEN
+                   'import mod' || (d+7)::VARCHAR || chr(10)
+                 ELSE
+                   'import mod' || (d+7)::VARCHAR || chr(10)
+                   || 'from pkg.mod' || (d+14)::VARCHAR
+                   || ' import thing' || chr(10)
+                   || 'import os' || chr(10)
+                   || 'import mod' || d::VARCHAR || chr(10)
+            END AS content
+          FROM docs
+        )"""
+
+
+def _code_import_edges_oracle_sql() -> str:
+    """DuckDB twin of operators/code_analysis.py::code_import_edges."""
+    return "WITH " + _code_edge_fixture_cte_sql() + _code_edges_body_sql()
+
+
 def _code_cx_body_sql() -> str:
     """code_complexity feature SQL as a WITH-chain continuation over an
     open CTE named `files` (repo, path, content): same branch/logical/
@@ -10750,6 +10930,7 @@ def oracle_sql() -> dict[str, str]:
         "code_complexity": _code_complexity_oracle_sql(),
         "code_function_spans": _code_function_spans_oracle_sql(),
         "code_function_dedup": _code_function_dedup_oracle_sql(),
+        "code_import_edges": _code_import_edges_oracle_sql(),
         "code_metadata_prepend": _code_metadata_prepend_oracle_sql(),
         "code_opt_out": _code_opt_out_oracle_sql(),
         # code_compression_flags is rows-only: zlib has no SQL twin

@@ -1307,3 +1307,93 @@ def code_function_dedup(
             ).alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# repo-internal import graph (edges for dependency-aware file ordering)
+
+# Last dotted/pathed segment of an imported module name ('a.b' -> 'b',
+# './util' -> 'util', 'com.x.Foo' -> 'Foo'); file stem = basename minus
+# extension. $ kept for Java nested classes, - for js package names.
+IMPORT_STEM_RE = r"([A-Za-z0-9_$\-]+)$"
+PATH_STEM_RE = r"([^/]+)\.[A-Za-z0-9]+$"
+
+
+def _import_family(ext: Column) -> Column:
+    return (
+        F.when(ext == "py", F.lit("py"))
+        .when(ext.isin(*JS_EXTS), F.lit("js"))
+        .when(ext == "java", F.lit("java"))
+        .otherwise(F.lit(""))
+    )
+
+
+def code_import_edges(
+    files: DataFrame,
+    content_col: str = "content",
+    repo_col: str = "repo",
+    path_col: str = "path",
+) -> DataFrame:
+    """Repo-INTERNAL import graph: one edge (repo, src_path, dst_path,
+    module) whenever a file imports a module whose last segment equals
+    a sibling file's stem, same repo and extension family. This is the
+    dependency signal repo-level context concatenation wants
+    (StarCoder2 orders repo files so definitions precede uses; fan-in
+    over these edges is exactly that ordering key) and the
+    vendored-copy detector's missing half (a repo whose files import
+    only each other is self-contained; one importing a sibling copy of
+    a famous package vendored it).
+
+    Resolution is stem-based by design — real import semantics need
+    sys.path / package roots; the stem rule is deterministic, engine-
+    portable, and right for the ordering use case. A module matching
+    several same-stem siblings emits every edge (documented
+    approximation); self-edges are excluded.
+
+    Scale shape: both join sides are id-sized projections — the src
+    side explodes distinct (file, module) pairs from the scan (content
+    dropped), the dst side is (repo, stem, path) — and the ONE shuffle
+    keys on (repo, family, stem), so content never crosses an
+    Exchange and hot keys are bounded by same-stem file counts within
+    a single repo.
+    """
+    ext = F.lower(F.regexp_extract(F.col(path_col), EXT_RE, 1))
+    fam = _import_family(ext)
+    src = (
+        files.select(
+            F.col(repo_col).alias("repo"),
+            F.col(path_col).alias("src_path"),
+            fam.alias("_fam"),
+            _import_modules(
+                F.col(path_col), F.coalesce(F.col(content_col), F.lit(""))
+            ).alias("_mods"),
+        )
+        .where(F.col("_fam") != "")
+        .select(
+            "repo",
+            "src_path",
+            "_fam",
+            F.explode("_mods").alias("module"),
+        )
+        .select(
+            "repo",
+            "src_path",
+            "_fam",
+            "module",
+            F.regexp_extract(F.col("module"), IMPORT_STEM_RE, 1).alias(
+                "_stem"
+            ),
+        )
+        .where(F.col("_stem") != "")
+    )
+    dst = files.select(
+        F.col(repo_col).alias("repo"),
+        F.col(path_col).alias("dst_path"),
+        _import_family(ext).alias("_fam"),
+        F.regexp_extract(F.col(path_col), PATH_STEM_RE, 1).alias("_stem"),
+    ).where((F.col("_fam") != "") & (F.col("_stem") != ""))
+    return (
+        src.join(dst, ["repo", "_fam", "_stem"])
+        .where(F.col("src_path") != F.col("dst_path"))
+        .select("repo", "src_path", "dst_path", "module")
+    )

@@ -1371,3 +1371,100 @@ def test_function_spans_adversarial_cross_engine_differential(spark):
     for col in got.columns:
         a, b = got[col].tolist(), want[col].tolist()
         assert a == b, f"{col}: spark={a} duckdb={b}"
+
+
+# ---------------------------------------------------------------------------
+# code_import_edges (repo-internal import graph)
+
+
+def test_import_edges_resolution(spark):
+    from gruut_spark.operators.code_analysis import code_import_edges
+
+    rows = [
+        ("rA", "src/mod_a.py", "c", "py",
+         "import mod_b\nfrom pkg.mod_c import x\nimport os\n"
+         "import mod_a\n"),
+        ("rA", "src/mod_b.py", "c", "py", "x = 1\n"),
+        ("rA", "deep/dir/mod_c.py", "c", "py", "y = 2\n"),
+        # same stem, different family: no cross-family edge
+        ("rA", "web/mod_b.js", "c", "js", "var v = 1;\n"),
+        # same stem in ANOTHER repo: no cross-repo edge
+        ("rB", "src/mod_b.py", "c", "py", "z = 3\n"),
+        ("rA", "web/app.js", "c", "js",
+         "const u = require('./util');\nimport thing from 'lib/util'\n"),
+        ("rA", "web/util.js", "c", "js", "export const k = 1;\n"),
+        ("rA", "src/Main.java", "c", "java",
+         "import com.x.Helper;\n"),
+        ("rA", "src/Helper.java", "c", "java", "class Helper {}\n"),
+        ("rA", "notes/readme.txt", "c", "", "import mod_b\n"),
+    ]
+    out = code_import_edges(_files(spark, rows))
+    edges = {(r["src_path"], r["dst_path"]) for r in out.collect()}
+    assert ("src/mod_a.py", "src/mod_b.py") in edges
+    assert ("src/mod_a.py", "deep/dir/mod_c.py") in edges
+    # self-import, external (os), cross-family, cross-repo, txt decoy
+    assert ("src/mod_a.py", "src/mod_a.py") not in edges
+    assert not any(d == "web/mod_b.js" for _, d in edges)
+    assert not any(s == "notes/readme.txt" for s, _ in edges)
+    # js require './util' and from-import 'lib/util' both hit util.js
+    assert ("web/app.js", "web/util.js") in edges
+    # java class import resolves to the sibling class file
+    assert ("src/Main.java", "src/Helper.java") in edges
+    assert len(edges) == 4
+
+
+def test_import_edges_plan_no_python(spark):
+    from gruut_spark.operators.code_analysis import code_import_edges
+
+    df = code_import_edges(
+        _files(spark, [("r", "a.py", "c", "py", "import b\n")])
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Python" not in plan
+    # content never reaches the join: both sides project before the
+    # Exchange, so 'content' appears only below the scans
+    assert "content" not in plan.split("Join")[0]
+
+
+ADV_EDGE_FILES = [
+    ("e/ü.py", "import café\nfrom x import y\n"),
+    ("e/café.py", "pass\n"),
+    ("e/crlf.py", "import other\r\nimport more\r\n"),
+    ("e/other.py", ""),
+    ("e/dash.js", "const d = require('pkg/my-lib');\n"),
+    ("e/my-lib.js", "x\n"),
+    ("e/Nested.java", "import a.b.Outer$Inner;\n"),
+    ("e/Outer$Inner.java", "class X {}\n"),
+    ("e/UP.PY", "import other\n"),
+    ("e/noext", "import other\n"),
+]
+
+
+def test_import_edges_adversarial_cross_engine_differential(spark):
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from gruut_spark.operators.code_analysis import code_import_edges
+
+    rows = [("rA", p, "c", "py", c) for p, c in ADV_EDGE_FILES]
+    got = (
+        code_import_edges(_files(spark, rows))
+        .orderBy("repo", "src_path", "dst_path", "module")
+        .toPandas()
+        .reset_index(drop=True)
+    )
+    pdf = pd.DataFrame(
+        [("rA", p, c) for p, c in ADV_EDGE_FILES],
+        columns=["repo", "path", "content"],
+    )
+    con = duckdb.connect()
+    con.register("adv", pdf)
+    want = con.sql(
+        "WITH files AS (SELECT repo, path, content FROM adv)"
+        + entrymod._code_edges_body_sql()
+    ).df().reset_index(drop=True)
+    assert list(got.columns) == list(want.columns)
+    for col in got.columns:
+        a, b = got[col].tolist(), want[col].tolist()
+        assert a == b, f"{col}: spark={a} duckdb={b}"
