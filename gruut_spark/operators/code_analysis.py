@@ -1259,6 +1259,7 @@ def code_function_dedup(
     files: DataFrame,
     content_col: str = "content",
     path_col: str = "path",
+    checkpoint: bool = True,
 ) -> DataFrame:
     """Function-level near-exact dedup: the SantaCoder normalization
     (lowercased, alphanumeric-only, md5) applied to FUNCTION bodies
@@ -1285,6 +1286,14 @@ def code_function_dedup(
         "func_name",
         _norm_md5(F.col("body")).alias("body_md5"),
     )
+    if checkpoint:
+        # lazy barrier (the code_curation_pipeline rationale): the
+        # groupBy branch AND the join-back branch both consume
+        # `digested` — without it the span scan (the expensive per-line
+        # block-rule walk) evaluates twice; measured at sf10/500k the
+        # barrier buys 24.3 → ~14 s. The checkpointed frame is ~60
+        # B/row (ids + digest), never content.
+        digested = digested.localCheckpoint(eager=False)
     canon = digested.groupBy("body_md5").agg(
         F.min(
             F.struct(F.col("path"), F.col("repo"), F.col("func_idx"))
