@@ -3156,13 +3156,18 @@ def _code_function_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _code_edge_fixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Repo-internal import strata rotating by id%5: a js require of a
     sibling stem / a java import of a sibling class / two python
-    strata importing siblings at +7 and +14 (same repo: repos key on
-    id%7) plus an unresolvable external and an excluded self-import /
-    a .txt decoy whose import line must resolve to nothing."""
+    strata importing siblings at +35 and +70 (35 = lcm(5,7): the
+    offset must preserve BOTH the id%5 stratum, so the target file
+    exists in the importing family, AND the id%7 repo key — the
+    original +7/+14 offsets kept the repo but changed the stratum, so
+    only the python from-import leg ever resolved and the js/java
+    joins were vacuous at the gate) plus an unresolvable external and
+    an excluded self-import / a .txt decoy whose import line must
+    resolve to nothing."""
     d = F.col("doc_id")
     ds = d.cast("string")
-    d7 = (d + 7).cast("string")
-    d14 = (d + 14).cast("string")
+    d7 = (d + 35).cast("string")
+    d14 = (d + 70).cast("string")
     path = (
         F.when(d % 5 == 0, F.concat(F.lit("web/w"), ds, F.lit(".js")))
         .when(d % 5 == 1, F.concat(F.lit("src/J"), ds, F.lit(".java")))
@@ -8544,6 +8549,7 @@ def _code_doc_body_sql() -> str:
     fixture oracle and the adversarial differential test."""
     from gruut_spark.operators.code_analysis import (
         DOC_ARGS_RE,
+        DOC_ARGS_STRIP_RE,
         DOC_FUNC_NAME_RE,
         DOC_PAIR_CORE_RE,
         DOC_PAIR_EXTS,
@@ -8567,18 +8573,26 @@ def _code_doc_body_sql() -> str:
           FROM pyf
         ), fx AS (
           SELECT repo, path, func_idx, m0[func_idx + 1] AS m FROM ex
-        ), pd AS (
-          SELECT repo, path, func_idx, m,
-            CASE WHEN strpos(m, {dq3}) > 0 AND (strpos(m, {sq3}) = 0
-                      OR strpos(m, {dq3}) < strpos(m, {sq3}))
-                 THEN strpos(m, {dq3}) ELSE strpos(m, {sq3}) END AS pos,
-            length(m) AS L
+        ), hd AS (
+          SELECT repo, path, func_idx, m, length(m) AS L,
+            strpos(m, chr(10)) AS nl,
+            substring(m, strpos(m, chr(10)) + 1) AS hdr_tail
           FROM fx
+        ), pd AS (
+          SELECT repo, path, func_idx, m, L,
+            nl + CASE WHEN strpos(hdr_tail, {dq3}) > 0
+                       AND (strpos(hdr_tail, {sq3}) = 0
+                            OR strpos(hdr_tail, {dq3})
+                               < strpos(hdr_tail, {sq3}))
+                 THEN strpos(hdr_tail, {dq3})
+                 ELSE strpos(hdr_tail, {sq3}) END AS pos
+          FROM hd
         ), dd AS (
           SELECT repo, path, func_idx,
             regexp_extract(m, '{q(DOC_FUNC_NAME_RE)}', 1) AS func_name,
-            len(list_filter(string_split(
-              regexp_extract(m, '{q(DOC_ARGS_RE)}', 1), ','),
+            len(list_filter(string_split(regexp_replace(
+              regexp_extract(m, '{q(DOC_ARGS_RE)}', 1),
+              '{q(DOC_ARGS_STRIP_RE)}', '', 'g'), ','),
               x -> trim(x) <> ''))::INT AS n_args,
             regexp_replace(substring(m, pos + 3, L - pos - 5),
                            '{q(DOC_TRIM_RE)}', '', 'g') AS doc
@@ -8680,7 +8694,8 @@ def _code_span_chain_sql() -> tuple:
         )"""
     select = f"""
         SELECT repo, path, func_idx,
-          regexp_extract(body, '{q(DOC_FUNC_NAME_RE)}', 1) AS func_name,
+          regexp_extract(string_split(body, chr(10))[1],
+            '{q(DOC_FUNC_NAME_RE)}', 1) AS func_name,
           d AS def_line, (fin - d) AS n_span_lines, body
         FROM bod"""
     return chain, select
@@ -8801,7 +8816,7 @@ def _code_edges_body_sql() -> str:
 
 def _code_edge_fixture_cte_sql() -> str:
     """The _code_edge_fixture derivation as a DuckDB CTE body (same
-    id%5 strata, same +7/+14 sibling offsets)."""
+    id%5 strata, same +35/+70 sibling offsets)."""
     return """
         docs AS (
           SELECT doc_id::BIGINT AS d,
@@ -8814,16 +8829,16 @@ def _code_edge_fixture_cte_sql() -> str:
                  WHEN d % 5 = 4 THEN 'notes/t' || d::VARCHAR || '.txt'
                  ELSE 'src/mod' || d::VARCHAR || '.py' END AS path,
             CASE WHEN d % 5 = 0 THEN
-                   'const a = require(''./w' || (d+7)::VARCHAR
+                   'const a = require(''./w' || (d+35)::VARCHAR
                    || ''');' || chr(10)
                  WHEN d % 5 = 1 THEN
-                   'import com.x.J' || (d+7)::VARCHAR || ';' || chr(10)
+                   'import com.x.J' || (d+35)::VARCHAR || ';' || chr(10)
                    || 'class J' || d::VARCHAR || ' {}' || chr(10)
                  WHEN d % 5 = 4 THEN
-                   'import mod' || (d+7)::VARCHAR || chr(10)
+                   'import mod' || (d+35)::VARCHAR || chr(10)
                  ELSE
-                   'import mod' || (d+7)::VARCHAR || chr(10)
-                   || 'from pkg.mod' || (d+14)::VARCHAR
+                   'import mod' || (d+35)::VARCHAR || chr(10)
+                   || 'from pkg.mod' || (d+70)::VARCHAR
                    || ' import thing' || chr(10)
                    || 'import os' || chr(10)
                    || 'import mod' || d::VARCHAR || chr(10)

@@ -990,6 +990,12 @@ DOC_PAIR_CORE_RE = (
 )
 DOC_FUNC_NAME_RE = r"def[ \t]+([A-Za-z_][A-Za-z0-9_]*)"
 DOC_ARGS_RE = r"\(([^)]*)\)"
+# Removed from the captured arg list before comma-splitting so commas
+# inside single-level bracketed annotations/defaults ('a: Dict[str,
+# int]', 'x={1: 2}') don't inflate n_args; ')' never appears in the
+# capture ([^)]* clips there — the disclosed paren caveat), and nested
+# brackets remain approximate.
+DOC_ARGS_STRIP_RE = r"\[[^\]]*\]|\{[^}]*\}"
 # Docstring edge-trim: explicit [ \t\r\n] (Java \s includes \x0B, RE2's
 # does not) anchored with \A / \z (Java's bare $ floats before a final
 # \r; \z does not) — replace-all on the Spark side, 'g' flag in the
@@ -1045,11 +1051,20 @@ def code_doc_pairs(
         F.posexplode_outer(F.col("_ms")).alias("func_idx", "_m"),
     ).where(F.col("func_idx").isNotNull())
     m = F.col("_m")
-    p3 = F.locate('"""', m)
-    p1 = F.locate("'''", m)
-    pos = F.when((p3 > 0) & ((p1 == 0) | (p3 < p1)), p3).otherwise(p1)
+    # search the opener only AFTER the header's newline: a triple quote
+    # of the other type inside a default-argument string on the def
+    # line ('def f(x="\'\'\'")') must not win the cut. The match always
+    # contains a newline (the pattern requires it), and the true opener
+    # is on the following line.
+    nl = F.locate("\n", m)
+    hdr_tail = F.substring(m, nl + 1, F.length(m))
+    q3 = F.locate('"""', hdr_tail)
+    q1 = F.locate("'''", hdr_tail)
+    pos = nl + F.when((q3 > 0) & ((q1 == 0) | (q3 < q1)), q3).otherwise(q1)
     body = F.substring(m, pos + 3, F.length(m) - pos - 5)
-    args = F.regexp_extract(m, DOC_ARGS_RE, 1)
+    args = F.regexp_replace(
+        F.regexp_extract(m, DOC_ARGS_RE, 1), DOC_ARGS_STRIP_RE, ""
+    )
     doc = F.regexp_replace(body, DOC_TRIM_RE, "")
     return ex.select(
         *[F.col(c) for c in keep_cols],
@@ -1188,44 +1203,55 @@ def code_function_spans(
     last body line, LF-joined.
 
     Scale shape: everything happens IN-ROW on the materialized line
-    array — def positions via an index filter, each span's end via a
-    nested filter over the tail, the body via slice+array_join — and
-    only the bounded struct array explodes (the big line array never
-    crosses the Generate, so function rows carry bodies, not whole
-    files). The per-line lambdas are interpreted HOFs (the documented
-    slow path) — acceptable here because the work is inherently
-    per-line-per-def; the arrays are materialized once and the
-    operator stays zero-Python, zero-Exchange.
+    array, and the per-line REGEX work is O(n), not O(n × defs): a
+    per-line metadata array struct(lead, non-blank, is-def) is
+    materialized ONCE (each Column reference to an interpreted HOF
+    re-evaluates its subtree — the identifier_stats lesson), so the
+    def filter and every tail scan index that array instead of
+    re-running regexes. Only the bounded span-struct array explodes
+    (the big line array never crosses the Generate, so function rows
+    carry bodies, not whole files); zero Python, zero Exchange.
     """
     content = F.coalesce(F.col(content_col), F.lit(""))
     ext = F.lower(F.regexp_extract(F.col(path_col), EXT_RE, 1))
     norm = F.replace(content, F.lit("\r\n"), F.lit("\n"))
     lines = F.col("_lines")
-
-    def lead(x: Column) -> Column:
-        return F.length(F.regexp_extract(x, FUNC_LEAD_RE, 0))
+    mt = F.col("_meta")
 
     base = files.where(ext.isin(list(FUNC_SPAN_EXTS))).select(
         *[F.col(c) for c in keep_cols],
         F.split(norm, "\n").alias("_lines"),
     )
+    withmeta = base.select(
+        *[F.col(c) for c in keep_cols],
+        lines,
+        F.transform(
+            lines,
+            lambda x: F.struct(
+                F.length(F.regexp_extract(x, FUNC_LEAD_RE, 0)).alias(
+                    "lead"
+                ),
+                (F.trim(x) != "").alias("nb"),
+                x.rlike(FUNC_DEF_LINE_RE).alias("isdef"),
+            ),
+        ).alias("_meta"),
+    )
     n = F.size(lines)
     defs = F.filter(
         F.sequence(F.lit(0), n - 1),
-        lambda i: F.element_at(lines, i + 1).rlike(FUNC_DEF_LINE_RE),
+        lambda i: F.element_at(mt, i + 1).getField("isdef"),
     )
 
     def span(d: Column) -> Column:
-        line = F.element_at(lines, d + 1)
-        k = lead(line)
+        k = F.element_at(mt, d + 1).getField("lead")
         # sequence(a, b) counts DOWN when a > b, so pin the stop at the
         # start and re-filter e <= n-1: a def on the last line gets an
         # empty tail instead of a backwards range
         tail = F.filter(
             F.sequence(d + 1, F.greatest(n - 1, d + 1)),
             lambda e: (e <= n - 1)
-            & (F.trim(F.element_at(lines, e + 1)) != "")
-            & (lead(F.element_at(lines, e + 1)) <= k),
+            & F.element_at(mt, e + 1).getField("nb")
+            & (F.element_at(mt, e + 1).getField("lead") <= k),
         )
         # try_element_at: ANSI mode makes plain element_at THROW on the
         # empty tail (last function runs to EOF); NULL → coalesce(n)
@@ -1239,15 +1265,20 @@ def code_function_spans(
         )
 
     spans = F.transform(defs, span)
-    mid = base.select(
+    mid = withmeta.select(
         *[F.col(c) for c in keep_cols],
         F.posexplode_outer(spans).alias("func_idx", "_s"),
     ).where(F.col("func_idx").isNotNull())
     return mid.select(
         *[F.col(c) for c in keep_cols],
         "func_idx",
+        # name from the body's FIRST line only: an unanchored search
+        # over the whole body would attribute a nested function's name
+        # to an outer def whose own name the ASCII class can't match
         F.regexp_extract(
-            F.col("_s.body"), DOC_FUNC_NAME_RE, 1
+            F.element_at(F.split(F.col("_s.body"), "\n"), 1),
+            DOC_FUNC_NAME_RE,
+            1,
         ).alias("func_name"),
         F.col("_s.def_line").alias("def_line"),
         F.col("_s.n_span_lines").alias("n_span_lines"),
@@ -1323,9 +1354,12 @@ def code_function_dedup(
 
 # Last dotted/pathed segment of an imported module name ('a.b' -> 'b',
 # './util' -> 'util', 'com.x.Foo' -> 'Foo'); file stem = basename minus
-# extension. $ kept for Java nested classes, - for js package names.
-IMPORT_STEM_RE = r"([A-Za-z0-9_$\-]+)$"
-PATH_STEM_RE = r"([^/]+)\.[A-Za-z0-9]+$"
+# extension. $ in the CLASS is Java nested classes, - is js package
+# names; the ANCHOR is \z, not $ — Java's bare $ floats before a
+# trailing \r/\n, RE2's does not (the shebang lesson), so a
+# CR-carrying module specifier must stem to '' in BOTH engines.
+IMPORT_STEM_RE = r"([A-Za-z0-9_$\-]+)\z"
+PATH_STEM_RE = r"([^/]+)\.[A-Za-z0-9]+\z"
 
 
 def _import_family(ext: Column) -> Column:

@@ -1437,6 +1437,7 @@ ADV_EDGE_FILES = [
     ("e/Outer$Inner.java", "class X {}\n"),
     ("e/UP.PY", "import other\n"),
     ("e/noext", "import other\n"),
+    ("e/crmod.js", "const x = require('./my-lib\r');\n"),
 ]
 
 
@@ -1468,3 +1469,65 @@ def test_import_edges_adversarial_cross_engine_differential(spark):
     for col in got.columns:
         a, b = got[col].tolist(), want[col].tolist()
         assert a == b, f"{col}: spark={a} duckdb={b}"
+
+
+# ---------------------------------------------------------------------------
+# review regressions (r5j): header-quote cut, bracket n_args, nested
+# func_name attribution, trailing-CR stems
+
+
+def test_doc_pairs_header_quote_does_not_win_cut(spark):
+    """A triple quote of the other type inside a default-argument
+    string on the def line must not be taken as the docstring opener —
+    the cut searches only after the header's newline."""
+    from gruut_spark.operators.code_analysis import code_doc_pairs
+
+    rows = [
+        ("r", "a.py", "c", "py",
+         'def f(x="\'\'\'"):\n    """real doc"""\n'),
+    ]
+    out = code_doc_pairs(_files(spark, rows)).collect()[0].asDict()
+    assert out["docstring"] == "real doc"
+    assert out["doc_summary"] == "real doc"
+
+
+def test_doc_pairs_bracket_commas_not_counted(spark):
+    from gruut_spark.operators.code_analysis import code_doc_pairs
+
+    rows = [
+        ("r", "a.py", "c", "py",
+         'def f(a: x[str, int]):\n    """d"""\n\n'
+         'def g(x={1: 2}, y=3):\n    """e"""\n'),
+    ]
+    out = {r["func_name"]: r.asDict()
+           for r in code_doc_pairs(_files(spark, rows)).collect()}
+    assert out["f"]["n_args"] == 1
+    assert out["g"]["n_args"] == 2
+
+
+def test_function_spans_name_from_first_line_only(spark):
+    """An outer def whose name the ASCII class cannot match gets
+    func_name '' — NOT its nested function's name."""
+    from gruut_spark.operators.code_analysis import code_function_spans
+
+    rows = [
+        ("r", "a.py", "c", "py",
+         "def 関数():\n    def helper():\n        pass\n"),
+    ]
+    out = sorted(
+        (r["func_idx"], r["func_name"])
+        for r in code_function_spans(_files(spark, rows)).collect()
+    )
+    assert out == [(0, ""), (1, "helper")]
+
+
+def test_import_edges_trailing_cr_stems_to_nothing(spark):
+    """The \\z stem anchors reject a CR-carrying module specifier in
+    BOTH engines (Java's bare $ would have matched before the \\r)."""
+    from gruut_spark.operators.code_analysis import code_import_edges
+
+    rows = [
+        ("r", "a.js", "c", "js", "const x = require('./util\r');\n"),
+        ("r", "util.js", "c", "js", "x\n"),
+    ]
+    assert code_import_edges(_files(spark, rows)).count() == 0
