@@ -82,6 +82,43 @@ def _h32(*cols: Column) -> Column:
     ).cast("long")
 
 
+def _fim_exprs(
+    content_col: str, rate_pct: int, psm_pct: int
+) -> "dict[str, Column]":
+    """The shared FIM decision/cut/layout expressions — single source
+    for the report face (``fim_transform``) and the in-place production
+    face (``fim_augment``); review finding: the two carried verbatim
+    copies a one-sided edit would silently de-synchronize. Returns
+    apply_ (un-gated), psm, lo, hi, sample."""
+    c = F.coalesce(F.col(content_col), F.lit(""))
+    n = F.length(c)
+    apply_ = _h32(F.col("repo"), F.col("path"), F.lit("fim?")) % 100 < rate_pct
+    a = _h32(F.col("repo"), F.col("path"), F.lit("fima")) % (n + 1)
+    b = _h32(F.col("repo"), F.col("path"), F.lit("fimb")) % (n + 1)
+    lo = F.least(a, b).cast("int")
+    hi = F.greatest(a, b).cast("int")
+    psm = _h32(F.col("repo"), F.col("path"), F.lit("fimm")) % 100 < psm_pct
+    prefix = c.substr(F.lit(1), lo)
+    middle = c.substr(lo + 1, hi - lo)
+    suffix = c.substr(hi + 1, n)
+    sample = F.when(
+        psm,
+        F.concat(
+            F.lit(FIM_PREFIX), prefix,
+            F.lit(FIM_SUFFIX), suffix,
+            F.lit(FIM_MIDDLE), middle,
+        ),
+    ).otherwise(
+        F.concat(
+            F.lit(FIM_PREFIX), F.lit(FIM_SUFFIX), suffix,
+            F.lit(FIM_MIDDLE), prefix, middle,
+        )
+    )
+    return {
+        "apply": apply_, "psm": psm, "lo": lo, "hi": hi, "sample": sample,
+    }
+
+
 def fim_transform(
     files: DataFrame,
     rate_pct: int = 50,
@@ -109,39 +146,19 @@ def fim_transform(
     slicing both count codepoints, so multibyte content cuts
     identically.
     """
-    c = F.coalesce(F.col(content_col), F.lit(""))
-    n = F.length(c)
-    apply_ = _h32(F.col("repo"), F.col("path"), F.lit("fim?")) % 100 < rate_pct
-    a = _h32(F.col("repo"), F.col("path"), F.lit("fima")) % (n + 1)
-    b = _h32(F.col("repo"), F.col("path"), F.lit("fimb")) % (n + 1)
-    lo = F.least(a, b).cast("int")
-    hi = F.greatest(a, b).cast("int")
-    psm = _h32(F.col("repo"), F.col("path"), F.lit("fimm")) % 100 < psm_pct
-    prefix = c.substr(F.lit(1), lo)
-    middle = c.substr(lo + 1, hi - lo)
-    suffix = c.substr(hi + 1, n)
-    sample = F.when(
-        psm,
-        F.concat(
-            F.lit(FIM_PREFIX), prefix,
-            F.lit(FIM_SUFFIX), suffix,
-            F.lit(FIM_MIDDLE), middle,
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit(FIM_PREFIX), F.lit(FIM_SUFFIX), suffix,
-            F.lit(FIM_MIDDLE), prefix, middle,
-        )
-    )
+    e = _fim_exprs(content_col, rate_pct, psm_pct)
+    apply_, psm = e["apply"], e["psm"]
     return files.select(
         "repo",
         "path",
         F.when(apply_, F.when(psm, F.lit("psm")).otherwise(F.lit("spm")))
         .otherwise(F.lit("none"))
         .alias("fim_mode"),
-        F.when(apply_, lo).alias("split_lo"),
-        F.when(apply_, hi).alias("split_hi"),
-        F.when(apply_, sample).otherwise(c).alias("sample"),
+        F.when(apply_, e["lo"]).alias("split_lo"),
+        F.when(apply_, e["hi"]).alias("split_hi"),
+        F.when(apply_, e["sample"])
+        .otherwise(F.coalesce(F.col(content_col), F.lit("")))
+        .alias("sample"),
     )
 
 
@@ -160,39 +177,42 @@ def fim_augment(
     decisions/cuts as ``fim_transform`` — deterministic on resume, so a
     re-run bucket re-produces byte-identical samples. Pure Catalyst
     projection: fuses into the verdict stage, zero extra Exchange."""
-    c = F.coalesce(F.col(content_col), F.lit(""))
-    n = F.length(c)
-    apply_ = _h32(F.col("repo"), F.col("path"), F.lit("fim?")) % 100 < rate_pct
+    e = _fim_exprs(content_col, rate_pct, psm_pct)
+    apply_, psm = e["apply"], e["psm"]
     if gate is not None:
         apply_ = apply_ & gate
-    a = _h32(F.col("repo"), F.col("path"), F.lit("fima")) % (n + 1)
-    b = _h32(F.col("repo"), F.col("path"), F.lit("fimb")) % (n + 1)
-    lo = F.least(a, b).cast("int")
-    hi = F.greatest(a, b).cast("int")
-    psm = _h32(F.col("repo"), F.col("path"), F.lit("fimm")) % 100 < psm_pct
-    prefix = c.substr(F.lit(1), lo)
-    middle = c.substr(lo + 1, hi - lo)
-    suffix = c.substr(hi + 1, n)
-    sample = F.when(
-        psm,
-        F.concat(
-            F.lit(FIM_PREFIX), prefix,
-            F.lit(FIM_SUFFIX), suffix,
-            F.lit(FIM_MIDDLE), middle,
-        ),
-    ).otherwise(
-        F.concat(
-            F.lit(FIM_PREFIX), F.lit(FIM_SUFFIX), suffix,
-            F.lit(FIM_MIDDLE), prefix, middle,
-        )
-    )
     return df.withColumn(
-        content_col, F.when(apply_, sample).otherwise(F.col(content_col))
+        content_col,
+        F.when(apply_, e["sample"]).otherwise(F.col(content_col)),
     ).withColumn(
         "fim_mode",
         F.when(apply_, F.when(psm, F.lit("psm")).otherwise(F.lit("spm")))
         .otherwise(F.lit("none")),
     )
+
+
+def _meta_header_exprs(
+    repo_pct: int, file_pct: int, gate: "Column | None" = None
+) -> "tuple[Column, Column, Column]":
+    """(has_reponame, has_filename, header) — the shared md5 decisions
+    and header concat for ``metadata_prepend`` (report face) and
+    ``metadata_augment`` (in-place face, which passes its keep
+    ``gate``); single source per the review finding (the two carried
+    verbatim copies)."""
+    has_r = _h32(F.col("repo"), F.col("path"), F.lit("metar")) % 100 < repo_pct
+    has_f = _h32(F.col("repo"), F.col("path"), F.lit("metaf")) % 100 < file_pct
+    if gate is not None:
+        has_r = has_r & gate
+        has_f = has_f & gate
+    header = F.concat(
+        F.when(has_r, F.concat(F.lit(REPONAME_SENT), F.col("repo"))).otherwise(
+            F.lit("")
+        ),
+        F.when(has_f, F.concat(F.lit(FILENAME_SENT), F.col("path"))).otherwise(
+            F.lit("")
+        ),
+    )
+    return has_r, has_f, header
 
 
 def metadata_prepend(
@@ -222,16 +242,7 @@ def metadata_prepend(
     zero-Python Catalyst projection.
     """
     c = F.coalesce(F.col(content_col), F.lit(""))
-    has_r = _h32(F.col("repo"), F.col("path"), F.lit("metar")) % 100 < repo_pct
-    has_f = _h32(F.col("repo"), F.col("path"), F.lit("metaf")) % 100 < file_pct
-    header = F.concat(
-        F.when(has_r, F.concat(F.lit(REPONAME_SENT), F.col("repo"))).otherwise(
-            F.lit("")
-        ),
-        F.when(has_f, F.concat(F.lit(FILENAME_SENT), F.col("path"))).otherwise(
-            F.lit("")
-        ),
-    )
+    has_r, has_f, header = _meta_header_exprs(repo_pct, file_pct)
     sample = F.when(has_r | has_f, F.concat(header, F.lit("\n"), c)).otherwise(c)
     return files.select(
         "repo",
@@ -255,22 +266,14 @@ def metadata_augment(
     ``gate`` (the ship step gates on ``keep``). Same md5 decisions as
     ``metadata_prepend``, so resume re-produces byte-identical samples.
     Pure Catalyst projection — fuses into the verdict stage. When
-    composed with ``fim_augment``, apply metadata FIRST so headers land
-    in the FIM prefix region (the StarCoder composition order)."""
+    composed with ``fim_augment``, apply metadata FIRST (the StarCoder
+    composition order: headers become part of the document BEFORE
+    character-level FIM draws its cuts — which means a cut CAN land
+    inside the header, exactly as in the paper's character-level
+    recipe; this order guarantees composition semantics, not
+    header-stays-in-prefix)."""
     c = F.coalesce(F.col(content_col), F.lit(""))
-    has_r = _h32(F.col("repo"), F.col("path"), F.lit("metar")) % 100 < rate_pct
-    has_f = _h32(F.col("repo"), F.col("path"), F.lit("metaf")) % 100 < rate_pct
-    if gate is not None:
-        has_r = has_r & gate
-        has_f = has_f & gate
-    header = F.concat(
-        F.when(has_r, F.concat(F.lit(REPONAME_SENT), F.col("repo"))).otherwise(
-            F.lit("")
-        ),
-        F.when(has_f, F.concat(F.lit(FILENAME_SENT), F.col("path"))).otherwise(
-            F.lit("")
-        ),
-    )
+    has_r, has_f, header = _meta_header_exprs(rate_pct, rate_pct, gate)
     return df.withColumn(
         content_col,
         F.when(has_r | has_f, F.concat(header, F.lit("\n"), c)).otherwise(
@@ -298,11 +301,19 @@ def repo_context_concat(
     ``max_files`` concatenated after ``<repo_name>{repo}``.
 
     The per-file piece is built (and truncated) in the map-side
-    projection, so only capped pieces cross the one Exchange; the
-    ``max_files`` slice happens after the in-reducer sort, bounding the
-    output row at sentinel-overhead + max_files × max_file_chars chars
-    no matter the repo.
+    projection, so only capped pieces cross the one Exchange; a
+    row_number window keeps only the first ``max_files`` structs per
+    repo BEFORE collect_list, so the AGGREGATION STATE is bounded at
+    max_files × max_file_chars per repo too — a bare
+    collect_list-then-slice bounds the emitted row but buffers every
+    file of a mega-repo in one non-spillable aggregate first (review
+    finding). The window sort is spillable, its partitioning is reused
+    by the groupBy (one Exchange total), and the keep-best no-window
+    rule doesn't apply: collect_list gets no partial-aggregation
+    collapse, so the window costs nothing extra.
     """
+    from pyspark.sql.window import Window
+
     piece = F.concat(
         F.lit(FILE_SEP),
         F.col("path"),
@@ -310,9 +321,17 @@ def repo_context_concat(
         F.coalesce(F.col(content_col), F.lit("")).substr(1, max_file_chars),
     )
     per = files.select("repo", F.struct(F.col("path"), piece.alias("piece")).alias("fp"))
-    agg = per.groupBy("repo").agg(
-        F.count(F.lit(1)).cast("long").alias("n_files"),
-        F.sort_array(F.collect_list("fp")).alias("fps"),
+    w = Window.partitionBy("repo")
+    ranked = per.withColumn(
+        "_rn", F.row_number().over(w.orderBy(F.col("fp")))
+    ).withColumn("_n", F.count(F.lit(1)).over(w))
+    agg = (
+        ranked.where(F.col("_rn") <= max_files)
+        .groupBy("repo")
+        .agg(
+            F.max("_n").cast("long").alias("n_files"),
+            F.sort_array(F.collect_list("fp")).alias("fps"),
+        )
     )
     kept = F.slice(F.col("fps"), 1, max_files)
     context = F.concat(
