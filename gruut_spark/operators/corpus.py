@@ -21,8 +21,20 @@ from __future__ import annotations
 
 from typing import Dict
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def norm_unit_expr(col: "Column") -> "Column":
+    """The shared line/paragraph normalization (strip + collapse ASCII
+    whitespace) — the KEY expression for boilerplate-line stats,
+    keep-first paragraph dedup and their streaming faces. One
+    definition (review finding: four verbatim copies enforced the
+    byte-identical streaming/batch contract by copy discipline only)."""
+    return F.regexp_replace(
+        F.regexp_replace(col, r"^\s+|\s+$", ""), r"\s+", " "
+    )
+
 
 def rate_threshold_hex(rate: float) -> str:
     """rate in [0,1] -> 8-char threshold. ``substring(md5(id),1,8) <
@@ -296,9 +308,7 @@ def boilerplate_line_stats(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("raw"),
     )
-    norm = F.regexp_replace(
-        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
-    )
+    norm = norm_unit_expr(F.col("raw"))
     keys = (
         lines.select(id_col, F.md5(norm).alias("lk"), norm.alias("ln"))
         .where(F.col("ln") != "")
@@ -341,9 +351,7 @@ def strip_boilerplate_lines(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("pos", "raw"),
     )
-    norm = F.regexp_replace(
-        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
-    )
+    norm = norm_unit_expr(F.col("raw"))
     keyed = lines.select(id_col, "pos", "raw", F.md5(norm).alias("lk"), norm.alias("ln"))
     boiler = (
         keyed.where(F.col("ln") != "")
@@ -399,9 +407,7 @@ def dedup_paragraphs(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("pos", "raw"),
     )
-    norm = F.regexp_replace(
-        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
-    )
+    norm = norm_unit_expr(F.col("raw"))
     keys = pars.select(
         id_col, "pos", F.md5(norm).alias("pk"), norm.alias("pn")
     ).where(F.col("pn") != "").drop("pn")

@@ -1,0 +1,44 @@
+"""Shared applyInPandasWithState scaffolding for the stateful kernels.
+
+Every streaming kernel repeats the same three fragments: the
+ttl-minutes→milliseconds conversion, the fired-timeout eviction guard
+(via getattr — the pure-python unit-test fake states predate the TTL
+option and carry no ``hasTimedOut``), and the
+NoTimeout/ProcessingTimeTimeout chooser. Seven verbatim copies meant a
+fix to any of them (e.g. the fake-state workaround) had to be
+replicated seven times (review finding) — this module is the single
+definition.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def ttl_millis(ttl_minutes: Optional[float]) -> Optional[int]:
+    """Minutes → integer milliseconds for setTimeoutDuration (None
+    passes through: no TTL)."""
+    return None if ttl_minutes is None else int(ttl_minutes * 60_000)
+
+
+def evict_if_timed_out(state: GroupState) -> bool:
+    """True (and state removed) when this invocation is a fired
+    processing-time timeout — the kernel should return immediately.
+    getattr-guarded so unit-test fake states without ``hasTimedOut``
+    read as never-timed-out."""
+    if getattr(state, "hasTimedOut", False):
+        state.remove()
+        return True
+    return False
+
+
+def timeout_conf(ttl_minutes: Optional[float]) -> str:
+    """The timeoutConf matching a TTL option: NoTimeout without one,
+    ProcessingTimeTimeout with."""
+    return (
+        GroupStateTimeout.NoTimeout
+        if ttl_minutes is None
+        else GroupStateTimeout.ProcessingTimeTimeout
+    )

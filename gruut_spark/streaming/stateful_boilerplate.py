@@ -33,6 +33,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .state_util import (
+    evict_if_timed_out,
+    timeout_conf,
+    ttl_millis,
+)
+
+from gruut_spark.operators.corpus import norm_unit_expr
+
 STATE_SCHEMA = "n_docs long, emitted boolean"
 OUTPUT_SCHEMA = "line_key string, n_docs long"
 
@@ -43,13 +51,12 @@ def _make_boilerplate_fn(
     """Per-line-key kernel; with ``ttl_minutes``, idle keys evict
     (bounded-state mode — a long-tail line idle past the TTL restarts
     its count, trading memory for recall on slow-recurring lines)."""
-    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    ttl_ms = ttl_millis(ttl_minutes)
 
     def fn(
         key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if getattr(state, "hasTimedOut", False):
-            state.remove()
+        if evict_if_timed_out(state):
             return
         docs: set = set()
         for pdf in batches:
@@ -85,9 +92,7 @@ def streaming_boilerplate_keys(
             F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
         ).alias("raw"),
     )
-    norm = F.regexp_replace(
-        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
-    )
+    norm = norm_unit_expr(F.col("raw"))
     keyed = (
         lines.select("_id", F.md5(norm).alias("lk"), norm.alias("ln"))
         .where(F.col("ln") != "")
@@ -100,9 +105,5 @@ def streaming_boilerplate_keys(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf(state_ttl_minutes),
     )

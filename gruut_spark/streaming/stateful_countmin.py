@@ -17,12 +17,11 @@ exactly (integer sums commute), which the test pins.
 
 from __future__ import annotations
 
-from typing import Callable, Iterator, Optional, Tuple
+from typing import Iterator, Tuple
 
 import pandas as pd
 
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 STATE_SCHEMA = "counter long"
@@ -32,52 +31,41 @@ OUTPUT_SCHEMA = "row int, bucket long, counter long"
 from gruut_spark.operators.sketches import countmin_cells
 
 
-def _make_cm_fn(
-    ttl_minutes: Optional[float] = None,
-) -> Callable[..., Iterator[pd.DataFrame]]:
-    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
-
-    def fn(
-        key: Tuple[int, int], batches: Iterator[pd.DataFrame],
-        state: GroupState,
-    ) -> Iterator[pd.DataFrame]:
-        if getattr(state, "hasTimedOut", False):
-            state.remove()
-            return
-        n = 0
-        for pdf in batches:
-            n += len(pdf)
-        if n == 0:
-            return
-        total = (state.get[0] if state.exists else 0) + n
-        state.update((total,))
-        if ttl_ms is not None:
-            state.setTimeoutDuration(ttl_ms)
-        yield pd.DataFrame(
-            {"row": [key[0]], "bucket": [key[1]], "counter": [total]}
-        )
-
-    return fn
+def _cm_fn(
+    key: Tuple[int, int], batches: Iterator[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    n = 0
+    for pdf in batches:
+        n += len(pdf)
+    if n == 0:
+        return
+    total = (state.get[0] if state.exists else 0) + n
+    state.update((total,))
+    yield pd.DataFrame(
+        {"row": [key[0]], "bucket": [key[1]], "counter": [total]}
+    )
 
 
 def streaming_countmin_cells(
     stream: DataFrame, text_col: str = "text",
     depth: int = 4, width: int = 1024,
-    state_ttl_minutes: Optional[float] = None,
 ) -> DataFrame:
     """stream (text) -> updated (row, bucket, counter) cells per batch.
     State = one long per touched cell, ≤ depth·width keys total. The
     emitted feed's latest row per cell IS the sketch; estimates follow
-    by min over a token's depth cells, as in countmin_topk_check."""
+    by min over a token's depth cells, as in countmin_topk_check.
+
+    Deliberately NO state TTL (review finding): the cell key space is
+    bounded at depth·width by construction, so eviction saves nothing —
+    and an evicted cell restarting at 0 breaks count-min's
+    never-underestimate guarantee and the state-equals-batch-sketch
+    contract the test pins."""
     cells = countmin_cells(stream, text_col, depth=depth, width=width)
     return cells.groupBy("row", "bucket").applyInPandasWithState(
-        _make_cm_fn(state_ttl_minutes),
+        _cm_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )

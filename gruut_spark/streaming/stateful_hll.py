@@ -31,6 +31,12 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .state_util import (
+    evict_if_timed_out,
+    timeout_conf,
+    ttl_millis,
+)
+
 from gruut_spark.operators.sketches import (
     HLL_M,
     hll_estimate_from_registers,
@@ -44,17 +50,20 @@ OUTPUT_SCHEMA = "grp string, n_zero_registers int, hll_estimate double"
 def _make_hll_fn(
     ttl_minutes: Optional[float] = None,
 ) -> Callable[..., Iterator[pd.DataFrame]]:
-    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    ttl_ms = ttl_millis(ttl_minutes)
 
     def fn(
         key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if getattr(state, "hasTimedOut", False):
-            state.remove()
+        if evict_if_timed_out(state):
             return
         regs = bytearray(state.get[0]) if state.exists else bytearray(HLL_M)
         touched = False
         for pdf in batches:
+            # the r03-pinned empty-chunk invariant: no state creation
+            # and no emission for a group whose delivery is empty
+            if pdf.empty:
+                continue
             touched = True
             # vectorized per-register max: the Python loop runs over
             # <=256 collapsed entries, not over shingle occurrences
@@ -89,9 +98,5 @@ def streaming_hll_estimates(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf(state_ttl_minutes),
     )

@@ -41,31 +41,47 @@ def _latest_fn(
 ) -> Iterator[pd.DataFrame]:
     """Emit the new HEAD row iff this batch's best (commit_ts, commit)
     beats the stored one; update state either way it advances."""
-    best = None
+    best, best_key = None, None
     for pdf in batches:
         if pdf.empty:
             continue
-        cand = pdf.sort_values(["commit_ts", "commit"]).iloc[-1]
-        if best is None or (cand.commit_ts, cand.commit) > (
-            best.commit_ts,
-            best.commit,
-        ):
-            best = cand
+        # batch max_by semantics: a NULL ordering key never wins, so
+        # NULL-ts rows are dropped here (pandas NaN would otherwise
+        # sort LAST and be picked, then crash int(nan)); NULL commit
+        # orders as '' (smallest) via na_position='first'
+        pdf = pdf[pdf["commit_ts"].notna()]
+        if pdf.empty:
+            continue
+        cand = pdf.sort_values(
+            ["commit_ts", "commit"], na_position="first"
+        ).iloc[-1]
+        ckey = (
+            int(cand.commit_ts),
+            cand.commit if isinstance(cand.commit, str) else "",
+        )
+        if best is None or ckey > best_key:
+            best, best_key = cand, ckey
     if best is None:
         return
     if state.exists:
         ts, commit = state.get
-        if (best.commit_ts, best.commit) <= (ts, commit):
+        if best_key <= (ts, commit if commit is not None else ""):
             return
-    state.update((int(best.commit_ts), str(best.commit)))
+    state.update(best_key)
+
+    def _opt(v):
+        # preserve NULLs — str(None) would inject the literal "None"
+        # into the corpus where batch max_by passes the NULL through
+        return None if v is None or (v != v) else str(v)
+
     yield pd.DataFrame(
         {
             "repo": [key[0]],
             "path": [key[1]],
-            "commit": [str(best.commit)],
-            "commit_ts": [int(best.commit_ts)],
-            "lang": [str(best.lang)],
-            "content": [str(best.content)],
+            "commit": [_opt(best.commit)],
+            "commit_ts": [best_key[0]],
+            "lang": [_opt(best.lang)],
+            "content": [_opt(best.content)],
         }
     )
 

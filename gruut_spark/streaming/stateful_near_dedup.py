@@ -4,16 +4,19 @@ MinHash-LSH as a custom stateful operator).
 A document arriving in micro-batch N must be flagged if any earlier batch
 contained a near-duplicate. Batch LSH can't see across batches; the
 streaming form keys ``applyInPandasWithState`` by the LSH band bucket
-(band, band_hash): state per key is the bucket's first-seen anchor id
-(8 bytes), so an incoming doc colliding with an occupied bucket emits a
-candidate pair oriented (min, max) like the batch operator's pairs.
-State size is O(distinct band buckets) — 16 longs per
-distinct document, the inherent floor for incremental LSH (production
-near-dup services hold exactly this index).
+(band, band_hash): state per key is the bucket's member-id array,
+capped at ``max_bucket`` (the batch emitter's cap), so an incoming doc
+colliding with an occupied bucket emits candidate pairs oriented
+(min, max) against every stored member — the batch all-pairs set,
+incrementally. State size is O(distinct band buckets × min(bucket,
+cap)) ids, the inherent floor for incremental LSH (production near-dup
+services hold exactly this index).
 
-Batch analogue: ``operators/dedup.py::minhash_lsh_pairs`` — feeding the
-same rows in any batch split yields the same candidate pair set (up to
-the per-bucket representative, which is arrival-order min).
+Batch analogue: ``operators/dedup.py::minhash_lsh_pairs`` — feeding
+the same rows in any batch split yields the same candidate pair set
+for every bucket that stays ≤ ``max_bucket`` (the designed common
+case); over-cap buckets emit a bounded superset of the batch star set
+(see ``_make_near_dedup_fn``).
 
 Snapshot bootstrap (the streaming complement of
 ``operators/dedup.py::cross_snapshot_near_dedup``): PySpark's
@@ -35,27 +38,44 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-STATE_SCHEMA = "min_id long"
+from .state_util import (
+    evict_if_timed_out,
+    timeout_conf,
+    ttl_millis,
+)
+
+STATE_SCHEMA = "member_ids array<long>"
 OUTPUT_SCHEMA = "id_a long, id_b long"
 
 
 def _make_near_dedup_fn(
     ttl_minutes: Optional[float] = None,
+    max_bucket: int = 64,
 ) -> Callable[..., Iterator[pd.DataFrame]]:
     """Build the per-bucket kernel; with ``ttl_minutes`` set, every
     update re-arms a processing-time timeout, and a fired timeout evicts
-    the bucket's anchor (bounded-state production mode)."""
-    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    the bucket (bounded-state production mode).
+
+    Pair semantics match the batch emitter (review finding — the old
+    anchor-star kernel never produced within-bucket non-anchor pairs,
+    so a (B, C) duplicate whose members both differ from the anchor was
+    silently missed): while a bucket holds ≤ ``max_bucket`` members,
+    every arrival pairs with EVERY stored member (incremental
+    all-pairs — after any batch split the union equals the batch
+    all-pairs set); past the cap, arrivals pair only with the bucket's
+    min id (the batch star emitter's anchor). Over-cap buckets
+    therefore emit a bounded SUPERSET of the batch star set (the early
+    all-pairs stay emitted — streaming cannot retract), which costs
+    downstream verification, never recall. State per bucket is the
+    capped member array (≤ 8·max_bucket bytes)."""
+    ttl_ms = ttl_millis(ttl_minutes)
 
     def fn(
         key: Tuple[int, int], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        """Per (band, band_hash) bucket: pair every arriving id with the
-        bucket's first-ever id; the first arrival only installs the
-        state. (getattr: the pure-python unit-test fake state predates
-        the TTL option and has no hasTimedOut.)"""
-        if getattr(state, "hasTimedOut", False):
-            state.remove()
+        """(getattr: the pure-python unit-test fake state predates the
+        TTL option and has no hasTimedOut.)"""
+        if evict_if_timed_out(state):
             return
         ids: list = []
         for pdf in batches:
@@ -63,28 +83,33 @@ def _make_near_dedup_fn(
         if not ids:
             return
         ids.sort()
-        if state.exists:
-            (anchor,) = state.get
-        else:
-            anchor = ids[0]
-            state.update((anchor,))
-            ids = ids[1:]
-        # an at-least-once source can re-deliver the anchor id itself;
-        # pairing it with itself would emit a degenerate (X, X) row
-        # violating the id_a < id_b contract (r03 review)
-        ids = [i for i in ids if i != anchor]
+        members = list(state.get[0]) if state.exists else []
+        seen = set(members)
+        out_a: list = []
+        out_b: list = []
+        for i in ids:
+            # an at-least-once source can re-deliver a member id;
+            # pairing it with itself would emit a degenerate (X, X)
+            # row violating the id_a < id_b contract (r03 review)
+            if i in seen:
+                continue
+            if len(members) < max_bucket:
+                for m in members:
+                    out_a.append(min(m, i))
+                    out_b.append(max(m, i))
+                members.append(i)
+                seen.add(i)
+            else:
+                anchor = min(members)
+                out_a.append(min(anchor, i))
+                out_b.append(max(anchor, i))
+        state.update((members,))
         if ttl_ms is not None:
             # re-arm on every touch: a bucket expires only after
-            # ttl_minutes of INACTIVITY (setTimeoutDuration requires the
-            # state to exist, which it now does either way)
+            # ttl_minutes of INACTIVITY
             state.setTimeoutDuration(ttl_ms)
-        if ids:
-            # orient (id_a < id_b) to match the batch operator's contract
-            # even when a later batch delivers an id below the anchor
-            yield pd.DataFrame(
-                {"id_a": [min(anchor, i) for i in ids],
-                 "id_b": [max(anchor, i) for i in ids]}
-            )
+        if out_a:
+            yield pd.DataFrame({"id_a": out_a, "id_b": out_b})
 
     return fn
 
@@ -96,6 +121,7 @@ def streaming_near_dedup_pairs(
     stream: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     num_perm: int = 64, bands: int = 16, shingle_k: int = 3, seed: int = 1,
     state_ttl_minutes: Optional[float] = None,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """stream (id, text) -> candidate near-dup pairs across ALL
     micro-batches seen so far. Same signature UDF and banding as the
@@ -118,15 +144,11 @@ def streaming_near_dedup_pairs(
         F.col("_id"),
     )
     pairs = banded.groupBy("band", "band_hash").applyInPandasWithState(
-        _make_near_dedup_fn(state_ttl_minutes),
+        _make_near_dedup_fn(state_ttl_minutes, max_bucket),
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf(state_ttl_minutes),
     )
     # a pair may surface from several bands within one batch; dedup per
     # batch downstream (the sink sees (id_a, id_b) rows)

@@ -34,6 +34,14 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .state_util import (
+    evict_if_timed_out,
+    timeout_conf,
+    ttl_millis,
+)
+
+from gruut_spark.operators.corpus import norm_unit_expr
+
 STATE_SCHEMA = "seen boolean"
 OUTPUT_SCHEMA = "doc_id string, pos long"
 
@@ -41,13 +49,12 @@ OUTPUT_SCHEMA = "doc_id string, pos long"
 def _make_paragraph_fn(
     ttl_minutes: Optional[float] = None,
 ) -> Callable[..., Iterator[pd.DataFrame]]:
-    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    ttl_ms = ttl_millis(ttl_minutes)
 
     def fn(
         key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if getattr(state, "hasTimedOut", False):
-            state.remove()
+        if evict_if_timed_out(state):
             return
         insts = []
         for pdf in batches:
@@ -86,9 +93,7 @@ def streaming_paragraph_drops(
             F.split(F.coalesce(F.col(text_col), F.lit("")), sep)
         ).alias("_pos", "raw"),
     )
-    norm = F.regexp_replace(
-        F.regexp_replace(F.col("raw"), r"^\s+|\s+$", ""), r"\s+", " "
-    )
+    norm = norm_unit_expr(F.col("raw"))
     keyed = (
         pars.select("_id", "_pos", F.md5(norm).alias("pk"), norm.alias("pn"))
         .where(F.col("pn") != "")
@@ -99,9 +104,5 @@ def streaming_paragraph_drops(
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf(state_ttl_minutes),
     )

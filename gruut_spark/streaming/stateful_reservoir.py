@@ -35,25 +35,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from gruut_spark.operators.corpus import gumbel_score_col
-
-STATE_SCHEMA = "ids array<long>, scores array<double>, n_seen long"
-OUTPUT_SCHEMA = (
-    "stratum string, doc_id long, sample_score double, rank int, "
-    "n_seen long"
+from .state_util import (
+    evict_if_timed_out,
+    timeout_conf,
+    ttl_millis,
 )
+
+from gruut_spark.operators.corpus import _round_half_up, gumbel_score_col
+
+
+def _state_schema(id_type: str) -> str:
+    return f"ids array<{id_type}>, scores array<double>, n_seen long"
+
+
+def _output_schema(id_type: str) -> str:
+    return (
+        f"stratum string, doc_id {id_type}, sample_score double, "
+        "rank int, n_seen long"
+    )
 
 
 def _make_reservoir_fn(
     k: int, ttl_minutes: Optional[float] = None
 ) -> Callable[..., Iterator[pd.DataFrame]]:
-    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    ttl_ms = ttl_millis(ttl_minutes)
 
     def fn(
         key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if getattr(state, "hasTimedOut", False):
-            state.remove()
+        if evict_if_timed_out(state):
             return
         if state.exists:
             ids, scores, n_seen = state.get
@@ -62,6 +72,10 @@ def _make_reservoir_fn(
             pool, n_seen = [], 0
         touched = False
         for pdf in batches:
+            # the r03-pinned empty-chunk invariant: no state creation
+            # and no emission for a group whose delivery is empty
+            if pdf.empty:
+                continue
             touched = True
             n_seen += len(pdf)
             pool.extend(
@@ -81,7 +95,10 @@ def _make_reservoir_fn(
             {
                 "stratum": [key[0]] * len(pool),
                 "doc_id": [i for _, i in pool],
-                "sample_score": [round(s, 6) for s, _ in pool],
+                # HALF_UP like batch gumbel_topk's F.round — builtin
+                # round() is half-EVEN over the binary double (the
+                # CLAUDE.md driver-side rounding rule)
+                "sample_score": [_round_half_up(s, 6) for s, _ in pool],
                 "rank": list(range(1, len(pool) + 1)),
                 "n_seen": [n_seen] * len(pool),
             }
@@ -104,21 +121,21 @@ def streaming_gumbel_reservoir(
     sample (k rows, rank-ordered) per micro-batch. State = k
     (score, id) pairs per stratum; TTL mode evicts idle strata (a
     re-arrival restarts that stratum's reservoir)."""
+    # id type derived from the input schema (the stateful_substring
+    # convention) — a long cast would throw under ANSI for uuid/string
+    # corpora and NULL out the sample otherwise
+    id_type = stream.schema[id_col].dataType.simpleString()
     scored = stream.select(
         F.col(stratum_col).cast("string").alias("stratum"),
-        F.col(id_col).cast("long").alias("_id"),
+        F.col(id_col).alias("_id"),
         gumbel_score_col(id_col, weight_col, salt, temperature).alias(
             "_score"
         ),
     )
     return scored.groupBy("stratum").applyInPandasWithState(
         _make_reservoir_fn(k, state_ttl_minutes),
-        outputStructType=OUTPUT_SCHEMA,
-        stateStructType=STATE_SCHEMA,
+        outputStructType=_output_schema(id_type),
+        stateStructType=_state_schema(id_type),
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf(state_ttl_minutes),
     )

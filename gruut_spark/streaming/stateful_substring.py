@@ -39,6 +39,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from .state_util import (
+    evict_if_timed_out,
+    timeout_conf,
+    ttl_millis,
+)
+
 def _state_schema(id_type: str) -> str:
     return f"first_doc {id_type}, first_pos long, n_seen long"
 
@@ -51,13 +57,12 @@ def _make_repeated_gram_fn(
     min_count: int = 2, ttl_minutes: Optional[float] = None,
     emit_anchor: bool = True,
 ) -> Callable[..., Iterator[pd.DataFrame]]:
-    ttl_ms = None if ttl_minutes is None else int(ttl_minutes * 60_000)
+    ttl_ms = ttl_millis(ttl_minutes)
 
     def fn(
         key: Tuple[str], batches: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
-        if getattr(state, "hasTimedOut", False):
-            state.remove()
+        if evict_if_timed_out(state):
             return
         # doc ids pass through with their native type (string/uuid
         # corpora are valid — the batch analogue is id-type-generic);
@@ -122,9 +127,5 @@ def streaming_repeated_grams(
         outputStructType=_output_schema(id_type),
         stateStructType=_state_schema(id_type),
         outputMode="append",
-        timeoutConf=(
-            GroupStateTimeout.NoTimeout
-            if state_ttl_minutes is None
-            else GroupStateTimeout.ProcessingTimeTimeout
-        ),
+        timeoutConf=timeout_conf(state_ttl_minutes),
     )

@@ -349,7 +349,9 @@ def test_streaming_reservoir_matches_batch(spark, tmp_path):
         want = g.sort_values("rank")
         assert list(got["doc_id"]) == list(want["doc_id"])
         assert list(got["rank"]) == list(want["rank"])
-        assert np.allclose(got["sample_score"], want["sample_score"])
+        # EXACT equality: the kernel rounds HALF_UP like batch F.round
+        # (an allclose here previously masked a half-even round() bug)
+        assert list(got["sample_score"]) == list(want["sample_score"])
     # both strata saw all their union rows
     assert {s: int(f["n_seen"].iloc[0]) for s, f in finals.items()} == {
         "en": 60, "de": 30
@@ -1335,14 +1337,16 @@ def test_near_dedup_fn_orients_pairs():
             self._v = tuple(v)
 
     state = FakeState()
-    # batch 1: id 7 installs the anchor, no output
+    # batch 1: id 7 installs the bucket, no output
     out1 = list(_near_dedup_fn((0, 1), iter([pd.DataFrame({"_id": [7]})]), state))
-    assert out1 == [] and state.get == (7,)
-    # batch 2: smaller ids arrive -> oriented pairs
+    assert out1 == [] and state.get == ([7],)
+    # batch 2: smaller ids arrive -> oriented ALL-pairs (the batch
+    # emitter's set for a 3-member bucket, incl. the non-anchor pair)
     out2 = pd.concat(list(_near_dedup_fn(
         (0, 1), iter([pd.DataFrame({"_id": [3, 9]})]), state)))
     pairs = set(zip(out2.id_a, out2.id_b))
-    assert pairs == {(3, 7), (7, 9)}
+    assert pairs == {(3, 7), (3, 9), (7, 9)}
+    assert state.get == ([7, 3, 9],)
 
 
 def test_near_dedup_state_ttl_evicts_and_readmits():
@@ -1376,7 +1380,7 @@ def test_near_dedup_state_ttl_evicts_and_readmits():
 
     # install: no pairs, timeout armed at 10 min
     assert list(fn((0, 1), iter([pd.DataFrame({"_id": [5]})]), state)) == []
-    assert state.get == (5,) and state.timeouts == [600_000]
+    assert state.get == ([5],) and state.timeouts == [600_000]
 
     # active bucket pairs AND re-arms
     out = pd.concat(list(fn((0, 1), iter([pd.DataFrame({"_id": [8]})]), state)))
@@ -1391,7 +1395,7 @@ def test_near_dedup_state_ttl_evicts_and_readmits():
     # post-eviction arrival re-admits silently (no pair with evicted 5)
     state.hasTimedOut = False
     assert list(fn((0, 1), iter([pd.DataFrame({"_id": [9]})]), state)) == []
-    assert state.get == (9,)
+    assert state.get == ([9],)
 
 
 def test_fnv1a64_published_vectors():
