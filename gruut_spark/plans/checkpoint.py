@@ -53,8 +53,22 @@ def _write_manifest(out_dir: str, manifest: Dict[str, dict]) -> None:
 
 
 def with_bucket(df: DataFrame, n_buckets: int) -> DataFrame:
+    """Deterministic bucket from COALESCED (repo, path): the model
+    stage normalizes NULL keys to '' (udfs.fillna), and the post-stage
+    bucket recompute must agree with the pre-stage one — hashing the
+    raw nullable columns bucketed a NULL-repo row differently on the
+    two sides, which under dynamic partition overwrite could clobber
+    another bucket's committed partition with a stray row (review
+    finding)."""
     return df.withColumn(
-        BUCKET_COL, F.pmod(F.hash(F.col("repo"), F.col("path")), F.lit(n_buckets))
+        BUCKET_COL,
+        F.pmod(
+            F.hash(
+                F.coalesce(F.col("repo"), F.lit("")),
+                F.coalesce(F.col("path"), F.lit("")),
+            ),
+            F.lit(n_buckets),
+        ),
     )
 
 
@@ -98,6 +112,14 @@ def run_with_checkpoints(
     manifest = read_manifest(out_dir)
     done = {int(k) for k in manifest}
     todo = [b for b in range(n_buckets) if b not in done]
+
+    # lineage FIRST, before any corpus-wide drop join: input_file_name()
+    # returns '' after a shuffle, and the near-dedup/decontaminate
+    # anti-joins can fall back from broadcast to a shuffled join at
+    # extreme duplicate density (their own docstrings) — capturing here
+    # keeps per-row lineage intact regardless (review finding)
+    if "_source_file" not in files.columns:
+        files = files.withColumn("_source_file", F.input_file_name())
 
     if opt_out_df is not None:
         # The Stack's governance stage, FIRST of all (sec. 5: opted-out
@@ -178,9 +200,11 @@ def run_with_checkpoints(
         )
         if metadata_rate:
             # StarCoder data formatting (Li et al. 2023 sec. 5):
-            # <reponame>/<filename> headers on kept rows, BEFORE FIM so
-            # headers land in the FIM prefix region (the paper's
-            # composition order). md5-deterministic → resume-stable.
+            # <reponame>/<filename> headers on kept rows, BEFORE FIM —
+            # the paper's composition ORDER (headers are part of the
+            # document before character-level FIM draws its cuts; a cut
+            # CAN land inside the header, exactly as in the paper's own
+            # recipe). md5-deterministic → resume-stable.
             from ..operators.code_training import metadata_augment
 
             out = metadata_augment(

@@ -101,26 +101,43 @@ def compose_corpus_stages(
 
         df = df.filter(c4_keep_col(text_col))
 
-    w = Window.partitionBy(digest_col).orderBy(id_col)
+    # exact-dedup losers via min-id groupBy + join-back, NOT a window
+    # (review finding): row_number over partitionBy(digest) funnels a
+    # mega-duplicated digest's whole id set through ONE un-splittable
+    # window task — the documented quota_cap trap — while the map-side-
+    # combined min + join produces the identical loser set and lets
+    # AQE's skew-join split the hot digest.
+    pairs = df.select(digest_col, id_col).distinct()
+    winners = pairs.groupBy(digest_col).agg(F.min(id_col).alias("_win"))
     exact_losers = (
-        df.select(digest_col, id_col)
-        .distinct()
-        .withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") > 1)
+        pairs.join(winners, digest_col)
+        .filter(F.col(id_col) != F.col("_win"))
         .select(id_col)
     )
     out = df.join(exact_losers, id_col, "left_anti")
 
     # collapse residual same-id duplicate rows (duplicate ingest): the
     # dup-id set is found on the narrow projection and is ~empty in a
-    # healthy corpus, so only those rows pay the wide shuffle
+    # healthy corpus, so only those rows pay the wide shuffle. The pick
+    # is DETERMINISTIC — row_number ordered by the text — because this
+    # DAG is consumed by several unbarriered branches (pair_fn, strip,
+    # decontaminate, the final join): dropDuplicates is order-dependent
+    # and each branch could otherwise keep a DIFFERENT physical row for
+    # the same id (review finding). The window is safe here: partitions
+    # are per-id with a handful of rows each.
     dup_ids = (
         df.groupBy(id_col).agg(F.count("*").alias("_c"))
         .filter(F.col("_c") > 1)
         .select(id_col)
     )
     clean = out.join(dup_ids, id_col, "left_anti")
-    dedup_dups = out.join(dup_ids, id_col, "left_semi").dropDuplicates([id_col])
+    wdup = Window.partitionBy(id_col).orderBy(F.col(text_col))
+    dedup_dups = (
+        out.join(dup_ids, id_col, "left_semi")
+        .withColumn("_rn", F.row_number().over(wdup))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
     out = clean.unionByName(dedup_dups)
 
     if pair_fn is not None:

@@ -251,10 +251,12 @@ def build_pipeline(
 
     ``encoding_filter=True`` drops binary-ish rows (NUL bytes, C0
     control-char ratio, U+FFFD mojibake ratio — operators/
-    code_filters.py::code_encoding_keep_predicate) in the SCAN stage:
-    the cheapest, most certain gate runs first, so blobs that slipped
-    past upstream text extraction never reach the salt shuffle or an
-    Arrow worker. Opt-in like the other scan-stage options.
+    code_filters.py::code_encoding_keep_predicate) in the SCAN stage,
+    so blobs that slipped past upstream text extraction never reach
+    the salt shuffle or an Arrow worker — but AFTER notebook
+    conversion when both options are set (The Stack's order: a
+    notebook is judged on its converted script, not on its raw JSON
+    envelope). Opt-in like the other scan-stage options.
 
     ``code_prefilter=True`` applies the code-corpus keep predicate
     (operators/code_filters.py::code_keep_predicate — The Stack's
@@ -276,20 +278,31 @@ def build_pipeline(
     with zero extra exchanges.
     """
     # lineage must be captured at scan time: input_file_name() is empty
-    # once rows have crossed the salt shuffle
-    files = files.withColumn("_source_file", F.input_file_name())
+    # once rows have crossed the salt shuffle — OR any shuffle a
+    # corpus-wide drop set introduced upstream (an AQE fallback from
+    # broadcast to shuffled anti-join would blank every row's lineage);
+    # run_with_checkpoints therefore captures it before its drop joins
+    # and this only fills the column when no one has yet (review
+    # finding: the unconditional withColumn overwrote the early capture
+    # with post-shuffle empties)
+    if "_source_file" not in files.columns:
+        files = files.withColumn("_source_file", F.input_file_name())
     if latest_snapshot:
         from ..operators.code_filters import code_latest_snapshot
 
         files = code_latest_snapshot(files, with_count=False)
+    if notebook_convert:
+        # BEFORE the encoding gate (review finding): The Stack's order
+        # is ipynb → script before ANY filtering — a notebook whose
+        # output cells trip the control-char/U+FFFD screen on the raw
+        # JSON envelope must be judged on its converted script instead
+        from ..operators.code_analysis import notebook_to_script
+
+        files = notebook_to_script(files).drop("was_notebook")
     if encoding_filter:
         from ..operators.code_filters import code_encoding_keep_predicate
 
         files = files.filter(code_encoding_keep_predicate())
-    if notebook_convert:
-        from ..operators.code_analysis import notebook_to_script
-
-        files = notebook_to_script(files).drop("was_notebook")
     if license_strip:
         from ..operators.code_filters import strip_license_augment
 

@@ -45,8 +45,10 @@ def main() -> None:
                          "filtering — The Stack's preprocessing order")
     ap.add_argument("--encoding-filter", action="store_true",
                     help="drop binary-ish rows (NUL bytes, control-char "
-                         "or U+FFFD ratio) in the scan stage, before "
-                         "anything else")
+                         "or U+FFFD ratio) in the scan stage (after "
+                         "--notebook-convert when both are set, so "
+                         "notebooks are judged on their converted "
+                         "script, not the raw JSON envelope)")
     ap.add_argument("--decontaminate", metavar="BENCH_PARQUET",
                     help="drop files contaminated by an eval suite "
                          "(parquet with a `content` column) before "
@@ -134,6 +136,18 @@ def main() -> None:
         manifest_file = _manifest_path(args.output)
         if os.path.exists(manifest_file):
             os.remove(manifest_file)
+        # also clear the data sinks: deleting only the manifest leaves
+        # stale verdict/metrics partitions behind when the new run uses
+        # different bucket/group arguments (e.g. 32 -> 16 buckets
+        # rewrites only _bucket=0..15 and phantom _bucket=16..31 rows
+        # from the old run survive for any directory reader) — review
+        # finding
+        import shutil
+
+        for sub in ("verdicts", "metrics"):
+            d = os.path.join(args.output, sub)
+            if os.path.exists(d):
+                shutil.rmtree(d)
 
     files = read_files(spark, args.input)
     manifest = run_with_checkpoints(

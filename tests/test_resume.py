@@ -418,3 +418,23 @@ def test_strip_license_rewrites_header_rows_only(spark, tmp_path):
     b = {tuple(r) for r in ls.filter(F.col("repo") != "rLic")
          .select(*cols).collect()}
     assert a == b
+
+
+def test_with_bucket_null_keys_match_normalized(spark):
+    """The bucket hash coalesces NULL keys to '' so the pre-stage
+    bucket equals the post-stage recompute (the model stage fillna's
+    keys) — a divergence would let dynamic partition overwrite clobber
+    another bucket's committed data with a stray row (review
+    finding)."""
+    from pyspark.sql import functions as F
+
+    from gruut_spark.plans.checkpoint import with_bucket
+
+    df = spark.createDataFrame(
+        [(None, "a.py"), ("", "a.py"), ("r", None), ("r", "")],
+        "repo string, path string",
+    )
+    out = with_bucket(df, 16).collect()
+    by_key = {(r["repo"], r["path"]): r["_bucket"] for r in out}
+    assert by_key[(None, "a.py")] == by_key[("", "a.py")]
+    assert by_key[("r", None)] == by_key[("r", "")]
