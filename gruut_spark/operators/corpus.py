@@ -146,6 +146,25 @@ def mix_to_target(
     return stratified_sample(df, class_col, id_col, rates)
 
 
+def _gram_keys(
+    frame: DataFrame, col: str, n: int, id_col: "str | None" = None
+) -> DataFrame:
+    """Distinct-per-doc md5 shingle keys over word n-grams — the ONE
+    per-shingle key definition shared by ``decontaminate`` (exact
+    broadcast join) and ``decontaminate_bloom`` (prefilter); the two
+    operators are a prefilter/exact pair whose keys MUST stay
+    identical, previously enforced by copy discipline only (review
+    finding)."""
+    from .textstats import word_ngrams
+
+    keep = [F.col(id_col).alias("_id")] if id_col else []
+    base, grams = word_ngrams(frame, col, n, keep_cols=keep)
+    names = ["_id"] if id_col else []
+    return base.select(
+        *names, F.explode(F.array_distinct(grams)).alias("gram")
+    ).select(*names, F.md5(F.col("gram")).alias("gram_key"))
+
+
 def decontaminate(
     docs: DataFrame, benchmark: DataFrame,
     text_col: str = "text", id_col: str = "doc_id",
@@ -156,24 +175,8 @@ def decontaminate(
     and broadcast; documents explode to distinct md5 shingle keys (no raw
     text crosses the join)."""
 
-    from .textstats import word_ngrams
-
-    def shingles(frame: DataFrame, col: str, out: str) -> DataFrame:
-        # gram construction shared with ngram_count_text (word_ngrams
-        # owns the materialize-the-array-first plan trap, PLANS.md)
-        base, grams = word_ngrams(
-            frame, col, n,
-            keep_cols=([F.col(id_col).alias("_id")] if out == "doc" else []),
-        )
-        return base.select(
-            *(["_id"] if out == "doc" else []),
-            F.explode(F.array_distinct(grams)).alias("gram"),
-        ).select(
-            *(["_id"] if out == "doc" else []), F.md5(F.col("gram")).alias("gram_key")
-        )
-
-    bench_keys = shingles(benchmark, bench_text_col, "bench").distinct()
-    doc_keys = shingles(docs, text_col, "doc")
+    bench_keys = _gram_keys(benchmark, bench_text_col, n).distinct()
+    doc_keys = _gram_keys(docs, text_col, n, id_col=id_col)
     hits = doc_keys.join(F.broadcast(bench_keys), "gram_key")
     return (
         hits.groupBy("_id")
@@ -205,21 +208,6 @@ def decontaminate_bloom(
     md5 slices (h2 forced odd), pos_i = (h1 + i·h2) mod m, packed into
     32-bit chunks of a BIGINT (bit 31 max — no signed-overflow edge in
     either engine). A shingle is flagged iff all k bits are set."""
-    from .textstats import word_ngrams
-
-    def gram_keys(frame: DataFrame, col: str, keep_id: bool) -> DataFrame:
-        base, grams = word_ngrams(
-            frame, col, n,
-            keep_cols=([F.col(id_col).alias("_id")] if keep_id else []),
-        )
-        return base.select(
-            *(["_id"] if keep_id else []),
-            F.explode(F.array_distinct(grams)).alias("gram"),
-        ).select(
-            *(["_id"] if keep_id else []),
-            F.md5(F.col("gram")).alias("gram_key"),
-        )
-
     def positions(frame: DataFrame, keep_id: bool) -> DataFrame:
         h1 = F.conv(F.substring("gram_key", 1, 8), 16, 10).cast("long")
         h2 = F.conv(F.substring("gram_key", 9, 8), 16, 10).cast("long") \
@@ -241,12 +229,12 @@ def decontaminate_bloom(
         )
 
     bloom = (
-        positions(gram_keys(benchmark, bench_text_col, False).distinct(),
+        positions(_gram_keys(benchmark, bench_text_col, n).distinct(),
                   False)
         .groupBy("chunk")
         .agg(F.expr("bit_or(mask)").alias("bits"))
     )
-    doc_pos = positions(gram_keys(docs, text_col, True), True)
+    doc_pos = positions(_gram_keys(docs, text_col, n, id_col=id_col), True)
     hits = (
         doc_pos.join(F.broadcast(bloom), "chunk")
         .where(F.col("bits").bitwiseAND(F.col("mask")) != 0)

@@ -449,14 +449,33 @@ def ngram_jaccard_adjacent(
     """Exact token-set Jaccard between consecutive ids (doc_id, doc_id+1):
     a purely relational formulation (explode -> join -> agg) that a SQL
     oracle can replicate. For all-pairs at scale, swap the id+1 join for
-    the LSH candidate pairs above and keep this as the verify stage."""
+    the LSH candidate pairs above and keep this as the verify stage.
+
+    ``n=1`` (the oracle-pinned default) is token-set Jaccard; ``n>1``
+    shingles the token sequence into space-joined n-grams first (the
+    parameter was previously accepted and IGNORED — review finding)."""
+    raw = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda x: x != "",
+    )
+    if n > 1:
+        # sequence(a, b) counts DOWN when a > b (the code_function_spans
+        # trap): pin the stop at 0 and re-filter, so a doc with fewer
+        # than n tokens yields an empty shingle set
+        units = F.transform(
+            F.filter(
+                F.sequence(
+                    F.lit(0), F.greatest(F.size(raw) - F.lit(n), F.lit(0))
+                ),
+                lambda i: i <= F.size(raw) - F.lit(n),
+            ),
+            lambda i: F.array_join(F.slice(raw, i + 1, n), " "),
+        )
+    else:
+        units = raw
     toks = df.select(
         F.col(id_col).alias("_id"),
-        F.explode(
-            F.array_distinct(
-                F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
-            )
-        ).alias("tok"),
+        F.explode(F.array_distinct(units)).alias("tok"),
     ).filter(F.col("tok") != "")
     a = toks.alias("a")
     b = toks.withColumn("_id", F.col("_id") - 1).alias("b")
@@ -564,6 +583,19 @@ def dedup_clusters(pairs: DataFrame, max_iterations: int = 10) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    else:
+        # exhausting max_iterations with labels still moving means a
+        # component needs more pointer-doubling rounds than allowed —
+        # returning silently would hand back one REAL duplicate cluster
+        # split into several ids and corrupt representative selection
+        # downstream (review finding). 2^10 effective hops covers any
+        # plausible near-dup chain; a legitimate deeper graph should
+        # raise max_iterations explicitly rather than get wrong answers.
+        raise RuntimeError(
+            f"dedup_clusters did not converge within {max_iterations} "
+            "rounds — raise max_iterations (components deeper than "
+            "~2^rounds hops exist in the pair graph)"
+        )
     return labels.select(
         F.col("node").alias("member_id"), F.col("label").alias("cluster_id")
     )

@@ -39,6 +39,16 @@ def _norm(col: str):
     )
 
 
+def _safe_div(num, denom):
+    """num/denom with zero-denominator guarded to 0.0: Spark 4's
+    default ANSI mode makes double/0.0 THROW (verified in review), so
+    one all-zero embedding would otherwise abort the whole top-k /
+    semdedup job. cos(·, 0-vector) is undefined; 0.0 is the contract
+    (the row never ranks) — the oracles agree on every fixture because
+    the fixtures carry no zero vectors."""
+    return F.when(denom != 0.0, num / denom).otherwise(F.lit(0.0))
+
+
 def cosine_to_query(
     df: DataFrame, vec_col: str, id_col: str, query: Sequence[float],
 ) -> DataFrame:
@@ -46,15 +56,17 @@ def cosine_to_query(
     query is folded into the plan as a literal array (no shuffle, no UDF)."""
     qarr = F.array(*[F.lit(float(x)) for x in query])
     qnorm = float(np.sqrt(np.dot(query, query)))
+    if qnorm == 0.0:
+        raise ValueError("query vector must be non-zero")
     out = df.select(
         F.col(id_col).alias("_id"),
-        (
+        _safe_div(
             F.aggregate(
                 F.zip_with(F.col(vec_col), qarr, lambda x, y: x.cast("double") * y),
                 F.lit(0.0),
                 lambda acc, x: acc + x,
-            )
-            / (_norm(vec_col) * F.lit(qnorm))
+            ),
+            _norm(vec_col) * F.lit(qnorm),
         ).alias("cos_sim"),
     )
     return out
@@ -144,14 +156,11 @@ def pairwise_cosine_sample(
         F.col(vec_col).alias("vb"),
     )
     joined = a.join(b, "id_a")
-    dot = F.aggregate(
-        F.zip_with(F.col("va"), F.col("vb"), lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
     return joined.select(
         "id_a", "id_b",
-        F.round(dot / (_norm("va") * _norm("vb")), 6).alias("cos_sim"),
+        F.round(
+            _safe_div(_dot("va", "vb"), _norm("va") * _norm("vb")), 6
+        ).alias("cos_sim"),
     )
 
 
@@ -180,8 +189,14 @@ def _ivf_centroids(sample: np.ndarray, n_lists: int, iters: int = 10,
 
 def ivf_assign(df: DataFrame, vec_col: str, id_col: str,
                centroids: np.ndarray) -> DataFrame:
-    """(id, vec, list_id): nearest-centroid assignment, numpy per batch."""
+    """(id, vec, list_id): nearest-centroid assignment, numpy per batch.
+    NULL vectors are routed OUT first (the text side's has_content
+    convention): a NULL element inside the batch matrix otherwise
+    raises an opaque inhomogeneous-shape numpy error in the executor
+    (review finding)."""
     from pyspark.sql.functions import pandas_udf
+
+    df = df.where(F.col(vec_col).isNotNull())
 
     @pandas_udf("int")
     def _assign(vecs: pd.Series) -> pd.Series:
@@ -204,8 +219,15 @@ def ivf_train_sample(
     sample. NOT a global sort: Catalyst plans orderBy().limit(k) as
     TakeOrderedAndProject — per-partition top-k merged on the driver,
     zero Exchange (pinned on THIS code path by
-    tests/test_operators.py::test_ivf_sample_plan_no_exchange)."""
-    return df.select(vec_col).orderBy(F.col(id_col)).limit(train_sample)
+    tests/test_operators.py::test_ivf_sample_plan_no_exchange). NULL
+    vectors are excluded — one in the first ids raised TypeError in
+    the driver-side trainer (review finding)."""
+    return (
+        df.where(F.col(vec_col).isNotNull())
+        .select(vec_col)
+        .orderBy(F.col(id_col))
+        .limit(train_sample)
+    )
 
 
 def ivf_ann_topk(
@@ -260,10 +282,13 @@ def embedding_near_dup_pairs(
     dedup over verified pairs only."""
     from pyspark.sql.functions import pandas_udf
 
-    # empty input (or a NULL first vector) must return an empty pairs
-    # frame, not TypeError on head() (r03 review)
-    dim_row = df.select(vec_col).head()
-    if dim_row is None or dim_row[0] is None:
+    # empty input must return an empty pairs frame, not TypeError on
+    # head() (r03 review); the dim probe SKIPS NULL vectors — a NULL in
+    # the first row otherwise read as "empty corpus" and silently
+    # dropped every real pair (review finding). NULL rows themselves
+    # are excluded downstream by the nonzero filter.
+    dim_row = df.where(F.col(vec_col).isNotNull()).select(vec_col).head()
+    if dim_row is None:
         spark = df.sparkSession
         return spark.createDataFrame(
             [], "id_a long, id_b long, cos_sim double"
@@ -301,15 +326,9 @@ def embedding_near_dup_pairs(
         payload_schema="_vec_a array<float>, _vec_b array<float>",
         star_adjacent=True,
     )
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("_vec_a"), F.col("_vec_b"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
+    cos = _safe_div(
+        _dot("_vec_a", "_vec_b"), _norm("_vec_a") * _norm("_vec_b")
     )
-    cos = dot / (_norm("_vec_a") * _norm("_vec_b"))
     return (
         cand.select("id_a", "id_b", F.round(cos, 6).alias("cos_sim"))
         .filter(F.col("cos_sim") >= threshold)
@@ -340,8 +359,13 @@ def semdedup(
     global sort), broadcast centroids, one narrow pandas_udf assignment
     pass. The drop rule is the repo-wide pair convention (dedup.py): a
     vector is dropped iff SOME lower-id vector in its cluster has
-    cosine >= threshold; dup_of = the smallest such keeper id. Only
-    (id, vec, cluster) shuffles — on cluster — for the self-join.
+    cosine >= threshold; dup_of = the smallest such lower-id MATE —
+    which may itself be dropped (a chain a–b–c where only adjacent
+    pairs clear the threshold gives c dup_of=b with b dropped); a
+    consumer needing each dropped doc's RETAINED representative must
+    resolve chains through keep=false rows, exactly like the LSH pair
+    consumers do via connected components. Only (id, vec, cluster)
+    shuffles — on cluster — for the self-join.
 
     Returns (id_col, cluster_id, keep, dup_of, max_sim); dup_of=-1 and
     max_sim=0.0 for kept rows (typed sentinels, not NULLs, so dtypes
@@ -349,7 +373,12 @@ def semdedup(
     sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
     sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     centroids = _ivf_centroids(sample, n_clusters, iters=iters, seed=seed)
-    assigned = ivf_assign(df, vec_col, id_col, centroids)
+    # lazy barrier (the topic_clusters rationale, review finding): the
+    # a-side, the b-side and the final left join all consume `assigned`
+    # — without it the ArrowEvalPython assignment pass runs three times
+    assigned = ivf_assign(df, vec_col, id_col, centroids).localCheckpoint(
+        eager=False
+    )
 
     a = assigned.select(
         F.col("_id").alias("_ka"), F.col("_vec").alias("_va"), "list_id"
@@ -357,7 +386,7 @@ def semdedup(
     b = assigned.select(
         F.col("_id").alias("_kb"), F.col("_vec").alias("_vb"), "list_id"
     )
-    sim = _dot("_va", "_vb") / (_norm("_va") * _norm("_vb"))
+    sim = _safe_div(_dot("_va", "_vb"), _norm("_va") * _norm("_vb"))
     losers = (
         a.join(b, "list_id")
         .filter(F.col("_ka") < F.col("_kb"))
@@ -543,9 +572,11 @@ def pq_encode(
     kept as array<int> here for plan readability), so the re-rankable
     index is ~64× smaller than the corpus and the ADC scan below never
     touches the raw vectors. ONE vectorized pandas_udf pass (numpy
-    batch argmin per sub-space), no shuffle."""
+    batch argmin per sub-space), no shuffle. NULL vectors routed out
+    (the ivf_assign convention)."""
     from pyspark.sql.functions import pandas_udf
 
+    df = df.where(F.col(vec_col).isNotNull())
     m = len(codebooks)
     dsub = codebooks[0].shape[1]
 
@@ -652,6 +683,7 @@ def ivfpq_index(
     partitionable by list_id so a probe touches n_probe/n_lists of the
     files. ``residual=True`` encodes v - coarse[v's list] instead of v
     (FAISS by_residual) — same node count, one extra subtraction."""
+    df = df.where(F.col(vec_col).isNotNull())
     from pyspark.sql.functions import pandas_udf
 
     m = len(codebooks)

@@ -112,3 +112,75 @@ def test_streaming_snapshot_bootstrap_cross_dedup(spark, tmp_path):
     } | {r["id_a"] for r in pairs.collect() if r["id_a"] in new_ids}
     survivors = new_ids - dropped
     assert dropped == {10} and survivors == {11}
+
+
+# ---------------------------------------------------------------------------
+# review regressions (r5j pass 5): zero/NULL vectors, n-gram jaccard,
+# CC non-convergence
+
+
+def test_cosine_zero_vector_does_not_crash_ansi(spark):
+    """ANSI mode makes double/0.0 THROW — a zero-norm embedding must
+    score 0.0, not abort the top-k job."""
+    from gruut_spark.operators.similarity import brute_force_topk
+
+    rows = [(1, [1.0, 0.0]), (2, [0.0, 0.0]), (3, [0.6, 0.8])]
+    df = spark.createDataFrame(rows, "doc_id long, emb array<float>")
+    out = {r["vec_id"]: r["cos_sim"]
+           for r in brute_force_topk(df, "emb", "doc_id", [1.0, 0.0], k=3)
+           .collect()}
+    assert out[2] == 0.0 and out[1] == 1.0
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        brute_force_topk(df, "emb", "doc_id", [0.0, 0.0], k=3)
+
+
+def test_near_dup_pairs_null_first_vector_not_empty_corpus(spark):
+    """A NULL embedding in the FIRST row must not be read as 'empty
+    corpus' — real duplicate pairs behind it must still surface."""
+    from gruut_spark.operators.similarity import embedding_near_dup_pairs
+
+    rows = [(1, None), (2, [1.0, 0.0, 0.0]), (3, [0.999, 0.01, 0.0])]
+    df = spark.createDataFrame(rows, "doc_id long, emb array<float>")
+    pairs = embedding_near_dup_pairs(
+        df, "emb", "doc_id", threshold=0.9, n_planes=4, n_tables=4
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in pairs} == {(2, 3)}
+
+
+def test_ngram_jaccard_n_actually_shingles(spark):
+    """n>1 must compute n-gram Jaccard (the parameter was accepted and
+    ignored); docs sharing every unigram but no bigram read 1.0 at n=1
+    and 0.0 at n=2."""
+    from gruut_spark.operators.dedup import ngram_jaccard_adjacent
+
+    rows = [(1, "a b c"), (2, "c b a")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    j1 = ngram_jaccard_adjacent(df, "text", "doc_id", n=1).collect()[0]
+    j2 = ngram_jaccard_adjacent(df, "text", "doc_id", n=2).collect()[0]
+    assert j1["jaccard"] == 1.0
+    assert j2["jaccard"] == 0.0
+    # a doc shorter than n yields an empty shingle set, not a crash
+    short = spark.createDataFrame(
+        [(1, "only"), (2, "only")], "doc_id long, text string"
+    )
+    j3 = ngram_jaccard_adjacent(short, "text", "doc_id", n=3).collect()
+    assert j3 == []
+
+
+def test_dedup_clusters_raises_on_non_convergence(spark):
+    """A chain deeper than 2^rounds must raise, not silently return a
+    split cluster."""
+    import pytest as _pt
+
+    from gruut_spark.operators.dedup import dedup_clusters
+
+    chain = [(i, i + 1) for i in range(1, 40)]
+    pairs = spark.createDataFrame(chain, "id_a long, id_b long")
+    # 1 round of min-label+jump cannot settle a 40-node path
+    with _pt.raises(RuntimeError, match="did not converge"):
+        dedup_clusters(pairs, max_iterations=1)
+    # enough rounds converge to one cluster rooted at 1
+    ok = dedup_clusters(pairs, max_iterations=10).collect()
+    assert {r["cluster_id"] for r in ok} == {1}
