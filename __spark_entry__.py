@@ -27,7 +27,72 @@ from pyspark.sql import functions as F
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Parquet scan, memoized per (session, path) — r06.
+
+    ``spark.read.parquet`` costs ~0.1-0.15 s of driver work per call
+    (file listing + footer schema inference + Dataset analysis) even
+    when the session's FileStatusCache is warm; the headline suite
+    issues ~20 reads over 6 distinct paths, so handing back the SAME
+    base DataFrame (immutable — consumers only derive from it) removes
+    the repeated metadata work without caching any DATA. The cache
+    lives on the session object, so it dies with the session and can
+    never leak a stale JVM reference across sessions. Plans, not
+    results: every query still recomputes from the parquet bytes."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        cache = spark.__dict__.setdefault("_gruut_read_cache", {})
+    except Exception:  # pragma: no cover - exotic session proxies
+        return spark.read.parquet(path)
+    df = cache.get(path)
+    if df is None:
+        df = spark.read.parquet(path)
+        cache[path] = df
+    return df
+
+
+_SPREAD_BYTES_PER_CORE = 4 << 20  # parquet openCostInBytes: below this a
+                                  # scan split can't usefully parallelize
+
+
+def _table_bytes(path: str) -> int:
+    if os.path.isfile(path):
+        return os.path.getsize(path)
+    total = 0
+    for root, _dirs, names in os.walk(path):
+        total += sum(os.path.getsize(os.path.join(root, f)) for f in names)
+    return total
+
+
+def _spread(
+    spark: SparkSession, sf_dir: str, name: str, *key_cols: str
+) -> DataFrame:
+    """Scale-adaptive scan parallelization (optimization guide §2.5/§6,
+    r06). The bench-scale inputs are single parquet files with ONE row
+    group, so every scan stage — and all the per-row work Catalyst fuses
+    into it (decimal aggregation, signature/langid UDF hashing, tokenize
+    projections) — runs as a single task regardless of core count. When
+    the table is too small for the scan itself to parallelize
+    (total bytes < cores × openCost-sized splits), one narrow
+    deterministic hash repartition spreads the rows across the cores;
+    the key is ``pmod(xxhash64(unique row key), 20 × cores)`` — 20×
+    more distinct values than partitions so the hash spreads evenly
+    (guide §2.5), deterministic under task retry (never rand()), and no
+    sort-before-repartition cost (that local sort is what makes plain
+    round-robin ``repartition(n)`` slower; measured q1 0.73 s round-
+    robin vs 0.54 s keyed at sf0.1). At production scale the condition
+    is false (a ≥128 MB-per-32-cores table splits by row groups on its
+    own) and this is a plain ``_read`` — no extra Exchange ever reaches
+    a large input."""
+    df = _read(spark, sf_dir, name)
+    n = spark.sparkContext.defaultParallelism
+    if _table_bytes(os.path.join(sf_dir, f"{name}.parquet")) >= (
+        n * _SPREAD_BYTES_PER_CORE
+    ):
+        return df
+    salt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n * 20)
+    )
+    return df.repartition(n, salt)
 
 
 def _configure(spark: SparkSession) -> None:
@@ -74,7 +139,11 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = _read(spark, sf_dir, "lineitem")
+    # r06: adaptive spread — the decimal(28,12) partial aggregation is
+    # the dominant per-row cost and fuses into the single-task scan at
+    # bench scale (warm 0.83 s → 0.54 s spread; no-op at production
+    # sizes where the scan splits itself)
+    li = _spread(spark, sf_dir, "lineitem", "l_orderkey", "l_linenumber")
     dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
     return (
         li.filter(F.col("l_shipdate") <= "1998-09-02")
@@ -421,7 +490,11 @@ def _customers_without_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.textstats import token_counts
 
-    return token_counts(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    # r06: adaptive spread parallelizes the tokenize projection out of
+    # the single-task scan (warm 0.26 s → 0.20 s; no-op at scale)
+    return token_counts(
+        _spread(spark, sf_dir, "documents", "doc_id")
+    ).orderBy("doc_id")
 
 
 def _doc_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -435,7 +508,11 @@ def _doc_normalize_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.textstats import quality_scores
 
-    return quality_scores(_read(spark, sf_dir, "documents")).orderBy("doc_id")
+    # r06: adaptive spread — five regexp passes per row fused into a
+    # single-task scan otherwise (warm 0.52 s → 0.39 s; no-op at scale)
+    return quality_scores(
+        _spread(spark, sf_dir, "documents", "doc_id")
+    ).orderBy("doc_id")
 
 
 def _doc_scrub_sql_subset(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -464,7 +541,12 @@ def _doc_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _doc_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import ngram_jaccard_adjacent
 
-    out = ngram_jaccard_adjacent(_read(spark, sf_dir, "documents"), "text", "doc_id")
+    # r06: the operator now self-joins per-doc shingle ARRAYS instead of
+    # exploding tokens (see its docstring); the adaptive spread moves
+    # the tokenize off the single-task scan. Warm 0.79 s → 0.43 s.
+    out = ngram_jaccard_adjacent(
+        _spread(spark, sf_dir, "documents", "doc_id"), "text", "doc_id"
+    )
     return out.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
     ).orderBy("id_a")
@@ -658,8 +740,12 @@ def _doc_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     _configure(spark)
     from gruut_spark.operators.textstats import langid_scores
 
+    # r06: adaptive spread — the Arrow langid UDF otherwise runs inside
+    # the single-task scan (warm 0.88 s → 0.49 s; no-op at scale).
+    # Per-row model scoring is partition-invariant, so the rounded
+    # confidence hash cannot move.
     return (
-        langid_scores(_read(spark, sf_dir, "documents"))
+        langid_scores(_spread(spark, sf_dir, "documents", "doc_id"))
         .select(
             "doc_id", "lang_pred",
             F.round("lang_conf", 6).alias("lang_conf"),
@@ -3324,8 +3410,11 @@ def _doc_epoch_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from gruut_spark.operators.dedup import minhash_lsh_pairs
 
+    # r06: adaptive spread — the BLAKE2b shingle-hash signature UDF is
+    # the dominant cost and otherwise runs inside the single-task scan
+    # stage (warm 1.38 s → 1.04 s at sf0.1; no-op at production sizes)
     return minhash_lsh_pairs(
-        _read(spark, sf_dir, "documents"), "text", "doc_id"
+        _spread(spark, sf_dir, "documents", "doc_id"), "text", "doc_id"
     ).orderBy("id_a", "id_b")
 
 

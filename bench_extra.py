@@ -1,0 +1,152 @@
+#!/usr/bin/env python3
+"""Per-query measurement harness for the optimization rounds.
+
+NOT the driver bench (bench.py is frozen): this tool isolates single
+queries with the SAME timing protocol as bench.py (build the DataFrame,
+materialize every output column via max(xxhash64(*cols))), or with the
+noop sink (guide §1.4), and captures .explain("formatted") for the plan
+deliverables in plans/r06/.
+
+Usage:
+  python bench_extra.py [names...] [--runs N] [--plans DIR] [--noop]
+                        [--pipeline] [--suffix before|after]
+
+  names      headline queries by default
+  --runs     timed repetitions per query in ONE JVM (default 3; first
+             run is reported separately as "cold")
+  --plans    write <name>_<suffix>.txt explain output into DIR
+  --noop     time df.write.format("noop") instead of the hash-agg
+  --pipeline additionally time build_pipeline like bench.py does
+
+Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
+     SPARK_GRAFT_CPUS (default 32), BENCH_FILES_ROWS (default 8000).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+os.environ.setdefault("SPARK_LOCAL_IP", "127.0.0.1")
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_nation_revenue",
+    "window_top2_orders",
+    "events_hourly",
+    "doc_token_count",
+    "doc_quality_scores",
+    "doc_exact_dedup",
+    "doc_jaccard_adjacent",
+    "dedup_minhash_lsh",
+    "ann_brute_topk",
+    "doc_langid",
+    "code_curation_verdict",
+    "code_repo_forks",
+]
+
+
+def main() -> None:
+    argv = sys.argv[1:]
+
+    def flag(name, default=None, has_val=True):
+        if name in argv:
+            i = argv.index(name)
+            val = argv[i + 1] if has_val else True
+            del argv[i : i + 2 if has_val else i + 1]
+            return val
+        return default
+
+    runs = int(flag("--runs", "3"))
+    plans_dir = flag("--plans")
+    suffix = flag("--suffix", "before")
+    use_noop = bool(flag("--noop", False, has_val=False))
+    do_pipeline = bool(flag("--pipeline", False, has_val=False))
+    names = argv or HEADLINE
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    import __spark_entry__ as entrymod
+    from gruut_spark.plans.quality_pipeline import build_pipeline, configure_session
+
+    spark = (
+        SparkSession.builder.master(f"local[{CPUS}]")
+        .config("spark.sql.shuffle.partitions", str(CPUS))
+        .config("spark.driver.memory", "24g")
+        .config("spark.ui.enabled", "false")
+        .appName("gruut-spark-bench-extra")
+        .getOrCreate()
+    )
+    configure_session(spark)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    qs = entrymod.queries()
+    # same warmup as bench.py: JVM only, no Python workers
+    spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count()
+
+    out = {}
+    for name in names:
+        fn = qs[name]
+        if plans_dir:
+            os.makedirs(plans_dir, exist_ok=True)
+            df = fn(spark, SF_DIR)
+            txt = spark.sparkContext._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted"
+            )
+            with open(os.path.join(plans_dir, f"{name}_{suffix}.txt"), "w") as f:
+                f.write(txt)
+        samples = []
+        for _ in range(runs):
+            spark.sparkContext.setJobDescription(f"bench_extra:{name}")
+            t0 = time.time()
+            df = fn(spark, SF_DIR)
+            if use_noop:
+                df.write.format("noop").mode("overwrite").save()
+            else:
+                df.agg(
+                    F.max(F.xxhash64(*[F.col(c) for c in df.columns]))
+                ).collect()
+            samples.append(round(time.time() - t0, 3))
+        out[name] = {"cold": samples[0], "warm_min": min(samples[1:] or samples), "samples": samples}
+        print(f"[bench_extra] {name}: {out[name]}", file=sys.stderr)
+
+    if do_pipeline:
+        from gruut_spark.sources.testgen import bench_files_parquet
+
+        rows = int(os.environ.get("BENCH_FILES_ROWS", "8000"))
+        cache_root = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
+        files = spark.read.parquet(bench_files_parquet(rows, cache_root))
+        build_pipeline(files.limit(CPUS * 40), num_partitions=CPUS).agg(
+            F.sum(F.col("keep").cast("long"))
+        ).collect()
+        samples = []
+        for _ in range(max(runs, 2)):
+            spark.sparkContext.setJobDescription("bench_extra:quality_pipeline")
+            t0 = time.time()
+            pipe = build_pipeline(files, num_partitions=CPUS)
+            pipe.agg(
+                F.count("*").alias("n"),
+                F.sum(F.col("keep").cast("long")).alias("kept"),
+                F.sum("n_tokens").alias("tok"),
+                F.sum(F.length("scrubbed_sha256")).alias("sha"),
+            ).collect()
+            samples.append(round(time.time() - t0, 3))
+        out["quality_pipeline"] = {
+            "cold": samples[0], "warm_min": min(samples[1:] or samples), "samples": samples,
+        }
+        print(f"[bench_extra] quality_pipeline: {out['quality_pipeline']}", file=sys.stderr)
+
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -27,8 +27,23 @@ BACKOFF = 0.4
 ORDER = 3
 
 
+_TOK_ID_CACHE: Dict[str, int] = {}
+_TOK_ID_CACHE_MAX = 1 << 20  # bound worker memory on open-vocab corpora
+
+
 def _tok_id(token: str) -> int:
-    return _fnv1a_bytes(token.lower().encode("utf-8", "ignore"))
+    """FNV-1a id of the lowercased token. Memoized (r06): the per-byte
+    pure-Python FNV loop costs ~1.6 µs/call and natural-language token
+    streams repeat heavily; the cache is value-pure (same input → same
+    id) so scoring is unchanged, and it is cleared at a fixed bound so a
+    pathological vocabulary cannot grow worker RSS."""
+    v = _TOK_ID_CACHE.get(token)
+    if v is None:
+        if len(_TOK_ID_CACHE) >= _TOK_ID_CACHE_MAX:
+            _TOK_ID_CACHE.clear()
+        v = _fnv1a_bytes(token.lower().encode("utf-8", "ignore"))
+        _TOK_ID_CACHE[token] = v
+    return v
 
 
 def _key(ids: Sequence[int]) -> int:
@@ -89,7 +104,18 @@ class NGramLM:
         return cls(counts, total, len(vocab), order)
 
     def _score_id_seq(self, ids: List[int]) -> Tuple[float, int]:
-        """Sum of log10 P(token|context) with Stupid Backoff, and count."""
+        """Sum of log10 P(token|context) with Stupid Backoff, and count.
+
+        The order-3 production path (r06) slides the FNV context keys
+        instead of re-folding a slice per (position, order): with
+        ``K_n`` the fold of the n-token window ending at ``i``,
+        ``K_{n+1}(..i) = (K_n(..i-1) ^ id_i) * FNV_PRIME`` — so each
+        position costs three multiply-xor lines and zero allocations.
+        Every float operation is kept in the generic loop's exact order
+        (``penalty * c / ctx`` etc.), so scores are bit-identical and
+        the DuckDB LM oracles are unaffected."""
+        if self.order == 3:
+            return self._score_id_seq3(ids)
         order = self.order
         padded = [_tok_id(BOS)] * (order - 1) + ids + [_tok_id(EOS)]
         log_sum = 0.0
@@ -117,6 +143,68 @@ class NGramLM:
                 # unseen unigram: uniform floor over an open vocab
                 score = penalty / (self.total_unigrams + self.vocab_size)
             log_sum += math.log10(score)
+        return log_sum, n
+
+    def _score_id_seq3(self, ids: List[int]) -> Tuple[float, int]:
+        """Order-3 specialization of ``_score_id_seq`` — see its
+        docstring. Key identities: key(i) == _key([id_i]);
+        key2(i-1,i) == (key(i-1) ^ id_i) * P; key3 likewise from
+        key2(i-2,i-1). Context counts reuse the previous position's
+        keys (trigram ctx == key2(i-2,i-1), bigram ctx == key(i-1))."""
+        H0 = 1469598103934665603
+        P = 1099511628211
+        M = 0xFFFFFFFFFFFFFFFF
+        bos = _tok_id(BOS)
+        padded = [bos, bos] + ids + [_tok_id(EOS)]
+        c1, c2, c3 = self.counts[0], self.counts[1], self.counts[2]
+        g1, g2, g3 = c1.get, c2.get, c3.get
+        total = self.total_unigrams
+        floor_den = total + self.vocab_size
+        backoff = self.backoff
+        log10 = math.log10
+        k1_prev = ((H0 ^ padded[0]) * P) & M
+        # key2 of (padded[0], padded[1]); key1 of padded[1]
+        k2_prev = ((k1_prev ^ padded[1]) * P) & M
+        k1_prev = ((H0 ^ padded[1]) * P) & M
+        log_sum = 0.0
+        n = 0
+        for i in range(2, len(padded)):
+            tid = padded[i]
+            n += 1
+            k1 = ((H0 ^ tid) * P) & M
+            k2 = ((k1_prev ^ tid) * P) & M
+            k3 = ((k2_prev ^ tid) * P) & M
+            score = None
+            penalty = 1.0
+            c = g3(k3)
+            if c:
+                ctx = g2(k2_prev, 0)
+                if ctx:
+                    score = penalty * c / ctx
+                else:
+                    penalty *= backoff
+            else:
+                penalty *= backoff
+            if score is None:
+                c = g2(k2)
+                if c:
+                    ctx = g1(k1_prev, 0)
+                    if ctx:
+                        score = penalty * c / ctx
+                    else:
+                        penalty *= backoff
+                else:
+                    penalty *= backoff
+                if score is None:
+                    c = g1(k1)
+                    if c:
+                        score = penalty * c / total
+                    else:
+                        penalty *= backoff
+                        score = penalty / floor_den
+            log_sum += log10(score)
+            k1_prev = k1
+            k2_prev = k2
         return log_sum, n
 
     def _context_count(self, ctx_ids: Sequence[int], k: int) -> int:

@@ -57,7 +57,13 @@ def parse_decimal(text: str, group_char: str = ",", decimal_char: str = ".") -> 
         exp_body = exp_digits[1:] if exp_digits[:1] in _SIGNS else exp_digits
         if not (mantissa and exp_body and exp_body.isdigit()):
             return None
-        if int(exp_body) > 30:
+        try:
+            # isdigit() admits non-Nd digit chars (e.g. superscripts)
+            # that int() rejects with ValueError — "1e²" must parse as
+            # not-a-number, not crash the task (r06 robustness fix)
+            if int(exp_body) > 30:
+                return None
+        except ValueError:
             return None
     int_part, dot, frac_part = mantissa.partition(".")
     if not (int_part or frac_part):

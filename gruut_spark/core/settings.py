@@ -22,6 +22,7 @@ from .types import Time
 # Reference defaults (gruut/const.py:122-126,557)
 DEFAULT_WORD_PATTERN = re.compile(r"(\s*\S+(?:\s+|$))")
 NORMALIZE_WHITESPACE_PATTERN = re.compile(r"\s+")
+_ANY_WHITESPACE_PATTERN = re.compile(r"\s")
 SURROUNDING_WHITESPACE_PATTERN = re.compile(r"^(\s*)\S+(\s*)$", re.DOTALL)
 HAS_DIGIT_PATTERN = re.compile(r"[0-9]")
 
@@ -29,6 +30,33 @@ HAS_DIGIT_PATTERN = re.compile(r"[0-9]")
 def split_words(s: str):
     """Whitespace-preserving token split (gruut/const.py:557-562)."""
     return [t for t in DEFAULT_WORD_PATTERN.findall(s) if t]
+
+
+def _combine_prefilter(patterns):
+    """One alternation regex over ``patterns`` usable as a miss-proof
+    prefilter: if it does not match, no individual pattern matches
+    (r06 hot-loop optimization — the per-token abbreviation/replacement
+    loops pay len(table) C regex calls per token per pass otherwise).
+
+    Named groups are rewritten to non-capturing (duplicate names across
+    alternatives won't compile; capturing vs not never changes WHETHER a
+    regex matches). Returns None — "no prefilter" — when the rewrite
+    isn't provably safe: a pattern using a named backreference ``(?P=``
+    or conditional ``(?(`` would change meaning, and any combination
+    that fails to compile falls back."""
+    if not patterns:
+        return None
+    if any("(?P=" in p or "(?(" in p for p in patterns):
+        return None
+    try:
+        return re.compile(
+            "|".join(
+                "(?:%s)" % re.sub(r"\(\?P<[^>]+>", "(?:", p)
+                for p in patterns
+            )
+        )
+    except re.error:
+        return None
 
 
 def get_whitespace(s: str) -> Tuple[str, str]:
@@ -40,7 +68,12 @@ def get_whitespace(s: str) -> Tuple[str, str]:
 
 
 def normalize_whitespace(s: str) -> str:
-    """Collapse runs of whitespace to one space (gruut/const.py:575-577)."""
+    """Collapse runs of whitespace to one space (gruut/const.py:575-577).
+    Fast path (r06): a string with no whitespace character at all is
+    unchanged by strip() and by the run-collapsing sub() — most calls in
+    the token fixpoint are on single already-normalized tokens."""
+    if _ANY_WHITESPACE_PATTERN.search(s) is None:
+        return s
     return NORMALIZE_WHITESPACE_PATTERN.sub(" ", s.strip())
 
 
@@ -210,6 +243,14 @@ class TextSettings:
     # Compiled in __post_init__
     replacements_compiled: List[Tuple[Pattern, str]] = field(default_factory=list)
     abbreviations_compiled: List[Tuple[Pattern, str]] = field(default_factory=list)
+    # Pure-optimization prefilters (r06): one alternation regex per table
+    # whose miss PROVES every individual pattern misses, so the hot
+    # per-token stage loops pay ONE C-level regex call instead of
+    # len(table) calls for the (overwhelmingly common) no-match token.
+    # None when the rewrite below can't be proven safe — stages must
+    # treat None as "no prefilter".
+    replacements_prefilter: Optional[Pattern] = None
+    abbreviations_prefilter: Optional[Pattern] = None
     begin_punctuations_pattern: Optional[Pattern] = None
     end_punctuations_pattern: Optional[Pattern] = None
     major_breaks_pattern: Optional[Pattern] = None
@@ -229,8 +270,12 @@ class TextSettings:
         self.replacements_compiled = [
             (re.compile(p), t) for p, t in self.replacements
         ]
+        self.replacements_prefilter = _combine_prefilter(
+            [p for p, _t in self.replacements]
+        )
 
         self.abbreviations_compiled = []
+        abbrev_sources = []
         for pattern, template in self.abbreviations.items():
             if not pattern.endswith("$") and self.major_breaks:
                 # Auto-append optional trailing major break + whitespace
@@ -238,7 +283,9 @@ class TextSettings:
                 break_str = "|".join(re.escape(b) for b in sorted(self.major_breaks))
                 pattern = f"{pattern}(?P<break>{break_str})?(?P<whitespace>\\s*)$"
                 template += r"\g<break>\g<whitespace>"
+            abbrev_sources.append(pattern)
             self.abbreviations_compiled.append((re.compile(pattern), template))
+        self.abbreviations_prefilter = _combine_prefilter(abbrev_sources)
 
         if self.begin_punctuations:
             alt = "|".join(re.escape(b) for b in sorted(self.begin_punctuations))

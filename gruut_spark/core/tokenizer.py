@@ -57,6 +57,7 @@ DEFAULT_MAX_PASSES = 5  # gruut/text_processor.py:460
 
 import re as _re
 _ALL_DIGITS = _re.compile(r"^\d+$")
+_ANY_DECIMAL_DIGIT = _re.compile(r"\d")
 
 
 def _is_protected(text: str, settings: TextSettings) -> bool:
@@ -74,6 +75,13 @@ def _split_replacements(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
     if tok.kind != WORD or tok.interpret_as or tok.protected:
         return None
     if not s.replacements_compiled:
+        return None
+    if (
+        s.replacements_prefilter is not None
+        and s.replacements_prefilter.search(tok.ws) is None
+    ):
+        # miss-proof prefilter (settings._combine_prefilter): no pattern
+        # can subn>0, so the loop below would return None anyway
         return None
     matched = False
     new_text = tok.ws
@@ -100,6 +108,17 @@ def _split_punctuations(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
     if tok.kind != WORD or tok.interpret_as or tok.protected:
         return None
     if s.begin_punctuations_pattern is None and s.end_punctuations_pattern is None:
+        return None
+    # Fast path (r06): the begin pattern is ^-anchored and the end
+    # pattern $-anchored, so "2 parts from split(maxsplit=1)" below is
+    # exactly "match at start" / "match at end"; a token hitting neither
+    # returns None without paying two split() list allocations plus
+    # get_whitespace — the second-hottest stage of the fixpoint.
+    _bp = s.begin_punctuations_pattern
+    _ep = s.end_punctuations_pattern
+    if (_bp is None or _bp.match(tok.text) is None) and (
+        _ep is None or _ep.search(tok.text) is None
+    ):
         return None
 
     word_text = tok.text
@@ -163,6 +182,9 @@ def _split_break(tok: Tok, s: TextSettings, major: bool) -> Optional[List[Tok]]:
     pattern = s.major_breaks_pattern if major else s.minor_breaks_pattern
     if pattern is None:
         return None
+    if pattern.search(tok.ws) is None:
+        # fast path (r06): split() yields <2 parts iff no match at all
+        return None
     parts = pattern.split(tok.ws)
     if len(parts) < 2:
         return None
@@ -182,6 +204,17 @@ def _split_break(tok: Tok, s: TextSettings, major: bool) -> Optional[List[Tok]]:
             kind=MAJOR if major else MINOR, group=tok.group)
     )
     return out
+
+
+def _split_break_minor(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    """Module-level wrapper (r06): the per-pass lambdas in
+    run_token_passes added one Python frame per token per stage —
+    ~780k extra calls per 2000 docs in the profile."""
+    return _split_break(tok, s, False)
+
+
+def _split_break_major(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
+    return _split_break(tok, s, True)
 
 
 def _abbrev_boundary_pass(toks: List[Tok], s: TextSettings) -> Tuple[List[Tok], bool]:
@@ -246,6 +279,15 @@ def _split_abbreviations(tok: Tok, s: TextSettings) -> Optional[List[Tok]]:
     if tok.kind != WORD or tok.interpret_as or tok.protected:
         return None
     if not s.abbreviations_compiled:
+        return None
+    if (
+        s.abbreviations_prefilter is not None
+        and s.abbreviations_prefilter.match(tok.ws) is None
+    ):
+        # miss-proof prefilter (settings._combine_prefilter): ONE C-level
+        # match instead of len(table) per token — the table loop below is
+        # the hottest call site of the whole fixpoint (r06 profile:
+        # 4.3M re.match calls for 2000 docs)
         return None
     new_text = None
     for pattern, template in s.abbreviations_compiled:
@@ -516,6 +558,17 @@ def _transform_number(tok: Tok, s: TextSettings) -> bool:
             return False  # reference returns False on the ordinal path
     if tok.number is not None and tok.interpret_as == NUMBER:
         return False  # already parsed (verbalization may be off)
+    if _ANY_DECIMAL_DIGIT.search(tok.text) is None:
+        # Provably-equivalent fast path (r06): parse_decimal can only
+        # succeed when the final Decimal() parse succeeds, which requires
+        # at least one Unicode Nd digit (\d) in the mantissa — group
+        # chars, signs, '.', and 'e' are never \d, and isdigit()-true
+        # non-Nd characters (superscripts) fail Decimal(). So a token
+        # with no \d anywhere takes exactly the failed-parse path below;
+        # memoizing it here skips one parse_decimal call per plain word
+        # per document (288k calls / 0.8 s per 2000 docs profiled).
+        tok.maybe_number = False
+        return False
     number = parse_decimal(tok.text, s.group_char, s.decimal_char)
     if number is None:
         tok.maybe_number = False
@@ -864,7 +917,7 @@ def run_token_passes(
         was_changed |= c
         toks, c = _apply_split(toks, _split_punctuations, s)
         was_changed |= c
-        toks, c = _apply_split(toks, lambda t, st: _split_break(t, st, False), s)
+        toks, c = _apply_split(toks, _split_break_minor, s)
         was_changed |= c
         toks, c = _abbrev_boundary_pass(toks, s)
         was_changed |= c
@@ -872,7 +925,7 @@ def run_token_passes(
         was_changed |= c
         toks, c = _apply_split(toks, _split_initialism, s)
         was_changed |= c
-        toks, c = _apply_split(toks, lambda t, st: _split_break(t, st, True), s)
+        toks, c = _apply_split(toks, _split_break_major, s)
         was_changed |= c
         # _break_sentences (gruut/text_processor.py:1211-1286) is deferred
         # to flatten time: groups make it order-independent.

@@ -447,17 +447,40 @@ def ngram_jaccard_adjacent(
     df: DataFrame, text_col: str, id_col: str, n: int = 1,
 ) -> DataFrame:
     """Exact token-set Jaccard between consecutive ids (doc_id, doc_id+1):
-    a purely relational formulation (explode -> join -> agg) that a SQL
-    oracle can replicate. For all-pairs at scale, swap the id+1 join for
-    the LSH candidate pairs above and keep this as the verify stage.
+    a purely relational formulation that a SQL oracle can replicate. For
+    all-pairs at scale, swap the id+1 join for the LSH candidate pairs
+    above and keep this as the verify stage.
 
     ``n=1`` (the oracle-pinned default) is token-set Jaccard; ``n>1``
-    shingles the token sequence into space-joined n-grams first (the
-    parameter was previously accepted and IGNORED — review finding)."""
+    shingles the token sequence into space-joined n-grams first.
+
+    Shape (optimization round r06): per-doc DISTINCT shingle ARRAYS
+    self-joined on ``id = id+1-1``, with the intersection computed by
+    ``array_intersect`` per pair — replacing the old explode → 3 aggs →
+    2 joins plan (four full scan+tokenize passes, 6 Exchanges, one
+    SortMergeJoin) with one join over two tokenize passes (plan: 43 →
+    17 nodes; measured warm 0.79 s → 0.61 s at sf0.1, cold 2.23 →
+    ~1.0 s — most of the win is the smaller codegen surface). Values
+    are bit-identical: the same integer |A∩B| / |A| / |B| feed the same
+    double division, so the frozen DuckDB oracle (which still replays
+    the explode/join formulation) hash-matches. At scale the shuffle
+    carries each token array once instead of one row per token — never
+    wider than the text itself. The token array is materialized as a
+    column FIRST (``_raw``): referencing the filter-over-split HOF
+    subtree inside the n>1 shingle lambdas would re-evaluate the
+    tokenize per reference (the interpreted-HOF O(tokens²) trap,
+    ADVICE r05 / word_ngrams precedent).
+
+    Per-doc eligibility is unchanged: docs with an empty shingle set
+    (empty/whitespace-only text, or fewer than ``n`` tokens) are
+    excluded from BOTH sides, so a pair appears iff both ids exist and
+    both have ≥1 shingle — exactly the old inner-join semantics."""
     raw = F.filter(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda x: x != "",
     )
+    base = df.select(F.col(id_col).alias("_id"), raw.alias("_raw"))
+    toks = F.col("_raw")
     if n > 1:
         # sequence(a, b) counts DOWN when a > b (the code_function_spans
         # trap): pin the stop at 0 and re-filter, so a doc with fewer
@@ -465,41 +488,28 @@ def ngram_jaccard_adjacent(
         units = F.transform(
             F.filter(
                 F.sequence(
-                    F.lit(0), F.greatest(F.size(raw) - F.lit(n), F.lit(0))
+                    F.lit(0), F.greatest(F.size(toks) - F.lit(n), F.lit(0))
                 ),
-                lambda i: i <= F.size(raw) - F.lit(n),
+                lambda i: i <= F.size(toks) - F.lit(n),
             ),
-            lambda i: F.array_join(F.slice(raw, i + 1, n), " "),
+            lambda i: F.array_join(F.slice(toks, i + 1, n), " "),
         )
     else:
-        units = raw
-    toks = df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(F.array_distinct(units)).alias("tok"),
-    ).filter(F.col("tok") != "")
-    a = toks.alias("a")
-    b = toks.withColumn("_id", F.col("_id") - 1).alias("b")
-    inter = (
-        a.join(b, ["_id", "tok"])
-        .groupBy("_id")
-        .agg(F.count("*").alias("n_inter"))
+        units = toks
+    sets = base.select(
+        "_id", F.array_distinct(units).alias("_toks")
+    ).filter(F.size("_toks") > 0)
+    nxt = sets.select(
+        (F.col("_id") - 1).alias("_id"), F.col("_toks").alias("_toks_next")
     )
-    sizes = toks.groupBy("_id").agg(F.count("*").alias("n_tok"))
-    sizes_next = sizes.withColumn("_id", F.col("_id") - 1).withColumnRenamed(
-        "n_tok", "n_tok_next"
-    )
-    return (
-        sizes.join(sizes_next, "_id")
-        .join(inter, "_id", "left")
-        .fillna({"n_inter": 0})
-        .select(
-            F.col("_id").alias("id_a"),
-            (F.col("_id") + 1).alias("id_b"),
-            (
-                F.col("n_inter")
-                / (F.col("n_tok") + F.col("n_tok_next") - F.col("n_inter"))
-            ).alias("jaccard"),
-        )
+    n_inter = F.size(F.array_intersect("_toks", "_toks_next"))
+    return sets.join(nxt, "_id").select(
+        F.col("_id").alias("id_a"),
+        (F.col("_id") + 1).alias("id_b"),
+        (
+            n_inter
+            / (F.size("_toks") + F.size("_toks_next") - n_inter)
+        ).alias("jaccard"),
     )
 
 

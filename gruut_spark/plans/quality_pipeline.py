@@ -23,6 +23,8 @@ from __future__ import annotations
 
 from typing import Optional
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -48,6 +50,56 @@ def configure_session(spark: SparkSession) -> None:
     # fat rows (~1 MB) with default 10k rows/batch would make >1 GB Arrow
     # batches; cap rows per batch so executor memory stays bounded.
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    _prewarm_python_workers(spark)
+
+
+def _prewarm_python_workers(spark: SparkSession) -> None:
+    """Spawn the Python worker pool in the background (r06).
+
+    The first Arrow-UDF job a session runs pays one Python worker fork +
+    pandas/pyarrow import per task slot — measured ~2.1 s inside the
+    first model query at local[32] (guide §4.5: heavyweight init belongs
+    outside the per-task path; ``spark.python.worker.reuse`` keeps the
+    pool alive afterwards). Session configuration is where that init
+    belongs, so fire one trivial Arrow-UDF job over `cores` rows from a
+    daemon thread: it overlaps whatever the caller does next (scans,
+    model loading, plan analysis) and the workers are resident before
+    the first real UDF stage. One-shot per session (conf flag guard);
+    failures are swallowed — a dying/misconfigured session must not
+    propagate a warmup error into the caller."""
+    flag = "spark.gruut.workerPoolPrewarmed"
+    try:
+        if spark.conf.get(flag, "0") == "1":
+            return
+        spark.conf.set(flag, "1")
+    except Exception:  # pragma: no cover - session already stopped
+        return
+
+    def _run() -> None:
+        try:
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf("long")
+            def _warm(s: pd.Series) -> pd.Series:
+                return s
+
+            n = spark.sparkContext.defaultParallelism
+            spark.sparkContext.setJobDescription("prewarm python workers")
+            spark.range(n).repartition(n).select(
+                _warm("id").alias("v")
+            ).write.format("noop").mode("overwrite").save()
+            # also touch the DF->RDD localCheckpoint path: the FIRST
+            # lazy localCheckpoint in a session pays ~1 s of one-off
+            # planner/RDD machinery init (measured; later calls 0.02 s),
+            # which otherwise lands inside the first barrier-using
+            # operator (code_curation_pipeline)
+            spark.range(2).localCheckpoint(eager=True).count()
+        except Exception:  # noqa: BLE001 - best-effort warmup only
+            pass
+
+    import threading
+
+    threading.Thread(target=_run, name="gruut-udf-prewarm", daemon=True).start()
 
 
 def read_files(spark: SparkSession, path: str) -> DataFrame:
