@@ -369,7 +369,15 @@ def semdedup(
 
     Returns (id_col, cluster_id, keep, dup_of, max_sim); dup_of=-1 and
     max_sim=0.0 for kept rows (typed sentinels, not NULLs, so dtypes
-    survive pandas round-trips on both engine sides)."""
+    survive pandas round-trips on both engine sides).
+
+    NULL-embedding contract (ADVICE r05): rows whose ``vec_col`` is
+    NULL are ABSENT from the output entirely (ivf_assign routes them
+    out before the numpy batch). A consumer joining the verdict back
+    onto its corpus must LEFT join and coalesce — e.g.
+    ``coalesce(keep, true)`` to pass vectorless rows through, or treat
+    NULL keep as its own quarantine lane. They are never silently
+    dropped *by* semdedup's keep rule; they simply carry no verdict."""
     sample_rows = ivf_train_sample(df, vec_col, id_col, train_sample).collect()
     sample = np.asarray([list(r[0]) for r in sample_rows], dtype=np.float64)
     centroids = _ivf_centroids(sample, n_clusters, iters=iters, seed=seed)

@@ -107,6 +107,12 @@ def compose_corpus_stages(
     # window task — the documented quota_cap trap — while the map-side-
     # combined min + join produces the identical loser set and lets
     # AQE's skew-join split the hot digest.
+    # Contract (ADVICE r05): digest_col must be NON-NULL. The min+join
+    # formulation below drops NULL-digest rows from `pairs`' join, so
+    # duplicate NULL-digest docs would ALL be kept where the old window
+    # formulation grouped them. Unreachable today — scrubbed_sha256 is
+    # computed for every row — but callers wiring a new digest column
+    # must coalesce it first.
     pairs = df.select(digest_col, id_col).distinct()
     winners = pairs.groupBy(digest_col).agg(F.min(id_col).alias("_win"))
     exact_losers = (

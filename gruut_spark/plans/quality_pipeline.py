@@ -50,6 +50,17 @@ def configure_session(spark: SparkSession) -> None:
     # fat rows (~1 MB) with default 10k rows/batch would make >1 GB Arrow
     # batches; cap rows per batch so executor memory stays bounded.
     spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "512")
+    # r06: floor the scan parallelism at the core count (guide §6,
+    # spark.sql.files.minPartitionNum). Without it a small multi-file
+    # input packs into one or two splits (each file is charged
+    # openCostInBytes, 31 files fit one 128 MB split) and the whole
+    # decode runs on one core. At production scale bytes-per-core far
+    # exceeds the floor, so this is a no-op there; it never shrinks
+    # splits below openCostInBytes-sized work.
+    spark.conf.set(
+        "spark.sql.files.minPartitionNum",
+        str(spark.sparkContext.defaultParallelism),
+    )
     _prewarm_python_workers(spark)
 
 

@@ -421,11 +421,33 @@ def bench_files_parquet(rows: int, cache_root: str, seed: int = SEED) -> str:
         with open(marker) as f:
             fresh = f.read() == digest
     if not fresh:
+        import shutil
+
         os.makedirs(cache, exist_ok=True)
         pdf = generate_files(rows, seed=seed)[
             ["repo", "path", "commit", "lang", "content"]
         ]
-        pdf.to_parquet(out_path, index=False)
+        # r06: write a multi-part DIRECTORY instead of one single-row-
+        # group file — a lone small parquet scans as ONE task no matter
+        # the core count (row groups are the read unit), putting the
+        # whole decode + first-shuffle write of every pipeline bench on
+        # a single core. 32 parts + the session's scan-parallelism
+        # floor (configure_session) make the scan N-way. Same rows,
+        # same order, same digest-keyed cache contract.
+        if os.path.isfile(out_path):
+            os.remove(out_path)
+        elif os.path.isdir(out_path):
+            shutil.rmtree(out_path)
+        os.makedirs(out_path)
+        n_parts = 32
+        chunk = max(1, (len(pdf) + n_parts - 1) // n_parts)
+        for i in range(n_parts):
+            part = pdf.iloc[i * chunk : (i + 1) * chunk]
+            if len(part) == 0:
+                break
+            part.to_parquet(
+                os.path.join(out_path, f"part-{i:05d}.parquet"), index=False
+            )
         with open(marker, "w") as f:
             f.write(digest)
     return out_path

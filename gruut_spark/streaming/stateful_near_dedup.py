@@ -63,11 +63,19 @@ def _make_near_dedup_fn(
     every arrival pairs with EVERY stored member (incremental
     all-pairs — after any batch split the union equals the batch
     all-pairs set); past the cap, arrivals pair only with the bucket's
-    min id (the batch star emitter's anchor). Over-cap buckets
-    therefore emit a bounded SUPERSET of the batch star set (the early
-    all-pairs stay emitted — streaming cannot retract), which costs
-    downstream verification, never recall. State per bucket is the
-    capped member array (≤ 8·max_bucket bytes)."""
+    min id (the batch star emitter's anchor). Over-cap buckets are
+    CONNECTIVITY-EQUIVALENT to the batch emitter, not pair-set
+    equivalent (ADVICE r05): the streaming anchor is the min of the
+    first ``max_bucket`` ARRIVALS and the pre-cap all-pairs prefix is
+    arrival-ordered, while the batch emitter stars on the bucket's
+    global min over the sorted ids — once a smaller id arrives after
+    the cap, neither pair set contains the other. What is preserved is
+    what downstream clustering consumes: every member connects to the
+    bucket's component (the early all-pairs stay emitted — streaming
+    cannot retract), so connected components, and therefore recall,
+    match the batch path; only per-pair attribution inside over-cap
+    buckets differs. State per bucket is the capped member array
+    (≤ 8·max_bucket bytes)."""
     ttl_ms = ttl_millis(ttl_minutes)
 
     def fn(
