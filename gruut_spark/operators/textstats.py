@@ -74,15 +74,32 @@ def normalize_ws(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") 
     )
 
 
+_ALNUM_SPACE = (
+    "ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz0123456789 "
+)
+_JAVA_WS = " \t\n\x0b\f\r"  # Java regex \s default (ASCII, no UNICODE flag)
+
+
 def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Heuristic quality features, relationally: alnum ratio, digit ratio,
     mean token length, sentence-break count (the SQL-expressible subset of
-    core.rules.quality_features)."""
+    core.rules.quality_features).
+
+    Char-class COUNTS are computed as ``length(text) -
+    length(translate(text, <class chars>, ''))`` (r06): translate is a
+    single char-map pass where ``regexp_replace`` runs the Java regex
+    engine per character — measured 2× on the whole query at sf0.1
+    (0.42 s → 0.22 s warm). Count-identical by construction: each regex
+    counted exactly the characters of an explicit ASCII set, and
+    translate deletes exactly that set (``\\s`` in Java regex without
+    UNICODE_CHARACTER_CLASS is the 6-char ASCII set ``_JAVA_WS``). The
+    DuckDB oracle keeps its regex formulation and hash-matches."""
     text = F.col(text_col)
     n_chars = F.length(text)
-    alnum = F.length(F.regexp_replace(text, r"[^A-Za-z0-9 ]", ""))
-    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    breaks = F.length(F.regexp_replace(text, r"[^.!?]", ""))
+    alnum = n_chars - F.length(F.translate(text, _ALNUM_SPACE, ""))
+    digits = n_chars - F.length(F.translate(text, "0123456789", ""))
+    breaks = n_chars - F.length(F.translate(text, ".!?", ""))
+    ws = n_chars - F.length(F.translate(text, _JAVA_WS, ""))
     trimmed = F.trim(text)
     n_tokens = F.when(trimmed == "", 0).otherwise(F.size(F.split(trimmed, TOKEN_SPLIT)))
     return df.select(
@@ -92,11 +109,7 @@ def quality_scores(df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
         F.round(alnum / F.greatest(n_chars, F.lit(1)), 6).alias("alnum_ratio"),
         F.round(digits / F.greatest(n_chars, F.lit(1)), 6).alias("digit_ratio"),
         breaks.cast("long").alias("n_sentence_breaks"),
-        F.round(
-            (n_chars - F.length(F.regexp_replace(text, r"\s", "")))
-            / F.greatest(n_chars, F.lit(1)),
-            6,
-        ).alias("ws_ratio"),
+        F.round(ws / F.greatest(n_chars, F.lit(1)), 6).alias("ws_ratio"),
     )
 
 
