@@ -79,7 +79,7 @@ def run_with_checkpoints(
     n_buckets: int = 16,
     group_size: int = 4,
     cfg: Optional[RuleConfig] = None,
-    salt_buckets: int = 32,
+    salt_buckets: Optional[int] = None,
     num_partitions: Optional[int] = None,
     code_prefilter: bool = False,
     notebook_convert: bool = False,

@@ -32,7 +32,7 @@ def main() -> None:
     ap.add_argument("--buckets", type=int, default=16)
     ap.add_argument("--group-size", type=int, default=4)
     ap.add_argument("--partitions", type=int, default=None)
-    ap.add_argument("--salt-buckets", type=int, default=32)
+    ap.add_argument("--salt-buckets", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true",
                     help="ignore an existing checkpoint manifest")
     ap.add_argument("--code-prefilter", action="store_true",
