@@ -54,13 +54,17 @@ _SPREAD_BYTES_PER_CORE = 4 << 20  # parquet openCostInBytes: below this a
                                   # scan split can't usefully parallelize
 
 
-def _table_bytes(path: str) -> int:
+def _table_layout(path: str) -> tuple[int, int]:
+    """(total bytes, data file count) of a parquet file or directory."""
     if os.path.isfile(path):
-        return os.path.getsize(path)
-    total = 0
+        return os.path.getsize(path), 1
+    total, n_files = 0, 0
     for root, _dirs, names in os.walk(path):
-        total += sum(os.path.getsize(os.path.join(root, f)) for f in names)
-    return total
+        for f in names:
+            total += os.path.getsize(os.path.join(root, f))
+            if f.endswith(".parquet"):
+                n_files += 1
+    return total, n_files
 
 
 def _spread(
@@ -85,9 +89,14 @@ def _spread(
     a large input."""
     df = _read(spark, sf_dir, name)
     n = spark.sparkContext.defaultParallelism
-    if _table_bytes(os.path.join(sf_dir, f"{name}.parquet")) >= (
-        n * _SPREAD_BYTES_PER_CORE
-    ):
+    size, n_files = _table_layout(os.path.join(sf_dir, f"{name}.parquet"))
+    # Skip when the scan parallelizes on its own: either the table is
+    # big enough to split (bytes-per-core above the open-cost floor) or
+    # it already consists of >= cores/2 data files (a file is a scan
+    # task even when its single row group can't split — measured at a
+    # 30-file sf1.0 documents dir: the spread was pure overhead there,
+    # doc_langid 0.68 -> 0.84 s warm).
+    if size >= n * _SPREAD_BYTES_PER_CORE or n_files >= max(n // 2, 2):
         return df
     salt = F.pmod(
         F.xxhash64(*[F.col(c) for c in key_cols]), F.lit(n * 20)

@@ -475,10 +475,13 @@ def ngram_jaccard_adjacent(
     (empty/whitespace-only text, or fewer than ``n`` tokens) are
     excluded from BOTH sides, so a pair appears iff both ids exist and
     both have ≥1 shingle — exactly the old inner-join semantics."""
-    raw = F.filter(
-        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
-        lambda x: x != "",
-    )
+    # array_remove instead of a filter() HOF (r06): \s+ splitting only
+    # yields "" at the array edges (leading/trailing whitespace; trim
+    # made redundant by the removal), array_remove strips every "" just
+    # like the lambda did, and it is a regular codegen-capable
+    # expression where higher-order filter() evaluates interpreted —
+    # measured 0.43 -> 0.38 s warm at sf0.1, values identical.
+    raw = F.array_remove(F.split(F.lower(F.col(text_col)), r"\s+"), "")
     base = df.select(F.col(id_col).alias("_id"), raw.alias("_raw"))
     toks = F.col("_raw")
     if n > 1:
